@@ -1,0 +1,46 @@
+"""Table catalog over the driver-provided parquet test tables.
+
+The reference derives all schema truth from one dict shared by DDL and DML
+(python/adapters/hc_storage_adapter.py:61-99, python/build_database.py:64-74);
+we mirror that with one loader module every query goes through.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one parquet table. Column pruning + predicate pushdown are
+    Catalyst's job — callers select/filter declaratively and the parquet
+    reader sees PushedFilters/ReadSchema."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str, suffix: str = "") -> None:
+    """Register all tables as temp views (for the spark.sql query surface)."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name + suffix)
