@@ -10,6 +10,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -30,10 +31,25 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one parquet table. Column pruning + predicate pushdown are
     Catalyst's job — callers select/filter declaratively and the parquet
-    reader sees PushedFilters/ReadSchema."""
+    reader sees PushedFilters/ReadSchema.
+
+    ``events.ts`` is physically INT64 TIMESTAMP(NANOS), which Spark's
+    parquet reader rejects by default; we read it as a long
+    (``spark.sql.legacy.parquet.nanosAsLong``) and floor-truncate to
+    microseconds — the same truncation DuckDB applies, so oracles agree.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        # integer `div` keeps the conversion exact (double division would
+        # round near the 2^53 mantissa edge)
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return spark.read.parquet(path)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

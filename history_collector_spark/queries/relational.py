@@ -29,7 +29,7 @@ from history_collector_spark.registry import register
     SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice, o.o_orderdate,
            c.c_name, c.c_mktsegment
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-    WHERE o.o_custkey = 421
+    WHERE o.o_custkey = 7
     ORDER BY o.o_orderkey
     LIMIT 20
     """,
@@ -38,7 +38,7 @@ def account_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
     customer = table(spark, sf_dir, "customer")
     return (
-        orders.filter(F.col("o_custkey") == 421)
+        orders.filter(F.col("o_custkey") == 7)
         .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
         .select(
             "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate",

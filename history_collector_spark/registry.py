@@ -40,24 +40,21 @@ _LOADED = False
 
 
 def load_all() -> None:
-    """Import every query-bearing module exactly once."""
+    """Import every query-bearing module exactly once.
+
+    Modules are discovered from disk (pkgutil) so this list can never
+    drift from what actually exists; imports are side-effecting — the
+    @register decorators populate QUERIES/ORACLES.
+    """
     global _LOADED
     if _LOADED:
         return
-    # imports are side-effecting (decorators populate QUERIES/ORACLES)
-    from history_collector_spark.queries import (  # noqa: F401
-        aggregates,
-        asof,
-        dedup,
-        explode,
-        joins,
-        multimodal,
-        pipeline_parity,
-        relational,
-        scalar,
-        similarity,
-        text,
-        windows,
-    )
+    import importlib
+    import pkgutil
+
+    import history_collector_spark.queries as qpkg
+
+    for mod in pkgutil.iter_modules(qpkg.__path__):
+        importlib.import_module(f"{qpkg.__name__}.{mod.name}")
 
     _LOADED = True

@@ -42,10 +42,15 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
-    if "spark.master" not in os.environ.get("SPARK_CONF", ""):
-        builder = builder.master(os.environ.get("SPARK_MASTER", f"local[{cpus}]"))
+    # Only pin a master when launched directly (tests/bench). Under
+    # spark-submit the master comes from --master/spark-defaults.conf.
+    if os.environ.get("SPARK_MASTER"):
+        builder = builder.master(os.environ["SPARK_MASTER"])
+    elif not os.environ.get("SPARK_SUBMIT_DEPLOY_MODE"):
+        builder = builder.master(f"local[{cpus}]")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -1,0 +1,68 @@
+"""Order-insensitive DataFrame comparison between Spark and DuckDB results.
+
+Both frames are normalized (column order, numeric widths, timestamp unit),
+sorted by every column, then compared with a float tolerance — the same
+spirit as the driver's row-count + schema + value-hash gate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_bool_dtype(s):
+            df[c] = s.astype("boolean")
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("Int64")
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = s.astype("float64")
+        elif pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = pd.to_datetime(s).dt.floor("us").astype("datetime64[us]")
+        elif s.dtype == object:
+            # decimals from DuckDB, lists/arrays from Spark
+            if s.map(lambda v: isinstance(v, (list, tuple, np.ndarray))).any():
+                df[c] = s.map(
+                    lambda v: tuple(np.round(np.asarray(v, dtype="float64"), 6))
+                    if v is not None
+                    else None
+                )
+            else:
+                try:
+                    df[c] = s.astype("float64")
+                except (ValueError, TypeError):
+                    df[c] = s.astype("string")
+    return df
+
+
+def _sortable(df: pd.DataFrame) -> pd.DataFrame:
+    key = df.apply(lambda row: tuple(str(v) for v in row), axis=1)
+    return df.iloc[key.argsort(kind="mergesort")].reset_index(drop=True)
+
+
+def assert_frames_match(spark_df: pd.DataFrame, oracle_df: pd.DataFrame, name: str = "") -> None:
+    assert sorted(spark_df.columns) == sorted(oracle_df.columns), (
+        f"{name}: column mismatch {sorted(spark_df.columns)} vs {sorted(oracle_df.columns)}"
+    )
+    assert len(spark_df) == len(oracle_df), (
+        f"{name}: row count {len(spark_df)} vs {len(oracle_df)}"
+    )
+    a = _sortable(_normalize(spark_df))
+    b = _sortable(_normalize(oracle_df))
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if pd.api.types.is_float_dtype(av) and pd.api.types.is_float_dtype(bv):
+            ok = np.allclose(
+                av.fillna(np.nan), bv.fillna(np.nan), rtol=1e-6, atol=1e-6, equal_nan=True
+            )
+            assert ok, f"{name}: float column {c!r} differs"
+        else:
+            eq = (av.astype("string").fillna("\0") == bv.astype("string").fillna("\0"))
+            assert eq.all(), (
+                f"{name}: column {c!r} differs at rows {list(eq[~eq].index[:5])}: "
+                f"{av[~eq].head(3).tolist()} vs {bv[~eq].head(3).tolist()}"
+            )
