@@ -23,11 +23,13 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
-    Runs the per-account history query (reference sample/main.py:19-34
-    generalized): filter + broadcast join + project + order + limit.
+    Runs the flagship composed pipeline (parity with the reference's
+    write_data, python/main.py:126-202): nested build -> explode ->
+    broadcast-left-joins -> filters -> zip ops/results -> projections
+    -> typed union.
     """
     registry.load_all()
-    return registry.QUERIES["account_history"](spark, SMOKE_SF_DIR)
+    return registry.QUERIES["pipeline_parity"](spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

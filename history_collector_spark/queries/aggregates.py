@@ -1,0 +1,138 @@
+"""Aggregations, top-N-per-group, rollups — SURVEY.md §2.5 extensions.
+
+The reference's query surface only counts and takes top-1
+(python/tests/test_postgres_storage_adapter.py:213-218,78,157); a real
+analytics engine needs the full groupBy family. Every aggregate here is
+partial-aggregatable (map-side combine before the shuffle) and keeps
+the plan inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from history_collector_spark.catalog import table
+from history_collector_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1-shaped pricing summary: wide agg with computed inputs; the
+# canonical map-side-combine workload at 100 TB.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "group_agg_pricing",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty,
+           sum(l_extendedprice) AS sum_base_price,
+           sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+           sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+           avg(l_quantity) AS avg_qty,
+           avg(l_extendedprice) AS avg_price,
+           avg(l_discount) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def group_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.sum("l_extendedprice").alias("sum_base_price"),
+        F.sum(disc_price).alias("sum_disc_price"),
+        F.sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+        F.avg("l_quantity").alias("avg_qty"),
+        F.avg("l_extendedprice").alias("avg_price"),
+        F.avg("l_discount").alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-N per group (A2 generalized): latest 3 events per user. Window
+# row_number + filter — Spark runs this as a partial top-N sort within
+# partitions when the window is rank-limited.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "topn_per_group",
+    oracle="""
+    SELECT user_id, event_id, ts, rank FROM (
+      SELECT user_id, event_id, ts,
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS INT)
+               AS rank
+      FROM events
+    ) WHERE rank <= 3
+    """,
+)
+def topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.select(
+            "user_id", "event_id", "ts", F.row_number().over(w).alias("rank")
+        )
+        .filter(F.col("rank") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinct counting: exact per-group distinct (expands to two-phase agg).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "distinct_count",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rollup: subtotals + grand total in one pass (GROUPING SETS under the
+# hood — one shuffle, expand-side combine).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rollup_agg",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           sum(o_totalprice) AS total_price,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.sum("o_totalprice").alias("total_price"),
+            F.count("*").alias("n_orders"),
+        )
+    )

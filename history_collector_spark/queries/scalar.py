@@ -1,0 +1,100 @@
+"""Scalar-function pack — SURVEY.md §2.6, completing what relational.py
+left out: timestamp_seconds, conv, translate, concat_ws, format_string.
+
+Reference sites: epoch->datetime on every output row
+(python/adapters/postgres_storage_adapter.py:69), hex<->dec sequence
+arithmetic (python/main.py:222-224), char-strip translate
+(python/main.py:331-334), path building (python/main.py:83-86),
+zero-padding (python/main.py:226). All compile to Catalyst expressions
+inside whole-stage codegen — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from history_collector_spark.catalog import table
+from history_collector_spark.registry import register
+
+# Pinned conversion from the reference tests: 1535594286 ->
+# 2018-08-30 01:58:06 (python/tests/test_postgres_storage_adapter.py:254-269).
+PINNED_EPOCH = 1535594286
+
+
+@register(
+    "scalar_pack",
+    oracle=f"""
+    SELECT o_orderkey,
+           TIMESTAMP '1970-01-01' + (o_orderkey % 1000000000) * INTERVAL '1 second'
+             AS ts_from_epoch,
+           TIMESTAMP '1970-01-01' + {PINNED_EPOCH} * INTERVAL '1 second' AS pinned_ts,
+           lower(format('{{:x}}', o_orderkey)) AS hex_key,
+           CAST(CAST(concat('0x', format('{{:x}}', o_orderkey)) AS BIGINT) AS VARCHAR)
+             AS roundtrip_dec,
+           lpad(lower(format('{{:x}}', o_orderkey)), 8, '0') AS padded_hex,
+           translate(o_orderpriority, '- ', '__') AS priority_slug,
+           concat_ws('/', 'ledger', CAST(o_orderkey AS VARCHAR),
+                     o_orderstatus) AS path,
+           printf('%08d', o_orderkey % 100000000) AS formatted
+    FROM orders
+    """,
+)
+def scalar_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    hex_key = F.lower(F.hex(F.col("o_orderkey")))
+    return o.select(
+        "o_orderkey",
+        F.timestamp_seconds(F.col("o_orderkey") % 1000000000).alias("ts_from_epoch"),
+        F.timestamp_seconds(F.lit(PINNED_EPOCH)).alias("pinned_ts"),
+        hex_key.alias("hex_key"),
+        F.conv(hex_key, 16, 10).alias("roundtrip_dec"),
+        F.lpad(hex_key, 8, "0").alias("padded_hex"),
+        F.translate("o_orderpriority", "- ", "__").alias("priority_slug"),
+        F.concat_ws(
+            "/", F.lit("ledger"), F.col("o_orderkey").cast("string"),
+            F.col("o_orderstatus"),
+        ).alias("path"),
+        F.format_string("%08d", F.col("o_orderkey") % 100000000).alias("formatted"),
+    )
+
+
+@register(
+    "string_extract_pack",
+    oracle="""
+    SELECT event_id,
+           regexp_extract(props, '"k": ([0-9]+)', 1) AS k_value,
+           substr(event_type, 1, 3) AS type_prefix,
+           upper(event_type) AS type_upper,
+           CAST(length(props) AS INT) AS props_len,
+           replace(event_type, 'e', '3') AS leeted
+    FROM events
+    """,
+)
+def string_extract_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.regexp_extract("props", r'"k": ([0-9]+)', 1).alias("k_value"),
+        F.substring("event_type", 1, 3).alias("type_prefix"),
+        F.upper("event_type").alias("type_upper"),
+        F.length("props").alias("props_len"),
+        F.regexp_replace("event_type", "e", "3").alias("leeted"),
+    )
+
+
+@register(
+    "json_extract_pack",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INT) AS k_int
+    FROM events
+    """,
+)
+def json_extract_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # props is a JSON string ({"k": N}); get_json_object stays JVM-side.
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_int"),
+    )

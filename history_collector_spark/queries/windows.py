@@ -1,0 +1,138 @@
+"""Event-time windows + analytic window functions — SURVEY.md §2.7-f.
+
+The reference is strictly arrival-ordered and has no event-time
+semantics; these are the extensions the brief requires. Batch versions
+live here (verifiable against DuckDB); the streaming twins (watermarked)
+are in history_collector_spark/streaming/.
+
+`F.window` tumbling/sliding buckets are epoch-aligned, so the DuckDB
+oracles reproduce them with date_trunc/time_bucket arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from history_collector_spark.catalog import table
+from history_collector_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# Tumbling 1-hour window counts per event_type.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tumbling_window_counts",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           sum(value) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type",
+            "n_events", "total_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding window: 1 hour long, 30-minute slide -> each event lands in 2
+# windows. Oracle expands each row into its two buckets explicitly.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sliding_window_counts",
+    oracle="""
+    SELECT win AS window_start, CAST(count(*) AS BIGINT) AS n_events
+    FROM (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes' AS win
+      FROM events CROSS JOIN (VALUES (0), (1)) AS t(k)
+    )
+    GROUP BY win
+    """,
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session windows: per-user sessions split on >30-minute gaps. The
+# oracle computes the same islands with a lag/cumsum gaps-and-islands.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "session_window_agg",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL '30 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts,
+             sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id, min(ts) AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.min("ts").alias("session_start"), F.count("*").alias("n_events"))
+        .select("user_id", "session_start", "n_events")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Analytic window functions: lag/lead/running aggregate over an ordered
+# per-user partition (the consumer-side query surface the reference
+# delegates to Postgres, sample/main.py:25).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "analytic_window_funcs",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+           lag(value) OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS running_total,
+           value - lag(value) OVER w AS delta
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def analytic_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "event_id", "user_id", "ts", "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.sum("value").over(running).alias("running_total"),
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )
