@@ -1,0 +1,223 @@
+"""Similarity search over the `embeddings` table (array<float>, 64-dim).
+
+- ann_cosine_topk: brute-force cosine top-k — the exactness baseline.
+  Per-query candidate scoring is a join + JVM-side zip_with/aggregate
+  dot product; ranking is a per-query window (partial top-k per
+  partition, merged by the window sort).
+- ann_ivf_topk: IVF-style scale path — vectors are assigned to coarse
+  lists (here the pre-assigned `label` plays the centroid-id role) and
+  each query probes only its own list, cutting scored candidates by
+  ~n_lists. At 100 TB the lists are the partition keys, so scoring is
+  co-partitioned and never all-pairs.
+- ann_lsh_topk: random-hyperplane sign-LSH — deterministic md5-derived
+  hyperplanes, so the bucketing (and thus the result) is exactly
+  reproducible by the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from history_collector_spark.catalog import table
+from history_collector_spark.functions.nlp import cosine, l2_norm
+from history_collector_spark.registry import register
+
+_COS_SQL = """
+  list_sum(list_transform(range(1, 65),
+    i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+    / (q.nrm * c.nrm)
+"""
+
+_EMB_NORM_SQL = """
+  emb AS (
+    SELECT vec_id, label, embedding,
+           sqrt(list_sum(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+    FROM embeddings
+  )
+"""
+
+
+def _emb_with_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+    )
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH {_EMB_NORM_SQL}
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_COS_SQL} AS cos_sim,
+             CAST(row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_COS_SQL} DESC, c.vec_id) AS INT) AS rank
+      FROM emb q JOIN emb c ON q.vec_id != c.vec_id
+      WHERE q.vec_id < 5
+    ) WHERE rank <= 5
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb_with_norm(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 5).alias("q")
+    c = emb.alias("c")
+    cos = cosine(
+        F.col("q.embedding"), F.col("c.embedding"),
+        F.col("q.nrm"), F.col("c.nrm"),
+    )
+    scored = q.join(c, F.col("q.vec_id") != F.col("c.vec_id")).select(
+        F.col("q.vec_id").alias("query_id"),
+        F.col("c.vec_id").alias("neighbor_id"),
+        cos.alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH {_EMB_NORM_SQL}
+    SELECT query_id, neighbor_id, label, cos_sim, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.label,
+             {_COS_SQL} AS cos_sim,
+             CAST(row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_COS_SQL} DESC, c.vec_id) AS INT) AS rank
+      FROM emb q JOIN emb c
+        ON q.label = c.label AND q.vec_id != c.vec_id
+      WHERE q.vec_id % 100 = 0
+    ) WHERE rank <= 5
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb_with_norm(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") % 100 == 0).alias("q")
+    c = emb.alias("c")
+    cos = cosine(
+        F.col("q.embedding"), F.col("c.embedding"),
+        F.col("q.nrm"), F.col("c.nrm"),
+    )
+    scored = q.join(
+        c,
+        (F.col("q.label") == F.col("c.label"))
+        & (F.col("q.vec_id") != F.col("c.vec_id")),
+    ).select(
+        F.col("q.vec_id").alias("query_id"),
+        F.col("c.vec_id").alias("neighbor_id"),
+        F.col("q.label").alias("label"),
+        cos.alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "label", "cos_sim", "rank")
+    )
+
+
+# Sign-LSH: hyperplane h_j has components in {-1,+1} chosen by bit j of
+# the md5-derived 32-bit hash of the dimension index — deterministic and
+# engine-portable. Bucket = 8-bit sign pattern over 8 hyperplanes.
+_N_PLANES = 8
+
+_SIGN_SQL = f"""
+  planes AS (
+    SELECT p, list_transform(range(1, 65),
+             i -> CASE WHEN (CAST(concat('0x', substr(md5(concat(p, '#', i)), 1, 8)) AS BIGINT)
+                        % 2) = 1 THEN 1.0 ELSE -1.0 END) AS hp
+    FROM (SELECT unnest(range({_N_PLANES})) AS p)
+  ),
+  sigs AS (
+    SELECT e.vec_id, e.label, e.embedding, e.nrm,
+           CAST(sum(CASE WHEN list_sum(list_transform(range(1, 65),
+                  i -> CAST(e.embedding[i] AS DOUBLE) * hp[i])) >= 0
+                THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+    FROM emb e, planes
+    GROUP BY e.vec_id, e.label, e.embedding, e.nrm
+  )
+"""
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH {_EMB_NORM_SQL},
+    {_SIGN_SQL}
+    SELECT query_id, neighbor_id, bucket, cos_sim, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket,
+             {_COS_SQL} AS cos_sim,
+             CAST(row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_COS_SQL} DESC, c.vec_id) AS INT) AS rank
+      FROM sigs q JOIN sigs c
+        ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+      WHERE q.vec_id < 20
+    ) WHERE rank <= 3
+    """,
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb_with_norm(spark, sf_dir)
+
+    def plane_component(p: int, i: F.Column) -> F.Column:
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{p}#"), i.cast("string"))), 1, 8),
+            16, 10,
+        ).cast("long")
+        return F.when(h % 2 == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+    def plane_dot(p: int) -> F.Column:
+        # sum_i emb[i] * hp[i]; hp derived per dimension index (1-based)
+        return F.aggregate(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(64)),
+                lambda i: F.element_at(F.col("embedding"), i).cast("double")
+                * plane_component(p, i),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    bucket = None
+    for p in range(_N_PLANES):
+        term = F.when(plane_dot(p) >= 0, F.lit(2 ** p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = term if bucket is None else bucket + term
+
+    sigs = emb.withColumn("bucket", bucket)
+    q = sigs.filter(F.col("vec_id") < 20).alias("q")
+    c = sigs.alias("c")
+    cos = cosine(
+        F.col("q.embedding"), F.col("c.embedding"),
+        F.col("q.nrm"), F.col("c.nrm"),
+    )
+    scored = q.join(
+        c,
+        (F.col("q.bucket") == F.col("c.bucket"))
+        & (F.col("q.vec_id") != F.col("c.vec_id")),
+    ).select(
+        F.col("q.vec_id").alias("query_id"),
+        F.col("c.vec_id").alias("neighbor_id"),
+        F.col("q.bucket").alias("bucket"),
+        cos.alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "bucket", "cos_sim", "rank")
+    )

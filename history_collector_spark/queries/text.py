@@ -1,0 +1,208 @@
+"""Text analysis over `documents`: language-ID heuristic, quality
+scoring, token statistics, document fingerprinting.
+
+All pure Catalyst scalar/array expressions — per-row, shuffle-free,
+whole-stage-codegen'd; the natural shape for a 100 TB text-prep sweep
+(the scan cost dominates and nothing here adds exchange).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from history_collector_spark.catalog import table
+from history_collector_spark.registry import register
+
+# Tiny marker wordlists for the n-gram/stopword language heuristic.
+_LANG_MARKERS = {
+    "en": ["the", "a", "of", "and"],
+    "de": ["der", "die", "das", "und"],
+    "fr": ["le", "la", "et", "les"],
+    "es": ["el", "la", "de", "los"],
+}
+
+_STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+
+
+def _sql_list(words: list[str]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+@register(
+    "text_language_id",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split_regex(lower(text), '\\s+') AS t
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, lang,
+             len(list_filter(t, x -> x IN ({_sql_list(_LANG_MARKERS["en"])}))) AS en_hits,
+             len(list_filter(t, x -> x IN ({_sql_list(_LANG_MARKERS["de"])}))) AS de_hits,
+             len(list_filter(t, x -> x IN ({_sql_list(_LANG_MARKERS["fr"])}))) AS fr_hits,
+             len(list_filter(t, x -> x IN ({_sql_list(_LANG_MARKERS["es"])}))) AS es_hits
+      FROM toks
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CAST(en_hits AS INT) AS en_hits, CAST(de_hits AS INT) AS de_hits,
+           CAST(fr_hits AS INT) AS fr_hits, CAST(es_hits AS INT) AS es_hits,
+           CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits THEN 'en'
+                WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+                WHEN fr_hits >= es_hits THEN 'fr'
+                ELSE 'es' END AS predicted_lang
+    FROM scored
+    """,
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+
+    def hits(lang: str) -> F.Column:
+        markers = F.array(*[F.lit(w) for w in _LANG_MARKERS[lang]])
+        return F.size(
+            F.filter(toks, lambda x: F.array_contains(markers, x))
+        )
+
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        hits("en").alias("en_hits"),
+        hits("de").alias("de_hits"),
+        hits("fr").alias("fr_hits"),
+        hits("es").alias("es_hits"),
+    )
+    return scored.withColumn(
+        "predicted_lang",
+        F.when(
+            (F.col("en_hits") >= F.col("de_hits"))
+            & (F.col("en_hits") >= F.col("fr_hits"))
+            & (F.col("en_hits") >= F.col("es_hits")),
+            "en",
+        )
+        .when(
+            (F.col("de_hits") >= F.col("fr_hits"))
+            & (F.col("de_hits") >= F.col("es_hits")),
+            "de",
+        )
+        .when(F.col("fr_hits") >= F.col("es_hits"), "fr")
+        .otherwise("es"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(length(text) AS INT) AS len_chars,
+             CAST(len(string_split_regex(text, '\\s+')) AS INT) AS n_tokens,
+             CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS INT)
+               AS n_digits,
+             CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS INT)
+               AS n_punct,
+             CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                  x -> x IN ({_sql_list(_STOPWORDS)}))) AS INT) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, len_chars, n_tokens,
+           CAST(n_digits AS DOUBLE) / len_chars AS digit_ratio,
+           CAST(n_punct AS DOUBLE) / len_chars AS punct_ratio,
+           CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+           CAST(len_chars AS DOUBLE) / n_tokens AS avg_token_len,
+           (CASE WHEN n_tokens >= 20 THEN 0.4 ELSE 0.0 END
+            + CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens BETWEEN 0.01 AND 0.6
+                   THEN 0.3 ELSE 0.0 END
+            + CASE WHEN CAST(n_digits AS DOUBLE) / len_chars < 0.2
+                   THEN 0.3 ELSE 0.0 END) AS quality
+    FROM m
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), r"\s+")
+    ltoks = F.split(F.lower(F.col("text")), r"\s+")
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    m = docs.select(
+        "doc_id",
+        F.length("text").alias("len_chars"),
+        F.size(toks).alias("n_tokens"),
+        (F.length("text") - F.length(F.regexp_replace("text", "[0-9]", ""))).alias("n_digits"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", r"[^a-zA-Z0-9\s]", ""))
+        ).alias("n_punct"),
+        F.size(F.filter(ltoks, lambda x: F.array_contains(stop_arr, x))).alias("n_stop"),
+    )
+    digit_ratio = F.col("n_digits").cast("double") / F.col("len_chars")
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
+    return m.select(
+        "doc_id", "len_chars", "n_tokens",
+        digit_ratio.alias("digit_ratio"),
+        (F.col("n_punct").cast("double") / F.col("len_chars")).alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        (F.col("len_chars").cast("double") / F.col("n_tokens")).alias("avg_token_len"),
+        (
+            F.when(F.col("n_tokens") >= 20, 0.4).otherwise(0.0)
+            + F.when(stop_ratio.between(0.01, 0.6), 0.3).otherwise(0.0)
+            + F.when(digit_ratio < 0.2, 0.3).otherwise(0.0)
+        ).alias("quality"),
+    )
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split_regex(text, '\\s+')) AS INT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS INT)
+             AS bpeish_tokens,
+           CAST(len(list_distinct(string_split_regex(lower(text), '\\s+'))) AS INT)
+             AS unique_tokens,
+           CAST(len(list_distinct(string_split_regex(lower(text), '\\s+'))) AS DOUBLE)
+             / len(string_split_regex(text, '\\s+')) AS unique_ratio
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), r"\s+")
+    # BPE-ish pre-tokenizer: alpha runs, digit runs, single punct marks
+    bpeish = F.regexp_extract_all(
+        F.col("text"), F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0
+    )
+    uniq = F.array_distinct(F.split(F.lower(F.col("text")), r"\s+"))
+    return docs.select(
+        "doc_id",
+        F.size(ws).alias("ws_tokens"),
+        F.size(bpeish).alias("bpeish_tokens"),
+        F.size(uniq).alias("unique_tokens"),
+        (F.size(uniq).cast("double") / F.size(ws)).alias("unique_ratio"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS content_fp,
+           list_min(list_transform(
+             range(1, greatest(length(text) - 3, 1)),
+             i -> md5(substr(text, CAST(i AS INT), 5)))) AS min_shingle_fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    normalized = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    n = F.length("text")
+    min_shingle = F.array_min(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - 4, F.lit(1))),
+            lambda i: F.md5(F.substring(F.col("text"), i, 5)),
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(normalized).alias("content_fp"),
+        min_shingle.alias("min_shingle_fp"),
+    )
