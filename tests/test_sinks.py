@@ -1,0 +1,159 @@
+"""Exactly-once sink tests — ports of the reference's adapter-semantic
+suite: idempotent replay, empty-batch checkpoint advance
+(python/tests/test_postgres_storage_adapter.py:230-251), crash-between-
+data-and-marker recovery (the S3 rollback test's moral equivalent,
+python/tests/test_s3_storage_adapter.py:136-156), nullability
+enforcement (:54-113), the pinned epoch conversion (:254-269), and
+DDL-from-schema (S9)."""
+
+from __future__ import annotations
+
+import datetime
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from history_collector_spark.schemas import (
+    create_table_ddl,
+    creations_schema,
+    enforce_nullability,
+    payments_schema,
+)
+from history_collector_spark.sinks.exactly_once import (
+    ExactlyOnceDualSink,
+    PartitionedCsvSink,
+    get_storage_sink,
+)
+
+
+def _batch(spark, n=4, kind_split=True):
+    from pyspark.sql import functions as F
+
+    df = spark.range(n).select(
+        F.when((F.col("id") % 2 == 0) | (not kind_split), "payment")
+        .otherwise("creation")
+        .alias("type"),
+        F.col("id").cast("string").alias("source"),
+        F.lit("dest").alias("destination"),
+        (F.col("id") * 10.0).alias("amount"),
+        F.md5(F.col("id").cast("string")).alias("hash"),
+    )
+    return df
+
+
+def test_exactly_once_replay_is_idempotent(spark, tmp_path):
+    sink = ExactlyOnceDualSink(str(tmp_path / "out"))
+    os.makedirs(sink.base_dir, exist_ok=True)
+    sink.write_batch(_batch(spark), 0)
+    n_payments = spark.read.parquet(sink.payments_dir).count()
+    sink.write_batch(_batch(spark), 0)  # replay of committed epoch: no-op
+    assert spark.read.parquet(sink.payments_dir).count() == n_payments
+    assert sink.last_committed() == 0
+    sink.write_batch(_batch(spark), 1)
+    assert sink.last_committed() == 1
+    assert spark.read.parquet(sink.payments_dir).count() == 2 * n_payments
+
+
+def test_empty_batch_advances_checkpoint(spark, tmp_path):
+    sink = ExactlyOnceDualSink(str(tmp_path / "out"))
+    os.makedirs(sink.base_dir, exist_ok=True)
+    sink.write_batch(_batch(spark).limit(0), 0)
+    assert sink.last_committed() == 0  # checkpoint advanced
+    assert not os.path.exists(sink.payments_dir)  # no data written
+
+
+def test_crash_between_data_and_marker_recovers(spark, tmp_path):
+    sink = ExactlyOnceDualSink(str(tmp_path / "out"))
+    os.makedirs(sink.base_dir, exist_ok=True)
+    sink.write_batch(_batch(spark), 0)
+
+    # crash after data write, before marker commit
+    real_commit = sink._commit
+    sink._commit = lambda *a, **k: (_ for _ in ()).throw(OSError("crash"))
+    with pytest.raises(OSError):
+        sink.write_batch(_batch(spark), 1)
+    assert sink.last_committed() == 0  # marker untouched
+
+    # restart: replay epoch 1 -> dynamic overwrite, no duplication
+    sink._commit = real_commit
+    sink.write_batch(_batch(spark), 1)
+    assert sink.last_committed() == 1
+    per_epoch = (
+        spark.read.parquet(sink.payments_dir)
+        .groupBy("epoch_id")
+        .count()
+        .collect()
+    )
+    counts = {r["epoch_id"]: r["count"] for r in per_epoch}
+    assert counts[0] == counts[1]  # identical batch, no dup rows
+
+
+def test_nullability_enforcement(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            ("s", "d", 1.0, None, 1, 1, 0, "ok", None, "h", datetime.datetime(2020, 1, 1)),
+            (None, "d", 1.0, "m", 1, 1, 0, "ok", None, "h", datetime.datetime(2020, 1, 1)),
+        ],
+        schema="source string, destination string, amount double, memo_text string,"
+        " fee int, fee_charged int, operation_index int, tx_status string,"
+        " op_status string, hash string, time timestamp",
+    )
+    valid, rejected = enforce_nullability(df, payments_schema())
+    assert valid.count() == 1 and rejected.count() == 1
+    assert rejected.collect()[0]["source"] is None
+
+
+def test_pinned_epoch_conversion(spark):
+    """1535594286 -> 2018-08-30 01:58:06
+    (python/tests/test_postgres_storage_adapter.py:254-269)."""
+    from pyspark.sql import functions as F
+
+    row = spark.range(1).select(
+        F.timestamp_seconds(F.lit(1535594286)).alias("t")
+    ).collect()[0]
+    assert row["t"] == datetime.datetime(2018, 8, 30, 1, 58, 6)
+
+
+def test_ddl_generation():
+    ddl = create_table_ddl("payments", payments_schema())
+    assert ddl.startswith("CREATE TABLE IF NOT EXISTS payments")
+    for col in ("source", "destination", "amount", "memo_text", "fee",
+                "fee_charged", "operation_index", "hash", "time"):
+        assert col in ddl
+    assert "starting_balance" in create_table_ddl("creations", creations_schema())
+
+
+def test_sink_dispatch_exactly_one(tmp_path):
+    with pytest.raises(ValueError):
+        get_storage_sink(str(tmp_path), conf={})
+    with pytest.raises(ValueError):
+        get_storage_sink(
+            str(tmp_path), conf={"HCS_SINK_PARQUET": "1", "HCS_SINK_CSV": "1"}
+        )
+    assert isinstance(
+        get_storage_sink(str(tmp_path), conf={"HCS_SINK_PARQUET": "1"}),
+        ExactlyOnceDualSink,
+    )
+    assert isinstance(
+        get_storage_sink(str(tmp_path), conf={"HCS_SINK_CSV": "1"}),
+        PartitionedCsvSink,
+    )
+
+
+def test_partitioned_csv_skips_empty(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    sink = PartitionedCsvSink(str(tmp_path / "csv"))
+    df = spark.range(4).select(
+        (F.col("id") % 2).alias("ledger"), F.col("id").alias("v")
+    )
+    sink.write(df.limit(0))
+    assert not os.path.exists(sink.base_dir)  # empty write skipped
+    sink.write(df)
+    parts = {p for p in os.listdir(sink.base_dir) if p.startswith("ledger=")}
+    assert parts == {"ledger=0", "ledger=1"}
