@@ -2,11 +2,19 @@
 operators. Everything is built from Catalyst expressions (no Python in
 the row path) and every hash is md5-derived so DuckDB oracles can
 reproduce bit-identical values.
+
+A hard-won plan note: interpreted higher-order functions (transform/
+aggregate/filter) get NO common-subexpression elimination — a lambda
+body that references an outer expression (e.g. ``element_at(split(text),
+i)``) re-evaluates that expression per array element. Shingling is
+therefore done relationally (posexplode + window lead, whole-stage
+codegen) in ``shingle_rows``, never with a lambda over an index
+sequence.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 WS_SPLIT = r"\s+"
@@ -17,19 +25,25 @@ def tokens(text: Column) -> Column:
     return F.split(text, WS_SPLIT)
 
 
-def shingles(text: Column, k: int = 3) -> Column:
-    """Distinct word k-gram shingles (space-joined); empty for short docs."""
-    toks = tokens(text)
-    n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(0), n - F.lit(k)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + F.lit(j + 1)) for j in range(k)]
-        ),
+def shingle_rows(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Distinct word k-gram shingles as ROWS: (doc_id, lang, g).
+
+    posexplode + window lead keeps every step in whole-stage codegen
+    (one doc_id-partitioned sort, one distinct) — the per-row array
+    formulation re-evaluated the tokenizing split once per element
+    inside an interpreted lambda. Docs with < k tokens produce no rows,
+    matching the empty-shingle-set semantics.
+    """
+    toks = docs.select(
+        "doc_id", "lang", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
     )
-    return F.when(n >= k, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("tok", j).over(w).alias(f"t{j}") for j in range(1, k)]
+    sh = toks.select("doc_id", "lang", "tok", *leads).filter(
+        F.col(f"t{k - 1}").isNotNull()
     )
+    g = F.concat_ws(" ", "tok", *[f"t{j}" for j in range(1, k)])
+    return sh.select("doc_id", "lang", g.alias("g")).distinct()
 
 
 def md5_hash32(value: Column) -> Column:
@@ -39,16 +53,23 @@ def md5_hash32(value: Column) -> Column:
     return F.conv(F.substring(F.md5(value), 1, 8), 16, 10).cast("long")
 
 
-def seeded_hash32(seed: int, value: Column) -> Column:
-    """Seed-family variant: md5('{seed}:' || value)."""
-    return md5_hash32(F.concat(F.lit(f"{seed}:"), value))
+# Affine minhash family: hash each shingle ONCE (md5 -> 32-bit h), then
+# derive the i-th hash as (A[i]*h + B[i]) mod P. One md5 per shingle
+# instead of one per (shingle, seed) — 32x less hashing at identical
+# determinism (the DuckDB oracle reproduces the same integers exactly).
+# A[i] < 2^20 keeps A[i]*h < 2^52, safely inside a signed 64-bit long.
+MH_PRIME = 2147483647  # 2^31 - 1
 
 
-def minhash(shingle_arr: Column, seed: int) -> Column:
-    """Min over the shingle set of the seeded 32-bit hash."""
-    return F.array_min(
-        F.transform(shingle_arr, lambda s: seeded_hash32(seed, s))
-    )
+def mh_consts(n: int) -> tuple[list[int], list[int]]:
+    a = [((i * 2654435761) % 1048573) | 1 for i in range(n)]
+    b = [(i * 1013904223 + 12345) % MH_PRIME for i in range(n)]
+    return a, b
+
+
+def affine_hash(h: Column, a: int, b: int) -> Column:
+    """(a*h + b) mod P over a non-negative 32-bit long column."""
+    return (F.lit(a).cast("long") * h + F.lit(b)) % F.lit(MH_PRIME)
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -59,7 +80,12 @@ def jaccard(a: Column, b: Column) -> Column:
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Double-precision dot product of two numeric arrays (JVM-side)."""
+    """Double-precision dot product of two numeric arrays (JVM-side).
+
+    zip_with evaluates its array arguments once, so this stays linear;
+    it is interpreted (HOF), which is fine for dim-64 vectors — the
+    all-pairs hot path uses numpy via mapInPandas instead
+    (dedup_embedding_cosine)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),

@@ -4,39 +4,60 @@ MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
 Scale design (the 100 TB posture):
 - exact dedup groups on a 256-bit content hash, not the full text —
   the shuffle moves 32-byte keys, not documents;
-- MinHash signatures/bands are computed per-row with array expressions
-  (zero shuffles), then candidates come from a groupable (band, bucket)
-  key join — never an all-pairs comparison;
-- SimHash is likewise per-row;
-- the only all-pairs query (embedding cosine) is the brute-force
-  baseline; the bucketed scale path is similarity.ann_lsh_topk.
+- shingling is relational (posexplode + window lead, whole-stage
+  codegen — see functions.nlp.shingle_rows for why not a lambda);
+- MinHash hashes each shingle ONCE (md5), then derives the 32-member
+  hash family as affine mixes computed by 32 map-side-combined min()
+  aggregates — one doc_id shuffle, zero interpreted lambdas;
+  candidates come from (band, bucket) collisions, never all-pairs;
+- n-gram Jaccard uses a positional inverted index (self-join exploded
+  shingles on the shingle itself — a high-cardinality, evenly
+  distributed key — then count co-occurrences): same exact semantics
+  as the blocked all-pairs join because the >=0.1 threshold already
+  excludes zero-intersection pairs, but cost is sum_g df(g)^2 over
+  shingle doc-frequencies instead of sum_lang n^2 over a 5-value
+  maximally-skewed blocking key;
+- SimHash explodes tokens and computes the 32 bit-votes as map-side
+  combined groupBy sums;
+- the one all-pairs query (embedding cosine) is the brute-force
+  baseline: an Arrow-batched mapInPandas whose batches BLAS-matmul
+  against a broadcast matrix of the build side — the same
+  broadcast-the-small-side shape as a broadcast join. The bucketed
+  scale path is similarity.ann_lsh_topk.
 
-Every hash is md5-derived so the DuckDB oracles reproduce values
+Every text hash is md5-derived so the DuckDB oracles reproduce values
 exactly; LSH candidate pairs are therefore deterministic, not
 probabilistic, from the oracle's point of view.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from history_collector_spark.catalog import table
 from history_collector_spark.functions.nlp import (
-    cosine,
+    MH_PRIME,
+    affine_hash,
     jaccard,
-    l2_norm,
     md5_hash32,
-    minhash,
-    shingles,
+    mh_consts,
+    shingle_rows,
 )
 from history_collector_spark.registry import register
 
 N_HASHES = 32
 N_BANDS = 16  # r=2 rows per band
+MH_A, MH_B = mh_consts(N_HASHES)
+
+_MH_A_SQL = "[" + ", ".join(map(str, MH_A)) + "]"
+_MH_B_SQL = "[" + ", ".join(map(str, MH_B)) + "]"
 
 # DuckDB CTE producing the identical (doc_id, band, bucket) LSH table.
-_BUCKETS_SQL = """
+_BUCKETS_SQL = f"""
   toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents),
   sh AS (
     SELECT doc_id,
@@ -45,10 +66,18 @@ _BUCKETS_SQL = """
              i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS s
     FROM toks
   ),
+  hs AS (
+    SELECT doc_id,
+           CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) AS h
+    FROM sh
+  ),
+  seeds AS (
+    SELECT i AS seed, {_MH_A_SQL}[i + 1] AS a, {_MH_B_SQL}[i + 1] AS b
+    FROM (SELECT unnest(range({N_HASHES})) AS i)
+  ),
   mh AS (
-    SELECT doc_id, seed,
-           min(CAST(concat('0x', substr(md5(concat(seed, ':', s)), 1, 8)) AS BIGINT)) AS m
-    FROM sh, (SELECT unnest(range(32)) AS seed)
+    SELECT doc_id, seed, min((a * h + b) % {MH_PRIME}) AS m
+    FROM hs, seeds
     GROUP BY doc_id, seed
   ),
   buckets AS (
@@ -60,18 +89,27 @@ _BUCKETS_SQL = """
 """
 
 
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shingle_rows(
+        table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    )
+
+
 def _lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc LSH table: N_BANDS rows of (doc_id, band, bucket).
 
-    Signature + banding are pure array expressions over each row — no
-    shuffle until someone groups on (band, bucket).
+    One md5 per shingle row, then the 32-signature minima as map-side
+    combined aggregates — a single doc_id shuffle; band buckets are a
+    16-element posexplode of md5-paired minima.
     """
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id", shingles(F.col("text")).alias("sh")
+    hs = _doc_shingles(spark, sf_dir).select(
+        "doc_id", md5_hash32(F.col("g")).alias("h")
     )
-    sigs = docs.select(
-        "doc_id",
-        *[minhash(F.col("sh"), s).alias(f"m{s}") for s in range(N_HASHES)],
+    sigs = hs.groupBy("doc_id").agg(
+        *[
+            F.min(affine_hash(F.col("h"), MH_A[s], MH_B[s])).alias(f"m{s}")
+            for s in range(N_HASHES)
+        ]
     )
     bands = F.array(
         *[
@@ -175,8 +213,12 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sh = table(spark, sf_dir, "documents").select(
-        "doc_id", shingles(F.col("text")).alias("s")
+    # shingle SETS for the exact verify — candidates are few, so the
+    # array materialization happens only on the collision survivors' side
+    sh = (
+        _doc_shingles(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.collect_set("g").alias("s"))
     )
     x = sh.alias("x")
     y = sh.alias("y")
@@ -192,7 +234,9 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # SimHash: 32-bit per-doc fingerprint over distinct tokens; near-dups
-# differ in few bits. Fully per-row (no shuffle anywhere).
+# differ in few bits. Tokens are exploded and the 32 bit-votes are
+# groupBy sums — map-side combined, whole-stage codegen, one doc_id
+# shuffle (vs an interpreted 32x|tokens| nested fold per row).
 # ---------------------------------------------------------------------------
 
 
@@ -218,29 +262,35 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.transform(
-            F.array_distinct(F.split("text", r"\s+")),
-            lambda t: md5_hash32(t),
-        ).alias("tokh"),
+    th = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split("text", r"\s+"))).alias("tok"),
+        )
+        .select("doc_id", md5_hash32(F.col("tok")).alias("h"))
     )
-    simhash = F.expr(
-        """
-        aggregate(sequence(0, 31), 0L, (acc, b) ->
-          acc + IF(
-            aggregate(tokh, 0L, (a, h) ->
-              a + IF((h div CAST(pow(2, b) AS LONG)) % 2 = 1, 1L, -1L)) >= 0,
-            CAST(pow(2, b) AS LONG), 0L))
-        """
+    # 32 bit-vote sums per doc; h >= 0 so bit-test == (h div 2^b) % 2
+    votes = th.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(32)
+        ]
     )
-    return docs.select("doc_id", simhash.alias("simhash"))
+    simhash = None
+    for b in range(32):
+        term = F.when(F.col(f"v{b}") >= 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        simhash = term if simhash is None else simhash + term
+    return votes.select("doc_id", simhash.alias("simhash"))
 
 
 # ---------------------------------------------------------------------------
-# Exact n-gram Jaccard near-dup pairs within language blocks: the
-# blocked all-pairs baseline the LSH path approximates. Blocking keys
-# bound the quadratic term per block.
+# Exact n-gram Jaccard near-dup pairs within language blocks, via the
+# positional inverted index (see module docstring).
 # ---------------------------------------------------------------------------
 
 
@@ -265,31 +315,44 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", shingles(F.col("text")).alias("s")
+    sh = _doc_shingles(spark, sf_dir)
+    # per-doc shingle-set size, windowed so it rides the existing rows
+    ex = sh.withColumn(
+        "n", F.count("*").over(Window.partitionBy("doc_id"))
     )
-    a = sh.alias("a")
-    b = sh.alias("b")
-    j = jaccard(F.col("a.s"), F.col("b.s"))
-    return (
+    a = ex.alias("a")
+    b = ex.alias("b")
+    inter = (
         a.join(
             b,
-            (F.col("a.lang") == F.col("b.lang"))
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
+        .groupBy(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             F.col("a.lang").alias("lang"),
-            j.alias("jaccard"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
         )
+        .agg(F.count("*").alias("inter"))
+    )
+    j = F.col("inter").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("inter")
+    )
+    return (
+        inter.select("doc_a", "doc_b", "lang", j.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.1)
     )
 
 
 # ---------------------------------------------------------------------------
-# Embedding-cosine near-dup pairs: brute-force baseline (norms
-# precomputed once; dot products in JVM codegen via zip_with/aggregate).
+# Embedding-cosine near-dup pairs: brute-force baseline. Each Arrow
+# batch of the probe side BLAS-matmuls against a broadcast float64
+# matrix of the whole (small) build side — the broadcast-join shape,
+# with numpy doing the 64-dim dot products instead of 128M interpreted
+# expression evaluations. The LSH/IVF queries are the 100 TB path.
 # ---------------------------------------------------------------------------
 
 
@@ -313,21 +376,31 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
-    )
-    a = emb.alias("a")
-    b = emb.alias("b")
-    cos = cosine(
-        F.col("a.embedding"), F.col("b.embedding"),
-        F.col("a.nrm"), F.col("b.nrm"),
-    )
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            cos.alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= 0.3)
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    # build side: one driver-collected matrix, broadcast to executors —
+    # exactly what a broadcast hash join does with its build side
+    build = emb.toPandas()
+    b_ids = build["vec_id"].to_numpy()
+    b_mat = np.stack(build["embedding"].to_numpy()).astype(np.float64)
+    b_nrm = np.sqrt((b_mat * b_mat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((b_ids, b_mat, b_nrm))
+
+    def score(batches):
+        ids_b, mat_b, nrm_b = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            a_mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            a_ids = pdf["vec_id"].to_numpy()
+            a_nrm = np.sqrt((a_mat * a_mat).sum(axis=1))
+            sims = (a_mat @ mat_b.T) / np.outer(a_nrm, nrm_b)
+            keep = (a_ids[:, None] < ids_b[None, :]) & (sims >= 0.3)
+            r, c = np.nonzero(keep)
+            yield pd.DataFrame(
+                {"id_a": a_ids[r], "id_b": ids_b[c], "cos_sim": sims[r, c]}
+            )
+
+    return emb.mapInPandas(
+        score, schema="id_a bigint, id_b bigint, cos_sim double"
     )

@@ -16,12 +16,16 @@
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from history_collector_spark.catalog import table
 from history_collector_spark.functions.nlp import cosine, l2_norm
 from history_collector_spark.registry import register
+
+EMB_DIM = 64
 
 _COS_SQL = """
   list_sum(list_transform(range(1, 65),
@@ -41,7 +45,8 @@ _EMB_NORM_SQL = """
 
 def _emb_with_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+        "vec_id", "label", "embedding",
+        l2_norm(F.col("embedding")).alias("nrm"),
     )
 
 
@@ -170,21 +175,20 @@ _SIGN_SQL = f"""
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb_with_norm(spark, sf_dir)
 
-    def plane_component(p: int, i: F.Column) -> F.Column:
-        h = F.conv(
-            F.substring(F.md5(F.concat(F.lit(f"{p}#"), i.cast("string"))), 1, 8),
-            16, 10,
-        ).cast("long")
-        return F.when(h % 2 == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
+    def plane_sign(p: int, i: int) -> float:
+        # The hyperplane components are md5 of CONSTANTS (p, i) — fold
+        # them at plan-build time (hashlib md5 == Spark/DuckDB md5), so
+        # the per-row work is one zip_with over a literal ±1 array, not
+        # 512 md5 calls per row.
+        h = int(hashlib.md5(f"{p}#{i}".encode()).hexdigest()[:8], 16)
+        return 1.0 if h % 2 == 1 else -1.0
 
     def plane_dot(p: int) -> F.Column:
-        # sum_i emb[i] * hp[i]; hp derived per dimension index (1-based)
+        # sum_i emb[i] * hp[i]; sequential fold matches the oracle's
+        # list_sum order bit-for-bit
+        hp = F.array(*[F.lit(plane_sign(p, i)) for i in range(1, EMB_DIM + 1)])
         return F.aggregate(
-            F.transform(
-                F.sequence(F.lit(1), F.lit(64)),
-                lambda i: F.element_at(F.col("embedding"), i).cast("double")
-                * plane_component(p, i),
-            ),
+            F.zip_with(F.col("embedding"), hp, lambda x, h: x.cast("double") * h),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
