@@ -194,15 +194,21 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     normalized = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    # rolling 5-char-shingle min-hash, relationally: explode the start
+    # positions, hash in whole-stage codegen, min() with map-side combine
+    # (the transform()-lambda formulation runs interpreted per element)
     n = F.length("text")
-    min_shingle = F.array_min(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n - 4, F.lit(1))),
-            lambda i: F.md5(F.substring(F.col("text"), i, 5)),
-        )
-    )
-    return docs.select(
+    pos = docs.select(
         "doc_id",
-        F.md5(normalized).alias("content_fp"),
-        min_shingle.alias("min_shingle_fp"),
+        "text",
+        F.explode(F.sequence(F.lit(1), F.greatest(n - 4, F.lit(1)))).alias("i"),
+    )
+    min_shingle = (
+        pos.select("doc_id", F.md5(F.expr("substring(text, i, 5)")).alias("h"))
+        .groupBy("doc_id")
+        .agg(F.min("h").alias("min_shingle_fp"))
+    )
+    fps = docs.select("doc_id", F.md5(normalized).alias("content_fp"))
+    return fps.join(min_shingle, "doc_id").select(
+        "doc_id", "content_fp", "min_shingle_fp"
     )

@@ -157,3 +157,44 @@ def test_partitioned_csv_skips_empty(spark, tmp_path):
     sink.write(df)
     parts = {p for p in os.listdir(sink.base_dir) if p.startswith("ledger=")}
     assert parts == {"ledger=0", "ledger=1"}
+
+
+# -- JDBC sink semantics (S5): the visibility predicate and replay guard
+# are pure DataFrame logic, tested without a database ------------------------
+
+
+def test_jdbc_committed_view_hides_uncommitted_epochs(spark):
+    from history_collector_spark.sinks.jdbc import committed_view
+
+    rows = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "epoch_id bigint, v string"
+    )
+    assert committed_view(rows, None).count() == 0
+    assert committed_view(rows, 2).count() == 2  # epoch 3 crashed mid-write
+    assert committed_view(rows, 3).count() == 3
+
+
+# -- Storage bootstrap (S10) -------------------------------------------------
+
+
+def test_bootstrap_creates_tables_and_seeds_checkpoint(spark, tmp_path):
+    from history_collector_spark.sinks.bootstrap import bootstrap_storage
+
+    db = "hcs_boot_test"
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    try:
+        bootstrap_storage(spark, database=db, first_file="0000003f")
+        tables = {r.tableName for r in spark.sql(f"SHOW TABLES IN {db}").collect()}
+        assert {"payments", "creations", "lastfile"} <= tables
+        seed = spark.table(f"{db}.lastfile").collect()
+        assert [r.name for r in seed] == ["0000003f"]
+        # idempotent: re-running neither fails nor re-seeds
+        bootstrap_storage(spark, database=db, first_file="0000003f")
+        assert spark.table(f"{db}.lastfile").count() == 1
+        # misaligned FIRST_FILE rejected (python/build_database.py:24-27)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            bootstrap_storage(spark, database=db, first_file="00000040")
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
