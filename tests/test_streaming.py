@@ -115,3 +115,82 @@ def test_watermarked_dedup(spark, tmp_path):
     got = {r["tx_hash"] for r in spark.sql("SELECT * FROM dedup_sink").collect()}
     assert got == {"a", "b"}
     assert spark.sql("SELECT count(*) n FROM dedup_sink").collect()[0]["n"] == 2
+
+
+def _run_tracker(spark, src_dir, ckpt, out_dir):
+    from history_collector_spark.streaming.stateful import track_gapless
+
+    stream = spark.readStream.schema("stream_id string, seq long").json(src_dir)
+    released = track_gapless(stream, start_seq=63)
+
+    def sink(batch_df, epoch_id):
+        if not batch_df.isEmpty():
+            batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        released.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination(120)
+    return [
+        (r["seq"], r["status"])
+        for r in spark.read.parquet(out_dir).orderBy("seq").collect()
+    ]
+
+
+def test_stateful_gapless_stalls_and_resumes(spark, tmp_path):
+    """Stall-don't-skip as a stateful streaming operator: 191 arrives
+    before 127 and must WAIT in state; when 127 lands (after a restart,
+    so state round-trips the state store) both release in order."""
+    src = str(tmp_path / "seqs")
+    ckpt = str(tmp_path / "ckpt_state")
+    os.makedirs(src, exist_ok=True)
+
+    with open(os.path.join(src, "b1.json"), "w") as f:
+        f.write('{"stream_id": "s1", "seq": 63}\n{"stream_id": "s1", "seq": 191}\n')
+    got1 = _run_tracker(spark, src, ckpt, str(tmp_path / "rel1"))
+    assert got1 == [(63, "ok")]  # 191 buffered behind the 127 gap
+
+    with open(os.path.join(src, "b2.json"), "w") as f:
+        f.write('{"stream_id": "s1", "seq": 127}\n{"stream_id": "s1", "seq": 63}\n')
+    got2 = _run_tracker(spark, src, ckpt, str(tmp_path / "rel2"))
+    # gap filled -> 127 and the buffered 191 release in order; the
+    # replayed 63 is flagged, never re-released
+    assert got2 == [(63, "duplicate"), (127, "ok"), (191, "ok")]
+
+
+def test_streaming_windowed_agg_with_watermark(spark, tmp_path):
+    """§2.7-f: event-time tumbling window + watermark over a stream."""
+    src = str(tmp_path / "evts")
+    spark.createDataFrame(
+        [
+            ("2024-01-01 00:10:00", "a"),
+            ("2024-01-01 00:20:00", "b"),
+            ("2024-01-01 01:05:00", "c"),
+        ],
+        "ts_s string, v string",
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"), "v").write.parquet(src)
+
+    stream = spark.readStream.schema("ts timestamp, v string").parquet(src)
+    counts = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("win_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_w"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r["w"]["start"].isoformat(), r["n"])
+        for r in spark.sql("SELECT * FROM win_sink").collect()
+    }
+    assert rows == {("2024-01-01T00:00:00", 2), ("2024-01-01T01:00:00", 1)}
