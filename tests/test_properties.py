@@ -1,0 +1,136 @@
+"""Property-based tests (hypothesis) — the reference's randomized
+schema-driven row generation (python/tests/test_postgres_storage_adapter.py:
+278-302) ported to properties over our semantics-critical helpers:
+
+- file-sequence algebra (S2): validity is preserved by next_file_seq,
+  sequences are strictly monotone by +64;
+- J3 zip semantics: the arrays_zip-null-pad + isNotNull-guard
+  formulation equals Python's truncating zip (python/main.py:155-157)
+  for every ops/results length combination;
+- nullability enforcement: enforce_nullability splits any random row
+  set exactly as the Postgres NOT NULL constraints would.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from history_collector_spark.sources.xdr import (
+    is_valid_file_seq,
+    next_file_seq,
+)
+
+
+@given(st.integers(min_value=0, max_value=2**24 - 1))
+def test_file_sequence_algebra(n):
+    seq = format(n * 64 + 63, "08x")
+    assert is_valid_file_seq(seq)
+    nxt = next_file_seq(seq)
+    assert is_valid_file_seq(nxt)
+    assert int(nxt, 16) - int(seq, 16) == 64
+    # misaligned neighbors are rejected
+    assert not is_valid_file_seq(format(int(seq, 16) + 1, "08x"))
+
+
+# one Spark job per example — keep the example count small
+_ops_results = st.lists(
+    st.tuples(
+        st.lists(st.integers(0, 99), min_size=0, max_size=5),  # op markers
+        st.integers(min_value=0, max_value=7),  # result count (may exceed ops)
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(data=_ops_results)
+def test_zip_null_pad_equals_truncating_zip(spark, data):
+    """J3: posexplode(arrays_zip(ops, results)) with the F5 isNotNull
+    guard must equal python/main.py:155-157's
+    `enumerate(zip(ops, results))` + truthiness guard for ALL length
+    combinations (ops shorter, equal, or longer than results)."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (i, ops, [f"r{j}" for j in range(nres)])
+        for i, (ops, nres) in enumerate(data)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, ops array<int>, results array<string>"
+    )
+    got = (
+        df.select(
+            "id",
+            F.posexplode(F.arrays_zip("ops", "results")).alias("op_index", "z"),
+        )
+        .select(
+            "id",
+            "op_index",
+            F.col("z.ops").alias("op"),
+            F.when(F.col("z.results").isNotNull(), F.col("z.results")).alias(
+                "res"
+            ),
+        )
+        .collect()
+    )
+    spark_rows = {(r.id, r.op_index, r.op, r.res) for r in got}
+
+    expected = set()
+    for i, (ops, nres) in enumerate(data):
+        results = [f"r{j}" for j in range(nres)]
+        # arrays_zip pads the SHORT side with null; the guard turns a
+        # missing result into None, and a padded (null-op) row keeps
+        # op=None — mirror both paddings
+        for idx in range(max(len(ops), len(results))):
+            op = ops[idx] if idx < len(ops) else None
+            res = results[idx] if idx < len(results) else None
+            expected.add((i, idx, op, res))
+    assert spark_rows == expected
+
+
+_row_strategy = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.text(min_size=1, max_size=8)),  # source
+        st.one_of(st.none(), st.text(min_size=1, max_size=8)),  # memo (nullable)
+        st.one_of(st.none(), st.integers(0, 10**6)),  # fee
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(rows=_row_strategy)
+def test_nullability_split_property(spark, rows):
+    """enforce_nullability must partition rows exactly: NOT NULL
+    violations rejected, everything else kept, nothing lost."""
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from history_collector_spark.schemas import enforce_nullability
+
+    schema = StructType(
+        [
+            StructField("source", StringType(), nullable=False),
+            StructField("memo_text", StringType(), nullable=True),
+            StructField("fee", IntegerType(), nullable=False),
+        ]
+    )
+    df = spark.createDataFrame(rows, "source string, memo_text string, fee int")
+    valid, rejected = enforce_nullability(df, schema)
+    n_valid_expected = sum(
+        1 for (s, _m, f) in rows if s is not None and f is not None
+    )
+    assert valid.count() == n_valid_expected
+    assert rejected.count() == len(rows) - n_valid_expected
