@@ -1,0 +1,141 @@
+"""Near-dup cluster assignment — connected components over the
+MinHash-LSH duplicate pairs, the step that turns pairwise near-dup
+evidence into one canonical document per cluster.
+
+Algorithm: iterative min-label propagation (each node repeatedly takes
+the minimum label among itself and its neighbors until fixpoint) — the
+standard large-scale connected-components formulation: every iteration
+is one shuffle join on doc_id, converging in O(diameter) rounds
+(near-dup clusters are shallow, so 2-4 rounds in practice). The loop's
+only driver-side work is the convergence check (a count), never data.
+Labels are doc_ids, so the fixpoint (min doc_id reachable) is unique
+and deterministic; the DuckDB oracle computes the same fixpoint with a
+recursive CTE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from history_collector_spark.catalog import table
+from history_collector_spark.queries.dedup import _BUCKETS_SQL, _lsh_buckets
+from history_collector_spark.registry import register
+
+_DUP_THRESHOLD = 0.5
+
+
+def _dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs verified at jaccard >= threshold (edges)."""
+    from history_collector_spark.functions.nlp import jaccard
+    from history_collector_spark.queries.dedup import _doc_shingles
+
+    buckets = _lsh_buckets(spark, sf_dir)
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh = (
+        _doc_shingles(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.collect_set("g").alias("s"))
+    )
+    x, y = sh.alias("x"), sh.alias("y")
+    j = jaccard(F.col("x.s"), F.col("y.s"))
+    return (
+        cand.join(x, cand.doc_a == F.col("x.doc_id"))
+        .join(y, cand.doc_b == F.col("y.doc_id"))
+        .select("doc_a", "doc_b")
+        .filter(j >= _DUP_THRESHOLD)
+    )
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_BUCKETS_SQL},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    shl AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - 1, 1)),
+               i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+      FROM toks
+    ),
+    dup AS (
+      SELECT doc_a, doc_b FROM cand
+      JOIN shl x ON cand.doc_a = x.doc_id
+      JOIN shl y ON cand.doc_b = y.doc_id
+      WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+              / len(list_distinct(list_concat(x.s, y.s))) >= {_DUP_THRESHOLD}
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM dup
+      UNION ALL SELECT doc_b, doc_a FROM dup
+    ),
+    reach(u, v) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    )
+    SELECT u AS doc_id, min(v) AS cluster_id,
+           (min(v) = u) AS is_canonical
+    FROM reach GROUP BY u
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dup = _dup_pairs(spark, sf_dir)
+    edges = dup.selectExpr("doc_a AS u", "doc_b AS v").unionAll(
+        dup.selectExpr("doc_b AS u", "doc_a AS v")
+    )
+    # cache: every iteration probes the same edge set
+    edges = edges.persist()
+
+    labels = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("u"), F.col("doc_id").alias("label")
+    )
+    while True:
+        # neighbor minimum, null for isolated nodes
+        nbr = (
+            edges.join(labels, edges.v == labels.u)
+            .groupBy(edges.u.alias("nu"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.u == nbr.nu, "left")
+            .select(
+                "u",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        # truncate lineage each round or the plan doubles per iteration
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("u").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("label") == F.col("u")).alias("is_canonical"),
+    )
