@@ -1,0 +1,63 @@
+"""Range (interval) join — a join family the reference lacks entirely
+(SURVEY.md §2.3 "Absent join types"); native in Spark as an equi-join
+with a residual range condition.
+
+Shape: equality on user_id carries the shuffle (high-cardinality key);
+the time-range predicate is a residual filter evaluated inside the
+join — no cross product ever materializes. At 100 TB the probe side
+(error events) is a small fraction of the stream, and AQE will pick a
+broadcast for it when it fits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from history_collector_spark.catalog import table
+from history_collector_spark.registry import register
+
+
+@register(
+    "range_join_events",
+    oracle="""
+    WITH probes AS (
+      SELECT event_id AS probe_id, user_id, ts AS t0,
+             ts + INTERVAL 5 MINUTE AS t1
+      FROM events WHERE event_type = 'error' AND event_id % 50 = 0
+    )
+    SELECT p.probe_id, e.event_id, e.event_type,
+           CAST(date_diff('microsecond', p.t0, e.ts) AS BIGINT) AS lag_us
+    FROM probes p JOIN events e
+      ON e.user_id = p.user_id AND e.ts > p.t0 AND e.ts <= p.t1
+    """,
+)
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events of the same user within 5 minutes AFTER each sampled
+    error event (a post-incident activity window)."""
+    events = table(spark, sf_dir, "events")
+    probes = (
+        events.filter(
+            (F.col("event_type") == "error") & (F.col("event_id") % 50 == 0)
+        )
+        .select(
+            F.col("event_id").alias("probe_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("t0"),
+            F.expr("ts + INTERVAL 5 MINUTES").alias("t1"),
+        )
+    )
+    return (
+        probes.join(
+            events,
+            (events.user_id == probes.p_user)
+            & (events.ts > probes.t0)
+            & (events.ts <= probes.t1),
+        )
+        .select(
+            "probe_id",
+            "event_id",
+            "event_type",
+            (F.unix_micros("ts") - F.unix_micros("t0")).alias("lag_us"),
+        )
+    )

@@ -134,3 +134,39 @@ def test_nullability_split_property(spark, rows):
     )
     assert valid.count() == n_valid_expected
     assert rejected.count() == len(rows) - n_valid_expected
+
+
+def test_sketch_aggregates_accuracy(spark):
+    """Sketches have no oracle (engine-specific values); pin their
+    relative error against exact answers instead."""
+    from history_collector_spark import registry
+
+    registry.load_all()
+    from tests.conftest import TEST_SF_DIR
+
+    got = {
+        r["event_type"]: r
+        for r in registry.QUERIES["sketch_aggregates"](spark, TEST_SF_DIR).collect()
+    }
+    from history_collector_spark.catalog import table
+    from pyspark.sql import functions as F
+
+    exact = {
+        r["event_type"]: r
+        for r in table(spark, TEST_SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k in got:
+        assert got[k]["n_events"] == exact[k]["n"]
+        assert abs(got[k]["approx_users"] - exact[k]["users"]) <= max(
+            2, 0.05 * exact[k]["users"]
+        )
+        p50_sketch = got[k]["value_quantiles"][0]
+        assert abs(p50_sketch - exact[k]["p50"]) <= max(0.5, 0.1 * exact[k]["p50"])
