@@ -162,3 +162,29 @@ def assert_gapless(df: DataFrame, start_seq: str) -> None:
             f"archive gap: {seqs['n']} files present, {expected} expected "
             f"in [{lo:08x}, {seqs['hi']:08x}] — stalling, not skipping"
         )
+
+
+def wait_for_file(
+    path: str,
+    max_retries: int = 5,
+    sleep_seconds: float = 180.0,
+    sleep_fn=None,
+    exists_fn=None,
+) -> bool:
+    """S4: retry-with-backoff availability check (python/main.py:88-105).
+
+    "File not yet published" is tail-of-stream, not an error: poll up to
+    `max_retries` times with the reference's 180 s cadence, then give
+    up (the caller stalls/alerts — never skips ahead). `sleep_fn` /
+    `exists_fn` are injectable for tests and for S3-style existence
+    probes."""
+    import time as _time
+
+    sleep_fn = sleep_fn or _time.sleep
+    exists_fn = exists_fn or os.path.exists
+    for attempt in range(max_retries + 1):
+        if exists_fn(path):
+            return True
+        if attempt < max_retries:
+            sleep_fn(sleep_seconds)
+    return False

@@ -198,3 +198,25 @@ def test_bootstrap_creates_tables_and_seeds_checkpoint(spark, tmp_path):
             bootstrap_storage(spark, database=db, first_file="00000040")
     finally:
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_decimal_money_switch():
+    """The Kin3 float->decimal TODO as a config switch
+    (python/adapters/postgres_storage_adapter.py:100)."""
+    import importlib
+
+    from pyspark.sql.types import DecimalType, DoubleType
+
+    from history_collector_spark import schemas
+
+    assert isinstance(schemas.payments_schema()["amount"].dataType, DoubleType)
+    schemas.DECIMAL_MONEY = True
+    try:
+        assert schemas.payments_schema()["amount"].dataType == DecimalType(20, 5)
+        assert (
+            schemas.creations_schema()["starting_balance"].dataType
+            == DecimalType(20, 5)
+        )
+    finally:
+        schemas.DECIMAL_MONEY = False
+    importlib.reload(schemas)

@@ -77,3 +77,31 @@ def test_gapless_passes_and_stalls(spark, tmp_path):
     write_archive_file(d2, "000000bf", _entries(190))  # 0000007f missing
     with pytest.raises(RuntimeError, match="stalling, not skipping"):
         assert_gapless(read_archive(spark, d2), "0000003f")
+
+
+def test_wait_for_file_polls_then_gives_up(tmp_path):
+    from history_collector_spark.sources.xdr import wait_for_file
+
+    target = str(tmp_path / "transactions-000000ff.xdr.gz")
+    sleeps = []
+
+    # appears after 2 polls
+    state = {"n": 0}
+
+    def fake_exists(_p):
+        state["n"] += 1
+        return state["n"] > 2
+
+    assert wait_for_file(
+        target, max_retries=5, sleep_seconds=180, sleep_fn=sleeps.append,
+        exists_fn=fake_exists,
+    )
+    assert sleeps == [180, 180]  # two sleeps, then found
+
+    # never appears: retries exhausted, no skip
+    sleeps2 = []
+    assert not wait_for_file(
+        target, max_retries=3, sleep_seconds=180, sleep_fn=sleeps2.append,
+        exists_fn=lambda p: False,
+    )
+    assert sleeps2 == [180, 180, 180]

@@ -194,3 +194,41 @@ def test_streaming_windowed_agg_with_watermark(spark, tmp_path):
         for r in spark.sql("SELECT * FROM win_sink").collect()
     }
     assert rows == {("2024-01-01T00:00:00", 2), ("2024-01-01T01:00:00", 1)}
+
+
+def test_failure_notifier_fires_on_stream_failure(spark, tmp_path):
+    """§2.7-e: a failing stream reaches the listener's callback (the
+    reference's email/Lambda alert, python/main.py:312-366)."""
+    import time
+
+    from history_collector_spark.streaming.stateful import track_gapless
+    from history_collector_spark.streaming.ingest import FailureNotifier
+
+    failures = []
+    FailureNotifier(failures.append).attach(spark)
+
+    src = str(tmp_path / "bad_src")
+    os.makedirs(src, exist_ok=True)
+    with open(os.path.join(src, "b.json"), "w") as f:
+        f.write('{"stream_id": "s1", "seq": 63}\n')
+
+    stream = spark.readStream.schema("stream_id string, seq long").json(src)
+
+    def exploding_sink(batch_df, epoch_id):
+        raise RuntimeError("sink blew up")
+
+    q = (
+        stream.writeStream.foreachBatch(exploding_sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_fail"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(60)
+    except Exception:
+        pass  # the failure is expected; we assert on the listener
+    for _ in range(50):  # listener events are delivered asynchronously
+        if failures:
+            break
+        time.sleep(0.2)
+    assert failures and "sink blew up" in failures[0]
