@@ -100,23 +100,32 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = dup.selectExpr("doc_a AS u", "doc_b AS v").unionAll(
         dup.selectExpr("doc_b AS u", "doc_a AS v")
     )
-    # cache: every iteration probes the same edge set
+    # cache: every iteration probes the same edge set; materializing it
+    # here also fixes the candidate set before the loop
     edges = edges.persist()
 
-    labels = table(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("u"), F.col("doc_id").alias("label")
+    # iterate ONLY over edge-participating nodes — duplicates are a
+    # small fraction of any corpus, so each round's join touches the
+    # dup subgraph, never the full table; isolated docs join back as
+    # their own singleton clusters at the end
+    # labels(node, label): the alias gives `node` a fresh attribute id,
+    # so the edges-vs-labels joins below are unambiguous
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
     )
     while True:
-        # neighbor minimum, null for isolated nodes
         nbr = (
-            edges.join(labels, edges.v == labels.u)
+            edges.join(labels, edges.v == labels.node)
             .groupBy(edges.u.alias("nu"))
             .agg(F.min("label").alias("nbr_min"))
         )
         new_labels = (
-            labels.join(nbr, labels.u == nbr.nu, "left")
+            labels.join(nbr, labels.node == nbr.nu, "left")
             .select(
-                "u",
+                "node",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
                 ).alias("label"),
@@ -126,7 +135,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
-            .join(labels.alias("o"), "u")
+            .join(labels.alias("o"), "node")
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
@@ -134,8 +143,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     edges.unpersist()
-    return labels.select(
-        F.col("u").alias("doc_id"),
-        F.col("label").alias("cluster_id"),
-        (F.col("label") == F.col("u")).alias("is_canonical"),
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return docs.join(labels, docs.doc_id == labels.node, "left").select(
+        "doc_id",
+        F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster_id"),
+        (F.coalesce(F.col("label"), F.col("doc_id")) == F.col("doc_id")).alias(
+            "is_canonical"
+        ),
     )
