@@ -1,0 +1,226 @@
+"""Corpus-curation operators for training-data pipelines: redaction,
+corpus statistics, mixture balancing, vocabulary building, and a
+composed quality-filter -> embedding-retrieval join.
+
+These extend the reference's query surface (SURVEY.md §2.5 lists the
+aggregate/window family as "absent — native when exposed") with the
+selection/cleaning passes a pretraining pipeline runs over a 100 TB
+corpus. Shapes are chosen for that scale:
+
+- redaction + histogram are per-row scans (no exchange at all);
+- the per-source quota is one hash-partitioned window (source count is
+  the parallelism — fine, mixtures have thousands of sources);
+- vocabulary is explode -> partial-agg count (map-side combined) with
+  a final top-k on the *vocabulary*, which is tiny relative to the
+  corpus;
+- the retrieval join broadcasts the single query vector and stays
+  co-partitioned on doc_id=vec_id (at scale, bucket both tables by id
+  to make it shuffle-free — see SCALING.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from history_collector_spark.catalog import table
+from history_collector_spark.functions.nlp import cosine, l2_norm
+from history_collector_spark.registry import register
+
+_STOP_PAT = r"\b(the|a|of|and|to|in)\b"
+
+
+@register(
+    "curation_redact_stopwords",
+    oracle=f"""
+    SELECT doc_id,
+           regexp_replace(text, '{_STOP_PAT}', '<stop>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(text, '{_STOP_PAT}')) AS INT) AS n_redacted
+    FROM documents
+    """,
+)
+def curation_redact_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token redaction (the PII-scrub shape: match -> replace -> count).
+
+    Pure per-row regexp work — whole-stage codegen, no exchange; the
+    same plan scrubs emails/phones/IDs at 100 TB by swapping the
+    pattern. Word-boundary `\\b` semantics agree between Java regex
+    (Spark) and RE2 (DuckDB) for this alternation.
+    """
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_replace("text", _STOP_PAT, "<stop>").alias("redacted"),
+        F.size(F.regexp_extract_all("text", F.lit(_STOP_PAT), 0)).alias(
+            "n_redacted"
+        ),
+    )
+
+
+@register(
+    "curation_length_histogram",
+    oracle="""
+    SELECT CAST(least(n_chars // 100, 9) AS INT) AS bucket,
+           count(*) AS n_docs,
+           avg(n_chars) AS avg_chars,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars
+    FROM documents GROUP BY 1
+    """,
+)
+def curation_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length distribution in fixed 100-char buckets (capped).
+
+    Fixed bucket boundaries keep the aggregation single-pass (no
+    percentile pre-scan); the group count is bounded (10 buckets) so
+    the final exchange is trivially small at any corpus size.
+    """
+    docs = table(spark, sf_dir, "documents")
+    bucket = F.least(F.floor(F.col("n_chars") / F.lit(100)), F.lit(9))
+    return docs.groupBy(bucket.cast("int").alias("bucket")).agg(
+        F.count("*").alias("n_docs"),
+        F.avg("n_chars").alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@register(
+    "curation_source_quota",
+    oracle="""
+    SELECT doc_id, source, lang, n_chars, rk FROM (
+      SELECT doc_id, source, lang, n_chars,
+             CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY n_chars DESC, doc_id) AS INT) AS rk
+      FROM documents
+    ) WHERE rk <= 5
+    """,
+)
+def curation_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture balancing: cap each source's contribution at its K best
+    docs (here: longest, ties by doc_id — deterministic).
+
+    One window partitioned by `source`: hash-partition shuffle on the
+    quota key, per-partition sort, early row_number cutoff. Skewed
+    sources split fine under AQE; K is a constant so output is bounded
+    by K x |sources| regardless of corpus size.
+    """
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        docs.select("doc_id", "source", "lang", "n_chars")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+    )
+
+
+@register(
+    "curation_vocabulary",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+      FROM documents
+    ), agg AS (
+      SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+      FROM tok GROUP BY term
+    )
+    SELECT term, tf, df, rank FROM (
+      SELECT term, tf, df,
+             CAST(row_number() OVER (ORDER BY tf DESC, term) AS INT) AS rank
+      FROM agg
+    ) WHERE rank <= 50
+    """,
+)
+def curation_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: global term frequency + document frequency,
+    top-50 terms.
+
+    explode -> groupBy(term) partial-aggregates map-side, so the
+    shuffle carries one row per (partition, term) — vocabulary-sized,
+    not corpus-sized. The final global window sorts only the
+    aggregated vocabulary (tiny), which is the standard two-stage
+    top-k shape.
+    """
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("term")
+    )
+    agg = tok.groupBy("term").agg(
+        F.count("*").alias("tf"), F.countDistinct("doc_id").alias("df")
+    )
+    w = Window.orderBy(F.col("tf").desc(), "term")
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 50)
+        .select("term", "tf", "df", "rank")
+    )
+
+
+@register(
+    "curation_filtered_retrieval",
+    oracle="""
+    WITH emb AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    ), q AS (
+      SELECT embedding AS q_emb, nrm AS q_nrm FROM emb WHERE vec_id = 0
+    ), cand AS (
+      SELECT d.doc_id, d.n_chars,
+             list_sum(list_transform(range(1, 65),
+               i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+               / (q.q_nrm * c.nrm) AS cos_sim
+      FROM documents d JOIN emb c ON d.doc_id = c.vec_id CROSS JOIN q
+      WHERE d.lang = 'en' AND d.n_chars >= 100
+    )
+    SELECT doc_id, n_chars, cos_sim, rank FROM (
+      SELECT doc_id, n_chars, cos_sim,
+             CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS INT)
+               AS rank
+      FROM cand
+    ) WHERE rank <= 20
+    """,
+)
+def curation_filtered_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation pass: metadata filter -> embedding join ->
+    cosine retrieval against a query vector (vec_id 0), top-20.
+
+    The metadata filter prunes BEFORE the embedding join, so vectors
+    for rejected docs are never read (column pruning keeps the wide
+    embedding column out of the filter scan). The single query vector
+    is broadcast; the doc->vector join is an equi-join on doc_id =
+    vec_id (bucket both by id at scale for a shuffle-free join). The
+    final top-20 over filtered candidates is a TakeOrdered, not a full
+    sort.
+    """
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_nrm")
+    )
+    docs_f = (
+        table(spark, sf_dir, "documents")
+        .filter((F.col("lang") == "en") & (F.col("n_chars") >= 100))
+        .select("doc_id", "n_chars")
+    )
+    cand = (
+        docs_f.join(emb, docs_f.doc_id == emb.vec_id)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "doc_id",
+            "n_chars",
+            cosine(
+                F.col("q_emb"), F.col("embedding"),
+                F.col("q_nrm"), F.col("nrm"),
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.orderBy(F.col("cos_sim").desc(), "doc_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("doc_id", "n_chars", "cos_sim", "rank")
+    )
