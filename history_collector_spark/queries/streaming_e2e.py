@@ -1,0 +1,169 @@
+"""Driver-verifiable end-to-end Structured Streaming queries.
+
+The streaming stack (SURVEY.md §2.7, `streaming/ingest.py`) is mostly
+exercised in pytest; these two queries additionally run REAL streams —
+`Trigger.AvailableNow` so they terminate — inside the driver's
+correctness gate, with DuckDB oracles over the same parquet tables:
+
+- streaming_ingest_e2e: archive files (stub codec, S1/S3) are derived
+  deterministically from `orders`, streamed through binaryFile +
+  mapInPandas decode in 64-ledger micro-batches (§2.7-a/b), and the
+  decoded per-ledger tx counts must equal a plain batch aggregate over
+  `orders` — proving the stream loses/duplicates nothing.
+- streaming_window_counts: `events` replayed as a file stream into a
+  watermarked tumbling-window aggregation (§2.7-f); complete-mode
+  output must equal the batch window aggregate.
+
+The in-memory result sink is the correctness-gate harness only — a
+production ingest uses the exactly-once foreachBatch sink
+(`sinks/exactly_once.py`), tested for replay/crash in tests/test_sinks.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from history_collector_spark.catalog import table
+from history_collector_spark.registry import register
+from history_collector_spark.sources.xdr import (
+    LEDGERS_PER_FILE,
+    write_archive_file,
+)
+from history_collector_spark.streaming.ingest import read_archive_stream
+
+_SLICE = 8192  # orders with o_orderkey < _SLICE -> 128 ledgers -> 2 files
+
+
+def _write_archive_from_orders(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the deterministic stub archive for the ingest test.
+
+    This is the ARCHIVER side of the fixture (the reference's upstream
+    history archive), not the engine under test — the bounded driver
+    collect here builds test input files, never query results.
+    """
+    rows = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < _SLICE)
+        .select(
+            (F.col("o_orderkey") / LEDGERS_PER_FILE).cast("long").alias("ledger_seq"),
+            F.md5(F.col("o_orderkey").cast("string")).alias("hash"),
+            (F.col("o_orderkey") % 1000).cast("int").alias("fee"),
+            F.col("o_custkey").cast("string").alias("source"),
+        )
+        .collect()
+    )
+    by_ledger: dict[int, list[dict]] = {}
+    for r in rows:
+        by_ledger.setdefault(r["ledger_seq"], []).append(
+            {
+                "hash": r["hash"],
+                "fee": r["fee"],
+                "memo": "1-aaa1-O",
+                "source": r["source"],
+                "operations": [],
+            }
+        )
+    landing = tempfile.mkdtemp(prefix="hc_ingest_")
+    n_files = _SLICE // LEDGERS_PER_FILE // LEDGERS_PER_FILE + 1
+    for g in range(n_files):
+        entries = [
+            {"ledger_seq": ls, "txs": txs}
+            for ls, txs in sorted(by_ledger.items())
+            if g * LEDGERS_PER_FILE <= ls < (g + 1) * LEDGERS_PER_FILE
+        ]
+        if entries:
+            file_seq = format(g * LEDGERS_PER_FILE + LEDGERS_PER_FILE - 1, "08x")
+            write_archive_file(landing, file_seq, entries)
+    return landing
+
+
+@register(
+    "streaming_ingest_e2e",
+    oracle=f"""
+    SELECT o_orderkey // {LEDGERS_PER_FILE} AS ledger_seq,
+           count(*) AS n_txs,
+           min(md5(CAST(o_orderkey AS VARCHAR))) AS first_hash
+    FROM orders WHERE o_orderkey < {_SLICE}
+    GROUP BY 1
+    """,
+)
+def streaming_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive -> file stream -> decode -> per-ledger counts, exactly
+    the batch truth: the §2.7-a/b ingest path, driver-verified."""
+    landing = _write_archive_from_orders(spark, sf_dir)
+    name = f"ingest_{uuid.uuid4().hex[:8]}"
+    q = (
+        read_archive_stream(spark, landing, max_files_per_trigger=1)
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+        shutil.rmtree(landing, ignore_errors=True)
+    decoded = spark.table(name)
+    return decoded.select(
+        "ledger_seq",
+        F.size("txs").cast("long").alias("n_txs"),
+        F.array_min(F.col("txs.hash")).alias("first_hash"),
+    )
+
+
+@register(
+    "streaming_window_counts",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`events` replayed as a stream into a watermarked tumbling-window
+    count (§2.7-f), complete mode so every window is emitted before
+    AvailableNow terminates; must equal the batch window aggregate.
+
+    The stream reads the raw parquet (INT64 nanos `ts`) as a long and
+    converts in-stream — the streaming twin of catalog.table's
+    self-heal."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    raw_schema = spark.read.parquet(path).schema
+    stream = (
+        # the streaming file source wants a directory: stream the sf
+        # dir, glob-filtered to the events file
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .select("ts", "event_type")
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .count()
+    )
+    name = f"wincnt_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        F.col("w.start").alias("window_start"),
+        "event_type",
+        F.col("count").alias("n"),
+    )
