@@ -25,12 +25,30 @@ from history_collector_spark.registry import register
 _DUP_THRESHOLD = 0.5
 
 
-def _dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidate pairs verified at jaccard >= threshold (edges)."""
+def _dup_pairs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """LSH candidate pairs verified at jaccard >= threshold (edges).
+
+    The shingle SETS are aggregated once and persisted, then reused
+    three ways — minhash signatures (via explode; min() is
+    duplicate-insensitive) and both sides of the Jaccard verify join —
+    so tokenize+shingle runs one time instead of three. Returns
+    (pairs, cached_sets); the caller unpersists the cache once pairs
+    are materialized.
+    """
     from history_collector_spark.functions.nlp import jaccard
     from history_collector_spark.queries.dedup import _doc_shingles
 
-    buckets = _lsh_buckets(spark, sf_dir)
+    sh = (
+        _doc_shingles(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.collect_set("g").alias("s"))
+        .persist()
+    )
+    buckets = _lsh_buckets(
+        spark, sf_dir, shingles=sh.select("doc_id", F.explode("s").alias("g"))
+    )
     a = buckets.alias("a")
     b = buckets.alias("b")
     cand = (
@@ -43,19 +61,15 @@ def _dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sh = (
-        _doc_shingles(spark, sf_dir)
-        .groupBy("doc_id")
-        .agg(F.collect_set("g").alias("s"))
-    )
     x, y = sh.alias("x"), sh.alias("y")
     j = jaccard(F.col("x.s"), F.col("y.s"))
-    return (
+    pairs = (
         cand.join(x, cand.doc_a == F.col("x.doc_id"))
         .join(y, cand.doc_b == F.col("y.doc_id"))
         .select("doc_a", "doc_b")
         .filter(j >= _DUP_THRESHOLD)
     )
+    return pairs, sh
 
 
 @register(
@@ -96,13 +110,16 @@ def _dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    dup = _dup_pairs(spark, sf_dir)
+    dup, sh_cache = _dup_pairs(spark, sf_dir)
     edges = dup.selectExpr("doc_a AS u", "doc_b AS v").unionAll(
         dup.selectExpr("doc_b AS u", "doc_a AS v")
     )
     # cache: every iteration probes the same edge set; materializing it
-    # here also fixes the candidate set before the loop
+    # here also fixes the candidate set before the loop, after which the
+    # shingle-set cache backing the verify join can go
     edges = edges.persist()
+    edges.count()
+    sh_cache.unpersist()
 
     # iterate ONLY over edge-participating nodes — duplicates are a
     # small fraction of any corpus, so each round's join touches the
@@ -122,24 +139,23 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(edges.u.alias("nu"))
             .agg(F.min("label").alias("nbr_min"))
         )
-        new_labels = (
+        new_label = F.least(
+            F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+        )
+        # carry the changed flag inside the checkpointed frame so the
+        # convergence check is a scan of the checkpoint, not another join
+        stepped = (
             labels.join(nbr, labels.node == nbr.nu, "left")
             .select(
                 "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
-                ).alias("label"),
+                new_label.alias("label"),
+                (new_label != F.col("label")).alias("chg"),
             )
+            # truncate lineage each round or the plan doubles per iteration
+            .localCheckpoint(eager=True)
         )
-        # truncate lineage each round or the plan doubles per iteration
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter("chg").count()
+        labels = stepped.drop("chg")
         if changed == 0:
             break
     edges.unpersist()

@@ -138,9 +138,11 @@ def curation_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     explode -> groupBy(term) partial-aggregates map-side, so the
     shuffle carries one row per (partition, term) — vocabulary-sized,
-    not corpus-sized. The final global window sorts only the
-    aggregated vocabulary (tiny), which is the standard two-stage
-    top-k shape.
+    not corpus-sized. The top-50 is orderBy+limit, which Catalyst
+    compiles to TakeOrderedAndProject (per-partition top-k merged at
+    the driver) — never a global single-partition sort of the
+    vocabulary, which at web scale is itself billions of terms. The
+    rank window then runs over only the 50 survivors.
     """
     docs = table(spark, sf_dir, "documents")
     tok = docs.select(
@@ -149,10 +151,10 @@ def curation_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = tok.groupBy("term").agg(
         F.count("*").alias("tf"), F.countDistinct("doc_id").alias("df")
     )
+    top = agg.orderBy(F.col("tf").desc(), "term").limit(50)
     w = Window.orderBy(F.col("tf").desc(), "term")
     return (
-        agg.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 50)
+        top.withColumn("rank", F.row_number().over(w))
         .select("term", "tf", "df", "rank")
     )
 
@@ -192,8 +194,9 @@ def curation_filtered_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding column out of the filter scan). The single query vector
     is broadcast; the doc->vector join is an equi-join on doc_id =
     vec_id (bucket both by id at scale for a shuffle-free join). The
-    final top-20 over filtered candidates is a TakeOrdered, not a full
-    sort.
+    top-20 is orderBy+limit -> TakeOrderedAndProject (per-partition
+    heap + driver merge); the rank window runs over only the 20
+    survivors, never the full candidate set in one partition.
     """
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
@@ -218,9 +221,9 @@ def curation_filtered_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos_sim"),
         )
     )
+    top = cand.orderBy(F.col("cos_sim").desc(), "doc_id").limit(20)
     w = Window.orderBy(F.col("cos_sim").desc(), "doc_id")
     return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 20)
+        top.withColumn("rank", F.row_number().over(w))
         .select("doc_id", "n_chars", "cos_sim", "rank")
     )

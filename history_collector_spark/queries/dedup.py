@@ -95,16 +95,23 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _lsh_buckets(
+    spark: SparkSession, sf_dir: str, shingles: DataFrame | None = None
+) -> DataFrame:
     """Per-doc LSH table: N_BANDS rows of (doc_id, band, bucket).
 
     One md5 per shingle row, then the 32-signature minima as map-side
     combined aggregates — a single doc_id shuffle; band buckets are a
     16-element posexplode of md5-paired minima.
+
+    ``shingles`` (doc_id, g) lets a caller that already materialized
+    the shingle rows (e.g. clusters, which also needs the sets for the
+    Jaccard verify) feed them in instead of re-deriving from text;
+    min() is duplicate-insensitive, so set-exploded rows are fine.
     """
-    hs = _doc_shingles(spark, sf_dir).select(
-        "doc_id", md5_hash32(F.col("g")).alias("h")
-    )
+    if shingles is None:
+        shingles = _doc_shingles(spark, sf_dir)
+    hs = shingles.select("doc_id", md5_hash32(F.col("g")).alias("h"))
     sigs = hs.groupBy("doc_id").agg(
         *[
             F.min(affine_hash(F.col("h"), MH_A[s], MH_B[s])).alias(f"m{s}")
