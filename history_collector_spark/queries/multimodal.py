@@ -67,6 +67,70 @@ _DECODE_SCHEMA = StructType(
 )
 
 
+_FEATURE_SCHEMA = "doc_id bigint, byte_hist array<double>, mean_byte double"
+
+
+def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched feature extraction: 8-bin byte histogram + mean
+    byte value per blob. Unlike the decode stub this is REAL signal
+    computation — numpy bincount over the raw bytes, vectorized per
+    blob, one batch in flight."""
+    import numpy as np
+
+    for pdf in batches:
+        hists, means = [], []
+        for b in pdf["data"]:
+            arr = np.frombuffer(bytes(b), dtype=np.uint8)
+            counts = np.bincount(arr >> 5, minlength=8)[:8]
+            hists.append(counts / arr.size)
+            means.append(int(arr.sum()) / arr.size)
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"].values, "byte_hist": hists, "mean_byte": means}
+        )
+
+
+_RESIZE_SCHEMA = (
+    "doc_id bigint, width int, height int, "
+    "out_width int, out_height int, resize_status string"
+)
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Aspect-fit resize planning to a 256x256 box, integer math (so
+    the oracle reproduces it bit-for-bit). The pixel resample kernel
+    itself would sit at the marked point; dims come from the decode
+    stub."""
+    import numpy as np
+
+    for pdf in batches:
+        meta = [decode_blob(bytes(b), fake=True) for b in pdf["data"]]
+        w = np.array([m["width"] for m in meta], dtype=np.int64)
+        h = np.array([m["height"] for m in meta], dtype=np.int64)
+        degenerate = (w == 0) | (h == 0)
+        fits = (w <= 256) & (h <= 256)
+        wide = w >= h
+        # floor-div aspect fit, clamped to >= 1 on extreme ratios
+        ow = np.where(fits, w, np.where(wide, 256, np.maximum(1, w * 256 // h)))
+        oh = np.where(fits, h, np.where(wide, np.maximum(1, h * 256 // w), 256))
+        status = np.where(
+            degenerate, "skip", np.where(fits, "noop", "resized")
+        )
+        out = pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].values,
+                "width": w.astype("int32"),
+                "height": h.astype("int32"),
+                "out_width": pd.array(ow, dtype="Int32"),
+                "out_height": pd.array(oh, dtype="Int32"),
+                "resize_status": status,
+            }
+        )
+        out.loc[degenerate, ["out_width", "out_height"]] = pd.NA
+        # NOTE: real pixel resampling (PIL/cv2) plugs in HERE, mapping
+        # pdf["data"] -> resized bytes at (out_width, out_height)
+        yield out
+
+
 def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Arrow-batched decode: one pandas frame in, one out, per batch.
     Vectorized over the batch; never materializes more than one batch."""
@@ -170,3 +234,86 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(30))
         ).alias("frame_idx"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature extraction: real numpy signal computation through the Arrow
+# batch path — the embed-the-modality step of a training-data pipeline.
+# Byte histograms are exact integer counts, so the double division is
+# bit-identical between numpy and the oracle.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_feature_extract",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             list_transform(range(1, length(text) + 1),
+                            i -> ascii(text[i])) AS bytes
+      FROM documents
+    )
+    SELECT doc_id,
+           list_transform(range(0, 8), bin ->
+             CAST(len(list_filter(bytes, x -> x // 32 = bin)) AS DOUBLE)
+               / len(bytes)) AS byte_hist,
+           CAST(list_sum(bytes) AS DOUBLE) / len(bytes) AS mean_byte
+    FROM b
+    """,
+)
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bin byte histogram + mean byte per blob (test payloads are
+    ASCII, so the oracle can recompute byte values with ascii()).
+
+    Scale shape: mapInPandas is a pure map stage — no exchange, batches
+    stream through Arrow one at a time, and column pruning keeps only
+    (doc_id, data) in the scan. At 100 TB this is embarrassingly
+    parallel; the feature column lands ready for the ANN/dedup
+    operators downstream.
+    """
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("data")
+    )
+    return docs.mapInPandas(_feature_batches, schema=_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Resize planning: integer aspect-fit into a 256x256 box. The pixel
+# kernel is the stubbed point (no media libs in this container); the
+# dimension math, null handling for degenerate inputs, and Arrow batch
+# plumbing are real and oracle-verified.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+    WITH meta AS (
+      SELECT doc_id,
+             CAST(CAST(concat('0x', substr(sha256(text), 1, 4)) AS INT)
+                  % 1920 AS INT) AS width,
+             CAST(CAST(concat('0x', substr(sha256(text), 5, 4)) AS INT)
+                  % 1080 AS INT) AS height
+      FROM documents
+    )
+    SELECT doc_id, width, height,
+      CAST(CASE WHEN width = 0 OR height = 0 THEN NULL
+                WHEN width <= 256 AND height <= 256 THEN width
+                WHEN width >= height THEN 256
+                ELSE greatest(1, (width * 256) // height) END AS INT)
+        AS out_width,
+      CAST(CASE WHEN width = 0 OR height = 0 THEN NULL
+                WHEN width <= 256 AND height <= 256 THEN height
+                WHEN width >= height THEN greatest(1, (height * 256) // width)
+                ELSE 256 END AS INT) AS out_height,
+      CASE WHEN width = 0 OR height = 0 THEN 'skip'
+           WHEN width <= 256 AND height <= 256 THEN 'noop'
+           ELSE 'resized' END AS resize_status
+    FROM meta
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("data")
+    )
+    return docs.mapInPandas(_resize_batches, schema=_RESIZE_SCHEMA)
