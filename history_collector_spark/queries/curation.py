@@ -227,3 +227,168 @@ def curation_filtered_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         top.withColumn("rank", F.row_number().over(w))
         .select("doc_id", "n_chars", "cos_sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split: hash the stable document key into
+# 100 buckets, 90/5/5. Hash-based (not random) so the split is
+# reproducible across runs, machines, and engine versions — the
+# property a training pipeline actually needs.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "curation_hash_split",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, source,
+             CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                       AS INT) % 100 AS INT) AS bucket
+      FROM documents
+    )
+    SELECT doc_id, source, bucket,
+           CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def curation_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure per-row expression work — no exchange, fully codegen'd;
+    at 100 TB the split costs exactly one scan and writes three
+    partitions via partitionBy('split')."""
+    docs = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int") % 100
+    )
+    return docs.select(
+        "doc_id", "source",
+        bucket.alias("bucket"),
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (GPT-style): concatenate each source's docs in
+# doc_id order into one token stream, then cut at exact context-window
+# boundaries. A doc's placement is fully determined by the running
+# token offset, so the whole layout is two window functions — no
+# stateful iteration, one shuffle on the packing key.
+# ---------------------------------------------------------------------------
+
+_CTX = 512  # tokens per packed context window
+
+
+@register(
+    "curation_sequence_pack",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), o AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) - n_tokens
+                  AS BIGINT) AS start_off
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens, start_off,
+           CAST(start_off // {_CTX} AS BIGINT) AS first_chunk,
+           CAST((start_off + n_tokens - 1) // {_CTX} AS BIGINT) AS last_chunk
+    FROM o
+    """,
+)
+def curation_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign each doc its byte range in the packed token stream:
+    start offset (exclusive prefix sum of token counts) and the first/
+    last context-window chunk it lands in. Chunks are {_CTX} tokens.
+
+    Scale: partitioned by source — one shuffle on the packing key, and
+    each partition's window is a linear scan. The reference has no
+    analogue; this is the training-side consumer of the curated corpus.
+    """
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source",
+        F.size(F.split("text", r"\s+")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    o = t.withColumn(
+        "start_off", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return o.select(
+        "doc_id", "source", "n_tokens", "start_off",
+        F.floor(F.col("start_off") / _CTX).alias("first_chunk"),
+        F.floor((F.col("start_off") + F.col("n_tokens") - 1) / _CTX).alias(
+            "last_chunk"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: flag corpus docs sharing any word 3-gram
+# with a held-out benchmark set (here: doc_id % 100 == 0 stands in for
+# the benchmark). Inverted-index semi-join on the shingle itself — the
+# standard n-gram-overlap contamination check, never all-pairs.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "curation_decontaminate",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - 1, 1)),
+               i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS g
+      FROM toks
+    ), bench AS (
+      SELECT DISTINCT g FROM sh WHERE doc_id % 100 = 0
+    ), hits AS (
+      SELECT s.doc_id, count(b.g) AS n_shared
+      FROM sh s LEFT JOIN bench b ON s.g = b.g
+      WHERE s.doc_id % 100 <> 0
+      GROUP BY s.doc_id
+    )
+    SELECT doc_id, CAST(n_shared AS BIGINT) AS n_shared,
+           n_shared > 0 AS contaminated
+    FROM hits
+    """,
+)
+def curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination = any distinct 3-shingle of a training doc appears
+    in any benchmark doc.
+
+    Scale shape: benchmark shingle sets are tiny next to the corpus, so
+    the overlap probe is a BROADCAST left join on the shingle string —
+    corpus shingles never shuffle; the count aggregates map-side by
+    doc_id. A billion-doc corpus pays one scan + one broadcast.
+    """
+    from history_collector_spark.queries.dedup import _doc_shingles
+
+    sh = _doc_shingles(spark, sf_dir).select("doc_id", "g")
+    bench = (
+        sh.filter(F.col("doc_id") % 100 == 0)
+        .select(F.col("g").alias("bg"))
+        .distinct()
+    )
+    train = sh.filter(F.col("doc_id") % 100 != 0)
+    return (
+        train.join(F.broadcast(bench), train.g == bench.bg, "left")
+        .groupBy("doc_id")
+        .agg(F.count("bg").alias("n_shared"))
+        .select(
+            "doc_id", "n_shared", (F.col("n_shared") > 0).alias("contaminated")
+        )
+    )
