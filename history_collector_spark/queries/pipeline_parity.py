@@ -291,25 +291,27 @@ def pipeline_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("close_time").alias("time"),
     ]
 
-    # F1/F2: payments = type tag 1 + null-safe conjunctive asset predicate
-    payments = rows.filter(
+    # F1/F2 + E4 in ONE pass: payments = type tag 1 + null-safe
+    # conjunctive asset predicate; creations = type tag 0 (no asset
+    # filter, python/main.py:184-199). A filter-per-arm union would run
+    # the whole upstream (nested build + joins + explode) once per arm;
+    # the disjunctive filter + when/otherwise projection is the same
+    # tagged fan-out (the S3 adapter's own single-sink design,
+    # python/adapters/s3_storage_adapter.py:125,143) at half the cost.
+    is_payment = (
         (op["type"] == 1)
         & op["alphaNum4"].isNotNull()
         & (op["alphaNum4"]["assetCode"] == "KIN")
         & (op["alphaNum4"]["issuer"] == "ISS0")
+    )
+    return rows.filter(is_payment | (op["type"] == 0)).select(
+        F.when(op["type"] == 1, "payment").otherwise("creation").alias("type"),
+        *common[:2],
+        F.when(op["type"] == 1, op["amount"])
+        .otherwise(op["starting_balance"])
+        .alias("amount"),
+        *common[2:],
     ).select(
-        F.lit("payment").alias("type"),
-        *common[:2], op["amount"].alias("amount"), *common[2:],
-    )
-
-    # creations = type tag 0 (no asset filter, python/main.py:184-199)
-    creations = rows.filter(op["type"] == 0).select(
-        F.lit("creation").alias("type"),
-        *common[:2], op["starting_balance"].alias("amount"), *common[2:],
-    )
-
-    # E4: tagged fan-out united under one schema
-    return payments.unionByName(creations).select(
         "type", "source", "destination", "amount", "memo", "fee",
         "fee_charged", "op_index", "tx_status", "op_status", "hash", "time",
     )
