@@ -392,3 +392,85 @@ def curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "n_shared", (F.col("n_shared") > 0).alias("contaminated")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed curation flagship: quality scoring -> metadata + quality
+# filters -> exact dedup (canonical = min doc_id per content hash) ->
+# deterministic split assignment, as ONE declarative plan. This is the
+# LLM-side analogue of pipeline_parity: every stage exists as its own
+# named query; here they compose into the pass a pretraining pipeline
+# actually runs.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "curation_quality_pipeline",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, source, lang, text,
+             CAST(length(text) AS INT) AS len_chars,
+             CAST(len(string_split_regex(text, '\\s+')) AS INT) AS n_tokens,
+             CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                  AS INT) AS n_digits,
+             CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                  x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS INT)
+               AS n_stop
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, source, lang, text, len_chars, n_tokens,
+             (CASE WHEN n_tokens >= 20 THEN 0.4 ELSE 0.0 END
+              + CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens BETWEEN 0.01 AND 0.6
+                     THEN 0.3 ELSE 0.0 END
+              + CASE WHEN CAST(n_digits AS DOUBLE) / len_chars < 0.2
+                     THEN 0.3 ELSE 0.0 END) AS quality
+      FROM m
+    ), kept AS (
+      SELECT * FROM scored
+      WHERE lang = 'en' AND quality >= 0.7
+        AND len_chars BETWEEN 100 AND 20000
+      QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+    )
+    SELECT doc_id, source, lang, n_tokens, quality,
+           CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT *, CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                                  1, 4)) AS INT) % 100 AS INT) AS bucket
+      FROM kept
+    )
+    """,
+)
+def curation_quality_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: scoring and filtering are a single scan (no join
+    back to documents — the quality columns ride the same projection);
+    the only exchanges are the content-hash window for dedup and
+    nothing else. Filters run BEFORE the dedup shuffle, so the exchange
+    carries only the quality-surviving subset, keyed by a 32-byte hash.
+    """
+    from history_collector_spark.queries.text import with_quality
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "text"
+    )
+    kept = with_quality(docs).filter(
+        (F.col("lang") == "en")
+        & (F.col("quality") >= 0.7)
+        & F.col("len_chars").between(100, 20000)
+    )
+    w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
+    dedup = kept.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int") % 100
+    )
+    return dedup.select(
+        "doc_id", "source", "lang", "n_tokens", "quality",
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

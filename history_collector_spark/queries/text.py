@@ -89,6 +89,45 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def with_quality(docs: DataFrame) -> DataFrame:
+    """Append the quality-feature columns (len_chars, n_tokens, ratios,
+    composite `quality`) to any frame with a `text` column — shared by
+    text_quality_score and the composed curation pipeline so both
+    score identically in a single scan."""
+    toks = F.split(F.col("text"), r"\s+")
+    ltoks = F.split(F.lower(F.col("text")), r"\s+")
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    m = docs.withColumns(
+        {
+            "len_chars": F.length("text"),
+            "n_tokens": F.size(toks),
+            "n_digits": F.length("text")
+            - F.length(F.regexp_replace("text", "[0-9]", "")),
+            "n_punct": F.length("text")
+            - F.length(F.regexp_replace("text", r"[^a-zA-Z0-9\s]", "")),
+            "n_stop": F.size(
+                F.filter(ltoks, lambda x: F.array_contains(stop_arr, x))
+            ),
+        }
+    )
+    digit_ratio = F.col("n_digits").cast("double") / F.col("len_chars")
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
+    return m.withColumns(
+        {
+            "digit_ratio": digit_ratio,
+            "punct_ratio": F.col("n_punct").cast("double") / F.col("len_chars"),
+            "stopword_ratio": stop_ratio,
+            "avg_token_len": F.col("len_chars").cast("double")
+            / F.col("n_tokens"),
+            "quality": (
+                F.when(F.col("n_tokens") >= 20, 0.4).otherwise(0.0)
+                + F.when(stop_ratio.between(0.01, 0.6), 0.3).otherwise(0.0)
+                + F.when(digit_ratio < 0.2, 0.3).otherwise(0.0)
+            ),
+        }
+    )
+
+
 @register(
     "text_quality_score",
     oracle=f"""
@@ -119,33 +158,9 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), r"\s+")
-    ltoks = F.split(F.lower(F.col("text")), r"\s+")
-    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
-    m = docs.select(
-        "doc_id",
-        F.length("text").alias("len_chars"),
-        F.size(toks).alias("n_tokens"),
-        (F.length("text") - F.length(F.regexp_replace("text", "[0-9]", ""))).alias("n_digits"),
-        (
-            F.length("text")
-            - F.length(F.regexp_replace("text", r"[^a-zA-Z0-9\s]", ""))
-        ).alias("n_punct"),
-        F.size(F.filter(ltoks, lambda x: F.array_contains(stop_arr, x))).alias("n_stop"),
-    )
-    digit_ratio = F.col("n_digits").cast("double") / F.col("len_chars")
-    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
-    return m.select(
-        "doc_id", "len_chars", "n_tokens",
-        digit_ratio.alias("digit_ratio"),
-        (F.col("n_punct").cast("double") / F.col("len_chars")).alias("punct_ratio"),
-        stop_ratio.alias("stopword_ratio"),
-        (F.col("len_chars").cast("double") / F.col("n_tokens")).alias("avg_token_len"),
-        (
-            F.when(F.col("n_tokens") >= 20, 0.4).otherwise(0.0)
-            + F.when(stop_ratio.between(0.01, 0.6), 0.3).otherwise(0.0)
-            + F.when(digit_ratio < 0.2, 0.3).otherwise(0.0)
-        ).alias("quality"),
+    return with_quality(docs).select(
+        "doc_id", "len_chars", "n_tokens", "digit_ratio", "punct_ratio",
+        "stopword_ratio", "avg_token_len", "quality",
     )
 
 
