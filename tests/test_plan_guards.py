@@ -5,8 +5,10 @@ version of the .explain() audit:
   the row path must go through Arrow (ArrowEvalPython / mapInPandas);
 - no cartesian products: all-pairs shapes must be broadcast nested
   loop (bounded build side) or mapInPandas, never CartesianProduct;
-- every parquet scan prunes columns (no SELECT * scans feeding a
-  narrow projection).
+- no unbounded single-partition exchange: a global window/sort over
+  full-cardinality data serializes the whole input through one task.
+  `Exchange SinglePartition` is allowed only when fed by a limit
+  (TakeOrderedAndProject / CollectLimit), i.e. k rows.
 """
 
 from __future__ import annotations
@@ -47,3 +49,25 @@ def test_no_cartesian_product(spark, name):
         f"{name}: CartesianProduct in plan — bound one side (broadcast) "
         "or bucket the candidates"
     )
+
+
+@pytest.mark.parametrize("name", ALL_NAMES)
+def test_no_unbounded_single_partition_exchange(spark, name):
+    # plan strings print sinks first, so a SinglePartition exchange's
+    # INPUT (upstream operators) appears on the lines after it
+    lines = _plan(spark, name).splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        upstream = "\n".join(lines[i + 1:])
+        assert (
+            "TakeOrderedAndProject" in upstream
+            or "Limit" in upstream
+            # global agg: the exchange moves one partial row per input
+            # partition, not the data
+            or "partial_" in upstream
+        ), (
+            f"{name}: Exchange SinglePartition over unbounded input — "
+            "a global window/sort of the full data; use orderBy+limit "
+            "(TakeOrderedAndProject) or partition the window"
+        )
