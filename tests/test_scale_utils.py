@@ -88,3 +88,42 @@ def test_partition_pruning_on_ledger_layout(spark, tmp_path):
     assert pruned.count() == 100
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "ledger" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_compact_shrinks_small_files(spark, tmp_path):
+    from history_collector_spark.functions.layout import compact
+
+    src = str(tmp_path / "tiny")
+    dst = str(tmp_path / "compacted")
+    # 40 tiny files (the one-object-per-ledger shape)
+    spark.range(4000).repartition(40).write.parquet(src)
+    assert len(list((tmp_path / "tiny").glob("part-*"))) == 40
+
+    n = compact(spark, src, dst, target_rows_per_file=2000)
+    assert n == 2
+    out_files = list((tmp_path / "compacted").glob("part-*"))
+    assert len(out_files) == 2
+    assert spark.read.parquet(dst).count() == 4000
+
+
+def test_range_layout_files_have_disjoint_ranges(spark, tmp_path):
+    import pyspark.sql.functions as F
+    from history_collector_spark.functions.layout import write_range_layout
+
+    dst = tmp_path / "ranged"
+    df = spark.range(10000).select(
+        (F.col("id") * 37 % 10000).alias("k"), F.col("id").alias("v")
+    )
+    write_range_layout(df, str(dst), ["k"], n_files=4)
+
+    files = sorted(dst.glob("part-*"))
+    assert len(files) == 4
+    spans = []
+    for f in files:
+        pdf = spark.read.parquet(str(f)).toPandas()
+        spans.append((pdf["k"].min(), pdf["k"].max()))
+    spans.sort()
+    # each file covers its own key range -> footer min/max prunes files
+    for (lo_a, hi_a), (lo_b, hi_b) in zip(spans, spans[1:]):
+        assert hi_a < lo_b
+    assert spark.read.parquet(str(dst)).count() == 10000
