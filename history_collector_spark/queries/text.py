@@ -227,3 +227,65 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fps.join(min_shingle, "doc_id").select(
         "doc_id", "content_fp", "min_shingle_fp"
     )
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repetition (the Gopher/RefinedWeb quality signal):
+# what fraction of a doc's word bigrams is the single most frequent
+# bigram, and how diverse are its bigrams overall. Highly repetitive
+# docs (boilerplate, keyword stuffing, generation loops) score high
+# top_bigram_frac / low distinct_ratio and get filtered.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_repetition",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+      FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(w), 2)),
+                    i -> concat_ws(' ', w[i], w[i+1]))) AS g
+      FROM t
+    ), counts AS (
+      SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_bigrams,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(max(c) AS DOUBLE) / sum(c) AS top_bigram_frac,
+           CAST(count(*) AS DOUBLE) / sum(c) AS distinct_ratio
+    FROM counts GROUP BY doc_id
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational shape: explode word bigrams -> count per (doc_id,
+    bigram) -> per-doc max/sum/count. Both aggregations partial-combine
+    map-side and share the same doc_id-prefixed grouping key, so the
+    second groupBy reuses the first shuffle's partitioning — one
+    exchange total, no window, no per-row lambda loops.
+    """
+    docs = table(spark, sf_dir, "documents")
+    w = F.split(F.lower(F.col("text")), r"\s+")
+    # positions 1..max(len-1, 1); a 1-token doc yields one degenerate
+    # bigram ("tok "-trailing), matching the oracle's greatest(len, 2)
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(w) - 1, F.lit(1))),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(w, i), F.element_at(w, i + 1)
+                ),
+            )
+        ).alias("g"),
+    )
+    counts = bg.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.count("*").alias("n_distinct"),
+        (F.max("c").cast("double") / F.sum("c")).alias("top_bigram_frac"),
+        (F.count("*").cast("double") / F.sum("c")).alias("distinct_ratio"),
+    )
