@@ -167,3 +167,48 @@ def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("count").alias("n"),
     )
+
+
+@register(
+    "streaming_dedup_e2e",
+    oracle="""
+    SELECT DISTINCT user_id, event_type, date_trunc('day', ts) AS day
+    FROM events
+    """,
+)
+def streaming_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`events` replayed as a stream through watermark-bounded
+    deduplication (§2.7-f extension): first occurrence of each
+    (user_id, event_type, day) key is emitted, state for keys older
+    than the watermark is evicted — the bounded-state form a forever-
+    running ingest needs (plain dropDuplicates state grows without
+    bound). Append-mode output must equal the batch DISTINCT.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .select(
+            "user_id", "event_type",
+            F.date_trunc("DAY", F.col("ts")).alias("day"),
+        )
+    )
+    deduped = stream.withWatermark("day", "1 day").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type", "day"]
+    )
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.table(name).select("user_id", "event_type", "day")
