@@ -32,8 +32,16 @@ def main() -> None:
     spark = get_spark(app_name="hcs-bench")
     qs = entry_mod.queries()
 
-    # warm the JVM + parquet footer caches with a trivial action
+    # warm the JVM, parquet footers, and OS page cache so the first
+    # query measured doesn't absorb every cold-start cost
     spark.range(1).count()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        try:
+            from history_collector_spark.catalog import table as _table
+            _table(spark, sf_dir, t).count()
+        except Exception:
+            pass
 
     times: dict[str, float] = {}
     total = 0.0
