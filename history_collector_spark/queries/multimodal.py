@@ -67,14 +67,20 @@ _DECODE_SCHEMA = StructType(
 )
 
 
-_FEATURE_SCHEMA = "doc_id bigint, byte_hist array<double>, mean_byte double"
+_FEATURE_SCHEMA = (
+    "doc_id bigint, "
+    + ", ".join(f"hist_{b} double" for b in range(8))
+    + ", mean_byte double"
+)
 
 
 def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Arrow-batched feature extraction: 8-bin byte histogram + mean
     byte value per blob. Unlike the decode stub this is REAL signal
     computation — numpy bincount over the raw bytes, vectorized per
-    blob, one batch in flight."""
+    blob, one batch in flight. (Bins land as scalar columns; the
+    array-typed feature path is exercised by the `embeddings` table
+    operators.)"""
     import numpy as np
 
     for pdf in batches:
@@ -84,9 +90,11 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             counts = np.bincount(arr >> 5, minlength=8)[:8]
             hists.append(counts / arr.size)
             means.append(int(arr.sum()) / arr.size)
-        yield pd.DataFrame(
-            {"doc_id": pdf["doc_id"].values, "byte_hist": hists, "mean_byte": means}
-        )
+        hmat = np.stack(hists)
+        out = {"doc_id": pdf["doc_id"].values}
+        out.update({f"hist_{b}": hmat[:, b] for b in range(8)})
+        out["mean_byte"] = means
+        yield pd.DataFrame(out)
 
 
 _RESIZE_SCHEMA = (
@@ -254,9 +262,13 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT doc_id,
-           list_transform(range(0, 8), bin ->
-             CAST(len(list_filter(bytes, x -> x // 32 = bin)) AS DOUBLE)
-               / len(bytes)) AS byte_hist,
+           """
+    + ",\n           ".join(
+        f"CAST(len(list_filter(bytes, x -> x // 32 = {b})) AS DOUBLE)"
+        f" / len(bytes) AS hist_{b}"
+        for b in range(8)
+    )
+    + """,
            CAST(list_sum(bytes) AS DOUBLE) / len(bytes) AS mean_byte
     FROM b
     """,
