@@ -67,7 +67,9 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exact_percentiles",
     oracle="""
     SELECT event_type,
-           quantile_cont(value, [0.25, 0.5, 0.75]) AS value_quartiles,
+           quantile_cont(value, 0.25) AS p25,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.75) AS p75,
            min(value) AS lo, max(value) AS hi
     FROM events GROUP BY event_type
     """,
@@ -75,7 +77,9 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = table(spark, sf_dir, "events")
     return events.groupBy("event_type").agg(
-        F.percentile("value", F.lit([0.25, 0.5, 0.75])).alias("value_quartiles"),
+        F.percentile("value", F.lit(0.25)).alias("p25"),
+        F.percentile("value", F.lit(0.5)).alias("p50"),
+        F.percentile("value", F.lit(0.75)).alias("p75"),
         F.min("value").alias("lo"),
         F.max("value").alias("hi"),
     )
