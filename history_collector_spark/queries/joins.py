@@ -111,3 +111,53 @@ def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         returned, orders.o_orderkey == returned.l_orderkey, "left_anti"
     ).select("o_orderkey", F.lit("no_return").alias("kind"))
     return semi.unionAll(anti)
+
+
+# ---------------------------------------------------------------------------
+# Full outer reconciliation — the dual-sink audit query the reference's
+# operators run by hand: which txs reached the payments sink, the
+# results sink, or only one of them (S7's all-or-nothing promise means
+# 'only one' rows are the bug signal). Completes the join-type family
+# (inner/left/semi/anti/asof/range + full outer).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "full_outer_reconcile",
+    oracle="""
+    WITH sink_a AS (
+      SELECT o_orderkey AS k, o_totalprice AS a_price
+      FROM orders WHERE o_orderkey % 7 != 0
+    ), sink_b AS (
+      SELECT o_orderkey AS k, o_totalprice AS b_price
+      FROM orders WHERE o_orderstatus = 'F'
+    )
+    SELECT coalesce(a.k, b.k) AS order_key,
+           a.a_price, b.b_price,
+           CASE WHEN a.k IS NULL THEN 'missing_in_a'
+                WHEN b.k IS NULL THEN 'missing_in_b'
+                ELSE 'both' END AS presence
+    FROM sink_a a FULL OUTER JOIN sink_b b ON a.k = b.k
+    """,
+)
+def full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: a shuffle full-outer hash join on the reconcile key
+    (both sides are sink-sized — broadcasting either would be wrong);
+    AQE handles skew. The presence column is computed from null-ness,
+    so the query is one join + one projection.
+    """
+    orders = table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        F.col("o_orderkey").alias("ak"), F.col("o_totalprice").alias("a_price")
+    )
+    b = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderkey").alias("bk"), F.col("o_totalprice").alias("b_price")
+    )
+    return a.join(b, a.ak == b.bk, "full_outer").select(
+        F.coalesce("ak", "bk").alias("order_key"),
+        "a_price", "b_price",
+        F.when(F.col("ak").isNull(), "missing_in_a")
+        .when(F.col("bk").isNull(), "missing_in_b")
+        .otherwise("both")
+        .alias("presence"),
+    )
