@@ -170,3 +170,27 @@ def test_sketch_aggregates_accuracy(spark):
         )
         p50_sketch = got[k]["value_quantiles"][0]
         assert abs(p50_sketch - exact[k]["p50"]) <= max(0.5, 0.1 * exact[k]["p50"])
+
+
+def test_sequence_pack_layout_invariants(spark):
+    """The packed layout is a valid concatenation order: within each
+    source (doc_id order) offsets are the exclusive prefix sum, chunk
+    ranges are consistent with the 512-token window, and chunks are
+    contiguous — no token is unplaced and none overlaps."""
+    from history_collector_spark.registry import QUERIES, load_all
+
+    load_all()
+    pdf = (
+        QUERIES["curation_sequence_pack"](spark, "/root/testdata/sf0.001")
+        .toPandas()
+        .sort_values(["source", "doc_id"])
+    )
+    assert len(pdf) > 0
+    for _, grp in pdf.groupby("source"):
+        expected_off = 0
+        for row in grp.itertuples():
+            assert row.start_off == expected_off
+            assert row.first_chunk == row.start_off // 512
+            assert row.last_chunk == (row.start_off + row.n_tokens - 1) // 512
+            assert row.first_chunk <= row.last_chunk
+            expected_off += row.n_tokens
