@@ -474,3 +474,58 @@ def curation_quality_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile-threshold quality filter: keep docs at or above the corpus
+# median quality — "top half by quality", the relative form of the
+# fixed-threshold filter. Two-pass shape: a full-corpus scalar
+# reduction, then the scalar broadcast back over a second scan.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "curation_quality_threshold",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, source,
+             CAST(length(text) AS INT) AS len_chars,
+             CAST(len(string_split_regex(text, '\\s+')) AS INT) AS n_tokens,
+             CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                  AS INT) AS n_digits,
+             CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                  x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS INT)
+               AS n_stop
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, source,
+             (CASE WHEN n_tokens >= 20 THEN 0.4 ELSE 0.0 END
+              + CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens BETWEEN 0.01 AND 0.6
+                     THEN 0.3 ELSE 0.0 END
+              + CASE WHEN CAST(n_digits AS DOUBLE) / len_chars < 0.2
+                     THEN 0.3 ELSE 0.0 END) AS quality
+      FROM m
+    )
+    SELECT doc_id, source, quality
+    FROM scored
+    WHERE quality >= (SELECT quantile_cont(quality, 0.5) FROM scored)
+    """,
+)
+def curation_quality_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: pass 1 reduces the corpus to ONE scalar (exact
+    median via percentile — a global aggregate whose single-partition
+    exchange moves one partial row per input partition); pass 2
+    broadcasts that 1-row frame and filters. No sort of the corpus, no
+    window; the percentile state is bounded by distinct quality values
+    (here: the 6 composite scores), not rows.
+    """
+    from history_collector_spark.queries.text import with_quality
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    scored = with_quality(docs).select("doc_id", "source", "quality")
+    med = scored.agg(F.percentile("quality", F.lit(0.5)).alias("med"))
+    return (
+        scored.crossJoin(F.broadcast(med))
+        .filter(F.col("quality") >= F.col("med"))
+        .select("doc_id", "source", "quality")
+    )

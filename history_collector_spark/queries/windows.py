@@ -136,3 +136,57 @@ def analytic_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("value").over(running).alias("running_total"),
         (F.col("value") - F.lag("value").over(w)).alias("delta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel conversion: of the users who signed up, how many purchased
+# strictly AFTER their first signup — the canonical product-analytics
+# query, answered with two map-side-combined conditional aggregates
+# and zero joins.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT count(*) FILTER (first_signup IS NOT NULL) AS n_signed_up,
+           count(*) FILTER (first_signup IS NOT NULL
+                            AND first_purchase > first_signup) AS n_converted,
+           CAST(count(*) FILTER (first_signup IS NOT NULL
+                                 AND first_purchase > first_signup) AS DOUBLE)
+             / count(*) FILTER (first_signup IS NOT NULL) AS conversion_rate
+    FROM per_user
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One shuffle on user_id (conditional min() aggregates combine
+    map-side), then a global reduction to a single row. NULL-safe
+    ordering: users who purchased before ever signing up do not
+    convert; users who never purchased have NULL first_purchase and
+    the > predicate is false.
+    """
+    ev = table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "first_signup"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    signed = F.col("first_signup").isNotNull()
+    converted = signed & (F.col("first_purchase") > F.col("first_signup"))
+    return per_user.agg(
+        F.count(F.when(signed, 1)).alias("n_signed_up"),
+        F.count(F.when(converted, 1)).alias("n_converted"),
+        (
+            F.count(F.when(converted, 1)).cast("double")
+            / F.count(F.when(signed, 1))
+        ).alias("conversion_rate"),
+    )
