@@ -19,7 +19,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from history_collector_spark.catalog import table
-from history_collector_spark.queries.dedup import _BUCKETS_SQL, _lsh_buckets
+from history_collector_spark.queries.dedup import (
+    _BUCKETS_SQL,
+    _candidate_pairs,
+    _verified_pairs,
+)
 from history_collector_spark.registry import register
 
 _DUP_THRESHOLD = 0.5
@@ -30,46 +34,19 @@ def _dup_pairs(
 ) -> tuple[DataFrame, DataFrame]:
     """LSH candidate pairs verified at jaccard >= threshold (edges).
 
-    The shingle SETS are aggregated once and persisted, then reused
-    three ways — minhash signatures (via explode; min() is
-    duplicate-insensitive) and both sides of the Jaccard verify join —
-    so tokenize+shingle runs one time instead of three. Returns
-    (pairs, cached_sets); the caller unpersists the cache once pairs
-    are materialized.
+    Shares dedup's candidate-pruned verify: the shingle-set build is
+    semi-joined down to collision survivors before the heavyweight
+    collect_set, so the corpus is tokenized in streaming passes only
+    and never shuffled wholesale. Returns (pairs, cached_candidates);
+    the caller unpersists the candidate cache once edges materialize.
     """
-    from history_collector_spark.functions.nlp import jaccard
-    from history_collector_spark.queries.dedup import _doc_shingles
-
-    sh = (
-        _doc_shingles(spark, sf_dir)
-        .groupBy("doc_id")
-        .agg(F.collect_set("g").alias("s"))
-        .persist()
-    )
-    buckets = _lsh_buckets(
-        spark, sf_dir, shingles=sh.select("doc_id", F.explode("s").alias("g"))
-    )
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    x, y = sh.alias("x"), sh.alias("y")
-    j = jaccard(F.col("x.s"), F.col("y.s"))
+    cand = _candidate_pairs(spark, sf_dir)
     pairs = (
-        cand.join(x, cand.doc_a == F.col("x.doc_id"))
-        .join(y, cand.doc_b == F.col("y.doc_id"))
+        _verified_pairs(spark, sf_dir, cand)
+        .filter(F.col("jaccard") >= _DUP_THRESHOLD)
         .select("doc_a", "doc_b")
-        .filter(j >= _DUP_THRESHOLD)
     )
-    return pairs, sh
+    return pairs, cand
 
 
 @register(
@@ -111,9 +88,21 @@ def _dup_pairs(
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup, sh_cache = _dup_pairs(spark, sf_dir)
-    edges = dup.selectExpr("doc_a AS u", "doc_b AS v").unionAll(
-        dup.selectExpr("doc_b AS u", "doc_a AS v")
-    )
+    # both directions of every edge in ONE pass over the verify
+    # pipeline — a self-unionAll would duplicate the whole unpersisted
+    # subtree and run LSH + verify twice
+    edges = dup.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+                ),
+                F.struct(
+                    F.col("doc_b").alias("u"), F.col("doc_a").alias("v")
+                ),
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
     # cache: every iteration probes the same edge set; materializing it
     # here also fixes the candidate set before the loop, after which the
     # shingle-set cache backing the verify join can go

@@ -178,6 +178,63 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH collision pairs (doc_a < doc_b), deduplicated across bands.
+
+    Returned PERSISTED: every caller both joins against it and derives
+    the candidate doc_id set from it to prune the verify side, and the
+    candidate set is tiny (it scales with real duplication, not corpus
+    size) — exactly the frame worth pinning. Callers unpersist.
+    """
+    buckets = _lsh_buckets(spark, sf_dir)
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+        .persist()
+    )
+
+
+def _verified_pairs(spark: SparkSession, sf_dir: str, cand: DataFrame) -> DataFrame:
+    """Exact-Jaccard scores for candidate pairs.
+
+    The shingle-set build (collect_set — the one shuffle here that
+    moves document text) is semi-joined down to candidate doc_ids
+    FIRST, so the heavyweight array materialization happens only for
+    collision survivors, never the whole corpus. At 100 TB the
+    candidate set is broadcast-sized (it scales with duplication), so
+    the prune costs one broadcast, not a shuffle.
+    """
+    cand_ids = (
+        cand.selectExpr("doc_a AS doc_id")
+        .unionAll(cand.selectExpr("doc_b AS doc_id"))
+        .distinct()
+    )
+    sh = (
+        _doc_shingles(spark, sf_dir)
+        .join(F.broadcast(cand_ids), "doc_id")
+        .groupBy("doc_id")
+        .agg(F.collect_set("g").alias("s"))
+    )
+    x = sh.alias("x")
+    y = sh.alias("y")
+    j = jaccard(F.col("x.s"), F.col("y.s"))
+    return (
+        cand.join(x, cand.doc_a == F.col("x.doc_id"))
+        .join(y, cand.doc_b == F.col("y.doc_id"))
+        .select("doc_a", "doc_b", j.alias("jaccard"))
+    )
+
+
 @register(
     "dedup_minhash_pairs",
     oracle=f"""
@@ -205,37 +262,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    buckets = _lsh_buckets(spark, sf_dir)
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
-    # shingle SETS for the exact verify — candidates are few, so the
-    # array materialization happens only on the collision survivors' side
-    sh = (
-        _doc_shingles(spark, sf_dir)
-        .groupBy("doc_id")
-        .agg(F.collect_set("g").alias("s"))
-    )
-    x = sh.alias("x")
-    y = sh.alias("y")
-    j = jaccard(F.col("x.s"), F.col("y.s"))
-    return (
-        cand.join(x, cand.doc_a == F.col("x.doc_id"))
-        .join(y, cand.doc_b == F.col("y.doc_id"))
-        .select(
-            "doc_a", "doc_b", j.alias("jaccard"), (j >= 0.8).alias("is_dup")
-        )
+    cand = _candidate_pairs(spark, sf_dir)
+    return _verified_pairs(spark, sf_dir, cand).select(
+        "doc_a",
+        "doc_b",
+        "jaccard",
+        (F.col("jaccard") >= 0.8).alias("is_dup"),
     )
 
 
