@@ -136,3 +136,70 @@ def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_orders"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-group linear regression: value-vs-time trend per event type via
+# the built-in regression aggregates (regr_slope & co are
+# partial-aggregatable sufficient statistics — sums and cross-products
+# — so this is one map-side-combined shuffle on a 5-value key, same
+# cost as a count).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "regression_per_type",
+    oracle="""
+    SELECT event_type,
+           regr_slope(value, epoch_us(ts) / 1e6) AS slope,
+           regr_intercept(value, epoch_us(ts) / 1e6) AS intercept,
+           corr(value, epoch_us(ts) / 1e6) AS r,
+           CAST(regr_count(value, epoch_us(ts) / 1e6) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def regression_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    x = (F.unix_micros("ts") / F.lit(1e6)).alias("x")
+    return ev.select("event_type", F.col("value"), x).groupBy("event_type").agg(
+        F.regr_slope("value", "x").alias("slope"),
+        F.regr_intercept("value", "x").alias("intercept"),
+        F.corr("value", "x").alias("r"),
+        F.regr_count("value", "x").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-score anomaly detection: flag events whose value deviates > 3
+# sigma from their event type's mean. Two-pass shape — a tiny per-type
+# stats aggregate broadcast back over the scan — never a whole-table
+# window (a window over event_type would sort 100 TB on a 5-value
+# maximally-skewed key).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "anomaly_zscore",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           (e.value - s.mu) / s.sigma AS z
+    FROM events e JOIN stats s USING (event_type)
+    WHERE abs((e.value - s.mu) / s.sigma) > 3
+    """,
+)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 3)
+        .select("event_id", "event_type", "value", z.alias("z"))
+    )

@@ -190,3 +190,41 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.when(signed, 1))
         ).alias("conversion_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD type-2 dimension build: turn a customer's order stream into
+# versioned rows with [valid_from, valid_to) ranges and an is_current
+# flag — the standard warehouse pattern for tracking attribute history.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scd2_customer_history",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, o_orderpriority,
+           o_orderdate AS valid_from,
+           lead(o_orderdate) OVER w AS valid_to,
+           (lead(o_orderdate) OVER w IS NULL) AS is_current
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One shuffle on o_custkey, one in-partition sort; lead() closes
+    each version with the next one's start date. The tiebreak on
+    o_orderkey makes same-day orders deterministic. At 100 TB the
+    customer key is high-cardinality and unskewed, so partitions stay
+    balanced.
+    """
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderpriority",
+        F.col("o_orderdate").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
