@@ -34,10 +34,10 @@ def _dup_pairs(
 ) -> tuple[DataFrame, DataFrame]:
     """LSH candidate pairs verified at jaccard >= threshold (edges).
 
-    Shares dedup's candidate-pruned verify: the shingle-set build is
-    semi-joined down to collision survivors before the heavyweight
-    collect_set, so the corpus is tokenized in streaming passes only
-    and never shuffled wholesale. Returns (pairs, cached_candidates);
+    Shares dedup's candidate-pruned verify: the verify side is
+    broadcast-semi-joined down to collision survivors before it is even
+    tokenized, so only the duplicate subgraph pays the second shingle
+    pass. Returns (pairs, cached_candidates);
     the caller unpersists the candidate cache once edges materialize.
     """
     cand = _candidate_pairs(spark, sf_dir)

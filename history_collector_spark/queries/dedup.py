@@ -207,21 +207,26 @@ def _candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _verified_pairs(spark: SparkSession, sf_dir: str, cand: DataFrame) -> DataFrame:
     """Exact-Jaccard scores for candidate pairs.
 
-    The shingle-set build (collect_set — the one shuffle here that
-    moves document text) is semi-joined down to candidate doc_ids
-    FIRST, so the heavyweight array materialization happens only for
-    collision survivors, never the whole corpus. At 100 TB the
-    candidate set is broadcast-sized (it scales with duplication), so
-    the prune costs one broadcast, not a shuffle.
+    The broadcast semi-join down to candidate doc_ids happens BEFORE
+    tokenization: only collision survivors are split/shingled at all in
+    this pass, and the shingle-set build (collect_set — the one shuffle
+    here that moves document text) materializes arrays only for them,
+    never the whole corpus. At 100 TB the candidate set is
+    broadcast-sized (it scales with duplication), so the prune costs
+    one broadcast against the parquet scan, not a shuffle.
     """
     cand_ids = (
         cand.selectExpr("doc_a AS doc_id")
         .unionAll(cand.selectExpr("doc_b AS doc_id"))
         .distinct()
     )
-    sh = (
-        _doc_shingles(spark, sf_dir)
+    pruned_docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
         .join(F.broadcast(cand_ids), "doc_id")
+    )
+    sh = (
+        shingle_rows(pruned_docs)
         .groupBy("doc_id")
         .agg(F.collect_set("g").alias("s"))
     )
