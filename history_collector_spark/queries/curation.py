@@ -529,3 +529,105 @@ def curation_quality_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("quality") >= F.col("med"))
         .select("doc_id", "source", "quality")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic corpus sharding: assign every document a shard and a
+# stable position within it — the "global shuffle" a training run needs
+# so epoch order is reproducible and uncorrelated with ingest order.
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 16
+_SHUFFLE_SEED = "42"
+
+
+@register(
+    "curation_shard_assign",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             md5(concat(CAST(doc_id AS VARCHAR), '_{_SHUFFLE_SEED}')) AS h
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(CAST(concat('0x', substr(h, 1, 8)) AS BIGINT)
+                % {_N_SHARDS} AS INT) AS shard,
+           CAST(row_number() OVER (
+             PARTITION BY CAST(concat('0x', substr(h, 1, 8)) AS BIGINT)
+                          % {_N_SHARDS}
+             ORDER BY h, doc_id) AS BIGINT) AS pos
+    FROM h
+    """,
+)
+def curation_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A global random permutation without a global sort: hash each
+    doc_id with a seed, route to shard by hash (uniform, so shards are
+    balanced), order within the shard by the hash itself. One exchange
+    on the shard key and a per-shard sort — never an Exchange
+    SinglePartition; readers stream shards independently and
+    concatenation over (shard, pos) is the epoch order. Re-seeding
+    reshuffles deterministically.
+    """
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f"_{_SHUFFLE_SEED}")))
+    shard = (
+        F.conv(F.substring(F.col("h"), 1, 8), 16, 10).cast("long")
+        % _N_SHARDS
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        docs.withColumn("h", h)
+        .withColumn("shard", shard)
+        .select(
+            "doc_id",
+            "shard",
+            F.row_number().over(w).cast("long").alias("pos"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based mixture reweighting: per-source sampling rates
+# proportional to n^alpha (alpha < 1 upweights small sources) — the
+# multilingual/multi-domain rebalancing rule used when composing a
+# training mixture from skewed source sizes.
+# ---------------------------------------------------------------------------
+
+_MIX_ALPHA = 0.5
+
+
+@register(
+    "curation_temperature_mix",
+    oracle=f"""
+    WITH s AS (
+      SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+    ), t AS (
+      SELECT sum(pow(n_docs, {_MIX_ALPHA})) AS z, sum(n_docs) AS total
+      FROM s
+    )
+    SELECT source, n_docs,
+           pow(n_docs, {_MIX_ALPHA}) / z AS weight,
+           pow(n_docs, {_MIX_ALPHA}) / z * total / n_docs AS sample_rate
+    FROM s, t
+    """,
+)
+def curation_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two bounded aggregates: per-source counts (map-side combined,
+    group count = number of sources), then a 1-row normalizer
+    broadcast back over the source table. sample_rate > 1 means the
+    source is upsampled (repeated) in the mixture; < 1 downsampled.
+    Nothing here scales with corpus rows except the first scan.
+    """
+    docs = table(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    tot = src.agg(
+        F.sum(F.pow("n_docs", _MIX_ALPHA)).alias("z"),
+        F.sum("n_docs").alias("total"),
+    )
+    wgt = F.pow("n_docs", _MIX_ALPHA) / F.col("z")
+    return src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        wgt.alias("weight"),
+        (wgt * F.col("total") / F.col("n_docs")).alias("sample_rate"),
+    )

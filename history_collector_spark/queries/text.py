@@ -295,3 +295,71 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("c").cast("double") / F.sum("c")).alias("top_bigram_frac"),
         (F.count("*").cast("double") / F.sum("c")).alias("distinct_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus trigram language-model counts: c(w1 w2 w3) and the conditional
+# P(w3 | w1 w2) — the n-gram statistics behind perplexity filtering and
+# classic LM baselines (reported for trigrams seen >= 3 times; the
+# conditional is normalized over ALL continuations, not just reported
+# ones).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_ngram_lm",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+      FROM documents
+    ), tri AS (
+      SELECT unnest(list_transform(
+               range(1, greatest(len(w) - 1, 1)),
+               i -> struct_pack(w1 := w[i], w2 := w[i+1], w3 := w[i+2])))
+             AS s
+      FROM t
+    ), c AS (
+      SELECT s.w1 AS w1, s.w2 AS w2, s.w3 AS w3, count(*) AS c
+      FROM tri GROUP BY 1, 2, 3
+    ), p AS (
+      SELECT concat_ws(' ', w1, w2) AS prefix, w3, c,
+             CAST(c AS DOUBLE) / sum(c) OVER (PARTITION BY w1, w2) AS prob
+      FROM c
+    )
+    SELECT prefix, w3, c, prob FROM p WHERE c >= 3
+    """,
+)
+def text_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: trigram rows come from posexplode + two window
+    leads (one doc_id-partitioned sort, whole-stage codegen), counts
+    are a map-side-combined groupBy on the trigram itself (high-
+    cardinality, evenly distributed key), and the conditional divides
+    by a window sum partitioned by the bigram PREFIX — also high-
+    cardinality, so no reducer ever sees more than one prefix's
+    continuations. The c >= 3 report filter runs AFTER the window so
+    probabilities stay normalized over every continuation.
+    """
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), r"\s+")).alias("pos", "w1"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    tri = toks.select(
+        "w1",
+        F.lead("w1", 1).over(w).alias("w2"),
+        F.lead("w1", 2).over(w).alias("w3"),
+    ).filter(F.col("w3").isNotNull())
+    counts = tri.groupBy("w1", "w2", "w3").agg(F.count("*").alias("c"))
+    pref = Window.partitionBy("w1", "w2")
+    return (
+        counts.select(
+            F.concat_ws(" ", "w1", "w2").alias("prefix"),
+            "w3",
+            "c",
+            (F.col("c").cast("double") / F.sum("c").over(pref)).alias("prob"),
+        )
+        .filter(F.col("c") >= 3)
+    )

@@ -228,3 +228,46 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: users grouped by first-active week, counted again
+# in each later week — the standard retention triangle.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH a AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+    ), f AS (
+      SELECT user_id, min(week) AS cohort FROM a GROUP BY user_id
+    )
+    SELECT f.cohort,
+           CAST(date_diff('day', CAST(f.cohort AS DATE), CAST(a.week AS DATE))
+                // 7 AS INT) AS week_k,
+           count(DISTINCT a.user_id) AS n_active
+    FROM a JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every exchange here is on user_id or a bounded (cohort, week_k)
+    key: the distinct activity set and the per-user first week share
+    the user_id partitioning (one shuffle each, then a co-partitioned
+    join — no broadcast needed, both sides are user-cardinality), and
+    the final aggregate's group count is weeks x weeks, tiny at any
+    corpus size.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    )
+    act = ev.distinct()
+    first = act.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    week_k = (F.datediff(F.col("week"), F.col("cohort")) / 7).cast("int")
+    return (
+        act.join(first, "user_id")
+        .groupBy("cohort", week_k.alias("week_k"))
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
