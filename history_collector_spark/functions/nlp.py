@@ -25,14 +25,22 @@ def tokens(text: Column) -> Column:
     return F.split(text, WS_SPLIT)
 
 
-def shingle_rows(docs: DataFrame, k: int = 3) -> DataFrame:
-    """Distinct word k-gram shingles as ROWS: (doc_id, lang, g).
+def shingle_rows(docs: DataFrame, k: int = 3, distinct: bool = True) -> DataFrame:
+    """Word k-gram shingles as ROWS: (doc_id, lang, g).
 
     posexplode + window lead keeps every step in whole-stage codegen
-    (one doc_id-partitioned sort, one distinct) — the per-row array
-    formulation re-evaluated the tokenizing split once per element
-    inside an interpreted lambda. Docs with < k tokens produce no rows,
-    matching the empty-shingle-set semantics.
+    (one doc_id-partitioned sort) — the per-row array formulation
+    re-evaluated the tokenizing split once per element inside an
+    interpreted lambda. Docs with < k tokens produce no rows, matching
+    the empty-shingle-set semantics.
+
+    ``distinct=True`` dedups repeated shingles — required when the
+    consumer COUNTS rows (inverted-index Jaccard, decontamination
+    overlap). Pass ``distinct=False`` for duplicate-insensitive
+    consumers (min-hash aggregates, collect_set): it skips a full
+    (doc_id, g)-keyed exchange of the shingle text, and a downstream
+    groupBy(doc_id) then reuses the window's doc_id partitioning
+    instead of re-shuffling.
     """
     toks = docs.select(
         "doc_id", "lang", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
@@ -43,7 +51,8 @@ def shingle_rows(docs: DataFrame, k: int = 3) -> DataFrame:
         F.col(f"t{k - 1}").isNotNull()
     )
     g = F.concat_ws(" ", "tok", *[f"t{j}" for j in range(1, k)])
-    return sh.select("doc_id", "lang", g.alias("g")).distinct()
+    out = sh.select("doc_id", "lang", g.alias("g"))
+    return out.distinct() if distinct else out
 
 
 def md5_hash32(value: Column) -> Column:

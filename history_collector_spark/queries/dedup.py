@@ -110,7 +110,11 @@ def _lsh_buckets(
     min() is duplicate-insensitive, so set-exploded rows are fine.
     """
     if shingles is None:
-        shingles = _doc_shingles(spark, sf_dir)
+        # min() is duplicate-insensitive -> skip the distinct shuffle
+        shingles = shingle_rows(
+            table(spark, sf_dir, "documents").select("doc_id", "lang", "text"),
+            distinct=False,
+        )
     hs = shingles.select("doc_id", md5_hash32(F.col("g")).alias("h"))
     sigs = hs.groupBy("doc_id").agg(
         *[
@@ -226,7 +230,8 @@ def _verified_pairs(spark: SparkSession, sf_dir: str, cand: DataFrame) -> DataFr
         .join(F.broadcast(cand_ids), "doc_id")
     )
     sh = (
-        shingle_rows(pruned_docs)
+        # collect_set dedups in the aggregate -> skip the distinct shuffle
+        shingle_rows(pruned_docs, distinct=False)
         .groupBy("doc_id")
         .agg(F.collect_set("g").alias("s"))
     )
