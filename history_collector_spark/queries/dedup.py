@@ -185,15 +185,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH collision pairs (doc_a < doc_b), deduplicated across bands.
 
-    Returned PERSISTED: every caller both joins against it and derives
-    the candidate doc_id set from it to prune the verify side, and the
-    candidate set is tiny (it scales with real duplication, not corpus
-    size) — exactly the frame worth pinning. Callers unpersist.
+    The bucket table is MATERIALIZED before the self-join: Spark plans
+    each side of a self-join as its own subtree, so without the pin the
+    whole LSH build (scan -> shingle -> 32 min-aggs) would execute
+    twice. The cache is (doc_id, band, bucket) — 16 short rows per doc,
+    a small fraction of corpus bytes (at scale this frame is what you
+    would write out as the LSH index table). It is dropped as soon as
+    the collision pairs — which scale with real duplication, not corpus
+    size — are pinned. Returned PERSISTED and pre-materialized; callers
+    both join against it and derive the verify-prune doc_id set from
+    it, then unpersist.
     """
-    buckets = _lsh_buckets(spark, sf_dir)
+    buckets = _lsh_buckets(spark, sf_dir).persist()
+    buckets.count()
     a = buckets.alias("a")
     b = buckets.alias("b")
-    return (
+    cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -206,6 +213,9 @@ def _candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
+    cand.count()
+    buckets.unpersist()
+    return cand
 
 
 def _verified_pairs(spark: SparkSession, sf_dir: str, cand: DataFrame) -> DataFrame:
