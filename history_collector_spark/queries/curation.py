@@ -631,3 +631,85 @@ def curation_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         wgt.alias("weight"),
         (wgt * F.col("total") / F.col("n_docs")).alias("sample_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic mixture resampling: APPLY the temperature rates —
+# every document becomes floor(rate) copies plus one more with
+# probability frac(rate), decided by a seeded hash so the resampled
+# corpus is reproducible. Expected output size == input size (mass
+# conservation), but rebalanced across sources.
+# ---------------------------------------------------------------------------
+
+_RS_SEED = "rs"
+
+
+@register(
+    "curation_resample",
+    oracle=f"""
+    WITH s AS (
+      SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+    ), t AS (
+      SELECT sum(pow(n_docs, {_MIX_ALPHA})) AS z, sum(n_docs) AS total
+      FROM s
+    ), r AS (
+      SELECT source, pow(n_docs, {_MIX_ALPHA}) / z * total / n_docs AS rate
+      FROM s, t
+    ), d AS (
+      SELECT doc_id, d.source, rate,
+             CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+                  '_{_RS_SEED}')), 1, 8)) AS BIGINT) / 4294967296.0 AS u
+      FROM documents d JOIN r USING (source)
+    )
+    SELECT doc_id, source,
+           CAST(unnest(range(0, CAST(floor(rate) AS BIGINT)
+                + CASE WHEN u < rate - floor(rate) THEN 1 ELSE 0 END))
+             AS INT) AS copy
+    FROM d
+    """,
+)
+def curation_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composes curation_temperature_mix's rates back over the corpus:
+    the 20-row rate table is broadcast onto the scan, the per-doc copy
+    count is floor(rate) + a seeded-hash Bernoulli trial on the
+    fractional part, and copies fan out with posexplode-style sequence
+    — map-only after one broadcast, no shuffle of the corpus. Every
+    hash is md5-derived, so the "random" trial is bit-identical in the
+    DuckDB oracle and across reruns (resampling a 100 TB corpus must
+    be replayable).
+    """
+    docs = table(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    tot = src.agg(
+        F.sum(F.pow("n_docs", _MIX_ALPHA)).alias("z"),
+        F.sum("n_docs").alias("total"),
+    )
+    rates = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        (F.pow("n_docs", _MIX_ALPHA) / F.col("z") * F.col("total")
+         / F.col("n_docs")).alias("rate"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f"_{_RS_SEED}"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    n_copies = F.floor("rate").cast("int") + F.when(
+        u < F.col("rate") - F.floor("rate"), 1
+    ).otherwise(0)
+    return (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(rates), "source")
+        .withColumn("n_copies", n_copies)
+        .filter(F.col("n_copies") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.sequence(F.lit(0), F.col("n_copies") - 1)).alias("copy"),
+        )
+    )

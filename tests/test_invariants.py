@@ -64,3 +64,22 @@ def test_cohort_retention_peaks_at_week_zero(spark):
         base = grp.loc[grp["week_k"] == 0, "n_active"]
         assert len(base) == 1
         assert (grp["n_active"] <= base.iloc[0]).all()
+
+
+def test_resample_copies_match_rates(spark):
+    """Each doc yields floor(rate) or ceil(rate) contiguous copies for
+    its source's temperature rate, and (doc_id, copy) never repeats."""
+    import math
+
+    rates = {
+        r["source"]: r["sample_rate"]
+        for r in registry.QUERIES["curation_temperature_mix"](
+            spark, TEST_SF_DIR
+        ).collect()
+    }
+    pdf = registry.QUERIES["curation_resample"](spark, TEST_SF_DIR).toPandas()
+    assert not pdf.duplicated(["doc_id", "copy"]).any()
+    for (doc, src), grp in pdf.groupby(["doc_id", "source"]):
+        n = len(grp)
+        assert sorted(grp["copy"]) == list(range(n))
+        assert n in (math.floor(rates[src]), math.ceil(rates[src]))
