@@ -271,3 +271,107 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort", week_k.alias("week_k"))
         .agg(F.count_distinct("user_id").alias("n_active"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch sessionization: split each user's event stream into sessions at
+# >30-minute silence gaps (lag -> boundary flag -> running sum), then
+# per-session stats — the batch twin of the streaming session_window
+# aggregate, and the standard lag/cumsum formulation.
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_US = 1800 * 1_000_000
+
+
+@register(
+    "event_sessionize",
+    oracle=f"""
+    WITH x AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                     > {_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM x
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end,
+           CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000
+                AS BIGINT) AS duration_sec
+    FROM s GROUP BY 1, 2
+    """,
+)
+def event_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One user_id shuffle serves everything: the lag, the running
+    boundary sum (same window ordering, so no second exchange), and the
+    final (user_id, session_id) aggregate, which Catalyst recognizes as
+    co-partitioned. Session numbering is per-user (1, 2, ...), so keys
+    stay high-cardinality and unskewed at any corpus size.
+    """
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(
+        gap.isNull() | (gap > _SESSION_GAP_US), 1
+    ).otherwise(0)
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessioned = ev.select(
+        "user_id", "ts", F.sum(is_new).over(cum).alias("session_id")
+    )
+    return sessioned.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        (
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+            / F.lit(1_000_000)
+        ).cast("long").alias("duration_sec"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trailing event-time window: each event's 1-hour-lookback sum/count
+# for its user — a RANGE frame over event time (value-based bounds),
+# vs. the ROWS frames elsewhere in this module.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "trailing_hour_sum",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+           sum(value) OVER w AS trailing_sum,
+           count(*) OVER w AS trailing_n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def trailing_hour_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RANGE frame sorts each user's partition once and slides a
+    value-bounded frame over it — linear per partition, one user_id
+    exchange, no self-join (the naive formulation is an interval
+    self-join that expands pairwise). Peers with identical timestamps
+    enter the frame together in both engines.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3600 * 1_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.sum("value").over(w).alias("trailing_sum"),
+        F.count("*").over(w).alias("trailing_n"),
+    )
