@@ -225,3 +225,61 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("query_id", "neighbor_id", "bucket", "cos_sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Int8 embedding quantization: per-vector absmax scale, 64 int8 codes,
+# and the worst-element reconstruction error — the storage/serving
+# compression step an embedding pipeline runs before writing an index
+# (4x smaller than float32; the error column is the quality audit).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_quantize",
+    oracle=f"""
+    WITH m AS (
+      SELECT vec_id, embedding,
+             greatest(list_max(list_transform(embedding,
+                  x -> abs(CAST(x AS DOUBLE)))), 1e-30) / 127.0 AS scale
+      FROM embeddings
+    )
+    SELECT vec_id, scale,
+           list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) / scale) AS INT)) AS q,
+           list_max(list_transform(range(1, {EMB_DIM + 1}),
+             i -> abs(CAST(embedding[i] AS DOUBLE)
+                      - round(CAST(embedding[i] AS DOUBLE) / scale) * scale)))
+             AS max_err
+    FROM m
+    """,
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-only (no exchange): every quantity is a per-row array
+    expression. The scale guard (1e-30) keeps zero vectors finite, and
+    abs-max scaling bounds max_err by scale/2. All arithmetic is the
+    same double-promoted form in both engines, so codes match the
+    oracle bit-for-bit.
+    """
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    scale = F.greatest(
+        F.array_max(F.transform(dbl, F.abs)), F.lit(1e-30)
+    ) / F.lit(127.0)
+    with_scale = emb.select("vec_id", "embedding", scale.alias("scale"))
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") / F.col("scale")).cast("int"),
+    )
+    err = F.array_max(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.abs(
+                x.cast("double")
+                - F.round(x.cast("double") / F.col("scale")) * F.col("scale")
+            ),
+        )
+    )
+    return with_scale.select(
+        "vec_id", "scale", q.alias("q"), err.alias("max_err")
+    )
