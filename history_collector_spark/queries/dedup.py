@@ -463,3 +463,54 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.mapInPandas(
         score, schema="id_a bigint, id_b bigint, cos_sim double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: a new batch dedups against the already-ingested
+# corpus's hash index, then within itself — the mode a continuous
+# ingest actually runs (full-corpus re-dedup at every batch would be
+# quadratic over the pipeline's lifetime). Even doc_ids play the
+# existing corpus, odd doc_ids the incoming batch.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_incremental",
+    oracle="""
+    WITH ex AS (
+      SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 = 0
+    ), inc AS (
+      SELECT doc_id, source, md5(text) AS h
+      FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+      FROM inc WHERE h NOT IN (SELECT h FROM ex)
+    ) WHERE rn = 1
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the existing-corpus index is hashes only (32 bytes
+    a row, not documents), probed with a left-anti join on the hash —
+    at scale both sides are bucketed by hash and the probe is
+    shuffle-free; here it is one hash-keyed exchange of the BATCH, not
+    the corpus. The within-batch pass reuses the same partitioning for
+    its min-doc_id window. The corpus never rescans previous batches.
+    """
+    docs = table(spark, sf_dir, "documents")
+    existing = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+    )
+    incoming = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "source", F.md5("text").alias("h")
+    )
+    w = Window.partitionBy("h").orderBy("doc_id")
+    return (
+        incoming.join(existing, "h", "left_anti")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source")
+    )
