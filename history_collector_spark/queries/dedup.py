@@ -514,3 +514,94 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH index point-lookup: near-dups of ONE anchor document — the
+# serving-path query (dedup-at-ingest of a single incoming doc, or
+# "find copies of this page"), vs. the corpus-wide pair generation
+# above. The anchor's 16 buckets select candidates; exact Jaccard
+# against the anchor's shingle set verifies.
+# ---------------------------------------------------------------------------
+
+_ANCHOR_DOC = 8
+
+
+@register(
+    "dedup_lsh_lookup",
+    oracle=f"""
+    WITH {_BUCKETS_SQL},
+    anchor AS (
+      SELECT band, bucket FROM buckets WHERE doc_id = {_ANCHOR_DOC}
+    ),
+    cand AS (
+      SELECT DISTINCT b.doc_id FROM buckets b
+      JOIN anchor a ON b.band = a.band AND b.bucket = a.bucket
+      WHERE b.doc_id <> {_ANCHOR_DOC}
+    ),
+    shl AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - 1, 1)),
+               i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+      FROM toks
+    )
+    SELECT c.doc_id,
+           CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+             / len(list_distinct(list_concat(x.s, y.s))) AS jaccard
+    FROM cand c
+    JOIN shl x ON x.doc_id = c.doc_id
+    JOIN shl y ON y.doc_id = {_ANCHOR_DOC}
+    """,
+)
+def dedup_lsh_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At serving time the bucket table is a precomputed index keyed by
+    (band, bucket); this query is its read path: 16 point-lookups
+    (anchor buckets broadcast onto the index), then a Jaccard verify of
+    the handful of collision survivors against the broadcast anchor
+    shingle set. Nothing corpus-sized moves — the corpus-side work is
+    the index probe itself.
+    """
+    buckets = _lsh_buckets(spark, sf_dir).persist()
+    buckets.count()
+    anchor_buckets = buckets.filter(F.col("doc_id") == _ANCHOR_DOC).select(
+        "band", "bucket"
+    )
+    # pin the (tiny) candidate set so the LSH build can be dropped
+    # before the verify plan below ever executes
+    cand_ids = (
+        buckets.join(F.broadcast(anchor_buckets), ["band", "bucket"])
+        .filter(F.col("doc_id") != _ANCHOR_DOC)
+        .select("doc_id")
+        .distinct()
+        .persist()
+    )
+    cand_ids.count()
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    sets = (
+        shingle_rows(
+            docs.join(
+                F.broadcast(
+                    cand_ids.unionAll(
+                        cand_ids.sparkSession.range(1).select(
+                            F.lit(_ANCHOR_DOC).cast("long").alias("doc_id")
+                        )
+                    )
+                ),
+                "doc_id",
+            ),
+            distinct=False,
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("g").alias("s"))
+    )
+    anchor_set = sets.filter(F.col("doc_id") == _ANCHOR_DOC).select(
+        F.col("s").alias("anchor_s")
+    )
+    out = (
+        sets.filter(F.col("doc_id") != _ANCHOR_DOC)
+        .crossJoin(F.broadcast(anchor_set))
+        .select("doc_id", jaccard(F.col("s"), F.col("anchor_s")).alias("jaccard"))
+    )
+    buckets.unpersist()
+    return out

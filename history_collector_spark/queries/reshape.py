@@ -100,3 +100,82 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(
         md5_hash32(F.col("doc_id").cast("string")) % 10 == 0
     ).select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# Unpivot (melt): the four lineitem measures as (measure, value) rows —
+# the inverse of pivot, for long-format consumers (plotting, generic
+# metric sinks). Map-only: unpivot is a per-row fan-out, no exchange.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "unpivot_measures",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+           l_quantity AS value FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+    """,
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "lineitem").unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit: orphan counts across the table graph —
+# the data-quality gate a pipeline runs before promoting a snapshot.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "audit_referential_integrity",
+    oracle="""
+    SELECT 'lineitem->orders' AS fk, count(*) AS n_orphans
+    FROM lineitem l WHERE NOT EXISTS
+      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'orders->customer', count(*)
+    FROM orders o WHERE NOT EXISTS
+      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'embeddings->documents', count(*)
+    FROM embeddings e WHERE NOT EXISTS
+      (SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id)
+    """,
+)
+def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each check is a left-anti join that reduces to a count — the
+    anti side only carries its key column, so the probe moves key
+    bytes, and dimension-sized parents broadcast under AQE. Counts
+    partial-aggregate map-side; the union is three 1-row frames.
+    """
+
+    def orphans(child: DataFrame, ck: str, parent: DataFrame, pk: str, tag: str) -> DataFrame:
+        return (
+            child.select(F.col(ck))
+            .join(parent.select(F.col(pk)), child[ck] == parent[pk], "left_anti")
+            .agg(F.count("*").alias("n_orphans"))
+            .select(F.lit(tag).alias("fk"), "n_orphans")
+        )
+
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    return (
+        orphans(li, "l_orderkey", orders, "o_orderkey", "lineitem->orders")
+        .unionAll(orphans(orders, "o_custkey", cust, "c_custkey", "orders->customer"))
+        .unionAll(orphans(emb, "vec_id", docs, "doc_id", "embeddings->documents"))
+    )
