@@ -212,3 +212,53 @@ def streaming_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name).select("user_id", "event_type", "day")
+
+
+@register(
+    "streaming_static_join_e2e",
+    oracle="""
+    SELECT c.c_nationkey AS nationkey, count(*) AS n_events,
+           sum(e.value) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def streaming_static_join_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join (§2.7 extension): the event stream enriches
+    against a static dimension mid-flight — the streaming twin of J1's
+    broadcast lookup. The static side is broadcast per micro-batch (no
+    streaming state at all, unlike stream-stream joins), so this scales
+    with the dimension, not the stream. Complete-mode aggregate must
+    equal the batch join+agg.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("user_id", "value")
+    )
+    customer = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    joined = stream.join(
+        F.broadcast(customer), stream.user_id == customer.c_custkey
+    )
+    agg = joined.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count("*").alias("n_events"),
+        F.sum("value").alias("total_value"),
+    )
+    name = f"ssjoin_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.table(name).select("nationkey", "n_events", "total_value")
