@@ -11,6 +11,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLES = (
     "region",
@@ -33,22 +34,36 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Catalyst's job — callers select/filter declaratively and the parquet
     reader sees PushedFilters/ReadSchema.
 
-    ``events.ts`` is physically INT64 TIMESTAMP(NANOS), which Spark's
-    parquet reader rejects by default; we read it as a long
-    (``spark.sql.legacy.parquet.nanosAsLong``) and floor-truncate to
-    microseconds — the same truncation DuckDB applies, so oracles agree.
+    ``events.ts`` has shipped in two physical vintages: INT64
+    TIMESTAMP(NANOS) (reads as a plain long under
+    ``spark.sql.legacy.parquet.nanosAsLong``) and plain ``timestamp[us]``
+    (reads natively as TIMESTAMP_NTZ). We branch on the dtype actually
+    inferred from the footer and normalize both to TimestampType:
+
+    - LongType -> nanos, floor-truncated to microseconds (the same
+      truncation DuckDB applies, so oracles agree);
+    - TimestampNTZType -> cast to TIMESTAMP. The session timezone is
+      pinned to UTC (session.py), so the cast is a pure type
+      reinterpretation — identical instants, zero arithmetic — and every
+      downstream query keeps seeing the TimestampType it was verified
+      against (unix_micros & co. reject NTZ).
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
+        # harmless when the column is a real timestamp; required to even
+        # read the legacy nanos vintage
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        # integer `div` keeps the conversion exact (double division would
-        # round near the 2^53 mantissa edge)
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            # integer `div` keeps the conversion exact (double division
+            # would round near the 2^53 mantissa edge)
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+        return df
     return spark.read.parquet(path)
 
 

@@ -353,28 +353,59 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# Stop-shingle guard for the inverted-index join: a shingle appearing in
+# more than DF_CAP documents contributes df^2 join rows — at 100 TB a
+# single viral boilerplate line would dominate the whole query. Shingles
+# above the cap are dropped from BOTH sets of every pair (Spark and the
+# DuckDB oracle prune identically, so the match stays exact); semantics
+# become "Jaccard over non-stop shingles", the standard bounded form.
+# At the test scale factors max df is ~25, so the cap prunes nothing and
+# the result equals unpruned Jaccard.
+NGRAM_DF_CAP = 1000
+
+
 @register(
     "dedup_ngram_jaccard",
-    oracle="""
-    WITH sh AS (
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split_regex(text, '\\s+') AS t FROM documents
+    ),
+    sh AS (
       SELECT doc_id, lang,
-             list_distinct(list_transform(
-               range(1, greatest(len(string_split_regex(text, '\\s+')) - 1, 1)),
-               i -> concat_ws(' ', string_split_regex(text, '\\s+')[i],
-                              string_split_regex(text, '\\s+')[i+1],
-                              string_split_regex(text, '\\s+')[i+2]))) AS s
-      FROM documents
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - 1, 1)),
+               i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS g
+      FROM toks
+    ),
+    pruned AS (
+      SELECT sh.doc_id, sh.lang, sh.g FROM sh
+      ANTI JOIN (
+        SELECT lang, g FROM sh GROUP BY lang, g HAVING count(*) > {NGRAM_DF_CAP}
+      ) hot USING (lang, g)
+    ),
+    sets AS (
+      SELECT doc_id, lang, list(g) AS s FROM pruned GROUP BY doc_id, lang
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang,
            CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
              / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
-    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    FROM sets a JOIN sets b ON a.lang = b.lang AND a.doc_id < b.doc_id
     WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
             / len(list_distinct(list_concat(a.s, b.s))) >= 0.1
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _doc_shingles(spark, sf_dir)
+    # stop-shingle prune: the hot list (df > cap) is a map-side-combined
+    # aggregate whose result is tiny by construction, so the anti-join
+    # broadcasts — the corpus-side rows never shuffle for the prune
+    hot = (
+        sh.groupBy("lang", "g")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > NGRAM_DF_CAP)
+        .select("lang", "g")
+    )
+    sh = sh.join(F.broadcast(hot), ["lang", "g"], "left_anti")
     # per-doc shingle-set size, windowed so it rides the existing rows
     ex = sh.withColumn(
         "n", F.count("*").over(Window.partitionBy("doc_id"))
@@ -414,6 +445,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # expression evaluations. The LSH/IVF queries are the 100 TB path.
 # ---------------------------------------------------------------------------
 
+COSINE_MAX_BUILD_ROWS = 1_000_000  # ~0.5 GB of float64 at dim 64
+
 
 @register(
     "dedup_embedding_cosine",
@@ -438,7 +471,16 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
     # build side: one driver-collected matrix, broadcast to executors —
-    # exactly what a broadcast hash join does with its build side
+    # exactly what a broadcast hash join does with its build side. This
+    # is the labeled exactness BASELINE: refuse to collect an unbounded
+    # corpus onto the driver — the scale path is similarity.ann_lsh_topk.
+    n_build = emb.count()
+    if n_build > COSINE_MAX_BUILD_ROWS:
+        raise ValueError(
+            f"dedup_embedding_cosine is the brute-force baseline; build side "
+            f"has {n_build} rows (> {COSINE_MAX_BUILD_ROWS}). Use the bucketed "
+            f"ANN path (ann_lsh_topk / ann_ivf_topk) at this scale."
+        )
     build = emb.toPandas()
     b_ids = build["vec_id"].to_numpy()
     b_mat = np.stack(build["embedding"].to_numpy()).astype(np.float64)

@@ -27,6 +27,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from history_collector_spark.catalog import table
 from history_collector_spark.registry import register
@@ -130,9 +131,9 @@ def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     count (§2.7-f), complete mode so every window is emitted before
     AvailableNow terminates; must equal the batch window aggregate.
 
-    The stream reads the raw parquet (INT64 nanos `ts`) as a long and
-    converts in-stream — the streaming twin of catalog.table's
-    self-heal."""
+    The stream branches on the inferred `ts` dtype — a long column is
+    legacy INT64 nanos and converts in-stream (the streaming twin of
+    catalog.table's self-heal); a timestamp column passes through."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/events.parquet"
     raw_schema = spark.read.parquet(path).schema
@@ -142,9 +143,13 @@ def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .select("ts", "event_type")
     )
+    if isinstance(raw_schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(raw_schema["ts"].dataType, T.TimestampNTZType):
+        # UTC session tz -> pure reinterpretation (see catalog.table)
+        stream = stream.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    stream = stream.select("ts", "event_type")
     agg = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -190,11 +195,14 @@ def streaming_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .select(
-            "user_id", "event_type",
-            F.date_trunc("DAY", F.col("ts")).alias("day"),
-        )
+    )
+    if isinstance(raw_schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(raw_schema["ts"].dataType, T.TimestampNTZType):
+        stream = stream.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    stream = stream.select(
+        "user_id", "event_type",
+        F.date_trunc("DAY", F.col("ts")).alias("day"),
     )
     deduped = stream.withWatermark("day", "1 day").dropDuplicatesWithinWatermark(
         ["user_id", "event_type", "day"]
