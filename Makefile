@@ -1,0 +1,23 @@
+# Round-loop gates. `make check` is the ship-blocking gate: run it before
+# every round-ending commit — round 3 shipped nothing and the testdata
+# moved underneath the code; this 5-minute check would have caught it.
+
+.PHONY: check correctness tests bench drivers-sim
+
+# Full gate: oracle correctness + everything else.
+check: tests drivers-sim
+
+# All 91 oracle-bearing queries vs DuckDB (wider than the driver's 50).
+correctness:
+	python -m pytest tests/test_correctness.py -q
+
+tests:
+	python -m pytest tests/ -q
+
+# Simulate the external driver: vanilla SparkSession (no session.py
+# configs), entry() + all queries() vs oracle_sql() at sf0.01.
+drivers-sim:
+	python tests/driver_sim.py
+
+bench:
+	SPARK_GRAFT_SF_DIR=$${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.01} python bench.py

@@ -4,6 +4,11 @@
 
 Each query is fully materialized through the noop sink (not .count(),
 which would let Catalyst prune every column and skip the real work).
+
+The driver records only the last ~2000 chars of stdout, so the printed
+line carries the total plus a fixed HEADLINE subset of per-query times
+(guaranteed to fit); the full per-query dict for all registered queries
+is written to BENCH_FULL.json next to this script.
 """
 
 from __future__ import annotations
@@ -17,6 +22,48 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from history_collector_spark.session import get_spark  # noqa: E402
 import __spark_entry__ as entry_mod  # noqa: E402
+
+
+# Fixed cross-round comparison set: one representative per family plus
+# every historically perf-flagged query. Keys here are stable across
+# rounds so BENCH_r{N} deltas are meaningful; everything else is in
+# BENCH_FULL.json.
+HEADLINE = (
+    "pipeline_parity",
+    "streaming_ingest_e2e",
+    "streaming_window_counts",
+    "streaming_dedup_e2e",
+    "streaming_static_join_e2e",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_minhash_pairs",
+    "dedup_clusters",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_incremental",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "embedding_quantize",
+    "text_tfidf_topterms",
+    "text_language_id",
+    "curation_quality_pipeline",
+    "curation_decontaminate",
+    "curation_sequence_pack",
+    "group_agg_pricing",
+    "topn_per_group",
+    "event_sessionize",
+    "trailing_hour_sum",
+    "asof_join_last_signup",
+    "range_join_events",
+    "broadcast_lookup_time",
+    "explode_txset",
+    "top1_latest",
+    "account_history",
+    "multimodal_decode",
+    "scd2_customer_history",
+)
 
 
 def run_one(spark, fn, sf_dir: str) -> float:
@@ -43,27 +90,47 @@ def main() -> None:
         except Exception:
             pass
 
-    times: dict[str, float] = {}
+    times: dict[str, float | None] = {}
     total = 0.0
     for name in sorted(qs):
         try:
             dt = run_one(spark, qs[name], sf_dir)
         except Exception as exc:  # a broken query should not zero the bench
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
-            dt = float("nan")
+            times[name] = None  # null, not NaN: keeps the line strict JSON
         else:
             total += dt
-        times[name] = round(dt, 4)
+            times[name] = round(dt, 4)
 
-    print(
-        json.dumps(
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_FULL.json")
+    with open(full_path, "w") as fh:
+        json.dump(
             {
                 "metric": "total_query_wall_sec",
                 "value": round(total, 4),
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
-            }
+                "n_queries": len(times),
+            },
+            fh,
+            indent=1,
+        )
+
+    headline = {k: times[k] for k in HEADLINE if k in times}
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_sec",
+                "value": round(total, 4),
+                "unit": "sec",
+                "queries": headline,
+                "sf": sf,
+                "n_queries": len(times),
+                "full": "BENCH_FULL.json",
+            },
+            separators=(",", ":"),
         )
     )
 

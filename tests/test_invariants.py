@@ -83,3 +83,135 @@ def test_resample_copies_match_rates(spark):
         n = len(grp)
         assert sorted(grp["copy"]) == list(range(n))
         assert n in (math.floor(rates[src]), math.ceil(rates[src]))
+
+
+# ---------------------------------------------------------------------------
+# Window-family gap/frame boundary invariants on hand-built edge-case
+# events (the sf tables' random timestamps never land exactly ON a
+# boundary, so these laws are untestable there).
+# ---------------------------------------------------------------------------
+
+
+def _write_events(rows, tmpdir):
+    """Write a synthetic events.parquet (current driver vintage:
+    physical timestamp[us]) into tmpdir and return tmpdir as a sf_dir."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}" for _ in rows], pa.string()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(tmpdir, "events.parquet"))
+    return tmpdir
+
+
+def test_sessionize_gap_exactly_at_threshold_merges(spark, tmp_path):
+    """The session split is on gap STRICTLY greater than 30 min: a gap of
+    exactly 30:00.000000 stays one session, 30:00.000001 splits. Both the
+    lag/cumsum batch formulation and F.session_window agree."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    us = dt.timedelta(microseconds=1)
+    m30 = dt.timedelta(minutes=30)
+    rows = [
+        (0, base, 1, "view", 1.0, "{}"),
+        (1, base + m30, 1, "view", 1.0, "{}"),
+        (2, base + 2 * m30, 1, "view", 1.0, "{}"),
+        (3, base, 2, "view", 1.0, "{}"),
+        (4, base + m30 + us, 2, "view", 1.0, "{}"),
+    ]
+    sf = _write_events(rows, str(tmp_path))
+    sess = (
+        registry.QUERIES["event_sessionize"](spark, sf)
+        .toPandas()
+        .groupby("user_id")
+        .size()
+    )
+    assert sess[1] == 1  # exactly-at-threshold gaps merged
+    assert sess[2] == 2  # one microsecond past the threshold splits
+    # F.session_window must draw the same boundaries
+    sw = (
+        registry.QUERIES["session_window_agg"](spark, sf)
+        .toPandas()
+        .groupby("user_id")
+        .size()
+    )
+    assert sw[1] == 1 and sw[2] == 2
+
+
+def test_sessionize_single_event_session(spark, tmp_path):
+    """A lone event forms a 1-event session of zero duration whose start
+    equals its end equals its timestamp."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 5, 12, 34, 56, 789000)
+    sf = _write_events([(0, base, 7, "view", 1.0, "{}")], str(tmp_path))
+    pdf = registry.QUERIES["event_sessionize"](spark, sf).toPandas()
+    assert len(pdf) == 1
+    r = pdf.iloc[0]
+    assert r["n_events"] == 1
+    assert r["duration_sec"] == 0
+    assert r["session_start"] == r["session_end"] == base
+
+
+def test_trailing_hour_frame_includes_exact_boundary(spark, tmp_path):
+    """The RANGE frame is [-1h, now] INCLUSIVE on both ends: an event
+    exactly 3600.000000s earlier is inside the frame; 3600.000001s is
+    out."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    h1 = dt.timedelta(hours=1)
+    us = dt.timedelta(microseconds=1)
+    rows = [
+        (0, base, 1, "view", 10.0, "{}"),
+        (1, base + h1, 1, "view", 1.0, "{}"),  # exactly 1h later
+        (2, base, 2, "view", 10.0, "{}"),
+        (3, base + h1 + us, 2, "view", 1.0, "{}"),  # 1h + 1us later
+    ]
+    sf = _write_events(rows, str(tmp_path))
+    pdf = (
+        registry.QUERIES["trailing_hour_sum"](spark, sf)
+        .toPandas()
+        .set_index("event_id")
+    )
+    assert pdf.loc[1, "trailing_n"] == 2
+    assert pdf.loc[1, "trailing_sum"] == 11.0
+    assert pdf.loc[3, "trailing_n"] == 1
+    assert pdf.loc[3, "trailing_sum"] == 1.0
+
+
+def test_trailing_hour_peers_see_each_other(spark, tmp_path):
+    """RANGE frames are peer-inclusive: two events with IDENTICAL
+    timestamps are each inside the other's trailing window."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 6, 1, 9, 0, 0)
+    rows = [
+        (0, base, 1, "view", 2.0, "{}"),
+        (1, base, 1, "click", 3.0, "{}"),
+    ]
+    sf = _write_events(rows, str(tmp_path))
+    pdf = registry.QUERIES["trailing_hour_sum"](spark, sf).toPandas()
+    assert (pdf["trailing_n"] == 2).all()
+    assert (pdf["trailing_sum"] == 5.0).all()
+
+
+def test_embedding_cosine_refuses_oversized_build_side(spark, monkeypatch):
+    """The brute-force baseline must refuse to collect an unbounded
+    corpus to the driver — the scale path is the bucketed ANN family."""
+    import pytest as _pytest
+
+    from history_collector_spark.queries import dedup as dedup_mod
+
+    monkeypatch.setattr(dedup_mod, "COSINE_MAX_BUILD_ROWS", 1)
+    with _pytest.raises(ValueError, match="ann_lsh_topk"):
+        dedup_mod.dedup_embedding_cosine(spark, TEST_SF_DIR)
