@@ -39,12 +39,35 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 _LOADED = False
 
 
+# The external driver's correctness gate samples the FIRST 50 registered
+# queries, so registration order decides which operator families get the
+# hard per-round oracle signal. Import these modules first — a balanced
+# cut across the engine (aggregates, dedup, ANN, event-time windows, the
+# real-XDR triplet, reference parity, relational core, multimodal) —
+# then everything else alphabetically. Appending a module here (or
+# adding queries to a late module) never displaces earlier entries.
+PRIORITY_MODULES = (
+    "aggregates",
+    "asof",
+    "clusters",  # imports dedup -> registers the whole dedup family
+    "similarity",
+    "windows",
+    "xdr_e2e",
+    "pipeline_parity",
+    "rangejoin",
+    "relational",
+    "multimodal",
+    "tfidf",
+)
+
+
 def load_all() -> None:
     """Import every query-bearing module exactly once.
 
     Modules are discovered from disk (pkgutil) so this list can never
     drift from what actually exists; imports are side-effecting — the
-    @register decorators populate QUERIES/ORACLES.
+    @register decorators populate QUERIES/ORACLES. PRIORITY_MODULES
+    load first (see above), the rest in sorted order.
     """
     global _LOADED
     if _LOADED:
@@ -54,7 +77,11 @@ def load_all() -> None:
 
     import history_collector_spark.queries as qpkg
 
-    for mod in pkgutil.iter_modules(qpkg.__path__):
-        importlib.import_module(f"{qpkg.__name__}.{mod.name}")
+    on_disk = [mod.name for mod in pkgutil.iter_modules(qpkg.__path__)]
+    ordered = [m for m in PRIORITY_MODULES if m in on_disk] + sorted(
+        m for m in on_disk if m not in PRIORITY_MODULES
+    )
+    for name in ordered:
+        importlib.import_module(f"{qpkg.__name__}.{name}")
 
     _LOADED = True

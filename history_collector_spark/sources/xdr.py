@@ -8,10 +8,14 @@ an S3 archive and parses them with an external XDR codec
   executors fetch files in parallel (vs the reference's one-at-a-time
   driver download);
 - decode: an Arrow-batched ``mapInPandas`` UDF turning each compressed
-  blob into nested tx-entry rows. The REAL XDR codec is a pluggable
-  stand-in point — this environment ships none, so the stub codec is
-  gzip+JSON with the same nested shape (clearly marked; swap
-  `_parse_payload` for an xdrparser call in production);
+  blob into nested tx-entry rows. Two payload codecs behind one seam:
+  the REAL RFC 4506 binary codec (xdr_codec.py — record-marked
+  LedgerHeaderHistoryEntry / TransactionHistoryEntry /
+  TransactionHistoryResultEntry streams, with per-tx
+  sha256(network_id || ENVELOPE_TYPE_TX || tx_bytes) hashes matching
+  python/main.py:263-266), plus the legacy gzip+JSON stand-in for
+  fixtures. The codec is auto-detected per blob: JSON payloads start
+  with '{' after gunzip, XDR record marks start with a high bit;
 - sequencing: the monotone 64-ledger file sequence and its validity
   rule (python/main.py:205-228, python/build_database.py:24-27), plus
   the gapless "stall, don't skip" check (python/main.py:88-105) as a
@@ -23,7 +27,10 @@ from __future__ import annotations
 import gzip
 import json
 import os
+import re
 from collections.abc import Iterator
+
+from history_collector_spark.sources import xdr_codec
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -94,8 +101,8 @@ def is_valid_file_seq(seq: str) -> bool:
 
 
 def write_archive_file(path: str, file_seq: str, entries: list[dict]) -> str:
-    """Test/demo helper: write one gzip archive file in the STUB codec
-    (JSON standing in for XDR — same nesting, different bytes)."""
+    """Test/demo helper: write one gzip archive file in the JSON fixture
+    codec (same nesting as the XDR decode output, different bytes)."""
     os.makedirs(path, exist_ok=True)
     fname = os.path.join(path, f"transactions-{file_seq}.xdr.gz")
     with gzip.open(fname, "wt") as f:
@@ -103,26 +110,114 @@ def write_archive_file(path: str, file_seq: str, entries: list[dict]) -> str:
     return fname
 
 
-def _parse_payload(raw: bytes) -> list[dict]:
-    """STUB codec: gzip+JSON. A real deployment replaces this body with
-    the XDR parse (python/main.py:263-266: parser.parse(file,
-    with_hash=..., network_id=...)) — signature and output shape stay."""
-    doc = json.loads(gzip.decompress(raw).decode("utf-8"))
-    return [
-        {
-            "file_seq": doc["file_seq"],
-            "ledger_seq": e["ledger_seq"],
-            "txs": e.get("txs", []),
-        }
-        for e in doc["entries"]
-    ]
+def write_xdr_archive_file(
+    path: str, kind: str, file_seq: str, records: list[bytes]
+) -> str:
+    """Write one REAL binary archive file: gzip over a record-marked XDR
+    stream (records come from xdr_codec.build_*_entry). `kind` is
+    'transactions' | 'ledger' | 'results' — the reference's triplet
+    naming (python/main.py:257-260)."""
+    os.makedirs(path, exist_ok=True)
+    fname = os.path.join(path, f"{kind}-{file_seq}.xdr.gz")
+    with gzip.open(fname, "wb") as f:
+        for rec in records:
+            f.write(rec)
+    return fname
+
+
+# The passphrase is deployment config (reference env NETWORK_PASSPHRASE,
+# python/main.py:35); the public Stellar testnet phrase is the default.
+DEFAULT_NETWORK_PASSPHRASE = "Test SDF Network ; September 2015"
+
+_FILE_SEQ_RE = re.compile(r"-([0-9a-f]{8})\.xdr\.gz$")
+
+
+def _op_to_row(op: dict) -> dict:
+    """xdr_codec operation dict -> flat OPERATION_TYPE row."""
+    body = op["body"]
+    if body["type"] == xdr_codec.OP_PAYMENT:
+        p = body["paymentOp"]
+        a = p["asset"]
+        named = a["alphaNum4"] or a["alphaNum12"]
+        asset = (
+            {
+                "assetCode": named["assetCode"],
+                "issuer": named["issuer"]["ed25519"],
+            }
+            if named
+            else None
+        )
+        dest, amount, balance = p["destination"]["ed25519"], p["amount"], None
+    else:
+        c = body["createAccountOp"]
+        dest, amount, balance = (
+            c["destination"]["ed25519"],
+            None,
+            c["startingBalance"],
+        )
+        asset = None
+    return {
+        "type": body["type"],
+        "destination": dest,
+        "amount": amount,
+        "starting_balance": balance,
+        "asset": asset,
+        "sourceAccount": [s["ed25519"] for s in op["sourceAccount"]],
+    }
+
+
+def _parse_payload(
+    raw: bytes,
+    file_seq: str | None = None,
+    network_passphrase: str = DEFAULT_NETWORK_PASSPHRASE,
+) -> list[dict]:
+    """Decode one archive blob into ENTRY_SCHEMA rows.
+
+    Codec auto-detect after gunzip: a JSON fixture payload begins with
+    '{' (0x7b); a record-marked XDR stream begins with a mark byte whose
+    high bit is set (>= 0x80), so the two can never collide. The XDR
+    path is the real thing (python/main.py:263-266 semantics, incl.
+    with_hash tx hashing); JSON remains for hand-written fixtures."""
+    payload = gzip.decompress(raw)
+    if payload[:1] == b"{":
+        doc = json.loads(payload.decode("utf-8"))
+        return [
+            {
+                "file_seq": doc["file_seq"],
+                "ledger_seq": e["ledger_seq"],
+                "txs": e.get("txs", []),
+            }
+            for e in doc["entries"]
+        ]
+    entries = xdr_codec.parse_transactions(
+        payload, with_hash=True, network_passphrase=network_passphrase
+    )
+    out = []
+    for e in entries:
+        txs = [
+            {
+                "hash": env["hash"],
+                "fee": env["tx"]["fee"],
+                "memo": env["tx"]["memo"]["text"],
+                "source": env["tx"]["sourceAccount"]["ed25519"],
+                "operations": [_op_to_row(op) for op in env["tx"]["operations"]],
+            }
+            for env in e["txSet"]["txs"]
+        ]
+        out.append(
+            {"file_seq": file_seq, "ledger_seq": e["ledgerSeq"], "txs": txs}
+        )
+    return out
 
 
 def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         rows: list[dict] = []
-        for raw in pdf["content"]:
-            rows.extend(_parse_payload(bytes(raw)))
+        for path, raw in zip(pdf["path"], pdf["content"]):
+            m = _FILE_SEQ_RE.search(str(path))
+            rows.extend(
+                _parse_payload(bytes(raw), file_seq=m.group(1) if m else None)
+            )
         yield pd.DataFrame(
             rows, columns=["file_seq", "ledger_seq", "txs"]
         ) if rows else pd.DataFrame(
@@ -132,8 +227,125 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 def read_archive(spark: SparkSession, path_glob: str) -> DataFrame:
     """binaryFile scan + distributed decode -> nested entry rows."""
-    files = spark.read.format("binaryFile").load(path_glob).select("content")
+    files = (
+        spark.read.format("binaryFile").load(path_glob).select("path", "content")
+    )
     return files.mapInPandas(_decode_batches, schema=ENTRY_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Ledger + results archive readers — the other two files of the triplet
+# (python/main.py:257-266). Same binaryFile + mapInPandas shape; each
+# yields the flat columns the reference's dictionary-builders extract.
+# ---------------------------------------------------------------------------
+
+LEDGER_SCHEMA = StructType(
+    [
+        StructField("file_seq", StringType()),
+        StructField("ledger_seq", LongType()),
+        StructField("close_time", LongType()),
+    ]
+)
+
+OP_RESULT_TYPE = StructType(
+    [
+        StructField("op_index", IntegerType()),
+        StructField("op_type", IntegerType()),
+        StructField("code", IntegerType()),
+    ]
+)
+
+RESULT_SCHEMA = StructType(
+    [
+        StructField("file_seq", StringType()),
+        StructField("ledger_seq", LongType()),
+        StructField("tx_hash", StringType()),
+        StructField("fee_charged", LongType()),
+        StructField("tx_status", StringType()),
+        StructField("op_results", ArrayType(OP_RESULT_TYPE)),
+    ]
+)
+
+
+def _decode_ledger_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for path, raw in zip(pdf["path"], pdf["content"]):
+            m = _FILE_SEQ_RE.search(str(path))
+            fs = m.group(1) if m else None
+            for led in xdr_codec.parse_ledgers(gzip.decompress(bytes(raw))):
+                rows.append(
+                    {
+                        "file_seq": fs,
+                        "ledger_seq": led["header"]["ledgerSeq"],
+                        "close_time": led["header"]["scpValue"]["closeTime"],
+                    }
+                )
+        yield pd.DataFrame(
+            rows, columns=["file_seq", "ledger_seq", "close_time"]
+        )
+
+
+def _decode_result_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for path, raw in zip(pdf["path"], pdf["content"]):
+            m = _FILE_SEQ_RE.search(str(path))
+            fs = m.group(1) if m else None
+            for ent in xdr_codec.parse_results(gzip.decompress(bytes(raw))):
+                for pair in ent["txResultSet"]["results"]:
+                    res = pair["result"]
+                    ops = [
+                        {
+                            "op_index": i,
+                            "op_type": (o["tr"] or {}).get("type", -1),
+                            "code": (
+                                (o["tr"] or {}).get("createAccountResult")
+                                or (o["tr"] or {}).get("paymentResult")
+                                or {"code": o["code"]}
+                            )["code"],
+                        }
+                        for i, o in enumerate(res["result"]["results"])
+                    ]
+                    rows.append(
+                        {
+                            "file_seq": fs,
+                            "ledger_seq": ent["ledgerSeq"],
+                            "tx_hash": pair["transactionHash"],
+                            "fee_charged": res["feeCharged"],
+                            "tx_status": str(res["result"]["code"]),
+                            "op_results": ops,
+                        }
+                    )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "file_seq", "ledger_seq", "tx_hash",
+                "fee_charged", "tx_status", "op_results",
+            ],
+        )
+
+
+def read_ledger_archive(spark: SparkSession, path_glob: str) -> DataFrame:
+    """ledger-*.xdr.gz -> (file_seq, ledger_seq, close_time) — the
+    distributed twin of get_ledgers_dictionary (python/main.py:107-110)."""
+    files = (
+        spark.read.format("binaryFile").load(path_glob).select("path", "content")
+    )
+    return files.mapInPandas(_decode_ledger_batches, schema=LEDGER_SCHEMA)
+
+
+def read_results_archive(spark: SparkSession, path_glob: str) -> DataFrame:
+    """results-*.xdr.gz -> one row per tx result — the distributed twin
+    of get_result_dictionary (python/main.py:113-122)."""
+    files = (
+        spark.read.format("binaryFile").load(path_glob).select("path", "content")
+    )
+    return files.mapInPandas(_decode_result_batches, schema=RESULT_SCHEMA)
 
 
 def assert_gapless(df: DataFrame, start_seq: str) -> None:

@@ -57,16 +57,23 @@ def read_archive_stream(
         )
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .load(landing_dir)
-        .select("content")
+        .select("path", "content")
     )
 
     def decode(batches):
         import pandas as pd
 
+        from history_collector_spark.sources.xdr import _FILE_SEQ_RE
+
         for pdf in batches:
             rows = []
-            for raw in pdf["content"]:
-                rows.extend(_parse_payload(bytes(raw)))
+            for path, raw in zip(pdf["path"], pdf["content"]):
+                m = _FILE_SEQ_RE.search(str(path))
+                rows.extend(
+                    _parse_payload(
+                        bytes(raw), file_seq=m.group(1) if m else None
+                    )
+                )
             yield (
                 pd.DataFrame(rows, columns=["file_seq", "ledger_seq", "txs"])
                 if rows
