@@ -4,8 +4,9 @@ MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
 Scale design (the 100 TB posture):
 - exact dedup groups on a 256-bit content hash, not the full text —
   the shuffle moves 32-byte keys, not documents;
-- shingling is relational (posexplode + window lead, whole-stage
-  codegen — see functions.nlp.shingle_rows for why not a lambda);
+- shingling is map-only (transform over a materialized token array —
+  see functions.nlp.shingle_rows for the no-CSE lambda pitfall and why
+  this beats the window-lead formulation);
 - MinHash hashes each shingle ONCE (md5), then derives the 32-member
   hash family as affine mixes computed by 32 map-side-combined min()
   aggregates — one doc_id shuffle, zero interpreted lambdas;

@@ -259,35 +259,29 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Relational shape: posexplode tokens + window lead(1) to form
-    bigrams (whole-stage codegen — a transform() lambda re-evaluates
-    the outer split() per element, O(len^2) per doc, measured 4x
-    slower), then count per (doc_id, bigram) and per-doc aggregates
-    with map-side partial combine.
+    """Map-only bigram formation: tokenize once into a materialized
+    array column, assemble bigrams with a transform over indices
+    (the lambda references the bound array — no per-element
+    re-evaluation; inlining split() in the lambda body would be
+    O(len^2) per doc), explode, then ONE (doc_id, g) shuffle with
+    map-side combine. The previous window-lead formulation shuffled
+    and sorted every token row first.
 
     A 1-token doc keeps its degenerate single-token 'bigram'
-    (concat_ws skips the NULL lead), matching the oracle's
-    greatest(len, 2) range.
+    (element_at past the end is NULL; concat_ws skips it), matching
+    the oracle's greatest(len, 2) range.
     """
-    from pyspark.sql import Window
-
     docs = table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.posexplode(F.split(F.lower(F.col("text")), r"\s+")).alias(
-            "pos", "tok"
+    t = docs.select(
+        "doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("w")
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("w") - 1, F.lit(1))),
+        lambda i: F.concat_ws(
+            " ", F.element_at("w", i), F.element_at("w", i + 1)
         ),
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    bg = (
-        toks.select(
-            "doc_id", "pos", "tok", F.lead("tok", 1).over(w).alias("t1")
-        )
-        # drop the trailing position of multi-token docs; keep the
-        # degenerate row of 1-token docs
-        .filter(F.col("t1").isNotNull() | (F.col("pos") == 0))
-        .select("doc_id", F.concat_ws(" ", "tok", "t1").alias("g"))
-    )
+    bg = t.select("doc_id", F.explode(grams).alias("g"))
     counts = bg.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
     return counts.groupBy("doc_id").agg(
         F.sum("c").alias("n_bigrams"),
@@ -330,9 +324,11 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale shape: trigram rows come from posexplode + two window
-    leads (one doc_id-partitioned sort, whole-stage codegen), counts
-    are a map-side-combined groupBy on the trigram itself (high-
+    """Scale shape: trigram rows are MAP-ONLY (tokenize into a
+    materialized array, transform-over-indices assembles trigrams from
+    the bound column, explode — no exchange, unlike the earlier
+    posexplode + window-lead form that shuffled every token row),
+    counts are a map-side-combined groupBy on the trigram itself (high-
     cardinality, evenly distributed key), and the conditional divides
     by a window sum partitioned by the bigram PREFIX — also high-
     cardinality, so no reducer ever sees more than one prefix's
@@ -342,16 +338,19 @@ def text_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.posexplode(F.split(F.lower(F.col("text")), r"\s+")).alias("pos", "w1"),
+    t = docs.select(F.split(F.lower(F.col("text")), r"\s+").alias("w"))
+    idx = F.when(
+        F.size("w") >= 3, F.sequence(F.lit(1), F.size("w") - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    tri_arr = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at("w", i).alias("w1"),
+            F.element_at("w", i + 1).alias("w2"),
+            F.element_at("w", i + 2).alias("w3"),
+        ),
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    tri = toks.select(
-        "w1",
-        F.lead("w1", 1).over(w).alias("w2"),
-        F.lead("w1", 2).over(w).alias("w3"),
-    ).filter(F.col("w3").isNotNull())
+    tri = t.select(F.explode(tri_arr).alias("g")).select("g.w1", "g.w2", "g.w3")
     counts = tri.groupBy("w1", "w2", "w3").agg(F.count("*").alias("c"))
     pref = Window.partitionBy("w1", "w2")
     return (
