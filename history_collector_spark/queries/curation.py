@@ -713,3 +713,67 @@ def curation_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.sequence(F.lit(0), F.col("n_copies") - 1)).alias("copy"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction: scrub emails / IPv4s / phone numbers before training —
+# the compliance pass every corpus gets. Pure scan-side expression work
+# (regexp_count + regexp_replace): map-only, no shuffle, trivially
+# parallel at any corpus size. The fixture injects one deterministic
+# instance of each PII shape per doc (derived from doc_id, mirrored in
+# the oracle) so the operator's hits are non-trivial on synthetic text.
+# ---------------------------------------------------------------------------
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+@register(
+    "curation_pii_redact",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id,
+             concat(text, ' contact: u', CAST(doc_id AS VARCHAR),
+                    '@example.com from 10.0.',
+                    CAST(doc_id % 256 AS VARCHAR), '.9 tel 555-',
+                    lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'), '-',
+                    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PII_IP}')) AS INT) AS n_ips,
+           CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS INT) AS n_phones,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+               '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_IP}', '<IP>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g')) AS clean_fp
+    FROM aug
+    """,
+)
+def curation_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact: u"), F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"), F.lit(".9 tel 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"), F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    t = docs.select("doc_id", aug.alias("t"))
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), F.lit(_PII_EMAIL), F.lit("<EMAIL>")),
+            F.lit(_PII_IP), F.lit("<IP>"),
+        ),
+        F.lit(_PII_PHONE), F.lit("<PHONE>"),
+    )
+    return t.select(
+        "doc_id",
+        F.regexp_count(F.col("t"), F.lit(_PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(F.col("t"), F.lit(_PII_IP)).alias("n_ips"),
+        F.regexp_count(F.col("t"), F.lit(_PII_PHONE)).alias("n_phones"),
+        F.md5(clean).alias("clean_fp"),
+    )

@@ -8,7 +8,7 @@ whole-stage-codegen'd; the natural shape for a 100 TB text-prep sweep
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from history_collector_spark.catalog import table
@@ -361,4 +361,85 @@ def text_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("c").cast("double") / F.sum("c").over(pref)).alias("prob"),
         )
         .filter(F.col("c") >= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# LM-based perplexity scoring: each document's average trigram negative
+# log-likelihood under the corpus's own trigram LM — the model-based
+# quality filter (perplexity gating a la CCNet/Gopher) expressed
+# relationally. Self-scored, so there is no OOV smoothing to pick:
+# every doc trigram exists in the LM by construction.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_perplexity_lm",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w
+      FROM documents
+    ), tri AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+               i -> struct_pack(w1 := w[i], w2 := w[i+1], w3 := w[i+2]))) AS g
+      FROM t
+    ), flat AS (
+      SELECT doc_id, g.w1 AS w1, g.w2 AS w2, g.w3 AS w3 FROM tri
+    ), lm3 AS (
+      SELECT w1, w2, w3, count(*) AS c3 FROM flat GROUP BY 1, 2, 3
+    ), lm2 AS (
+      SELECT w1, w2, sum(c3) AS c2 FROM lm3 GROUP BY 1, 2
+    ), p AS (
+      SELECT w1, w2, w3, CAST(c3 AS DOUBLE) / c2 AS prob
+      FROM lm3 JOIN lm2 USING (w1, w2)
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+           avg(-ln(prob)) AS avg_nll
+    FROM flat JOIN p USING (w1, w2, w3)
+    GROUP BY doc_id
+    """,
+)
+def text_perplexity_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: trigram rows are map-only (bound-array transform,
+    zero exchanges); the LM is two map-side-combined aggregates on
+    high-cardinality uniform keys (the trigram, then its prefix); the
+    scoring join shuffles on the trigram key — both sides uniform, no
+    hot key — and the per-doc reduction combines map-side. At 100 TB
+    the LM table is what you would persist; here it is recomputed from
+    the same map-only subtree (cheaper than pinning for one pass).
+    Docs with < 3 tokens have no trigrams and no row, matching the
+    oracle's empty unnest.
+    """
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("w")
+    )
+    idx = F.when(
+        F.size("w") >= 3, F.sequence(F.lit(1), F.size("w") - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    tri_arr = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at("w", i).alias("w1"),
+            F.element_at("w", i + 1).alias("w2"),
+            F.element_at("w", i + 2).alias("w3"),
+        ),
+    )
+    flat = t.select("doc_id", F.explode(tri_arr).alias("g")).select(
+        "doc_id", "g.w1", "g.w2", "g.w3"
+    )
+    lm3 = flat.groupBy("w1", "w2", "w3").agg(F.count("*").alias("c3"))
+    prefix_w = Window.partitionBy("w1", "w2")
+    p = lm3.select(
+        "w1", "w2", "w3",
+        (F.col("c3").cast("double") / F.sum("c3").over(prefix_w)).alias("prob"),
+    )
+    return (
+        flat.join(p, ["w1", "w2", "w3"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_trigrams"),
+            F.avg(-F.log("prob")).alias("avg_nll"),
+        )
     )
