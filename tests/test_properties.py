@@ -194,3 +194,97 @@ def test_sequence_pack_layout_invariants(spark):
             assert row.last_chunk == (row.start_off + row.n_tokens - 1) // 512
             assert row.first_chunk <= row.last_chunk
             expected_off += row.n_tokens
+
+
+# -- XDR codec (S3): primitive round-trip and framing laws -------------------
+
+from history_collector_spark.sources import xdr_codec as xc
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.tuples(st.just("u32"), st.integers(0, 2**32 - 1)),
+            st.tuples(st.just("i32"), st.integers(-(2**31), 2**31 - 1)),
+            st.tuples(st.just("u64"), st.integers(0, 2**64 - 1)),
+            st.tuples(st.just("i64"), st.integers(-(2**63), 2**63 - 1)),
+            st.tuples(st.just("bool"), st.booleans()),
+            st.tuples(st.just("var"), st.binary(max_size=64)),
+            st.tuples(st.just("str"), st.text(max_size=32)),
+        ),
+        max_size=20,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_xdr_primitives_round_trip(ops):
+    """Any interleaving of XDR primitives survives write->read exactly,
+    and the stream is fully consumed (4-byte alignment holds)."""
+    w = xc.XdrWriter()
+    for kind, v in ops:
+        getattr(
+            w,
+            {"u32": "uint32", "i32": "int32", "u64": "uint64",
+             "i64": "int64", "bool": "bool", "var": "opaque_var",
+             "str": "string"}[kind],
+        )(v)
+    r = xc.XdrReader(w.getvalue())
+    for kind, v in ops:
+        got = getattr(
+            r,
+            {"u32": "uint32", "i32": "int32", "u64": "uint64",
+             "i64": "int64", "bool": "bool", "var": "opaque_var",
+             "str": "string"}[kind],
+        )()
+        assert got == v
+    assert r.done()
+
+
+@given(st.lists(st.binary(max_size=200), max_size=10))
+@settings(max_examples=100, deadline=None)
+def test_xdr_record_stream_round_trip(bodies):
+    """frame_record/iter_records are inverse for any record sequence."""
+    stream = b"".join(xc.frame_record(b) for b in bodies)
+    assert list(xc.iter_records(stream)) == bodies
+
+
+@given(
+    st.integers(0, 2**32 - 1),
+    st.integers(0, 2**63 - 1),
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        max_size=28,
+    ),
+    st.integers(1, 5),
+)
+@settings(max_examples=50, deadline=None)
+def test_xdr_transaction_round_trip(fee, seq_num, memo, n_ops):
+    """A built Transaction decodes back to its inputs for any fee /
+    seq / memo / op mix, and the tx hash is stable under re-parse."""
+    src = bytes(range(32))
+    ops = [
+        xc.build_operation(
+            xc.OP_PAYMENT if i % 2 == 0 else xc.OP_CREATE_ACCOUNT,
+            bytes(range(32, 64)),
+            i * 1000 + 1,
+            asset_code="KIN" if i % 2 == 0 else None,
+            asset_issuer=bytes(range(64, 96)) if i % 2 == 0 else None,
+        )
+        for i in range(n_ops)
+    ]
+    tx_bytes = xc.build_transaction(src, fee, seq_num, memo, ops)
+    rec = xc.build_transaction_entry(7, [xc.build_envelope(tx_bytes)])
+    for _ in range(2):  # hash must be identical across parses
+        entries = xc.parse_transactions(
+            rec, with_hash=True, network_passphrase="p"
+        )
+        tx = entries[0]["txSet"]["txs"][0]["tx"]
+        assert tx["fee"] == fee
+        assert tx["seqNum"] == seq_num
+        assert tx["memo"]["text"] == memo
+        assert len(tx["operations"]) == n_ops
+    h1 = xc.parse_transactions(rec, True, "p")[0]["txSet"]["txs"][0]["hash"]
+    h2 = xc.parse_transactions(rec, True, "p")[0]["txSet"]["txs"][0]["hash"]
+    assert h1 == h2
+    # a different network passphrase must change the hash (domain sep)
+    h3 = xc.parse_transactions(rec, True, "q")[0]["txSet"]["txs"][0]["hash"]
+    assert h1 != h3
