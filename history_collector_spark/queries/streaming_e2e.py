@@ -333,3 +333,78 @@ def streaming_sessionize_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name).select("user_id", "session_start", "n_events")
+
+
+@register(
+    "streaming_interval_join_e2e",
+    oracle="""
+    SELECT s.user_id, s.ts AS signup_ts, p.ts AS purchase_ts
+    FROM events s JOIN events p
+      ON s.user_id = p.user_id
+     AND s.event_type = 'signup' AND p.event_type = 'purchase'
+     AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL '1 day'
+    """,
+)
+def streaming_interval_join_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM watermarked interval join (§2.7 extension): signups
+    and purchases arrive as two independent streams; each purchase joins
+    every signup by the same user in the preceding day. This is the one
+    streaming join class stream-static can't express — both sides buffer
+    state, and the watermark + time-range condition is what lets Spark
+    evict it (state is bounded by the interval, not the stream length).
+    Inner-join append output must equal the batch interval join.
+
+    The ts dtype branch mirrors catalog.table's two-vintage self-heal.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def ev_stream():
+        s = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        if isinstance(raw_schema["ts"].dataType, T.LongType):
+            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(raw_schema["ts"].dataType, T.TimestampNTZType):
+            s = s.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+        return s
+
+    signups = (
+        ev_stream()
+        .filter(F.col("event_type") == "signup")
+        .select(F.col("user_id").alias("s_user"), F.col("ts").alias("signup_ts"))
+        .withWatermark("signup_ts", "1 hour")
+    )
+    purchases = (
+        ev_stream()
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = signups.join(
+        purchases,
+        F.expr(
+            """
+            s_user = p_user
+            AND purchase_ts > signup_ts
+            AND purchase_ts <= signup_ts + INTERVAL 1 DAY
+            """
+        ),
+    )
+    name = f"ivjoin_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        F.col("s_user").alias("user_id"), "signup_ts", "purchase_ts"
+    )

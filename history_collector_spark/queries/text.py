@@ -443,3 +443,60 @@ def text_perplexity_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(-F.log("prob")).alias("avg_nll"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# n-gram novelty: the fraction of a document's distinct 3-shingles that
+# appear NOWHERE else in the corpus (df == 1) — the standard
+# diversity/novelty signal a data-mixing pass uses to up-weight unique
+# content (the inverse of boilerplate density).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_novelty",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - 1, 1)),
+               i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS g
+      FROM toks
+    ),
+    df AS (
+      SELECT g, count(*) AS df FROM sh GROUP BY g
+    )
+    SELECT sh.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(count(*) FILTER (df.df = 1) AS BIGINT) AS n_novel,
+           CAST(count(*) FILTER (df.df = 1) AS DOUBLE) / count(*) AS novelty
+    FROM sh JOIN df USING (g)
+    GROUP BY sh.doc_id
+    """,
+)
+def text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: shingling is map-only (shingle_rows); df is one
+    shingle-keyed agg with map-side combine (distinct shingles per doc,
+    so df == number of docs containing g); the join back is
+    co-partitioned on the same shingle key it just aggregated on, and
+    the final per-doc agg combines map-side. No all-pairs anything —
+    cost is linear in total shingle volume, the same envelope as
+    curation_decontaminate.
+    """
+    from history_collector_spark.queries.dedup import _doc_shingles
+
+    sh = _doc_shingles(spark, sf_dir).select("doc_id", "g")
+    df = sh.groupBy("g").agg(F.count("*").alias("df"))
+    novel = F.when(F.col("df") == 1, 1).otherwise(0)
+    return (
+        sh.join(df, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(novel).cast("long").alias("n_novel"),
+            (F.sum(novel).cast("double") / F.count("*")).alias("novelty"),
+        )
+    )
