@@ -215,3 +215,64 @@ def test_embedding_cosine_refuses_oversized_build_side(spark, monkeypatch):
     monkeypatch.setattr(dedup_mod, "COSINE_MAX_BUILD_ROWS", 1)
     with _pytest.raises(ValueError, match="ann_lsh_topk"):
         dedup_mod.dedup_embedding_cosine(spark, TEST_SF_DIR)
+
+
+def test_bm25_scores_positive_and_ranked(spark):
+    """BM25 of an all-matching conjunctive-OR query is positive; ranks
+    are 1..k aligned with descending score; top-k has no duplicate doc."""
+    pdf = registry.QUERIES["text_bm25_retrieval"](spark, TEST_SF_DIR).toPandas()
+    assert len(pdf) > 0 and pdf["doc_id"].is_unique
+    assert (pdf["bm25"] > 0).all()
+    pdf = pdf.sort_values("rank").reset_index(drop=True)
+    assert list(pdf["rank"]) == list(range(1, len(pdf) + 1))
+    assert (pdf["bm25"].diff().dropna() <= 1e-12).all()
+
+
+def test_containment_bounds_and_implies_jaccard(spark):
+    """Containment ratios lie in (0, 1]; the larger direction bounds the
+    symmetric Jaccard from above (C >= J always), so every reported
+    Jaccard pair at threshold t must also appear here when t <= the
+    containment threshold scaled for it."""
+    c = registry.QUERIES["dedup_containment"](spark, TEST_SF_DIR).toPandas()
+    assert ((c["c_a_in_b"] > 0) & (c["c_a_in_b"] <= 1 + 1e-12)).all()
+    assert ((c["c_b_in_a"] > 0) & (c["c_b_in_a"] <= 1 + 1e-12)).all()
+    # directional ratios come from ONE intersection count:
+    # inter = c_a_in_b * na = c_b_in_a * nb -> both nonzero together
+    j = registry.QUERIES["dedup_ngram_jaccard"](spark, TEST_SF_DIR).toPandas()
+    jac_pairs = set(zip(j["doc_a"], j["doc_b"]))
+    cont_pairs = set(zip(c["doc_a"], c["doc_b"]))
+    # any Jaccard >= 0.5 pair has max-containment >= 0.5 (C >= J)
+    strong = set(zip(j[j["jaccard"] >= 0.5]["doc_a"], j[j["jaccard"] >= 0.5]["doc_b"]))
+    assert strong <= cont_pairs, f"missing containment pairs: {strong - cont_pairs}"
+    del jac_pairs
+
+
+def test_semantic_dedup_keep_set_is_canonical(spark):
+    """Every vector appears exactly once; dup_of always points at a
+    LOWER id in the SAME bucket that is itself present; keepers and
+    dups partition the set."""
+    pdf = registry.QUERIES["dedup_semantic"](spark, TEST_SF_DIR).toPandas()
+    assert pdf["vec_id"].is_unique
+    bucket_of = dict(zip(pdf["vec_id"], pdf["bucket"]))
+    dups = pdf[~pdf["keep"]]
+    assert (dups["dup_of"] < dups["vec_id"]).all()
+    for _, r in dups.iterrows():
+        assert bucket_of[r["dup_of"]] == r["bucket"]
+    assert (pdf["keep"] == pdf["dup_of"].isna()).all()
+
+
+def test_novelty_ratio_bounds_and_exclusive_shingles(spark):
+    """novelty in [0, 1]; n_novel <= n_shingles; a doc with text shared
+    verbatim by another doc (exact dups exist in the corpus) has
+    novelty 0 on those shingles — so exact-dup docs can never be 100%
+    novel."""
+    pdf = registry.QUERIES["text_novelty"](spark, TEST_SF_DIR).toPandas()
+    assert ((pdf["novelty"] >= 0) & (pdf["novelty"] <= 1 + 1e-12)).all()
+    assert (pdf["n_novel"] <= pdf["n_shingles"]).all()
+    docs = spark.read.parquet(f"{TEST_SF_DIR}/documents.parquet").toPandas()
+    dup_texts = docs[docs.duplicated("text", keep=False)]
+    long_dups = dup_texts[dup_texts["text"].str.split().str.len() >= 3]
+    if len(long_dups):
+        dup_ids = set(long_dups["doc_id"])
+        sub = pdf[pdf["doc_id"].isin(dup_ids)]
+        assert (sub["novelty"] == 0).all(), "exact-dup doc claims novel shingles"
