@@ -15,7 +15,7 @@ recursive CTE.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from history_collector_spark.catalog import table
@@ -156,4 +156,108 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.coalesce(F.col("label"), F.col("doc_id")) == F.col("doc_id")).alias(
             "is_canonical"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cluster-representative selection: the step AFTER connected components
+# in a production fuzzy-dedup pass — each near-dup cluster keeps its
+# best document (highest quality score, ties to the lowest doc_id) and
+# the rest are dropped. Composes dedup_clusters with the shared quality
+# scorer; the representative choice is one per-cluster window top-1.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_cluster_representative",
+    oracle=f"""
+    WITH RECURSIVE {_BUCKETS_SQL},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    shl AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - 1, 1)),
+               i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+      FROM toks
+    ),
+    dup AS (
+      SELECT doc_a, doc_b FROM cand
+      JOIN shl x ON cand.doc_a = x.doc_id
+      JOIN shl y ON cand.doc_b = y.doc_id
+      WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+              / len(list_distinct(list_concat(x.s, y.s))) >= {_DUP_THRESHOLD}
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM dup
+      UNION ALL SELECT doc_b, doc_a FROM dup
+    ),
+    reach(u, v) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    clusters AS (
+      SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u
+    ),
+    q AS (
+      SELECT doc_id,
+             (CASE WHEN len(string_split_regex(text, '\\s+')) >= 20
+                   THEN 0.4 ELSE 0.0 END
+              + CASE WHEN CAST(len(list_filter(
+                        string_split_regex(lower(text), '\\s+'),
+                        x -> x IN ('the', 'a', 'of', 'and', 'to', 'in')))
+                        AS DOUBLE)
+                      / len(string_split_regex(text, '\\s+'))
+                      BETWEEN 0.01 AND 0.6 THEN 0.3 ELSE 0.0 END
+              + CASE WHEN CAST(length(text)
+                             - length(regexp_replace(text, '[0-9]', '', 'g'))
+                        AS DOUBLE) / length(text) < 0.2
+                     THEN 0.3 ELSE 0.0 END) AS quality
+      FROM documents
+    )
+    SELECT cluster_id, rep_doc_id, n_members, rep_quality FROM (
+      SELECT c.cluster_id,
+             q.doc_id AS rep_doc_id,
+             q.quality AS rep_quality,
+             CAST(count(*) OVER (PARTITION BY c.cluster_id) AS BIGINT)
+               AS n_members,
+             row_number() OVER (PARTITION BY c.cluster_id
+                                ORDER BY q.quality DESC, q.doc_id) AS rn
+      FROM clusters c JOIN q ON c.doc_id = q.doc_id
+    ) WHERE rn = 1
+    """,
+)
+def dedup_cluster_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: everything up to `clusters` is dedup_clusters
+    (iterative CC over the dup subgraph only); quality is a map-only
+    projection on the documents scan; the join is co-partitioned on
+    doc_id and the representative pick is one window over cluster_id —
+    cluster sizes are small by construction (near-dup groups), so the
+    window partition never concentrates data.
+    """
+    from history_collector_spark.queries.text import with_quality
+
+    clusters = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    q = with_quality(
+        table(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select("doc_id", "quality")
+    joined = clusters.join(q, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), "doc_id"
+    )
+    wcnt = Window.partitionBy("cluster_id")
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(wcnt))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("rep_doc_id"),
+            "n_members",
+            F.col("quality").alias("rep_quality"),
+        )
     )
