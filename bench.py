@@ -63,6 +63,15 @@ HEADLINE = (
     "account_history",
     "multimodal_decode",
     "scd2_customer_history",
+    # round-4 additions
+    "text_bm25_retrieval",
+    "text_novelty",
+    "dedup_containment",
+    "dedup_semantic",
+    "dedup_cluster_representative",
+    "graph_pagerank_dups",
+    "streaming_sessionize_e2e",
+    "streaming_interval_join_e2e",
 )
 
 

@@ -276,3 +276,18 @@ def test_novelty_ratio_bounds_and_exclusive_shingles(spark):
         dup_ids = set(long_dups["doc_id"])
         sub = pdf[pdf["doc_id"].isin(dup_ids)]
         assert (sub["novelty"] == 0).all(), "exact-dup doc claims novel shingles"
+
+
+def test_pagerank_is_a_distribution_over_dup_nodes(spark):
+    """Every edge-participating node gets a positive rank; with no
+    dangling nodes (every node in the edge list has out-degree >= 1)
+    each iteration conserves total mass, so ranks sum to 1."""
+    pdf = registry.QUERIES["graph_pagerank_dups"](spark, TEST_SF_DIR).toPandas()
+    if len(pdf) == 0:
+        return  # no dup edges at this scale factor
+    assert (pdf["rank"] > 0).all()
+    assert (pdf["degree"] >= 1).all()
+    assert abs(pdf["rank"].sum() - 1.0) < 1e-9
+    # hubs outrank leaves: max-degree node is not ranked below average
+    hub = pdf.loc[pdf["degree"].idxmax()]
+    assert hub["rank"] >= pdf["rank"].mean() - 1e-12
