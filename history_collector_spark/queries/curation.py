@@ -777,3 +777,60 @@ def curation_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(F.col("t"), F.lit(_PII_PHONE)).alias("n_phones"),
         F.md5(clean).alias("clean_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Overlapping document chunking: split each doc into fixed-size token
+# windows with a stride (overlap = size - stride) — the chunking pass
+# every RAG index and long-context pretraining pipeline runs before
+# embedding/packing. Map-only: tokenize once, explode the start
+# offsets, slice the bound token array per chunk. No exchange at all.
+# ---------------------------------------------------------------------------
+
+_CHUNK_SIZE = 50
+_CHUNK_STRIDE = 40
+
+
+@register(
+    "curation_chunk_overlap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+    )
+    SELECT doc_id,
+           CAST(start // {_CHUNK_STRIDE} AS INT) AS chunk_idx,
+           CAST(len(list_slice(t, start + 1,
+                               least(start + {_CHUNK_SIZE}, len(t))))
+                AS INT) AS n_tokens,
+           array_to_string(list_slice(t, start + 1,
+                           least(start + {_CHUNK_SIZE}, len(t))), ' ')
+             AS chunk_text
+    FROM toks, unnest(range(0, greatest(len(t), 1), {_CHUNK_STRIDE}))
+           AS s(start)
+    """,
+)
+def curation_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunks overlap by size - stride tokens; the final chunk may be
+    short (>= 1 token). Start offsets are a per-row `sequence` explode
+    over the already-materialized token array (the bound-column
+    pattern of functions.nlp — no re-tokenization per chunk), so the
+    whole operator is a single scan-side projection + explode: zero
+    shuffles, scales with scan bandwidth alone, and the chunk fan-out
+    (~n_tokens/stride per doc) is the row-growth a downstream
+    embedding stage expects.
+    """
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = docs.select("doc_id", F.split(F.col("text"), r"\s+").alias("t"))
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size("t"), F.lit(1)) - 1,
+        F.lit(_CHUNK_STRIDE),
+    )
+    ex = t.select("doc_id", "t", F.explode(starts).alias("start"))
+    chunk = F.slice(F.col("t"), F.col("start") + 1, _CHUNK_SIZE)
+    return ex.select(
+        "doc_id",
+        (F.col("start") / _CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+        F.size(chunk).alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
