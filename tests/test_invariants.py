@@ -291,3 +291,65 @@ def test_pagerank_is_a_distribution_over_dup_nodes(spark):
     # hubs outrank leaves: max-degree node is not ranked below average
     hub = pdf.loc[pdf["degree"].idxmax()]
     assert hub["rank"] >= pdf["rank"].mean() - 1e-12
+
+
+def test_chunk_overlap_reconstructs_documents(spark):
+    """Concatenating each chunk's first `stride` tokens (all of the
+    last chunk) reproduces the original token stream exactly — no
+    token lost or duplicated beyond the declared overlap."""
+    from history_collector_spark.queries.curation import (
+        _CHUNK_SIZE,
+        _CHUNK_STRIDE,
+    )
+
+    pdf = registry.QUERIES["curation_chunk_overlap"](spark, TEST_SF_DIR).toPandas()
+    docs = (
+        spark.read.parquet(f"{TEST_SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .toPandas()
+        .set_index("doc_id")["text"]
+    )
+    for doc_id, grp in pdf.groupby("doc_id"):
+        grp = grp.sort_values("chunk_idx")
+        toks: list[str] = []
+        rows = list(grp.itertuples())
+        for i, r in enumerate(rows):
+            ctoks = r.chunk_text.split(" ") if r.chunk_text else [""]
+            assert r.n_tokens == len(ctoks) <= _CHUNK_SIZE
+            if i < len(rows) - 1:
+                toks.extend(ctoks[:_CHUNK_STRIDE])
+            else:
+                toks.extend(ctoks)
+        orig = docs[doc_id].split(" ") if docs[doc_id] else [""]
+        # documents tokenize on \s+; the corpus is single-space separated
+        assert toks == orig, f"doc {doc_id}: chunk reconstruction mismatch"
+
+
+def test_cluster_representative_is_best_member(spark):
+    """The representative belongs to its cluster and no member of the
+    same cluster has strictly higher quality (ties break to lowest id);
+    n_members sums to the full corpus."""
+    reps = registry.QUERIES["dedup_cluster_representative"](
+        spark, TEST_SF_DIR
+    ).toPandas()
+    clusters = registry.QUERIES["dedup_clusters"](spark, TEST_SF_DIR).toPandas()
+    from history_collector_spark.queries.text import with_quality
+
+    q = (
+        with_quality(spark.read.parquet(f"{TEST_SF_DIR}/documents.parquet"))
+        .select("doc_id", "quality")
+        .toPandas()
+        .set_index("doc_id")["quality"]
+    )
+    members = clusters.groupby("cluster_id")["doc_id"].apply(set)
+    assert reps["n_members"].sum() == len(clusters)
+    for r in reps.itertuples():
+        assert r.rep_doc_id in members[r.cluster_id]
+        assert r.n_members == len(members[r.cluster_id])
+        for m in members[r.cluster_id]:
+            beats = q[m] > r.rep_quality or (
+                q[m] == r.rep_quality and m < r.rep_doc_id
+            )
+            assert not beats, (
+                f"cluster {r.cluster_id}: member {m} beats representative"
+            )
