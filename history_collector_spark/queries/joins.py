@@ -161,3 +161,45 @@ def full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("both")
         .alias("presence"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Salted skew-join, registered: events.user_id is a natural skew
+# candidate (a viral user concentrates a key), so the enrich-join runs
+# through functions.skew.salted_join — each key's rows scatter across 8
+# salt partitions and the dimension side replicates 8x. The result is
+# IDENTICAL to the plain join (salt is internal and dropped), which is
+# exactly what the oracle asserts; what changes is the physical layout:
+# no reducer ever owns a whole hot key. This is the manual lever for
+# the case AQE's skew splitting cannot fix — a single key larger than
+# one task's memory.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "skew_salted_enrich",
+    oracle="""
+    SELECT e.user_id, c.c_nationkey AS nationkey,
+           count(*) AS n_events, sum(e.value) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def skew_salted_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from history_collector_spark.functions.skew import salted_join
+
+    ev = table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"), "value"
+    )
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), "c_nationkey"
+    )
+    # force the shuffle-join path so the salt actually restructures the
+    # exchange (broadcast would hide it — and at real skew scale the
+    # dimension may not be broadcastable anyway)
+    joined = salted_join(ev, cust.hint("shuffle_hash"), "k")
+    return joined.groupBy(
+        F.col("k").alias("user_id"), F.col("c_nationkey").alias("nationkey")
+    ).agg(
+        F.count("*").alias("n_events"), F.sum("value").alias("total_value")
+    )
