@@ -288,3 +288,30 @@ def test_xdr_transaction_round_trip(fee, seq_num, memo, n_ops):
     # a different network passphrase must change the hash (domain sep)
     h3 = xc.parse_transactions(rec, True, "q")[0]["txSet"]["txs"][0]["hash"]
     assert h1 != h3
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=5), min_size=1, max_size=40),
+    right_keys=st.sets(st.integers(min_value=0, max_value=7), max_size=8),
+    how=st.sampled_from(["inner", "left"]),
+)
+def test_salted_join_equals_plain_join(spark, keys, right_keys, how):
+    """For ANY key multiset (including 100%-hot-key skew) and any
+    dimension subset, the salted join's multiset of result rows equals
+    the plain join's — the salt is pure physical restructuring."""
+    from history_collector_spark.functions.skew import salted_join
+
+    left = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(keys)], "k long, v long"
+    )
+    right = spark.createDataFrame(
+        [(k, f"t{k}") for k in sorted(right_keys)], "k long, tag string"
+    )
+    plain = sorted(
+        (r.k, r.v, r.tag) for r in left.join(right, "k", how).collect()
+    )
+    salted = sorted(
+        (r.k, r.v, r.tag) for r in salted_join(left, right, "k", how).collect()
+    )
+    assert salted == plain
