@@ -47,9 +47,12 @@ def shingle_rows(docs: DataFrame, k: int = 3, distinct: bool = True) -> DataFram
 
     ``distinct=True`` dedups repeated shingles — required when the
     consumer COUNTS rows (inverted-index Jaccard, decontamination
-    overlap). Pass ``distinct=False`` for duplicate-insensitive
-    consumers (min-hash aggregates, collect_set) to skip the
-    (doc_id, g)-keyed exchange entirely.
+    overlap). Deduplication is per-document, so it is ROW-LOCAL:
+    ``array_distinct`` on the shingle array before the explode, never a
+    corpus-wide ``.distinct()`` exchange (measured: the exchange was
+    the dominant cost of every distinct-consuming query at 100x —
+    shuffling all shingle rows to dedup what each row can dedup
+    itself). Both modes are exchange-free.
     """
     t = docs.select("doc_id", "lang", tokens(F.col("text")).alias("t"))
     idx = F.when(
@@ -61,8 +64,9 @@ def shingle_rows(docs: DataFrame, k: int = 3, distinct: bool = True) -> DataFram
             " ", *[F.element_at("t", i + j) for j in range(k)]
         ),
     )
-    out = t.select("doc_id", "lang", F.explode(g).alias("g"))
-    return out.distinct() if distinct else out
+    if distinct:
+        g = F.array_distinct(g)
+    return t.select("doc_id", "lang", F.explode(g).alias("g"))
 
 
 def md5_hash32(value: Column) -> Column:

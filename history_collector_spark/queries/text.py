@@ -478,25 +478,33 @@ def text_perplexity_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale shape: shingling is map-only (shingle_rows); df is one
-    shingle-keyed agg with map-side combine (distinct shingles per doc,
-    so df == number of docs containing g); the join back is
-    co-partitioned on the same shingle key it just aggregated on, and
-    the final per-doc agg combines map-side. No all-pairs anything —
-    cost is linear in total shingle volume, the same envelope as
-    curation_decontaminate.
+    """Scale shape: a df==1 shingle belongs to exactly ONE document, so
+    its owner is recoverable from the same shingle-keyed aggregate that
+    computes df (min(doc_id) of a singleton group IS the owner) — no
+    join of the corpus-wide shingle rows back to the df table. One
+    g-keyed agg (map-side combined) -> filter to singletons (tiny) ->
+    one doc-keyed count, plus an independent doc-keyed shingle count
+    that rides the map-only shingle pass. The corpus shingle rows
+    shuffle ONCE; under heavy replication (hot shingles with df~100)
+    the old join-back formulation re-shuffled them a second time into
+    skewed reducers — measured 18.8x at 100x vs ~4x for this shape.
     """
     from history_collector_spark.queries.dedup import _doc_shingles
 
     sh = _doc_shingles(spark, sf_dir).select("doc_id", "g")
-    df = sh.groupBy("g").agg(F.count("*").alias("df"))
-    novel = F.when(F.col("df") == 1, 1).otherwise(0)
-    return (
-        sh.join(df, "g")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_shingles"),
-            F.sum(novel).cast("long").alias("n_novel"),
-            (F.sum(novel).cast("double") / F.count("*")).alias("novelty"),
-        )
+    per_doc = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    novel_per_doc = (
+        sh.groupBy("g")
+        .agg(F.count("*").alias("df"), F.min("doc_id").alias("owner"))
+        .filter(F.col("df") == 1)
+        .groupBy(F.col("owner").alias("doc_id"))
+        .agg(F.count("*").alias("n_novel"))
+    )
+    return per_doc.join(novel_per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+        (
+            F.coalesce("n_novel", F.lit(0)).cast("double") / F.col("n_shingles")
+        ).alias("novelty"),
     )
