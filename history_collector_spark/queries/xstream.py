@@ -1,0 +1,129 @@
+"""Stateful gapless-release stream, end-to-end (§2.7-d as a registered
+query).
+
+The reference's strictest ingest rule is stall-don't-skip: file N+128
+is never processed before N+64 (python/main.py:88-105, 286-293). The
+streaming form is `streaming/stateful.py:track_gapless` — a per-key
+applyInPandasWithState operator that buffers ahead-of-gap arrivals in
+the state store and releases sequences only in contiguous order,
+flagging replays.
+
+This query replays a deterministic, out-of-order, duplicate-bearing
+sequence feed (derived from `orders`) as a file stream in single-file
+micro-batches, so arrivals genuinely cross batch boundaries and state
+genuinely carries between them. The output is ORDER-INSENSITIVE
+deterministic: every sequence releases 'ok' exactly once, and every
+injected replay yields exactly one 'duplicate' — whether the copy
+lands while the original is still pending (same or later batch) or
+after release, the tracker flags it — so the DuckDB oracle can state
+the exact expected multiset.
+
+Scale shape: state per stream key is (expected_next, pending csv) —
+bytes, never data rows; the payload itself flows through the normal
+sink path. Keys partition the stream, so a million independent ledger
+streams track in parallel.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from history_collector_spark.catalog import table
+from history_collector_spark.registry import register
+from history_collector_spark.streaming.stateful import track_gapless
+
+_N_PER_STREAM = 24  # sequences per stream: 0, 64, ..., 23*64
+_STEP = 64
+_DUP_EVERY = 5  # every 5th sequence is fed twice
+
+
+@register(
+    "streaming_gapless_e2e",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT concat('s', o_orderkey % 2) AS stream_id,
+             CAST((row_number() OVER (PARTITION BY o_orderkey % 2
+                                      ORDER BY o_orderkey) - 1) * {_STEP}
+                  AS BIGINT) AS seq
+      FROM orders
+      WHERE o_orderkey < 4096
+      QUALIFY row_number() OVER (PARTITION BY o_orderkey % 2
+                                 ORDER BY o_orderkey) <= {_N_PER_STREAM}
+    )
+    SELECT stream_id, seq, 'ok' AS status FROM ranked
+    UNION ALL
+    SELECT stream_id, seq, 'duplicate' AS status FROM ranked
+    WHERE (seq // {_STEP}) % {_DUP_EVERY} = 0
+    """,
+)
+def streaming_gapless_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic feed: two streams, N dense sequences each, every
+    # 5th duplicated; shuffled across 6 files by md5 so arrival order
+    # is scrambled and gaps are guaranteed to appear mid-stream
+    # the o_orderkey < 4096 prune bounds the 2-partition ranking window
+    # to a fixture-sized input (this is feed CONSTRUCTION, not the
+    # operator under test — the tracker itself partitions by stream key)
+    ranked = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 4096)
+        .select((F.col("o_orderkey") % 2).alias("p"), "o_orderkey")
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("p").orderBy("o_orderkey")),
+        )
+        .filter(F.col("rn") <= _N_PER_STREAM)
+        .select(
+            F.concat(F.lit("s"), F.col("p")).alias("stream_id"),
+            ((F.col("rn") - 1) * _STEP).cast("long").alias("seq"),
+        )
+    )
+    dups = ranked.filter((F.col("seq") / _STEP) % _DUP_EVERY == 0)
+    feed = ranked.unionAll(dups).withColumn(
+        "file_no",
+        (
+            F.conv(
+                F.substring(F.md5(F.concat("stream_id", "seq")), 1, 4), 16, 10
+            ).cast("long")
+            % 6
+        ),
+    )
+    landing = tempfile.mkdtemp(prefix="hc_gapless_")
+    # one parquet file per file_no -> maxFilesPerTrigger=1 gives 6
+    # genuine micro-batches with state carried between them
+    for fno in range(6):
+        feed.filter(F.col("file_no") == fno).select(
+            "stream_id", "seq"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{landing}/f{fno}")
+    flat = tempfile.mkdtemp(prefix="hc_gapless_flat_")
+    import glob
+    import os
+
+    for i, p in enumerate(sorted(glob.glob(f"{landing}/f*/part-*.parquet"))):
+        shutil.copy(p, os.path.join(flat, f"{i:02d}.parquet"))
+    shutil.rmtree(landing, ignore_errors=True)
+
+    stream = (
+        spark.readStream.schema("stream_id string, seq long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    released = track_gapless(stream, start_seq=0, step=_STEP)
+    name = f"gapless_{uuid.uuid4().hex[:8]}"
+    q = (
+        released.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+        shutil.rmtree(flat, ignore_errors=True)
+    return spark.table(name).select("stream_id", "seq", "status")
