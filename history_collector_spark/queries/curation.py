@@ -834,3 +834,57 @@ def curation_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).alias("n_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis-Spirakis, public):
+# each doc draws key = ln(u) / w for a uniform u and weight w; the
+# top-k keys ARE a weighted sample without replacement. With u derived
+# from md5(doc_id) the draw is deterministic and exactly reproducible
+# by the oracle — the seeded form a data-mixing pass uses so every
+# rerun picks the same sample. One scan + TakeOrderedAndProject; no
+# shuffle of the corpus, k rows to the driver.
+# ---------------------------------------------------------------------------
+
+_WSAMPLE_K = 50
+# md5-derived uniform in (0, 1): (h32 + 1) / (2^32 + 1)
+_WSAMPLE_U = "(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1) / 4294967297.0"
+
+
+@register(
+    "curation_weighted_sample",
+    oracle=f"""
+    SELECT doc_id, n_chars, skey, rank FROM (
+      SELECT doc_id, n_chars,
+             ln({_WSAMPLE_U}) / n_chars AS skey,
+             CAST(row_number() OVER (
+               ORDER BY ln({_WSAMPLE_U}) / n_chars DESC, doc_id) AS INT)
+               AS rank
+      FROM documents
+    ) WHERE rank <= {_WSAMPLE_K}
+    """,
+)
+def curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longer docs (weight = n_chars) are proportionally likelier to be
+    drawn, never guaranteed — the statistical contract exact top-k by
+    weight would break. ln(u)/w is monotone in u^(1/w), so top-k by it
+    is the E-S sample."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    u = (h + F.lit(1)) / F.lit(4294967297.0)
+    skey = F.log(u) / F.col("n_chars")
+    ranked = (
+        docs.withColumn("skey", skey)
+        .orderBy(F.col("skey").desc(), "doc_id")
+        .limit(_WSAMPLE_K)
+    )
+    return ranked.select(
+        "doc_id",
+        "n_chars",
+        "skey",
+        F.row_number()
+        .over(Window.orderBy(F.col("skey").desc(), "doc_id"))
+        .alias("rank"),
+    )
