@@ -1,0 +1,178 @@
+"""Embedding clustering / dimensionality-reduction kernels over
+`embeddings`.
+
+- `cluster_kmeans_step` — one Lloyd iteration of k-means, the kernel
+  every corpus-clustering pipeline (topic balancing, SemDeDup
+  clustering, MoE routing analysis) loops: deterministic seeds
+  (vec_id < K), MAP-ONLY nearest-centroid assignment against a
+  broadcast centroid array, then one K-sized aggregation for cluster
+  sizes and within-cluster sum of squares. This is exactly how Spark
+  MLlib's KMeans structures an iteration: centroids are tiny (K rows)
+  and ride a broadcast; the data never shuffles for assignment — the
+  only exchange is the K-group partial-aggregated reduce.
+
+- `embedding_random_projection` — Achlioptas/JL sign random
+  projection 64-d -> 8-d. The projection matrix entries are ±1 chosen
+  by md5 of CONSTANT (plane, dim) pairs (the same engine-portable
+  trick as ann_lsh_topk), constant-folded at plan-build time, so the
+  whole operator is a map-only zip_with fold per output dim — zero
+  exchanges at any scale.
+
+Scale notes (100 TB): assignment and projection are scan-bound,
+whole-stage-codegen'd except the interpreted HOF lambdas (dim-64
+arrays; the BLAS hot path for all-pairs work is
+dedup_embedding_cosine's mapInPandas). Nothing here materializes
+per-row state beyond the row.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from history_collector_spark.catalog import table
+from history_collector_spark.registry import register
+
+EMB_DIM = 64
+KM_K = 8  # k-means clusters; seeds are vec_id 0..KM_K-1
+RP_DIMS = 8  # random-projection output dims
+
+# Squared L2 distance between a data embedding `e` and a centroid
+# embedding list `c` (both float[] cast to double, fixed fold order so
+# Spark and DuckDB agree bit-for-bit).
+_D2_SQL = """
+  list_sum(list_transform(range(1, 65),
+    i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.c_emb[i] AS DOUBLE))
+       * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.c_emb[i] AS DOUBLE))))
+"""
+
+
+@register(
+    "cluster_kmeans_step",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS c_id, embedding AS c_emb
+      FROM embeddings WHERE vec_id < {KM_K}
+    ),
+    pairs AS (
+      SELECT e.vec_id, c.c_id, {_D2_SQL} AS d2
+      FROM embeddings e, cents c
+    ),
+    assign AS (
+      SELECT vec_id, c_id, d2,
+             row_number() OVER (
+               PARTITION BY vec_id ORDER BY d2, c_id) AS rn
+      FROM pairs
+    )
+    SELECT c_id AS cluster_id,
+           CAST(count(*) AS INT) AS n_members,
+           sum(d2) AS wss
+    FROM assign WHERE rn = 1 GROUP BY c_id
+    """,
+)
+def cluster_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    # Centroid array as ONE broadcast row (K structs, sorted by seed id
+    # so the tie-break below — first strict improvement wins — matches
+    # the oracle's ORDER BY d2, c_id).
+    cents = (
+        emb.filter(F.col("vec_id") < KM_K)
+        .select(
+            F.struct(
+                F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
+            ).alias("c")
+        )
+        .agg(F.array_sort(F.collect_list("c")).alias("cents"))
+    )
+
+    def d2(c_emb: F.Column) -> F.Column:
+        return F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                c_emb,
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    # Map-only argmin over the broadcast centroid array: fold keeps the
+    # first centroid on ties (array is c_id-ascending), matching the
+    # oracle. The fold state is a (best_d2, best_c) struct.
+    best = F.aggregate(
+        F.col("cents"),
+        F.struct(
+            F.lit(float("inf")).alias("best_d2"),
+            F.lit(-1).cast("long").alias("best_c"),
+        ),
+        lambda acc, c: F.when(
+            d2(c.c_emb) < acc.best_d2,
+            F.struct(d2(c.c_emb).alias("best_d2"), c.c_id.alias("best_c")),
+        ).otherwise(acc),
+    )
+
+    assigned = emb.crossJoin(F.broadcast(cents)).select(
+        F.col("vec_id"), best.alias("b")
+    )
+    return assigned.groupBy(F.col("b.best_c").alias("cluster_id")).agg(
+        F.count("*").cast("int").alias("n_members"),
+        F.sum("b.best_d2").alias("wss"),
+    )
+
+
+# Projection matrix entry for (output plane p, input dim i): ±1 by the
+# low bit of md5("rp:p#i") — distinct tag from ann_lsh_topk's planes so
+# the two operators' matrices are independent.
+_RP_SQL = f"""
+  planes AS (
+    SELECT p, list_transform(range(1, 65),
+             i -> CASE WHEN (CAST(concat('0x', substr(
+                    md5(concat('rp:', p, '#', i)), 1, 8)) AS BIGINT)
+                    % 2) = 1 THEN 1.0 ELSE -1.0 END) AS hp
+    FROM (SELECT unnest(range({RP_DIMS})) AS p)
+  )
+"""
+
+
+@register(
+    "embedding_random_projection",
+    oracle=f"""
+    WITH {_RP_SQL}
+    SELECT e.vec_id, e.label,
+           list_sort(list(CAST(p.p AS INT) ORDER BY p.p)) AS dims,
+           list(list_sum(list_transform(range(1, 65),
+                  i -> CAST(e.embedding[i] AS DOUBLE) * p.hp[i]))
+                ORDER BY p.p) AS proj
+    FROM embeddings e, planes p
+    GROUP BY e.vec_id, e.label
+    """,
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+
+    def rp_sign(p: int, i: int) -> float:
+        h = int(hashlib.md5(f"rp:{p}#{i}".encode()).hexdigest()[:8], 16)
+        return 1.0 if h % 2 == 1 else -1.0
+
+    def proj(p: int) -> F.Column:
+        hp = F.array(*[F.lit(rp_sign(p, i)) for i in range(1, EMB_DIM + 1)])
+        return F.aggregate(
+            F.zip_with(
+                F.col("embedding"), hp, lambda x, h: x.cast("double") * h
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    return emb.select(
+        "vec_id",
+        "label",
+        F.array(*[F.lit(p).cast("int") for p in range(RP_DIMS)]).alias("dims"),
+        F.array(*[proj(p) for p in range(RP_DIMS)]).alias("proj"),
+    )
