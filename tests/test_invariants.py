@@ -353,3 +353,150 @@ def test_cluster_representative_is_best_member(spark):
             assert not beats, (
                 f"cluster {r.cluster_id}: member {m} beats representative"
             )
+
+
+def test_exact_substring_accounting_and_no_residual_kgrams(spark):
+    """dup_token_count equals tokens removed; a cleaned doc never
+    retains a K-gram that was duplicated in the ORIGINAL corpus at an
+    uncovered position (covered-position removal is exhaustive)."""
+    from history_collector_spark.queries.spandedup import K
+
+    pdf = registry.QUERIES["dedup_exact_substring"](
+        spark, TEST_SF_DIR
+    ).toPandas()
+    docs = (
+        spark.read.parquet(f"{TEST_SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .toPandas()
+    )
+    assert len(pdf) == len(docs)
+    merged = pdf.merge(docs, on="doc_id")
+    # corpus-wide original K-gram counts
+    from collections import Counter
+
+    counts: Counter = Counter()
+    for text in merged["text"]:
+        toks = text.split()
+        for i in range(len(toks) - K + 1):
+            counts[" ".join(toks[i : i + K])] += 1
+    dup_grams = {g for g, c in counts.items() if c > 1}
+    for _, row in merged.iterrows():
+        toks = row["text"].split()
+        cleaned = row["cleaned_text"].split() if row["cleaned_text"] else []
+        assert row["n_tokens"] == len(toks)
+        assert row["dup_token_count"] == len(toks) - len(cleaned)
+        # every position inside a duplicated gram was removed, so the
+        # kept tokens are exactly the uncovered ones in original order
+        covered = set()
+        for i in range(len(toks) - K + 1):
+            if " ".join(toks[i : i + K]) in dup_grams:
+                covered.update(range(i, i + K))
+        expect = [t for i, t in enumerate(toks) if i not in covered]
+        assert cleaned == expect
+
+
+def test_exact_segments_keeps_globally_first_occurrence(spark):
+    """Each distinct segment survives exactly once corpus-wide, at its
+    lowest (doc_id, seg_idx); per-doc counts reconcile."""
+    from history_collector_spark.queries.spandedup import SEG
+
+    pdf = registry.QUERIES["dedup_exact_segments"](
+        spark, TEST_SF_DIR
+    ).toPandas()
+    docs = (
+        spark.read.parquet(f"{TEST_SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .toPandas()
+    )
+    first_owner: dict[str, tuple[int, int]] = {}
+    for _, row in docs.sort_values("doc_id").iterrows():
+        toks = row["text"].split()
+        for s in range((len(toks) + SEG - 1) // SEG):
+            seg = " ".join(toks[s * SEG : (s + 1) * SEG])
+            first_owner.setdefault(seg, (row["doc_id"], s))
+    by_doc = pdf.set_index("doc_id")
+    for _, row in docs.iterrows():
+        toks = row["text"].split()
+        n_segs = (len(toks) + SEG - 1) // SEG
+        kept = [
+            " ".join(toks[s * SEG : (s + 1) * SEG])
+            for s in range(n_segs)
+            if first_owner[" ".join(toks[s * SEG : (s + 1) * SEG])]
+            == (row["doc_id"], s)
+        ]
+        got = by_doc.loc[row["doc_id"]]
+        assert got["n_segments"] == n_segs
+        assert got["kept_segments"] == len(kept)
+        assert got["cleaned_text"] == " ".join(kept)
+
+
+def test_kmeans_step_partitions_corpus_and_wss_nonnegative(spark):
+    """Cluster sizes sum to the corpus; every seed claims itself
+    (distance 0), so all K clusters are non-empty; WSS >= 0."""
+    from history_collector_spark.queries.clustering import KM_K
+
+    pdf = registry.QUERIES["cluster_kmeans_step"](spark, TEST_SF_DIR).toPandas()
+    n = spark.read.parquet(f"{TEST_SF_DIR}/embeddings.parquet").count()
+    assert pdf["n_members"].sum() == n
+    assert len(pdf) == KM_K
+    assert (pdf["wss"] >= 0).all()
+
+
+def test_random_projection_preserves_scaled_dot_sign_structure(spark):
+    """Projection is linear: proj(v) computed in numpy with the same
+    md5-derived +-1 matrix matches the query output exactly."""
+    import hashlib
+
+    import numpy as np
+
+    from history_collector_spark.queries.clustering import EMB_DIM, RP_DIMS
+
+    pdf = registry.QUERIES["embedding_random_projection"](
+        spark, TEST_SF_DIR
+    ).toPandas()
+    emb = (
+        spark.read.parquet(f"{TEST_SF_DIR}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .toPandas()
+        .set_index("vec_id")
+    )
+    mat = np.array(
+        [
+            [
+                1.0
+                if int(
+                    hashlib.md5(f"rp:{p}#{i}".encode()).hexdigest()[:8], 16
+                )
+                % 2
+                == 1
+                else -1.0
+                for i in range(1, EMB_DIM + 1)
+            ]
+            for p in range(RP_DIMS)
+        ]
+    )
+    for _, row in pdf.head(50).iterrows():
+        v = np.asarray(emb.loc[row["vec_id"], "embedding"], dtype=np.float64)
+        np.testing.assert_allclose(np.asarray(row["proj"]), mat @ v, rtol=1e-9)
+
+
+def test_bpe_merge_step_counts_match_bruteforce(spark):
+    """The winning pair's count equals a brute-force corpus scan, and
+    ranks are a deterministic dense 1..20."""
+    from collections import Counter
+
+    pdf = registry.QUERIES["bpe_merge_step"](spark, TEST_SF_DIR).toPandas()
+    docs = (
+        spark.read.parquet(f"{TEST_SF_DIR}/documents.parquet")
+        .select("text")
+        .toPandas()
+    )
+    counts: Counter = Counter()
+    for text in docs["text"]:
+        for w in text.split():
+            for a, b in zip(w, w[1:]):
+                counts[(a, b)] += 1
+    assert list(pdf["rank"]) != []
+    assert sorted(pdf["rank"]) == list(range(1, len(pdf) + 1))
+    for _, row in pdf.iterrows():
+        assert counts[(row["a"], row["b"])] == row["pair_count"]
