@@ -1,0 +1,177 @@
+"""Corpus ingest/egest round-trips — the storage boundary of an LLM
+data pipeline, driver-checked end-to-end.
+
+- `corpus_jsonl_ingest` — gzipped JSONL is the lingua franca of web
+  corpora (Common Crawl derivatives, RedPajama, Dolma all ship it).
+  The fixture side writes the `documents` table as .jsonl.gz shards
+  plus one deliberately corrupt line; the query reads them back with
+  an EXPLICIT schema (no inference pass — at 100 TB schema inference
+  is a full extra scan), PERMISSIVE mode routing malformed lines into
+  a `_corrupt_record` column instead of failing the job, and returns
+  the per-source accounting of good vs corrupt rows. The DuckDB
+  oracle reproduces the good-row side straight from `documents`.
+
+- `sink_partitioned_roundtrip` — writes documents as parquet
+  PARTITIONED BY lang (the layout a curated corpus lands in: partition
+  columns carry the predicate, so a per-language read touches only its
+  directory), then reads one language back. The read plan must show
+  partition PRUNING — asserted by tests/test_plan_guards-style check
+  in tests (PartitionFilters, not a post-scan filter); the oracle is a
+  plain WHERE lang = .. over `documents`.
+
+Scale notes: both fixtures are per-(sf_dir) cached in a deterministic
+temp location so repeated driver runs don't re-write; the write path
+itself is the distributed `df.write` (one task per shuffle partition,
+no driver materialization). Reading JSONL with an explicit schema and
+PERMISSIVE corrupt capture is scan-parallel; the corrupt column prunes
+away when unselected.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from history_collector_spark.catalog import table
+from history_collector_spark.registry import register
+
+_DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+        T.StructField("_corrupt_record", T.StringType()),
+    ]
+)
+
+_N_BAD = 3  # corrupt fixture lines injected per corpus
+
+
+def _fixture_dir(sf_dir: str, kind: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return os.path.join(tempfile.gettempdir(), f"hc_{kind}_{tag}")
+
+
+def _write_jsonl_fixture(spark: SparkSession, sf_dir: str) -> str:
+    out = _fixture_dir(sf_dir, "jsonl")
+    done = os.path.join(out, "_FIXTURE_DONE")
+    if os.path.exists(done):
+        return out
+    docs = table(spark, sf_dir, "documents")
+    # Distributed write: one gzip JSON shard per partition.
+    docs.repartition(4, "doc_id").write.mode("overwrite").option(
+        "compression", "gzip"
+    ).json(os.path.join(out, "good"))
+    # The corrupt shard: truncated JSON, a bare string, and a record
+    # with the wrong type for doc_id — all must land in _corrupt_record.
+    bad_dir = os.path.join(out, "good")
+    with open(os.path.join(bad_dir, "part-bad.json"), "w") as f:
+        f.write('{"doc_id": 1, "text": "trunc\n')
+        f.write('"just a string"\n')
+        f.write('{"doc_id": "not-a-number", "text": "x", "lang": "en", '
+                '"source": "srcbad", "n_chars": 1}\n')
+    with open(done, "w") as f:
+        f.write("ok")
+    return out
+
+
+@register(
+    "corpus_jsonl_ingest",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS INT) AS good_rows,
+           CAST(0 AS INT) AS corrupt_rows,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY source
+    UNION ALL
+    SELECT '__corrupt__' AS source,
+           CAST(0 AS INT) AS good_rows,
+           CAST(3 AS INT) AS corrupt_rows,
+           CAST(0 AS BIGINT) AS total_chars
+    """,
+)
+def corpus_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL.gz corpus read with explicit schema + corrupt-line routing,
+    landed to a bronze parquet layer before being queried.
+
+    Reference analogue: the gzip archive ingestion boundary
+    (python/main.py:241-266 downloads+decompresses before parsing);
+    here the malformed-input policy is declarative (PERMISSIVE) rather
+    than a try/except per file.
+
+    The land-then-query split is not incidental: Spark's JSON scan
+    re-parses per referenced column set, so `_corrupt_record` is only
+    meaningful on a MATERIALIZED parse (the reader rejects
+    corrupt-only projections outright and column pruning silently
+    changes which records count as corrupt — a type error in an
+    unreferenced field is no longer an error). Landing the full parse
+    once (distributed write, one task per input split) freezes the
+    corrupt verdict; every downstream query then reads columnar
+    bronze, which is also the right 100 TB shape — JSON is parsed
+    exactly once, not per query.
+    """
+    src = _write_jsonl_fixture(spark, sf_dir)
+    bronze = os.path.join(src, "bronze")
+    done = os.path.join(src, "_BRONZE_DONE")
+    if not os.path.exists(done):
+        raw = (
+            spark.read.schema(_DOC_SCHEMA)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .json(os.path.join(src, "good"))
+        )
+        # The write references every field, so the parse is unpruned
+        # and the corrupt column is authoritative.
+        raw.write.mode("overwrite").parquet(bronze)
+        with open(done, "w") as f:
+            f.write("ok")
+    labeled = spark.read.parquet(bronze).select(
+        F.when(F.col("_corrupt_record").isNotNull(), F.lit("__corrupt__"))
+        .otherwise(F.col("source"))
+        .alias("source"),
+        F.col("_corrupt_record").isNotNull().alias("is_corrupt"),
+        F.col("n_chars"),
+    )
+    return labeled.groupBy("source").agg(
+        F.sum((~F.col("is_corrupt")).cast("int")).cast("int").alias("good_rows"),
+        F.sum(F.col("is_corrupt").cast("int")).cast("int").alias("corrupt_rows"),
+        F.coalesce(
+            F.sum(F.when(~F.col("is_corrupt"), F.col("n_chars"))), F.lit(0)
+        ).alias("total_chars"),
+    )
+
+
+@register(
+    "sink_partitioned_roundtrip",
+    oracle="""
+    SELECT doc_id, text, source, n_chars, 'de' AS lang
+    FROM documents WHERE lang = 'de'
+    """,
+)
+def sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet sink partitioned by lang, read back with partition pruning.
+
+    The WHERE lang='de' predicate resolves against the DIRECTORY layout
+    (PartitionFilters in the scan), so a 100 TB corpus read for one
+    language lists one partition's files and scans nothing else.
+    """
+    out = _fixture_dir(sf_dir, "parts")
+    done = os.path.join(out, "_FIXTURE_DONE")
+    if not os.path.exists(done):
+        docs = table(spark, sf_dir, "documents")
+        docs.write.mode("overwrite").partitionBy("lang").parquet(
+            os.path.join(out, "parquet")
+        )
+        with open(done, "w") as f:
+            f.write("ok")
+    back = spark.read.parquet(os.path.join(out, "parquet"))
+    return back.filter(F.col("lang") == "de").select(
+        "doc_id", "text", "source", "n_chars", "lang"
+    )

@@ -71,3 +71,23 @@ def test_no_unbounded_single_partition_exchange(spark, name):
             "a global window/sort of the full data; use orderBy+limit "
             "(TakeOrderedAndProject) or partition the window"
         )
+
+
+def test_partitioned_roundtrip_prunes_partitions(spark):
+    """The lang='de' read over the partitioned sink must resolve at the
+    DIRECTORY level (PartitionFilters on the scan), not as a post-scan
+    data filter — at 100 TB this is the difference between listing one
+    partition and scanning the corpus."""
+    df = registry.QUERIES["sink_partitioned_roundtrip"](spark, TEST_SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, f"no PartitionFilters in scan:\n{plan}"
+    assert "lang" in m.group(1) and "de" in m.group(1), (
+        f"lang=de not pushed to partition pruning: {m.group(1)}"
+    )
+    # and the data filters must NOT re-check lang (nothing to scan)
+    dm = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    if dm:
+        assert "lang" not in dm.group(1)
