@@ -72,6 +72,13 @@ HEADLINE = (
     "graph_pagerank_dups",
     "streaming_sessionize_e2e",
     "streaming_interval_join_e2e",
+    "streaming_gapless_e2e",
+    # round-4 second wave
+    "dedup_exact_substring",
+    "dedup_exact_segments",
+    "cluster_kmeans_step",
+    "bpe_merge_step",
+    "corpus_jsonl_ingest",
 )
 
 

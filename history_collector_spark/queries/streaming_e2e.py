@@ -31,6 +31,7 @@ from pyspark.sql import types as T
 
 from history_collector_spark.catalog import table
 from history_collector_spark.registry import register
+from history_collector_spark.streaming.conf import scoped_state_partitions
 from history_collector_spark.sources.xdr import (
     LEDGERS_PER_FILE,
     write_archive_file,
@@ -98,18 +99,19 @@ def streaming_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch truth: the §2.7-a/b ingest path, driver-verified."""
     landing = _write_archive_from_orders(spark, sf_dir)
     name = f"ingest_{uuid.uuid4().hex[:8]}"
-    q = (
-        read_archive_stream(spark, landing, max_files_per_trigger=1)
-        .writeStream.format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination()
-    finally:
-        q.stop()
-        shutil.rmtree(landing, ignore_errors=True)
+    with scoped_state_partitions(spark):
+        q = (
+            read_archive_stream(spark, landing, max_files_per_trigger=1)
+            .writeStream.format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+            shutil.rmtree(landing, ignore_errors=True)
     decoded = spark.table(name)
     return decoded.select(
         "ledger_seq",
@@ -156,17 +158,18 @@ def streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
     )
     name = f"wincnt_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination()
-    finally:
-        q.stop()
+    with scoped_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
     return spark.table(name).select(
         F.col("w.start").alias("window_start"),
         "event_type",
@@ -208,17 +211,18 @@ def streaming_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["user_id", "event_type", "day"]
     )
     name = f"dedup_{uuid.uuid4().hex[:8]}"
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination()
-    finally:
-        q.stop()
+    with scoped_state_partitions(spark):
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
     return spark.table(name).select("user_id", "event_type", "day")
 
 
@@ -258,17 +262,18 @@ def streaming_static_join_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("value").alias("total_value"),
     )
     name = f"ssjoin_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination()
-    finally:
-        q.stop()
+    with scoped_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
     return spark.table(name).select("nationkey", "n_events", "total_value")
 
 
@@ -321,17 +326,18 @@ def streaming_sessionize_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ts").alias("session_start"), F.count("*").alias("n_events"))
     )
     name = f"sess_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination()
-    finally:
-        q.stop()
+    with scoped_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
     return spark.table(name).select("user_id", "session_start", "n_events")
 
 
@@ -394,17 +400,18 @@ def streaming_interval_join_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     name = f"ivjoin_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination()
-    finally:
-        q.stop()
+    with scoped_state_partitions(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
     return spark.table(name).select(
         F.col("s_user").alias("user_id"), "signup_ts", "purchase_ts"
     )

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from history_collector_spark.catalog import table
 from history_collector_spark.registry import register
+from history_collector_spark.streaming.conf import scoped_state_partitions
 from history_collector_spark.streaming.stateful import track_gapless
 
 _N_PER_STREAM = 24  # sequences per stream: 0, 64, ..., 23*64
@@ -114,16 +115,17 @@ def streaming_gapless_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     released = track_gapless(stream, start_seq=0, step=_STEP)
     name = f"gapless_{uuid.uuid4().hex[:8]}"
-    q = (
-        released.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination()
-    finally:
-        q.stop()
-        shutil.rmtree(flat, ignore_errors=True)
+    with scoped_state_partitions(spark):
+        q = (
+            released.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+            shutil.rmtree(flat, ignore_errors=True)
     return spark.table(name).select("stream_id", "seq", "status")
