@@ -1,0 +1,156 @@
+"""Warehouse-scale join strategies: the two plans that decide whether a
+100 TB fact-to-fact or fact-to-dims query is feasible at all.
+
+- `star_schema_revenue` — a TPC-H Q5-shaped star query: the two fact
+  tables (lineitem ⋈ orders) meet in ONE shuffled join on the order
+  key, while the whole dimension chain (customer → nation → region)
+  rides broadcast hash joins — Catalyst's size-based planning does
+  this by itself given a declarative plan; the plan guard suite
+  verifies no cartesian/single-partition shapes sneak in. At scale
+  the fact-fact shuffle is the only network cost.
+
+- `bucketed_join_roundtrip` — removes even that shuffle: both fact
+  tables are landed BUCKETED by the join key (8 buckets,
+  sorted-within-buckets), so the sort-merge join reads co-located
+  buckets directly — zero Exchange in the join stage, verified by a
+  plan-guard test (`test_bucketed_join_has_no_exchange`). This is the
+  layout a nightly 100 TB fact-fact reconciliation pre-pays once at
+  write time and amortizes over every downstream join.
+
+Reference parity note: the reference has no multi-way joins at all
+(its joins are the J1/J2 hash-map probes, python/main.py:108-138);
+this family is the engine-native surface a warehouse user needs.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from history_collector_spark.catalog import table
+from history_collector_spark.registry import register
+
+
+@register(
+    "star_schema_revenue",
+    oracle="""
+    SELECT n.n_name AS nation, r.r_name AS region,
+           CAST(count(*) AS BIGINT) AS n_items,
+           sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY n.n_name, r.r_name
+    """,
+)
+def star_schema_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact shuffle once, dims broadcast: lineitem joins orders on
+    the order key (the one big exchange), then the customer/nation/
+    region chain attaches via broadcast — the status filter is pushed
+    into the orders scan before the join."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_custkey")
+    )
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.groupBy(
+        F.col("n_name").alias("nation"), F.col("r_name").alias("region")
+    ).agg(
+        F.count("*").alias("n_items"),
+        F.sum(
+            F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+        ).alias("revenue"),
+    )
+
+
+N_BUCKETS = 8
+
+_BUCKET_FIXTURES: dict[str, tuple[str, str]] = {}
+
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Land orders and lineitem as external BUCKETED tables (once per
+    sf_dir per session): bucketBy(join key) + sortBy pre-pays the
+    shuffle+sort at write time. Table metadata lives in the session
+    catalog; data files land in a temp dir."""
+    key = f"{id(spark)}:{sf_dir}"
+    if key in _BUCKET_FIXTURES:
+        o_tab, l_tab = _BUCKET_FIXTURES[key]
+        if spark.catalog.tableExists(o_tab) and spark.catalog.tableExists(l_tab):
+            return o_tab, l_tab
+    base = tempfile.mkdtemp(prefix="hc_buckets_")
+    tag = uuid.uuid4().hex[:8]
+    o_tab, l_tab = f"orders_b_{tag}", f"lineitem_b_{tag}"
+    (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        .repartition(N_BUCKETS, "o_orderkey")
+        .write.bucketBy(N_BUCKETS, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", os.path.join(base, "orders"))
+        .saveAsTable(o_tab)
+    )
+    (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .repartition(N_BUCKETS, "l_orderkey")
+        .write.bucketBy(N_BUCKETS, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", os.path.join(base, "lineitem"))
+        .saveAsTable(l_tab)
+    )
+    _BUCKET_FIXTURES[key] = (o_tab, l_tab)
+    return o_tab, l_tab
+
+
+@register(
+    "bucketed_join_roundtrip",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice,
+           CAST(count(*) AS BIGINT) AS n_items,
+           sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderstatus = 'O'
+    GROUP BY o.o_orderkey, o.o_totalprice
+    """,
+)
+def bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join over co-bucketed tables: both sides land bucketed
+    by the join key, so the sort-merge join runs bucket-to-bucket with
+    NO Exchange — and the groupBy on the same key reuses the bucket
+    partitioning too. The filter still pushes into the orders scan."""
+    o_tab, l_tab = _bucketed_tables(spark, sf_dir)
+    o = spark.table(o_tab).filter(F.col("o_orderstatus") == "O")
+    l = spark.table(l_tab)
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+            ).alias("revenue"),
+        )
+    )

@@ -91,3 +91,35 @@ def test_partitioned_roundtrip_prunes_partitions(spark):
     dm = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
     if dm:
         assert "lang" not in dm.group(1)
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Co-bucketed fact-fact join: with broadcast disabled (at real
+    scale neither fact side fits in memory), the sort-merge join AND
+    the same-key aggregation above it must run directly on the bucket
+    layout — zero Exchange operators; that's the point of paying the
+    bucketed write. At tiny SF Catalyst is free to broadcast instead
+    (and does), which is also correct — so the guard pins the
+    at-scale plan explicitly."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = registry.QUERIES["bucketed_join_roundtrip"](spark, TEST_SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+    assert plan.count("Bucketed: true") == 2, plan
+
+
+def test_star_schema_joins_are_all_hash_no_shuffle_of_dims(spark):
+    """Q5-shape: every join is a broadcast hash join (at sf0.001 even
+    orders broadcasts — fine); the only allowed hashpartitioning
+    exchange is the final small aggregation, never a join input, and
+    the status filter reaches the orders scan."""
+    df = registry.QUERIES["star_schema_revenue"](spark, TEST_SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") == 1, plan
+    assert "EqualTo(o_orderstatus,F)" in plan, "status filter not pushed"
