@@ -500,3 +500,14 @@ def test_bpe_merge_step_counts_match_bruteforce(spark):
     assert sorted(pdf["rank"]) == list(range(1, len(pdf) + 1))
     for _, row in pdf.iterrows():
         assert counts[(row["a"], row["b"])] == row["pair_count"]
+
+
+def test_global_ids_are_a_contiguous_permutation(spark):
+    """global_id is exactly 1..N, unique, and ordered by (source,
+    doc_id) — the two-phase form must be indistinguishable from the
+    banned global-sort row_number."""
+    pdf = registry.QUERIES["assign_global_ids"](spark, TEST_SF_DIR).toPandas()
+    n = len(pdf)
+    assert sorted(pdf["global_id"]) == list(range(1, n + 1))
+    ordered = pdf.sort_values(["source", "doc_id"])["global_id"].tolist()
+    assert ordered == list(range(1, n + 1))
