@@ -21,32 +21,23 @@ from pyspark.sql import functions as F
 from history_collector_spark.catalog import table
 from history_collector_spark.queries.dedup import (
     _BUCKETS_SQL,
-    _candidate_pairs,
-    _verified_pairs,
+    verified_pair_table,
 )
 from history_collector_spark.registry import register
 
 _DUP_THRESHOLD = 0.5
 
 
-def _dup_pairs(
-    spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame]:
-    """LSH candidate pairs verified at jaccard >= threshold (edges).
-
-    Shares dedup's candidate-pruned verify: the verify side is
-    broadcast-semi-joined down to collision survivors before it is even
-    tokenized, so only the duplicate subgraph pays the second shingle
-    pass. Returns (pairs, cached_candidates);
-    the caller unpersists the candidate cache once edges materialize.
-    """
-    cand = _candidate_pairs(spark, sf_dir)
-    pairs = (
-        _verified_pairs(spark, sf_dir, cand)
+def _dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup edges at jaccard >= threshold, read from the
+    session-materialized pair table (dedup.verified_pair_table) — the
+    LSH + candidate-pruned verify runs once per (session, corpus) and
+    every graph consumer filters the shared result."""
+    return (
+        verified_pair_table(spark, sf_dir)
         .filter(F.col("jaccard") >= _DUP_THRESHOLD)
         .select("doc_a", "doc_b")
     )
-    return pairs, cand
 
 
 @register(
@@ -87,10 +78,9 @@ def _dup_pairs(
     """,
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    dup, sh_cache = _dup_pairs(spark, sf_dir)
-    # both directions of every edge in ONE pass over the verify
-    # pipeline — a self-unionAll would duplicate the whole unpersisted
-    # subtree and run LSH + verify twice
+    dup = _dup_pairs(spark, sf_dir)
+    # both directions of every edge in ONE pass over the (persisted)
+    # pair table
     edges = dup.select(
         F.explode(
             F.array(
@@ -103,12 +93,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("e")
     ).select("e.u", "e.v")
-    # cache: every iteration probes the same edge set; materializing it
-    # here also fixes the candidate set before the loop, after which the
-    # shingle-set cache backing the verify join can go
+    # cache: every iteration probes the same edge set
     edges = edges.persist()
     edges.count()
-    sh_cache.unpersist()
 
     # iterate ONLY over edge-participating nodes — duplicates are a
     # small fraction of any corpus, so each round's join touches the

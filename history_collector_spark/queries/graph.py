@@ -96,7 +96,7 @@ _PR_CHAIN = ",".join(
     """,
 )
 def graph_pagerank_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    dup, sh_cache = _dup_pairs(spark, sf_dir)
+    dup = _dup_pairs(spark, sf_dir)
     edges = dup.select(
         F.explode(
             F.array(
@@ -107,7 +107,6 @@ def graph_pagerank_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("e.u", "e.v")
     edges = edges.persist()
     edges.count()
-    sh_cache.unpersist()
 
     deg = edges.groupBy("u").agg(F.count("*").alias("deg")).persist()
     n_nodes = deg.count()  # bounded driver scalar: node count only
