@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from history_collector_spark.catalog import table
+from history_collector_spark.functions.scope import scoped_shuffle_partitions
 from history_collector_spark.queries.dedup import (
     _BUCKETS_SQL,
     verified_pair_table,
@@ -26,6 +27,12 @@ from history_collector_spark.queries.dedup import (
 from history_collector_spark.registry import register
 
 _DUP_THRESHOLD = 0.5
+
+# Shuffle width for the iterative CC/PageRank loops: they operate on
+# the dup SUBGRAPH (edges/labels scale with duplication, not corpus),
+# so per-round shuffles and checkpoints are sized to it. At a real
+# 100 TB duplication mass this rises with the subgraph.
+_ITER_PARTITIONS = 8
 
 
 def _dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -93,48 +100,51 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("e")
     ).select("e.u", "e.v")
-    # cache: every iteration probes the same edge set
-    edges = edges.persist()
-    edges.count()
+    # the loop runs over the dup subgraph: size shuffles/checkpoints to
+    # it, not the corpus-wide session default
+    with scoped_shuffle_partitions(spark, _ITER_PARTITIONS):
+        # cache: every iteration probes the same edge set
+        edges = edges.repartition(_ITER_PARTITIONS, "u").persist()
+        edges.count()
 
-    # iterate ONLY over edge-participating nodes — duplicates are a
-    # small fraction of any corpus, so each round's join touches the
-    # dup subgraph, never the full table; isolated docs join back as
-    # their own singleton clusters at the end
-    # labels(node, label): the alias gives `node` a fresh attribute id,
-    # so the edges-vs-labels joins below are unambiguous
-    labels = (
-        edges.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
-    )
-    while True:
-        nbr = (
-            edges.join(labels, edges.v == labels.node)
-            .groupBy(edges.u.alias("nu"))
-            .agg(F.min("label").alias("nbr_min"))
-        )
-        new_label = F.least(
-            F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
-        )
-        # carry the changed flag inside the checkpointed frame so the
-        # convergence check is a scan of the checkpoint, not another join
-        stepped = (
-            labels.join(nbr, labels.node == nbr.nu, "left")
-            .select(
-                "node",
-                new_label.alias("label"),
-                (new_label != F.col("label")).alias("chg"),
-            )
-            # truncate lineage each round or the plan doubles per iteration
+        # iterate ONLY over edge-participating nodes — duplicates are a
+        # small fraction of any corpus, so each round's join touches
+        # the dup subgraph, never the full table; isolated docs join
+        # back as their own singleton clusters at the end
+        # labels(node, label): the alias gives `node` a fresh attribute
+        # id, so the edges-vs-labels joins below are unambiguous
+        labels = (
+            edges.select(F.col("u").alias("node"))
+            .distinct()
+            .withColumn("label", F.col("node"))
             .localCheckpoint(eager=True)
         )
-        changed = stepped.filter("chg").count()
-        labels = stepped.drop("chg")
-        if changed == 0:
-            break
-    edges.unpersist()
+        while True:
+            nbr = (
+                edges.join(labels, edges.v == labels.node)
+                .groupBy(edges.u.alias("nu"))
+                .agg(F.min("label").alias("nbr_min"))
+            )
+            new_label = F.least(
+                F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+            )
+            # carry the changed flag inside the checkpointed frame so
+            # the convergence check scans the checkpoint, no extra join
+            stepped = (
+                labels.join(nbr, labels.node == nbr.nu, "left")
+                .select(
+                    "node",
+                    new_label.alias("label"),
+                    (new_label != F.col("label")).alias("chg"),
+                )
+                # truncate lineage each round or the plan doubles
+                .localCheckpoint(eager=True)
+            )
+            changed = stepped.filter("chg").count()
+            labels = stepped.drop("chg")
+            if changed == 0:
+                break
+        edges.unpersist()
 
     docs = table(spark, sf_dir, "documents").select("doc_id")
     return docs.join(labels, docs.doc_id == labels.node, "left").select(

@@ -23,7 +23,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from history_collector_spark.queries.clusters import _DUP_THRESHOLD, _dup_pairs
+from history_collector_spark.functions.scope import scoped_shuffle_partitions
+from history_collector_spark.queries.clusters import (
+    _DUP_THRESHOLD,
+    _ITER_PARTITIONS,
+    _dup_pairs,
+)
 from history_collector_spark.queries.dedup import _BUCKETS_SQL
 from history_collector_spark.registry import register
 
@@ -105,39 +110,43 @@ def graph_pagerank_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("e")
     ).select("e.u", "e.v")
-    edges = edges.persist()
-    edges.count()
+    # the iteration runs over the DUP SUBGRAPH (edge/node frames that
+    # scale with duplication, not corpus size) — size its shuffles and
+    # checkpoints to that, not to the session's corpus-wide default
+    with scoped_shuffle_partitions(spark, _ITER_PARTITIONS):
+        edges = edges.repartition(_ITER_PARTITIONS, "u").persist()
+        edges.count()
 
-    deg = edges.groupBy("u").agg(F.count("*").alias("deg")).persist()
-    n_nodes = deg.count()  # bounded driver scalar: node count only
+        deg = edges.groupBy("u").agg(F.count("*").alias("deg")).persist()
+        n_nodes = deg.count()  # bounded driver scalar: node count only
 
-    ranks = deg.select(
-        F.col("u").alias("node"), F.lit(1.0 / n_nodes).alias("r")
-    ).localCheckpoint(eager=True)
-    for _ in range(_N_ITER):
-        contrib = (
-            edges.join(ranks, edges.u == ranks.node)
-            .join(deg, "u")
-            .groupBy(F.col("v").alias("node"))
-            .agg(F.sum(F.col("r") / F.col("deg")).alias("contrib"))
-        )
-        ranks = (
-            deg.select(F.col("u").alias("node"))
-            .join(contrib, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit((1.0 - _DAMPING) / n_nodes)
-                    + F.lit(_DAMPING) * F.coalesce("contrib", F.lit(0.0))
-                ).alias("r"),
+        ranks = deg.select(
+            F.col("u").alias("node"), F.lit(1.0 / n_nodes).alias("r")
+        ).localCheckpoint(eager=True)
+        for _ in range(_N_ITER):
+            contrib = (
+                edges.join(ranks, edges.u == ranks.node)
+                .join(deg, "u")
+                .groupBy(F.col("v").alias("node"))
+                .agg(F.sum(F.col("r") / F.col("deg")).alias("contrib"))
             )
-            .localCheckpoint(eager=True)
+            ranks = (
+                deg.select(F.col("u").alias("node"))
+                .join(contrib, "node", "left")
+                .select(
+                    "node",
+                    (
+                        F.lit((1.0 - _DAMPING) / n_nodes)
+                        + F.lit(_DAMPING) * F.coalesce("contrib", F.lit(0.0))
+                    ).alias("r"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        edges.unpersist()
+        result = ranks.join(deg, ranks.node == deg.u).select(
+            F.col("node").alias("doc_id"),
+            F.col("r").alias("rank"),
+            F.col("deg").cast("long").alias("degree"),
         )
-    edges.unpersist()
-    result = ranks.join(deg, ranks.node == deg.u).select(
-        F.col("node").alias("doc_id"),
-        F.col("r").alias("rank"),
-        F.col("deg").cast("long").alias("degree"),
-    )
-    deg.unpersist()
+        deg.unpersist()
     return result

@@ -7,6 +7,8 @@ from typing import Iterator
 
 from pyspark.sql import SparkSession
 
+from history_collector_spark.functions.scope import scoped_shuffle_partitions
+
 # State-store parallelism for the driver-gated e2e streams. A stateful
 # streaming query fixes its number of state partitions at FIRST start
 # (it is baked into the checkpoint), and every micro-batch then runs
@@ -29,10 +31,5 @@ def scoped_state_partitions(
     """Temporarily set spark.sql.shuffle.partitions around a streaming
     query's start+drain so its state stores are sized for the stream,
     then restore the session's batch setting."""
-    key = "spark.sql.shuffle.partitions"
-    old = spark.conf.get(key)
-    spark.conf.set(key, str(n))
-    try:
+    with scoped_shuffle_partitions(spark, n):
         yield
-    finally:
-        spark.conf.set(key, old)
