@@ -93,3 +93,138 @@ def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_PAIRS)
         .select("a", "b", "pair_count", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE apply: train a merge table, then tokenize the corpus with it.
+# The deep-scale observation: a word's encoding depends only on the
+# WORD, so the corpus is never re-encoded occurrence by occurrence —
+# encode the VOCABULARY (bounded, zipf-small next to the corpus) in one
+# Arrow-batched pass, then attach subword counts to documents with a
+# broadcast join and aggregate. Python touches vocab-sized data only.
+# ---------------------------------------------------------------------------
+
+N_MERGES = 50
+VOCAB_CAP = 1_000_000  # refuse driver-side merge training beyond this
+
+
+def _learn_merges(
+    word_counts: list[tuple[str, int]], n_merges: int = N_MERGES
+) -> list[tuple[str, str]]:
+    """Classic BPE training loop over the word-count table (Sennrich et
+    al. 2016): repeatedly merge the most frequent adjacent symbol pair.
+    Runs on the driver — the input is the VOCABULARY with counts, the
+    same bounded-small data class as k-means centroids; corpus text
+    never reaches the driver. Ties break lexicographically so training
+    is deterministic."""
+    vocab: dict[tuple[str, ...], int] = {
+        tuple(w): c for w, c in word_counts if w
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for sym, c in vocab.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        best = max(pairs.items(), key=lambda kv: (kv[1], kv[0][0], kv[0][1]))
+        # strictly-greater wins; among equals the lexicographically
+        # LAST pair — any fixed rule works, it just must be fixed
+        (a, b), _cnt = best
+        merges.append((a, b))
+        merged = a + b
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for sym, c in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Apply merges by rank (lowest-rank pair first) — the standard
+    BPE inference loop."""
+    sym = list(word)
+    while len(sym) >= 2:
+        cand = [
+            (ranks[(x, y)], i)
+            for i, (x, y) in enumerate(zip(sym, sym[1:]))
+            if (x, y) in ranks
+        ]
+        if not cand:
+            break
+        _, i = min(cand)
+        sym[i : i + 2] = [sym[i] + sym[i + 1]]
+    return sym
+
+
+@register("bpe_encode_corpus")  # rows-only: the merge loop is not SQL
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenization with a trained BPE table.
+
+    Plan: (1) word counts — one vocab-keyed map-side-combined agg;
+    (2) merge training on the driver over the vocab (bounded, capped);
+    (3) vocab ENCODE via Arrow-batched mapInPandas — Python cost is
+    O(vocab), not O(corpus); (4) per-doc subword totals by exploding
+    words and broadcast-joining the vocab encode table. At 100 TB the
+    corpus is touched twice by scans and never by Python.
+    """
+    import pandas as pd
+
+    docs = table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+    )
+    n_vocab = words.count()
+    if n_vocab > VOCAB_CAP:
+        raise ValueError(
+            f"bpe_encode_corpus trains merges driver-side over the "
+            f"vocabulary; {n_vocab} distinct words exceeds the "
+            f"{VOCAB_CAP} cap — shard training or raise the cap."
+        )
+    wc = [(r["w"], r["wc"]) for r in words.collect()]
+    merges = _learn_merges(wc)
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    bc = spark.sparkContext.broadcast(ranks)
+
+    def encode_batches(batches):
+        r = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            yield pd.DataFrame(
+                {
+                    "w": pdf["w"],
+                    "n_subwords": [
+                        len(encode_word(w, r)) for w in pdf["w"]
+                    ],
+                }
+            )
+
+    encoded = words.select("w").mapInPandas(
+        encode_batches, schema="w string, n_subwords int"
+    )
+
+    doc_words = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("w")
+    ).filter(F.col("w") != "")
+    return (
+        doc_words.join(F.broadcast(encoded), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_subwords").cast("long").alias("n_subwords"),
+        )
+    )

