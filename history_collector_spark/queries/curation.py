@@ -888,3 +888,48 @@ def curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy(F.col("skey").desc(), "doc_id"))
         .alias("rank"),
     )
+
+
+@register(
+    "curation_class_balance",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, count(*) AS c FROM documents GROUP BY lang
+    ),
+    k AS (SELECT min(c) AS k FROM counts),
+    ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    )
+    SELECT r.doc_id, r.lang FROM ranked r, k WHERE r.rn <= k.k
+    """,
+)
+def curation_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced per-class downsampling: every language keeps exactly
+    min-class-size documents, selected as the K smallest doc-id hashes
+    per class — deterministic, seedless, and stable under reruns
+    (the property a reproducible training mix needs).
+
+    Scale shape: the class-size reduction is a tiny agg broadcast back
+    (the two-pass scalar pattern); selection is one window per class
+    on the hash. With few huge classes the per-class sort concentrates
+    — the 100 TB refinement is a two-phase threshold (sample the
+    per-class hash quantile at K/N, filter, trim exactly), which
+    replaces the sort with a scan + a bounded correction; the exact
+    window form here IS the correction step run on the survivors.
+    """
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("c"))
+    k = counts.agg(F.min("c").alias("k"))
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = docs.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.crossJoin(F.broadcast(k))
+        .filter(F.col("rn") <= F.col("k"))
+        .select("doc_id", "lang")
+    )

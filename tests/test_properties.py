@@ -315,3 +315,24 @@ def test_salted_join_equals_plain_join(spark, keys, right_keys, how):
         (r.k, r.v, r.tag) for r in salted_join(left, right, "k", how).collect()
     )
     assert salted == plain
+
+
+def test_incremental_sketch_merge_accuracy_and_merge_exactness(spark):
+    """The merged (base ∪ delta) sketch must estimate within HLL error
+    of the exact distinct, and merging must equal the single-pass
+    sketch exactly — HLL union is lossless over the same register
+    config, which is precisely why sketches are the rollup currency."""
+    from history_collector_spark import registry
+    from tests.conftest import TEST_SF_DIR
+
+    registry.load_all()
+    pdf = registry.QUERIES["incremental_sketch_merge"](
+        spark, TEST_SF_DIR
+    ).toPandas()
+    assert len(pdf) > 0
+    for _, r in pdf.iterrows():
+        assert r["merged_estimate"] == r["single_pass_estimate"]
+        rel = abs(r["merged_estimate"] - r["exact_distinct"]) / max(
+            r["exact_distinct"], 1
+        )
+        assert rel < 0.05, f"{r['event_type']}: rel err {rel}"
