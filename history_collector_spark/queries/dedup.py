@@ -674,3 +674,62 @@ def dedup_lsh_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     buckets.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance verify over LSH candidates: for short-form text (titles,
+# queries, OCR lines) token-set Jaccard misses transpositions and
+# character-level noise; Levenshtein on the CANDIDATE pairs is the
+# precise verify. The pruning does all the scale work — edit distance
+# only ever runs on collision survivors, never all pairs, and both
+# engines ship the same levenshtein kernel (JVM codegen here, native in
+# the DuckDB oracle).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_edit_distance",
+    oracle=f"""
+    WITH {{buckets}},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(levenshtein(x.text, y.text) AS BIGINT) AS edit_dist,
+           (1.0 - CAST(levenshtein(x.text, y.text) AS DOUBLE)
+                  / greatest(length(x.text), length(y.text))) AS edit_sim
+    FROM cand c
+    JOIN documents x ON c.doc_a = x.doc_id
+    JOIN documents y ON c.doc_b = y.doc_id
+    WHERE 1.0 - CAST(levenshtein(x.text, y.text) AS DOUBLE)
+              / greatest(length(x.text), length(y.text)) >= 0.8
+    """.replace("{buckets}", _BUCKETS_SQL),
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = _candidate_pairs(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    cand_ids = (
+        cand.selectExpr("doc_a AS doc_id")
+        .unionAll(cand.selectExpr("doc_b AS doc_id"))
+        .distinct()
+    )
+    pruned = docs.join(F.broadcast(cand_ids), "doc_id")
+    x = pruned.alias("x")
+    y = pruned.alias("y")
+    dist = F.levenshtein(F.col("x.text"), F.col("y.text"))
+    sim = F.lit(1.0) - dist.cast("double") / F.greatest(
+        F.length("x.text"), F.length("y.text")
+    )
+    return (
+        cand.join(x, cand.doc_a == F.col("x.doc_id"))
+        .join(y, cand.doc_b == F.col("y.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            dist.cast("long").alias("edit_dist"),
+            sim.alias("edit_sim"),
+        )
+        .filter(F.col("edit_sim") >= 0.8)
+    )
