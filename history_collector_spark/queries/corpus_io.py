@@ -175,3 +175,82 @@ def sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.filter(F.col("lang") == "de").select(
         "doc_id", "text", "source", "n_chars", "lang"
     )
+
+
+@register(
+    "merge_upsert_roundtrip",
+    oracle="""
+    WITH target AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      WHERE o_orderkey < 2048
+    ),
+    source AS (
+      SELECT o_orderkey, o_custkey, o_totalprice * 1.1 AS o_totalprice
+      FROM orders WHERE o_orderkey < 2048 AND o_orderkey % 4 = 0
+      UNION ALL
+      SELECT o_orderkey + 1000000, o_custkey, o_totalprice
+      FROM orders WHERE o_orderkey < 64
+    )
+    SELECT coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+           coalesce(s.o_custkey, t.o_custkey) AS o_custkey,
+           coalesce(s.o_totalprice, t.o_totalprice) AS o_totalprice
+    FROM target t FULL OUTER JOIN source s
+      ON t.o_orderkey = s.o_orderkey
+    """,
+)
+def merge_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (upsert) without a table format: target snapshot
+    FULL OUTER JOIN the change set, source wins per column, result
+    written back and re-read — the copy-on-write merge a parquet lake
+    runs when no Delta/Iceberg transaction log is available.
+
+    Scale notes: the join shuffles on the merge key (high-cardinality,
+    unskewed); with the bucketed landing of bucketed_join_roundtrip the
+    rewrite becomes bucket-local. Copy-on-write rewrites only the
+    files whose buckets the change set touches — the change-set side is
+    usually broadcast-sized, but correctness never depends on that.
+    """
+    target = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2048)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    updates = (
+        table(spark, sf_dir, "orders")
+        .filter((F.col("o_orderkey") < 2048) & (F.col("o_orderkey") % 4 == 0))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+        )
+    )
+    inserts = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 64)
+        .select(
+            (F.col("o_orderkey") + 1000000).alias("o_orderkey"),
+            "o_custkey",
+            "o_totalprice",
+        )
+    )
+    source = updates.unionByName(inserts)
+
+    t = target.alias("t")
+    s = source.alias("s")
+    merged = t.join(s, F.col("t.o_orderkey") == F.col("s.o_orderkey"), "full").select(
+        F.coalesce(F.col("s.o_orderkey"), F.col("t.o_orderkey")).alias(
+            "o_orderkey"
+        ),
+        F.coalesce(F.col("s.o_custkey"), F.col("t.o_custkey")).alias(
+            "o_custkey"
+        ),
+        F.coalesce(F.col("s.o_totalprice"), F.col("t.o_totalprice")).alias(
+            "o_totalprice"
+        ),
+    )
+    out = os.path.join(
+        _fixture_dir(sf_dir, "merge"),
+        spark.sparkContext.applicationId,
+    )
+    merged.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
