@@ -257,6 +257,21 @@ def _verified_pairs(spark: SparkSession, sf_dir: str, cand: DataFrame) -> DataFr
 
 
 _PAIR_TABLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+_CAND_TABLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def candidate_pair_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-materialized LSH collision pairs, shared by every
+    candidate consumer (the Jaccard verify behind the pair table, and
+    the edit-distance verify). Same memory class as the pair table:
+    scales with duplication, not corpus size."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _CAND_TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    cand = _candidate_pairs(spark, sf_dir)
+    _CAND_TABLE_CACHE[key] = cand
+    return cand
 
 
 def verified_pair_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -275,10 +290,9 @@ def verified_pair_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _PAIR_TABLE_CACHE.get(key)
     if cached is not None:
         return cached
-    cand = _candidate_pairs(spark, sf_dir)
+    cand = candidate_pair_table(spark, sf_dir)
     ver = _verified_pairs(spark, sf_dir, cand).persist()
     ver.count()
-    cand.unpersist()
     _PAIR_TABLE_CACHE[key] = ver
     return ver
 
@@ -703,12 +717,14 @@ def dedup_lsh_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM cand c
     JOIN documents x ON c.doc_a = x.doc_id
     JOIN documents y ON c.doc_b = y.doc_id
-    WHERE 1.0 - CAST(levenshtein(x.text, y.text) AS DOUBLE)
+    WHERE abs(length(x.text) - length(y.text))
+            <= 0.2 * greatest(length(x.text), length(y.text))
+      AND 1.0 - CAST(levenshtein(x.text, y.text) AS DOUBLE)
               / greatest(length(x.text), length(y.text)) >= 0.8
     """.replace("{buckets}", _BUCKETS_SQL),
 )
 def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cand = _candidate_pairs(spark, sf_dir)
+    cand = candidate_pair_table(spark, sf_dir)
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     cand_ids = (
         cand.selectExpr("doc_a AS doc_id")
@@ -718,13 +734,21 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruned = docs.join(F.broadcast(cand_ids), "doc_id")
     x = pruned.alias("x")
     y = pruned.alias("y")
-    dist = F.levenshtein(F.col("x.text"), F.col("y.text"))
-    sim = F.lit(1.0) - dist.cast("double") / F.greatest(
-        F.length("x.text"), F.length("y.text")
+    max_len = F.greatest(F.length("x.text"), F.length("y.text"))
+    # length gate: edit_dist >= |len(a)-len(b)|, so a pair whose length
+    # gap alone exceeds (1-thr)*max_len can never reach the threshold —
+    # O(1) to test vs O(len^2) for levenshtein, and it runs FIRST (the
+    # conjunction below short-circuits in codegen), so the quadratic
+    # kernel only touches plausibly-similar survivors
+    len_gate = (
+        F.abs(F.length("x.text") - F.length("y.text")) <= 0.2 * max_len
     )
+    dist = F.levenshtein(F.col("x.text"), F.col("y.text"))
+    sim = F.lit(1.0) - dist.cast("double") / max_len
     return (
         cand.join(x, cand.doc_a == F.col("x.doc_id"))
         .join(y, cand.doc_b == F.col("y.doc_id"))
+        .filter(len_gate)
         .select(
             "doc_a",
             "doc_b",
