@@ -154,3 +154,76 @@ def bucketed_join_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+@register(
+    "min_cost_supplier",
+    oracle="""
+    WITH unit AS (
+      SELECT l_partkey, l_suppkey,
+             sum(l_extendedprice * (1 - l_discount)) / sum(l_quantity)
+               AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    ranked AS (
+      SELECT l_partkey, l_suppkey, unit_cost,
+             row_number() OVER (
+               PARTITION BY l_partkey
+               ORDER BY unit_cost, l_suppkey) AS rn
+      FROM unit
+    )
+    SELECT p.p_partkey, p.p_name, r.l_suppkey AS suppkey,
+           s.s_name, n.n_name AS nation, r.unit_cost
+    FROM ranked r
+    JOIN part p ON r.l_partkey = p.p_partkey
+    JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE r.rn = 1 AND p.p_partkey < 200
+    """,
+)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: cheapest supplier per part with the dimension
+    chain attached. Unit costs are one (part, supp) keyed aggregation
+    (map-side combined, high-cardinality key); the per-part argmin is a
+    window over that AGGREGATE (bounded: suppliers-per-part rows, never
+    raw lineitems); part/supplier/nation attach via broadcast. The
+    part filter is applied on the part side and prunes through the
+    join."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount",
+        "l_quantity",
+    )
+    unit = li.groupBy("l_partkey", "l_suppkey").agg(
+        (
+            F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+            / F.sum("l_quantity")
+        ).alias("unit_cost")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_partkey").orderBy("unit_cost", "l_suppkey")
+    best = unit.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    part = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 200)
+        .select("p_partkey", "p_name")
+    )
+    supp = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        best.join(F.broadcast(part), best.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            F.col("l_suppkey").alias("suppkey"),
+            "s_name",
+            F.col("n_name").alias("nation"),
+            "unit_cost",
+        )
+    )
