@@ -127,3 +127,36 @@ def test_range_layout_files_have_disjoint_ranges(spark, tmp_path):
     for (lo_a, hi_a), (lo_b, hi_b) in zip(spans, spans[1:]):
         assert hi_a < lo_b
     assert spark.read.parquet(str(dst)).count() == 10000
+
+
+def test_scoped_shuffle_partitions_restores_on_exception(spark):
+    from history_collector_spark.functions.scope import (
+        scoped_shuffle_partitions,
+    )
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    try:
+        with scoped_shuffle_partitions(spark, 3):
+            assert spark.conf.get(key) == "3"
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get(key) == before
+
+
+def test_pair_and_candidate_tables_memoize_per_corpus(spark):
+    """Same (session, sf_dir) returns the identical persisted frame;
+    a different sf_dir builds its own."""
+    from history_collector_spark.queries.dedup import (
+        candidate_pair_table,
+        verified_pair_table,
+    )
+
+    a1 = candidate_pair_table(spark, "/root/testdata/sf0.001")
+    a2 = candidate_pair_table(spark, "/root/testdata/sf0.001")
+    assert a1 is a2
+    v1 = verified_pair_table(spark, "/root/testdata/sf0.001")
+    v2 = verified_pair_table(spark, "/root/testdata/sf0.001")
+    assert v1 is v2
+    assert v1.is_cached
