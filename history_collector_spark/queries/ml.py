@@ -1,0 +1,143 @@
+"""Distributed classical-ML kernels over `documents` — the shapes a
+data-quality team runs ON the corpus pipeline itself.
+
+- `ml_ridge_probe_stats` — closed-form linear/ridge probe: the corpus
+  reduces to the sufficient statistics (XᵀX, Xᵀy) in ONE map-side-
+  combined aggregation — the normal-equations trick that makes linear
+  probes O(d²) per partition regardless of corpus size. The tiny
+  (d+1)² solve happens after (driver/numpy — validated in pytest);
+  the QUERY output is the statistics themselves, so the oracle checks
+  the distributed part exactly.
+
+- `text_langid_confusion` — per-(labeled, predicted) confusion counts
+  for the language-ID heuristic plus per-class precision/recall —
+  evaluating a corpus-scale classifier is itself one groupBy.
+
+Both are pure Catalyst aggregations: no Python in the row path, no
+exchange beyond the final bounded-key reduce.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from history_collector_spark.catalog import table
+from history_collector_spark.queries.text import text_language_id, with_quality
+from history_collector_spark.registry import register
+
+# Features: intercept, n_tokens, stopword_ratio, len_chars. Target:
+# is_en (labeled lang == 'en') — a linear probe of "does quality
+# signal track language" over the whole corpus.
+_FEATS = ("x0", "x1", "x2", "x3")
+
+
+def _features(docs: DataFrame) -> DataFrame:
+    q = with_quality(docs)
+    return q.select(
+        F.lit(1.0).alias("x0"),
+        F.col("n_tokens").cast("double").alias("x1"),
+        F.col("stopword_ratio").cast("double").alias("x2"),
+        F.col("len_chars").cast("double").alias("x3"),
+        (F.col("lang") == "en").cast("double").alias("y"),
+    )
+
+
+@register(
+    "ml_ridge_probe_stats",
+    oracle="""
+    WITH f AS (
+      SELECT 1.0 AS x0,
+             CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) AS x1,
+             CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                  t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE)
+               / len(string_split_regex(text, '\\s+')) AS x2,
+             CAST(length(text) AS DOUBLE) AS x3,
+             CAST(lang = 'en' AS DOUBLE) AS y
+      FROM documents
+    )
+    SELECT i, j,
+           CASE
+             WHEN j = 0 THEN sum((CASE i WHEN 0 THEN x0 WHEN 1 THEN x1
+                                         WHEN 2 THEN x2 ELSE x3 END) * y)
+             ELSE sum((CASE i WHEN 0 THEN x0 WHEN 1 THEN x1
+                              WHEN 2 THEN x2 ELSE x3 END)
+                    * (CASE j - 1 WHEN 0 THEN x0 WHEN 1 THEN x1
+                                  WHEN 2 THEN x2 ELSE x3 END))
+           END AS v
+    FROM f, (SELECT unnest(range(4)) AS i), (SELECT unnest(range(5)) AS j)
+    GROUP BY i, j
+    """,
+)
+def ml_ridge_probe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sufficient statistics for the normal equations, flattened to
+    (i, j, v) rows: j=0 carries Xᵀy[i], j=1..4 carries XᵀX[i][j-1].
+    One aggregation, map-side combined; 20 output rows at any corpus
+    size. The solve itself is (XᵀX + λI)⁻¹ Xᵀy on those 20 numbers —
+    see tests/test_invariants.py for the numpy twin."""
+    docs = table(spark, sf_dir, "documents")
+    f = _features(docs)
+    aggs = []
+    for i, xi in enumerate(_FEATS):
+        aggs.append(
+            F.sum(F.col(xi) * F.col("y")).alias(f"s_{i}_0")
+        )
+        for j, xj in enumerate(_FEATS):
+            aggs.append(
+                F.sum(F.col(xi) * F.col(xj)).alias(f"s_{i}_{j + 1}")
+            )
+    wide = f.agg(*aggs)
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("long").alias("i"),
+                F.lit(j).cast("long").alias("j"),
+                F.col(f"s_{i}_{j}").alias("v"),
+            )
+            for i in range(4)
+            for j in range(5)
+        ]
+    )
+    return wide.select(F.explode(cells).alias("c")).select(
+        "c.i", "c.j", "c.v"
+    )
+
+
+@register(
+    "text_langid_confusion",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split_regex(lower(text), '\\s+') AS t
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, lang,
+             len(list_filter(t, x -> x IN ('the', 'a', 'of', 'and'))) AS en_hits,
+             len(list_filter(t, x -> x IN ('der', 'die', 'das', 'und'))) AS de_hits,
+             len(list_filter(t, x -> x IN ('le', 'la', 'et', 'les'))) AS fr_hits,
+             len(list_filter(t, x -> x IN ('el', 'la', 'de', 'los'))) AS es_hits
+      FROM toks
+    ), pred AS (
+      SELECT lang AS labeled,
+             CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits
+                       AND en_hits >= es_hits THEN 'en'
+                  WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+                  WHEN fr_hits >= es_hits THEN 'fr'
+                  ELSE 'es' END AS predicted
+      FROM scored
+    )
+    SELECT labeled, predicted, CAST(count(*) AS BIGINT) AS n
+    FROM pred GROUP BY labeled, predicted
+    """,
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion counts of the language-ID heuristic against labels —
+    classifier evaluation as one bounded-key groupBy over the scored
+    corpus (reuses text_language_id's plan wholesale)."""
+    scored = text_language_id(spark, sf_dir)
+    return (
+        scored.groupBy(
+            F.col("labeled_lang").alias("labeled"),
+            F.col("predicted_lang").alias("predicted"),
+        )
+        .agg(F.count("*").alias("n"))
+    )

@@ -549,3 +549,63 @@ def test_bpe_encode_matches_pure_python_pipeline(spark):
         assert got.loc[row["doc_id"], "n_subwords"] == expect_sub
     for w, n in enc_cache.items():
         assert 1 <= n <= len(w)
+
+
+def test_ridge_probe_stats_solve_matches_numpy(spark):
+    """The flattened sufficient statistics reassemble into XtX / Xty
+    that match a direct numpy computation, and the ridge solve on them
+    equals numpy's lstsq-style solution."""
+    import numpy as np
+
+    pdf = registry.QUERIES["ml_ridge_probe_stats"](
+        spark, TEST_SF_DIR
+    ).toPandas()
+    assert len(pdf) == 20
+    xtx = np.zeros((4, 4))
+    xty = np.zeros(4)
+    for _, r in pdf.iterrows():
+        if r["j"] == 0:
+            xty[int(r["i"])] = r["v"]
+        else:
+            xtx[int(r["i"]), int(r["j"]) - 1] = r["v"]
+
+    docs = (
+        spark.read.parquet(f"{TEST_SF_DIR}/documents.parquet")
+        .select("text", "lang")
+        .toPandas()
+    )
+    stop = {"the", "a", "of", "and", "to", "in"}
+    X, y = [], []
+    for _, row in docs.iterrows():
+        toks = row["text"].split()
+        lt = row["text"].lower().split()
+        X.append(
+            [
+                1.0,
+                float(len(toks)),
+                sum(1 for t in lt if t in stop) / len(toks),
+                float(len(row["text"])),
+            ]
+        )
+        y.append(1.0 if row["lang"] == "en" else 0.0)
+    X = np.array(X)
+    y = np.array(y)
+    np.testing.assert_allclose(xtx, X.T @ X, rtol=1e-9)
+    np.testing.assert_allclose(xty, X.T @ y, rtol=1e-9)
+    lam = 1e-3
+    beta_spark = np.linalg.solve(xtx + lam * np.eye(4), xty)
+    beta_np = np.linalg.solve(X.T @ X + lam * np.eye(4), X.T @ y)
+    np.testing.assert_allclose(beta_spark, beta_np, rtol=1e-8)
+
+
+def test_langid_confusion_mass_and_diagonal(spark):
+    """Confusion counts total the corpus, and per-class recall is
+    derivable (diagonal / row sum in [0, 1])."""
+    pdf = registry.QUERIES["text_langid_confusion"](
+        spark, TEST_SF_DIR
+    ).toPandas()
+    n_docs = spark.read.parquet(f"{TEST_SF_DIR}/documents.parquet").count()
+    assert pdf["n"].sum() == n_docs
+    for lab, grp in pdf.groupby("labeled"):
+        diag = grp.loc[grp["predicted"] == lab, "n"].sum()
+        assert 0 <= diag <= grp["n"].sum()
