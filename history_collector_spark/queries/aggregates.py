@@ -203,3 +203,67 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(z) > 3)
         .select("event_id", "event_type", "value", z.alias("z"))
     )
+
+
+@register(
+    "table_profile",
+    oracle="""
+    SELECT 'o_orderkey' AS col,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(o_orderkey) AS BIGINT) AS n_nonnull,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(min(o_orderkey) AS DOUBLE) AS vmin,
+           CAST(max(o_orderkey) AS DOUBLE) AS vmax
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+           CAST(count(o_custkey) AS BIGINT),
+           CAST(count(DISTINCT o_custkey) AS BIGINT),
+           CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+           CAST(count(o_totalprice) AS BIGINT),
+           CAST(count(DISTINCT o_totalprice) AS BIGINT),
+           CAST(min(o_totalprice) AS DOUBLE),
+           CAST(max(o_totalprice) AS DOUBLE)
+    FROM orders
+    """,
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile (rows / non-null / distinct /
+    min / max per column) computed in ONE scan: all per-column
+    aggregates ride a single global aggregation (map-side combined,
+    one partial row per partition), then unpivot to a row per column —
+    never one scan per column. Exact distinct is the honest profiler
+    default; the sketch twin (approx_count_distinct) is what a 100 TB
+    profile would swap in, query `sketch_aggregates`."""
+    o = table(spark, sf_dir, "orders")
+    cols = ("o_orderkey", "o_custkey", "o_totalprice")
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count("*").alias(f"{c}__rows"),
+            F.count(c).alias(f"{c}__nonnull"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(c).cast("double").alias(f"{c}__min"),
+            F.max(c).cast("double").alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col"),
+                F.col(f"{c}__rows").alias("n_rows"),
+                F.col(f"{c}__nonnull").alias("n_nonnull"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                F.col(f"{c}__min").alias("vmin"),
+                F.col(f"{c}__max").alias("vmax"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.explode(per_col).alias("p")).select(
+        "p.col", "p.n_rows", "p.n_nonnull", "p.n_distinct", "p.vmin",
+        "p.vmax",
+    )
