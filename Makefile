@@ -7,7 +7,7 @@
 # Full gate: oracle correctness + everything else.
 check: tests drivers-sim
 
-# All 91 oracle-bearing queries vs DuckDB (wider than the driver's 50).
+# Every oracle-bearing query vs DuckDB (wider than the driver's 50).
 correctness:
 	python -m pytest tests/test_correctness.py -q
 
