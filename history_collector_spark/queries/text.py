@@ -508,3 +508,58 @@ def text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_novel", F.lit(0)).cast("double") / F.col("n_shingles")
         ).alias("novelty"),
     )
+
+
+@register(
+    "text_char_entropy",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+    ),
+    freq AS (
+      SELECT doc_id, c, CAST(count(*) AS DOUBLE) AS n
+      FROM chars GROUP BY doc_id, c
+    ),
+    tot AS (
+      SELECT doc_id, sum(n) AS total, count(*) AS n_distinct FROM freq
+      GROUP BY doc_id
+    )
+    SELECT f.doc_id,
+           CAST(t.total AS BIGINT) AS n_chars,
+           CAST(t.n_distinct AS INT) AS distinct_chars,
+           -sum((f.n / t.total) * log2(f.n / t.total)) AS entropy_bits
+    FROM freq f JOIN tot t USING (doc_id)
+    GROUP BY f.doc_id, t.total, t.n_distinct
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-level Shannon entropy — the classic
+    cheap quality/noise signal (gibberish and binary spill score low
+    or extreme; natural text sits in a band).
+
+    Relational form at scale: explode characters, (doc, char) counts
+    with map-side combine, then one doc-keyed reduction — all keys
+    high-cardinality and balanced, no Python. The (doc, char) explode
+    multiplies rows by text length, but both aggs combine map-side so
+    the shuffle carries (doc, char, count), bounded by alphabet x docs.
+    """
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    chars = docs.select(
+        "doc_id", F.explode(F.split("text", "")).alias("c")
+    )
+    freq = chars.groupBy("doc_id", "c").agg(
+        F.count("*").cast("double").alias("n")
+    )
+    w_tot = Window.partitionBy("doc_id")
+    scored = freq.withColumn("total", F.sum("n").over(w_tot)).withColumn(
+        "n_distinct", F.count("*").over(w_tot)
+    )
+    p = F.col("n") / F.col("total")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.first("total").cast("long").alias("n_chars"),
+            F.first("n_distinct").cast("int").alias("distinct_chars"),
+            (-F.sum(p * F.log2(p))).alias("entropy_bits"),
+        )
+    )

@@ -123,3 +123,28 @@ def test_star_schema_joins_are_all_hash_no_shuffle_of_dims(spark):
     assert plan.count("BroadcastHashJoin") >= 3, plan
     assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") == 1, plan
     assert "EqualTo(o_orderstatus,F)" in plan, "status filter not pushed"
+
+
+def test_projection_prunes_scan_columns(spark):
+    """Column pruning must reach the parquet scan: a projection query
+    reads ONLY the columns it outputs or filters on — a scan that
+    drags the whole schema pays full I/O at 100 TB for nothing. The
+    FileScan operator prints its pruned column list in brackets."""
+    import re as _re
+
+    cases = {
+        # query -> columns that must NOT be read by any scan
+        "payments_projection": ("o_orderpriority",),
+        "count_filtered": ("o_orderdate", "o_totalprice"),
+        "star_schema_revenue": ("l_quantity", "l_shipdate", "c_name"),
+        "text_token_stats": ("source", "n_chars"),
+    }
+    for name, banned in cases.items():
+        plan = _plan(spark, name)
+        scans = _re.findall(r"FileScan \w+ \[([^\]]*)\]", plan)
+        assert scans, f"{name}: no FileScan in plan"
+        read = ",".join(scans)
+        for col in banned:
+            assert col not in read, (
+                f"{name}: scan reads unused column {col!r}: {read}"
+            )
