@@ -713,6 +713,8 @@ def dedup_lsh_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the DuckDB oracle).
 # ---------------------------------------------------------------------------
 
+EDIT_MAX_CELLS = 2e11  # pairs x avg_len^2 budget (~minutes of CPU)
+
 
 @register(
     "dedup_edit_distance",
@@ -738,6 +740,29 @@ def dedup_lsh_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = candidate_pair_table(spark, sf_dir)
+    # Work-budget guard, the edit-distance analogue of the cosine
+    # build-side cap: the kernel is O(pairs x len^2), and on a corpus
+    # whose duplication is pathological (every doc in a 20-deep clone
+    # group) the COLLISION pairs — not the corpus — blow the budget.
+    # Both factors are known cheaply (cand is materialized; avg length
+    # is a 1-row agg), so refuse early and point at the linear-cost
+    # Jaccard verify instead of silently burning hours.
+    n_pairs = cand.count()
+    avg_len = (
+        table(spark, sf_dir, "documents")
+        .agg(F.avg(F.length("text")).alias("l"))
+        .collect()[0]["l"]
+        or 0.0
+    )
+    if n_pairs * avg_len * avg_len > EDIT_MAX_CELLS:
+        raise ValueError(
+            f"dedup_edit_distance: {n_pairs} candidate pairs at avg "
+            f"length {avg_len:.0f} exceeds the O(pairs*len^2) budget "
+            f"({EDIT_MAX_CELLS:.0e} cells) — this corpus's duplication "
+            "level calls for the linear-cost verify "
+            "(dedup_minhash_pairs) or shorter units (split to "
+            "segments first)."
+        )
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     cand_ids = (
         cand.selectExpr("doc_a AS doc_id")

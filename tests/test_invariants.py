@@ -609,3 +609,15 @@ def test_langid_confusion_mass_and_diagonal(spark):
     for lab, grp in pdf.groupby("labeled"):
         diag = grp.loc[grp["predicted"] == lab, "n"].sum()
         assert 0 <= diag <= grp["n"].sum()
+
+
+def test_edit_distance_refuses_pathological_duplication(spark, monkeypatch):
+    """The O(pairs x len^2) budget guard trips when the collision-pair
+    count times squared average length exceeds the budget."""
+    import pytest as _pytest
+
+    from history_collector_spark.queries import dedup as d
+
+    monkeypatch.setattr(d, "EDIT_MAX_CELLS", 1.0)
+    with _pytest.raises(ValueError, match="budget"):
+        d.dedup_edit_distance(spark, TEST_SF_DIR)
