@@ -176,3 +176,75 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(*[F.lit(p).cast("int") for p in range(RP_DIMS)]).alias("dims"),
         F.array(*[proj(p) for p in range(RP_DIMS)]).alias("proj"),
     )
+
+
+@register(
+    "cluster_topic_mix",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS c_id, embedding AS c_emb
+      FROM embeddings WHERE vec_id < {KM_K}
+    ),
+    pairs AS (
+      SELECT e.vec_id, e.label, c.c_id, {_D2_SQL} AS d2
+      FROM embeddings e, cents c
+    ),
+    assign AS (
+      SELECT vec_id, label, c_id, d2,
+             row_number() OVER (
+               PARTITION BY vec_id ORDER BY d2, c_id) AS rn
+      FROM pairs
+    )
+    SELECT c_id AS cluster_id, label,
+           CAST(count(*) AS BIGINT) AS n
+    FROM assign WHERE rn = 1 GROUP BY c_id, label
+    """,
+)
+def cluster_topic_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster composition report — per (cluster, label) member counts,
+    the diagnostic a SemDeDup/topic-balancing pass reads to decide
+    which clusters to downsample. Same map-only broadcast-centroid
+    assignment as cluster_kmeans_step, then a K x labels bounded-key
+    aggregation."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    cents = (
+        emb.filter(F.col("vec_id") < KM_K)
+        .select(
+            F.struct(
+                F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
+            ).alias("c")
+        )
+        .agg(F.array_sort(F.collect_list("c")).alias("cents"))
+    )
+
+    def d2(c_emb: F.Column) -> F.Column:
+        return F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                c_emb,
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    best = F.aggregate(
+        F.col("cents"),
+        F.struct(
+            F.lit(float("inf")).alias("best_d2"),
+            F.lit(-1).cast("long").alias("best_c"),
+        ),
+        lambda acc, c: F.when(
+            d2(c.c_emb) < acc.best_d2,
+            F.struct(d2(c.c_emb).alias("best_d2"), c.c_id.alias("best_c")),
+        ).otherwise(acc),
+    )
+    assigned = emb.crossJoin(F.broadcast(cents)).select(
+        "label", best.best_c.alias("cluster_id")
+    )
+    return assigned.groupBy("cluster_id", "label").agg(
+        F.count("*").alias("n")
+    )

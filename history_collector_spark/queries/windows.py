@@ -375,3 +375,39 @@ def trailing_hour_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("value").over(w).alias("trailing_sum"),
         F.count("*").over(w).alias("trailing_n"),
     )
+
+
+@register(
+    "event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over per-user event
+    sequences — the session-flow analysis behind funnel design and
+    next-event models. One user_id-keyed window (the only exchange
+    that moves event rows; high-cardinality, unskewed) then a
+    bounded-key (from, to) aggregation with map-side combine."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("next_type", F.lead("event_type").over(w))
+    return (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
