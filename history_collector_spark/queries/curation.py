@@ -933,3 +933,64 @@ def curation_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= F.col("k"))
         .select("doc_id", "lang")
     )
+
+
+@register(
+    "curation_filter_funnel",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             len(string_split_regex(text, '\\s+')) AS n_tokens,
+             CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                  t -> t IN ('the', 'a', 'of', 'and', 'to', 'in'))) AS DOUBLE)
+               / len(string_split_regex(text, '\\s+')) AS stop_ratio,
+             CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+               AS DOUBLE) / length(text) AS digit_ratio
+      FROM documents
+    ),
+    flags AS (
+      SELECT CASE WHEN n_tokens < 20 THEN 1 ELSE 0 END AS f_short,
+             CASE WHEN n_tokens >= 20
+                   AND stop_ratio NOT BETWEEN 0.01 AND 0.6
+                  THEN 1 ELSE 0 END AS f_stop,
+             CASE WHEN n_tokens >= 20
+                   AND stop_ratio BETWEEN 0.01 AND 0.6
+                   AND digit_ratio >= 0.2 THEN 1 ELSE 0 END AS f_digit
+      FROM m
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(f_short) AS BIGINT) AS dropped_short,
+           CAST(sum(f_stop) AS BIGINT) AS dropped_stopword,
+           CAST(sum(f_digit) AS BIGINT) AS dropped_digit,
+           CAST(count(*) - sum(f_short) - sum(f_stop) - sum(f_digit)
+             AS BIGINT) AS survivors
+    FROM flags
+    """,
+)
+def curation_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-cascade attrition report: how many documents each
+    quality rule removes when applied IN ORDER (short -> stopword-band
+    -> digit-heavy), plus survivors — the diagnostic every filtering
+    pipeline publishes so rule changes are auditable. Single scan, one
+    1-row aggregate; each doc is charged to the FIRST rule that drops
+    it, so columns sum exactly to the corpus."""
+    from history_collector_spark.queries.text import with_quality
+
+    m = with_quality(
+        table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    f_short = (F.col("n_tokens") < 20).cast("long")
+    in_band = F.col("stopword_ratio").between(0.01, 0.6)
+    f_stop = ((F.col("n_tokens") >= 20) & ~in_band).cast("long")
+    f_digit = (
+        (F.col("n_tokens") >= 20) & in_band & (F.col("digit_ratio") >= 0.2)
+    ).cast("long")
+    return m.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(f_short).alias("dropped_short"),
+        F.sum(f_stop).alias("dropped_stopword"),
+        F.sum(f_digit).alias("dropped_digit"),
+        (
+            F.count("*") - F.sum(f_short) - F.sum(f_stop) - F.sum(f_digit)
+        ).alias("survivors"),
+    )

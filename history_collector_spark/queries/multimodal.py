@@ -329,3 +329,43 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode("text", "utf-8").alias("data")
     )
     return docs.mapInPandas(_resize_batches, schema=_RESIZE_SCHEMA)
+
+
+@register(
+    "multimodal_binary_dedup",
+    oracle="""
+    WITH hashed AS (
+      -- this DuckDB build hashes VARCHAR only; the fixture blob IS the
+      -- utf-8 encoding of text, so sha256(text) hashes the same bytes
+      SELECT doc_id, sha256(text) AS h,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents
+    )
+    SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes
+    FROM hashed
+    QUALIFY row_number() OVER (PARTITION BY h ORDER BY doc_id) = 1
+    """,
+)
+def multimodal_binary_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup of MEDIA blobs by content digest — the first pass
+    any image/video corpus runs (identical bytes are rife in crawls).
+    The shuffle key is the 32-byte sha256 of the binary column, never
+    the payload: at 100 TB of media the exchange moves digests while
+    the blobs stay in place. Keeper is the lowest doc_id per digest,
+    exactly like text dedup_exact."""
+    blobs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("data")
+    )
+    hashed = blobs.select(
+        "doc_id",
+        F.sha2(F.col("data"), 256).alias("h"),
+        F.octet_length(F.col("data")).cast("long").alias("n_bytes"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("h").orderBy("doc_id")
+    return (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "n_bytes")
+    )
