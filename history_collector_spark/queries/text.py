@@ -563,3 +563,69 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             (-F.sum(p * F.log2(p))).alias("entropy_bits"),
         )
     )
+
+
+@register(
+    "text_source_drift_kl",
+    oracle="""
+    WITH toks AS (
+      SELECT source, w FROM documents,
+           UNNEST(string_split_regex(text, '\\s+')) AS u(w)
+      WHERE w != ''
+    ),
+    per_source AS (
+      SELECT source, w, CAST(count(*) AS DOUBLE) AS n
+      FROM toks GROUP BY source, w
+    ),
+    source_tot AS (
+      SELECT source, sum(n) AS tot FROM per_source GROUP BY source
+    ),
+    corpus AS (
+      SELECT w, CAST(sum(n) AS DOUBLE) AS cn FROM per_source GROUP BY w
+    ),
+    corpus_tot AS (SELECT sum(cn) AS ctot FROM corpus)
+    SELECT ps.source,
+           CAST(st.tot AS BIGINT) AS n_tokens,
+           sum((ps.n / st.tot)
+               * log2((ps.n / st.tot) / (c.cn / ct.ctot))) AS kl_bits
+    FROM per_source ps
+    JOIN source_tot st USING (source)
+    JOIN corpus c USING (w)
+    CROSS JOIN corpus_tot ct
+    GROUP BY ps.source, st.tot
+    """,
+)
+def text_source_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution drift: KL(source unigram dist || corpus
+    unigram dist) in bits — the mixture-monitoring score that flags a
+    source whose language shifted (crawl rot, spam floods) before it
+    pollutes a training mix.
+
+    Scale shape: one (source, term) aggregation (map-side combined)
+    feeds everything; the corpus marginal is a term-keyed re-reduce of
+    that aggregate (vocab-sized, co-partitioned join back on the term);
+    the corpus total is a 1-row broadcast. Every term present in a
+    source is present in the corpus, so no zero-handling is needed.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.col("text"), r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    per_source = toks.groupBy("source", "w").agg(
+        F.count("*").cast("double").alias("n")
+    )
+    w_src = Window.partitionBy("source")
+    ps = per_source.withColumn("tot", F.sum("n").over(w_src))
+    corpus = per_source.groupBy("w").agg(F.sum("n").alias("cn"))
+    ctot = corpus.agg(F.sum("cn").alias("ctot"))
+    p = F.col("n") / F.col("tot")
+    q = F.col("cn") / F.col("ctot")
+    return (
+        ps.join(corpus, "w")
+        .crossJoin(F.broadcast(ctot))
+        .groupBy("source")
+        .agg(
+            F.first("tot").cast("long").alias("n_tokens"),
+            F.sum(p * F.log2(p / q)).alias("kl_bits"),
+        )
+    )
