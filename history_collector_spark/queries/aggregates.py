@@ -267,3 +267,62 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p.col", "p.n_rows", "p.n_nonnull", "p.n_distinct", "p.vmin",
         "p.vmax",
     )
+
+
+@register(
+    "customer_rfm_segments",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS last_order,
+             count(*) AS freq,
+             sum(o_totalprice) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    anchor AS (SELECT max(o_orderdate) AS maxd FROM orders),
+    scored AS (
+      SELECT o_custkey,
+             CASE WHEN date_diff('day', last_order, a.maxd) <= 30 THEN 'R1'
+                  WHEN date_diff('day', last_order, a.maxd) <= 90 THEN 'R2'
+                  ELSE 'R3' END AS r_band,
+             CASE WHEN freq >= 20 THEN 'F1'
+                  WHEN freq >= 10 THEN 'F2' ELSE 'F3' END AS f_band,
+             CASE WHEN monetary >= 100000 THEN 'M1'
+                  WHEN monetary >= 20000 THEN 'M2' ELSE 'M3' END AS m_band
+      FROM per_cust, anchor a
+    )
+    SELECT r_band, f_band, m_band,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM scored GROUP BY r_band, f_band, m_band
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: one o_custkey aggregation produces recency /
+    frequency / monetary, the corpus max-date rides a 1-row broadcast
+    (the two-pass scalar pattern), and fixed band thresholds reduce to
+    a 27-cell segment count — the whole report is two bounded
+    aggregations over one scan."""
+    o = table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("freq"),
+        F.sum("o_totalprice").alias("monetary"),
+    )
+    anchor = o.agg(F.max("o_orderdate").alias("maxd"))
+    scored = per_cust.crossJoin(F.broadcast(anchor)).select(
+        F.when(F.datediff(F.col("maxd"), F.col("last_order")) <= 30, "R1")
+        .when(F.datediff(F.col("maxd"), F.col("last_order")) <= 90, "R2")
+        .otherwise("R3")
+        .alias("r_band"),
+        F.when(F.col("freq") >= 20, "F1")
+        .when(F.col("freq") >= 10, "F2")
+        .otherwise("F3")
+        .alias("f_band"),
+        F.when(F.col("monetary") >= 100000, "M1")
+        .when(F.col("monetary") >= 20000, "M2")
+        .otherwise("M3")
+        .alias("m_band"),
+    )
+    return scored.groupBy("r_band", "f_band", "m_band").agg(
+        F.count("*").alias("n_customers")
+    )

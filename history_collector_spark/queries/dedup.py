@@ -795,3 +795,97 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("edit_sim") >= 0.8)
     )
+
+
+# ---------------------------------------------------------------------------
+# Estimator calibration audit: the MinHash signature ESTIMATE of
+# Jaccard vs the exact value, per candidate pair. This is the
+# measurement that justifies (band, row) parameter choices — at corpus
+# scale you audit the estimator on the candidate sample, not all pairs.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_minhash_calibration",
+    oracle=f"""
+    WITH {{buckets}},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT c.doc_a, c.doc_b,
+             sum(CASE WHEN x.m = y.m THEN 1 ELSE 0 END) / {N_HASHES}.0
+               AS est_jaccard
+      FROM cand c
+      JOIN mh x ON x.doc_id = c.doc_a
+      JOIN mh y ON y.doc_id = c.doc_b AND y.seed = x.seed
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    shl AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - 1, 1)),
+               i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+      FROM toks
+    )
+    SELECT e.doc_a, e.doc_b, e.est_jaccard,
+           CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+             / len(list_distinct(list_concat(x.s, y.s))) AS jaccard,
+           abs(e.est_jaccard
+               - CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(x.s, y.s)))) AS abs_err
+    FROM est e
+    JOIN shl x ON e.doc_a = x.doc_id
+    JOIN shl y ON e.doc_b = y.doc_id
+    """.replace("{buckets}", _BUCKETS_SQL),
+)
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-estimate vs exact Jaccard on the collision sample.
+
+    The signature table is the SAME 32 affine minima the LSH index is
+    built from (one md5 per shingle, map-side-combined min aggs); the
+    estimate is a zip_with equality fraction between two broadcast-
+    joined signature arrays, the exact value comes from the shared
+    verified pair table. Work scales with candidates, never all pairs.
+    """
+    shingles = shingle_rows(
+        table(spark, sf_dir, "documents").select("doc_id", "lang", "text"),
+        distinct=False,
+    )
+    hs = shingles.select("doc_id", md5_hash32(F.col("g")).alias("h"))
+    sigs = hs.groupBy("doc_id").agg(
+        F.array(
+            *[
+                F.min(affine_hash(F.col("h"), MH_A[s], MH_B[s]))
+                for s in range(N_HASHES)
+            ]
+        ).alias("sig")
+    )
+    pairs = verified_pair_table(spark, sf_dir)  # doc_a, doc_b, jaccard
+    x = sigs.selectExpr("doc_id AS doc_a", "sig AS sig_a")
+    y = sigs.selectExpr("doc_id AS doc_b", "sig AS sig_b")
+    est = (
+        F.aggregate(
+            F.zip_with(
+                F.col("sig_a"),
+                F.col("sig_b"),
+                lambda a, b: (a == b).cast("int"),
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ).cast("double")
+        / N_HASHES
+    )
+    return (
+        pairs.join(x, "doc_a")
+        .join(y, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            est.alias("est_jaccard"),
+            "jaccard",
+            F.abs(est - F.col("jaccard")).alias("abs_err"),
+        )
+    )
