@@ -1,0 +1,231 @@
+"""Ordered event-time analytics over the events stream.
+
+The reference processes ledgers strictly in arrival order and leaves all
+time-series analysis to its Postgres consumers (sample/main.py:25); these
+queries are that consumer surface, re-expressed as distributed Spark
+plans. Every query here shuffles AT MOST ONCE, on ``user_id`` (or the
+group key) — the window/lag/lead work then happens inside each partition
+with no further exchange, which is the shape that survives 100 TB: the
+per-user event history is bounded, the user-key cardinality is huge (good
+parallelism), and nothing ever sorts globally.
+
+Tie-breaks: events can share a timestamp, so every ordered window sorts
+by (ts, event_id) — event_id is unique, making all lag/lead/first/last
+results deterministic and oracle-comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from history_collector_spark.catalog import table
+from history_collector_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: longest consecutive-day activity streak per user.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "user_active_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), isl AS (
+      SELECT user_id, d,
+             d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INTEGER) AS anchor
+      FROM days
+    ), streaks AS (
+      SELECT user_id, anchor, count(*) AS len FROM isl GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(max(len) AS BIGINT) AS longest_streak,
+           CAST(count(*) AS BIGINT) AS n_streaks,
+           CAST(sum(len) AS BIGINT) AS n_active_days
+    FROM streaks GROUP BY user_id
+    """,
+)
+def user_active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic gaps-and-islands via the date-minus-row_number anchor: days
+    in one unbroken run share (d - rank), so the island id needs no
+    iterative propagation — one user-partitioned window plus two
+    aggregations, all on the same user_id partitioning (Catalyst reuses
+    the exchange; only the distinct adds a shuffle, keyed on
+    (user_id, d) which co-partitions with user_id downstream)."""
+    ev = table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn("anchor", F.date_sub("d", F.row_number().over(w)))
+    streaks = isl.groupBy("user_id", "anchor").agg(F.count("*").alias("len"))
+    return streaks.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.count("*").alias("n_streaks"),
+        F.sum("len").alias("n_active_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Debounce dedup: drop events that repeat the same (user, type) within a
+# 5-minute refractory window of the previously KEPT occurrence's lag —
+# the streaming-dedup batch twin with a time horizon instead of a key set.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_debounce",
+    oracle="""
+    WITH x AS (
+      SELECT event_id, user_id, event_type, ts,
+             lag(ts) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    )
+    SELECT event_id, user_id, event_type, ts
+    FROM x WHERE prev_ts IS NULL OR ts - prev_ts > INTERVAL '5 minutes'
+    """,
+)
+def event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep an event only if the previous event of the same
+    (user_id, event_type) is more than 5 minutes older (or absent).
+    One (user_id, event_type) shuffle; the lag is a single pass per
+    partition. Note the rule is lag-based (vs the last KEPT row), so it
+    stays a stateless window — the stateful keep-chain variant is the
+    streaming dedup in streaming/ with applyInPandasWithState."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    prev_us = F.unix_micros(F.lag("ts").over(w))
+    return (
+        ev.withColumn("gap_us", F.unix_micros("ts") - prev_us)
+        .filter(F.col("gap_us").isNull() | (F.col("gap_us") > 300_000_000))
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average: each reading holds until the next one, so its
+# weight is the duration to the successor (last reading carries none).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "time_weighted_avg",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, value,
+             epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id))
+               - epoch_us(ts) AS dur_us
+      FROM events
+    )
+    SELECT user_id,
+           sum(value * dur_us) / sum(dur_us) AS twa_value,
+           CAST(sum(dur_us) AS BIGINT) AS span_us
+    FROM x WHERE dur_us IS NOT NULL GROUP BY user_id
+    """,
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duration-weighted mean of `value` per user (sensor/price TWA
+    semantics). The lead() and the final agg share the user_id
+    partitioning — one exchange total."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dur = F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")
+    return (
+        ev.withColumn("dur_us", dur)
+        .filter(F.col("dur_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            (F.sum(F.col("value") * F.col("dur_us")) / F.sum("dur_us")).alias(
+                "twa_value"
+            ),
+            F.sum("dur_us").alias("span_us"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# OHLC bars: per (event_type, hour) open/high/low/close in ARRIVAL order
+# (event_id), the reference's native ordering (python/main.py:79-83
+# processes ledgers strictly by sequence number).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_ohlc_bars",
+    oracle="""
+    SELECT event_type, date_trunc('hour', ts) AS bar_start,
+           arg_min(value, event_id) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           arg_max(value, event_id) AS close,
+           CAST(count(*) AS BIGINT) AS n_ticks,
+           sum(value) AS volume
+    FROM events GROUP BY 1, 2
+    """,
+)
+def event_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single groupBy — min_by/max_by make open/close plain aggregates
+    (map-side combinable) instead of a window + filter, so the shuffle
+    carries one partial row per (type, hour, input partition), not the
+    ticks. event_id (unique) is the arrival-order key, so open/close
+    are deterministic even with timestamp ties."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bar_start")
+    ).agg(
+        F.min_by("value", "event_id").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", "event_id").alias("close"),
+        F.count("*").alias("n_ticks"),
+        F.sum("value").alias("volume"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Forward-fill: sparse readings (only every 5th props.k emits one) are
+# carried forward within each user's timeline — last non-null wins.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_forward_fill",
+    oracle="""
+    WITH x AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN CAST(json_extract(props, '$.k') AS INTEGER) % 5 = 0
+                  THEN value END AS reading
+      FROM events
+    )
+    SELECT event_id, user_id, ts, reading,
+           last_value(reading IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS filled
+    FROM x
+    """,
+)
+def event_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF imputation: F.last(ignorenulls) over a running frame is a
+    single linear pass per user partition — no self-join against 'the
+    most recent non-null', which is the quadratic trap. The sparse
+    `reading` is derived (props.k % 5 == 0) so the query is
+    self-contained on the stock events table."""
+    ev = table(spark, sf_dir, "events")
+    reading = F.when(
+        F.get_json_object("props", "$.k").cast("int") % 5 == 0, F.col("value")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.withColumn("reading", reading).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "reading",
+        F.last("reading", ignorenulls=True).over(w).alias("filled"),
+    )

@@ -105,7 +105,7 @@ def _write_events(rows, tmpdir):
             "user_id": pa.array([r[2] for r in rows], pa.int64()),
             "event_type": pa.array([r[3] for r in rows], pa.string()),
             "value": pa.array([r[4] for r in rows], pa.float64()),
-            "props": pa.array(["{}" for _ in rows], pa.string()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
         }
     )
     pq.write_table(tbl, os.path.join(tmpdir, "events.parquet"))
@@ -621,3 +621,123 @@ def test_edit_distance_refuses_pathological_duplication(spark, monkeypatch):
     monkeypatch.setattr(d, "EDIT_MAX_CELLS", 1.0)
     with _pytest.raises(ValueError, match="budget"):
         d.dedup_edit_distance(spark, TEST_SF_DIR)
+
+
+# ---------------------------------------------------------------------------
+# Timeseries-family laws (queries/timeseries.py) on hand-built edges.
+# ---------------------------------------------------------------------------
+
+
+def test_debounce_threshold_is_strict_and_per_type(spark, tmp_path):
+    """A repeat at EXACTLY 5:00.000000 after its predecessor is dropped
+    (the rule is strictly greater); one microsecond later survives; and
+    events of a different type never debounce each other."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    m5 = dt.timedelta(minutes=5)
+    us = dt.timedelta(microseconds=1)
+    rows = [
+        (0, base, 1, "view", 1.0, "{}"),
+        (1, base + m5, 1, "view", 1.0, "{}"),        # exactly 5:00 -> drop
+        (2, base + 2 * m5 + us, 1, "view", 1.0, "{}"),  # 5:00.000001 after #1 -> keep
+        (3, base + us, 1, "click", 1.0, "{}"),       # other type -> keep
+    ]
+    sf = _write_events(rows, str(tmp_path))
+    kept = set(
+        registry.QUERIES["event_debounce"](spark, sf).toPandas()["event_id"]
+    )
+    assert kept == {0, 2, 3}
+
+
+def test_streaks_split_only_on_missing_days(spark, tmp_path):
+    """Days {1,2,3,5,6} -> streaks of 3 and 2; multiple events on one day
+    count once; the longest/total/segment counts all agree."""
+    import datetime as dt
+
+    d = lambda n: dt.datetime(2024, 1, n, 12, 0, 0)
+    rows = [
+        (0, d(1), 1, "view", 1.0, "{}"),
+        (1, d(1) + dt.timedelta(hours=5), 1, "click", 1.0, "{}"),  # same day
+        (2, d(2), 1, "view", 1.0, "{}"),
+        (3, d(3), 1, "view", 1.0, "{}"),
+        (4, d(5), 1, "view", 1.0, "{}"),
+        (5, d(6), 1, "view", 1.0, "{}"),
+        (6, d(10), 2, "view", 1.0, "{}"),
+    ]
+    sf = _write_events(rows, str(tmp_path))
+    pdf = (
+        registry.QUERIES["user_active_streaks"](spark, sf)
+        .toPandas()
+        .set_index("user_id")
+    )
+    assert pdf.loc[1, "longest_streak"] == 3
+    assert pdf.loc[1, "n_streaks"] == 2
+    assert pdf.loc[1, "n_active_days"] == 5
+    assert pdf.loc[2, "longest_streak"] == 1
+
+
+def test_forward_fill_carries_last_reading_and_leading_nulls_stay(spark, tmp_path):
+    """Rows before the first reading stay null; afterwards every row sees
+    the most recent reading (props.k % 5 == 0 emits one)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    s = lambda n: base + dt.timedelta(seconds=n)
+    rows = [
+        (0, s(0), 1, "view", 9.0, '{"k": 1}'),    # no reading
+        (1, s(1), 1, "view", 10.0, '{"k": 5}'),   # reading 10.0
+        (2, s(2), 1, "view", 11.0, '{"k": 2}'),   # carries 10.0
+        (3, s(3), 1, "view", 12.0, '{"k": 10}'),  # reading 12.0
+        (4, s(4), 1, "view", 13.0, '{"k": 3}'),   # carries 12.0
+    ]
+    sf = _write_events(rows, str(tmp_path))
+    pdf = (
+        registry.QUERIES["event_forward_fill"](spark, sf)
+        .toPandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    import pandas as pd
+
+    assert pd.isna(pdf.loc[0, "filled"])
+    assert list(pdf.loc[1:4, "filled"]) == [10.0, 10.0, 12.0, 12.0]
+
+
+def test_time_weighted_avg_hand_case(spark, tmp_path):
+    """value 10 held for 30s then 20 held for 10s -> TWA 12.5 over a
+    40-second span; the terminal event contributes no weight."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    s = lambda n: base + dt.timedelta(seconds=n)
+    rows = [
+        (0, s(0), 1, "view", 10.0, "{}"),
+        (1, s(30), 1, "view", 20.0, "{}"),
+        (2, s(40), 1, "view", 99.0, "{}"),  # terminal: value never weighted
+    ]
+    sf = _write_events(rows, str(tmp_path))
+    pdf = registry.QUERIES["time_weighted_avg"](spark, sf).toPandas()
+    assert len(pdf) == 1
+    assert pdf.loc[0, "twa_value"] == (10.0 * 30 + 20.0 * 10) / 40
+    assert pdf.loc[0, "span_us"] == 40_000_000
+
+
+def test_ohlc_open_close_follow_arrival_order_on_ts_ties(spark, tmp_path):
+    """Two ticks sharing one timestamp: open/close resolve by event_id
+    (arrival order), high/low by value."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 9, 30, 0)
+    rows = [
+        (10, base, 1, "trade", 5.0, "{}"),
+        (11, base, 1, "trade", 1.0, "{}"),   # same ts, later arrival
+        (12, base + dt.timedelta(minutes=1), 1, "trade", 3.0, "{}"),
+    ]
+    sf = _write_events(rows, str(tmp_path))
+    pdf = registry.QUERIES["event_ohlc_bars"](spark, sf).toPandas()
+    assert len(pdf) == 1
+    r = pdf.iloc[0]
+    assert r["open"] == 5.0 and r["close"] == 3.0
+    assert r["high"] == 5.0 and r["low"] == 1.0
+    assert r["n_ticks"] == 3
