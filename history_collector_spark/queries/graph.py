@@ -150,3 +150,64 @@ def graph_pagerank_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         deg.unpersist()
     return result
+
+
+@register(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH {_BUCKETS_SQL},
+    {_EDGES_SQL},
+    tri AS (
+      SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+      FROM dup e1
+      JOIN dup e2 ON e1.doc_b = e2.doc_a
+      JOIN dup e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    ),
+    tnodes AS (SELECT unnest([a, b, c]) AS doc_id FROM tri)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM tnodes GROUP BY doc_id
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle support in the near-dup graph — a clique-ness
+    signal that separates "hub of a star" (PageRank-high, triangle-low:
+    one template shared into many docs) from "member of a mutual clone
+    group" (triangle-high: exact-duplicate cliques). Standard two-join
+    enumeration over CANONICAL edges (doc_a < doc_b), so each triangle
+    a<b<c is generated exactly once: wedges b-joined to edge starts,
+    then closed against the edge set. Both joins key on high-cardinality
+    doc ids of the dup SUBGRAPH (edge count scales with duplication
+    mass, never corpus^2) and the shuffles are sized to it, same as the
+    CC/PageRank loops. Reads the session-materialized pair table, so no
+    LSH/verify recompute."""
+    dup = _dup_pairs(spark, sf_dir)
+    with scoped_shuffle_partitions(spark, _ITER_PARTITIONS):
+        e = dup.select("doc_a", "doc_b").persist()
+        e.count()
+        wedges = (
+            e.alias("e1")
+            .join(e.alias("e2"), F.col("e1.doc_b") == F.col("e2.doc_a"))
+            .select(
+                F.col("e1.doc_a").alias("a"),
+                F.col("e1.doc_b").alias("b"),
+                F.col("e2.doc_b").alias("c"),
+            )
+        )
+        tri = wedges.join(
+            e.alias("e3"),
+            (F.col("a") == F.col("e3.doc_a"))
+            & (F.col("c") == F.col("e3.doc_b")),
+        ).select("a", "b", "c")
+        result = (
+            tri.select(
+                F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias(
+                    "doc_id"
+                )
+            )
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_triangles"))
+        )
+        # materialize before unpersisting the edge frame it depends on
+        result = result.localCheckpoint(eager=True)
+        e.unpersist()
+    return result

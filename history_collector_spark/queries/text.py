@@ -629,3 +629,169 @@ def text_source_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(p * F.log2(p / q)).alias("kl_bits"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: tokens above a frequency share, found by the mergeable
+# Misra-Gries summary + an exact verification pass (two corpus scans,
+# bounded state everywhere in between).
+# ---------------------------------------------------------------------------
+
+# 1/_HH_SHARE_K is the frequency-share threshold; _HH_COUNTERS (> the
+# threshold's k) is the per-partition summary size. The MG guarantee:
+# any token with global count > N/k survives in at least one
+# partition's k-counter summary (pigeonhole), so the union of partition
+# candidates is a SUPERSET of the true heavy hitters and the exact pass
+# only ever narrows it.
+_HH_SHARE_K = 30
+_HH_COUNTERS = 64
+
+
+def _mg_candidates(it):
+    """Per-partition Misra-Gries over Arrow batches. Python cost per
+    batch is O(batch_vocab + counters): pandas value_counts does the
+    row-bounded work in C; the summary merge (add counts, then subtract
+    the (k+1)-st largest and drop non-positive — the mergeable-summaries
+    formulation) touches only the bounded counter dict."""
+    import pandas as pd
+
+    counters: dict[str, int] = {}
+    for pdf in it:
+        for tok, n in pdf["tok"].value_counts().items():
+            counters[tok] = counters.get(tok, 0) + int(n)
+        if len(counters) > _HH_COUNTERS:
+            cut = sorted(counters.values(), reverse=True)[_HH_COUNTERS]
+            counters = {
+                t: c - cut for t, c in counters.items() if c - cut > 0
+            }
+    yield pd.DataFrame({"tok": list(counters)})
+
+
+@register(
+    "heavy_hitter_tokens",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(list_filter(
+               string_split_regex(text, '\\s+'), x -> x != '')) AS tok
+      FROM documents
+    ), tot AS (SELECT count(*) AS n FROM toks)
+    SELECT tok, CAST(count(*) AS BIGINT) AS n_occurrences,
+           (1.0 * count(*)) / (SELECT n FROM tot) AS share
+    FROM toks GROUP BY tok
+    HAVING count(*) > (SELECT 1.0 * n FROM tot) / {_HH_SHARE_K}
+    """,
+)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens with frequency share > 1/30 of the corpus. Scan 1 feeds
+    per-partition Misra-Gries summaries (mapInPandas, bounded counters)
+    whose union is a small candidate superset; scan 2 exact-counts ONLY
+    the candidates (broadcast semi-join, map-side combine caps the
+    shuffle at counters x partitions rows) and filters by the true
+    threshold. Nothing ever group-bys the full vocabulary — the shape
+    that matters when the key space is web-scale n-grams, not a toy
+    wordlist. The total-token denominator is a map-only 1-row aggregate
+    (bounded driver scalar)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.col("text"), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    cand = toks.mapInPandas(_mg_candidates, schema="tok string").distinct()
+    total = toks.groupBy().count().collect()[0][0]  # 1-row scalar
+    return (
+        toks.join(F.broadcast(cand), "tok")
+        .groupBy("tok")
+        .agg(F.count("*").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") > F.lit(total) / _HH_SHARE_K)
+        .select(
+            "tok",
+            "n_occurrences",
+            ((F.lit(1.0) * F.col("n_occurrences")) / F.lit(total)).alias(
+                "share"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations: adjacent-bigram pointwise mutual information — the
+# classic collocation signal ("new york" vs chance co-occurrence).
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5
+
+
+@register(
+    "text_pmi_bigrams",
+    oracle=f"""
+    WITH toks AS (
+      SELECT string_split_regex(text, '\\s+') AS t FROM documents
+    ), bg AS (
+      SELECT unnest(list_transform(range(1, len(t)), i -> t[i])) AS t1,
+             unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS t2
+      FROM toks
+    ), pc AS (
+      SELECT t1, t2, count(*) AS n_pair FROM bg GROUP BY 1, 2
+    ), uc AS (
+      SELECT tok, count(*) AS n_tok FROM (
+        SELECT unnest(t) AS tok FROM toks
+      ) GROUP BY tok
+    ), nb AS (SELECT sum(n_pair) AS nb FROM pc),
+    nu AS (SELECT sum(n_tok) AS nu FROM uc)
+    SELECT p.t1, p.t2, CAST(p.n_pair AS BIGINT) AS n_pair,
+           ln((((1.0 * p.n_pair) * nu.nu) * nu.nu)
+              / (((1.0 * nb.nb) * a.n_tok) * b.n_tok)) AS pmi
+    FROM pc p
+    JOIN uc a ON p.t1 = a.tok
+    JOIN uc b ON p.t2 = b.tok
+    CROSS JOIN nb CROSS JOIN nu
+    WHERE p.n_pair >= {_PMI_MIN_COUNT}
+    """,
+)
+def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI = ln(P(ab) / (P(a)P(b))) for adjacent token bigrams with
+    count >= 5. Bigram formation is MAP-ONLY (transform over the
+    materialized token array — same no-token-shuffle discipline as
+    shingle_rows); both count tables are vocabulary-bounded map-side-
+    combined aggregates, the totals are broadcast 1-row normalizers,
+    and the unigram joins key on distinct-bigram rows (vocab^2-bounded,
+    never corpus-sized). The PMI expression is authored with identical
+    association order in both engines so the doubles agree bit-for-bit
+    (the compare's 1e-6 tolerance never has to absorb algebra)."""
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select(F.split(F.col("text"), r"\s+").alias("t"))
+    idx = F.when(
+        F.size("t") >= 2, F.sequence(F.lit(1), F.size("t") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    bg = t.select(
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at("t", i).alias("t1"),
+                    F.element_at("t", i + 1).alias("t2"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.t1", "p.t2")
+    pc = bg.groupBy("t1", "t2").agg(F.count("*").alias("n_pair"))
+    uc = (
+        t.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n_tok"))
+    )
+    nb = pc.agg(F.sum("n_pair").alias("nb"))
+    nu = uc.agg(F.sum("n_tok").alias("nu"))
+    a = uc.select(F.col("tok").alias("t1"), F.col("n_tok").alias("na"))
+    b = uc.select(F.col("tok").alias("t2"), F.col("n_tok").alias("nb_tok"))
+    pmi = F.log(
+        (F.lit(1.0) * F.col("n_pair") * F.col("nu") * F.col("nu"))
+        / (F.lit(1.0) * F.col("nb") * F.col("na") * F.col("nb_tok"))
+    )
+    return (
+        pc.filter(F.col("n_pair") >= _PMI_MIN_COUNT)
+        .join(a, "t1")
+        .join(b, "t2")
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(nu))
+        .select("t1", "t2", "n_pair", pmi.alias("pmi"))
+    )

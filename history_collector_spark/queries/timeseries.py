@@ -16,6 +16,8 @@ results deterministic and oracle-comparable.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -228,4 +230,162 @@ def event_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "reading",
         F.last("reading", ignorenulls=True).over(w).alias("filled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interval coverage: each event holds a resource for `value` seconds;
+# merge each user's overlapping holds and report the covered span.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "interval_coverage",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id, epoch_us(ts) AS s,
+             epoch_us(ts) + CAST(floor(value * 1000000) AS BIGINT) AS e
+      FROM events
+    ), m AS (
+      SELECT *, max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS pm
+      FROM iv
+    ), isl AS (
+      SELECT *, sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY s, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS island
+      FROM m
+    ), g AS (
+      SELECT user_id, island, min(s) AS s, max(e) AS e
+      FROM isl GROUP BY 1, 2
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(sum(e - s) AS BIGINT) AS covered_us,
+           CAST(max(e - s) AS BIGINT) AS longest_covered_us
+    FROM g GROUP BY user_id
+    """,
+)
+def interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of overlapping per-user intervals [ts, ts + value seconds]
+    — the gaps-and-islands shape on SPANS instead of days: a new island
+    starts exactly when an interval begins past the running max of all
+    earlier ends (touching endpoints merge). One user_id shuffle; the
+    running max, the island cumsum, and both aggregations all reuse the
+    same partitioning. The duration is floored to whole microseconds on
+    the DOUBLE input in both engines, so the island boundaries can
+    never disagree on float rounding."""
+    ev = table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("s"),
+        (
+            F.unix_micros("ts") + F.floor(F.col("value") * F.lit(1000000.0))
+        ).alias("e"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    pm = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    isl = iv.withColumn(
+        "island",
+        F.sum(
+            F.when(pm.isNull() | (F.col("s") > pm), 1).otherwise(0)
+        ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    g = isl.groupBy("user_id", "island").agg(
+        F.min("s").alias("s"), F.max("e").alias("e")
+    )
+    return g.groupBy("user_id").agg(
+        F.count("*").alias("n_intervals"),
+        F.sum(F.col("e") - F.col("s")).alias("covered_us"),
+        F.max(F.col("e") - F.col("s")).alias("longest_covered_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rate cap: keep at most the first 3 events per (user, day) — the batch
+# twin of an ingest quota / per-key sampling cap.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_rate_cap",
+    oracle="""
+    SELECT event_id, user_id, CAST(ts AS DATE) AS d,
+           CAST(row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                   ORDER BY ts, event_id) AS BIGINT) AS rn
+    FROM events
+    QUALIFY rn <= 3
+    """,
+)
+def event_rate_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-N-per-key-per-day cap (N=3). row_number over a
+    (user_id, day) partition then filter — one shuffle on the capped
+    key, and because the filter sits directly on the rank, Spark plans
+    it as a rank-limited window (each task emits at most N rows per
+    key, never buffering the full group)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "d").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("d", F.to_date("ts"))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("event_id", "user_id", "d", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing: the classic y_i = a*x_i + (1-a)*y_{i-1} recursion per
+# user, evaluated in an Arrow-batched per-group kernel.
+# ---------------------------------------------------------------------------
+
+_EWMA_ALPHA = 0.2
+
+
+@register(
+    "ewma_smoothing",
+    oracle=f"""
+    WITH x AS (
+      SELECT event_id, user_id, ts, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS k
+      FROM events
+    )
+    SELECT event_id, user_id, ts, value,
+           power({1 - _EWMA_ALPHA}, k)
+             * sum((CASE WHEN k = 1 THEN value
+                         ELSE {_EWMA_ALPHA} * value END)
+                   * power({1 - _EWMA_ALPHA}, -k))
+               OVER (PARTITION BY user_id ORDER BY k
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS ewma
+    FROM x
+    """,
+)
+def ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average (alpha=0.2,
+    y_1 = x_1). The recursion is inherently sequential per key, so it
+    runs as applyInPandas — one user_id shuffle, then a vectorized
+    pandas ewm() per group; per-user history is bounded, user
+    cardinality is huge, so the stage is embarrassingly parallel. The
+    window-function closed form y_i = (1-a)^i * sum((1-a)^-j * term_j)
+    would stay JVM-side but overflows double past ~3.5k rows per key —
+    fine for the ORACLE (test depth <= ~100, all-positive sum so no
+    cancellation), wrong as the engine path at 100 TB."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+
+    def _ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        pdf["ewma"] = (
+            pdf["value"].ewm(alpha=_EWMA_ALPHA, adjust=False).mean()
+        )
+        return pdf
+
+    return ev.groupBy("user_id").applyInPandas(
+        _ewma,
+        schema="event_id long, user_id long, ts timestamp, "
+        "value double, ewma double",
     )

@@ -741,3 +741,150 @@ def test_ohlc_open_close_follow_arrival_order_on_ts_ties(spark, tmp_path):
     assert r["open"] == 5.0 and r["close"] == 3.0
     assert r["high"] == 5.0 and r["low"] == 1.0
     assert r["n_ticks"] == 3
+
+
+# ---------------------------------------------------------------------------
+# Wave: interval coverage / rate cap / EWMA / heavy hitters / PMI /
+# triangles — hand-built edge cases.
+# ---------------------------------------------------------------------------
+
+
+def _write_docs(docs, tmpdir):
+    """Write a synthetic documents.parquet; docs = [(doc_id, text, lang,
+    source)]. Returns tmpdir as a sf_dir."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+            "text": pa.array([d[1] for d in docs], pa.string()),
+            "lang": pa.array([d[2] for d in docs], pa.string()),
+            "source": pa.array([d[3] for d in docs], pa.string()),
+            "n_chars": pa.array([len(d[1]) for d in docs], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(tmpdir, "documents.parquet"))
+    return tmpdir
+
+
+def test_interval_coverage_merges_touching_and_zero_length(spark, tmp_path):
+    """[0,10]+[5,20] overlap-merge, [20,30] TOUCHES (start == running max)
+    and merges, [31,40] starts a new island; a value=0 interval covers
+    nothing but still counts as one interval."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    s = lambda n: base + dt.timedelta(seconds=n)
+    rows = [
+        (0, s(0), 1, "view", 10.0, "{}"),
+        (1, s(5), 1, "view", 15.0, "{}"),
+        (2, s(20), 1, "view", 10.0, "{}"),
+        (3, s(31), 1, "view", 9.0, "{}"),
+        (4, s(0), 2, "view", 0.0, "{}"),
+    ]
+    sf = _write_events(rows, str(tmp_path))
+    pdf = (
+        registry.QUERIES["interval_coverage"](spark, sf)
+        .toPandas()
+        .set_index("user_id")
+    )
+    assert pdf.loc[1, "n_intervals"] == 2
+    assert pdf.loc[1, "covered_us"] == 39_000_000
+    assert pdf.loc[1, "longest_covered_us"] == 30_000_000
+    assert pdf.loc[2, "n_intervals"] == 1
+    assert pdf.loc[2, "covered_us"] == 0
+
+
+def test_rate_cap_keeps_first_three_per_day_breaking_ts_ties_by_id(
+    spark, tmp_path
+):
+    import datetime as dt
+
+    d1 = dt.datetime(2024, 1, 1, 8, 0, 0)
+    d2 = dt.datetime(2024, 1, 2, 8, 0, 0)
+    rows = [
+        (0, d1, 1, "view", 1.0, "{}"),
+        (1, d1, 1, "view", 1.0, "{}"),  # same ts: id breaks the tie
+        (2, d1 + dt.timedelta(seconds=1), 1, "view", 1.0, "{}"),
+        (3, d1 + dt.timedelta(seconds=2), 1, "view", 1.0, "{}"),  # 4th: drop
+        (4, d2, 1, "view", 1.0, "{}"),  # next day: cap resets
+    ]
+    sf = _write_events(rows, str(tmp_path))
+    pdf = registry.QUERIES["event_rate_cap"](spark, sf).toPandas()
+    assert set(pdf["event_id"]) == {0, 1, 2, 4}
+    assert pdf.set_index("event_id").loc[4, "rn"] == 1
+
+
+def test_ewma_matches_hand_recursion(spark, tmp_path):
+    """alpha=0.2, x=[10,20,30] -> y=[10, 12, 15.6]; a second user's
+    series is smoothed independently."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    s = lambda n: base + dt.timedelta(seconds=n)
+    rows = [
+        (0, s(0), 1, "view", 10.0, "{}"),
+        (1, s(1), 1, "view", 20.0, "{}"),
+        (2, s(2), 1, "view", 30.0, "{}"),
+        (3, s(0), 2, "view", 7.0, "{}"),
+    ]
+    sf = _write_events(rows, str(tmp_path))
+    pdf = (
+        registry.QUERIES["ewma_smoothing"](spark, sf)
+        .toPandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    assert list(pdf.loc[[0, 1, 2], "ewma"].round(10)) == [10.0, 12.0, 15.6]
+    assert pdf.loc[3, "ewma"] == 7.0
+
+
+def test_heavy_hitters_survive_misra_gries_compression(spark, tmp_path):
+    """Vocabulary (101 tokens) far exceeds the 64-counter summary, so
+    decrements DO fire — the true heavy hitter must still come through
+    (the MG superset guarantee), and nothing below threshold may."""
+    filler = " ".join(f"w{i}" for i in range(100))  # 100 singletons
+    docs = [
+        (0, "hot " * 50, "en", "s1"),
+        (1, filler, "en", "s2"),
+    ]
+    sf = _write_docs(docs, str(tmp_path))
+    pdf = registry.QUERIES["heavy_hitter_tokens"](spark, sf).toPandas()
+    # total 150 tokens, threshold 150/30 = 5: only 'hot' (50) qualifies
+    assert list(pdf["tok"]) == ["hot"]
+    assert pdf.loc[0, "n_occurrences"] == 50
+    assert abs(pdf.loc[0, "share"] - 50 / 150) < 1e-12
+
+
+def test_pmi_positive_for_perfect_collocation(spark, tmp_path):
+    """'p q' always adjacent, p/q appearing nowhere else -> PMI ln(16)
+    with nb=5, nu=20; sub-threshold pairs are excluded."""
+    import math
+
+    docs = [(i, "p q", "en", "s") for i in range(5)] + [
+        (10 + i, "r", "en", "s") for i in range(10)
+    ]
+    sf = _write_docs(docs, str(tmp_path))
+    pdf = registry.QUERIES["text_pmi_bigrams"](spark, sf).toPandas()
+    assert len(pdf) == 1
+    r = pdf.iloc[0]
+    assert (r["t1"], r["t2"], r["n_pair"]) == ("p", "q", 5)
+    assert abs(r["pmi"] - math.log(16)) < 1e-12
+
+
+def test_triangle_count_finds_clone_clique_once(spark, tmp_path):
+    """Three identical docs form one triangle (each node support 1);
+    the unrelated doc contributes nothing. Canonical a<b<c enumeration
+    must not double-count."""
+    clone = "alpha beta gamma delta epsilon zeta"
+    docs = [
+        (1, clone, "en", "s"),
+        (2, clone, "en", "s"),
+        (3, clone, "en", "s"),
+        (9, "one two three four five six seven", "en", "s"),
+    ]
+    sf = _write_docs(docs, str(tmp_path))
+    pdf = registry.QUERIES["graph_triangle_count"](spark, sf).toPandas()
+    assert sorted(pdf["doc_id"]) == [1, 2, 3]
+    assert set(pdf["n_triangles"]) == {1}
