@@ -326,3 +326,49 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("r_band", "f_band", "m_band").agg(
         F.count("*").alias("n_customers")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13 shape: distribution of per-customer order counts, with the
+# defining twist that the predicate lives in the OUTER join's ON clause
+# (customers whose only orders are urgent must still appear with 0).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_order_distribution",
+    oracle="""
+    WITH c AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey
+       AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(count(*) AS BIGINT) AS custdist
+    FROM c GROUP BY c_count
+    """,
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two cascading aggregations: per-customer order count (custkey
+    shuffle — at scale the orders side pre-aggregates map-side before
+    the join key exchange), then the tiny count-of-counts. The priority
+    filter is part of the LEFT JOIN condition, not a WHERE — pushing it
+    to WHERE would silently drop zero-order customers, the classic Q13
+    trap; Catalyst still pushes it down to the orders SCAN because it
+    only references the preserved-null side's input."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))

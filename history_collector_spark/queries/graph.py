@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from history_collector_spark.catalog import table
 from history_collector_spark.functions.scope import scoped_shuffle_partitions
 from history_collector_spark.queries.clusters import (
     _DUP_THRESHOLD,
@@ -211,3 +212,70 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         result = result.localCheckpoint(eager=True)
         e.unpersist()
     return result
+
+
+@register(
+    "item_cooccurrence",
+    oracle="""
+    WITH ut AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ), pairs AS (
+      SELECT a.event_type AS t1, b.event_type AS t2, count(*) AS n_users
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    ), deg AS (
+      SELECT event_type, count(*) AS n FROM ut GROUP BY 1
+    )
+    SELECT p.t1, p.t2, CAST(p.n_users AS BIGINT) AS n_users,
+           p.n_users / sqrt((1.0 * a.n) * b.n) AS cosine
+    FROM pairs p
+    JOIN deg a ON p.t1 = a.event_type
+    JOIN deg b ON p.t2 = b.event_type
+    """,
+)
+def item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite projection of the user->event_type graph: for each
+    item pair, how many users touched both, normalized to cosine
+    (co-count / sqrt(deg_a * deg_b)) — the classic item-item
+    collaborative-filtering similarity. One (user, item) distinct
+    shuffle, then each user's bounded item set expands to its pair
+    combinations ROW-LOCALLY (collect_set + transform over index
+    pairs, no self-join of the corpus-sized table), and the pair/degree
+    aggregates are item^2- and item-bounded with map-side combine. At
+    web scale the guard is the per-user fanout: a user with a huge
+    item set explodes quadratically, so real deployments cap it —
+    here the item vocabulary itself is the (tiny) bound."""
+    ev = table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    per_user = ut.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("items")
+    )
+    idx = F.sequence(F.lit(1), F.size("items"))
+    pair_structs = F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.transform(
+                F.slice(F.col("items"), i + 1, F.size("items")),
+                lambda y: F.struct(
+                    F.element_at("items", i).alias("t1"), y.alias("t2")
+                ),
+            ),
+        )
+    )
+    pairs = (
+        per_user.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2"))
+        .agg(F.count("*").alias("n_users"))
+    )
+    deg = ut.groupBy("event_type").agg(F.count("*").alias("n"))
+    a = deg.select(F.col("event_type").alias("t1"), F.col("n").alias("na"))
+    b = deg.select(F.col("event_type").alias("t2"), F.col("n").alias("nb"))
+    cosine = F.col("n_users") / F.sqrt(
+        (F.lit(1.0) * F.col("na")) * F.col("nb")
+    )
+    return (
+        pairs.join(F.broadcast(a), "t1")
+        .join(F.broadcast(b), "t2")
+        .select("t1", "t2", "n_users", cosine.alias("cosine"))
+    )

@@ -179,3 +179,54 @@ def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(orphans(orders, "o_custkey", cust, "c_custkey", "orders->customer"))
         .unionAll(orphans(emb, "vec_id", docs, "doc_id", "embeddings->documents"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Order-independent table digest: one row that changes iff any row's
+# audited columns change — replica/migration equality checks at scale.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "table_content_digest",
+    oracle="""
+    WITH h AS (
+      SELECT CAST(concat('0x', substr(md5(concat_ws('|',
+               l_orderkey, l_partkey, l_suppkey, l_linenumber,
+               l_returnflag, l_linestatus,
+               strftime(l_shipdate, '%Y-%m-%d'))), 1, 8)) AS BIGINT) AS rh
+      FROM lineitem
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(rh) AS BIGINT) AS digest_sum,
+           CAST(bit_xor(rh) AS BIGINT) AS digest_xor
+    FROM h
+    """,
+)
+def table_content_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commutative content checksum of lineitem's stable columns (keys,
+    flags, ship date — floats excluded so the digest never depends on
+    formatting). Row hash is the md5-derived 32-bit value used across
+    the repo; sum and xor are both order-independent, so two copies of
+    the table compare equal regardless of partitioning or row order,
+    and the whole check is a map-side-combined 1-row aggregate — the
+    cheapest possible full-table scan. The sum stays under 2^52 even
+    at trillions of rows (32-bit terms), far from BIGINT overflow."""
+    li = table(spark, sf_dir, "lineitem")
+    rh = md5_hash32(
+        F.concat_ws(
+            "|",
+            F.col("l_orderkey"),
+            F.col("l_partkey"),
+            F.col("l_suppkey"),
+            F.col("l_linenumber"),
+            F.col("l_returnflag"),
+            F.col("l_linestatus"),
+            F.date_format("l_shipdate", "yyyy-MM-dd"),
+        )
+    )
+    return li.select(rh.alias("rh")).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("rh").alias("digest_sum"),
+        F.expr("bit_xor(rh)").alias("digest_xor"),
+    )

@@ -411,3 +411,59 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling bands: trailing-10-row mean/stddev per user; flag readings
+# breaching the 2-sigma envelope (Bollinger-band anomaly shape).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rolling_bands",
+    oracle="""
+    WITH x AS (
+      SELECT event_id, user_id, ts, value,
+             avg(value) OVER w AS roll_mean,
+             stddev_samp(value) OVER w AS roll_std,
+             count(*) OVER w AS n_window
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, ts, value, roll_mean, roll_std
+    FROM x
+    WHERE n_window >= 2 AND abs(value - roll_mean) > 2 * roll_std
+    """,
+)
+def rolling_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events whose value leaves the 2-sigma band of their own trailing
+    10 readings. The frame excludes the current row (a point can't
+    vouch for itself) and needs >= 2 predecessors for a defined sample
+    stddev. One user_id shuffle; the sliding frame is a linear pass —
+    never a self-join against 'the previous k rows'."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-10, -1)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "ts",
+            "value",
+            F.avg("value").over(w).alias("roll_mean"),
+            F.stddev_samp("value").over(w).alias("roll_std"),
+            F.count("*").over(w).alias("n_window"),
+        )
+        .filter(
+            (F.col("n_window") >= 2)
+            & (
+                F.abs(F.col("value") - F.col("roll_mean"))
+                > 2 * F.col("roll_std")
+            )
+        )
+        .drop("n_window")
+    )

@@ -888,3 +888,180 @@ def test_triangle_count_finds_clone_clique_once(spark, tmp_path):
     pdf = registry.QUERIES["graph_triangle_count"](spark, sf).toPandas()
     assert sorted(pdf["doc_id"]) == [1, 2, 3]
     assert set(pdf["n_triangles"]) == {1}
+
+
+# ---------------------------------------------------------------------------
+# Wave: prefix-filter join / Q13 / rolling bands / digest / co-occurrence.
+# ---------------------------------------------------------------------------
+
+
+def test_prefix_filter_finds_boundary_pair_exactly(spark, tmp_path):
+    """A pair at EXACTLY tau (trigram jaccard 3/5 = 0.6) must be found
+    (inclusive threshold, no LSH luck involved); the unrelated doc
+    appears in no pair."""
+    docs = [
+        (1, "a b c d e f", "en", "s"),
+        (2, "a b c d e g", "en", "s"),
+        (3, "x y z w", "en", "s"),
+    ]
+    sf = _write_docs(docs, str(tmp_path))
+    pdf = registry.QUERIES["dedup_prefix_filter"](spark, sf).toPandas()
+    assert len(pdf) == 1
+    r = pdf.iloc[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert abs(r["jaccard"] - 0.6) < 1e-12
+
+
+def _write_customer_orders(customers, orders, tmpdir):
+    """customers = [(custkey, name, nationkey, acctbal, seg)];
+    orders = [(okey, custkey, status, total, odate, priority)]."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ct = pa.table(
+        {
+            "c_custkey": pa.array([c[0] for c in customers], pa.int64()),
+            "c_name": pa.array([c[1] for c in customers], pa.string()),
+            "c_nationkey": pa.array([c[2] for c in customers], pa.int32()),
+            "c_acctbal": pa.array([c[3] for c in customers], pa.float64()),
+            "c_mktsegment": pa.array([c[4] for c in customers], pa.string()),
+        }
+    )
+    ot = pa.table(
+        {
+            "o_orderkey": pa.array([o[0] for o in orders], pa.int64()),
+            "o_custkey": pa.array([o[1] for o in orders], pa.int64()),
+            "o_orderstatus": pa.array([o[2] for o in orders], pa.string()),
+            "o_totalprice": pa.array([o[3] for o in orders], pa.float64()),
+            "o_orderdate": pa.array([o[4] for o in orders], pa.timestamp("us")),
+            "o_orderpriority": pa.array([o[5] for o in orders], pa.string()),
+        }
+    )
+    pq.write_table(ct, os.path.join(tmpdir, "customer.parquet"))
+    pq.write_table(ot, os.path.join(tmpdir, "orders.parquet"))
+    return tmpdir
+
+
+def test_q13_keeps_customers_whose_only_orders_are_filtered(spark, tmp_path):
+    """The priority predicate lives in the OUTER join's ON clause: a
+    customer with only urgent orders must appear at c_count=0, not
+    vanish (the WHERE-clause trap)."""
+    import datetime as dt
+
+    d = dt.datetime(2024, 1, 1)
+    sf = _write_customer_orders(
+        [(1, "a", 0, 0.0, "m"), (2, "b", 0, 0.0, "m")],
+        [
+            (10, 1, "O", 1.0, d, "3-MEDIUM"),
+            (11, 1, "O", 1.0, d, "3-MEDIUM"),
+            (12, 1, "O", 1.0, d, "1-URGENT"),
+            (13, 2, "O", 1.0, d, "1-URGENT"),
+        ],
+        str(tmp_path),
+    )
+    pdf = (
+        registry.QUERIES["customer_order_distribution"](spark, sf)
+        .toPandas()
+        .set_index("c_count")
+    )
+    assert pdf.loc[2, "custdist"] == 1
+    assert pdf.loc[0, "custdist"] == 1
+
+
+def test_rolling_bands_flags_spike_after_constant_run(spark, tmp_path):
+    """11 constant readings then a spike: the spike breaches (std=0,
+    any deviation exceeds the band); the constants never do; the first
+    two rows are unjudgeable (n_window < 2)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(seconds=i), 1, "view", 5.0, "{}")
+        for i in range(11)
+    ] + [(11, base + dt.timedelta(seconds=11), 1, "view", 50.0, "{}")]
+    sf = _write_events(rows, str(tmp_path))
+    pdf = registry.QUERIES["rolling_bands"](spark, sf).toPandas()
+    assert list(pdf["event_id"]) == [11]
+    assert pdf.iloc[0]["roll_mean"] == 5.0 and pdf.iloc[0]["roll_std"] == 0.0
+
+
+def test_content_digest_is_order_independent_and_change_sensitive(
+    spark, tmp_path
+):
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def write_li(rows, d):
+        os.makedirs(d, exist_ok=True)
+        tbl = pa.table(
+            {
+                "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+                "l_suppkey": pa.array([r[2] for r in rows], pa.int64()),
+                "l_linenumber": pa.array([r[3] for r in rows], pa.int32()),
+                "l_quantity": pa.array([1.0] * len(rows), pa.float64()),
+                "l_extendedprice": pa.array([1.0] * len(rows), pa.float64()),
+                "l_discount": pa.array([0.0] * len(rows), pa.float64()),
+                "l_tax": pa.array([0.0] * len(rows), pa.float64()),
+                "l_returnflag": pa.array([r[4] for r in rows], pa.string()),
+                "l_linestatus": pa.array([r[5] for r in rows], pa.string()),
+                "l_shipdate": pa.array([r[6] for r in rows], pa.timestamp("us")),
+            }
+        )
+        pq.write_table(tbl, os.path.join(d, "lineitem.parquet"))
+        return d
+
+    d = dt.datetime(2024, 3, 1)
+    rows = [
+        (1, 10, 100, 1, "N", "O", d),
+        (2, 20, 200, 1, "R", "F", d),
+        (3, 30, 300, 2, "A", "F", d),
+    ]
+    q = registry.QUERIES["table_content_digest"]
+    a = q(spark, write_li(rows, str(tmp_path / "a"))).toPandas().iloc[0]
+    b = (
+        q(spark, write_li(rows[::-1], str(tmp_path / "b")))
+        .toPandas()
+        .iloc[0]
+    )
+    assert (a["digest_sum"], a["digest_xor"]) == (
+        b["digest_sum"],
+        b["digest_xor"],
+    )
+    mutated = [rows[0], (2, 20, 200, 1, "N", "F", d), rows[2]]
+    c = q(spark, write_li(mutated, str(tmp_path / "c"))).toPandas().iloc[0]
+    assert (a["digest_sum"], a["digest_xor"]) != (
+        c["digest_sum"],
+        c["digest_xor"],
+    )
+
+
+def test_cooccurrence_counts_and_cosine_hand_case(spark, tmp_path):
+    """users: 1->{a,b,c}, 2->{a,b}, 3->{a} (with a repeat that must not
+    double-count) -> (a,b)=2 users, cosine 2/sqrt(6)."""
+    import datetime as dt
+    import math
+
+    base = dt.datetime(2024, 1, 1)
+    s = lambda n: base + dt.timedelta(seconds=n)
+    rows = [
+        (0, s(0), 1, "a", 1.0, "{}"),
+        (1, s(1), 1, "b", 1.0, "{}"),
+        (2, s(2), 1, "c", 1.0, "{}"),
+        (3, s(3), 2, "a", 1.0, "{}"),
+        (4, s(4), 2, "b", 1.0, "{}"),
+        (5, s(5), 2, "a", 1.0, "{}"),  # repeat: distinct-projected away
+        (6, s(6), 3, "a", 1.0, "{}"),
+    ]
+    sf = _write_events(rows, str(tmp_path))
+    pdf = (
+        registry.QUERIES["item_cooccurrence"](spark, sf)
+        .toPandas()
+        .set_index(["t1", "t2"])
+    )
+    assert pdf.loc[("a", "b"), "n_users"] == 2
+    assert abs(pdf.loc[("a", "b"), "cosine"] - 2 / math.sqrt(6)) < 1e-12
+    assert pdf.loc[("a", "c"), "n_users"] == 1
+    assert pdf.loc[("b", "c"), "n_users"] == 1
