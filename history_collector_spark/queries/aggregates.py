@@ -372,3 +372,67 @@ def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("o_orderkey").alias("c_count"))
     )
     return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# Contribution analysis: each nation's revenue as a share of its region
+# and of the world — percent-of-total over the dimensional rollup.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "revenue_contribution",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_name, r.r_name, sum(o.o_totalprice) AS revenue
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2
+    )
+    SELECT n_name, r_name, revenue,
+           revenue / sum(revenue) OVER (PARTITION BY r_name)
+             AS share_of_region,
+           revenue / sum(revenue) OVER () AS share_of_total
+    FROM rev
+    """,
+)
+def revenue_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per nation with region and global shares. The fact-side
+    join keys on custkey (orders pre-aggregation would need the
+    nation, so the join comes first; customer/nation/region broadcast
+    — dims always fit); after the nation-bounded aggregate, BOTH
+    window sums run over a ~25-row frame, so the single-partition
+    exchange the global share needs moves partial-aggregated rows,
+    never data."""
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    rev = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == nation.n_nationkey,
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(F.sum("o_totalprice").alias("revenue"))
+    )
+    w_region = Window.partitionBy("r_name")
+    w_all = Window.partitionBy()
+    return rev.select(
+        "n_name",
+        "r_name",
+        "revenue",
+        (F.col("revenue") / F.sum("revenue").over(w_region)).alias(
+            "share_of_region"
+        ),
+        (F.col("revenue") / F.sum("revenue").over(w_all)).alias(
+            "share_of_total"
+        ),
+    )

@@ -248,3 +248,99 @@ def cluster_topic_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.groupBy("cluster_id", "label").agg(
         F.count("*").alias("n")
     )
+
+
+# ---------------------------------------------------------------------------
+# Simplified (centroid-based) silhouette: cluster-quality score per
+# label, the standard audit after any clustering/balancing pass.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cluster_silhouette",
+    oracle=f"""
+    WITH dims AS (
+      SELECT label AS l, i, avg(CAST(embedding[i] AS DOUBLE)) AS m
+      FROM embeddings, (SELECT unnest(range(1, {EMB_DIM + 1})) AS i)
+      GROUP BY 1, 2
+    ), cents AS (
+      SELECT l, list(m ORDER BY i) AS c FROM dims GROUP BY l
+    ), d AS (
+      SELECT e.vec_id, e.label, c.l,
+             list_sum(list_transform(range(1, {EMB_DIM + 1}),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - c.c[i])
+                  * (CAST(e.embedding[i] AS DOUBLE) - c.c[i]))) AS d2
+      FROM embeddings e, cents c
+    ), ab AS (
+      SELECT vec_id, label,
+             sqrt(min(CASE WHEN l = label THEN d2 END)) AS a,
+             sqrt(min(CASE WHEN l <> label THEN d2 END)) AS b
+      FROM d GROUP BY 1, 2
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n_members,
+           avg((b - a) / greatest(a, b)) AS mean_silhouette
+    FROM ab GROUP BY label
+    """,
+)
+def cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster mean of the centroid-based silhouette
+    s = (b - a) / max(a, b), a = distance to own centroid, b = distance
+    to the nearest OTHER centroid — the O(n*k) simplification of the
+    O(n^2) exact silhouette, the only form that survives corpus scale.
+
+    Plan: per-(label, dim) means are a k*64-bounded map-side-combined
+    aggregate; the k centroid arrays ride ONE broadcast row (same
+    shape as cluster_kmeans_step); scoring is map-only against that
+    row; the finale is a k-group aggregate. No stage is ever
+    all-pairs, and only centroid-sized data ever moves."""
+    emb = table(spark, sf_dir, "embeddings")
+    dims = (
+        emb.select("label", F.posexplode("embedding").alias("i", "v"))
+        .groupBy("label", "i")
+        .agg(F.avg(F.col("v").cast("double")).alias("m"))
+    )
+    per_label = dims.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("i"), F.col("m")))),
+            lambda x: x["m"],
+        ).alias("c")
+    )
+    cents = per_label.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("label").alias("l"), F.col("c")))
+        ).alias("cents")
+    )
+
+    def d2(c_emb):
+        return F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                c_emb,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    own = F.element_at(
+        F.filter(F.col("cents"), lambda c: c["l"] == F.col("label")), 1
+    )
+    a = F.sqrt(d2(own["c"]))
+    b = F.sqrt(
+        F.array_min(
+            F.transform(
+                F.filter(F.col("cents"), lambda c: c["l"] != F.col("label")),
+                lambda c: d2(c["c"]),
+            )
+        )
+    )
+    s = (b - a) / F.greatest(a, b)
+    return (
+        emb.crossJoin(F.broadcast(cents))
+        .select("label", s.alias("s"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.avg("s").alias("mean_silhouette"),
+        )
+    )

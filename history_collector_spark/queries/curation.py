@@ -994,3 +994,76 @@ def curation_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*") - F.sum(f_short) - F.sum(f_stop) - F.sum(f_digit)
         ).alias("survivors"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temporal train/test split + leakage audit: cut at the 80% point of
+# the observed time range, then count users straddling the cut — the
+# check that catches user-level leakage in a time-split evaluation.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "temporal_split_leakage",
+    oracle="""
+    WITH b AS (
+      SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx FROM events
+    ), f AS (
+      SELECT user_id, event_type,
+             CASE WHEN epoch_us(ts) < mn + CAST(floor(0.8 * (mx - mn))
+                                                AS BIGINT)
+                  THEN 1 ELSE 0 END AS is_train
+      FROM events, b
+    ), per_type AS (
+      SELECT event_type, CAST(sum(is_train) AS BIGINT) AS n_train,
+             CAST(sum(1 - is_train) AS BIGINT) AS n_test
+      FROM f GROUP BY 1
+    ), u AS (
+      SELECT event_type, user_id,
+             max(is_train) AS ht, max(1 - is_train) AS hs
+      FROM f GROUP BY 1, 2
+    ), leak AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(ht * hs) AS BIGINT) AS n_leaky_users
+      FROM u GROUP BY 1
+    )
+    SELECT p.event_type, p.n_train, p.n_test, l.n_users, l.n_leaky_users
+    FROM per_type p JOIN leak l ON p.event_type = l.event_type
+    """,
+)
+def temporal_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events before min + 0.8*(max-min) micros are train, the rest
+    test; a user is LEAKY for a type if they appear on both sides. The
+    range bounds are a map-only 1-row aggregate broadcast back onto
+    the scan; the leak check is one (event_type, user_id) shuffle with
+    max() flags (never a distinct-pair join); both finales are
+    type-bounded. The cutoff arithmetic (double multiply, floor, add)
+    is authored identically in both engines."""
+    ev = table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    bounds = ev.agg(
+        F.min(us).alias("mn"), F.max(us).alias("mx")
+    )
+    cutoff = F.col("mn") + F.floor(
+        F.lit(0.8) * (F.col("mx") - F.col("mn"))
+    ).cast("long")
+    f = ev.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        "event_type",
+        F.when(us < cutoff, 1).otherwise(0).alias("is_train"),
+    )
+    per_type = f.groupBy("event_type").agg(
+        F.sum("is_train").alias("n_train"),
+        F.sum(1 - F.col("is_train")).alias("n_test"),
+    )
+    u = f.groupBy("event_type", "user_id").agg(
+        F.max("is_train").alias("ht"),
+        F.max(1 - F.col("is_train")).alias("hs"),
+    )
+    leak = u.groupBy("event_type").agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.col("ht") * F.col("hs")).alias("n_leaky_users"),
+    )
+    return per_type.join(leak, "event_type").select(
+        "event_type", "n_train", "n_test", "n_users", "n_leaky_users"
+    )

@@ -1065,3 +1065,104 @@ def test_cooccurrence_counts_and_cosine_hand_case(spark, tmp_path):
     assert abs(pdf.loc[("a", "b"), "cosine"] - 2 / math.sqrt(6)) < 1e-12
     assert pdf.loc[("a", "c"), "n_users"] == 1
     assert pdf.loc[("b", "c"), "n_users"] == 1
+
+
+# ---------------------------------------------------------------------------
+# Wave: silhouette / temporal leakage / contribution shares.
+# ---------------------------------------------------------------------------
+
+
+def test_silhouette_hand_geometry(spark, tmp_path):
+    """Two well-separated 1-D clusters embedded in 64-dim: silhouettes
+    follow (b-a)/max(a,b) exactly against hand centroids."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def vec(x):
+        return [float(x)] + [0.0] * 63
+
+    rows = [(0, vec(0), 0), (1, vec(2), 0), (2, vec(10), 1), (3, vec(12), 1)]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array(
+                [r[1] for r in rows], pa.list_(pa.float32())
+            ),
+            "label": pa.array([r[2] for r in rows], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(str(tmp_path), "embeddings.parquet"))
+    pdf = (
+        registry.QUERIES["cluster_silhouette"](spark, str(tmp_path))
+        .toPandas()
+        .set_index("label")
+    )
+    # centroids at 1 and 11: s(x=0) = (11-1)/11, s(x=2) = (9-1)/9
+    exp0 = (10 / 11 + 8 / 9) / 2
+    assert abs(pdf.loc[0, "mean_silhouette"] - exp0) < 1e-12
+    assert pdf.loc[0, "n_members"] == 2
+    assert abs(pdf.loc[1, "mean_silhouette"] - exp0) < 1e-12  # symmetric
+
+
+def test_temporal_leakage_counts_straddlers_only(spark, tmp_path):
+    """Range 0..100 s -> cutoff at 80 s. user 1 straddles (leaky),
+    users 2 and 3 sit on one side each."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    s = lambda n: base + dt.timedelta(seconds=n)
+    rows = [
+        (0, s(0), 1, "view", 1.0, "{}"),     # train (defines min)
+        (1, s(90), 1, "view", 1.0, "{}"),    # test -> user 1 leaky
+        (2, s(20), 2, "view", 1.0, "{}"),    # train only
+        (3, s(95), 3, "view", 1.0, "{}"),    # test only
+        (4, s(100), 4, "view", 1.0, "{}"),   # test (defines max)
+    ]
+    sf = _write_events(rows, str(tmp_path))
+    pdf = registry.QUERIES["temporal_split_leakage"](spark, sf).toPandas()
+    r = pdf.set_index("event_type").loc["view"]
+    assert (r["n_train"], r["n_test"]) == (2, 3)
+    assert (r["n_users"], r["n_leaky_users"]) == (4, 1)
+
+
+def test_revenue_shares_sum_to_one_and_match_hand_case(spark, tmp_path):
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = dt.datetime(2024, 1, 1)
+    _write_customer_orders(
+        [(1, "a", 0, 0.0, "m"), (2, "b", 1, 0.0, "m"), (3, "c", 2, 0.0, "m")],
+        [
+            (10, 1, "O", 30.0, d, "3-MEDIUM"),
+            (11, 2, "O", 70.0, d, "3-MEDIUM"),
+            (12, 3, "O", 100.0, d, "3-MEDIUM"),
+        ],
+        str(tmp_path),
+    )
+    nt = pa.table(
+        {
+            "n_nationkey": pa.array([0, 1, 2], pa.int32()),
+            "n_name": pa.array(["N0", "N1", "N2"], pa.string()),
+            "n_regionkey": pa.array([0, 0, 1], pa.int32()),
+        }
+    )
+    rt = pa.table(
+        {
+            "r_regionkey": pa.array([0, 1], pa.int32()),
+            "r_name": pa.array(["RA", "RB"], pa.string()),
+        }
+    )
+    pq.write_table(nt, os.path.join(str(tmp_path), "nation.parquet"))
+    pq.write_table(rt, os.path.join(str(tmp_path), "region.parquet"))
+    pdf = (
+        registry.QUERIES["revenue_contribution"](spark, str(tmp_path))
+        .toPandas()
+        .set_index("n_name")
+    )
+    assert abs(pdf.loc["N0", "share_of_region"] - 0.3) < 1e-12
+    assert abs(pdf.loc["N1", "share_of_region"] - 0.7) < 1e-12
+    assert abs(pdf.loc["N2", "share_of_region"] - 1.0) < 1e-12
+    assert abs(pdf["share_of_total"].sum() - 1.0) < 1e-12
+    assert abs(pdf.loc["N2", "share_of_total"] - 0.5) < 1e-12
