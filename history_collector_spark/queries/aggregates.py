@@ -436,3 +436,46 @@ def revenue_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_of_total"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Key-skew report: the distribution of per-key row counts on the
+# events.user_id shuffle key — the number every partitioning decision
+# (salting, AQE skew thresholds, bucket counts) is made from.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "key_skew_report",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(max(cnt) AS BIGINT) AS max_count,
+           avg(1.0 * cnt) AS avg_count,
+           max(cnt) / avg(1.0 * cnt) AS skew_ratio,
+           quantile_cont(cnt, 0.5) AS p50_count,
+           quantile_cont(cnt, 0.99) AS p99_count
+    FROM c
+    """,
+)
+def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row skew profile of the user_id key: key cardinality,
+    max/avg ratio (the salting trigger), and exact p50/p99 of per-key
+    counts (linear interpolation — quantile_cont semantics, matching
+    percentile()). The per-key count is a map-side-combined aggregate;
+    the summary is a 1-row reduce over the KEYS-sized table, which is
+    orders of magnitude smaller than the data. percentile() buffers
+    the key-count column per group — fine while keys fit an executor;
+    at billions of keys swap in approx_percentile, same plan shape."""
+    ev = table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    return c.agg(
+        F.count("*").alias("n_keys"),
+        F.max("cnt").alias("max_count"),
+        F.avg(F.lit(1.0) * F.col("cnt")).alias("avg_count"),
+        (F.max("cnt") / F.avg(F.lit(1.0) * F.col("cnt"))).alias("skew_ratio"),
+        F.percentile(F.col("cnt"), F.lit(0.5)).alias("p50_count"),
+        F.percentile(F.col("cnt"), F.lit(0.99)).alias("p99_count"),
+    )

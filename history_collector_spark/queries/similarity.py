@@ -283,3 +283,87 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_scale.select(
         "vec_id", "scale", q.alias("q"), err.alias("max_err")
     )
+
+
+# ---------------------------------------------------------------------------
+# Recall audit: how much of the EXACT top-5 the IVF index returns for
+# the same query set — the accuracy/cost dial every ANN deployment
+# monitors (recall drops when cluster boundaries cut true neighbors).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_recall_audit",
+    oracle=f"""
+    WITH {_EMB_NORM_SQL},
+    ex AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_COS_SQL} DESC, c.vec_id) AS INT) AS rank
+        FROM emb q JOIN emb c ON q.vec_id != c.vec_id
+        WHERE q.vec_id % 100 = 0
+      ) WHERE rank <= 5
+    ),
+    iv AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_COS_SQL} DESC, c.vec_id) AS INT) AS rank
+        FROM emb q JOIN emb c
+          ON q.label = c.label AND q.vec_id != c.vec_id
+        WHERE q.vec_id % 100 = 0
+      ) WHERE rank <= 5
+    )
+    SELECT e.query_id, CAST(count(i.neighbor_id) AS BIGINT) AS n_matched,
+           count(i.neighbor_id) / 5.0 AS recall
+    FROM ex e LEFT JOIN iv i
+      ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+    GROUP BY e.query_id
+    """,
+)
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of the IVF (own-cluster-probe) index against the exact
+    brute-force ranking, per query. Ground truth reuses the bounded
+    brute-force shape (query side is a tiny filtered broadcast — the
+    nested-loop build side is queries, never the corpus); the IVF side
+    is the registered ann_ivf_topk dataflow on the SAME query set, so
+    the audit measures exactly what the serving path returns. The
+    match-up join keys on (query, neighbor) pairs — 5 rows per query —
+    and the finale is query-bounded."""
+    emb = _emb_with_norm(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") % 100 == 0).alias("q")
+    c = emb.alias("c")
+    cos = cosine(
+        F.col("q.embedding"), F.col("c.embedding"),
+        F.col("q.nrm"), F.col("c.nrm"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    exact = (
+        q.join(c, F.col("q.vec_id") != F.col("c.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            cos.alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    ivf = ann_ivf_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(ivf, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("hit").alias("n_matched"))
+        .select(
+            "query_id",
+            "n_matched",
+            (F.col("n_matched") / F.lit(5.0)).alias("recall"),
+        )
+    )

@@ -389,3 +389,64 @@ def ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="event_id long, user_id long, ts timestamp, "
         "value double, ewma double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution: each purchase credits the most recent click
+# by the same user within a 1-hour lookback — the marketing-analytics
+# join expressed as a running conditional max (no self-join).
+# ---------------------------------------------------------------------------
+
+_ATTR_WINDOW_US = 3_600_000_000  # 1 hour
+
+
+@register(
+    "attribution_last_touch",
+    oracle=f"""
+    WITH x AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+             max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS last_click_us
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CASE WHEN us - last_click_us <= {_ATTR_WINDOW_US}
+                THEN 1 ELSE 0 END AS attributed,
+           CASE WHEN us - last_click_us <= {_ATTR_WINDOW_US}
+                THEN us - last_click_us END AS latency_us
+    FROM x WHERE event_type = 'purchase'
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases with their click-to-purchase latency when a click by
+    the same user happened within the preceding hour. The 'most recent
+    click' is a running MAX over a conditional timestamp — monotone in
+    event time, so no window-join against the click subset and no
+    second shuffle; NULL comparisons make click-less purchases
+    unattributed for free."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_click = F.max(
+        F.when(F.col("event_type") == "click", F.unix_micros("ts"))
+    ).over(w)
+    gap = F.unix_micros("ts") - last_click
+    return (
+        ev.withColumn("gap_us", gap)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.when(F.col("gap_us") <= _ATTR_WINDOW_US, 1)
+            .otherwise(0)
+            .alias("attributed"),
+            F.when(
+                F.col("gap_us") <= _ATTR_WINDOW_US, F.col("gap_us")
+            ).alias("latency_us"),
+        )
+    )

@@ -1166,3 +1166,87 @@ def test_revenue_shares_sum_to_one_and_match_hand_case(spark, tmp_path):
     assert abs(pdf.loc["N2", "share_of_region"] - 1.0) < 1e-12
     assert abs(pdf["share_of_total"].sum() - 1.0) < 1e-12
     assert abs(pdf.loc["N2", "share_of_total"] - 0.5) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# Wave: recall audit / skew report / attribution.
+# ---------------------------------------------------------------------------
+
+
+def test_recall_is_one_when_index_is_exhaustive(spark, tmp_path):
+    """If every vector shares one label, the IVF probe IS brute force,
+    so recall@5 must be exactly 1.0 for every query."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(7)
+    n = 120
+    vecs = rng.randn(n, 64).astype("float32")
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array([0] * n, pa.int32()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(str(tmp_path), "embeddings.parquet"))
+    pdf = registry.QUERIES["ann_recall_audit"](spark, str(tmp_path)).toPandas()
+    assert len(pdf) == 2  # queries: vec_id 0 and 100
+    assert (pdf["recall"] == 1.0).all()
+    assert (pdf["n_matched"] == 5).all()
+
+
+def test_skew_report_hand_distribution(spark, tmp_path):
+    """Keys with counts [1, 1, 2, 8]: max 8, avg 3, skew 8/3, median
+    1.5 (linear interpolation between the middle pair)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for user, cnt in ((1, 1), (2, 1), (3, 2), (4, 8)):
+        for i in range(cnt):
+            rows.append(
+                (eid, base + dt.timedelta(seconds=eid), user, "view", 1.0, "{}")
+            )
+            eid += 1
+    sf = _write_events(rows, str(tmp_path))
+    r = registry.QUERIES["key_skew_report"](spark, sf).toPandas().iloc[0]
+    assert r["n_keys"] == 4 and r["max_count"] == 8
+    assert abs(r["avg_count"] - 3.0) < 1e-12
+    assert abs(r["skew_ratio"] - 8 / 3) < 1e-12
+    assert abs(r["p50_count"] - 1.5) < 1e-12
+
+
+def test_attribution_last_click_wins_and_window_is_inclusive(spark, tmp_path):
+    """Two clicks before a purchase -> the LATER one sets the latency;
+    a purchase exactly 1 h after its click still attributes (<=); a
+    click-less purchase and one past the window do not."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    m = lambda n: base + dt.timedelta(minutes=n)
+    rows = [
+        (0, m(0), 1, "click", 1.0, "{}"),
+        (1, m(30), 1, "click", 1.0, "{}"),
+        (2, m(45), 1, "purchase", 1.0, "{}"),   # 15 min after click #1
+        (3, m(0), 2, "click", 1.0, "{}"),
+        (4, m(60), 2, "purchase", 1.0, "{}"),   # exactly 1 h: attributed
+        (5, m(0), 3, "purchase", 1.0, "{}"),    # no click ever
+        (6, m(0), 4, "click", 1.0, "{}"),
+        (7, m(61), 4, "purchase", 1.0, "{}"),   # 1 h + 1 min: not
+    ]
+    sf = _write_events(rows, str(tmp_path))
+    pdf = (
+        registry.QUERIES["attribution_last_touch"](spark, sf)
+        .toPandas()
+        .set_index("event_id")
+    )
+    assert pdf.loc[2, "attributed"] == 1
+    assert pdf.loc[2, "latency_us"] == 15 * 60 * 1_000_000
+    assert pdf.loc[4, "attributed"] == 1
+    assert pdf.loc[4, "latency_us"] == 3_600_000_000
+    assert pdf.loc[5, "attributed"] == 0 and pdf.loc[7, "attributed"] == 0
