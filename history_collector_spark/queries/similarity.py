@@ -303,7 +303,7 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
                  PARTITION BY q.vec_id
                  ORDER BY {_COS_SQL} DESC, c.vec_id) AS INT) AS rank
         FROM emb q JOIN emb c ON q.vec_id != c.vec_id
-        WHERE q.vec_id % 100 = 0
+        WHERE q.vec_id % 100 = 0 AND q.vec_id < 5000
       ) WHERE rank <= 5
     ),
     iv AS (
@@ -314,7 +314,7 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ORDER BY {_COS_SQL} DESC, c.vec_id) AS INT) AS rank
         FROM emb q JOIN emb c
           ON q.label = c.label AND q.vec_id != c.vec_id
-        WHERE q.vec_id % 100 = 0
+        WHERE q.vec_id % 100 = 0 AND q.vec_id < 5000
       ) WHERE rank <= 5
     )
     SELECT e.query_id, CAST(count(i.neighbor_id) AS BIGINT) AS n_matched,
@@ -331,10 +331,15 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     nested-loop build side is queries, never the corpus); the IVF side
     is the registered ann_ivf_topk dataflow on the SAME query set, so
     the audit measures exactly what the serving path returns. The
+    query sample is a FIXED budget (every 100th id below 5000, <=50
+    queries) so audit cost scales with the corpus, not corpus x
+    queries — recall audits sample, they never sweep. The
     match-up join keys on (query, neighbor) pairs — 5 rows per query —
     and the finale is query-bounded."""
     emb = _emb_with_norm(spark, sf_dir)
-    q = emb.filter(F.col("vec_id") % 100 == 0).alias("q")
+    q = emb.filter(
+        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 5000)
+    ).alias("q")
     c = emb.alias("c")
     cos = cosine(
         F.col("q.embedding"), F.col("c.embedding"),
@@ -354,8 +359,13 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("query_id", "neighbor_id")
     )
-    ivf = ann_ivf_topk(spark, sf_dir).select(
-        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    # query_id < 5000 is a window-partition-key predicate, so Catalyst
+    # pushes it through ann_ivf_topk's rank window to the q-side scan —
+    # the IVF leg only ever computes the audited queries
+    ivf = (
+        ann_ivf_topk(spark, sf_dir)
+        .filter(F.col("query_id") < 5000)
+        .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
     )
     return (
         exact.join(ivf, ["query_id", "neighbor_id"], "left")
