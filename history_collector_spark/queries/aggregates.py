@@ -479,3 +479,97 @@ def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile(F.col("cnt"), F.lit(0.5)).alias("p50_count"),
         F.percentile(F.col("cnt"), F.lit(0.99)).alias("p99_count"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized robust stats: clamp each type's values to its own
+# [P5, P95] before mean/std — the outlier-robust summary a quality
+# pipeline feeds thresholds from.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "robust_stats_winsorized",
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS p5,
+             quantile_cont(value, 0.95) AS p95
+      FROM events GROUP BY 1
+    ), w AS (
+      SELECT e.event_type,
+             least(greatest(e.value, q.p5), q.p95) AS wv
+      FROM events e JOIN q ON e.event_type = q.event_type
+    )
+    SELECT w.event_type, CAST(count(*) AS BIGINT) AS n,
+           avg(wv) AS win_mean, stddev_samp(wv) AS win_std
+    FROM w GROUP BY w.event_type
+    """,
+)
+def robust_stats_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type winsorized mean/std: exact P5/P95 per type (a
+    type-bounded aggregate — percentile() buffers one type's values;
+    swap approx_percentile past memory scale, same plan), broadcast
+    back onto the scan, clamp row-locally, re-aggregate. Two scans,
+    one type-keyed exchange each, map-side combine on both."""
+    ev = table(spark, sf_dir, "events")
+    q = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("p5"),
+        F.percentile("value", F.lit(0.95)).alias("p95"),
+    )
+    wv = F.least(F.greatest(F.col("value"), F.col("p5")), F.col("p95"))
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .select("event_type", wv.alias("wv"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.avg("wv").alias("win_mean"),
+            F.stddev_samp("wv").alias("win_std"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shipping-delay stats: order-to-ship latency percentiles per priority
+# — the co-partitioned fact-fact join feeding a bounded-group summary.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "shipping_delay_stats",
+    oracle="""
+    WITH d AS (
+      SELECT o.o_orderpriority,
+             date_diff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(l.l_shipdate AS DATE)) AS delay_days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+           avg(1.0 * delay_days) AS avg_delay,
+           quantile_cont(delay_days, 0.5) AS p50_delay,
+           quantile_cont(delay_days, 0.95) AS p95_delay
+    FROM d GROUP BY o_orderpriority
+    """,
+)
+def shipping_delay_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days from order to line-item shipment, summarized per priority.
+    The join keys on l_orderkey/o_orderkey — the natural co-partition
+    key both facts should be bucketed on (bucketed_join_roundtrip
+    demonstrates the zero-exchange layout); the summary is a 5-group
+    aggregate with exact interpolated percentiles (bounded groups;
+    approx_percentile is the swap past memory scale)."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    d = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff(
+            F.to_date("l_shipdate"), F.to_date("o_orderdate")
+        ).alias("delay_days"),
+    )
+    return d.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        F.avg(F.lit(1.0) * F.col("delay_days")).alias("avg_delay"),
+        F.percentile("delay_days", F.lit(0.5)).alias("p50_delay"),
+        F.percentile("delay_days", F.lit(0.95)).alias("p95_delay"),
+    )

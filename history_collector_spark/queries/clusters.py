@@ -258,3 +258,65 @@ def dedup_cluster_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("quality").alias("rep_quality"),
         )
     )
+
+
+@register(
+    "dup_cluster_size_histogram",
+    oracle=f"""
+    WITH RECURSIVE {_BUCKETS_SQL},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    shl AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - 1, 1)),
+               i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+      FROM toks
+    ),
+    dup AS (
+      SELECT doc_a, doc_b FROM cand
+      JOIN shl x ON cand.doc_a = x.doc_id
+      JOIN shl y ON cand.doc_b = y.doc_id
+      WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+              / len(list_distinct(list_concat(x.s, y.s))) >= {_DUP_THRESHOLD}
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM dup
+      UNION ALL SELECT doc_b, doc_a FROM dup
+    ),
+    reach(u, v) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (
+      SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u
+    ),
+    sizes AS (
+      SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1
+    )
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY cluster_size
+    """,
+)
+def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of near-dup component sizes — the one-page answer
+    to "how much of the corpus sits in clone families, and how big is
+    the biggest?". Rides the registered connected-components dataflow
+    (memoized pair table + label propagation), then two bounded
+    aggregations: components, then size-of-size. The histogram's key
+    cardinality is at most the largest clone family — tiny — so the
+    report is effectively free once components exist."""
+    comp = dedup_clusters(spark, sf_dir)
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"),
+        (F.col("cluster_size") * F.count("*")).alias("n_docs"),
+    )

@@ -1250,3 +1250,97 @@ def test_attribution_last_click_wins_and_window_is_inclusive(spark, tmp_path):
     assert pdf.loc[4, "attributed"] == 1
     assert pdf.loc[4, "latency_us"] == 3_600_000_000
     assert pdf.loc[5, "attributed"] == 0 and pdf.loc[7, "attributed"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Wave: size histogram / winsorized stats / shipping delay.
+# ---------------------------------------------------------------------------
+
+
+def test_cluster_histogram_counts_clones_and_singletons(spark, tmp_path):
+    """3 identical docs + 2 other identical docs + 1 singleton ->
+    histogram {3: 1 cluster, 2: 1, 1: 1} and doc mass adds back to 6."""
+    a = "alpha beta gamma delta epsilon zeta"
+    b = "one two three four five six seven eight"
+    docs = [
+        (1, a, "en", "s"), (2, a, "en", "s"), (3, a, "en", "s"),
+        (4, b, "en", "s"), (5, b, "en", "s"),
+        (6, "lonely words drift far apart here", "en", "s"),
+    ]
+    sf = _write_docs(docs, str(tmp_path))
+    pdf = (
+        registry.QUERIES["dup_cluster_size_histogram"](spark, sf)
+        .toPandas()
+        .set_index("cluster_size")
+    )
+    assert pdf.loc[3, "n_clusters"] == 1
+    assert pdf.loc[2, "n_clusters"] == 1
+    assert pdf.loc[1, "n_clusters"] == 1
+    assert pdf["n_docs"].sum() == 6
+
+
+def test_winsorized_mean_ignores_single_outlier(spark, tmp_path):
+    """19 values of 10 and one of 1000: P95 interpolates just above 10,
+    so the winsorized mean stays ~10 while the raw mean is ~59."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(seconds=i), 1, "view",
+         10.0 if i < 19 else 1000.0, "{}")
+        for i in range(20)
+    ]
+    sf = _write_events(rows, str(tmp_path))
+    r = (
+        registry.QUERIES["robust_stats_winsorized"](spark, sf)
+        .toPandas()
+        .iloc[0]
+    )
+    # P95 by linear interpolation over 20 pts: index 0.95*19 = 18.05
+    # -> 10 + 0.05*(1000-10) = 59.5; clamped mean = (19*10 + 59.5)/20
+    assert abs(r["win_mean"] - (19 * 10 + 59.5) / 20) < 1e-9
+    assert r["n"] == 20
+
+
+def test_shipping_delay_hand_percentiles(spark, tmp_path):
+    """Delays [1, 2, 3, 10] for one priority: avg 4, p50 2.5 by linear
+    interpolation."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    od = dt.datetime(2024, 1, 1)
+    _write_customer_orders(
+        [(1, "a", 0, 0.0, "m")],
+        [(k, 1, "O", 1.0, od, "3-MEDIUM") for k in (10, 11, 12, 13)],
+        str(tmp_path),
+    )
+    rows = [(10, 1), (11, 2), (12, 3), (13, 10)]
+    tbl = pa.table(
+        {
+            "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "l_partkey": pa.array([1] * 4, pa.int64()),
+            "l_suppkey": pa.array([1] * 4, pa.int64()),
+            "l_linenumber": pa.array([1] * 4, pa.int32()),
+            "l_quantity": pa.array([1.0] * 4, pa.float64()),
+            "l_extendedprice": pa.array([1.0] * 4, pa.float64()),
+            "l_discount": pa.array([0.0] * 4, pa.float64()),
+            "l_tax": pa.array([0.0] * 4, pa.float64()),
+            "l_returnflag": pa.array(["N"] * 4, pa.string()),
+            "l_linestatus": pa.array(["O"] * 4, pa.string()),
+            "l_shipdate": pa.array(
+                [od + dt.timedelta(days=r[1]) for r in rows],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    pq.write_table(tbl, os.path.join(str(tmp_path), "lineitem.parquet"))
+    r = (
+        registry.QUERIES["shipping_delay_stats"](spark, str(tmp_path))
+        .toPandas()
+        .iloc[0]
+    )
+    assert r["n_items"] == 4
+    assert abs(r["avg_delay"] - 4.0) < 1e-12
+    assert abs(r["p50_delay"] - 2.5) < 1e-12
