@@ -573,3 +573,66 @@ def shipping_delay_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("delay_days", F.lit(0.5)).alias("p50_delay"),
         F.percentile("delay_days", F.lit(0.95)).alias("p95_delay"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MAD-based anomaly stats: median absolute deviation per type — the
+# robust twin of anomaly_zscore (mean/std break under the very
+# outliers being hunted; medians don't).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_anomaly_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY 1
+    ), dev AS (
+      SELECT e.event_type, abs(e.value - m.med) AS dev
+      FROM events e JOIN med m ON e.event_type = m.event_type
+    ), mad AS (
+      SELECT event_type, quantile_cont(dev, 0.5) AS mad
+      FROM dev GROUP BY 1
+    )
+    SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+           any_value(m.med) AS med, any_value(x.mad) AS mad,
+           CAST(sum(CASE WHEN d.dev > 3 * 1.4826 * x.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d
+    JOIN med m ON d.event_type = m.event_type
+    JOIN mad x ON d.event_type = x.event_type
+    GROUP BY d.event_type
+    """,
+)
+def event_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outliers by the 3-sigma-equivalent MAD rule
+    (dev > 3 * 1.4826 * MAD). Three passes over the scan, each a
+    type-bounded aggregate with the 5-row result broadcast back —
+    medians don't pipeline the way moments do, so the extra scan IS
+    the robust-statistics trade, and each scan stays map-side-combined
+    with zero corpus-sized exchanges."""
+    ev = table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("dev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("dev", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.any_value("med").alias("med"),
+            F.any_value("mad").alias("mad"),
+            F.sum(
+                F.when(
+                    F.col("dev") > F.lit(3 * 1.4826) * F.col("mad"), 1
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )

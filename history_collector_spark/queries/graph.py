@@ -279,3 +279,76 @@ def item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(b), "t2")
         .select("t1", "t2", "n_users", cosine.alias("cosine"))
     )
+
+
+@register(
+    "dedup_rates_by_source",
+    oracle=f"""
+    WITH {_BUCKETS_SQL},
+    {_EDGES_SQL},
+    ex AS (
+      SELECT source, count(*) AS n_docs,
+             count(DISTINCT sha256(text)) AS n_unique
+      FROM documents GROUP BY 1
+    ),
+    dd AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id FROM dup
+        UNION ALL SELECT doc_b FROM dup
+      )
+    ),
+    nr AS (
+      SELECT d.source, count(*) AS n_near
+      FROM documents d JOIN dd ON d.doc_id = dd.doc_id GROUP BY 1
+    )
+    SELECT ex.source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_unique AS BIGINT) AS n_unique_exact,
+           1.0 - (1.0 * n_unique) / n_docs AS exact_dup_rate,
+           CAST(coalesce(n_near, 0) AS BIGINT) AS n_near_dup_docs,
+           (1.0 * coalesce(n_near, 0)) / n_docs AS near_dup_rate
+    FROM ex LEFT JOIN nr ON ex.source = nr.source
+    """,
+)
+def dedup_rates_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication scorecard: exact-dup rate (1 - distinct
+    digests / docs) and near-dup incidence (share of docs appearing in
+    the verified pair table) — the table a curation run reads to decide
+    which crawls to down-weight. Exact side is one source-bounded
+    aggregate over content digests (32-byte shuffle keys, the
+    dedup_exact discipline); near side reuses the memoized pair table,
+    collapses it to a distinct doc set (dup-subgraph-sized), and joins
+    back to docs by id. Everything after the scans is bounded by
+    sources or duplication mass."""
+    docs = table(spark, sf_dir, "documents")
+    ex = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.sha2("text", 256)).alias("n_unique_exact"),
+    )
+    dup = _dup_pairs(spark, sf_dir)
+    dd = (
+        dup.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
+        .distinct()
+    )
+    nr = (
+        docs.select("doc_id", "source")
+        .join(dd, "doc_id")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_near"))
+    )
+    return (
+        ex.join(nr, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_unique_exact",
+            (
+                F.lit(1.0)
+                - (F.lit(1.0) * F.col("n_unique_exact")) / F.col("n_docs")
+            ).alias("exact_dup_rate"),
+            F.coalesce("n_near", F.lit(0)).alias("n_near_dup_docs"),
+            (
+                (F.lit(1.0) * F.coalesce("n_near", F.lit(0)))
+                / F.col("n_docs")
+            ).alias("near_dup_rate"),
+        )
+    )

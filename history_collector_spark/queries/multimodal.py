@@ -22,6 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -369,3 +370,78 @@ def multimodal_binary_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "n_bytes")
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio energy windows: treat the blob as 16-bit LE PCM and compute
+# per-window RMS/peak — the framing/VAD front-end of any audio
+# pipeline, with a hard per-asset frame budget.
+# ---------------------------------------------------------------------------
+
+_AUDIO_WIN = 64  # samples per window
+_AUDIO_MAX_WIN = 8  # per-asset frame budget
+
+_AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("window_idx", IntegerType()),
+        StructField("rms", DoubleType()),
+        StructField("peak", IntegerType()),
+    ]
+)
+
+
+def _audio_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        out: dict[str, list] = {
+            "doc_id": [], "window_idx": [], "rms": [], "peak": []
+        }
+        for doc_id, blob in zip(pdf["doc_id"], pdf["data"]):
+            arr = np.frombuffer(blob[: 2 * (len(blob) // 2)], dtype="<i2")
+            n_win = min(len(arr) // _AUDIO_WIN, _AUDIO_MAX_WIN)
+            for wi in range(n_win):
+                win = arr[wi * _AUDIO_WIN : (wi + 1) * _AUDIO_WIN].astype(
+                    "float64"
+                )
+                out["doc_id"].append(doc_id)
+                out["window_idx"].append(wi)
+                out["rms"].append(float(np.sqrt((win * win).mean())))
+                out["peak"].append(int(win.max()))
+        yield pd.DataFrame(out)
+
+
+@register(
+    "multimodal_audio_energy",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, wi,
+             list_transform(range(1, {_AUDIO_WIN + 1}),
+               j -> ascii(substr(text, 2 * (wi * {_AUDIO_WIN} + j) - 1, 1))
+                  + 256 * ascii(substr(text, 2 * (wi * {_AUDIO_WIN} + j), 1))
+             ) AS samp
+      FROM documents, (SELECT unnest(range({_AUDIO_MAX_WIN})) AS wi)
+      WHERE octet_length(encode(text)) >= 2 * {_AUDIO_WIN} * (wi + 1)
+    )
+    SELECT doc_id, CAST(wi AS INT) AS window_idx,
+           sqrt(list_sum(list_transform(samp, x -> (1.0 * x) * x))
+                / {_AUDIO_WIN}) AS rms,
+           CAST(list_max(samp) AS INT) AS peak
+    FROM w
+    """,
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window RMS energy + peak over the blob read as 16-bit
+    little-endian PCM, capped at the first 8 windows per asset (frame
+    budgets keep per-row work bounded no matter how long a recording
+    is — the same discipline as multimodal_frame_sample). Arrow-batched
+    mapInPandas, numpy-vectorized per window, no exchange at all: the
+    operator is pure scan + map, the profile a 100 TB audio sweep
+    needs. The fixture blob is ASCII text bytes, so the oracle can
+    reconstruct each sample as b0 + 256*b1 (ASCII < 128 means no sign
+    bit) and verify RMS/peak bit-for-bit."""
+    blobs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("data")
+    )
+    return blobs.mapInPandas(_audio_batches, schema=_AUDIO_SCHEMA)

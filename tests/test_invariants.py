@@ -1344,3 +1344,71 @@ def test_shipping_delay_hand_percentiles(spark, tmp_path):
     assert r["n_items"] == 4
     assert abs(r["avg_delay"] - 4.0) < 1e-12
     assert abs(r["p50_delay"] - 2.5) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# Wave: audio energy / dedup rates / MAD anomalies.
+# ---------------------------------------------------------------------------
+
+
+def test_audio_energy_hand_pcm_and_frame_budget(spark, tmp_path):
+    """'AB' repeated decodes to the constant sample 0x4241: RMS equals
+    the sample and peak equals it; a long blob is capped at 8 windows;
+    a short blob yields none."""
+    long_doc = "AB" * (64 * 12)  # 12 full windows -> capped at 8
+    docs = [
+        (1, long_doc, "en", "s"),
+        (2, "AB" * 63, "en", "s"),  # 63 samples < one window
+    ]
+    sf = _write_docs(docs, str(tmp_path))
+    pdf = registry.QUERIES["multimodal_audio_energy"](spark, sf).toPandas()
+    assert set(pdf["doc_id"]) == {1}
+    assert len(pdf) == 8  # frame budget
+    sample = ord("A") + 256 * ord("B")
+    assert (pdf["peak"] == sample).all()
+    assert (abs(pdf["rms"] - sample) < 1e-9).all()
+
+
+def test_dedup_rates_hand_corpus(spark, tmp_path):
+    """Source s1: 3 docs, 2 byte-identical -> exact rate 1/3 and all
+    clones near-dup; source s2: 1 unique doc, zero rates."""
+    a = "alpha beta gamma delta epsilon zeta"
+    docs = [
+        (1, a, "en", "s1"),
+        (2, a, "en", "s1"),
+        (3, "completely different words entirely here now", "en", "s1"),
+        (4, "unrelated second source text goes here", "en", "s2"),
+    ]
+    sf = _write_docs(docs, str(tmp_path))
+    pdf = (
+        registry.QUERIES["dedup_rates_by_source"](spark, sf)
+        .toPandas()
+        .set_index("source")
+    )
+    assert pdf.loc["s1", "n_docs"] == 3
+    assert pdf.loc["s1", "n_unique_exact"] == 2
+    assert abs(pdf.loc["s1", "exact_dup_rate"] - 1 / 3) < 1e-12
+    assert pdf.loc["s1", "n_near_dup_docs"] == 2
+    assert pdf.loc["s2", "n_near_dup_docs"] == 0
+    assert pdf.loc["s2", "exact_dup_rate"] == 0.0
+
+
+def test_mad_flags_outlier_zscore_misses(spark, tmp_path):
+    """With half the points at 10 and half at 12 plus one huge spike,
+    MAD stays tiny and flags the spike; the spike itself cannot
+    inflate the threshold (the robustness property)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    vals = [10.0, 12.0] * 10 + [10_000.0]
+    rows = [
+        (i, base + dt.timedelta(seconds=i), 1, "view", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    sf = _write_events(rows, str(tmp_path))
+    r = (
+        registry.QUERIES["event_anomaly_mad"](spark, sf).toPandas().iloc[0]
+    )
+    assert r["med"] == 12.0  # 11th of 21 sorted values
+    assert abs(r["mad"] - 2.0) < 1e-12
+    assert r["n_outliers"] == 1
