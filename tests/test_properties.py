@@ -336,3 +336,189 @@ def test_incremental_sketch_merge_accuracy_and_merge_exactness(spark):
             r["exact_distinct"], 1
         )
         assert rel < 0.05, f"{r['event_type']}: rel err {rel}"
+
+
+# ---------------------------------------------------------------------------
+# Exactness properties for the newest algorithmic operators, checked
+# against pure-Python re-implementations on hypothesis-generated data.
+# ---------------------------------------------------------------------------
+
+
+def _write_docs_tmp(docs):
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp(prefix="hc_prop_")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([x[0] for x in docs], pa.int64()),
+            "text": pa.array([x[1] for x in docs], pa.string()),
+            "lang": pa.array(["en"] * len(docs), pa.string()),
+            "source": pa.array(["s"] * len(docs), pa.string()),
+            "n_chars": pa.array([len(x[1]) for x in docs], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(d, "documents.parquet"))
+    return d
+
+
+_doc_texts = st.lists(
+    st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]),
+        min_size=3,
+        max_size=8,
+    ).map(" ".join),
+    min_size=3,
+    max_size=7,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(texts=_doc_texts)
+def test_prefix_filter_equals_bruteforce_jaccard(spark, texts):
+    """dedup_prefix_filter must return EXACTLY the pairs with trigram
+    jaccard >= 0.6 — the prefix candidate stage may never lose a pair
+    (the AllPairs completeness guarantee) nor the verify stage invent
+    one."""
+    import shutil
+
+    from history_collector_spark import registry
+
+    registry.load_all()
+    docs = [(i, t) for i, t in enumerate(texts)]
+    sf = _write_docs_tmp(docs)
+    try:
+        got = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in registry.QUERIES["dedup_prefix_filter"](
+                spark, sf
+            ).collect()
+        }
+    finally:
+        shutil.rmtree(sf, ignore_errors=True)
+
+    def shingles(t):
+        toks = t.split()
+        return {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+
+    expect = {}
+    for i, ti in docs:
+        for j, tj in docs:
+            if i >= j:
+                continue
+            si, sj = shingles(ti), shingles(tj)
+            if not si or not sj:
+                continue
+            jac = len(si & sj) / len(si | sj)
+            if jac >= 0.6:
+                expect[(i, j)] = jac
+    assert set(got) == set(expect)
+    for k, v in expect.items():
+        assert abs(got[k] - v) < 1e-9
+
+
+_hh_texts = st.lists(
+    st.lists(
+        st.sampled_from(
+            ["hot1", "hot2"] + [f"w{i}" for i in range(90)]
+        ),
+        min_size=5,
+        max_size=40,
+    ).map(" ".join),
+    min_size=2,
+    max_size=6,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(texts=_hh_texts)
+def test_heavy_hitters_equal_exact_threshold_counts(spark, texts):
+    """Misra-Gries + exact verify must return exactly the tokens with
+    count > N/30, even when the 92-token vocabulary overflows the
+    64-counter summaries (decrement path)."""
+    import shutil
+    from collections import Counter
+
+    from history_collector_spark import registry
+
+    registry.load_all()
+    sf = _write_docs_tmp([(i, t) for i, t in enumerate(texts)])
+    try:
+        got = {
+            r.tok: r.n_occurrences
+            for r in registry.QUERIES["heavy_hitter_tokens"](
+                spark, sf
+            ).collect()
+        }
+    finally:
+        shutil.rmtree(sf, ignore_errors=True)
+    counts = Counter(" ".join(texts).split())
+    n = sum(counts.values())
+    expect = {t: c for t, c in counts.items() if c > n / 30}
+    assert got == expect
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    series=st.lists(
+        st.lists(
+            st.floats(
+                min_value=0, max_value=1000, allow_nan=False
+            ),
+            min_size=1,
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_ewma_matches_pure_recursion(spark, series):
+    """applyInPandas EWMA equals the y_i = a*x_i + (1-a)*y_{i-1}
+    recursion for arbitrary per-user series."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from history_collector_spark import registry
+
+    registry.load_all()
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for uid, xs in enumerate(series):
+        for i, x in enumerate(xs):
+            rows.append((eid, base + dt.timedelta(seconds=i), uid, x))
+            eid += 1
+    d = tempfile.mkdtemp(prefix="hc_prop_")
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array(["view"] * len(rows), pa.string()),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(d, "events.parquet"))
+    try:
+        got = {
+            r.event_id: r.ewma
+            for r in registry.QUERIES["ewma_smoothing"](spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    eid = 0
+    for xs in series:
+        y = None
+        for x in xs:
+            y = x if y is None else 0.2 * x + 0.8 * y
+            assert abs(got[eid] - y) < 1e-9 * max(1.0, abs(y))
+            eid += 1
