@@ -98,3 +98,51 @@ def json_extract_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.get_json_object("props", "$.k").cast("int").alias("k_int"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured schema profile: discover the keys actually present
+# in the props JSON column and their value types/ranges — the first
+# query anyone runs against a landed JSON column.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "props_schema_profile",
+    oracle="""
+    WITH kv AS (
+      SELECT unnest(json_keys(props)) AS key, props FROM events
+    ), kv2 AS (
+      SELECT key, json_extract_string(props, '$.' || key) AS val FROM kv
+    )
+    SELECT key, CAST(count(*) AS BIGINT) AS n_present,
+           CAST(sum(CASE WHEN regexp_full_match(val, '-?[0-9]+')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_int_values,
+           min(CASE WHEN regexp_full_match(val, '-?[0-9]+')
+                    THEN CAST(val AS BIGINT) END) AS min_int,
+           max(CASE WHEN regexp_full_match(val, '-?[0-9]+')
+                    THEN CAST(val AS BIGINT) END) AS max_int
+    FROM kv2 GROUP BY key
+    """,
+)
+def props_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key presence count, integer-typed share, and integer range
+    over the props JSON. Keys are discovered DYNAMICALLY by parsing
+    each row to map<string,string> and exploding the map — no literal
+    JSON paths, so new keys appearing upstream show up without a code
+    change (get_json_object would need a fixed path per key). The
+    aggregate is key-bounded with map-side combine; the parse is
+    row-local scan work."""
+    ev = table(spark, sf_dir, "events")
+    kv = ev.select(
+        F.explode(
+            F.from_json("props", "map<string,string>")
+        ).alias("key", "val")
+    )
+    is_int = F.col("val").rlike(r"^-?[0-9]+$")
+    return kv.groupBy("key").agg(
+        F.count("*").alias("n_present"),
+        F.sum(F.when(is_int, 1).otherwise(0)).alias("n_int_values"),
+        F.min(F.when(is_int, F.col("val").cast("long"))).alias("min_int"),
+        F.max(F.when(is_int, F.col("val").cast("long"))).alias("max_int"),
+    )

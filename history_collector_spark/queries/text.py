@@ -795,3 +795,55 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(nu))
         .select("t1", "t2", "n_pair", pmi.alias("pmi"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf fit: regress log(freq) on log(rank) over the corpus vocabulary
+# — the one-number summary of whether token mass looks like natural
+# language (slope ~ -1) or synthetic/templated text.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_zipf_fit",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(list_filter(
+               string_split_regex(text, '\\s+'), x -> x != '')) AS tok
+      FROM documents
+    ), c AS (
+      SELECT tok, count(*) AS n FROM toks GROUP BY tok
+    ), r AS (
+      SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rank FROM c
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_types,
+           regr_slope(ln(1.0 * n), ln(1.0 * rank)) AS zipf_slope,
+           regr_intercept(ln(1.0 * n), ln(1.0 * rank)) AS zipf_intercept,
+           regr_r2(ln(1.0 * n), ln(1.0 * rank)) AS r2
+    FROM r
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares slope of log-frequency vs log-rank. Token counts
+    are a vocabulary-bounded aggregate; the rank window and the
+    regr_* reduction then run over VOCAB rows, not corpus rows — the
+    single-partition rank exchange moves one row per type, which is
+    the one case where a global sort is the right plan (and the
+    plan-guard's partial-aggregate exemption recognizes it). regr_*
+    are sufficient-statistics aggregates: map-side combinable, one
+    pass."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.col("text"), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    c = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("tok"))
+    r = c.withColumn("rank", F.row_number().over(w))
+    lf = F.log(F.lit(1.0) * F.col("n"))
+    lr = F.log(F.lit(1.0) * F.col("rank"))
+    return r.agg(
+        F.count("*").alias("n_types"),
+        F.regr_slope(lf, lr).alias("zipf_slope"),
+        F.regr_intercept(lf, lr).alias("zipf_intercept"),
+        F.regr_r2(lf, lr).alias("r2"),
+    )

@@ -1412,3 +1412,49 @@ def test_mad_flags_outlier_zscore_misses(spark, tmp_path):
     assert r["med"] == 12.0  # 11th of 21 sorted values
     assert abs(r["mad"] - 2.0) < 1e-12
     assert r["n_outliers"] == 1
+
+
+# ---------------------------------------------------------------------------
+# Wave: JSON schema profile / Zipf fit.
+# ---------------------------------------------------------------------------
+
+
+def test_props_profile_discovers_mixed_keys_and_types(spark, tmp_path):
+    """Dynamic key discovery: three different key sets across rows,
+    integer detection excludes strings and floats, range covers
+    negatives."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (0, base, 1, "view", 1.0, '{"a": 5, "b": "x"}'),
+        (1, base, 1, "view", 1.0, '{"a": -7}'),
+        (2, base, 1, "view", 1.0, '{"c": 1.5}'),
+    ]
+    sf = _write_events(rows, str(tmp_path))
+    pdf = (
+        registry.QUERIES["props_schema_profile"](spark, sf)
+        .toPandas()
+        .set_index("key")
+    )
+    assert pdf.loc["a", "n_present"] == 2
+    assert pdf.loc["a", "n_int_values"] == 2
+    assert pdf.loc["a", "min_int"] == -7 and pdf.loc["a", "max_int"] == 5
+    assert pdf.loc["b", "n_int_values"] == 0
+    assert pdf.loc["c", "n_int_values"] == 0  # 1.5 is not an integer
+
+
+def test_zipf_slope_hand_regression(spark, tmp_path):
+    """Frequencies 4/2/1 over ranks 1/2/3: slope of log-log least
+    squares computed by hand (numpy polyfit agreement)."""
+    import numpy as np
+
+    docs = [(0, "a a a a b b c", "en", "s")]
+    sf = _write_docs(docs, str(tmp_path))
+    r = registry.QUERIES["text_zipf_fit"](spark, sf).toPandas().iloc[0]
+    x = np.log([1.0, 2.0, 3.0])
+    y = np.log([4.0, 2.0, 1.0])
+    slope, intercept = np.polyfit(x, y, 1)
+    assert r["n_types"] == 3
+    assert abs(r["zipf_slope"] - slope) < 1e-9
+    assert abs(r["zipf_intercept"] - intercept) < 1e-9
