@@ -36,7 +36,10 @@ from pyspark.sql import functions as F
 from history_collector_spark.catalog import table
 from history_collector_spark.registry import register
 from history_collector_spark.streaming.conf import scoped_state_partitions
-from history_collector_spark.streaming.stateful import track_gapless
+from history_collector_spark.streaming.stateful import (
+    track_ewma,
+    track_gapless,
+)
 
 _N_PER_STREAM = 24  # sequences per stream: 0, 64, ..., 23*64
 _STEP = 64
@@ -129,3 +132,96 @@ def streaming_gapless_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
             shutil.rmtree(flat, ignore_errors=True)
     return spark.table(name).select("stream_id", "seq", "status")
+
+
+# ---------------------------------------------------------------------------
+# Streaming EWMA e2e: the recursion's memory (one double per user)
+# rides the state store across micro-batches.
+# ---------------------------------------------------------------------------
+
+_EWMA_ALPHA = 0.2
+_EWMA_FILES = 6
+
+
+@register(
+    "streaming_ewma_e2e",
+    oracle=f"""
+    WITH x AS (
+      SELECT event_id, user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS k
+      FROM events
+    )
+    SELECT event_id, user_id,
+           power({1 - _EWMA_ALPHA}, k)
+             * sum((CASE WHEN k = 1 THEN value
+                         ELSE {_EWMA_ALPHA} * value END)
+                   * power({1 - _EWMA_ALPHA}, -k))
+               OVER (PARTITION BY user_id ORDER BY k
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS ewma
+    FROM x
+    """,
+)
+def streaming_ewma_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events replayed as 6 TIME-RANGE-partitioned micro-batches into
+    the stateful EWMA (streaming/stateful.py:track_ewma): because every
+    user's rows straddle batch boundaries, the smoothed value genuinely
+    carries through the state store — and the result must equal the
+    BATCH closed form, which is what the oracle states. State is one
+    double per key (bounded at any scale); the feed partitioner is a
+    map-only epoch-range bucketing (1-row bounds broadcast), so fixture
+    construction never sorts globally."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    us = F.unix_micros("ts")
+    bounds = ev.agg(F.min(us).alias("mn"), F.max(us).alias("mx"))
+    feed = ev.crossJoin(F.broadcast(bounds)).withColumn(
+        "file_no",
+        F.floor(
+            F.lit(_EWMA_FILES)
+            * (us - F.col("mn"))
+            / (F.col("mx") - F.col("mn") + F.lit(1))
+        ).cast("int"),
+    )
+    landing = tempfile.mkdtemp(prefix="hc_sewma_")
+    flat = tempfile.mkdtemp(prefix="hc_sewma_flat_")
+    import glob
+    import os
+
+    for fno in range(_EWMA_FILES):
+        feed.filter(F.col("file_no") == fno).select(
+            "event_id", "ts", "user_id", "value"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{landing}/f{fno}")
+    for i, p in enumerate(sorted(glob.glob(f"{landing}/f*/part-*.parquet"))):
+        dst = os.path.join(flat, f"{i:02d}.parquet")
+        shutil.copy(p, dst)
+        # the file source orders micro-batches by MODIFICATION TIME;
+        # same-second copies tie and scramble replay order, so pin
+        # strictly increasing mtimes (1 s apart) explicitly
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    shutil.rmtree(landing, ignore_errors=True)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    out = track_ewma(stream, _EWMA_ALPHA)
+    name = f"sewma_{uuid.uuid4().hex[:8]}"
+    with scoped_state_partitions(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+            shutil.rmtree(flat, ignore_errors=True)
+    return spark.table(name).select("event_id", "user_id", "ewma")

@@ -25,6 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -94,6 +95,65 @@ def track_gapless(
         make_gapless_tracker(start_seq, step),
         outputStructType=RELEASE_SCHEMA,
         stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming EWMA: carry the per-key smoothed value across micro-batches.
+# ---------------------------------------------------------------------------
+
+EWMA_OUT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("ewma", DoubleType()),
+    ]
+)
+
+# state = the recursion's entire memory: one double per key.
+EWMA_STATE_SCHEMA = StructType([StructField("last_ewma", DoubleType())])
+
+
+def make_ewma_tracker(alpha: float):
+    """Per-key streaming EWMA: y_i = alpha*x_i + (1-alpha)*y_{i-1},
+    seeded from state (or the first observation). Requires event-time-
+    ordered arrival ACROSS batches (the feed must be time-partitioned,
+    as a watermarked upstream ensures); within a batch rows are sorted
+    by (ts, event_id) before folding."""
+
+    def track(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        y = state.get[0] if state.exists else None
+        # a group's batch rows can arrive as MULTIPLE Arrow chunks with
+        # no cross-chunk ordering — materialize the (bounded per-key
+        # per-batch) rows and sort once
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"])
+        out_ids, out_y = [], []
+        for eid, x in zip(pdf["event_id"], pdf["value"]):
+            y = float(x) if y is None else alpha * float(x) + (1 - alpha) * y
+            out_ids.append(int(eid))
+            out_y.append(y)
+        if out_ids:
+            yield pd.DataFrame(
+                {"event_id": out_ids, "user_id": key[0], "ewma": out_y}
+            )
+        if y is not None:
+            state.update((float(y),))
+
+    return track
+
+
+def track_ewma(stream: DataFrame, alpha: float) -> DataFrame:
+    """stream(event_id, ts, user_id, value) -> per-event EWMA with the
+    smoothing memory held in the state store (one double per key)."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        make_ewma_tracker(alpha),
+        outputStructType=EWMA_OUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
