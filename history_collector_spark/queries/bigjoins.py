@@ -227,3 +227,159 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "unit_cost",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6 shape: the canonical predicate-pushdown aggregate — every
+# filter must reach the parquet scan, and the agg is one partial row
+# per partition.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "forecast_revenue_change",
+    oracle="""
+    SELECT sum(l_extendedprice * l_discount) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1995-01-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.09
+      AND l_quantity < 25
+    """,
+)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6: scan-filter-aggregate with zero joins. All four predicates
+    are scan-pushable (PushedFilters carries the date range, discount
+    band, and quantity cap) and ReadSchema prunes to the four columns
+    — at 100 TB this query IS its scan, which is the point: the plan
+    audit checks the pushdown, not the (trivial) agg."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.to_date("l_shipdate") >= F.lit("1995-01-01"))
+            & (F.to_date("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.09)
+            & (F.col("l_quantity") < 25)
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 shape: revenue lost to returned items, by customer.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "returned_item_report",
+    oracle="""
+    SELECT c.c_custkey, any_value(c.c_name) AS c_name,
+           any_value(n.n_name) AS n_name,
+           sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10: top-20 customers by returned-item revenue. The returnflag
+    filter reaches the lineitem scan; the fact-fact join keys on
+    orderkey; customer and nation broadcast; the global top-20 is
+    TakeOrderedAndProject — each partition keeps 20 candidates, the
+    driver merges 20*partitions rows, never a global sort."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey")
+        .agg(
+            F.any_value("c_name").alias("c_name"),
+            F.any_value("n_name").alias("n_name"),
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-fact reconciliation: does each order's header total agree with
+# the sum of its line items? The audit every warehouse runs after load.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "order_total_reconciliation",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey,
+             sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))
+               AS line_total
+      FROM lineitem GROUP BY 1
+    ), j AS (
+      SELECT o.o_orderkey, o.o_totalprice, li.line_total,
+             abs(o.o_totalprice - coalesce(li.line_total, 0.0)) AS adiff
+      FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN line_total IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_lineless,
+           CAST(sum(CASE WHEN adiff > 0.01
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatched,
+           max(adiff) AS max_abs_diff
+    FROM j
+    """,
+)
+def order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-vs-detail consistency: per-order line totals (map-side-
+    combined on orderkey, the bucketing key) LEFT-joined to headers so
+    orders with no lines are counted rather than dropped, reduced to a
+    one-row scorecard. The mismatch threshold is a cent — whatever the
+    data says, Spark and the oracle must say it identically."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    lt = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            * (1 + F.col("l_tax"))
+        ).alias("line_total")
+    )
+    j = orders.join(
+        lt, orders.o_orderkey == lt.l_orderkey, "left"
+    ).select(
+        "o_totalprice",
+        "line_total",
+        F.abs(
+            F.col("o_totalprice") - F.coalesce("line_total", F.lit(0.0))
+        ).alias("adiff"),
+    )
+    return j.agg(
+        F.count("*").alias("n_orders"),
+        F.sum(
+            F.when(F.col("line_total").isNull(), 1).otherwise(0)
+        ).alias("n_lineless"),
+        F.sum(F.when(F.col("adiff") > 0.01, 1).otherwise(0)).alias(
+            "n_mismatched"
+        ),
+        F.max("adiff").alias("max_abs_diff"),
+    )

@@ -148,3 +148,33 @@ def test_projection_prunes_scan_columns(spark):
             assert col not in read, (
                 f"{name}: scan reads unused column {col!r}: {read}"
             )
+
+
+def test_q6_predicates_reach_the_scan(spark):
+    """forecast_revenue_change is scan-filter-aggregate: the discount
+    band and quantity cap must appear in the scan's PushedFilters, and
+    ReadSchema must prune to the four referenced columns (formatted
+    explain — the plan toString truncates scan metadata)."""
+    import re
+
+    df = registry.QUERIES["forecast_revenue_change"](spark, TEST_SF_DIR)
+    qe = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = qe.explainString(mode)
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m, plan
+    pushed = m.group(1)
+    assert "l_discount" in pushed and "l_quantity" in pushed, pushed
+    rs = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert rs, plan
+    cols = {c.split(":")[0] for c in rs.group(1).split(",")}
+    assert cols == {
+        "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"
+    }, cols
+
+
+def test_q10_top20_is_take_ordered_not_global_sort(spark):
+    plan = _plan(spark, "returned_item_report")
+    assert "TakeOrderedAndProject" in plan, plan
