@@ -73,6 +73,15 @@ HEADLINE = (
     "streaming_sessionize_e2e",
     "streaming_interval_join_e2e",
     "streaming_gapless_e2e",
+    # round-4 late-wave additions
+    "dedup_prefix_filter",
+    "heavy_hitter_tokens",
+    "streaming_ewma_e2e",
+    "ewma_smoothing",
+    "interval_coverage",
+    "graph_triangle_count",
+    "ann_recall_audit",
+    "multimodal_audio_energy",
     # round-4 second wave
     "dedup_exact_substring",
     "dedup_exact_segments",

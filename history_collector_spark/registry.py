@@ -48,6 +48,13 @@ _LOADED = False
 # span/segment/edit-distance), ANN + clustering, text/BPE, curation
 # flagships, the star-schema join, and multimodal. Everything else
 # keeps full local oracle coverage in tests/test_correctness.py.
+# Round-4 swap: five family TWINS (posexplode, broadcast-result,
+# segment-dedup, random-projection, tfidf — each still fully covered
+# by its sibling in the window plus the local harness) ceded their
+# slots to this round's strongest new operators: the exact
+# prefix-filter join, the cross-batch stateful streaming EWMA,
+# Misra-Gries heavy hitters, interval coverage, and the ANN recall
+# audit.
 PRIORITY_QUERIES = (
     "account_history",
     "point_lookup",
@@ -63,10 +70,10 @@ PRIORITY_QUERIES = (
     "xdr_triplet_parity",
     "pipeline_parity",
     "broadcast_lookup_time",
-    "broadcast_lookup_result",
+    "streaming_ewma_e2e",
     "zip_join_oppairs",
     "explode_txset",
-    "posexplode_opindex",
+    "dedup_prefix_filter",
     "explode_resultset",
     "scalar_pack",
     "streaming_ingest_e2e",
@@ -85,14 +92,14 @@ PRIORITY_QUERIES = (
     "dedup_ngram_jaccard",
     "dedup_clusters",
     "dedup_exact_substring",
-    "dedup_exact_segments",
+    "heavy_hitter_tokens",
     "dedup_edit_distance",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "cluster_kmeans_step",
-    "embedding_random_projection",
+    "interval_coverage",
     "text_quality_score",
-    "text_tfidf_topterms",
+    "ann_recall_audit",
     "bpe_merge_step",
     "curation_quality_pipeline",
     "curation_decontaminate",
