@@ -190,10 +190,14 @@ def streaming_ewma_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob
     import os
 
+    # fixture construction: pin the bucketed feed once so the six
+    # filtered writes share one scan instead of re-reading events
+    feed = feed.persist()
     for fno in range(_EWMA_FILES):
         feed.filter(F.col("file_no") == fno).select(
             "event_id", "ts", "user_id", "value"
         ).coalesce(1).write.mode("overwrite").parquet(f"{landing}/f{fno}")
+    feed.unpersist()
     for i, p in enumerate(sorted(glob.glob(f"{landing}/f*/part-*.parquet"))):
         dst = os.path.join(flat, f"{i:02d}.parquet")
         shutil.copy(p, dst)
