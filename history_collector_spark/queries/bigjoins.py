@@ -383,3 +383,93 @@ def order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("adiff").alias("max_abs_diff"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket pair mining (one Apriori level): co-purchased part
+# pairs with support and lift, frequent-item pruned BEFORE any pair is
+# generated.
+# ---------------------------------------------------------------------------
+
+_MB_MIN_ITEM_SUPPORT = 30  # orders containing the part
+_MB_MIN_PAIR_SUPPORT = 2
+
+
+@register(
+    "orders_market_basket",
+    oracle=f"""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li),
+    isup AS (
+      SELECT l_partkey, count(*) AS s FROM li GROUP BY 1
+    ), freq AS (
+      SELECT l_partkey, s FROM isup WHERE s >= {_MB_MIN_ITEM_SUPPORT}
+    ), fb AS (
+      SELECT li.l_orderkey, li.l_partkey FROM li
+      JOIN freq ON li.l_partkey = freq.l_partkey
+    ), pairs AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS support
+      FROM fb a JOIN fb b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT p.p1, p.p2, CAST(p.support AS BIGINT) AS support,
+           ((1.0 * p.support) * n.n_orders) / ((1.0 * fa.s) * fb2.s)
+             AS lift
+    FROM pairs p
+    JOIN freq fa ON p.p1 = fa.l_partkey
+    JOIN freq fb2 ON p.p2 = fb2.l_partkey
+    CROSS JOIN n
+    WHERE p.support >= {_MB_MIN_PAIR_SUPPORT}
+    """,
+)
+def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apriori level-2: pairs are generated ONLY from frequent items
+    (the anti-monotonicity prune — an infrequent item can't be in a
+    frequent pair), and generated ROW-LOCALLY from each order's
+    bounded basket (collect_set + index-pair transform, the
+    item_cooccurrence shape) rather than a basket self-join. The
+    frequent-item table is part-bounded and broadcasts; pair counts
+    are frequent-vocab²-bounded with map-side combine; lift's
+    n_orders is a 1-row broadcast normalizer."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = li.select("l_orderkey").distinct().count()  # 1-row scalar
+    isup = li.groupBy("l_partkey").agg(F.count("*").alias("s"))
+    freq = isup.filter(F.col("s") >= _MB_MIN_ITEM_SUPPORT)
+    fb = li.join(F.broadcast(freq.select("l_partkey")), "l_partkey")
+    baskets = fb.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("items")
+    )
+    idx = F.sequence(F.lit(1), F.size("items"))
+    pair_structs = F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.transform(
+                F.slice(F.col("items"), i + 1, F.size("items")),
+                lambda y: F.struct(
+                    F.element_at("items", i).alias("p1"), y.alias("p2")
+                ),
+            ),
+        )
+    )
+    pairs = (
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.p1").alias("p1"), F.col("p.p2").alias("p2"))
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= _MB_MIN_PAIR_SUPPORT)
+    )
+    fa = freq.select(F.col("l_partkey").alias("p1"), F.col("s").alias("sa"))
+    fb2 = freq.select(F.col("l_partkey").alias("p2"), F.col("s").alias("sb"))
+    lift = ((F.lit(1.0) * F.col("support")) * F.lit(n_orders)) / (
+        (F.lit(1.0) * F.col("sa")) * F.col("sb")
+    )
+    return (
+        pairs.join(F.broadcast(fa), "p1")
+        .join(F.broadcast(fb2), "p2")
+        .select("p1", "p2", "support", lift.alias("lift"))
+    )

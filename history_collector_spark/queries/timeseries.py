@@ -450,3 +450,48 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("latency_us"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling median: 5-point median smoother — the robust denoiser a
+# sensor pipeline runs where a mean would chase every spike.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rolling_median_smooth",
+    oracle="""
+    WITH x AS (
+      SELECT event_id, user_id, ts, value,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+               AS win
+      FROM events
+    )
+    SELECT event_id, user_id, ts, value,
+           CASE WHEN len(win) = 5 THEN list_sort(win)[3] END AS med5
+    FROM x
+    """,
+)
+def rolling_median_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median of each reading and its 4 predecessors (null until the
+    frame fills — a partial frame would bias the smoother). There is
+    no built-in windowed median, so the bounded frame is collected
+    (5 doubles per row, constant memory), sorted row-locally, and
+    indexed — the list stays tiny by CONSTRUCTION, which is what makes
+    this safe where collect_list over an unbounded frame would not
+    be. One user_id shuffle, linear slide."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    win = F.collect_list("value").over(w)
+    med5 = F.when(
+        F.size(F.col("win")) == 5,
+        F.element_at(F.array_sort("win"), 3),
+    )
+    return ev.select(
+        "event_id", "user_id", "ts", "value", win.alias("win")
+    ).select("event_id", "user_id", "ts", "value", med5.alias("med5"))

@@ -1458,3 +1458,78 @@ def test_zipf_slope_hand_regression(spark, tmp_path):
     assert r["n_types"] == 3
     assert abs(r["zipf_slope"] - slope) < 1e-9
     assert abs(r["zipf_intercept"] - intercept) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Wave: market basket / rolling median.
+# ---------------------------------------------------------------------------
+
+
+def test_market_basket_counts_and_lift_hand_case(spark, tmp_path):
+    """Baskets {A,B}, {A,B}, {A,C}, {B}: with thresholds lowered via
+    the real constants being generous, verify against a hand corpus
+    where A,B clear the item threshold by construction and pair (A,B)
+    has support 2 and lift 8/6."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # item support threshold is 30 -> replicate the basket pattern 30x
+    # across distinct orders so A and B qualify and (A,B) support = 30
+    rows = []
+    for i in range(30):
+        base = i * 10
+        rows += [(base + 1, 100), (base + 1, 200)]   # {A, B}
+        rows += [(base + 2, 100), (base + 2, 300)]   # {A, C}
+        rows += [(base + 3, 200)]                     # {B}
+    d = dt.datetime(2024, 1, 1)
+    tbl = pa.table(
+        {
+            "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+            "l_suppkey": pa.array([1] * len(rows), pa.int64()),
+            "l_linenumber": pa.array([1] * len(rows), pa.int32()),
+            "l_quantity": pa.array([1.0] * len(rows), pa.float64()),
+            "l_extendedprice": pa.array([1.0] * len(rows), pa.float64()),
+            "l_discount": pa.array([0.0] * len(rows), pa.float64()),
+            "l_tax": pa.array([0.0] * len(rows), pa.float64()),
+            "l_returnflag": pa.array(["N"] * len(rows), pa.string()),
+            "l_linestatus": pa.array(["O"] * len(rows), pa.string()),
+            "l_shipdate": pa.array([d] * len(rows), pa.timestamp("us")),
+        }
+    )
+    pq.write_table(tbl, os.path.join(str(tmp_path), "lineitem.parquet"))
+    pdf = (
+        registry.QUERIES["orders_market_basket"](spark, str(tmp_path))
+        .toPandas()
+        .set_index(["p1", "p2"])
+    )
+    # items: A support 60, B support 60, C support 30; 90 orders total
+    # pairs among frequent: (100,200) 30, (100,300) 30
+    assert pdf.loc[(100, 200), "support"] == 30
+    assert abs(pdf.loc[(100, 200), "lift"] - (30 * 90) / (60 * 60)) < 1e-12
+    assert abs(pdf.loc[(100, 300), "lift"] - (30 * 90) / (60 * 30)) < 1e-12
+
+
+def test_rolling_median_null_until_full_and_robust_to_spike(spark, tmp_path):
+    import datetime as dt
+
+    import pandas as pd
+
+    base = dt.datetime(2024, 1, 1)
+    vals = [10.0, 10.0, 10.0, 10.0, 999.0, 10.0]
+    rows = [
+        (i, base + dt.timedelta(seconds=i), 1, "view", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    sf = _write_events(rows, str(tmp_path))
+    pdf = (
+        registry.QUERIES["rolling_median_smooth"](spark, sf)
+        .toPandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    assert pd.isna(pdf.loc[0:3, "med5"]).all()  # frame not yet full
+    assert pdf.loc[4, "med5"] == 10.0  # spike IN frame, median ignores it
+    assert pdf.loc[5, "med5"] == 10.0
