@@ -391,7 +391,13 @@ def order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # generated.
 # ---------------------------------------------------------------------------
 
-_MB_MIN_ITEM_SUPPORT = 30  # orders containing the part
+# Min item support is the MAX of an absolute floor and a corpus
+# fraction (1 in 500 orders): fraction-based support is what keeps the
+# frequent-item set — and with it the pair space — scale-stable as the
+# corpus grows (an absolute threshold silently admits every item once
+# supports inflate past it).
+_MB_MIN_ITEM_SUPPORT = 30
+_MB_ITEM_SUPPORT_DENOM = 500
 _MB_MIN_PAIR_SUPPORT = 2
 
 
@@ -404,7 +410,10 @@ _MB_MIN_PAIR_SUPPORT = 2
     isup AS (
       SELECT l_partkey, count(*) AS s FROM li GROUP BY 1
     ), freq AS (
-      SELECT l_partkey, s FROM isup WHERE s >= {_MB_MIN_ITEM_SUPPORT}
+      SELECT l_partkey, s FROM isup
+      WHERE s >= greatest({_MB_MIN_ITEM_SUPPORT},
+                          (SELECT n_orders FROM n)
+                            // {_MB_ITEM_SUPPORT_DENOM})
     ), fb AS (
       SELECT li.l_orderkey, li.l_partkey FROM li
       JOIN freq ON li.l_partkey = freq.l_partkey
@@ -440,7 +449,10 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_orders = li.select("l_orderkey").distinct().count()  # 1-row scalar
     isup = li.groupBy("l_partkey").agg(F.count("*").alias("s"))
-    freq = isup.filter(F.col("s") >= _MB_MIN_ITEM_SUPPORT)
+    min_support = max(
+        _MB_MIN_ITEM_SUPPORT, n_orders // _MB_ITEM_SUPPORT_DENOM
+    )
+    freq = isup.filter(F.col("s") >= min_support)
     fb = li.join(F.broadcast(freq.select("l_partkey")), "l_partkey")
     baskets = fb.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("items")
