@@ -636,3 +636,36 @@ def event_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_outliers"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Correlation pack: pairwise Pearson correlations of the lineitem
+# measures in ONE pass — corr() is a sufficient-statistics aggregate,
+# so the whole matrix costs a single map-side-combined scan.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lineitem_corr_matrix",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           corr(l_quantity, l_extendedprice) AS qty_price,
+           corr(l_quantity, l_discount) AS qty_discount,
+           corr(l_quantity, l_tax) AS qty_tax,
+           corr(l_extendedprice, l_discount) AS price_discount,
+           corr(l_extendedprice, l_tax) AS price_tax,
+           corr(l_discount, l_tax) AS discount_tax
+    FROM lineitem
+    """,
+)
+def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n"),
+        F.corr("l_quantity", "l_extendedprice").alias("qty_price"),
+        F.corr("l_quantity", "l_discount").alias("qty_discount"),
+        F.corr("l_quantity", "l_tax").alias("qty_tax"),
+        F.corr("l_extendedprice", "l_discount").alias("price_discount"),
+        F.corr("l_extendedprice", "l_tax").alias("price_tax"),
+        F.corr("l_discount", "l_tax").alias("discount_tax"),
+    )

@@ -889,3 +889,90 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(est - F.col("jaccard")).alias("abs_err"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Threshold sweep: how many pairs/docs a near-dup pass would remove at
+# each candidate tau — the curve a curation team reads before picking
+# its threshold.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_threshold_sweep",
+    oracle=f"""
+    WITH {_BUCKETS_SQL},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    shl AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - 1, 1)),
+               i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+      FROM toks
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b,
+             CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+               / len(list_distinct(list_concat(x.s, y.s))) AS jaccard
+      FROM cand
+      JOIN shl x ON cand.doc_a = x.doc_id
+      JOIN shl y ON cand.doc_b = y.doc_id
+    ),
+    pb AS (
+      SELECT CAST(floor(jaccard * 10) AS INT) AS b, count(*) AS n
+      FROM pairs GROUP BY 1
+    ),
+    docmax AS (
+      SELECT doc_id, CAST(floor(max(jaccard) * 10) AS INT) AS b
+      FROM (
+        SELECT doc_a AS doc_id, jaccard FROM pairs
+        UNION ALL SELECT doc_b, jaccard FROM pairs
+      ) GROUP BY 1
+    ),
+    db AS (SELECT b, count(*) AS n FROM docmax GROUP BY 1),
+    taus AS (SELECT unnest(range(1, 10)) AS tau_x10)
+    SELECT CAST(t.tau_x10 AS INT) AS tau_x10,
+           CAST(coalesce((SELECT sum(n) FROM pb WHERE pb.b >= t.tau_x10), 0)
+                AS BIGINT) AS n_pairs,
+           CAST(coalesce((SELECT sum(n) FROM db WHERE db.b >= t.tau_x10), 0)
+                AS BIGINT) AS n_docs
+    FROM taus t
+    """,
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For tau in 0.1..0.9 (reported as tau_x10 so the bucket edge is
+    integer-exact in both engines): surviving pair count and affected
+    doc count, from the memoized verified pair table. Pairs bucket by
+    floor(jaccard*10) and docs by their MAX pair jaccard — both
+    bounded aggregates — then each threshold reads a >= bucket
+    cumulative over at most 10 rows. Cost beyond the shared pair
+    table: two tiny aggregations, no re-verification per threshold."""
+    pairs = verified_pair_table(spark, sf_dir)
+    pb = pairs.groupBy(
+        F.floor(F.col("jaccard") * 10).cast("int").alias("b")
+    ).agg(F.count("*").alias("n"))
+    docmax = (
+        pairs.select(
+            F.explode(F.array("doc_a", "doc_b")).alias("doc_id"), "jaccard"
+        )
+        .groupBy("doc_id")
+        .agg(F.floor(F.max("jaccard") * 10).cast("int").alias("b"))
+    )
+    db = docmax.groupBy("b").agg(F.count("*").alias("n"))
+    taus = spark.range(1, 10).select(F.col("id").cast("int").alias("tau_x10"))
+    out = (
+        taus.join(F.broadcast(pb), pb.b >= taus.tau_x10, "left")
+        .groupBy("tau_x10")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("n_pairs"))
+        .join(
+            taus.join(F.broadcast(db), db.b >= taus.tau_x10, "left")
+            .groupBy("tau_x10")
+            .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("n_docs")),
+            "tau_x10",
+        )
+    )
+    return out

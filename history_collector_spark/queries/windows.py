@@ -467,3 +467,79 @@ def rolling_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("n_window")
     )
+
+
+# ---------------------------------------------------------------------------
+# Session path mining: the most common event-type journeys (first 5
+# steps of each session) — the product-analytics "top paths" report.
+# ---------------------------------------------------------------------------
+
+_PATH_MAX_STEPS = 5
+
+
+@register(
+    "session_path_counts",
+    oracle=f"""
+    WITH x AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                     > {_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, event_id, ts, event_type,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM x
+    ), paths AS (
+      SELECT user_id, session_id,
+             array_to_string(
+               (list(event_type ORDER BY ts, event_id))[1:{_PATH_MAX_STEPS}],
+               '>') AS path
+      FROM s GROUP BY 1, 2
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+    """,
+)
+def session_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many sessions follow each event-type journey, truncated to
+    the first 5 steps (the truncation is what keeps the path key space
+    bounded — at most |types|^5 — instead of growing with the longest
+    session). Same single user_id exchange as event_sessionize for the
+    lag + cumsum + per-session collect; the final path count is a
+    bounded-key aggregate with map-side combine."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(gap.isNull() | (gap > _SESSION_GAP_US), 1).otherwise(0)
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.sum(is_new).over(cum).alias("session_id"),
+    )
+    paths = s.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda x: x["event_type"],
+                ),
+                1,
+                _PATH_MAX_STEPS,
+            ),
+            ">",
+        ).alias("path")
+    )
+    return paths.groupBy("path").agg(F.count("*").alias("n_sessions"))

@@ -1533,3 +1533,57 @@ def test_rolling_median_null_until_full_and_robust_to_spike(spark, tmp_path):
     assert pd.isna(pdf.loc[0:3, "med5"]).all()  # frame not yet full
     assert pdf.loc[4, "med5"] == 10.0  # spike IN frame, median ignores it
     assert pdf.loc[5, "med5"] == 10.0
+
+
+# ---------------------------------------------------------------------------
+# Wave: session paths / threshold sweep.
+# ---------------------------------------------------------------------------
+
+
+def test_session_paths_truncate_and_split_on_gap(spark, tmp_path):
+    """A 7-event session truncates to its first 5 steps; a >30-min gap
+    starts a fresh path; two users with the same journey both count."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    s = lambda n: base + dt.timedelta(minutes=n)
+    rows = []
+    # user 1: 7 quick events then (after a 40-min gap) 2 more
+    types = ["a", "b", "c", "d", "e", "f", "g"]
+    for i, t in enumerate(types):
+        rows.append((i, s(i), 1, t, 1.0, "{}"))
+    rows.append((10, s(50), 1, "x", 1.0, "{}"))
+    rows.append((11, s(51), 1, "y", 1.0, "{}"))
+    # user 2: same first journey
+    for i, t in enumerate(types):
+        rows.append((20 + i, s(i), 2, t, 1.0, "{}"))
+    sf = _write_events(rows, str(tmp_path))
+    pdf = (
+        registry.QUERIES["session_path_counts"](spark, sf)
+        .toPandas()
+        .set_index("path")
+    )
+    assert pdf.loc["a>b>c>d>e", "n_sessions"] == 2  # truncated at 5
+    assert pdf.loc["x>y", "n_sessions"] == 1
+    assert len(pdf) == 2
+
+
+def test_threshold_sweep_is_monotone_and_matches_pair_table(spark):
+    """n_pairs and n_docs must be non-increasing in tau, and the 0.8
+    row must agree with counting the memoized pair table directly."""
+    from history_collector_spark.queries.dedup import verified_pair_table
+
+    pdf = (
+        registry.QUERIES["dedup_threshold_sweep"](spark, TEST_SF_DIR)
+        .toPandas()
+        .sort_values("tau_x10")
+    )
+    assert (pdf["n_pairs"].diff().dropna() <= 0).all()
+    assert (pdf["n_docs"].diff().dropna() <= 0).all()
+    pairs = verified_pair_table(spark, TEST_SF_DIR).toPandas()
+    import numpy as np
+
+    bucketed = np.floor(pairs["jaccard"] * 10) >= 8
+    assert (
+        pdf.set_index("tau_x10").loc[8, "n_pairs"] == bucketed.sum()
+    )
