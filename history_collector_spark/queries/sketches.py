@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from history_collector_spark.catalog import table
+from history_collector_spark.functions.nlp import md5_hash32
 from history_collector_spark.registry import register
 
 
@@ -73,4 +74,152 @@ def incremental_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.join(single, "event_type").select(
         "event_type", "merged_estimate", "single_pass_estimate",
         "exact_distinct",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter as a DataFrame: build a bitmap over customer keys with
+# k md5-derived hash positions, probe it with hits and guaranteed
+# misses, and report the measured false-positive rate — the join-prune
+# structure at 100 TB (ship the KB-sized bitmap, skip the fact scan),
+# built and audited entirely in Catalyst expressions.
+# ---------------------------------------------------------------------------
+
+# Deliberately SMALL (8192 bits) so the audit has signal at test
+# scale: at sf0.01 (1500 customer keys) the load k*n/m ~ 1.3 gives a
+# measurable ~10% FP rate; at sf0.1 (15000 keys) the filter SATURATES
+# and the audit shows FPR -> 1 — exactly the failure the report
+# exists to catch. A production filter sizes m from the same formula
+# the audit verifies.
+_BLOOM_BITS = 8192
+_BLOOM_K = 7
+_BLOOM_MISS_OFFSET = 10_000_000  # probe keys guaranteed absent
+
+
+@register(
+    "bloom_membership_audit",
+    oracle=f"""
+    WITH hashes AS (SELECT unnest(range({_BLOOM_K})) AS j),
+    pos AS (
+      SELECT CAST(concat('0x', substr(md5(concat(j, '#', c_custkey)), 1, 8))
+                  AS BIGINT) % {_BLOOM_BITS} AS p
+      FROM customer, hashes
+    ),
+    bitmap AS (
+      SELECT p // 32 AS word, bit_or(1 << (p % 32)) AS bits
+      FROM pos GROUP BY 1
+    ),
+    probes AS (
+      SELECT c_custkey AS key, TRUE AS is_member FROM customer
+      UNION ALL
+      SELECT c_custkey + {_BLOOM_MISS_OFFSET}, FALSE FROM customer
+    ),
+    ppos AS (
+      SELECT key, is_member,
+             CAST(concat('0x', substr(md5(concat(j, '#', key)), 1, 8))
+                  AS BIGINT) % {_BLOOM_BITS} AS p
+      FROM probes, hashes
+    ),
+    checks AS (
+      SELECT ppos.key, ppos.is_member,
+             CASE WHEN (coalesce(b.bits, 0) & (1 << (ppos.p % 32))) != 0
+                  THEN 1 ELSE 0 END AS hit
+      FROM ppos LEFT JOIN bitmap b ON ppos.p // 32 = b.word
+    ),
+    verdicts AS (
+      SELECT key, is_member,
+             CASE WHEN sum(hit) = {_BLOOM_K} THEN 1 ELSE 0 END AS positive
+      FROM checks GROUP BY 1, 2
+    )
+    SELECT CAST(sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_members,
+           CAST(sum(CASE WHEN is_member AND positive = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_negatives,
+           CAST(sum(CASE WHEN NOT is_member THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_non_members,
+           CAST(sum(CASE WHEN NOT is_member AND positive = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positives,
+           (1.0 * sum(CASE WHEN NOT is_member AND positive = 1
+                           THEN 1 ELSE 0 END))
+             / sum(CASE WHEN NOT is_member THEN 1 ELSE 0 END)
+             AS false_positive_rate
+    FROM verdicts
+    """,
+)
+def bloom_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build: each key sets k=7 md5-derived positions in an 8192-bit
+    map; the bitmap is a 4096-row (word, bits) aggregate via bit_or (32-bit words — DuckDB's signed shift overflows at bit 63) —
+    map-side combined, KB-sized, broadcastable. Probe: every build key
+    (must all test positive — the audit proves zero false negatives)
+    plus an offset copy guaranteed absent (measures the actual FP
+    rate against the 0.6185^(m/n... theoretical curve). The probe join
+    keys on bitmap words (2048 distinct — effectively a broadcast),
+    and every hash is the repo-standard md5-derived 32-bit value, so
+    DuckDB rebuilds the identical filter bit-for-bit."""
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    hashes = F.sequence(F.lit(0), F.lit(_BLOOM_K - 1))
+
+    def positions(key_col):
+        return F.transform(
+            hashes,
+            lambda j: md5_hash32(
+                F.concat(j.cast("string"), F.lit("#"), key_col.cast("string"))
+            )
+            % _BLOOM_BITS,
+        )
+
+    pos = cust.select(F.explode(positions(F.col("c_custkey"))).alias("p"))
+    bitmap = pos.groupBy((F.col("p") / 32).cast("long").alias("word")).agg(
+        F.expr("bit_or(shiftleft(1L, cast(p % 32 as int)))").alias("bits")
+    )
+    probes = cust.select(
+        F.col("c_custkey").alias("key"), F.lit(True).alias("is_member")
+    ).unionAll(
+        cust.select(
+            (F.col("c_custkey") + _BLOOM_MISS_OFFSET).alias("key"),
+            F.lit(False).alias("is_member"),
+        )
+    )
+    ppos = probes.select(
+        "key", "is_member", F.explode(positions(F.col("key"))).alias("p")
+    )
+    checks = ppos.join(
+        F.broadcast(bitmap),
+        (F.col("p") / 32).cast("long") == F.col("word"),
+        "left",
+    ).select(
+        "key",
+        "is_member",
+        F.when(
+            F.expr(
+                "(coalesce(bits, 0L) & shiftleft(1L, cast(p % 32 as int)))"
+            )
+            != 0,
+            1,
+        )
+        .otherwise(0)
+        .alias("hit"),
+    )
+    verdicts = checks.groupBy("key", "is_member").agg(
+        F.when(F.sum("hit") == _BLOOM_K, 1).otherwise(0).alias("positive")
+    )
+    mem = F.col("is_member")
+    return verdicts.agg(
+        F.sum(F.when(mem, 1).otherwise(0)).alias("n_members"),
+        F.sum(F.when(mem & (F.col("positive") == 0), 1).otherwise(0)).alias(
+            "n_false_negatives"
+        ),
+        F.sum(F.when(~mem, 1).otherwise(0)).alias("n_non_members"),
+        F.sum(F.when(~mem & (F.col("positive") == 1), 1).otherwise(0)).alias(
+            "n_false_positives"
+        ),
+        (
+            (
+                F.lit(1.0)
+                * F.sum(
+                    F.when(~mem & (F.col("positive") == 1), 1).otherwise(0)
+                )
+            )
+            / F.sum(F.when(~mem, 1).otherwise(0))
+        ).alias("false_positive_rate"),
     )

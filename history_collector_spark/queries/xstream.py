@@ -39,6 +39,7 @@ from history_collector_spark.streaming.conf import scoped_state_partitions
 from history_collector_spark.streaming.stateful import (
     track_ewma,
     track_gapless,
+    track_zscore,
 )
 
 _N_PER_STREAM = 24  # sequences per stream: 0, 64, ..., 23*64
@@ -134,6 +135,48 @@ def streaming_gapless_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select("stream_id", "seq", "status")
 
 
+def _time_partitioned_replay_dir(
+    spark: SparkSession, sf_dir: str, n_files: int
+) -> str:
+    """Write events as n_files TIME-RANGE-partitioned parquet files
+    with strictly increasing mtimes, so maxFilesPerTrigger=1 replays
+    them as in-event-time-order micro-batches. The range bucketing is
+    a map-only 1-row bounds broadcast (fixture construction never
+    sorts globally); mtimes are pinned because the file source orders
+    batches by MODIFICATION time and same-second copies would scramble
+    the replay."""
+    import glob
+    import os
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    us = F.unix_micros("ts")
+    bounds = ev.agg(F.min(us).alias("mn"), F.max(us).alias("mx"))
+    feed = ev.crossJoin(F.broadcast(bounds)).withColumn(
+        "file_no",
+        F.floor(
+            F.lit(n_files)
+            * (us - F.col("mn"))
+            / (F.col("mx") - F.col("mn") + F.lit(1))
+        ).cast("int"),
+    )
+    landing = tempfile.mkdtemp(prefix="hc_replay_")
+    flat = tempfile.mkdtemp(prefix="hc_replay_flat_")
+    feed = feed.persist()
+    for fno in range(n_files):
+        feed.filter(F.col("file_no") == fno).select(
+            "event_id", "ts", "user_id", "value"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{landing}/f{fno}")
+    feed.unpersist()
+    for i, p in enumerate(sorted(glob.glob(f"{landing}/f*/part-*.parquet"))):
+        dst = os.path.join(flat, f"{i:02d}.parquet")
+        shutil.copy(p, dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    shutil.rmtree(landing, ignore_errors=True)
+    return flat
+
+
 # ---------------------------------------------------------------------------
 # Streaming EWMA e2e: the recursion's memory (one double per user)
 # rides the state store across micro-batches.
@@ -172,41 +215,7 @@ def streaming_ewma_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     double per key (bounded at any scale); the feed partitioner is a
     map-only epoch-range bucketing (1-row bounds broadcast), so fixture
     construction never sorts globally."""
-    ev = table(spark, sf_dir, "events").select(
-        "event_id", "ts", "user_id", "value"
-    )
-    us = F.unix_micros("ts")
-    bounds = ev.agg(F.min(us).alias("mn"), F.max(us).alias("mx"))
-    feed = ev.crossJoin(F.broadcast(bounds)).withColumn(
-        "file_no",
-        F.floor(
-            F.lit(_EWMA_FILES)
-            * (us - F.col("mn"))
-            / (F.col("mx") - F.col("mn") + F.lit(1))
-        ).cast("int"),
-    )
-    landing = tempfile.mkdtemp(prefix="hc_sewma_")
-    flat = tempfile.mkdtemp(prefix="hc_sewma_flat_")
-    import glob
-    import os
-
-    # fixture construction: pin the bucketed feed once so the six
-    # filtered writes share one scan instead of re-reading events
-    feed = feed.persist()
-    for fno in range(_EWMA_FILES):
-        feed.filter(F.col("file_no") == fno).select(
-            "event_id", "ts", "user_id", "value"
-        ).coalesce(1).write.mode("overwrite").parquet(f"{landing}/f{fno}")
-    feed.unpersist()
-    for i, p in enumerate(sorted(glob.glob(f"{landing}/f*/part-*.parquet"))):
-        dst = os.path.join(flat, f"{i:02d}.parquet")
-        shutil.copy(p, dst)
-        # the file source orders micro-batches by MODIFICATION TIME;
-        # same-second copies tie and scramble replay order, so pin
-        # strictly increasing mtimes (1 s apart) explicitly
-        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
-    shutil.rmtree(landing, ignore_errors=True)
-
+    flat = _time_partitioned_replay_dir(spark, sf_dir, _EWMA_FILES)
     stream = (
         spark.readStream.schema(
             "event_id long, ts timestamp, user_id long, value double"
@@ -229,3 +238,59 @@ def streaming_ewma_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
             shutil.rmtree(flat, ignore_errors=True)
     return spark.table(name).select("event_id", "user_id", "ewma")
+
+
+# ---------------------------------------------------------------------------
+# Streaming z-score e2e: prior-only anomaly scoring with Welford
+# moments carried across micro-batches.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_zscore_e2e",
+    oracle="""
+    WITH x AS (
+      SELECT event_id, user_id, value,
+             avg(value) OVER wp AS pm,
+             stddev_samp(value) OVER wp AS ps,
+             count(*) OVER wp AS pn
+      FROM events
+      WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id,
+           CASE WHEN pn >= 2 AND ps > 0
+                THEN (value - pm) / ps END AS z
+    FROM x
+    """,
+)
+def streaming_zscore_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each event scored against ONLY its predecessors (the honest
+    online-anomaly semantics — batch z-scores that include the point
+    itself leak the future). The oracle is the batch prefix-window
+    formulation; the stream must reproduce it with three Welford
+    numbers per key surviving the state store across six time-range
+    micro-batches."""
+    flat = _time_partitioned_replay_dir(spark, sf_dir, _EWMA_FILES)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    out = track_zscore(stream)
+    name = f"szs_{uuid.uuid4().hex[:8]}"
+    with scoped_state_partitions(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+            shutil.rmtree(flat, ignore_errors=True)
+    return spark.table(name).select("event_id", "user_id", "z")

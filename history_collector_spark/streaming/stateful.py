@@ -157,3 +157,75 @@ def track_ewma(stream: DataFrame, alpha: float) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming z-score: Welford running moments per key; each arrival is
+# judged against the statistics of its PAST only.
+# ---------------------------------------------------------------------------
+
+ZSCORE_OUT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("z", DoubleType()),
+    ]
+)
+
+# Welford sufficient statistics: (n, mean, M2) — three numbers per key.
+ZSCORE_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("mean", DoubleType()),
+        StructField("m2", DoubleType()),
+    ]
+)
+
+
+def make_zscore_tracker():
+    """Per-key streaming z-score: each row scores against the prior
+    state's sample mean/std (None until 2 observations, or while the
+    history is constant), THEN folds itself in via Welford's update —
+    numerically stable and exactly mergeable with the batch
+    prefix-window formulation."""
+
+    def track(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import math
+
+        n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"])
+        out_ids, out_z = [], []
+        for eid, x in zip(pdf["event_id"], pdf["value"]):
+            x = float(x)
+            if n >= 2 and m2 > 0:
+                z = (x - mean) / math.sqrt(m2 / (n - 1))
+            else:
+                z = None
+            out_ids.append(int(eid))
+            out_z.append(z)
+            n += 1
+            d = x - mean
+            mean += d / n
+            m2 += d * (x - mean)
+        if out_ids:
+            yield pd.DataFrame(
+                {"event_id": out_ids, "user_id": key[0], "z": out_z}
+            )
+        state.update((int(n), float(mean), float(m2)))
+
+    return track
+
+
+def track_zscore(stream: DataFrame) -> DataFrame:
+    """stream(event_id, ts, user_id, value) -> prior-history z-score
+    per event, with three numbers per key in the state store."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        make_zscore_tracker(),
+        outputStructType=ZSCORE_OUT_SCHEMA,
+        stateStructType=ZSCORE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1587,3 +1587,60 @@ def test_threshold_sweep_is_monotone_and_matches_pair_table(spark):
     assert (
         pdf.set_index("tau_x10").loc[8, "n_pairs"] == bucketed.sum()
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave: bloom audit / streaming z-score.
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_never_false_negative_and_fp_rate_near_theory(spark):
+    """Zero false negatives is the Bloom INVARIANT (any FN means the
+    build or probe path is broken); the measured FP rate must sit near
+    the (1 - e^(-kn/m))^k theoretical curve."""
+    import math
+
+    from history_collector_spark.queries.sketches import (
+        _BLOOM_BITS,
+        _BLOOM_K,
+    )
+
+    r = (
+        registry.QUERIES["bloom_membership_audit"](spark, TEST_SF_DIR)
+        .toPandas()
+        .iloc[0]
+    )
+    assert r["n_false_negatives"] == 0
+    n, m, k = r["n_members"], _BLOOM_BITS, _BLOOM_K
+    theory = (1 - math.exp(-k * n / m)) ** k
+    assert abs(r["false_positive_rate"] - theory) < max(0.05, theory)
+
+
+def test_streaming_zscore_scores_against_prior_only(spark, tmp_path):
+    """Values 10, 10, 10, 16: the spike's z uses the prior mean/std
+    only — but 3 constant priors give std 0 -> null; sequence
+    10, 12, 10, 22 gives a hand-checkable z for the last point."""
+    import datetime as dt
+    import math
+
+    import pandas as pd
+
+    base = dt.datetime(2024, 1, 1)
+    vals = [10.0, 12.0, 10.0, 22.0]
+    rows = [
+        (i, base + dt.timedelta(hours=6 * i), 1, "view", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    sf = _write_events(rows, str(tmp_path))
+    pdf = (
+        registry.QUERIES["streaming_zscore_e2e"](spark, sf)
+        .toPandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    assert pd.isna(pdf.loc[0, "z"]) and pd.isna(pdf.loc[1, "z"])
+    # event 2: priors [10,12] -> mean 11, std sqrt(2) -> z = -1/sqrt(2)
+    assert abs(pdf.loc[2, "z"] + 1 / math.sqrt(2)) < 1e-9
+    # event 3: priors [10,12,10] -> mean 32/3, std sqrt(4/3)
+    exp = (22 - 32 / 3) / math.sqrt(4 / 3)
+    assert abs(pdf.loc[3, "z"] - exp) < 1e-9
