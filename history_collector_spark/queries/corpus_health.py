@@ -1,0 +1,269 @@
+"""Corpus-health audits over the embeddings and documents tables.
+
+A training-data pipeline watches its corpus the way the reference
+watches its ledger stream (failure notification, SURVEY §2.7e) — not
+per-record errors but distribution-level drift: dead embedding
+dimensions after a bad encoder deploy, collapsed-norm vectors, label
+centroids drifting together, vocabulary shrinking between crawls.
+These queries are that monitoring surface as one-pass Spark plans.
+
+Scale rules: everything collapses to a bounded key space (64 dims,
+~10 labels, a handful of sources) in ONE pass with map-side partial
+aggregation; the only joins are between already-aggregated
+bounded-cardinality tables, all broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from history_collector_spark.catalog import table
+from history_collector_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# Per-dimension health: dead dims, mean/variance per coordinate.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_dim_health",
+    oracle="""
+    SELECT CAST(i - 1 AS INT) AS dim,
+           avg(CAST(embedding[i] AS DOUBLE)) AS mean_val,
+           var_samp(CAST(embedding[i] AS DOUBLE)) AS var_val,
+           avg(CASE WHEN abs(embedding[i]) < 1e-6 THEN 1.0 ELSE 0.0 END)
+             AS frac_nearzero
+    FROM embeddings, (SELECT unnest(range(1, 65)) AS i) r
+    GROUP BY 1
+    """,
+)
+def embedding_dim_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-coordinate mean / variance / near-zero fraction across the
+    corpus — the "dead dimension" audit run after every encoder change
+    (a dim whose variance collapses carries no signal and poisons
+    cosine geometry).
+
+    posexplode fans each vector into 64 (dim, value) rows, which the
+    partial aggregate collapses to 64 groups map-side — the shuffle
+    moves O(64 x partitions) pre-aggregated rows, not O(rows x 64).
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    exploded = emb.select(F.posexplode("embedding").alias("dim", "v")).select(
+        "dim", F.col("v").cast("double").alias("v")
+    )
+    return exploded.groupBy("dim").agg(
+        F.avg("v").alias("mean_val"),
+        F.var_samp("v").alias("var_val"),
+        F.avg(F.when(F.abs("v") < 1e-6, 1.0).otherwise(0.0)).alias("frac_nearzero"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Norm audit per label: collapsed or exploded vector magnitudes.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_norm_audit",
+    oracle="""
+    WITH n AS (
+      SELECT label,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           avg(nrm) AS avg_norm,
+           min(nrm) AS min_norm,
+           max(nrm) AS max_norm,
+           CAST(sum(CASE WHEN nrm < 1e-6 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_degenerate
+    FROM n GROUP BY label
+    """,
+)
+def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-norm distribution per label: collapsed (near-zero) vectors
+    break cosine similarity (division by ~0) and exploding norms flag
+    un-normalized encoder output. Norm is a map-only array fold
+    (F.aggregate, JVM-side); the aggregate has label-cardinality keys.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    return (
+        emb.select("label", nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.avg("nrm").alias("avg_norm"),
+            F.min("nrm").alias("min_norm"),
+            F.max("nrm").alias("max_norm"),
+            F.sum(F.when(F.col("nrm") < 1e-6, 1).otherwise(0)).alias("n_degenerate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Label-centroid geometry: pairwise cosine between class centroids.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "label_centroid_distances",
+    oracle="""
+    WITH dims AS (
+      SELECT label, CAST(i - 1 AS INT) AS dim,
+             avg(CAST(embedding[i] AS DOUBLE)) AS m
+      FROM embeddings, (SELECT unnest(range(1, 65)) AS i) r
+      GROUP BY 1, 2
+    ), nrm AS (
+      SELECT label, sqrt(sum(m * m)) AS n FROM dims GROUP BY label
+    ), dots AS (
+      SELECT a.label AS label_a, b.label AS label_b, sum(a.m * b.m) AS dot
+      FROM dims a JOIN dims b ON a.dim = b.dim AND a.label < b.label
+      GROUP BY 1, 2
+    )
+    SELECT d.label_a, d.label_b, d.dot / (na.n * nb.n) AS centroid_cos
+    FROM dots d
+    JOIN nrm na ON d.label_a = na.label
+    JOIN nrm nb ON d.label_b = nb.label
+    """,
+)
+def label_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between label centroids — classes
+    whose centroids converge are losing separability (label noise or
+    embedding drift).
+
+    The only full-data pass is the (label, dim) mean — bounded keys,
+    map-side combined. Everything after runs on labels x 64 rows:
+    the dim-aligned self-join and the norm joins are all broadcast,
+    so the pairwise stage costs nothing at any corpus size.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    dims = (
+        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.avg(F.col("v").cast("double")).alias("m"))
+    )
+    nrm = dims.groupBy("label").agg(F.sqrt(F.sum(F.col("m") * F.col("m"))).alias("n"))
+    a = dims.select(
+        F.col("label").alias("label_a"), "dim", F.col("m").alias("ma")
+    )
+    b = dims.select(
+        F.col("label").alias("label_b"), "dim", F.col("m").alias("mb")
+    )
+    dots = (
+        a.join(F.broadcast(b), "dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("ma") * F.col("mb")).alias("dot"))
+    )
+    na = nrm.select(F.col("label").alias("label_a"), F.col("n").alias("na"))
+    nb = nrm.select(F.col("label").alias("label_b"), F.col("n").alias("nb"))
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            (F.col("dot") / (F.col("na") * F.col("nb"))).alias("centroid_cos"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hapax legomena ratio: vocabulary fragility per source.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_hapax_ratio",
+    oracle="""
+    WITH words AS (
+      SELECT source, w, CAST(count(*) AS BIGINT) AS c
+      FROM (
+        SELECT source, unnest(string_split_regex(lower(text), '\\s+')) AS w
+        FROM documents
+      ) WHERE w <> ''
+      GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS vocab_size,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           sum(CASE WHEN c = 1 THEN 1.0 ELSE 0.0 END) / count(*) AS hapax_ratio
+    FROM words GROUP BY source
+    """,
+)
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraction of each source's vocabulary that occurs exactly once
+    (hapax legomena). A crawl whose hapax ratio spikes is ingesting
+    noise (OCR junk, random IDs); one that collapses is boilerplate.
+
+    Tokenization matches text_token_stats (whitespace split, lowered).
+    One (source, word) shuffle with map-side counts, then a
+    source-cardinality rollup on the same grouping prefix.
+    """
+    docs = table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    return words.groupBy("source").agg(
+        F.count("*").alias("vocab_size"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_hapax"),
+        (
+            F.sum(F.when(F.col("c") == 1, 1.0).otherwise(0.0)) / F.count("*")
+        ).alias("hapax_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heaps'-law vocabulary growth: vocab vs token volume per source.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_vocab_growth",
+    oracle="""
+    WITH toks AS (
+      SELECT source, unnest(string_split_regex(lower(text), '\\s+')) AS w
+      FROM documents
+    ), filtered AS (
+      SELECT source, w FROM toks WHERE w <> ''
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT w) AS BIGINT) AS vocab_size,
+           ln(count(DISTINCT w)) / ln(count(*)) AS heaps_beta
+    FROM filtered GROUP BY source
+    """,
+)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law exponent per source: vocab ~ tokens^beta, so beta =
+    ln(vocab)/ln(tokens). Natural text sits near 0.5; beta ~ 1 means
+    every token is new (ID spam), beta ~ 0 means a closed template
+    vocabulary. Token count and distinct count come from one grouped
+    pass (Spark plans count+count_distinct as a two-phase expand with
+    partial aggregation — no extra job, no driver loop).
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    return toks.groupBy("source").agg(
+        F.count("*").alias("n_tokens"),
+        F.count_distinct("w").alias("vocab_size"),
+        (F.log(F.count_distinct("w")) / F.log(F.count("*"))).alias("heaps_beta"),
+    )
