@@ -485,3 +485,127 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(fb2), "p2")
         .select("p1", "p2", "support", lift.alias("lift"))
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3: shipping-priority — date-bracketed 3-way join, top-k revenue.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "shipping_priority_q3",
+    oracle="""
+    SELECT l.l_orderkey,
+           sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def shipping_priority_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: revenue of not-yet-shipped lines for BUILDING-segment
+    orders placed before the cutoff.
+
+    Both date predicates and the segment filter are scan-side
+    (PushedFilters) — each table shrinks BEFORE its join. The segment
+    filter reduces customer to ~1/5, broadcast onto orders; the single
+    big exchange is lineitem x surviving orders on the order key, which
+    the grouping then reuses (same key). Top-10 is
+    TakeOrderedAndProject with a full deterministic tie-break.
+    """
+    cutoff = "1998-03-15"
+    cust = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > F.lit(cutoff).cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        li.join(
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5: local-supplier volume — revenue only where the customer and
+# the supplier sit in the SAME nation.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "local_supplier_revenue",
+    oracle="""
+    SELECT n.n_name AS nation,
+           sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5's distinguishing constraint: the supplier join carries
+    an EXTRA equality (s_nationkey = c_nationkey), so revenue counts
+    only domestically-supplied lines.
+
+    Join order matters: lineitem->orders is the one fact-fact exchange;
+    customer attaches its nationkey by broadcast; the supplier
+    broadcast join then applies BOTH equalities at once (suppkey +
+    nation match) — never a join-then-filter that would materialize
+    the cross-nation pairs first. Nation is a 25-row broadcast.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (supp.s_nationkey == cust.c_nationkey),
+        )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )

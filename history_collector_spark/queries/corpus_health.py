@@ -267,3 +267,97 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("w").alias("vocab_size"),
         (F.log(F.count_distinct("w")) / F.log(F.count("*"))).alias("heaps_beta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source contamination: pairwise shingle-set Jaccard between
+# sources — which crawls are re-serving each other's content?
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cross_source_contamination",
+    oracle="""
+    WITH grams AS (
+      SELECT DISTINCT source, g
+      FROM (
+        SELECT source,
+               unnest(list_transform(
+                 range(1, greatest(len(w) - 2, 0) + 1),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+        FROM (
+          SELECT source, string_split_regex(lower(text), '\\s+') AS w
+          FROM documents
+        )
+      ) WHERE g IS NOT NULL
+    ), sizes AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n FROM grams GROUP BY source
+    ), inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT i.source_a, i.source_b, i.n_common,
+           i.n_common / CAST(sa.n + sb.n - i.n_common AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.source_a = sa.source
+    JOIN sizes sb ON i.source_b = sb.source
+    WHERE i.n_common > 0
+    """,
+)
+def cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise word-3-gram Jaccard between sources: a pair whose
+    overlap spikes means one crawl is mirroring another (shared CDN,
+    scraped re-posts) and the mix is double-counting that content.
+
+    The full-data pass ends at DISTINCT (source, gram) — from there the
+    self-join runs gram-keyed over source-deduplicated postings, so a
+    gram contributes at most sources² pairs (sources are few), never
+    documents². The gram sets shuffle once on the gram; the size join
+    is broadcast. The df-explosion risk of raw-document inverted
+    indexes (see dedup_ngram_jaccard's cap) doesn't arise: per-source
+    dedup bounds every posting list at the source count.
+    """
+    docs = table(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.col("text")), r"\s+")
+    n = F.size(words)
+    gram3 = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - 3, F.lit(-1))),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(words, i + 1),
+            F.element_at(words, i + 2),
+            F.element_at(words, i + 3),
+        ),
+    )
+    grams = (
+        docs.select("source", F.explode(gram3).alias("g"))
+        .filter(F.col("g").isNotNull())
+        .distinct()
+    )
+    sizes = grams.groupBy("source").agg(F.count("*").alias("n"))
+    a = grams.select(F.col("source").alias("source_a"), "g")
+    b = grams.select(F.col("source").alias("source_b"), "g")
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") > 0)
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            (
+                F.col("n_common")
+                / (F.col("na") + F.col("nb") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+    )

@@ -495,3 +495,106 @@ def rolling_median_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", "user_id", "ts", "value", win.alias("win")
     ).select("event_id", "user_id", "ts", "value", med5.alias("med5"))
+
+
+# ---------------------------------------------------------------------------
+# Hourly regridding with linear interpolation: LOCF's two-sided sibling
+# (event_forward_fill carries the last value; this one interpolates
+# between the surrounding observations).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_linear_interpolate",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id, date_trunc('hour', ts) AS hr, avg(value) AS v
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT user_id, min(hr) AS mn, max(hr) AS mx FROM obs GROUP BY 1
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr
+      FROM bounds
+    ), g AS (
+      SELECT grid.user_id, grid.hr, obs.v FROM grid
+      LEFT JOIN obs ON grid.user_id = obs.user_id AND grid.hr = obs.hr
+    ), ctx AS (
+      SELECT user_id, hr, v,
+        last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hr
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY hr
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+        first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hr
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY hr
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      FROM g
+    )
+    SELECT user_id, hr,
+      CASE
+        WHEN v IS NOT NULL THEN v
+        WHEN pv IS NULL THEN nv
+        WHEN nv IS NULL THEN pv
+        ELSE pv + (nv - pv) * (epoch(hr) - epoch(pt)) / (epoch(nt) - epoch(pt))
+      END AS v_interp,
+      (v IS NULL) AS was_gap
+    FROM ctx
+    """,
+)
+def event_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regrid each user's value series to an hourly grid, linearly
+    interpolating gaps between the surrounding observations (two-sided,
+    vs event_forward_fill's one-sided carry).
+
+    The grid explodes sequence(min_hr, max_hr) per user — row growth is
+    bounded by the time span (720 rows/user/month), NOT by event
+    volume, and the raw stream is collapsed to hourly means first. One
+    user_id shuffle covers the grid join and both fill windows
+    (identical partitioning; Catalyst reuses the exchange). The
+    interpolation weight uses epoch arithmetic, exact at microsecond
+    resolution on both engines.
+    """
+    ev = table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.avg("value").alias("v"))
+    bounds = obs.groupBy("user_id").agg(F.min("hr").alias("mn"), F.max("hr").alias("mx"))
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("mn", "mx", F.expr("interval 1 hour"))).alias("hr"),
+    )
+    g = grid.join(obs, ["user_id", "hr"], "left")
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_hr = F.when(F.col("v").isNotNull(), F.col("hr"))
+    ctx = (
+        g.withColumn("pv", F.last("v", ignorenulls=True).over(wp))
+        .withColumn("pt", F.last(obs_hr, ignorenulls=True).over(wp))
+        .withColumn("nv", F.first("v", ignorenulls=True).over(wn))
+        .withColumn("nt", F.first(obs_hr, ignorenulls=True).over(wn))
+    )
+    frac = (F.unix_micros("hr") - F.unix_micros("pt")).cast("double") / (
+        F.unix_micros("nt") - F.unix_micros("pt")
+    ).cast("double")
+    v_interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+    )
+    return ctx.select(
+        "user_id",
+        "hr",
+        v_interp.alias("v_interp"),
+        F.col("v").isNull().alias("was_gap"),
+    )
