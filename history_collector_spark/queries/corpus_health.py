@@ -361,3 +361,124 @@ def cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Blocklist hit audit: where does the banned-term filter actually bite?
+# ---------------------------------------------------------------------------
+
+# Config in practice; literal here so the DuckDB oracle pins the same list.
+BLOCKLIST_TERMS = ("spark", "merge", "window")
+
+
+@register(
+    "curation_blocklist_audit",
+    oracle="""
+    WITH hits AS (
+      SELECT doc_id, source, w FROM (
+        SELECT doc_id, source,
+               unnest(string_split_regex(lower(text), '\\s+')) AS w
+        FROM documents
+      ) WHERE w IN ('spark', 'merge', 'window')
+    ), tot AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents
+    )
+    SELECT w AS term,
+           CAST(count(*) AS BIGINT) AS n_hits,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_hit,
+           count(DISTINCT doc_id) / n_docs AS frac_docs
+    FROM hits, tot
+    GROUP BY w, n_docs
+    """,
+)
+def curation_blocklist_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-term impact report for a C4-style blocklist filter: how many
+    documents each banned term would remove, BEFORE committing the
+    filter — run this first or a single over-broad term silently
+    deletes a corpus slice.
+
+    Tokens explode once, the IN-list predicate is a scan-side filter
+    (tiny literal list, codegen'd — no join needed for a config-sized
+    blocklist), and the term aggregate has blocklist-cardinality keys.
+    The doc denominator is a 1-row aggregate broadcast back.
+    """
+    docs = table(spark, sf_dir, "documents")
+    hits = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w"),
+        )
+        .filter(F.col("w").isin(*BLOCKLIST_TERMS))
+    )
+    tot = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    return (
+        hits.crossJoin(F.broadcast(tot))
+        .groupBy(F.col("w").alias("term"), "n_docs")
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.count_distinct("doc_id").alias("n_docs_hit"),
+        )
+        .select(
+            "term",
+            "n_hits",
+            "n_docs_hit",
+            (F.col("n_docs_hit") / F.col("n_docs")).alias("frac_docs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility: subword inflation per language.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tokenizer_fertility",
+    oracle="""
+    WITH per_doc AS (
+      SELECT lang,
+             CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS ws,
+             CAST(len(regexp_extract_all(text,
+               '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS bp,
+             CAST(length(text) AS BIGINT) AS chars
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           sum(bp) / CAST(sum(ws) AS DOUBLE) AS fertility,
+           sum(chars) / CAST(sum(bp) AS DOUBLE) AS chars_per_token
+    FROM per_doc GROUP BY lang
+    """,
+)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword fertility (BPE-ish tokens per whitespace word) and
+    compression (chars per token) by language — the standard check for
+    whether a tokenizer under-serves a language (high fertility =
+    more tokens per word = shorter effective context for that lang).
+
+    Tokenization matches text_token_stats exactly. Map-only token
+    counts per doc, then a lang-cardinality aggregate of the summed
+    numerators/denominators (ratio-of-sums, not avg-of-ratios — long
+    docs weigh proportionally).
+    """
+    docs = table(spark, sf_dir, "documents")
+    ws = F.size(F.split(F.col("text"), r"\s+")).cast("long")
+    bp = F.size(
+        F.regexp_extract_all(
+            F.col("text"), F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0
+        )
+    ).cast("long")
+    return (
+        docs.select(
+            "lang",
+            ws.alias("ws"),
+            bp.alias("bp"),
+            F.length("text").cast("long").alias("chars"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            (F.sum("bp") / F.sum("ws").cast("double")).alias("fertility"),
+            (F.sum("chars") / F.sum("bp").cast("double")).alias("chars_per_token"),
+        )
+    )

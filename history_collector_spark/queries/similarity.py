@@ -377,3 +377,63 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_matched") / F.lit(5.0)).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining for contrastive training: nearest OTHER-label
+# vectors per query, on the audit-style fixed query budget.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH {_EMB_NORM_SQL}
+    SELECT query_id, neighbor_id, rank, cos_sim FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_COS_SQL} AS cos_sim,
+             CAST(row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_COS_SQL} DESC, c.vec_id) AS INT) AS rank
+      FROM emb q JOIN emb c ON q.label != c.label
+      WHERE q.vec_id % 100 = 0 AND q.vec_id < 5000
+    ) WHERE rank <= 3
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most-similar DIFFERENT-label vectors per query — the hard
+    negatives a contrastive trainer pairs with each anchor (highest
+    loss, most gradient signal).
+
+    Same bounded-brute-force envelope as ann_recall_audit: the query
+    side is a fixed <=50-row budget broadcast against the corpus (the
+    label-inequality join is a broadcast nested loop whose BUILD side
+    is the queries, never corpus x corpus), ranked by a per-query
+    window. The mining sweep at full scale is the LSH/IVF bucketed
+    path with the label filter applied post-bucket; this is its
+    exactness oracle on the sampled anchors.
+    """
+    emb = _emb_with_norm(spark, sf_dir)
+    q = emb.filter(
+        (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 5000)
+    ).alias("q")
+    c = emb.alias("c")
+    cos = cosine(
+        F.col("q.embedding"), F.col("c.embedding"),
+        F.col("q.nrm"), F.col("c.nrm"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        F.broadcast(q)
+        .join(c, F.col("q.label") != F.col("c.label"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            cos.alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
