@@ -58,3 +58,93 @@ def cdc_last_write_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_versions").cast("long").alias("n_versions"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff: field-level reconciliation between two table versions.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "snapshot_diff_report",
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey % 13 != 0
+    ), v2 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 11 = 0 THEN 'X'
+                  ELSE o_orderstatus END AS o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 5.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders
+    ), j AS (
+      SELECT v1.o_orderkey AS k1, v2.o_orderkey AS k2,
+             v1.o_orderstatus AS s1, v2.o_orderstatus AS s2,
+             v1.o_totalprice AS p1, v2.o_totalprice AS p2
+      FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+    )
+    SELECT CAST(sum(CASE WHEN k1 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_added,
+           CAST(sum(CASE WHEN k2 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           CAST(sum(CASE WHEN k1 IS NOT NULL AND k2 IS NOT NULL
+                          AND (s1 != s2 OR p1 != p2)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+           CAST(sum(CASE WHEN k1 IS NOT NULL AND k2 IS NOT NULL
+                          AND s1 = s2 AND p1 = p2
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+           CAST(sum(CASE WHEN k1 IS NOT NULL AND k2 IS NOT NULL
+                          AND s1 != s2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_status_diff,
+           CAST(sum(CASE WHEN k1 IS NOT NULL AND k2 IS NOT NULL
+                          AND p1 != p2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_price_diff
+    FROM j
+    """,
+)
+def snapshot_diff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row- and field-level diff between two snapshots of the same
+    table (the nightly reconciliation a warehouse runs after a
+    backfill): added / removed / changed / unchanged counts plus
+    per-column change attribution. The second snapshot here is a
+    deterministic synthetic revision of the first (status flip on
+    keys % 11, price bump on % 7, deletes on % 13) so the report has
+    every category; the operator is the full-outer key join.
+
+    One full-outer shuffle on the key, collapsed straight to a 1-row
+    scorecard by map-side partial sums — the report never materializes
+    the joined table. At 100 TB both snapshot scans prune to exactly
+    the compared columns (ReadSchema), and AQE handles the key skew.
+    """
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    v1 = orders.filter(F.col("o_orderkey") % 13 != 0).select(
+        F.col("o_orderkey").alias("k1"),
+        F.col("o_orderstatus").alias("s1"),
+        F.col("o_totalprice").alias("p1"),
+    )
+    v2 = orders.select(
+        F.col("o_orderkey").alias("k2"),
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("s2"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 5.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("p2"),
+    )
+    j = v1.join(v2, v1.k1 == v2.k2, "full_outer")
+    both = F.col("k1").isNotNull() & F.col("k2").isNotNull()
+    s_diff = F.col("s1") != F.col("s2")
+    p_diff = F.col("p1") != F.col("p2")
+    return j.agg(
+        F.sum(F.when(F.col("k1").isNull(), 1).otherwise(0)).alias("n_added"),
+        F.sum(F.when(F.col("k2").isNull(), 1).otherwise(0)).alias("n_removed"),
+        F.sum(F.when(both & (s_diff | p_diff), 1).otherwise(0)).alias("n_changed"),
+        F.sum(F.when(both & ~s_diff & ~p_diff, 1).otherwise(0)).alias(
+            "n_unchanged"
+        ),
+        F.sum(F.when(both & s_diff, 1).otherwise(0)).alias("n_status_diff"),
+        F.sum(F.when(both & p_diff, 1).otherwise(0)).alias("n_price_diff"),
+    )

@@ -141,3 +141,77 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time churn labels: leakage-safe label/feature generation.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "churn_labels",
+    oracle="""
+    WITH feat AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_purchases,
+             avg(value) AS avg_value,
+             CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS days_active
+      FROM events WHERE ts < TIMESTAMP '2024-01-24'
+      GROUP BY user_id
+    ), fut AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE ts >= TIMESTAMP '2024-01-24'
+        AND ts < TIMESTAMP '2024-01-31'
+    )
+    SELECT f.user_id, f.n_events, f.n_purchases, f.avg_value,
+           f.days_active, (fut.user_id IS NULL) AS churned
+    FROM feat f LEFT JOIN fut ON f.user_id = fut.user_id
+    """,
+)
+def churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe churn training set: features aggregate STRICTLY
+    before the cutoff, the label looks only at the 7 days after — the
+    point-in-time discipline that separates a valid training table
+    from one that leaks the future into its features.
+
+    Both the feature aggregate and the future-activity set shuffle on
+    user_id (one exchange each, map-side combined; the label side is
+    DISTINCT user_id so it carries one row per user, never raw
+    events), and the label join is user-co-partitioned. Cutoffs are
+    scan-side predicates — at 100 TB with date-partitioned events,
+    partition pruning makes each side read only its window.
+    """
+    ev = table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-24").cast("timestamp")
+    horizon = F.lit("2024-01-31").cast("timestamp")
+    feat = (
+        ev.filter(F.col("ts") < cutoff)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("n_purchases"),
+            F.avg("value").alias("avg_value"),
+            F.count_distinct(F.to_date("ts")).alias("days_active"),
+        )
+    )
+    fut = (
+        ev.filter((F.col("ts") >= cutoff) & (F.col("ts") < horizon))
+        .select("user_id")
+        .distinct()
+        .withColumn("active", F.lit(1))
+    )
+    return (
+        feat.join(fut, "user_id", "left")
+        .select(
+            "user_id",
+            "n_events",
+            "n_purchases",
+            "avg_value",
+            "days_active",
+            F.col("active").isNull().alias("churned"),
+        )
+    )
