@@ -598,3 +598,128 @@ def event_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         v_interp.alias("v_interp"),
         F.col("v").isNull().alias("was_gap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal index: day-of-week revenue profile vs the overall mean.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_seasonality_profile",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             dayofweek(o_orderdate) AS dow,
+             sum(o_totalprice) AS rev,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2
+    ), base AS (
+      SELECT avg(rev) AS mean_daily_rev FROM daily
+    )
+    SELECT dow,
+           CAST(count(*) AS BIGINT) AS n_days,
+           avg(rev) AS avg_daily_rev,
+           avg(rev) / mean_daily_rev AS seasonal_index,
+           CAST(sum(n) AS BIGINT) AS n_orders
+    FROM daily, base
+    GROUP BY dow, mean_daily_rev
+    """,
+)
+def orders_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal index (avg revenue for the weekday over the
+    all-days average) — the multiplicative seasonality factor a
+    forecaster divides out before trend fitting.
+
+    Events collapse to day grain FIRST (bounded by the calendar, not
+    order volume), the overall mean is a 1-row broadcast, and the
+    profile is a 7-key aggregate. DuckDB's dayofweek is 0-6
+    Sunday-first; Spark's dayofweek is 1-7 Sunday-first, so the Spark
+    side subtracts 1 to agree.
+    """
+    orders = table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("d"),
+        (F.dayofweek("o_orderdate") - 1).alias("dow"),
+    ).agg(F.sum("o_totalprice").alias("rev"), F.count("*").alias("n"))
+    base = daily.agg(F.avg("rev").alias("mean_daily_rev"))
+    return (
+        daily.crossJoin(F.broadcast(base))
+        .groupBy("dow", "mean_daily_rev")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.avg("rev").alias("avg_daily_rev"),
+            F.sum("n").alias("n_orders"),
+        )
+        .select(
+            "dow",
+            "n_days",
+            "avg_daily_rev",
+            (F.col("avg_daily_rev") / F.col("mean_daily_rev")).alias(
+                "seasonal_index"
+            ),
+            "n_orders",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DAU / MAU stickiness: rolling 28-day distinct actives per day.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dau_mau_stickiness",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ), days AS (
+      SELECT DISTINCT d FROM du
+    ), mau AS (
+      SELECT days.d, CAST(count(DISTINCT du.user_id) AS BIGINT) AS mau28
+      FROM days JOIN du
+        ON du.d <= days.d AND du.d > days.d - INTERVAL 28 DAY
+      GROUP BY days.d
+    ), dau AS (
+      SELECT d, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY d
+    )
+    SELECT dau.d, dau.dau, mau.mau28,
+           dau.dau / CAST(mau.mau28 AS DOUBLE) AS stickiness
+    FROM dau JOIN mau ON dau.d = mau.d
+    """,
+)
+def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / rolling-28-day-MAU per day — the engagement stickiness
+    ratio. Distinct users don't sum across days, so the rolling count
+    can't be a window over daily counts; the correct distributed form
+    de-duplicates to (day, user) FIRST and range-joins that against
+    the day grid (≤28-row fan-out per pair, bounded by the window —
+    never a fan-out over raw events).
+
+    The (day, user) distinct is the only full-data shuffle. The day
+    grid is calendar-bounded and broadcast; the rolling distinct then
+    groups on the grid day. At 100 TB the fan-out input is |active
+    (day,user) pairs| x 28 — orders of magnitude under event volume.
+    """
+    ev = table(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    days = du.select("d").distinct().withColumnRenamed("d", "grid_d")
+    dau = du.groupBy("d").agg(F.count("*").alias("dau"))
+    mau = (
+        du.join(
+            F.broadcast(days),
+            (F.col("d") <= F.col("grid_d"))
+            & (F.col("d") > F.date_sub(F.col("grid_d"), 28)),
+        )
+        .groupBy("grid_d")
+        .agg(F.count_distinct("user_id").alias("mau28"))
+    )
+    return (
+        dau.join(mau, dau.d == mau.grid_d)
+        .select(
+            "d",
+            "dau",
+            "mau28",
+            (F.col("dau") / F.col("mau28").cast("double")).alias("stickiness"),
+        )
+    )
