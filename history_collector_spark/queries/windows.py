@@ -543,3 +543,73 @@ def session_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("path")
     )
     return paths.groupBy("path").agg(F.count("*").alias("n_sessions"))
+
+
+# ---------------------------------------------------------------------------
+# Conversion latency: signup -> first purchase time distribution
+# (funnel_conversion tells you IF users convert; this tells you WHEN).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "conversion_latency",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, min(ts) AS signup_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS first_purchase_ts
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+      GROUP BY e.user_id
+    ), lat AS (
+      SELECT s.user_id,
+             epoch(p.first_purchase_ts) - epoch(s.signup_ts) AS latency_sec
+      FROM s JOIN p ON s.user_id = p.user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           avg(latency_sec) AS mean_sec,
+           quantile_cont(latency_sec, 0.50) AS p50_sec,
+           quantile_cont(latency_sec, 0.90) AS p90_sec,
+           quantile_cont(latency_sec, 0.99) AS p99_sec
+    FROM lat
+    """,
+)
+def conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup-to-first-purchase latency distribution (mean / p50 / p90
+    / p99) — the time-to-convert companion of funnel_conversion, and
+    the number a growth team actually acts on.
+
+    Both event legs collapse to one row per user BEFORE joining (min
+    per user, map-side combined on the same user_id exchange the join
+    then reuses), so the percentile input is user-cardinality. The
+    exact percentile is a single aggregate over per-user latencies;
+    its reduce is one pass because the input was already collapsed —
+    never a global sort of raw events.
+    """
+    ev = table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase_ts"))
+    )
+    lat = s.join(p, "user_id").select(
+        (
+            (F.unix_micros("first_purchase_ts") - F.unix_micros("signup_ts"))
+            / F.lit(1_000_000.0)
+        ).alias("latency_sec")
+    )
+    return lat.agg(
+        F.count("*").alias("n_converted"),
+        F.avg("latency_sec").alias("mean_sec"),
+        F.expr("percentile(latency_sec, 0.50)").alias("p50_sec"),
+        F.expr("percentile(latency_sec, 0.90)").alias("p90_sec"),
+        F.expr("percentile(latency_sec, 0.99)").alias("p99_sec"),
+    )
