@@ -669,3 +669,132 @@ def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.corr("l_extendedprice", "l_tax").alias("price_tax"),
         F.corr("l_discount", "l_tax").alias("discount_tax"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Explicit two-phase salted aggregation: the skew-agg escape hatch.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "salted_two_phase_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           sum(value) AS sum_value,
+           sum(value) / count(*) AS avg_value,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def salted_two_phase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type stats via an EXPLICIT salt: phase 1 aggregates on
+    (event_type, salt-16) — 16-way spread of each hot key — phase 2
+    merges the partials per type. For plain sum/count Catalyst's own
+    partial aggregation already does this; the explicit form is the
+    pattern for when it can't: algebraic merges after an expand, UDAF
+    states, or count-distinct under a 5-key skew like this one, where
+    the distinct's (type, user) shuffle would land 1/5 of the corpus
+    on one reducer. Salting makes the phase-1 keys (type, salt) — 80
+    near-even groups — and phase 2 merges 16 bounded partials per
+    type. Result is oracle-identical to the direct groupBy.
+
+    The salt is hash(user_id) so each user lands in ONE salt bucket —
+    count_distinct(user_id) partials are disjoint and their sum is the
+    true distinct count (a random salt would double-count users).
+    """
+    ev = table(spark, sf_dir, "events")
+    salted = ev.withColumn("salt", F.pmod(F.hash("user_id"), F.lit(16)))
+    phase1 = salted.groupBy("event_type", "salt").agg(
+        F.count("*").alias("pn"),
+        F.sum("value").alias("psum"),
+        F.count_distinct("user_id").alias("pusers"),
+    )
+    return (
+        phase1.groupBy("event_type")
+        .agg(
+            F.sum("pn").alias("n"),
+            F.sum("psum").alias("sum_value"),
+            F.sum("pusers").alias("n_users"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "sum_value",
+            (F.col("sum_value") / F.col("n")).alias("avg_value"),
+            "n_users",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Out-of-orderness audit: how late does data actually arrive? The
+# empirical basis for choosing a watermark delay.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "out_of_order_audit",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, value, ts,
+             max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS high_water
+      FROM events
+    ), lateness AS (
+      SELECT user_id,
+             CASE WHEN high_water IS NOT NULL AND ts < high_water
+                  THEN epoch(high_water) - epoch(ts) ELSE 0.0 END AS late_sec
+      FROM seq
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN late_sec > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_out_of_order,
+           sum(CASE WHEN late_sec > 0 THEN 1.0 ELSE 0.0 END) / count(*)
+             AS frac_out_of_order,
+           max(late_sec) AS max_late_sec,
+           quantile_cont(late_sec, 0.99) AS p99_late_sec
+    FROM lateness
+    """,
+)
+def out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How disordered is the stream, really? Per user (event_id is the
+    arrival order), an event is late by (running-max event time − its
+    own time); the p99/max of that lateness IS the watermark delay the
+    streaming jobs (§2.7f) should configure — guessed watermarks
+    either drop data or hold state too long.
+
+    The running max partitions by user_id — arrival order is only
+    meaningful within a user's stream, and user-partitioning keeps
+    every window bounded (a single global arrival order would need a
+    one-partition sort). One user_id exchange, then a 1-row scorecard.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.select(
+        "user_id", "ts", F.max("ts").over(w).alias("high_water")
+    )
+    late_sec = (
+        F.when(
+            F.col("high_water").isNotNull() & (F.col("ts") < F.col("high_water")),
+            (F.unix_micros("high_water") - F.unix_micros("ts")) / F.lit(1_000_000.0),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    lateness = seq.select(late_sec.alias("late_sec"))
+    return lateness.agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(F.col("late_sec") > 0, 1).otherwise(0)).alias(
+            "n_out_of_order"
+        ),
+        (
+            F.sum(F.when(F.col("late_sec") > 0, 1.0).otherwise(0.0)) / F.count("*")
+        ).alias("frac_out_of_order"),
+        F.max("late_sec").alias("max_late_sec"),
+        F.expr("percentile(late_sec, 0.99)").alias("p99_late_sec"),
+    )
