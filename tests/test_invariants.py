@@ -1644,3 +1644,59 @@ def test_streaming_zscore_scores_against_prior_only(spark, tmp_path):
     # event 3: priors [10,12,10] -> mean 32/3, std sqrt(4/3)
     exp = (22 - 32 / 3) / math.sqrt(4 / 3)
     assert abs(pdf.loc[3, "z"] - exp) < 1e-9
+
+
+def test_bootstrap_ci_brackets_true_mean_and_is_deterministic(spark):
+    """The Poisson bootstrap at sf0.001: the 95% CI must bracket the
+    true mean (1500 rows, CLT-comfortable), the replicate count must
+    equal the configured budget, and two runs must agree bit-for-bit
+    (weights are md5-derived, not RNG)."""
+    from history_collector_spark.queries.evaluation import N_REPLICATES
+
+    sf = TEST_SF_DIR
+    a = registry.QUERIES["bootstrap_mean_ci"](spark, sf).toPandas()
+    b = registry.QUERIES["bootstrap_mean_ci"](spark, sf).toPandas()
+    assert a.equals(b)
+    row = a.iloc[0]
+    assert row["n_replicates"] == N_REPLICATES
+    true_mean = (
+        registry.QUERIES["group_agg_pricing"](spark, sf)
+        .sparkSession.read.parquet(f"{sf}/orders.parquet")
+        .agg({"o_totalprice": "avg"})
+        .collect()[0][0]
+    )
+    assert row["ci_lo"] < true_mean < row["ci_hi"]
+    assert row["ci_lo"] < row["boot_mean"] < row["ci_hi"]
+
+
+def test_salted_agg_equals_direct_groupby(spark):
+    """The explicit two-phase salted aggregation must be
+    indistinguishable from the direct groupBy — including the
+    count_distinct, which is only correct because the salt is a
+    function of the distinct key."""
+    from pyspark.sql import functions as F
+
+    from history_collector_spark.catalog import table as cat_table
+
+    sf = TEST_SF_DIR
+    salted = (
+        registry.QUERIES["salted_two_phase_agg"](spark, sf)
+        .toPandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+    direct = (
+        cat_table(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("sum_value"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .toPandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+    assert (salted["n"] == direct["n"]).all()
+    assert (salted["n_users"] == direct["n_users"]).all()
+    assert (abs(salted["sum_value"] - direct["sum_value"]) < 1e-6).all()
