@@ -609,3 +609,56 @@ def local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Return-rate by brand: dim-bucketed defect attribution.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "brand_return_rates",
+    oracle="""
+    SELECT p.p_brand,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_returned,
+           sum(CASE WHEN l.l_returnflag = 'R' THEN 1.0 ELSE 0.0 END)
+             / count(*) AS return_rate,
+           sum(CASE WHEN l.l_returnflag = 'R'
+                    THEN l.l_extendedprice * (1 - l.l_discount)
+                    ELSE 0 END) AS returned_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def brand_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return rate and revenue lost to returns per part brand — the
+    defect-attribution report (returned_item_report localizes bad
+    customers; this localizes bad product lines).
+
+    The part dim carries only (partkey, brand) into a broadcast join —
+    at 100 TB part is broadcastable after column pruning or becomes
+    the build side of a shuffled join on the SAME l_partkey key other
+    part-joins already use. The aggregate collapses to brand
+    cardinality (~25 keys) with map-side partials.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ret = F.col("l_returnflag") == "R"
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(ret.cast("int")).alias("n_returned"),
+            F.avg(ret.cast("double")).alias("return_rate"),
+            F.sum(
+                F.when(
+                    ret, F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+                ).otherwise(0.0)
+            ).alias("returned_revenue"),
+        )
+    )
