@@ -28,6 +28,29 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Width the dim-indexed DuckDB oracles pin via range(1, 65). Queries that
+# posexplode per-dimension MUST read the vector through
+# checked_embedding() so a width change fails the job loudly instead of
+# silently hash-comparing against a wrong hard-coded-range oracle.
+EXPECTED_EMBEDDING_DIMS = 64
+
+
+def checked_embedding(width: int = EXPECTED_EMBEDDING_DIMS):
+    """The ``embedding`` column, width-guarded (map-only, JVM-side).
+
+    Any vector whose length differs from the oracle-pinned width raises
+    at scan time. raise_error's NullType coerces into the array branch,
+    so the expression stays a plain column — no extra job, no collect.
+    """
+    return F.when(F.size("embedding") == width, F.col("embedding")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"embedding width != {width}, got "),
+                F.size("embedding").cast("string"),
+            )
+        )
+    )
+
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one parquet table. Column pruning + predicate pushdown are

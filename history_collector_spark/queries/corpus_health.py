@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from history_collector_spark.catalog import table
+from history_collector_spark.catalog import checked_embedding, table
 from history_collector_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -49,7 +49,9 @@ def embedding_dim_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     moves O(64 x partitions) pre-aggregated rows, not O(rows x 64).
     """
     emb = table(spark, sf_dir, "embeddings")
-    exploded = emb.select(F.posexplode("embedding").alias("dim", "v")).select(
+    exploded = emb.select(
+        F.posexplode(checked_embedding()).alias("dim", "v")
+    ).select(
         "dim", F.col("v").cast("double").alias("v")
     )
     return exploded.groupBy("dim").agg(
@@ -148,7 +150,7 @@ def label_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = table(spark, sf_dir, "embeddings")
     dims = (
-        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        emb.select("label", F.posexplode(checked_embedding()).alias("dim", "v"))
         .groupBy("label", "dim")
         .agg(F.avg(F.col("v").cast("double")).alias("m"))
     )
@@ -322,15 +324,22 @@ def cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     words = F.split(F.lower(F.col("text")), r"\s+")
     n = F.size(words)
-    gram3 = F.transform(
-        F.sequence(F.lit(0), F.greatest(n - 3, F.lit(-1))),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(words, i + 1),
-            F.element_at(words, i + 2),
-            F.element_at(words, i + 3),
+    # Docs with <3 tokens emit NO grams (the oracle's substring-count
+    # formulation does the same).  Guarded with F.when because
+    # F.sequence(0, -1) yields a *descending* [0, -1] — not an empty
+    # array — whose element_at(words, 0) aborts under ANSI mode.
+    gram3 = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(0), n - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(words, i + 1),
+                F.element_at(words, i + 2),
+                F.element_at(words, i + 3),
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
     grams = (
         docs.select("source", F.explode(gram3).alias("g"))
         .filter(F.col("g").isNotNull())

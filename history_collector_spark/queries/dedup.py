@@ -258,6 +258,36 @@ _PAIR_TABLE_CACHE: dict[tuple[str, str], DataFrame] = {}
 _CAND_TABLE_CACHE: dict[tuple[str, str], DataFrame] = {}
 _LSH_INDEX_CACHE: dict[tuple[str, str], DataFrame] = {}
 
+# Storage policy for the session-pinned index/pair tables: explicit
+# MEMORY_AND_DISK (deserialized) — the tables scale with duplication, not
+# corpus bytes, so memory-first is right, but a pathological corpus must
+# spill to disk rather than OOM an executor. Cache keys include sf_dir,
+# so a corpus swap never serves stale pairs; refresh_pair_tables() is the
+# eviction hook for re-running a corpus in place.
+_PIN_LEVEL = None  # resolved lazily to avoid importing StorageLevel at module top
+
+
+def _pin(df: DataFrame) -> DataFrame:
+    global _PIN_LEVEL
+    if _PIN_LEVEL is None:
+        from pyspark import StorageLevel
+
+        _PIN_LEVEL = StorageLevel.MEMORY_AND_DISK
+    return df.persist(_PIN_LEVEL)
+
+
+def refresh_pair_tables(sf_dir: str | None = None) -> None:
+    """Evict the session-pinned LSH/candidate/pair tables (all corpora,
+    or one sf_dir) — the corpus-swap / rebuild hook a long-lived service
+    session calls when the underlying documents table changes."""
+    for cache in (_PAIR_TABLE_CACHE, _CAND_TABLE_CACHE, _LSH_INDEX_CACHE):
+        for key in [k for k in cache if sf_dir is None or k[1] == sf_dir]:
+            df = cache.pop(key)
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+
 
 def lsh_index_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-materialized LSH bucket index (doc_id, band, bucket) —
@@ -269,7 +299,7 @@ def lsh_index_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _LSH_INDEX_CACHE.get(key)
     if cached is not None:
         return cached
-    buckets = _lsh_buckets(spark, sf_dir).persist()
+    buckets = _pin(_lsh_buckets(spark, sf_dir))
     buckets.count()
     _LSH_INDEX_CACHE[key] = buckets
     return buckets
@@ -306,7 +336,7 @@ def verified_pair_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cached is not None:
         return cached
     cand = candidate_pair_table(spark, sf_dir)
-    ver = _verified_pairs(spark, sf_dir, cand).persist()
+    ver = _pin(_verified_pairs(spark, sf_dir, cand))
     ver.count()
     _PAIR_TABLE_CACHE[key] = ver
     return ver

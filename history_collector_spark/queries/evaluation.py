@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from history_collector_spark.catalog import table
+from history_collector_spark.catalog import checked_embedding, table
 from history_collector_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -67,7 +67,7 @@ def centroid_classifier_confusion(spark: SparkSession, sf_dir: str) -> DataFrame
     """
     emb = table(spark, sf_dir, "embeddings")
     dims = (
-        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        emb.select("label", F.posexplode(checked_embedding()).alias("dim", "v"))
         .groupBy("label", "dim")
         .agg(F.avg(F.col("v").cast("double")).alias("m"))
     )

@@ -23,8 +23,8 @@ from history_collector_spark.registry import register
     oracle="""
     WITH probes AS (
       SELECT event_id AS probe_id, user_id, ts AS t0,
-             ts + INTERVAL 5 MINUTE AS t1
-      FROM events WHERE event_type = 'error' AND event_id % 50 = 0
+             ts + INTERVAL 30 MINUTE AS t1
+      FROM events WHERE event_type = 'error' AND event_id % 5 = 0
     )
     SELECT p.probe_id, e.event_id, e.event_type,
            CAST(date_diff('microsecond', p.t0, e.ts) AS BIGINT) AS lag_us
@@ -33,18 +33,24 @@ from history_collector_spark.registry import register
     """,
 )
 def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Events of the same user within 5 minutes AFTER each sampled
-    error event (a post-incident activity window)."""
+    """Events of the same user within 30 minutes AFTER each sampled
+    error event (a post-incident activity window).
+
+    Probe density (% 5, 30-minute window) is sized so the sf0.01 oracle
+    validates a NONZERO result set (15 rows; 198 at sf0.1) — the r4
+    verdict flagged the old % 50 / 5-minute probe as a trivially-green
+    empty-set match.
+    """
     events = table(spark, sf_dir, "events")
     probes = (
         events.filter(
-            (F.col("event_type") == "error") & (F.col("event_id") % 50 == 0)
+            (F.col("event_type") == "error") & (F.col("event_id") % 5 == 0)
         )
         .select(
             F.col("event_id").alias("probe_id"),
             F.col("user_id").alias("p_user"),
             F.col("ts").alias("t0"),
-            F.expr("ts + INTERVAL 5 MINUTES").alias("t1"),
+            F.expr("ts + INTERVAL 30 MINUTES").alias("t1"),
         )
     )
     return (

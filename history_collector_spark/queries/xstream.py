@@ -135,6 +135,14 @@ def streaming_gapless_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select("stream_id", "seq", "status")
 
 
+# Replay feed memo: the EWMA and z-score e2e queries consume the IDENTICAL
+# 6-file feed, so it is built once per (session, sf_dir, n_files) and
+# shared — exactly like dedup.candidate_pair_table. Keyed by applicationId
+# so a fresh session (new JVM temp state) rebuilds. Dirs are left for the
+# OS tempdir reaper rather than rmtree'd after the first consumer.
+_REPLAY_DIR_CACHE: dict[tuple[str, str, int], str] = {}
+
+
 def _time_partitioned_replay_dir(
     spark: SparkSession, sf_dir: str, n_files: int
 ) -> str:
@@ -144,9 +152,15 @@ def _time_partitioned_replay_dir(
     a map-only 1-row bounds broadcast (fixture construction never
     sorts globally); mtimes are pinned because the file source orders
     batches by MODIFICATION time and same-second copies would scramble
-    the replay."""
+    the replay. Memoized per (session, corpus, n_files) so the two
+    stateful e2e consumers pay the fixture I/O once."""
     import glob
     import os
+
+    key = (spark.sparkContext.applicationId, sf_dir, n_files)
+    cached = _REPLAY_DIR_CACHE.get(key)
+    if cached is not None and os.path.isdir(cached):
+        return cached
 
     ev = table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "value"
@@ -174,6 +188,7 @@ def _time_partitioned_replay_dir(
         shutil.copy(p, dst)
         os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
     shutil.rmtree(landing, ignore_errors=True)
+    _REPLAY_DIR_CACHE[key] = flat
     return flat
 
 
@@ -236,7 +251,6 @@ def streaming_ewma_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.awaitTermination()
         finally:
             q.stop()
-            shutil.rmtree(flat, ignore_errors=True)
     return spark.table(name).select("event_id", "user_id", "ewma")
 
 
@@ -292,5 +306,4 @@ def streaming_zscore_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.awaitTermination()
         finally:
             q.stop()
-            shutil.rmtree(flat, ignore_errors=True)
     return spark.table(name).select("event_id", "user_id", "z")

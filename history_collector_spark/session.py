@@ -42,7 +42,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # nanosAsLong is deliberately NOT set here: every events read that
+        # needs it sets it scoped at the read site (catalog.table, the
+        # streaming readers) — no hidden global state.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
     # Only pin a master when launched directly (tests/bench). Under

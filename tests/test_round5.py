@@ -1,0 +1,183 @@
+"""Round-5 hardening tests: short-document gram guard, embedding-width
+oracle guard, pair-table cache-key isolation, and AQE skew-join
+introspection (the r4 verdict's "nothing verifies it activates" item).
+"""
+
+from __future__ import annotations
+
+import os
+from contextlib import contextmanager
+
+import pytest
+from pyspark.sql import functions as F
+
+from history_collector_spark.queries import dedup
+from history_collector_spark.queries.corpus_health import (
+    cross_source_contamination,
+)
+from history_collector_spark.queries.corpus_health import (
+    embedding_dim_health,
+)
+from tests.conftest import TEST_SF_DIR
+
+
+@contextmanager
+def _scoped_conf(spark, confs: dict[str, str]):
+    old = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def _mini_corpus(spark, tmp_path, docs_rows, emb_rows=None):
+    """Write a tiny standalone corpus dir (documents [+ embeddings]),
+    matching the driver tables' schema (doc_id, text, lang, source,
+    n_chars)."""
+    d = str(tmp_path)
+    full = [
+        (doc_id, text, "en", source, len(text))
+        for (doc_id, source, text) in docs_rows
+    ]
+    spark.createDataFrame(
+        full, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    if emb_rows is not None:
+        spark.createDataFrame(
+            emb_rows, "vec_id long, label string, embedding array<float>"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(d, "embeddings.parquet")
+        )
+    return d
+
+
+def test_contamination_short_docs_no_abort_no_spurious_grams(spark, tmp_path):
+    """ADVICE r4 (high): docs with <3 whitespace tokens must emit ZERO
+    grams — the unguarded F.sequence(0, -1) descending-array form
+    aborted under ANSI or emitted spurious grams. Two 2-word docs
+    sharing their words must NOT create a cross-source pair; the two
+    10-word docs sharing a window must."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    d = _mini_corpus(
+        spark,
+        tmp_path,
+        [
+            (1, "crawl_a", "tiny doc"),
+            (2, "crawl_b", "tiny doc"),
+            (3, "crawl_a", shared),
+            (4, "crawl_b", shared + " extra"),
+        ],
+    )
+    rows = cross_source_contamination(spark, d).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["source_a"], r["source_b"]) == ("crawl_a", "crawl_b")
+    # both 10-word docs contribute 8 grams; the 11-word doc one extra
+    assert r["n_common"] == 8
+
+
+def test_checked_embedding_rejects_wrong_width(spark, tmp_path):
+    """ADVICE r4 (low): the dim-indexed oracles pin 64 dims via
+    range(1,65); a vector of any other width must FAIL the job loudly
+    instead of silently hash-comparing against a wrong oracle."""
+    d = _mini_corpus(
+        spark,
+        tmp_path,
+        [(1, "s", "x")],
+        emb_rows=[(1, "lab", [0.1] * 32)],
+    )
+    with pytest.raises(Exception) as exc_info:
+        embedding_dim_health(spark, d).collect()
+    assert "embedding width" in str(exc_info.value)
+
+
+def test_pair_table_cache_keyed_by_corpus(spark, tmp_path):
+    """The session-pinned pair tables are keyed by (applicationId,
+    sf_dir): a second corpus must get ITS pairs, never the first
+    corpus's cached frame, and refresh_pair_tables() must evict."""
+    first = dedup.verified_pair_table(spark, TEST_SF_DIR)
+    n_first = first.count()
+    assert n_first > 0  # the sf0.001 corpus has injected near-dups
+
+    # a 3-doc corpus with zero near-dups -> distinct (empty) pair table
+    d = _mini_corpus(
+        spark,
+        tmp_path,
+        [
+            (1, "s", "the quick brown fox jumps over a lazy dog today ok"),
+            (2, "s", "completely different words about spark shuffles and "
+                      "partitions in a cluster"),
+            (3, "s", "third unrelated text mentioning oracles ducks and "
+                      "parquet footers only"),
+        ],
+    )
+    second = dedup.verified_pair_table(spark, d)
+    assert second is not first
+    assert second.count() == 0
+
+    key = (spark.sparkContext.applicationId, d)
+    assert key in dedup._PAIR_TABLE_CACHE
+    dedup.refresh_pair_tables(d)
+    assert key not in dedup._PAIR_TABLE_CACHE
+    # the first corpus's entry survives a scoped refresh
+    assert (
+        spark.sparkContext.applicationId,
+        TEST_SF_DIR,
+    ) in dedup._PAIR_TABLE_CACHE
+
+
+def test_aqe_skew_join_split_fires(spark):
+    """session.py enables spark.sql.adaptive.skewJoin; this asserts the
+    split actually ACTIVATES on a deliberately hot key. Thresholds are
+    scoped down (advisory 16k / skew threshold 32k / factor 2) because
+    the defaults (256 MB) would need GBs of fixture; broadcast is
+    disabled so the join stays sort-merge (skew split only applies to
+    shuffle joins)."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    # one maximally hot key (0 carries 87% of rows) plus a uniform tail
+    left = spark.range(0, 400_000).select(
+        F.when(F.col("id") < 350_000, F.lit(0))
+        .otherwise(F.col("id") % 97)
+        .alias("k"),
+        F.concat(*[F.md5(F.col("id").cast("string"))] * 4).alias("payload"),
+    )
+    right = spark.range(0, 5_000).select(
+        (F.col("id") % 97).alias("k"),
+        F.md5(F.col("id").cast("string")).alias("dim"),
+    )
+    with _scoped_conf(spark, confs):
+        joined = left.join(right, "k")
+        # materialize THIS QueryExecution (rdd.count shares it) so the
+        # captured plan is the final adaptive one. A downstream agg
+        # would suppress the split: OptimizeSkewedJoin declines when
+        # the join's output partitioning is still required (its own
+        # documented extra-shuffle rule) — which is also why this guard
+        # exercises a terminal join, the shape a skewed fact-join write
+        # path has at 100 TB.
+        n = joined.rdd.count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert n > 0
+    assert "isFinalPlan=true" in plan
+    assert "skew=true" in plan and "AQEShuffleRead skewed" in plan, (
+        "AQE skew-join split did not activate — check the thresholds "
+        f"against the fixture size. Plan:\n{plan[:2000]}"
+    )
