@@ -48,22 +48,24 @@ _LOADED = False
 # span/segment/edit-distance), ANN + clustering, text/BPE, curation
 # flagships, the star-schema join, and multimodal. Everything else
 # keeps full local oracle coverage in tests/test_correctness.py.
-# Round-4 swap: five family TWINS (posexplode, broadcast-result,
-# segment-dedup, random-projection, tfidf — each still fully covered
-# by its sibling in the window plus the local harness) ceded their
-# slots to this round's strongest new operators: the exact
-# prefix-filter join, the cross-batch stateful streaming EWMA,
-# Misra-Gries heavy hitters, interval coverage, and the ANN recall
-# audit.
+# Round-5 rotation (verdict item 5): eight long-stable rows — green
+# since round 1 and still locally oracle-verified every run — ceded
+# their driver slots to never-driver-sampled families (salted two-phase
+# agg, linear interpolation, Bloom audit, LM perplexity, global-id
+# assignment) and the three new optimizer-stress TPC-H shapes
+# (Q19 disjunctive pushdown, Q21 multi-semi/anti, Q22 anti+scalar).
+# Rotated out: count_filtered, top1_latest, typetag_asset_filter,
+# coalesce_override, conditional_status, explode_resultset,
+# streaming_window_counts, multimodal_metadata.
 PRIORITY_QUERIES = (
     "account_history",
     "point_lookup",
-    "count_filtered",
-    "top1_latest",
-    "typetag_asset_filter",
+    "salted_two_phase_agg",
+    "event_linear_interpolate",
     "appid_memo_filter",
-    "coalesce_override",
-    "conditional_status",
+    "bloom_membership_audit",
+    "text_perplexity_lm",
+    "assign_global_ids",
     "payments_projection",
     "fanout_union_type",
     "file_sequence",
@@ -74,10 +76,10 @@ PRIORITY_QUERIES = (
     "zip_join_oppairs",
     "explode_txset",
     "dedup_prefix_filter",
-    "explode_resultset",
+    "tpch_q19_disjunctive",
     "scalar_pack",
     "streaming_ingest_e2e",
-    "streaming_window_counts",
+    "tpch_q21_waiting_supplier",
     "streaming_dedup_e2e",
     "streaming_gapless_e2e",
     "streaming_jdbc_e2e",
@@ -104,7 +106,7 @@ PRIORITY_QUERIES = (
     "curation_quality_pipeline",
     "curation_decontaminate",
     "star_schema_revenue",
-    "multimodal_metadata",
+    "tpch_q22_dormant_customers",
     "multimodal_decode",
 )
 

@@ -138,6 +138,57 @@ def test_pair_table_cache_keyed_by_corpus(spark, tmp_path):
     ) in dedup._PAIR_TABLE_CACHE
 
 
+def _plan_of(spark, name):
+    from history_collector_spark import registry
+
+    registry.load_all()
+    df = registry.QUERIES[name](spark, TEST_SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q19_pushes_disjunction_to_both_scans(spark):
+    """The Q19 done-bar from the r4 verdict: Catalyst must derive each
+    side's projection of the OR-of-ANDs and push it below the join —
+    the part scan sees the brand/size disjunction, the lineitem scan
+    the quantity disjunction, and part rides a broadcast."""
+    plan = _plan_of(spark, "tpch_q19_disjunctive")
+    # the pushed-down side filters sit BELOW the join as Filter nodes
+    # referencing only one table's columns (the scan's DataFilters show
+    # the same content but the plan printer truncates them)
+    part_side = [
+        l for l in plan.splitlines()
+        if "Filter" in l and "p_brand" in l and "l_quantity" not in l
+    ]
+    li_side = [
+        l for l in plan.splitlines()
+        if "Filter" in l and "l_quantity" in l and "p_brand" not in l
+    ]
+    assert part_side and "Brand#12" in part_side[0] and "Brand#23" in part_side[0], (
+        f"brand disjunction not pushed below the join: {part_side}"
+    )
+    assert li_side, f"quantity disjunction not pushed below the join:\n{plan[:1500]}"
+    assert "BroadcastHashJoin" in plan and "BuildRight" in plan
+
+
+def test_q21_has_semi_and_anti_on_same_relation(spark):
+    plan = _plan_of(spark, "tpch_q21_waiting_supplier")
+    assert "LeftSemi" in plan, f"EXISTS leg not a semi join:\n{plan[:1500]}"
+    assert "LeftAnti" in plan, f"NOT EXISTS leg not an anti join:\n{plan[:1500]}"
+    # the different-supplier residual must ride the join, not a
+    # post-join filter over a fan-out
+    assert "NOT (l_suppkey" in plan
+
+
+def test_q22_anti_join_plus_broadcast_scalar(spark):
+    plan = _plan_of(spark, "tpch_q22_dormant_customers")
+    assert "LeftAnti" in plan
+    # the scalar threshold is broadcast (1-row build side), never a
+    # shuffle of customer against itself
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # open-order status prune reaches the orders scan
+    assert "o_orderstatus" in plan and "= O" in plan
+
+
 def test_aqe_skew_join_split_fires(spark):
     """session.py enables spark.sql.adaptive.skewJoin; this asserts the
     split actually ACTIVATES on a deliberately hot key. Thresholds are
