@@ -1,8 +1,10 @@
 """Optimizer-stress TPC-H shapes: Q19 (disjunctive OR-of-ANDs spanning
 a join), Q21 (multi-semi/anti against the same relation), Q22
-(scalar-subquery threshold + anti join).
+(scalar-subquery threshold + anti join), plus Q4 (EXISTS semi over a
+date window), Q16 (NOT-IN anti + grouped count-distinct), and Q20
+(nested semi over a correlated aggregate).
 
-These three exercise predicate normalization and repeated-relation join
+These exercise predicate normalization and repeated-relation join
 planning that no other registered query covers (r4 verdict, Missing #3).
 Predicates are adapted to the driver tables' columns (no l_shipmode /
 p_container / c_phone in the fixture schema) while keeping each query's
@@ -158,6 +160,162 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
+
+
+@register(
+    "tpch_q4_priority_exists",
+    oracle="""
+    SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_returnflag = 'R')
+    GROUP BY o.o_orderpriority
+    """,
+)
+def tpch_q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: order counts by priority over a date window,
+    restricted to orders where EXISTS a problem line (proxy:
+    l_returnflag = 'R'; the fixture has no commit/receipt dates).
+
+    The EXISTS leg is a left-semi join on o_orderkey — the probe side
+    is deduplicated BY the semi join itself (no distinct needed), the
+    date window prunes the orders scan, and the final aggregate has 5
+    priority keys, map-side combined."""
+    orders = (
+        table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_orderpriority")
+    )
+    problem_lines = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(
+            problem_lines,
+            orders.o_orderkey == problem_lines.l_orderkey,
+            "leftsemi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "tpch_q16_supplier_variety",
+    oracle="""
+    SELECT p.p_brand, p.p_type, CAST(p.p_size AS INT) AS p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#45' AND p.p_type <> 'ECONOMY'
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_acctbal < 500)
+    GROUP BY 1, 2, 3
+    """,
+)
+def tpch_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers serve each
+    (brand, type, size) bucket, excluding blacklisted suppliers (proxy:
+    s_acctbal < 500; the fixture has no s_comment complaints).
+
+    NOT IN over a non-null key is planned as a left-anti join with a
+    broadcast build (the blacklist is tiny); the distinct count is a
+    two-phase expand aggregate on bounded (brand, type, size) keys.
+    part attaches by broadcast, so lineitem never shuffles before the
+    aggregate."""
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = (
+        table(spark, sf_dir, "part")
+        .filter((F.col("p_brand") != "Brand#45") & (F.col("p_type") != "ECONOMY"))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    blacklist = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 500)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(
+            F.broadcast(blacklist),
+            li.l_suppkey == blacklist.s_suppkey,
+            "left_anti",
+        )
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("int").alias("p_size"))
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_Q20_DOMINANCE = 2.0  # share threshold: 2x the average per-supplier share
+
+
+@register(
+    "tpch_q20_dominant_supplier",
+    oracle=f"""
+    WITH per_ps AS (
+      SELECT l.l_partkey, l.l_suppkey, sum(l.l_quantity) AS qty
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_name LIKE '%widget%'
+      GROUP BY 1, 2
+    ), per_p AS (
+      SELECT l_partkey, sum(qty) AS total_qty, count(*) AS n_supp
+      FROM per_ps GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT ps.l_suppkey
+      FROM per_ps ps JOIN per_p p ON ps.l_partkey = p.l_partkey
+      WHERE ps.qty > {_Q20_DOMINANCE} * p.total_qty / p.n_supp)
+    """,
+)
+def tpch_q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: the nested-semi-over-correlated-aggregate
+    pattern — suppliers who DOMINATE any widget part (their shipped
+    quantity exceeds 2x the average per-supplier share of that part;
+    the fixture has no partsupp, so dominance replaces availqty).
+
+    Plan: one (part, supplier) aggregate over the name-pruned lineitem
+    join, a part-level rollup of that SAME aggregate (reuses the
+    l_partkey grouping prefix), a part-keyed join of the two bounded
+    aggregates, then a left-semi into supplier. lineitem is scanned
+    once; everything after the first aggregate is
+    aggregate-cardinality."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    widgets = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey")
+    )
+    per_ps = (
+        li.join(F.broadcast(widgets), li.l_partkey == widgets.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    per_p = per_ps.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("qty").alias("total_qty"), F.count("*").alias("n_supp")
+    )
+    dominant = (
+        per_ps.join(per_p, per_ps.l_partkey == per_p.pk)
+        .filter(
+            F.col("qty")
+            > F.lit(_Q20_DOMINANCE) * F.col("total_qty") / F.col("n_supp")
+        )
+        .select("l_suppkey")
+    )
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return supp.join(
+        dominant, supp.s_suppkey == dominant.l_suppkey, "leftsemi"
+    ).select("s_suppkey", "s_name")
 
 
 @register(
