@@ -1,0 +1,205 @@
+"""Feature engineering for model training: the hashing trick and a
+Z-order (Morton) layout audit.
+
+The reference pipeline stops at relational projections (SURVEY §2.2);
+a training-data pipeline additionally has to turn text into fixed-width
+model inputs without a vocabulary coordination step. Feature hashing is
+the canonical way: token -> md5 index in a fixed-dim space with a
++/-1 sign hash so collisions cancel in expectation (Weinberger et al.,
+ICML 2009). Everything is md5-derived, so the DuckDB oracle rebuilds
+the identical vectors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from history_collector_spark.catalog import table
+from history_collector_spark.functions.nlp import md5_hash32
+from history_collector_spark.registry import register
+
+_FH_DIM = 64
+
+
+@register(
+    "feature_hash_vectors",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(concat('i#', w)), 1, 8))
+                  AS BIGINT) % {_FH_DIM} AS idx,
+             CASE WHEN CAST(concat('0x', substr(md5(concat('s#', w)), 1, 8))
+                       AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS sign
+      FROM toks WHERE w <> ''
+    )
+    SELECT doc_id, CAST(idx AS INT) AS idx,
+           CAST(sum(sign) AS BIGINT) AS weight
+    FROM hashed GROUP BY 1, 2
+    HAVING sum(sign) <> 0
+    """,
+)
+def feature_hash_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick document vectors in SPARSE (doc_id, idx, weight)
+    form: every token lands in one of 64 dimensions via an md5 index
+    hash, weighted +/-1 by an independent sign hash, summed per cell;
+    zero cells are dropped.
+
+    Scale shape: tokenize + hash is map-only expression work; the only
+    shuffle groups on (doc_id, idx) — high-cardinality, evenly
+    distributed, map-side combined. The sparse output IS the production
+    format (dense 64-wide rows would multiply corpus bytes by dim);
+    downstream ANN/classifier ops consume it directly or pivot
+    per-partition. No vocabulary is ever built or broadcast — the
+    whole point of hashing features at 100 TB."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    hashed = toks.select(
+        "doc_id",
+        (md5_hash32(F.concat(F.lit("i#"), F.col("w"))) % _FH_DIM)
+        .cast("int")
+        .alias("idx"),
+        F.when(
+            md5_hash32(F.concat(F.lit("s#"), F.col("w"))) % 2 == 0, 1
+        )
+        .otherwise(-1)
+        .alias("sign"),
+    )
+    return (
+        hashed.groupBy("doc_id", "idx")
+        .agg(F.sum("sign").alias("weight"))
+        .filter(F.col("weight") != 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout audit: multi-dimensional clustering for scan pruning.
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 8  # 256 x 256 grid
+_Z_FILES = 16
+_Z_SPAN = (1 << (2 * _Z_BITS)) // _Z_FILES  # zvalues per file
+_Z_LIN_SPAN = (1 << (2 * _Z_BITS)) // _Z_FILES  # x-major index span per file
+_Z_SLICE_LO, _Z_SLICE_HI = 32, 47  # 16-wide slice probes on each axis
+
+
+@register(
+    "zorder_pruning_audit",
+    oracle=f"""
+    WITH pts AS (
+      SELECT event_id % 256 AS x, user_id % 256 AS y FROM events
+    ), coded AS (
+      SELECT x, y,
+             list_sum(list_transform(range(0, {_Z_BITS}),
+               b -> (((x >> b) & 1) << (2 * b + 1))
+                  + (((y >> b) & 1) << (2 * b)))) AS zval,
+             x * 256 + y AS linval
+      FROM pts
+    ), assigned AS (
+      SELECT x, y,
+             zval // {_Z_SPAN} AS zfile,
+             linval // {_Z_LIN_SPAN} AS linfile
+      FROM coded
+    ), probes AS (
+      SELECT 'x_slice' AS probe, {_Z_SLICE_LO} AS xlo, {_Z_SLICE_HI} AS xhi,
+             0 AS ylo, 255 AS yhi
+      UNION ALL
+      SELECT 'y_slice', 0, 255, {_Z_SLICE_LO}, {_Z_SLICE_HI}
+    ), stats AS (
+      SELECT layout, file,
+             min(x) AS minx, max(x) AS maxx,
+             min(y) AS miny, max(y) AS maxy,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM (
+        SELECT 'zorder' AS layout, zfile AS file, x, y FROM assigned
+        UNION ALL
+        SELECT 'linear', linfile, x, y FROM assigned
+      ) GROUP BY 1, 2
+    )
+    SELECT p.probe, s.layout,
+           CAST(count(*) AS BIGINT) AS files_scanned,
+           CAST(sum(s.n_rows) AS BIGINT) AS rows_scanned
+    FROM probes p JOIN stats s
+      ON s.maxx >= p.xlo AND s.minx <= p.xhi
+     AND s.maxy >= p.ylo AND s.miny <= p.yhi
+    GROUP BY 1, 2
+    """,
+)
+def zorder_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Would Z-ordering the table beat a 1-D sort for 2-D scan pruning?
+    This audit answers with numbers instead of folklore: events are
+    mapped onto a 256x256 grid (event_id, user_id), assigned to 16
+    files under (a) a Morton/Z-order interleave and (b) an x-major
+    linear sort, and two slice probes (narrow in x / narrow in y) are
+    tested against each file's min/max zone map — exactly the pruning
+    a lakehouse scan does from parquet footers.
+
+    Expected physics, verified by the oracle: linear is perfect on its
+    sort axis (1 file) and catastrophic on the other (all 16); Z-order
+    bounds BOTH probes at 4 files because each file's top zvalue bits
+    pin two bits of x AND two of y. The interleave itself is JVM-side
+    bit arithmetic (aggregate over 8 bit positions); file stats are a
+    16/32-key map-side-combined aggregate — the audit costs one scan.
+
+    A production writer would `repartitionByRange(zval)` + sortWithin
+    to land the layout; this query measures the benefit before paying
+    that write."""
+    ev = table(spark, sf_dir, "events").select(
+        (F.col("event_id") % 256).alias("x"), (F.col("user_id") % 256).alias("y")
+    )
+    # unrolled over the 8 fixed bit positions (shift amounts must be
+    # literals); Catalyst folds this into one codegen'd expression
+    zval = F.lit(0).cast("long")
+    for b in range(_Z_BITS):
+        zval = (
+            zval
+            + F.shiftleft(F.shiftright(F.col("x"), b).bitwiseAND(1), 2 * b + 1)
+            + F.shiftleft(F.shiftright(F.col("y"), b).bitwiseAND(1), 2 * b)
+        )
+    assigned = ev.select(
+        "x",
+        "y",
+        (zval / _Z_SPAN).cast("long").alias("zfile"),
+        ((F.col("x") * 256 + F.col("y")) / _Z_LIN_SPAN).cast("long").alias("linfile"),
+    )
+    both = assigned.select(
+        F.lit("zorder").alias("layout"), F.col("zfile").alias("file"), "x", "y"
+    ).unionAll(
+        assigned.select(
+            F.lit("linear").alias("layout"), F.col("linfile").alias("file"), "x", "y"
+        )
+    )
+    stats = both.groupBy("layout", "file").agg(
+        F.min("x").alias("minx"),
+        F.max("x").alias("maxx"),
+        F.min("y").alias("miny"),
+        F.max("y").alias("maxy"),
+        F.count("*").alias("n_rows"),
+    )
+    probes = spark.createDataFrame(
+        [
+            ("x_slice", _Z_SLICE_LO, _Z_SLICE_HI, 0, 255),
+            ("y_slice", 0, 255, _Z_SLICE_LO, _Z_SLICE_HI),
+        ],
+        "probe string, xlo int, xhi int, ylo int, yhi int",
+    )
+    return (
+        stats.join(
+            F.broadcast(probes),
+            (F.col("maxx") >= F.col("xlo"))
+            & (F.col("minx") <= F.col("xhi"))
+            & (F.col("maxy") >= F.col("ylo"))
+            & (F.col("miny") <= F.col("yhi")),
+        )
+        .groupBy("probe", "layout")
+        .agg(
+            F.count("*").alias("files_scanned"),
+            F.sum("n_rows").alias("rows_scanned"),
+        )
+    )

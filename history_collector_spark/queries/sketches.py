@@ -223,3 +223,106 @@ def bloom_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum(F.when(~mem, 1).otherwise(0))
         ).alias("false_positive_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: the mergeable frequency summary that complements
+# Misra-Gries (heavy_hitter_tokens) — CMS answers "how often did THIS
+# key occur" for any key, with a one-sided (over-)estimate, from a
+# fixed d x w cell table that shuffles KBs regardless of corpus size.
+# ---------------------------------------------------------------------------
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 256
+_CMS_TOPK = 20
+
+
+@register(
+    "countmin_frequency_audit",
+    oracle=f"""
+    WITH rows_ AS (SELECT unnest(range({_CMS_DEPTH})) AS j),
+    cells AS (
+      SELECT j,
+             CAST(concat('0x', substr(md5(concat(j, '#', user_id)), 1, 8))
+                  AS BIGINT) % {_CMS_WIDTH} AS bucket,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events, rows_
+      GROUP BY 1, 2
+    ),
+    exact_ AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+      FROM events GROUP BY 1
+      ORDER BY exact_cnt DESC, user_id LIMIT {_CMS_TOPK}
+    ),
+    probe AS (
+      SELECT e.user_id, e.exact_cnt, r.j,
+             CAST(concat('0x', substr(md5(concat(r.j, '#', e.user_id)), 1, 8))
+                  AS BIGINT) % {_CMS_WIDTH} AS bucket
+      FROM exact_ e, rows_ r
+    )
+    SELECT p.user_id, p.exact_cnt,
+           CAST(min(c.c) AS BIGINT) AS cms_estimate
+    FROM probe p JOIN cells c ON c.j = p.j AND c.bucket = p.bucket
+    GROUP BY 1, 2
+    """,
+)
+def countmin_frequency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a d=4 x w=256 count-min sketch over event user_ids with
+    md5-derived row hashes (DuckDB rebuilds it bit-for-bit), then
+    estimate the frequency of the top-20 users and report estimate
+    next to exact — the audit shows CMS's one-sided error (estimate >=
+    exact, pinned in tests/test_properties.py).
+
+    Scale shape: the cell table is a 1024-group map-side-combined
+    aggregate — the sketch costs one bounded-key pass no matter the
+    corpus, and cells from different corpus shards MERGE by summing
+    (same property incremental_sketch_merge exercises for HLL). Probes
+    broadcast against the KB-sized cell table."""
+    ev = table(spark, sf_dir, "events").select("user_id")
+    rows_ = F.sequence(F.lit(0), F.lit(_CMS_DEPTH - 1))
+
+    def bucket(j, key_col):
+        return (
+            md5_hash32(
+                F.concat(j.cast("string"), F.lit("#"), key_col.cast("string"))
+            )
+            % _CMS_WIDTH
+        )
+
+    cells = (
+        ev.select(
+            F.explode(
+                F.transform(
+                    rows_,
+                    lambda j: F.struct(
+                        j.alias("j"), bucket(j, F.col("user_id")).alias("bucket")
+                    ),
+                )
+            ).alias("s")
+        )
+        .groupBy(F.col("s.j").alias("j"), F.col("s.bucket").alias("bucket"))
+        .agg(F.count("*").alias("c"))
+    )
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "user_id")
+        .limit(_CMS_TOPK)
+    )
+    probe = exact.select(
+        "user_id",
+        "exact_cnt",
+        F.explode(
+            F.transform(
+                rows_,
+                lambda j: F.struct(
+                    j.alias("j"), bucket(j, F.col("user_id")).alias("bucket")
+                ),
+            )
+        ).alias("s"),
+    ).select("user_id", "exact_cnt", F.col("s.j").alias("j"), F.col("s.bucket").alias("bucket"))
+    return (
+        probe.join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy("user_id", "exact_cnt")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
