@@ -228,6 +228,99 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Bucketed IVF index: the SERVING layout. The index is landed as a
+# bucketed table on the list id, so probe joins read co-located buckets
+# — the big (index) side never exchanges again. The ANN twin of
+# bigjoins.bucketed_join_roundtrip.
+# ---------------------------------------------------------------------------
+
+_IVF_BUCKETS = 8
+_IVF_INDEX_CACHE: dict[tuple[str, str], str] = {}
+
+
+def ivf_bucketed_index(spark: SparkSession, sf_dir: str) -> str:
+    """Land the IVF index (vec_id, label-as-list-id, embedding, norm)
+    ONCE per (session, corpus) as a bucketed+sorted table on the list
+    id — the write pre-pays the only shuffle the index ever needs. At
+    100 TB this is the layout an ANN service maintains: probes join
+    bucket-to-bucket, index scans never exchange."""
+    import os
+    import tempfile
+    import uuid
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _IVF_INDEX_CACHE.get(key)
+    if cached is not None and spark.catalog.tableExists(cached):
+        return cached
+    tab = f"ivf_index_{uuid.uuid4().hex[:8]}"
+    (
+        _emb_with_norm(spark, sf_dir)
+        .repartition(_IVF_BUCKETS, "label")
+        .write.bucketBy(_IVF_BUCKETS, "label")
+        .sortBy("label")
+        .option("path", os.path.join(tempfile.mkdtemp(prefix="hc_ivf_"), "ix"))
+        .saveAsTable(tab)
+    )
+    _IVF_INDEX_CACHE[key] = tab
+    return tab
+
+
+@register(
+    "ann_ivf_bucketed_probe",
+    oracle=f"""
+    WITH {_EMB_NORM_SQL}
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_COS_SQL} AS cos_sim,
+             CAST(row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_COS_SQL} DESC, c.vec_id) AS INT) AS rank
+      FROM emb q JOIN emb c
+        ON q.label = c.label AND q.vec_id != c.vec_id
+      WHERE q.vec_id % 101 = 0
+    ) WHERE rank <= 5
+    """,
+)
+def ann_ivf_bucketed_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe against the BUCKETED index table: identical semantics
+    to ann_ivf_topk (probe only your own list), but the index side
+    reads its bucket files directly — the executed plan has NO Exchange
+    above the index scan (asserted by
+    tests/test_round5.py::test_ivf_bucketed_index_side_no_exchange);
+    only the small probe side shuffles into the bucket layout. The
+    probe set (vec_id % 101) differs from ann_ivf_topk's so the two
+    driver rows exercise distinct result sets."""
+    tab = ivf_bucketed_index(spark, sf_dir)
+    index = spark.table(tab).alias("c")
+    q = (
+        spark.table(tab)
+        .filter(F.col("vec_id") % 101 == 0)
+        .alias("q")
+    )
+    cos = cosine(
+        F.col("q.embedding"), F.col("c.embedding"),
+        F.col("q.nrm"), F.col("c.nrm"),
+    )
+    scored = q.join(
+        index,
+        (F.col("q.label") == F.col("c.label"))
+        & (F.col("q.vec_id") != F.col("c.vec_id")),
+    ).select(
+        F.col("q.vec_id").alias("query_id"),
+        F.col("c.vec_id").alias("neighbor_id"),
+        cos.alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Int8 embedding quantization: per-vector absmax scale, 64 int8 codes,
 # and the worst-element reconstruction error — the storage/serving
 # compression step an embedding pipeline runs before writing an index

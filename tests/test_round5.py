@@ -189,6 +189,65 @@ def test_q22_anti_join_plus_broadcast_scalar(spark):
     assert "o_orderstatus" in plan and "= O" in plan
 
 
+def test_ivf_bucketed_index_side_no_exchange(spark):
+    """The bucketed IVF index's reason to exist: the probe join must
+    read co-located buckets, never re-shuffle the index on the list id.
+    Broadcast is disabled so the join stays sort-merge (at test scale
+    AQE would broadcast the tiny index — which also leaves the index
+    side exchange-free, but the bucket layout is what carries the
+    property at 100 TB where nothing fits in a broadcast)."""
+    from history_collector_spark import registry
+
+    registry.load_all()
+    with _scoped_conf(
+        spark,
+        {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        },
+    ):
+        df = registry.QUERIES["ann_ivf_bucketed_probe"](spark, TEST_SF_DIR)
+        assert df.count() > 0
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan
+    assert "Exchange hashpartitioning(label" not in plan, (
+        f"index re-shuffled on the bucket key:\n{plan[:2000]}"
+    )
+
+
+def test_spark_runtime_bloom_filter_prunes_fact_side(spark):
+    """Spark's runtime bloom-filter join pruning (the engine-native
+    version of bloom_membership_audit's hand-built filter): a selective
+    dim filter should inject a bloom probe into the fact scan when the
+    join is shuffle-based. Thresholds are scoped down for test-scale
+    data; broadcast disabled because broadcast joins don't need the
+    bloom."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    fact = spark.range(0, 500_000).select(
+        (F.col("id") % 10_000).alias("k"),
+        F.md5(F.col("id").cast("string")).alias("payload"),
+    )
+    dim = spark.range(0, 10_000).select(
+        F.col("id").alias("k"),
+        F.md5(F.col("id").cast("string")).alias("attr"),
+    ).filter(F.col("attr").like("0%"))  # ~1/16 selective
+    with _scoped_conf(spark, confs):
+        joined = fact.join(dim, "k")
+        n = joined.rdd.count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert n > 0
+    assert "might_contain" in plan or "BloomFilter" in plan, (
+        f"runtime bloom filter not injected:\n{plan[:2000]}"
+    )
+
+
 def test_aqe_skew_join_split_fires(spark):
     """session.py enables spark.sql.adaptive.skewJoin; this asserts the
     split actually ACTIVATES on a deliberately hot key. Thresholds are
