@@ -148,6 +148,61 @@ def corpus_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _write_evolution_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Two parquet vintages of the same logical table: v1 (doc_id %
+    2 = 0) without the quality column, v2 (doc_id % 2 = 1) WITH it —
+    the schema drift every long-lived corpus accumulates."""
+    out = _fixture_dir(sf_dir, "schevo")
+    done = os.path.join(out, "_FIXTURE_DONE")
+    if os.path.exists(done):
+        return out
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    docs.filter(F.col("doc_id") % 2 == 0).write.mode("overwrite").parquet(
+        os.path.join(out, "data", "vintage=v1")
+    )
+    docs.filter(F.col("doc_id") % 2 == 1).withColumn(
+        "quality", (F.col("doc_id") % 100) / F.lit(100.0)
+    ).write.mode("overwrite").parquet(os.path.join(out, "data", "vintage=v2"))
+    with open(done, "w") as f:
+        f.write("ok")
+    return out
+
+
+@register(
+    "schema_evolution_roundtrip",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_with_quality,
+           avg(CASE WHEN doc_id % 2 = 1
+                    THEN (doc_id % 100) / 100.0 END) AS avg_quality
+    FROM documents
+    GROUP BY source
+    """,
+)
+def schema_evolution_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read a table whose parquet files span two schema vintages (a
+    later vintage added a `quality` column) with mergeSchema=true —
+    the schema-evolution read path a lakehouse table needs — and
+    report the per-source fill rate of the new column. Old-vintage
+    rows surface quality as NULL, never as a read error.
+
+    Scale shape: mergeSchema reconciles footers at planning time (no
+    data pass); the query itself is one scan into a source-cardinality
+    map-side-combined aggregate. The fixture is written once per
+    corpus, exactly like the JSONL fixture."""
+    src = _write_evolution_fixture(spark, sf_dir)
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(src, "data")
+    )
+    return merged.groupBy("source").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("quality").isNotNull().cast("int")).alias("n_with_quality"),
+        F.avg("quality").alias("avg_quality"),
+    )
+
+
 @register(
     "sink_partitioned_roundtrip",
     oracle="""

@@ -79,6 +79,79 @@ def feature_hash_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Per-label feature standardization: the (x - mean) / std scaling every
+# classical-model training run applies, distributed as bounded-key
+# stats + a broadcast join — never a global pass per feature.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "feature_standardize",
+    oracle=f"""
+    WITH dims AS (
+      SELECT label, CAST(i - 1 AS INT) AS dim,
+             avg(CAST(embedding[i] AS DOUBLE)) AS m,
+             greatest(stddev_samp(CAST(embedding[i] AS DOUBLE)), 1e-30) AS s
+      FROM embeddings, (SELECT unnest(range(1, 65)) AS i) r
+      GROUP BY 1, 2
+    ), stats AS (
+      SELECT label, list(m ORDER BY dim) AS means, list(s ORDER BY dim) AS stds
+      FROM dims GROUP BY label
+    )
+    SELECT e.vec_id, e.label,
+           list_transform(range(1, 65),
+             i -> (CAST(e.embedding[i] AS DOUBLE) - st.means[i]) / st.stds[i])
+             AS zemb
+    FROM embeddings e JOIN stats st ON e.label = st.label
+    """,
+)
+def feature_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardize every embedding against ITS label's per-dimension
+    mean/std (zero-variance dims guarded to 1e-30) — z-scored features
+    for a downstream linear probe.
+
+    One bounded-key stats pass (labels x 64 groups, map-side combined)
+    collapses to a labels-row stats table that broadcast-joins back;
+    the scaling itself is a zip_with over the row. No window functions,
+    no per-feature passes — the stats table IS the model state, same
+    shape a production scaler persists. Width-guarded via
+    checked_embedding (the oracle pins 64 dims)."""
+    from history_collector_spark.catalog import checked_embedding
+
+    emb = table(spark, sf_dir, "embeddings")
+    dims = (
+        emb.select("label", F.posexplode(checked_embedding()).alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(
+            F.avg(F.col("v").cast("double")).alias("m"),
+            F.greatest(
+                F.stddev_samp(F.col("v").cast("double")), F.lit(1e-30)
+            ).alias("s"),
+        )
+    )
+    stats = (
+        dims.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "m", "s"))).alias("dm"))
+        .select(
+            "label",
+            F.transform("dm", lambda x: x.m).alias("means"),
+            F.transform("dm", lambda x: x.s).alias("stds"),
+        )
+    )
+    zemb = F.zip_with(
+        F.zip_with(
+            "embedding", "means", lambda x, m: x.cast("double") - m
+        ),
+        "stds",
+        lambda d, s: d / s,
+    )
+    return (
+        emb.join(F.broadcast(stats), "label")
+        .select("vec_id", "label", zemb.alias("zemb"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Z-order layout audit: multi-dimensional clustering for scan pruning.
 # ---------------------------------------------------------------------------
 

@@ -17,6 +17,77 @@ from pyspark.sql import functions as F
 from history_collector_spark.catalog import table
 from history_collector_spark.registry import register
 
+_BAND_EPS = 0.05  # value-similarity tolerance
+
+
+@register(
+    "band_join_values",
+    oracle=f"""
+    WITH probes AS (
+      SELECT event_id AS probe_id, event_type, value AS pv
+      FROM events WHERE event_id % 97 = 0
+    )
+    SELECT p.probe_id, e.event_id AS match_id, e.event_type,
+           e.value - p.pv AS diff
+    FROM probes p JOIN events e
+      ON e.event_type = p.event_type AND e.event_id <> p.probe_id
+     AND abs(e.value - p.pv) <= {_BAND_EPS}
+    """,
+)
+def band_join_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band (theta) join: events of the same type whose values differ
+    by at most eps — the pure-inequality join shape (fraud twins,
+    sensor cross-validation) that naive engines evaluate as a filtered
+    cross product.
+
+    Scalable form: bin values into eps-width buckets, explode each
+    PROBE into its bucket and both neighbors, and equi-join on
+    (event_type, bin) — any pair within eps differs by at most one
+    bin, so the residual abs-diff filter restores EXACT band semantics
+    while the shuffle key is (type, bin): high-cardinality, evenly
+    spread, never all-pairs. Cost is sum over bins of
+    probe_bin x build_bin, bounded by eps x value-density — the same
+    df-bounding argument as dedup_ngram_jaccard's cap, driven by the
+    physics of the band instead of a tuning constant."""
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    build = ev.select(
+        "event_type",
+        F.col("event_id").alias("match_id"),
+        F.col("value").alias("bv"),
+        F.floor(F.col("value") / _BAND_EPS).alias("bin"),
+    )
+    probes = (
+        ev.filter(F.col("event_id") % 97 == 0)
+        .select(
+            "event_type",
+            F.col("event_id").alias("probe_id"),
+            F.col("value").alias("pv"),
+        )
+        .withColumn(
+            "bin",
+            F.explode(
+                F.array(
+                    F.floor(F.col("pv") / _BAND_EPS) - 1,
+                    F.floor(F.col("pv") / _BAND_EPS),
+                    F.floor(F.col("pv") / _BAND_EPS) + 1,
+                )
+            ),
+        )
+    )
+    return (
+        probes.join(build, ["event_type", "bin"])
+        .filter(
+            (F.col("match_id") != F.col("probe_id"))
+            & (F.abs(F.col("bv") - F.col("pv")) <= _BAND_EPS)
+        )
+        .select(
+            "probe_id",
+            "match_id",
+            "event_type",
+            (F.col("bv") - F.col("pv")).alias("diff"),
+        )
+    )
+
 
 @register(
     "range_join_events",
