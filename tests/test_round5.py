@@ -248,6 +248,39 @@ def test_spark_runtime_bloom_filter_prunes_fact_side(spark):
     )
 
 
+def test_topn_per_group_uses_window_group_limit(spark):
+    """Spark's rank-pushdown (WindowGroupLimit) keeps per-group top-n
+    from materializing full per-group sorts: each partition pre-prunes
+    to n rows per key before the final window. topn_per_group is the
+    registered query this matters for — assert the optimization
+    actually engages so a regression (e.g. a filter form the rule
+    doesn't recognize) shows up here, not at 100 TB."""
+    plan = _plan_of(spark, "topn_per_group")
+    assert "WindowGroupLimit" in plan, (
+        f"rank pushdown not applied:\n{plan[:1500]}"
+    )
+
+
+def test_aqe_coalesces_small_shuffle_partitions(spark):
+    """The partner introspection to the skew test: AQE must MERGE
+    undersized shuffle partitions (a 32-partition shuffle of a few KB
+    should execute as a handful of reads). Verified from the final
+    adaptive plan's AQEShuffleRead coalesced marker."""
+    df = (
+        spark.range(0, 10_000)
+        .select((F.col("id") % 1000).alias("k"))
+        .groupBy("k")
+        .count()
+    )
+    n = df.rdd.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert n == 1000
+    assert "isFinalPlan=true" in plan
+    assert "AQEShuffleRead coalesced" in plan, (
+        f"partition coalescing did not engage:\n{plan[:1500]}"
+    )
+
+
 def test_aqe_skew_join_split_fires(spark):
     """session.py enables spark.sql.adaptive.skewJoin; this asserts the
     split actually ACTIVATES on a deliberately hot key. Thresholds are
