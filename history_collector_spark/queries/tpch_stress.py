@@ -319,6 +319,95 @@ def tpch_q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q8_market_share",
+    oracle="""
+    WITH rev AS (
+      SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             sn.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'STANDARD'
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      JOIN region r ON cn.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+    )
+    SELECT o_year,
+           sum(CASE WHEN supp_nation = 'NATION_2' THEN volume ELSE 0 END)
+             / sum(volume) AS mkt_share,
+           sum(volume) AS total_volume
+    FROM rev GROUP BY o_year
+    """,
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's market share of STANDARD-part
+    revenue sold into ASIA, per order year — the two-dimension-chain
+    star (customer -> nation -> region carves the MARKET, supplier ->
+    nation labels the COMPETITOR) with a conditional-share aggregate.
+
+    Plan shape: lineitem ⋈ orders is the single fact-fact shuffle;
+    both dimension chains and the part-type prune ride broadcasts, and
+    the share is a conditional sum over year-cardinality groups — no
+    second pass, no self-join of the revenue stream."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    part = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "STANDARD")
+        .select("p_partkey")
+    )
+    supp = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = (
+        table(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "ASIA")
+        .select("r_regionkey")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    rev = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), supp.s_nationkey == F.col("sn_key"))
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), cust.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cn_region") == region.r_regionkey)
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias(
+                "volume"
+            ),
+            "supp_nation",
+        )
+    )
+    return rev.groupBy("o_year").agg(
+        (
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_2", F.col("volume")).otherwise(
+                    0
+                )
+            )
+            / F.sum("volume")
+        ).alias("mkt_share"),
+        F.sum("volume").alias("total_volume"),
+    )
+
+
+@register(
     "tpch_q22_dormant_customers",
     oracle="""
     SELECT CAST(c.c_nationkey AS INT) AS cntry,

@@ -193,6 +193,141 @@ def _time_partitioned_replay_dir(
 
 
 # ---------------------------------------------------------------------------
+# Watermark LATE-DROP accounting: the append-mode semantics nothing
+# else exercises — windows EMIT only once the watermark passes them,
+# and genuinely late rows are DROPPED, deterministically.
+# ---------------------------------------------------------------------------
+
+_LATE_REPLAY_CACHE: dict[tuple[str, str], str] = {}
+_LATE_FILES = 6
+_LATE_DELAY_MIN = 90  # watermark delay
+
+
+def _late_replay_dir(spark: SparkSession, sf_dir: str) -> str:
+    """The 6-file time-range replay, with a deterministic twist: rows
+    with event_id % 13 == 0 from the first two buckets arrive FOUR
+    buckets later (about 20 days after their event time at any SF) —
+    unambiguously beyond any sane watermark. Bucketing is integer
+    `div` arithmetic so the DuckDB oracle reproduces the displacement
+    exactly."""
+    import glob
+    import os
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _LATE_REPLAY_CACHE.get(key)
+    if cached is not None and os.path.isdir(cached):
+        return cached
+    ev = table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    us = F.unix_micros("ts")
+    bounds = ev.agg(F.min(us).alias("mn"), F.max(us).alias("mx"))
+    feed = (
+        ev.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "orig",
+            F.expr(
+                f"({_LATE_FILES} * (unix_micros(ts) - mn)) div (mx - mn + 1)"
+            ),
+        )
+        .withColumn(
+            "arrival",
+            F.when(
+                (F.col("event_id") % 13 == 0) & (F.col("orig") <= 1),
+                F.col("orig") + 4,
+            ).otherwise(F.col("orig")),
+        )
+        .persist()
+    )
+    landing = tempfile.mkdtemp(prefix="hc_late_")
+    flat = tempfile.mkdtemp(prefix="hc_late_flat_")
+    for fno in range(_LATE_FILES):
+        feed.filter(F.col("arrival") == fno).select(
+            "event_id", "ts", "event_type"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{landing}/f{fno}")
+    feed.unpersist()
+    import os as _os
+
+    for i, p in enumerate(sorted(glob.glob(f"{landing}/f*/part-*.parquet"))):
+        dst = _os.path.join(flat, f"{i:02d}.parquet")
+        shutil.copy(p, dst)
+        _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    shutil.rmtree(landing, ignore_errors=True)
+    _LATE_REPLAY_CACHE[key] = flat
+    return flat
+
+
+@register(
+    "streaming_late_drop_e2e",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx FROM events
+    ), coded AS (
+      SELECT event_id, ts, event_type,
+             ({_LATE_FILES} * (epoch_us(ts) - mn)) // (mx - mn + 1) AS orig
+      FROM events, bounds
+    ), kept AS (
+      -- displaced rows arrive ~20 days late: watermark has long passed
+      -- their window, so the stream DROPS them
+      SELECT * FROM coded WHERE NOT (event_id % 13 = 0 AND orig <= 1)
+    )
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM kept, bounds
+    -- append mode emits a window only once the FINAL watermark
+    -- (global max event time - delay) passes its end
+    WHERE epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR)
+          <= mx - CAST({_LATE_DELAY_MIN} AS BIGINT) * 60 * 1000000
+    GROUP BY 1, 2
+    """,
+)
+def streaming_late_drop_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode watermarked window counts over a replay where some
+    rows arrive ~20 days after their event time: the result must (a)
+    EXCLUDE the late rows — the watermark dropped them, (b) exclude
+    the trailing windows the final watermark never passed — they are
+    still in state when AvailableNow terminates, and (c) match the
+    batch aggregate everywhere else. The oracle states all three from
+    the same integer-div bucketing the fixture used.
+
+    This is the semantic streaming_window_counts (complete mode)
+    cannot see: complete mode re-emits everything, so drops and
+    unemitted windows are invisible. Here the watermark is load-
+    bearing, which is exactly what bounds state size at 100 TB —
+    without it every hour window ever seen stays in the store.
+
+    Scale shape: state per (window, type) is one count; drops happen
+    at the input filter, before any state lookup."""
+    flat = _late_replay_dir(spark, sf_dir)
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    agg = (
+        stream.withWatermark("ts", f"{_LATE_DELAY_MIN} minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .count()
+    )
+    name = f"late_{uuid.uuid4().hex[:8]}"
+    with scoped_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    return spark.table(name).select(
+        F.col("w.start").alias("window_start"),
+        "event_type",
+        F.col("count").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Streaming EWMA e2e: the recursion's memory (one double per user)
 # rides the state store across micro-batches.
 # ---------------------------------------------------------------------------
