@@ -79,6 +79,93 @@ def feature_hash_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Covariance via Grammian accumulation: THE distributed linear-algebra
+# primitive (PCA, whitening, least squares all start from X^T X).
+# ---------------------------------------------------------------------------
+
+
+def _gram_batches(batches):
+    """Arrow-batched partial Grammian: each pandas batch contributes
+    X^T X (one BLAS matmul), the column sums, and its row count as
+    4096 (di, dj, partial) cells. Cell-wise sums across batches
+    reassemble the exact global statistics — the classic
+    sufficient-statistics map-combine, at matrix granularity."""
+    import numpy as np
+    import pandas as pd
+
+    idx_i, idx_j = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+        g = X.T @ X
+        s = X.sum(axis=0)
+        yield pd.DataFrame(
+            {
+                "di": idx_i.ravel().astype("int32"),
+                "dj": idx_j.ravel().astype("int32"),
+                "g": g.ravel(),
+                "si": np.repeat(s, 64),
+                "sj": np.tile(s, 64),
+                "nn": np.full(64 * 64, len(pdf), dtype="int64"),
+            }
+        )
+
+
+@register(
+    "embedding_covariance",
+    oracle="""
+    WITH idx AS (SELECT unnest(range(1, 65)) AS i),
+    g AS (
+      SELECT a.i AS ii, b.i AS jj,
+             sum(CAST(embedding[a.i] AS DOUBLE)
+                 * CAST(embedding[b.i] AS DOUBLE)) AS gsum
+      FROM embeddings, idx a, idx b
+      GROUP BY 1, 2
+    ), s AS (
+      SELECT i, sum(CAST(embedding[i] AS DOUBLE)) AS ssum
+      FROM embeddings, idx GROUP BY 1
+    ), n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM embeddings)
+    SELECT CAST(g.ii - 1 AS INT) AS di, CAST(g.jj - 1 AS INT) AS dj,
+           (g.gsum - si.ssum * sj.ssum / n.nn) / (n.nn - 1) AS cov
+    FROM g JOIN s si ON si.i = g.ii JOIN s sj ON sj.i = g.jj, n
+    """,
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 64x64 sample covariance of the embedding corpus, computed
+    as batch-local X^T X matmuls (BLAS, Arrow path) combined
+    cell-wise — PCA / whitening / ZCA all consume this matrix, and the
+    eigen-solve on the 64x64 result is O(1) wherever it runs.
+
+    Scale shape: the corpus never shuffles — each Arrow batch reduces
+    to 4096 cells, the exchange carries 4096 x partitions pre-summed
+    rows, and the (di, dj) aggregate is bounded-key. This is the
+    sufficient-statistics pattern of ml_ridge_probe_stats lifted from
+    4 features to matrix granularity through numpy instead of
+    Catalyst expressions (64 dims x 64 dims of expression columns
+    would explode codegen; one matmul per batch doesn't)."""
+    emb = table(spark, sf_dir, "embeddings").select("embedding")
+    cells = emb.mapInPandas(
+        _gram_batches,
+        schema="di int, dj int, g double, si double, sj double, nn long",
+    )
+    tot = cells.groupBy("di", "dj").agg(
+        F.sum("g").alias("gsum"),
+        F.sum("si").alias("ssum_i"),
+        F.sum("sj").alias("ssum_j"),
+        F.sum("nn").alias("nn"),
+    )
+    return tot.select(
+        "di",
+        "dj",
+        (
+            (F.col("gsum") - F.col("ssum_i") * F.col("ssum_j") / F.col("nn"))
+            / (F.col("nn") - 1)
+        ).alias("cov"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Per-label feature standardization: the (x - mean) / std scaling every
 # classical-model training run applies, distributed as bounded-key
 # stats + a broadcast join — never a global pass per feature.

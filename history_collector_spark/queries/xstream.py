@@ -39,6 +39,7 @@ from history_collector_spark.streaming.conf import scoped_state_partitions
 from history_collector_spark.streaming.stateful import (
     track_ewma,
     track_gapless,
+    track_heavy_hitters,
     track_zscore,
 )
 
@@ -324,6 +325,53 @@ def streaming_late_drop_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w.start").alias("window_start"),
         "event_type",
         F.col("count").alias("n"),
+    )
+
+
+# rows-only: a sequential Misra-Gries summary is not SQL-expressible;
+# tests/test_round5.py replays the same feed through a pure-Python MG
+# and asserts the snapshots match EXACTLY, plus the classical bounds.
+@register("streaming_topk_e2e")
+def streaming_topk_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters: a Misra-Gries counter set (capacity 8)
+    per event_type rides the state store across the 6-batch replay
+    (shared with streaming_late_drop_e2e — the fixture is memoized);
+    each batch emits the key's snapshot stamped with n_seen and the
+    query keeps the final one.
+
+    Scale shape: state is O(capacity) ids+counts per key — the
+    streaming twin of the batch Misra-Gries in heavy_hitter_tokens,
+    with the summary surviving restarts via the state store. A million
+    keys cost megabytes; the per-arrival update is O(1) amortized."""
+    flat = _late_replay_dir(spark, sf_dir)
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    # user dimension: derive a stable pseudo-user from the event id so
+    # the fixture stays 3 columns (the tracker only needs an id stream)
+    stream = stream.withColumn("user_id", F.col("event_id") % 50)
+    out = track_heavy_hitters(stream)
+    name = f"topk_{uuid.uuid4().hex[:8]}"
+    with scoped_state_partitions(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    snaps = spark.table(name)
+    w = Window.partitionBy("event_type")
+    return (
+        snaps.withColumn("max_seen", F.max("n_seen").over(w))
+        .filter(F.col("n_seen") == F.col("max_seen"))
+        .select("event_type", "user_id", "est_count", "n_seen")
     )
 
 

@@ -229,3 +229,97 @@ def track_zscore(stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Misra-Gries heavy hitters: a bounded top-k counter set per
+# key that survives micro-batches in the state store.
+# ---------------------------------------------------------------------------
+
+MG_CAPACITY = 8
+
+MG_OUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("user_id", LongType()),
+        StructField("est_count", LongType()),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+# counters serialized flat: csv of ids / csv of counts + total processed
+MG_STATE_SCHEMA = StructType(
+    [
+        StructField("ids", StringType()),
+        StructField("counts", StringType()),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+
+def make_mg_tracker(capacity: int = MG_CAPACITY):
+    """Per-key streaming Misra-Gries: at most `capacity` counters per
+    key, decrement-all on overflow. Guarantees after n arrivals:
+    est <= true, true - est <= n/(capacity+1), and every id with
+    true count > n/(capacity+1) holds a counter — the classical
+    deterministic heavy-hitter summary, here carried across
+    micro-batches in O(capacity) state bytes per key. Each batch emits
+    the key's CURRENT summary stamped with n_seen; the consumer keeps
+    the max-n_seen snapshot (see xstream.streaming_topk_e2e)."""
+
+    def track(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ids_s, counts_s, n_seen = state.get
+            counters = dict(
+                zip(
+                    (int(x) for x in ids_s.split(",") if x),
+                    (int(x) for x in counts_s.split(",") if x),
+                )
+            )
+        else:
+            counters, n_seen = {}, 0
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for uid in pdf["user_id"]:
+            uid = int(uid)
+            n_seen += 1
+            if uid in counters:
+                counters[uid] += 1
+            elif len(counters) < capacity:
+                counters[uid] = 1
+            else:
+                counters = {
+                    k: c - 1 for k, c in counters.items() if c - 1 > 0
+                }
+        if counters:
+            yield pd.DataFrame(
+                {
+                    "event_type": key[0],
+                    "user_id": list(counters),
+                    "est_count": list(counters.values()),
+                    "n_seen": n_seen,
+                }
+            )
+        state.update(
+            (
+                ",".join(str(k) for k in counters),
+                ",".join(str(c) for c in counters.values()),
+                int(n_seen),
+            )
+        )
+
+    return track
+
+
+def track_heavy_hitters(stream: DataFrame, capacity: int = MG_CAPACITY) -> DataFrame:
+    """stream(event_id, ts, event_type, user_id) -> per-batch
+    Misra-Gries snapshots per event_type; O(capacity) state per key."""
+    return stream.groupBy("event_type").applyInPandasWithState(
+        make_mg_tracker(capacity),
+        outputStructType=MG_OUT_SCHEMA,
+        stateStructType=MG_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

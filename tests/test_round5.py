@@ -281,6 +281,75 @@ def test_aqe_coalesces_small_shuffle_partitions(spark):
     )
 
 
+def test_streaming_topk_matches_sequential_mg(spark):
+    """streaming_topk_e2e has no SQL oracle (sequential Misra-Gries);
+    instead replay the SAME memoized feed through a pure-Python MG in
+    arrival order and require the final snapshots to match EXACTLY,
+    then check the classical guarantees (est <= true,
+    true - est <= n/(k+1), every id above that threshold present)."""
+    import glob
+
+    import pandas as pd
+
+    from history_collector_spark import registry
+    from history_collector_spark.queries.xstream import _late_replay_dir
+    from history_collector_spark.streaming.stateful import MG_CAPACITY
+
+    registry.load_all()
+    got = (
+        registry.QUERIES["streaming_topk_e2e"](spark, TEST_SF_DIR)
+        .toPandas()
+        .sort_values(["event_type", "user_id"])
+        .reset_index(drop=True)
+    )
+
+    flat = _late_replay_dir(spark, TEST_SF_DIR)
+    sim: dict[str, dict[int, int]] = {}
+    seen: dict[str, int] = {}
+    true_counts: dict[str, dict[int, int]] = {}
+    for f in sorted(glob.glob(f"{flat}/*.parquet")):
+        pdf = pd.read_parquet(f).sort_values(["ts", "event_id"])
+        pdf["user_id"] = pdf["event_id"] % 50
+        for et, uid in zip(pdf["event_type"], pdf["user_id"]):
+            uid = int(uid)
+            c = sim.setdefault(et, {})
+            seen[et] = seen.get(et, 0) + 1
+            true_counts.setdefault(et, {})
+            true_counts[et][uid] = true_counts[et].get(uid, 0) + 1
+            if uid in c:
+                c[uid] += 1
+            elif len(c) < MG_CAPACITY:
+                c[uid] = 1
+            else:
+                for k in list(c):
+                    c[k] -= 1
+                    if c[k] == 0:
+                        del c[k]
+    expect = pd.DataFrame(
+        [
+            (et, uid, cnt, seen[et])
+            for et, cs in sim.items()
+            for uid, cnt in cs.items()
+        ],
+        columns=["event_type", "user_id", "est_count", "n_seen"],
+    ).sort_values(["event_type", "user_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"user_id": "int64", "est_count": "int64", "n_seen": "int64"}),
+        expect.astype({"user_id": "int64", "est_count": "int64", "n_seen": "int64"}),
+    )
+    # classical MG guarantees against the true counts
+    for _, r in got.iterrows():
+        true = true_counts[r["event_type"]][int(r["user_id"])]
+        n = seen[r["event_type"]]
+        assert r["est_count"] <= true
+        assert true - r["est_count"] <= n / (MG_CAPACITY + 1)
+    for et, tc in true_counts.items():
+        reported = set(got[got["event_type"] == et]["user_id"].astype(int))
+        for uid, cnt in tc.items():
+            if cnt > seen[et] / (MG_CAPACITY + 1):
+                assert uid in reported, (et, uid, cnt)
+
+
 def test_aqe_skew_join_split_fires(spark):
     """session.py enables spark.sql.adaptive.skewJoin; this asserts the
     split actually ACTIVATES on a deliberately hot key. Thresholds are
