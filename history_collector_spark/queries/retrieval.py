@@ -131,3 +131,171 @@ def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diverse re-ranking: relevance is not enough — a retrieval layer
+# feeding RAG or training-data selection wants the top-k to COVER the
+# query's neighborhood, not repeat its nearest cluster five times.
+# Maximal Marginal Relevance (Carbonell & Goldstein 1998, public):
+#   pick argmax  lambda * rel(d) - (1 - lambda) * max_{s in S} sim(d, s)
+# ---------------------------------------------------------------------------
+
+_MMR_LAMBDA = 0.7
+_MMR_CANDS = 12
+_MMR_K = 5
+
+_MMR_COS = """
+  list_sum(list_transform(range(1, 65),
+    i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+    / (q.nrm * c.nrm)
+"""
+
+
+def _mmr_oracle() -> str:
+    """Chained-CTE greedy MMR: each selection step is an argmax over
+    the not-yet-picked candidates penalized by their max similarity to
+    the picks so far — five mechanical layers of the same block."""
+    sql = f"""
+    WITH emb AS (
+      SELECT vec_id, label, embedding,
+             sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    ), ranked AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cid, {_MMR_COS} AS rel,
+             c.embedding AS cemb, c.nrm AS cnrm,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY {_MMR_COS} DESC, c.vec_id) AS rn
+      FROM emb q JOIN emb c
+        ON q.label = c.label AND q.vec_id != c.vec_id
+      WHERE q.vec_id % 100 = 0
+    ), cands AS (
+      SELECT qid, cid, rel, cemb, cnrm FROM ranked WHERE rn <= {_MMR_CANDS}
+    ), psim AS (
+      SELECT a.qid, a.cid AS ai, b.cid AS bi,
+             list_sum(list_transform(range(1, 65),
+               i -> CAST(a.cemb[i] AS DOUBLE) * CAST(b.cemb[i] AS DOUBLE)))
+               / (a.cnrm * b.cnrm) AS s
+      FROM cands a JOIN cands b ON a.qid = b.qid AND a.cid != b.cid
+    ), p1 AS (
+      SELECT qid, cid, {_MMR_LAMBDA} * rel AS score FROM (
+        SELECT qid, cid, rel,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY rel DESC, cid) AS rn
+        FROM cands) WHERE rn = 1
+    ), sel1 AS (SELECT qid, cid FROM p1)"""
+    for k in range(2, _MMR_K + 1):
+        prev = k - 1
+        sql += f""", score{k} AS (
+      SELECT c.qid, c.cid,
+             {_MMR_LAMBDA} * c.rel - {1 - _MMR_LAMBDA:.1f} * max(p.s) AS mmr
+      FROM cands c
+      LEFT JOIN sel{prev} e ON e.qid = c.qid AND e.cid = c.cid
+      JOIN psim p ON p.qid = c.qid AND p.ai = c.cid
+      JOIN sel{prev} s ON s.qid = p.qid AND s.cid = p.bi
+      WHERE e.cid IS NULL
+      GROUP BY c.qid, c.cid, c.rel
+    ), p{k} AS (
+      SELECT qid, cid, mmr AS score FROM (
+        SELECT qid, cid, mmr,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY mmr DESC, cid) AS rn
+        FROM score{k}) WHERE rn = 1
+    ), sel{k} AS (
+      SELECT qid, cid FROM sel{prev} UNION ALL SELECT qid, cid FROM p{k}
+    )"""
+    picks = "\n    UNION ALL\n    ".join(
+        f"SELECT qid AS query_id, cid AS neighbor_id, "
+        f"CAST({k} AS INT) AS mmr_rank, score AS mmr_score FROM p{k}"
+        for k in range(1, _MMR_K + 1)
+    )
+    return sql + "\n    " + picks
+
+
+def _mmr_rerank_kernel(pdf):
+    """Greedy MMR over one query's bounded candidate set (<= 12 rows):
+    12x12 numpy similarity matrix, 5 argmax sweeps — O(k * c^2) on a
+    constant-size group."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = pdf.sort_values("cid").reset_index(drop=True)
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["cemb"]])
+    nrm = pdf["cnrm"].to_numpy(dtype=np.float64)
+    S = (X @ X.T) / np.outer(nrm, nrm)
+    rel = pdf["rel"].to_numpy(dtype=np.float64)
+    cids = pdf["cid"].to_numpy()
+    n = len(pdf)
+    selected: list[int] = []
+    out = []
+    for rank in range(1, min(_MMR_K, n) + 1):
+        best_i, best_score = None, None
+        for i in range(n):
+            if i in selected:
+                continue
+            penalty = max(S[i, j] for j in selected) if selected else 0.0
+            score = _MMR_LAMBDA * rel[i] - (1 - _MMR_LAMBDA) * penalty
+            # tie-break on cid ascending (rows are cid-sorted)
+            if best_score is None or score > best_score:
+                best_i, best_score = i, score
+        selected.append(best_i)
+        out.append(
+            (int(pdf["qid"][best_i]), int(cids[best_i]), rank, float(best_score))
+        )
+    return pd.DataFrame(
+        out, columns=["query_id", "neighbor_id", "mmr_rank", "mmr_score"]
+    )
+
+
+@register("retrieval_mmr_rerank", oracle=_mmr_oracle())
+def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware top-5 per query: take the 12 most-relevant
+    same-list candidates, then greedily re-rank with MMR (lambda=0.7)
+    so each pick trades relevance against similarity to what's already
+    picked. The DuckDB oracle replays the greedy argmax as five chained
+    CTE layers — the full selection sequence is oracle-verified, not
+    just the candidate pool.
+
+    Scale shape: candidate generation is the IVF probe (bucketed list
+    join + per-query WindowGroupLimit top-12); the re-rank is an
+    applyInPandas over BOUNDED groups (<= 12 rows each, 12x12 numpy
+    sims) — per-query constant work, embarrassingly parallel across
+    queries, no driver involvement."""
+    from history_collector_spark.functions.nlp import l2_norm
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+    )
+    q = emb.filter(F.col("vec_id") % 100 == 0).alias("q")
+    c = emb.alias("c")
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("q.embedding"), F.col("c.embedding"),
+            lambda a, b: a.cast("double") * b.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    rel = dot / (F.col("q.nrm") * F.col("c.nrm"))
+    w = Window.partitionBy("qid").orderBy(F.desc("rel"), "cid")
+    cands = (
+        q.join(
+            c,
+            (F.col("q.label") == F.col("c.label"))
+            & (F.col("q.vec_id") != F.col("c.vec_id")),
+        )
+        .select(
+            F.col("q.vec_id").alias("qid"),
+            F.col("c.vec_id").alias("cid"),
+            rel.alias("rel"),
+            F.col("c.embedding").alias("cemb"),
+            F.col("c.nrm").alias("cnrm"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _MMR_CANDS)
+    )
+    return cands.groupBy("qid").applyInPandas(
+        _mmr_rerank_kernel,
+        schema="query_id long, neighbor_id long, mmr_rank int, mmr_score double",
+    )
