@@ -1,0 +1,24 @@
+"""CLI surface smoke tests (list/oracle need no Spark session; query
+routes through the same registry the driver uses)."""
+
+from __future__ import annotations
+
+from history_collector_spark.__main__ import main
+
+
+def test_cli_list_enumerates_registry(capsys):
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) > 200
+    names = {l.split("\t")[0] for l in out}
+    assert {"account_history", "pipeline_parity", "tpch_q19_disjunctive"} <= names
+
+
+def test_cli_oracle_prints_sql(capsys):
+    assert main(["oracle", "point_lookup"]) == 0
+    assert "o_orderkey = 7" in capsys.readouterr().out
+
+
+def test_cli_oracle_missing_is_error(capsys):
+    assert main(["oracle", "sketch_aggregates"]) == 1  # rows-only query
+    assert main(["oracle", "does_not_exist"]) == 1
