@@ -56,7 +56,10 @@ _LOADED = False
 # (Q19 disjunctive pushdown, Q21 multi-semi/anti, Q22 anti+scalar).
 # Rotated out: count_filtered, top1_latest, typetag_asset_filter,
 # coalesce_override, conditional_status, explode_resultset,
-# streaming_window_counts, multimodal_metadata.
+# streaming_window_counts, multimodal_metadata, and mid-round also
+# distinct_count / topn_per_group / text_quality_score (stable since
+# round 1) for streaming_late_drop_e2e / embedding_covariance /
+# retrieval_mmr_rerank.
 PRIORITY_QUERIES = (
     "account_history",
     "point_lookup",
@@ -84,8 +87,8 @@ PRIORITY_QUERIES = (
     "streaming_gapless_e2e",
     "streaming_jdbc_e2e",
     "group_agg_pricing",
-    "topn_per_group",
-    "distinct_count",
+    "embedding_covariance",
+    "streaming_late_drop_e2e",
     "asof_join_last_signup",
     "range_join_events",
     "dedup_exact",
@@ -100,7 +103,7 @@ PRIORITY_QUERIES = (
     "ann_lsh_topk",
     "cluster_kmeans_step",
     "interval_coverage",
-    "text_quality_score",
+    "retrieval_mmr_rerank",
     "ann_recall_audit",
     "bpe_merge_step",
     "curation_quality_pipeline",
