@@ -194,6 +194,84 @@ def _time_partitioned_replay_dir(
 
 
 # ---------------------------------------------------------------------------
+# Update-mode streaming UPSERT: the keyed-aggregate maintenance pattern
+# — each micro-batch emits only the keys it CHANGED, foreachBatch
+# upserts them (epoch-tagged delta + last-write-wins merge), and the
+# final merged table must equal the batch aggregate exactly.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_upsert_e2e",
+    oracle="""
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           sum(value) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def streaming_upsert_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user count/sum maintained across the 6-batch replay
+    in update output mode: a batch emits a user's row ONLY when that
+    user appeared in the batch, foreachBatch lands the emitted deltas
+    epoch-tagged, and the read side merges last-write-wins per user —
+    the streaming MERGE/upsert dataflow a warehouse-serving aggregate
+    table runs. The final merged state must equal the plain batch
+    GROUP BY (any missed or stale update breaks the oracle).
+
+    Scale shape: state is two numbers per user; each delta write is
+    bounded by keys-touched-per-batch, not total keys — the property
+    that makes update-mode serving tables cheap when the key space is
+    huge but per-batch activity is sparse."""
+    import os
+
+    flat = _time_partitioned_replay_dir(spark, sf_dir, _EWMA_FILES)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    agg = stream.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), F.sum("value").alias("total_value")
+    )
+    out_dir = tempfile.mkdtemp(prefix="hc_upsert_")
+
+    def upsert_batch(batch_df, epoch_id: int) -> None:
+        # the delta: only keys changed in this epoch arrive here
+        (
+            batch_df.withColumn("batch_id", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"epoch={epoch_id}"))
+        )
+
+    with scoped_state_partitions(spark):
+        q = (
+            agg.writeStream.foreachBatch(upsert_batch)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="hc_upsert_ck_"),
+            )
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    deltas = spark.read.option("basePath", out_dir).parquet(
+        os.path.join(out_dir, "epoch=*")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("batch_id"))
+    return (
+        deltas.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_value")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Watermark LATE-DROP accounting: the append-mode semantics nothing
 # else exercises — windows EMIT only once the watermark passes them,
 # and genuinely late rows are DROPPED, deterministically.
