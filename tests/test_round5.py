@@ -350,6 +350,29 @@ def test_streaming_topk_matches_sequential_mg(spark):
                 assert uid in reported, (et, uid, cnt)
 
 
+def test_range_layout_files_non_overlapping(spark):
+    """write_range_layout's contract: each parquet file covers a
+    contiguous, non-overlapping doc_id range, so footer min/max stats
+    can prune whole files for range predicates."""
+    import glob
+
+    from history_collector_spark.queries.maintenance import maintenance_dirs
+
+    _, _, ranged = maintenance_dirs(spark, TEST_SF_DIR)
+    spans = []
+    for f in glob.glob(f"{ranged}/part-*.parquet"):
+        row = (
+            spark.read.parquet(f)
+            .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+            .first()
+        )
+        spans.append((row["lo"], row["hi"]))
+    spans.sort()
+    assert len(spans) == 4
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2, f"overlapping file ranges: {spans}"
+
+
 def test_aqe_skew_join_split_fires(spark):
     """session.py enables spark.sql.adaptive.skewJoin; this asserts the
     split actually ACTIVATES on a deliberately hot key. Thresholds are
