@@ -415,3 +415,111 @@ def streaming_interval_join_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select(
         F.col("s_user").alias("user_id"), "signup_ts", "purchase_ts"
     )
+
+
+@register(
+    "streaming_outer_join_e2e",
+    oracle="""
+    WITH b AS (
+      -- the query watermark is the MIN across the two watermarked
+      -- inputs of (that side's max event time - delay): the two
+      -- branches filter the same source, so their maxes differ
+      SELECT least(max(CASE WHEN event_type = 'signup' THEN ts END),
+                   max(CASE WHEN event_type = 'purchase' THEN ts END))
+             AS mx
+      FROM events
+    ),
+    signups AS (
+      SELECT user_id, ts AS signup_ts FROM events WHERE event_type = 'signup'
+    ), purchases AS (
+      SELECT user_id, ts AS purchase_ts FROM events
+      WHERE event_type = 'purchase'
+    ), matched AS (
+      SELECT s.user_id, s.signup_ts, p.purchase_ts
+      FROM signups s JOIN purchases p
+        ON s.user_id = p.user_id
+       AND p.purchase_ts > s.signup_ts
+       AND p.purchase_ts <= s.signup_ts + INTERVAL '1 day'
+    )
+    SELECT user_id, signup_ts, purchase_ts FROM matched
+    UNION ALL
+    -- a signup with no purchase in its day emits null-padded, but
+    -- ONLY once the final watermark (max event time - 1 hour) has
+    -- passed the end of its join window
+    SELECT s.user_id, s.signup_ts, CAST(NULL AS TIMESTAMP)
+    FROM signups s, b
+    WHERE NOT EXISTS (
+      SELECT 1 FROM purchases p
+      WHERE p.user_id = s.user_id
+        AND p.purchase_ts > s.signup_ts
+        AND p.purchase_ts <= s.signup_ts + INTERVAL '1 day')
+      AND s.signup_ts + INTERVAL '1 day' < b.mx - INTERVAL '1 hour'
+    """,
+)
+def streaming_outer_join_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the semantics the
+    inner e2e can't show: a signup with no purchase inside its window
+    is HELD in state until the watermark proves no future match can
+    arrive, then emitted null-padded; signups whose window the final
+    watermark never passes stay buffered (and are excluded by the
+    oracle, same reasoning as streaming_late_drop_e2e's unemitted
+    tail). Both the matched pairs and the timed-out emissions are
+    oracle-stated exactly.
+
+    State is bounded by the interval length x arrival rate per key —
+    the watermark eviction being verified here is precisely what keeps
+    a 100 TB stream-stream join's state finite."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def ev_stream():
+        s = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        if isinstance(raw_schema["ts"].dataType, T.LongType):
+            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(raw_schema["ts"].dataType, T.TimestampNTZType):
+            s = s.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+        return s
+
+    signups = (
+        ev_stream()
+        .filter(F.col("event_type") == "signup")
+        .select(F.col("user_id").alias("s_user"), F.col("ts").alias("signup_ts"))
+        .withWatermark("signup_ts", "1 hour")
+    )
+    purchases = (
+        ev_stream()
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = signups.join(
+        purchases,
+        F.expr(
+            """
+            s_user = p_user
+            AND purchase_ts > signup_ts
+            AND purchase_ts <= signup_ts + INTERVAL 1 DAY
+            """
+        ),
+        "leftOuter",
+    )
+    name = f"ovjoin_{uuid.uuid4().hex[:8]}"
+    with scoped_state_partitions(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    return spark.table(name).select(
+        F.col("s_user").alias("user_id"), "signup_ts", "purchase_ts"
+    )
