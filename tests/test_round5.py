@@ -350,6 +350,50 @@ def test_streaming_topk_matches_sequential_mg(spark):
                 assert uid in reported, (et, uid, cnt)
 
 
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """Dynamic partition pruning — the one optimizer feature no other
+    test introspects: a fact table PARTITIONED on the join key, joined
+    to a dim whose selective filter is only known at runtime, must
+    plan the fact scan with a dynamicpruning subquery in its partition
+    filters (so only the matching partition directories are listed/
+    read at execution). Static pruning is covered by
+    sink_partitioned_roundtrip; this is the runtime variant."""
+    import os
+
+    fact_dir = os.path.join(str(tmp_path), "fact")
+    (
+        spark.range(0, 20_000)
+        .select(
+            F.col("id").alias("row_id"),
+            (F.col("id") % 20).alias("part_key"),
+            F.md5(F.col("id").cast("string")).alias("payload"),
+        )
+        .write.partitionBy("part_key")
+        .mode("overwrite")
+        .parquet(fact_dir)
+    )
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.range(0, 20).select(
+        F.col("id").alias("k"), F.md5(F.col("id").cast("string")).alias("attr")
+    ).filter(F.col("attr").like("1%"))  # runtime-selective
+    with _scoped_conf(
+        spark,
+        {
+            "spark.sql.optimizer.dynamicPartitionPruning.enabled": "true",
+            # force the reuse-broadcast DPP path even at tiny sizes
+            "spark.sql.optimizer.dynamicPartitionPruning.useStats": "false",
+            "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio": "10",
+        },
+    ):
+        joined = fact.join(dim, fact.part_key == dim.k)
+        n = joined.count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert n > 0
+    assert "dynamicpruning" in plan.lower(), (
+        f"dynamic partition pruning not planned:\n{plan[:2000]}"
+    )
+
+
 def test_range_layout_files_non_overlapping(spark):
     """write_range_layout's contract: each parquet file covers a
     contiguous, non-overlapping doc_id range, so footer min/max stats
