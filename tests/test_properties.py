@@ -522,3 +522,29 @@ def test_ewma_matches_pure_recursion(spark, series):
             y = x if y is None else 0.2 * x + 0.8 * y
             assert abs(got[eid] - y) < 1e-9 * max(1.0, abs(y))
             eid += 1
+
+
+def test_countmin_one_sided_error_bound(spark):
+    """CMS guarantees: estimate >= exact always (counters only ever
+    over-count via collisions), and with d=4 rows the expected
+    over-count is bounded — assert the deterministic md5 sketch stays
+    within 2 * n / w absolute error on this corpus (loose but real:
+    a hashing bug blows straight past it)."""
+    from history_collector_spark import registry
+    from history_collector_spark.queries.sketches import _CMS_WIDTH
+    from tests.conftest import TEST_SF_DIR
+
+    registry.load_all()
+    rows = (
+        registry.QUERIES["countmin_frequency_audit"](spark, TEST_SF_DIR)
+        .collect()
+    )
+    assert rows
+    import duckdb
+
+    n = duckdb.sql(
+        f"SELECT count(*) FROM '{TEST_SF_DIR}/events.parquet'"
+    ).fetchone()[0]
+    for r in rows:
+        assert r["cms_estimate"] >= r["exact_cnt"], r
+        assert r["cms_estimate"] - r["exact_cnt"] <= 2 * n / _CMS_WIDTH, r
