@@ -19,7 +19,7 @@ Scale posture:
   branch's part-only conjuncts push into the part scan (Catalyst
   rewrites the disjunction into a part-side filter `(brand A AND size
   between ..) OR (brand B ..) OR ..` below the join — verified by
-  tests/test_round5.py::test_q19_pushes_disjunction_to_part_scan).
+  tests/test_round5.py::test_q19_pushes_disjunction_to_both_scans).
   At 100 TB the lineitem scan is the only full pass.
 - Q21: lineitem is referenced three times (base / EXISTS / NOT EXISTS)
   — all three exchanges hash on l_orderkey, so the semi and anti joins
