@@ -321,6 +321,69 @@ def ann_ivf_bucketed_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Incremental index maintenance: new vectors land as a DELTA that
+# appends to the standing index — the O(delta) refresh every nightly
+# embedding pipeline needs (full rebuilds are O(corpus) every day).
+# ---------------------------------------------------------------------------
+
+_DELTA_CUT = 400  # vec_id >= cut arrives as the "new" batch
+
+
+@register(
+    "ann_index_delta_merge",
+    oracle=f"""
+    WITH {_EMB_NORM_SQL}
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_COS_SQL} AS cos_sim,
+             CAST(row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_COS_SQL} DESC, c.vec_id) AS INT) AS rank
+      FROM emb q JOIN emb c
+        ON q.label = c.label AND q.vec_id != c.vec_id
+      WHERE q.vec_id % 103 = 0
+    ) WHERE rank <= 5
+    """,
+)
+def ann_index_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O(delta) IVF maintenance: the standing index (vec_id < 400) and
+    a fresh-vector delta are list-assigned and normed SEPARATELY, then
+    the probe runs over their UNION — and must return exactly what a
+    full rebuild returns (the oracle is the full-corpus IVF query).
+    Because list assignment and norms are per-row, appending a delta
+    never touches existing index rows — the property that makes
+    nightly index refresh O(new vectors) instead of O(corpus).
+
+    Same bucketed-probe scale shape as ann_ivf_topk; the union is a
+    metadata concat, not a shuffle."""
+    base = _emb_with_norm(spark, sf_dir).filter(F.col("vec_id") < _DELTA_CUT)
+    delta = _emb_with_norm(spark, sf_dir).filter(F.col("vec_id") >= _DELTA_CUT)
+    index = base.unionByName(delta).alias("c")
+    q = index.filter(F.col("vec_id") % 103 == 0).alias("q")
+    cos = cosine(
+        F.col("q.embedding"), F.col("c.embedding"),
+        F.col("q.nrm"), F.col("c.nrm"),
+    )
+    scored = q.join(
+        index,
+        (F.col("q.label") == F.col("c.label"))
+        & (F.col("q.vec_id") != F.col("c.vec_id")),
+    ).select(
+        F.col("q.vec_id").alias("query_id"),
+        F.col("c.vec_id").alias("neighbor_id"),
+        cos.alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Int8 embedding quantization: per-vector absmax scale, 64 int8 codes,
 # and the worst-element reconstruction error — the storage/serving
 # compression step an embedding pipeline runs before writing an index

@@ -226,6 +226,72 @@ def bloom_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Quantile sketch error audit: approx_percentile's rank-error contract,
+# measured against the exact quantiles on the same data.
+# ---------------------------------------------------------------------------
+
+_QS_ACCURACY = 100  # GK sketch accuracy: rank error <= n / accuracy
+_QS_QUANTILES = (0.5, 0.9, 0.99)
+
+
+# rows-only: the sketch value is engine-specific; the GK rank-error
+# bound |rank(approx) - q| <= 1/accuracy is pinned in
+# tests/test_properties.py::test_quantile_sketch_rank_error_bound.
+@register("quantile_sketch_error_audit")
+def quantile_sketch_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each target quantile of events.value: the sketched estimate
+    (percentile_approx, accuracy 100), the exact percentile, and the
+    ACHIEVED rank of the estimate — the audit that tells an operator
+    whether the accuracy knob is sized for their SLA before they trust
+    sketched p99s on 100 TB.
+
+    One pass builds the sketch AND the exact percentiles (both are
+    aggregates); the rank-of-estimate check is a second bounded
+    aggregate against the broadcast 3-row estimate table. The exact
+    percentile is the only O(n log n)-ish member — at production scale
+    it runs on a sampled audit slice while the sketch runs on
+    everything; here both run in full so the audit is exact."""
+    ev = table(spark, sf_dir, "events").select("value")
+    qs = list(_QS_QUANTILES)
+    agg = ev.agg(
+        F.percentile_approx("value", qs, _QS_ACCURACY).alias("approx"),
+        F.expr(
+            f"percentile(value, array({', '.join(map(str, qs))}))"
+        ).alias("exact"),
+        F.count("*").alias("n"),
+    )
+    per_q = agg.select(
+        F.posexplode(
+            F.arrays_zip(
+                F.array(*[F.lit(q) for q in qs]).alias("q"),
+                F.col("approx"),
+                F.col("exact"),
+            )
+        ).alias("i", "z"),
+        "n",
+    ).select(
+        F.col("z.q").alias("q"),
+        F.col("z.approx").alias("approx_value"),
+        F.col("z.exact").alias("exact_value"),
+        "n",
+    )
+    ranked = ev.crossJoin(F.broadcast(per_q)).groupBy(
+        "q", "approx_value", "exact_value", "n"
+    ).agg(
+        (F.sum((F.col("value") <= F.col("approx_value")).cast("long")) / F.first("n"))
+        .alias("achieved_rank")
+    )
+    return ranked.select(
+        "q",
+        "approx_value",
+        "exact_value",
+        "achieved_rank",
+        F.abs(F.col("achieved_rank") - F.col("q")).alias("rank_error"),
+        "n",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Count-min sketch: the mergeable frequency summary that complements
 # Misra-Gries (heavy_hitter_tokens) — CMS answers "how often did THIS
 # key occur" for any key, with a one-sided (over-)estimate, from a

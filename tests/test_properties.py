@@ -548,3 +548,20 @@ def test_countmin_one_sided_error_bound(spark):
     for r in rows:
         assert r["cms_estimate"] >= r["exact_cnt"], r
         assert r["cms_estimate"] - r["exact_cnt"] <= 2 * n / _CMS_WIDTH, r
+
+
+def test_quantile_sketch_rank_error_bound(spark):
+    """GK-sketch contract behind quantile_sketch_error_audit: the
+    achieved rank of every approx percentile is within 1/accuracy of
+    the target quantile (plus discretization slack of 1/n)."""
+    from history_collector_spark import registry
+    from history_collector_spark.queries.sketches import _QS_ACCURACY
+    from tests.conftest import TEST_SF_DIR
+
+    registry.load_all()
+    rows = registry.QUERIES["quantile_sketch_error_audit"](
+        spark, TEST_SF_DIR
+    ).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["rank_error"] <= 1.0 / _QS_ACCURACY + 1.0 / r["n"], dict(r.asDict())
