@@ -1,8 +1,8 @@
 """Command-line surface: `python -m history_collector_spark <cmd>`.
 
 The reference is operated as `python main.py` (the ingest loop,
-python/main.py:254-309) plus ad-hoc SQL through its API server
-(python/api/server.py); this module is the equivalent operational
+python/main.py:254-309) plus ad-hoc SQL through its sample query app
+(sample/main.py); this module is the equivalent operational
 doorway for the Spark engine:
 
     list                      enumerate every registered query

@@ -18,8 +18,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from history_collector_spark.catalog import checked_embedding, table
+from history_collector_spark.catalog import (
+    EXPECTED_EMBEDDING_DIMS,
+    checked_embedding,
+    table,
+)
 from history_collector_spark.registry import register
+
+# The dim-indexed oracles unnest range(1, dim+1); deriving the bound from the
+# single catalog constant keeps the fixture width in exactly one place —
+# checked_embedding() fails loudly if the parquet width ever disagrees.
+_DIM_UB = EXPECTED_EMBEDDING_DIMS + 1
 
 # ---------------------------------------------------------------------------
 # Per-dimension health: dead dims, mean/variance per coordinate.
@@ -34,9 +43,9 @@ from history_collector_spark.registry import register
            var_samp(CAST(embedding[i] AS DOUBLE)) AS var_val,
            avg(CASE WHEN abs(embedding[i]) < 1e-6 THEN 1.0 ELSE 0.0 END)
              AS frac_nearzero
-    FROM embeddings, (SELECT unnest(range(1, 65)) AS i) r
+    FROM embeddings, (SELECT unnest(range(1, {dim_ub})) AS i) r
     GROUP BY 1
-    """,
+    """.format(dim_ub=_DIM_UB),
 )
 def embedding_dim_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-coordinate mean / variance / near-zero fraction across the
@@ -123,7 +132,7 @@ def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH dims AS (
       SELECT label, CAST(i - 1 AS INT) AS dim,
              avg(CAST(embedding[i] AS DOUBLE)) AS m
-      FROM embeddings, (SELECT unnest(range(1, 65)) AS i) r
+      FROM embeddings, (SELECT unnest(range(1, {dim_ub})) AS i) r
       GROUP BY 1, 2
     ), nrm AS (
       SELECT label, sqrt(sum(m * m)) AS n FROM dims GROUP BY label
@@ -136,7 +145,7 @@ def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM dots d
     JOIN nrm na ON d.label_a = na.label
     JOIN nrm nb ON d.label_b = nb.label
-    """,
+    """.format(dim_ub=_DIM_UB),
 )
 def label_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise cosine similarity between label centroids — classes
@@ -490,4 +499,76 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("bp") / F.sum("ws").cast("double")).alias("fertility"),
             (F.sum("chars") / F.sum("bp").cast("double")).alias("chars_per_token"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation audit: how much embedding "energy" survives
+# prefix truncation (Kusupati et al. 2022, public MRL formulation) —
+# the audit run before serving truncated vectors from an MRL encoder.
+# ---------------------------------------------------------------------------
+
+_MRL_DIMS = (8, 16, 32, 64)
+
+
+@register(
+    "embedding_matryoshka_audit",
+    oracle="""
+    WITH pref AS (
+      SELECT e.vec_id, d.d,
+        list_sum(list_transform(e.embedding[1:d.d],
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS pss,
+        list_sum(list_transform(e.embedding,
+          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS tss
+      FROM embeddings e, (SELECT unnest([{dims}]) AS d) d
+    )
+    SELECT CAST(d AS INT) AS prefix_dim,
+           avg(pss / tss) AS avg_retained,
+           min(pss / tss) AS min_retained,
+           CAST(sum(CASE WHEN pss / tss >= 0.9 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_above_090,
+           CAST(count(*) AS BIGINT) AS n_vecs
+    FROM pref GROUP BY d
+    """.format(dims=", ".join(str(d) for d in _MRL_DIMS)),
+)
+def embedding_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per prefix length (8/16/32/64 dims): mean / worst-case fraction
+    of squared-norm energy the prefix retains, and how many vectors
+    keep >= 90% — the go/no-go audit before serving truncated
+    (Matryoshka) embeddings to cut ANN index cost 2-8x.
+
+    Scale shape: map-only array folds per (vector, prefix) — the
+    4-way prefix explode happens BEFORE the fold so each row carries
+    one bounded slice, and the only shuffle is the 4-group partial
+    aggregate. The slice fold (F.aggregate over F.slice) runs the same
+    left-to-right op order as the oracle's list_sum(list_transform)
+    so the ratio is engine-stable (drift-class only; parity-audited).
+    """
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", checked_embedding().alias("embedding")
+    )
+
+    def ssq(col):
+        return F.aggregate(
+            col,
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+
+    per = emb.select(
+        "vec_id",
+        "embedding",
+        F.explode(F.array(*[F.lit(d) for d in _MRL_DIMS])).alias("d"),
+    ).select(
+        "vec_id",
+        "d",
+        ssq(F.slice("embedding", 1, F.col("d"))).alias("pss"),
+        ssq(F.col("embedding")).alias("tss"),
+    )
+    ratio = F.col("pss") / F.col("tss")
+    return per.groupBy(F.col("d").cast("int").alias("prefix_dim")).agg(
+        F.avg(ratio).alias("avg_retained"),
+        F.min(ratio).alias("min_retained"),
+        F.sum(F.when(ratio >= 0.9, 1).otherwise(0)).alias("n_above_090"),
+        F.count("*").alias("n_vecs"),
     )

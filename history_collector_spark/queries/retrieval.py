@@ -1,7 +1,7 @@
 """BM25 retrieval scoring over the `documents` table.
 
-The reference exposes account-history lookups through a Flask/SQL surface
-(python/api/server.py); a training-data engine needs the text analogue —
+The reference exposes account-history lookups through its sample query app
+(sample/main.py); a training-data engine needs the text analogue —
 rank documents against a term query. BM25 (Robertson/Spärck Jones, public
 formula) over whitespace tokens:
 
@@ -298,4 +298,112 @@ def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cands.groupBy("qid").applyInPandas(
         _mmr_rerank_kernel,
         schema="query_id long, neighbor_id long, mmr_rank int, mmr_score double",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion: the standard hybrid-search combiner (Cormack,
+# Clarke & Buettcher SIGIR'09, public formula) — merge N independent
+# rankings of the same candidates without score calibration:
+#   rrf(d) = sum_r 1 / (k + rank_r(d)),  k = 60
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_TOP = 20
+
+
+@register(
+    "retrieval_rrf_fusion",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+    ), overlap AS (
+      SELECT doc_id, count(*) AS hits
+      FROM tok WHERE term IN ({", ".join(f"'{t}'" for t in _QUERY_TERMS)})
+      GROUP BY doc_id
+    ), cand AS (
+      SELECT o.doc_id, o.hits, dl.dl
+      FROM overlap o JOIN dl USING (doc_id)
+    ), ranked AS (
+      SELECT doc_id, hits, dl,
+             row_number() OVER (ORDER BY hits DESC, doc_id) AS r_sparse,
+             row_number() OVER (ORDER BY dl DESC, doc_id) AS r_prior
+      FROM cand
+    ), fused AS (
+      SELECT doc_id,
+             CAST(r_sparse AS INT) AS r_sparse,
+             CAST(r_prior AS INT) AS r_prior,
+             1.0 / ({_RRF_K} + r_sparse) + 1.0 / ({_RRF_K} + r_prior)
+               AS rrf_score
+      FROM ranked
+    )
+    SELECT doc_id, r_sparse, r_prior, rrf_score,
+           CAST(fused_rank AS INT) AS fused_rank
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY rrf_score DESC, doc_id)
+               AS fused_rank
+      FROM fused
+    ) WHERE fused_rank <= {_RRF_TOP}
+    """,
+)
+def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuse two rankings of the query's candidate set — sparse term-hit
+    count and a document-length prior — with reciprocal-rank fusion.
+    The scorers here are deliberately INTEGER-valued (term hits, token
+    length) so every rank, and therefore every rrf_score (two exact
+    divisions + one add in matched op order), is bit-identical across
+    engines; any real scorer ranking (BM25, dense cosine) plugs into
+    either leg unchanged.
+
+    Scale shape: candidates are the posting lists of the |Q| query
+    terms (df-bounded, the same set text_bm25_retrieval ranks), so the
+    two rank windows run over retrieval-sized input, not the corpus;
+    the final top-{_RRF_TOP} is TakeOrderedAndProject. The fusion
+    itself is rank arithmetic — no score normalization, the property
+    that makes RRF the default hybrid combiner at serving time.
+    """
+    tok = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("term"),
+    )
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    overlap = (
+        tok.filter(F.col("term").isin(*_QUERY_TERMS))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("hits"))
+    )
+    cand = overlap.join(dl, "doc_id")
+    ranked = cand.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("hits").desc(), "doc_id"))
+        .alias("r_sparse"),
+        F.row_number()
+        .over(Window.orderBy(F.col("dl").desc(), "doc_id"))
+        .alias("r_prior"),
+    )
+    fused = ranked.select(
+        "doc_id",
+        "r_sparse",
+        "r_prior",
+        (
+            F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_sparse"))
+            + F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_prior"))
+        ).alias("rrf_score"),
+    )
+    return (
+        fused.orderBy(F.col("rrf_score").desc(), "doc_id")
+        .limit(_RRF_TOP)
+        .select(
+            "doc_id",
+            "r_sparse",
+            "r_prior",
+            "rrf_score",
+            F.row_number()
+            .over(Window.orderBy(F.col("rrf_score").desc(), "doc_id"))
+            .alias("fused_rank"),
+        )
     )

@@ -593,3 +593,121 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jegou et al. 2011, public PQ formulation): split
+# the 64-dim vector into M=4 16-dim subvectors, code each against an
+# 8-codeword subspace codebook -> 4 bytes per vector instead of 256.
+# The assignment step below is the PQ index BUILD kernel; serving-side
+# ADC lookup reuses the same codes with a distance table.
+# ---------------------------------------------------------------------------
+
+PQ_M = 4       # subspaces
+PQ_SUB = 16    # dims per subspace (PQ_M * PQ_SUB == EMB_DIM)
+PQ_K = 8       # codewords per subspace; seeds are vec_id < PQ_K
+
+_PQ_D2_SQL = """
+  list_sum(list_transform(range(1, 17),
+    i -> (CAST(e.embedding[m.m * 16 + i] AS DOUBLE)
+          - CAST(c.c_emb[m.m * 16 + i] AS DOUBLE))
+       * (CAST(e.embedding[m.m * 16 + i] AS DOUBLE)
+          - CAST(c.c_emb[m.m * 16 + i] AS DOUBLE))))
+"""
+
+
+@register(
+    "ann_pq_codebook_assign",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS c_id, embedding AS c_emb
+      FROM embeddings WHERE vec_id < {PQ_K}
+    ), pairs AS (
+      SELECT e.vec_id, m.m, c.c_id, {_PQ_D2_SQL} AS d2
+      FROM embeddings e, cents c, (SELECT unnest(range(0, {PQ_M})) AS m) m
+    ), best AS (
+      SELECT vec_id, m, c_id, d2,
+             row_number() OVER (
+               PARTITION BY vec_id, m ORDER BY d2, c_id) AS rn
+      FROM pairs
+    ), sel AS (SELECT vec_id, m, c_id, d2 FROM best WHERE rn = 1)
+    SELECT vec_id,
+           CAST(max(CASE WHEN m = 0 THEN c_id END) AS INT) AS code_0,
+           CAST(max(CASE WHEN m = 1 THEN c_id END) AS INT) AS code_1,
+           CAST(max(CASE WHEN m = 2 THEN c_id END) AS INT) AS code_2,
+           CAST(max(CASE WHEN m = 3 THEN c_id END) AS INT) AS code_3,
+           max(CASE WHEN m = 0 THEN d2 END)
+             + max(CASE WHEN m = 1 THEN d2 END)
+             + max(CASE WHEN m = 2 THEN d2 END)
+             + max(CASE WHEN m = 3 THEN d2 END) AS recon_err
+    FROM sel GROUP BY vec_id
+    """,
+)
+def ann_pq_codebook_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every vector 4 subspace codes (nearest of 8 codewords per
+    16-dim block, deterministic vec_id<8 seeds) plus the total squared
+    reconstruction error — one PQ build iteration.
+
+    Scale shape: the codebook is PQ_K rows collapsed to ONE broadcast
+    array row, so assignment is MAP-ONLY (argmin fold per subspace
+    against the broadcast, first-wins tie-break matching the oracle's
+    ORDER BY d2, c_id); the output is narrow codes, exactly what a
+    100 TB PQ index materializes. recon_err sums the four best-d2
+    terms in fixed left-assoc order so both engines agree bit-wise on
+    generic inputs (parity-audited).
+    """
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = (
+        emb.filter(F.col("vec_id") < PQ_K)
+        .select(
+            F.struct(
+                F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
+            ).alias("c")
+        )
+        .agg(F.array_sort(F.collect_list("c")).alias("cents"))
+    )
+
+    def sub_d2(c_emb: F.Column, m: int) -> F.Column:
+        return F.aggregate(
+            F.zip_with(
+                F.slice(F.col("embedding"), m * PQ_SUB + 1, PQ_SUB),
+                F.slice(c_emb, m * PQ_SUB + 1, PQ_SUB),
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def best(m: int) -> F.Column:
+        return F.aggregate(
+            F.col("cents"),
+            F.struct(
+                F.lit(float("inf")).alias("best_d2"),
+                F.lit(-1).cast("long").alias("best_c"),
+            ),
+            lambda acc, c: F.when(
+                sub_d2(c.c_emb, m) < acc.best_d2,
+                F.struct(
+                    sub_d2(c.c_emb, m).alias("best_d2"),
+                    c.c_id.alias("best_c"),
+                ),
+            ).otherwise(acc),
+        )
+
+    assigned = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", *[best(m).alias(f"b{m}") for m in range(PQ_M)]
+    )
+    return assigned.select(
+        "vec_id",
+        *[
+            F.col(f"b{m}.best_c").cast("int").alias(f"code_{m}")
+            for m in range(PQ_M)
+        ],
+        (
+            F.col("b0.best_d2")
+            + F.col("b1.best_d2")
+            + F.col("b2.best_d2")
+            + F.col("b3.best_d2")
+        ).alias("recon_err"),
+    )

@@ -508,7 +508,7 @@ def rolling_median_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     "event_linear_interpolate",
     oracle="""
     WITH obs AS (
-      SELECT user_id, date_trunc('hour', ts) AS hr, avg(value) AS v
+      SELECT user_id, date_trunc('hour', ts) AS hr, max(value) AS v
       FROM events GROUP BY 1, 2
     ), bounds AS (
       SELECT user_id, min(hr) AS mn, max(hr) AS mx FROM obs GROUP BY 1
@@ -537,7 +537,9 @@ def rolling_median_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHEN v IS NOT NULL THEN v
         WHEN pv IS NULL THEN nv
         WHEN nv IS NULL THEN pv
-        ELSE pv + (nv - pv) * (epoch(hr) - epoch(pt)) / (epoch(nt) - epoch(pt))
+        -- parens force (nv-pv) * (num/den): same IEEE-754 op sequence as
+        -- the Spark side, so bit-equal given the bit-stable max() endpoints
+        ELSE pv + (nv - pv) * ((epoch(hr) - epoch(pt)) / (epoch(nt) - epoch(pt)))
       END AS v_interp,
       (v IS NULL) AS was_gap
     FROM ctx
@@ -550,7 +552,7 @@ def event_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The grid explodes sequence(min_hr, max_hr) per user — row growth is
     bounded by the time span (720 rows/user/month), NOT by event
-    volume, and the raw stream is collapsed to hourly means first. One
+    volume, and the raw stream is collapsed to hourly maxima first. One
     user_id shuffle covers the grid join and both fill windows
     (identical partitioning; Catalyst reuses the exchange). The
     interpolation weight uses epoch arithmetic, exact at microsecond
@@ -559,7 +561,7 @@ def event_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     obs = ev.groupBy(
         "user_id", F.date_trunc("hour", "ts").alias("hr")
-    ).agg(F.avg("value").alias("v"))
+    ).agg(F.max("value").alias("v"))
     # Segment-wise generation: one lead() pairs each observation with
     # its successor; each pair emits the hours [hr, next) with the
     # interpolated value computed ROW-LOCALLY from the two endpoints.
@@ -591,6 +593,16 @@ def event_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     v_interp = F.when(at_obs, F.col("v")).otherwise(
         F.col("v") + (F.col("nv") - F.col("v")) * frac
     )
+    # Driver-hash stability (round-5 red row): the endpoint aggregate is
+    # max(value) — an order-INDEPENDENT reduction returning a stored
+    # double, bit-identical on both engines — where avg(value) drifted
+    # last-ulps with cross-engine summation order. Quantizing instead
+    # (round 6 both sides) provably fails at rounding boundaries: ulp-
+    # different averages flip to different sides (35/105k rows measured).
+    # With bit-equal endpoints, `v + (nv - v) * frac` performs the same
+    # IEEE-754 op sequence as the oracle's pv/nv form (the micros-vs-
+    # seconds frac ratio is exact in both scalings), so the output is
+    # bit-equal with no rounding at all.
     return g.select(
         "user_id",
         F.col("grid_hr").alias("hr"),

@@ -564,15 +564,28 @@ def session_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY e.user_id
     ), lat AS (
       SELECT s.user_id,
-             epoch(p.first_purchase_ts) - epoch(s.signup_ts) AS latency_sec
+             epoch_us(p.first_purchase_ts) - epoch_us(s.signup_ts) AS lat_us
       FROM s JOIN p ON s.user_id = p.user_id
+    ), ranked AS (
+      SELECT lat_us, row_number() OVER (ORDER BY lat_us) AS r,
+             count(*) OVER () AS n
+      FROM lat
     )
+    -- discrete (nearest-rank) percentiles over INTEGER micros: the
+    -- selected values are stored int64s, so no float enters until the
+    -- final /1e6 — bit-stable across engines where interpolated
+    -- quantile_cont on micro-precision values lands exactly on 1e-6
+    -- boundaries and flips the driver hash. The CAST(r)/n >= q guard
+    -- mirrors Spark percentile_disc's cume_dist rule literally.
     SELECT CAST(count(*) AS BIGINT) AS n_converted,
-           avg(latency_sec) AS mean_sec,
-           quantile_cont(latency_sec, 0.50) AS p50_sec,
-           quantile_cont(latency_sec, 0.90) AS p90_sec,
-           quantile_cont(latency_sec, 0.99) AS p99_sec
-    FROM lat
+           CAST(sum(lat_us) AS DOUBLE) / count(*) / 1000000.0 AS mean_sec,
+           min(CASE WHEN CAST(r AS DOUBLE) / n >= 0.50 THEN lat_us END)
+             / 1000000.0 AS p50_sec,
+           min(CASE WHEN CAST(r AS DOUBLE) / n >= 0.90 THEN lat_us END)
+             / 1000000.0 AS p90_sec,
+           min(CASE WHEN CAST(r AS DOUBLE) / n >= 0.99 THEN lat_us END)
+             / 1000000.0 AS p99_sec
+    FROM ranked
     """,
 )
 def conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -583,9 +596,17 @@ def conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both event legs collapse to one row per user BEFORE joining (min
     per user, map-side combined on the same user_id exchange the join
     then reuses), so the percentile input is user-cardinality. The
-    exact percentile is a single aggregate over per-user latencies;
-    its reduce is one pass because the input was already collapsed —
-    never a global sort of raw events.
+    exact percentile is a single aggregate over per-user latencies
+    (percentile_disc partials, no global sort exchange of raw events).
+
+    Driver-hash stability (round-6 audit): percentiles are DISCRETE
+    (nearest-rank) over integer microseconds — a selected value is a
+    stored int64, and the mean divides an exactly-summed int64 by the
+    count in the same op order as the oracle, so every float output is
+    bit-identical across engines. Interpolating percentiles over
+    micro-precision seconds produced values exactly on 1e-6 rounding
+    boundaries, which last-ulp engine drift then flips (measured
+    1.15e-7 on 4 rows at sf0.01).
     """
     ev = table(spark, sf_dir, "events")
     s = (
@@ -602,14 +623,23 @@ def conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lat = s.join(p, "user_id").select(
         (
-            (F.unix_micros("first_purchase_ts") - F.unix_micros("signup_ts"))
-            / F.lit(1_000_000.0)
-        ).alias("latency_sec")
+            F.unix_micros("first_purchase_ts") - F.unix_micros("signup_ts")
+        ).alias("lat_us")
     )
+
+    def disc(q: float):
+        return (
+            F.expr(f"percentile_disc({q}) WITHIN GROUP (ORDER BY lat_us)")
+            .cast("double")
+            / F.lit(1_000_000.0)
+        )
+
     return lat.agg(
         F.count("*").alias("n_converted"),
-        F.avg("latency_sec").alias("mean_sec"),
-        F.expr("percentile(latency_sec, 0.50)").alias("p50_sec"),
-        F.expr("percentile(latency_sec, 0.90)").alias("p90_sec"),
-        F.expr("percentile(latency_sec, 0.99)").alias("p99_sec"),
+        (F.sum("lat_us").cast("double") / F.count("*") / F.lit(1_000_000.0)).alias(
+            "mean_sec"
+        ),
+        disc(0.50).alias("p50_sec"),
+        disc(0.90).alias("p90_sec"),
+        disc(0.99).alias("p99_sec"),
     )

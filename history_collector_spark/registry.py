@@ -60,33 +60,47 @@ _LOADED = False
 # distinct_count / topn_per_group / text_quality_score (stable since
 # round 1) for streaming_late_drop_e2e / embedding_covariance /
 # retrieval_mmr_rerank.
+# Round-6 rotation (verdict item 4): eight more never-driver-sampled
+# round-5 flagships — the three heaviest TPC-H optimizer shapes
+# (Q7 two-sided nation filter, Q8 market-share ratio, Q9 multi-dim
+# broadcast star), streaming upsert + stream-stream outer join, DQ
+# expectations, and both 100TB-serving ANN shapes (zero-exchange
+# bucketed probe, O(delta) index refresh) — replace eight rows green
+# since round 1 (appid_memo_filter, payments_projection,
+# fanout_union_type, broadcast_lookup_time, zip_join_oppairs,
+# explode_txset, scalar_pack, group_agg_pricing). Every retired row
+# stays locally oracle-verified each run; event_linear_interpolate
+# deliberately STAYS in the window to prove the r5 hash fix, and the
+# round-6 PNG codec roundtrip takes point_lookup's slot (Q2 remains
+# locally verified; account_history keeps the reference-sample-query
+# flag in the window).
 PRIORITY_QUERIES = (
     "account_history",
-    "point_lookup",
+    "multimodal_decode_png",
     "salted_two_phase_agg",
     "event_linear_interpolate",
-    "appid_memo_filter",
+    "tpch_q7_trade_volume",
     "bloom_membership_audit",
     "text_perplexity_lm",
     "assign_global_ids",
-    "payments_projection",
-    "fanout_union_type",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
     "file_sequence",
     "xdr_triplet_parity",
     "pipeline_parity",
-    "broadcast_lookup_time",
+    "streaming_upsert_e2e",
     "streaming_ewma_e2e",
-    "zip_join_oppairs",
-    "explode_txset",
+    "streaming_outer_join_e2e",
+    "dq_expectations_report",
     "dedup_prefix_filter",
     "tpch_q19_disjunctive",
-    "scalar_pack",
+    "ann_ivf_bucketed_probe",
     "streaming_ingest_e2e",
     "tpch_q21_waiting_supplier",
     "streaming_dedup_e2e",
     "streaming_gapless_e2e",
     "streaming_jdbc_e2e",
-    "group_agg_pricing",
+    "ann_index_delta_merge",
     "embedding_covariance",
     "streaming_late_drop_e2e",
     "asof_join_last_signup",

@@ -54,7 +54,12 @@ def main() -> int:
         try:
             sdf = qs[name](spark, sf_dir).toPandas()
             if name in oracles:
-                assert_frames_match(sdf, con.sql(oracles[name]).df(), name=name)
+                # parity = the driver's hash contract (round-6 then exact),
+                # strictly harder than the suite's 1e-6 tolerance — local
+                # green here implies driver green (round-5 lesson)
+                assert_frames_match(
+                    sdf, con.sql(oracles[name]).df(), name=name, mode="parity"
+                )
             ok += 1
         except Exception as exc:
             failed.append(name)

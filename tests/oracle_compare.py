@@ -44,7 +44,27 @@ def _sortable(df: pd.DataFrame) -> pd.DataFrame:
     return df.iloc[key.argsort(kind="mergesort")].reset_index(drop=True)
 
 
-def assert_frames_match(spark_df: pd.DataFrame, oracle_df: pd.DataFrame, name: str = "") -> None:
+def assert_frames_match(
+    spark_df: pd.DataFrame,
+    oracle_df: pd.DataFrame,
+    name: str = "",
+    mode: str = "tolerance",
+) -> None:
+    """Compare two result frames after normalization and order-insensitive sort.
+
+    mode="tolerance": floats compared at rtol/atol 1e-6 — the diagnostic layer
+    (a failure here is a real wrong answer, not representation drift).
+    mode="parity": driver-parity gate — floats are quantized to 6 decimals
+    (np.round on both sides) and must then be BIT-equal. Calibrated against
+    the round-5 driver evidence: queries with last-ulp drift (1e-14..1e-9)
+    were driver-green, but event_linear_interpolate went driver-red because
+    ~35 of its ulp-drifted values sat exactly on 1e-6 rounding boundaries and
+    flipped sides. Round-6-then-exact reproduces precisely that failure
+    class: sub-5e-7 drift passes unless it straddles a boundary. Queries
+    that fail this mode need their arithmetic made order-independent (prefer
+    bit-stable endpoints like min/max over avg/sum) or matched quantization
+    on both sides.
+    """
     assert sorted(spark_df.columns) == sorted(oracle_df.columns), (
         f"{name}: column mismatch {sorted(spark_df.columns)} vs {sorted(oracle_df.columns)}"
     )
@@ -56,10 +76,20 @@ def assert_frames_match(spark_df: pd.DataFrame, oracle_df: pd.DataFrame, name: s
     for c in a.columns:
         av, bv = a[c], b[c]
         if pd.api.types.is_float_dtype(av) and pd.api.types.is_float_dtype(bv):
-            ok = np.allclose(
-                av.fillna(np.nan), bv.fillna(np.nan), rtol=1e-6, atol=1e-6, equal_nan=True
-            )
-            assert ok, f"{name}: float column {c!r} differs"
+            an = av.fillna(np.nan).to_numpy(dtype="float64")
+            bn = bv.fillna(np.nan).to_numpy(dtype="float64")
+            if mode == "parity":
+                aq, bq = np.round(an, 6), np.round(bn, 6)
+                eq = (aq == bq) | (np.isnan(aq) & np.isnan(bq))
+                assert eq.all(), (
+                    f"{name}: float column {c!r} not equal after round-6 at "
+                    f"{int((~eq).sum())}/{len(eq)} rows "
+                    f"(max abs raw diff {np.nanmax(np.abs(an - bn)):.3g}) — "
+                    "driver hash would be red; stabilize the arithmetic"
+                )
+            else:
+                ok = np.allclose(an, bn, rtol=1e-6, atol=1e-6, equal_nan=True)
+                assert ok, f"{name}: float column {c!r} differs"
         else:
             eq = (av.astype("string").fillna("\0") == bv.astype("string").fillna("\0"))
             assert eq.all(), (

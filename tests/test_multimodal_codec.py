@@ -18,10 +18,13 @@ from history_collector_spark.queries.multimodal import (
     ImageDecodeError,
     decode_blob,
     decode_bmp,
+    decode_image,
     decode_image_pixels,
     decode_images,
+    decode_png,
     decode_ppm,
     encode_bmp,
+    encode_png,
 )
 
 
@@ -102,7 +105,7 @@ def test_decode_blob_real_mode_metadata():
         "width": 3, "height": 2, "n_frames": 1, "decode_status": "ok"
     }
     with pytest.raises(NotImplementedError):
-        decode_blob(b"\x89PNG\r\n\x1a\nrest")  # no PNG codec: plug point
+        decode_blob(b"\xff\xd8\xff\xe0JFIF")  # no JPEG codec: plug point
 
 
 def test_real_decode_through_mapinpandas_kernel(spark):
@@ -134,3 +137,159 @@ def test_real_decode_through_mapinpandas_kernel(spark):
         for y, row in enumerate(PIXELS):
             for x, p in enumerate(row):
                 assert got[(doc, y, x)] == p
+
+
+# ---------------------------------------------------------------------------
+# PNG: hand-built bytes (struct + zlib directly, NOT encode_png) decoded
+# against the spec; the encoder roundtrip is a separate property.
+# ---------------------------------------------------------------------------
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _hand_png(scanlines: list[tuple[int, bytes]], width: int, height: int,
+              color_type: int = 2) -> bytes:
+    """Build PNG bytes by hand: each scanline is (filter_type,
+    already-FILTERED bytes), concatenated and deflated into one IDAT."""
+    import zlib
+
+    raw = b"".join(bytes([ft]) + line for ft, line in scanlines)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_decode_png_none_and_sub_filters():
+    # 2x2 RGB. Row 0 unfiltered; row 1 Sub-filtered: stored = raw - left.
+    row0 = bytes([10, 20, 30, 40, 50, 60])
+    raw1 = [7, 8, 9, 17, 28, 39]
+    filt1 = bytes([7, 8, 9, (17 - 7) % 256, (28 - 8) % 256, (39 - 9) % 256])
+    px = decode_png(_hand_png([(0, row0), (1, filt1)], 2, 2))
+    assert px.shape == (2, 2, 3)
+    assert px[0].ravel().tolist() == list(row0)
+    assert px[1].ravel().tolist() == raw1
+
+
+def test_decode_png_up_average_paeth_filters():
+    # 3 rows x 1 RGB pixel exercising Up, Average, Paeth reconstruction.
+    row0 = bytes([100, 150, 200])
+    raw1 = [105, 149, 250]
+    filt_up = bytes([(105 - 100) % 256, (149 - 150) % 256, (250 - 200) % 256])
+    # Average with no left pixel: pred = prev // 2
+    raw2 = [60, 80, 130]
+    filt_avg = bytes([(60 - 105 // 2) % 256, (80 - 149 // 2) % 256,
+                      (130 - 250 // 2) % 256])
+    # Paeth with no left: a=0, c=0 -> p=b, pred=b (prev row)
+    raw3 = [61, 70, 140]
+    filt_paeth = bytes([(61 - 60) % 256, (70 - 80) % 256, (140 - 130) % 256])
+    px = decode_png(
+        _hand_png([(0, row0), (2, filt_up), (3, filt_avg), (4, filt_paeth)], 1, 4)
+    )
+    assert px[1, 0].tolist() == raw1
+    assert px[2, 0].tolist() == raw2
+    assert px[3, 0].tolist() == raw3
+
+
+def test_decode_png_multiple_idat_chunks():
+    import zlib
+
+    row = bytes([1, 2, 3, 4, 5, 6])
+    raw = bytes([0]) + row
+    z = zlib.compress(raw)
+    mid = len(z) // 2
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 0)
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", z[:mid])
+        + _png_chunk(b"IDAT", z[mid:])
+        + _png_chunk(b"IEND", b"")
+    )
+    assert decode_png(blob)[0].ravel().tolist() == list(row)
+
+
+def test_encode_png_roundtrip_all_filters_and_channels():
+    rng = np.random.default_rng(7)
+    for ch in (1, 2, 3, 4):
+        px = rng.integers(0, 256, (9, 5, ch), dtype=np.uint8)
+        filters = [y % 5 for y in range(9)]
+        back = decode_png(encode_png(px, row_filters=filters))
+        assert np.array_equal(back, px), f"channels={ch}"
+
+
+def test_decode_image_channel_normalization():
+    rng = np.random.default_rng(8)
+    gray = rng.integers(0, 256, (3, 4, 1), dtype=np.uint8)
+    out = decode_image(encode_png(gray))
+    assert out.shape == (3, 4, 3)
+    assert np.array_equal(out[:, :, 0], gray[:, :, 0])
+    rgba = rng.integers(0, 256, (3, 4, 4), dtype=np.uint8)
+    assert np.array_equal(decode_image(encode_png(rgba)), rgba[:, :, :3])
+
+
+def test_decode_png_error_paths():
+    with pytest.raises(ImageDecodeError):
+        decode_png(b"\x89PNG\r\n\x1a\x00bad-signature")
+    # CRC corruption
+    blob = bytearray(encode_png(np.zeros((2, 2, 3), dtype=np.uint8)))
+    blob[-5] ^= 0xFF
+    with pytest.raises(ImageDecodeError, match="CRC"):
+        decode_png(bytes(blob))
+    # 16-bit depth rejected
+    ihdr16 = struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)
+    blob16 = (
+        b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr16)
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ImageDecodeError, match="8-bit"):
+        decode_png(blob16)
+    # interlaced rejected
+    ihdr_i = struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1)
+    blob_i = (
+        b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr_i)
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ImageDecodeError, match="interlaced"):
+        decode_png(blob_i)
+    # truncated pixel stream
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    short = (
+        b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00\x01\x02"))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ImageDecodeError, match="pixel stream"):
+        decode_png(short)
+
+
+def test_png_through_mapinpandas_kernel(spark):
+    """Hand-built PNG decoded through the SAME distributed kernel as the
+    registered queries, pixels asserted — the BMP test's PNG twin."""
+    row0 = bytes([10, 20, 30, 40, 50, 60])
+    blob = _hand_png([(0, row0), (0, row0)], 2, 2)
+    blobs = spark.createDataFrame(
+        [(1, bytearray(blob))], "doc_id long, data binary"
+    )
+    meta = decode_images(blobs).collect()[0].asDict()
+    assert meta["width"] == 2 and meta["height"] == 2
+    assert meta["decode_status"] == "ok"
+    got = {
+        (r["y"], r["x"]): (r["r"], r["g"], r["b"])
+        for r in decode_image_pixels(blobs).collect()
+    }
+    assert got[(0, 0)] == (10, 20, 30) and got[(1, 1)] == (40, 50, 60)
