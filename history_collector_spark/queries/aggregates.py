@@ -798,3 +798,84 @@ def out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("late_sec").alias("max_late_sec"),
         F.expr("percentile(late_sec, 0.99)").alias("p99_late_sec"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Skyline / Pareto frontier (Borzsony, Kossmann & Stocker ICDE'01,
+# public formulation): the orders no other order dominates on
+# (cheaper price, more recent date) within each priority class.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_pareto_frontier",
+    oracle="""
+    WITH pts AS (
+      SELECT o_orderpriority AS priority, o_totalprice AS price,
+             max(o_orderdate) AS best_date,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1, 2
+    ), scan AS (
+      SELECT priority, price, best_date, n_orders,
+             max(best_date) OVER (
+               PARTITION BY priority ORDER BY price
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prev_best
+      FROM pts
+    ), frontier AS (
+      SELECT priority, price, best_date, n_orders
+      FROM scan WHERE prev_best IS NULL OR best_date > prev_best
+    )
+    SELECT priority, price, best_date, n_orders,
+           CAST(row_number() OVER (
+             PARTITION BY priority ORDER BY price) AS INT) AS frontier_pos
+    FROM frontier
+    """,
+)
+def orders_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority Pareto frontier of (minimize o_totalprice, maximize
+    o_orderdate): an order survives iff no strictly cheaper order in its
+    class is at least as recent. Classic skyline operator, expressed as
+    sort-scan: group to distinct price points first (best_date = max
+    date at that price, so within-price dominance resolves in the
+    aggregate), then one ordered pass where a point survives iff it
+    beats the running max date of all cheaper points.
+
+    Scale shape: the window input is the (priority, price) aggregate —
+    map-side combined — not raw orders, and partitions by the 5
+    priority classes. All comparisons are stored doubles/timestamps
+    and integer counts (no derived-float output), so the result is
+    bit-stable across engines by construction. For key spaces where
+    distinct prices stay huge, the standard refinement is grid-
+    partition pre-filtering (keep each grid cell's local frontier,
+    then one merge pass) — same two-level shape as the salted aggs.
+    """
+    pts = (
+        table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_totalprice").alias("price"),
+        )
+        .agg(
+            F.max("o_orderdate").alias("best_date"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+    w = (
+        Window.partitionBy("priority")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scan = pts.withColumn("prev_best", F.max("best_date").over(w))
+    frontier = scan.filter(
+        F.col("prev_best").isNull() | (F.col("best_date") > F.col("prev_best"))
+    )
+    return frontier.select(
+        "priority",
+        "price",
+        "best_date",
+        "n_orders",
+        F.row_number()
+        .over(Window.partitionBy("priority").orderBy("price"))
+        .alias("frontier_pos"),
+    )

@@ -847,3 +847,97 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regr_intercept(lf, lr).alias("zipf_intercept"),
         F.regr_r2(lf, lr).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage / OOV audit: what fraction of each source's token
+# stream (and type inventory) a fixed top-V vocabulary captures — the
+# go/no-go check before freezing a tokenizer vocab for training.
+# ---------------------------------------------------------------------------
+
+_VOCAB_V = 256
+
+
+@register(
+    "tokenizer_vocab_coverage",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest(string_split_regex(lower(text), '\\s+')) AS term
+      FROM documents
+    ), counts AS (
+      SELECT term, count(*) AS n FROM tok GROUP BY term
+    ), vocab AS (
+      SELECT term FROM (
+        SELECT term, row_number() OVER (ORDER BY n DESC, term) AS rn
+        FROM counts
+      ) WHERE rn <= {_VOCAB_V}
+    ), per AS (
+      SELECT t.source, t.term, count(*) AS occ,
+             max(CASE WHEN v.term IS NOT NULL THEN 1 ELSE 0 END) AS in_vocab
+      FROM tok t LEFT JOIN vocab v ON t.term = v.term
+      GROUP BY t.source, t.term
+    )
+    SELECT source,
+           CAST(sum(occ) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN in_vocab = 1 THEN occ ELSE 0 END) AS BIGINT)
+             AS n_tokens_in_vocab,
+           CAST(sum(CASE WHEN in_vocab = 1 THEN occ ELSE 0 END) AS DOUBLE)
+             / sum(occ) AS token_coverage,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(in_vocab) AS BIGINT) AS n_types_in_vocab,
+           CAST(sum(in_vocab) AS DOUBLE) / count(*) AS type_coverage
+    FROM per GROUP BY source
+    """,
+)
+def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token- and type-level coverage of the global top-{_VOCAB_V}
+    vocabulary, per source: low token_coverage in one source means the
+    frozen vocab will shred that source into OOV fragments (fertility
+    blow-up), the audit run before committing a tokenizer.
+
+    Scale shape: term counts are map-side combined on the term key; the
+    vocab is the top-V of that aggregate (V rows, broadcast back into
+    the per-(source, term) join), and the final reduce has
+    source-cardinality keys. Both coverage ratios are a single
+    int/int division of exactly-summed counts — bit-stable across
+    engines. The top-V cut's rank window runs over the DISTINCT-term
+    aggregate, never the token stream.
+    """
+    tok = table(spark, sf_dir, "documents").select(
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("term"),
+    )
+    counts = tok.groupBy("term").agg(F.count("*").alias("n"))
+    vocab = (
+        counts.select(
+            "term",
+            F.row_number()
+            .over(Window.orderBy(F.col("n").desc(), "term"))
+            .alias("rn"),
+        )
+        .filter(F.col("rn") <= _VOCAB_V)
+        .select("term")
+    )
+    per = (
+        tok.join(F.broadcast(vocab.withColumn("in_v", F.lit(1))), "term", "left")
+        .groupBy("source", "term")
+        .agg(
+            F.count("*").alias("occ"),
+            F.max(F.coalesce(F.col("in_v"), F.lit(0))).alias("in_vocab"),
+        )
+    )
+    return per.groupBy("source").agg(
+        F.sum("occ").alias("n_tokens"),
+        F.sum(F.when(F.col("in_vocab") == 1, F.col("occ")).otherwise(0)).alias(
+            "n_tokens_in_vocab"
+        ),
+        (
+            F.sum(
+                F.when(F.col("in_vocab") == 1, F.col("occ")).otherwise(0)
+            ).cast("double")
+            / F.sum("occ")
+        ).alias("token_coverage"),
+        F.count("*").alias("n_types"),
+        F.sum("in_vocab").alias("n_types_in_vocab"),
+        (F.sum("in_vocab").cast("double") / F.count("*")).alias("type_coverage"),
+    )

@@ -1,0 +1,144 @@
+"""Round-6 hardening tests: plan-level assertions for the new queries
+(PQ map-only build, percentile_disc without a raw-event sort, PNG
+roundtrip column pruning, RRF TakeOrderedAndProject) and the parity
+mode's own behavior (round-6-then-exact catches boundary flips that
+the 1e-6 tolerance mode waves through).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from history_collector_spark import registry
+from tests.conftest import TEST_SF_DIR
+from tests.oracle_compare import assert_frames_match
+
+registry.load_all()
+
+
+def _executed_plan(df) -> str:
+    # run the action on the SAME QueryExecution so AQE finalizes it;
+    # keep only the FINAL adaptive plan (the string also prints the
+    # initial plan, which would double-count operators)
+    df.rdd.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.split("== Initial Plan ==")[0]
+
+
+def test_pq_assignment_is_map_only(spark):
+    """The PQ build must score against a broadcast codebook with ZERO
+    data-side shuffles — at 100 TB the vectors never move."""
+    df = registry.QUERIES["ann_pq_codebook_assign"](spark, TEST_SF_DIR)
+    plan = _executed_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "Exchange hashpartitioning" not in plan, (
+        "PQ assignment shuffled the vectors; the codebook side must broadcast"
+    )
+
+
+def test_conversion_latency_uses_aggregate_percentiles(spark):
+    """percentile_disc must run as a partial/final aggregate, not a
+    global sort of the latency rows."""
+    df = registry.QUERIES["conversion_latency"](spark, TEST_SF_DIR)
+    plan = _executed_plan(df)
+    assert "percentile_disc" in plan
+    # the only sorts allowed are the join's sort-merge sides (keyed),
+    # never a global Sort over a SinglePartition exchange of latencies
+    for line in plan.splitlines():
+        if "Sort " in line and "SinglePartition" in line:
+            pytest.fail(f"global sort of latencies: {line}")
+
+
+def test_png_roundtrip_prunes_to_doc_id(spark):
+    """The PNG query reads ONLY doc_id from the documents scan — the
+    prune-before-decode rule that makes multimodal work survive scale."""
+    df = registry.QUERIES["multimodal_decode_png"](spark, TEST_SF_DIR)
+    plan = _executed_plan(df)
+    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scans, plan
+    for ln in scans:
+        schema = ln.split("ReadSchema:")[1]
+        assert "doc_id" in schema and "text" not in schema, ln
+
+
+def test_rrf_topk_is_take_ordered(spark):
+    """The fused top-20 must execute as TakeOrderedAndProject (per-
+    partition partial top-k), never a full sort of the candidates."""
+    df = registry.QUERIES["retrieval_rrf_fusion"](spark, TEST_SF_DIR)
+    plan = _executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_matryoshka_single_shuffle(spark):
+    """Slice folds are map-only; the ONLY exchange is the 4-group
+    (prefix_dim) aggregate reduce."""
+    df = registry.QUERIES["embedding_matryoshka_audit"](spark, TEST_SF_DIR)
+    plan = _executed_plan(df)
+    n_exchanges = sum(
+        1 for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    )
+    assert n_exchanges <= 1, f"{n_exchanges} shuffles in a map+reduce audit"
+
+
+def test_pareto_frontier_matches_bruteforce(spark):
+    """Independent O(n^2) dominance check over the collected points:
+    every emitted point is undominated, every undominated price-point
+    appears. (Guards the windowed sort-scan against dominance-rule
+    regressions; sf0.001 keeps the quadratic check tiny.)"""
+    rows = (
+        registry.QUERIES["orders_pareto_frontier"](spark, TEST_SF_DIR)
+        .collect()
+    )
+    import duckdb
+
+    con = duckdb.connect()
+    pts = con.sql(
+        f"""
+        SELECT o_orderpriority AS priority, o_totalprice AS price,
+               max(o_orderdate) AS best_date
+        FROM '{TEST_SF_DIR}/orders.parquet' GROUP BY 1, 2
+        """
+    ).fetchall()
+    by_prio: dict[str, list] = {}
+    for prio, price, date in pts:
+        by_prio.setdefault(prio, []).append((price, date))
+    expected = set()
+    for prio, lst in by_prio.items():
+        for price, date in lst:
+            dominated = any(
+                (p2 < price and d2 >= date) for (p2, d2) in lst
+            )
+            if not dominated:
+                expected.add((prio, price))
+    got = {(r["priority"], r["price"]) for r in rows}
+    assert got == expected
+    # frontier_pos is dense ascending-by-price within each priority
+    for prio in by_prio:
+        sub = sorted(
+            (r for r in rows if r["priority"] == prio),
+            key=lambda r: r["price"],
+        )
+        assert [r["frontier_pos"] for r in sub] == list(range(1, len(sub) + 1))
+
+
+def test_parity_mode_catches_boundary_flip():
+    """The failure class that shipped round 5: values equal to 1e-6
+    tolerance but straddling a round-6 boundary must FAIL parity mode
+    while PASSING tolerance mode."""
+    a = pd.DataFrame({"k": [1, 2], "v": [0.1234565000001, 1.0]})
+    b = pd.DataFrame({"k": [1, 2], "v": [0.1234564999999, 1.0]})
+    assert_frames_match(a, b, name="tol", mode="tolerance")
+    with pytest.raises(AssertionError, match="round-6"):
+        assert_frames_match(a, b, name="par", mode="parity")
+    # ulp-drift away from a boundary passes BOTH (the driver-green class)
+    c = pd.DataFrame({"k": [1], "v": [0.123456789]})
+    d = pd.DataFrame({"k": [1], "v": [0.123456789 + 1e-13]})
+    assert_frames_match(c, d, name="drift", mode="parity")
+
+
+def test_parity_mode_nan_and_exact_equal():
+    a = pd.DataFrame({"v": [np.nan, 2.5]})
+    b = pd.DataFrame({"v": [np.nan, 2.5]})
+    assert_frames_match(a, b, name="nan", mode="parity")
