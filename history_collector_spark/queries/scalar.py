@@ -146,3 +146,56 @@ def props_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(is_int, F.col("val").cast("long"))).alias("min_int"),
         F.max(F.when(is_int, F.col("val").cast("long"))).alias("max_int"),
     )
+
+
+# ---------------------------------------------------------------------------
+# VARIANT-native semi-structured access (Spark 4): parse the JSON
+# payload ONCE into the binary variant encoding, then run typed
+# variant_get accessors — the engine-native path that replaces
+# re-parsing JSON strings per extraction at scale.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "props_variant_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN json_extract(props, '$.k') IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_k_present,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(min(CAST(json_extract(props, '$.k') AS BIGINT))
+                AS BIGINT) AS min_k,
+           CAST(max(CAST(json_extract(props, '$.k') AS BIGINT))
+                AS BIGINT) AS max_k,
+           CAST(count(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT))
+                AS BIGINT) AS n_distinct_k
+    FROM events GROUP BY event_type
+    """,
+)
+def props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed aggregation over the props payload through Spark's VARIANT
+    type: parse_json builds the binary variant once, try_variant_get
+    pulls '$.k' as BIGINT (NULL-safe on absent keys), and the
+    aggregate runs on typed values — never a second string parse.
+
+    Scale shape: at 100 TB the variant parse is the map-side cost paid
+    once per row; every downstream accessor is a cheap binary-offset
+    read, which is why engines shred hot JSON columns to variant at
+    ingest. One event_type-keyed reduce, map-side combined. The
+    DuckDB oracle reads the same payloads with json_extract — the
+    values (all integers) are representation-independent.
+    """
+    ev = table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "bigint")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(F.col("k").isNotNull(), 1).otherwise(0)).alias(
+            "n_k_present"
+        ),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.countDistinct("k").alias("n_distinct_k"),
+    )

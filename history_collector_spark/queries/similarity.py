@@ -711,3 +711,161 @@ def ann_pq_codebook_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.col("b3.best_d2")
         ).alias("recon_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PQ serving half: asymmetric distance computation (ADC). The query
+# vector stays full-precision; every candidate is its 4 codes, and the
+# approximate distance is 4 table lookups — the reason PQ indexes scan
+# billions of candidates per query at serving time.
+# ---------------------------------------------------------------------------
+
+_ADC_TOP_K = 10
+
+_PQ_QDT_SQL = """
+  list_sum(list_transform(range(1, 17),
+    i -> (CAST(q.q_emb[m.m * 16 + i] AS DOUBLE)
+          - CAST(c.c_emb[m.m * 16 + i] AS DOUBLE))
+       * (CAST(q.q_emb[m.m * 16 + i] AS DOUBLE)
+          - CAST(c.c_emb[m.m * 16 + i] AS DOUBLE))))
+"""
+
+
+@register(
+    "ann_pq_adc_topk",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS c_id, embedding AS c_emb
+      FROM embeddings WHERE vec_id < {PQ_K}
+    ), cpairs AS (
+      SELECT e.vec_id, m.m, c.c_id, {_PQ_D2_SQL} AS d2
+      FROM embeddings e, cents c, (SELECT unnest(range(0, {PQ_M})) AS m) m
+    ), cbest AS (
+      SELECT vec_id, m, c_id,
+             row_number() OVER (
+               PARTITION BY vec_id, m ORDER BY d2, c_id) AS rn
+      FROM cpairs
+    ), codes AS (
+      SELECT vec_id,
+             max(CASE WHEN m = 0 THEN c_id END) AS code_0,
+             max(CASE WHEN m = 1 THEN c_id END) AS code_1,
+             max(CASE WHEN m = 2 THEN c_id END) AS code_2,
+             max(CASE WHEN m = 3 THEN c_id END) AS code_3
+      FROM cbest WHERE rn = 1 GROUP BY vec_id
+    ), queries AS (
+      SELECT vec_id AS qid, embedding AS q_emb
+      FROM embeddings WHERE vec_id % 100 = 0
+    ), dt AS (
+      SELECT q.qid, m.m, c.c_id, {_PQ_QDT_SQL} AS d
+      FROM queries q, cents c, (SELECT unnest(range(0, {PQ_M})) AS m) m
+    ), approx AS (
+      SELECT q.qid, x.vec_id AS cid,
+             d0.d + d1.d + d2t.d + d3.d AS d_approx
+      FROM queries q
+      JOIN codes x ON x.vec_id != q.qid
+      JOIN dt d0 ON d0.qid = q.qid AND d0.m = 0 AND d0.c_id = x.code_0
+      JOIN dt d1 ON d1.qid = q.qid AND d1.m = 1 AND d1.c_id = x.code_1
+      JOIN dt d2t ON d2t.qid = q.qid AND d2t.m = 2 AND d2t.c_id = x.code_2
+      JOIN dt d3 ON d3.qid = q.qid AND d3.m = 3 AND d3.c_id = x.code_3
+    )
+    SELECT qid AS query_id, cid AS neighbor_id, d_approx, rank FROM (
+      SELECT qid, cid, d_approx,
+             CAST(row_number() OVER (
+               PARTITION BY qid ORDER BY d_approx, cid) AS INT) AS rank
+      FROM approx
+    ) WHERE rank <= {_ADC_TOP_K}
+    """,
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-{_ADC_TOP_K}: per query, build the 4x{PQ_K} distance
+    table against the broadcast codebook once, then score every
+    candidate by FOUR array lookups on its codes (fixed left-assoc
+    sum, engine-bit-stable) — never touching candidate vectors.
+
+    Scale shape: candidates flow as (vec_id, 4 codes) — the narrow PQ
+    index — and the query-side distance tables ride a broadcast
+    (|Q| rows x 32 doubles), so scoring is MAP-ONLY over the index;
+    the only shuffle is the per-query top-k window over scored rows,
+    which a serving system replaces with per-partition heaps. This is
+    the ADC half of the Jegou et al. PQ pair; the build half is
+    ann_pq_codebook_assign.
+    """
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = (
+        emb.filter(F.col("vec_id") < PQ_K)
+        .select(
+            F.struct(
+                F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb")
+            ).alias("c")
+        )
+        .agg(F.array_sort(F.collect_list("c")).alias("cents"))
+    )
+
+    def sub_d2(vec_col: F.Column, c_emb: F.Column, m: int) -> F.Column:
+        return F.aggregate(
+            F.zip_with(
+                F.slice(vec_col, m * PQ_SUB + 1, PQ_SUB),
+                F.slice(c_emb, m * PQ_SUB + 1, PQ_SUB),
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def best_code(m: int) -> F.Column:
+        return F.aggregate(
+            F.col("cents"),
+            F.struct(
+                F.lit(float("inf")).alias("best_d2"),
+                F.lit(-1).cast("long").alias("best_c"),
+            ),
+            lambda acc, c: F.when(
+                sub_d2(F.col("embedding"), c.c_emb, m) < acc.best_d2,
+                F.struct(
+                    sub_d2(F.col("embedding"), c.c_emb, m).alias("best_d2"),
+                    c.c_id.alias("best_c"),
+                ),
+            ).otherwise(acc),
+        ).best_c
+
+    codes = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        *[best_code(m).cast("int").alias(f"code_{m}") for m in range(PQ_M)],
+    )
+    # per-query distance tables: cents is c_id-ascending, so position
+    # i in dt_m is codeword i-1 — element_at(dt_m, code+1) below.
+    # NB: the transform lambda must be SINGLE-arg (a two-param lambda
+    # would make Spark pass the array index as the second argument).
+    def dt_col(m: int) -> F.Column:
+        def one(c):
+            return sub_d2(F.col("embedding"), c.c_emb, m)
+
+        return F.transform(F.col("cents"), one).alias(f"dt_{m}")
+
+    qdt = (
+        emb.filter(F.col("vec_id") % 100 == 0)
+        .withColumnRenamed("vec_id", "qid")
+        .crossJoin(F.broadcast(cents))
+        .select("qid", *[dt_col(m) for m in range(PQ_M)])
+    )
+    d_approx = (
+        F.element_at("dt_0", F.col("code_0") + 1)
+        + F.element_at("dt_1", F.col("code_1") + 1)
+        + F.element_at("dt_2", F.col("code_2") + 1)
+        + F.element_at("dt_3", F.col("code_3") + 1)
+    )
+    scored = (
+        codes.crossJoin(F.broadcast(qdt))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            d_approx.alias("d_approx"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("d_approx", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _ADC_TOP_K)
+    )
