@@ -2,7 +2,7 @@
 # every round-ending commit — round 3 shipped nothing and the testdata
 # moved underneath the code; this 5-minute check would have caught it.
 
-.PHONY: check correctness tests bench drivers-sim
+.PHONY: check correctness tests bench drivers-sim parity-audit
 
 # Full gate: oracle correctness + everything else.
 check: tests drivers-sim
@@ -21,3 +21,8 @@ drivers-sim:
 
 bench:
 	SPARK_GRAFT_SF_DIR=$${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.01} python bench.py
+
+# Bit-level float stability of every oracle vs the driver's hash
+# contract (round-6-then-exact); exit 1 on any boundary flip. PARITY.md.
+parity-audit:
+	python tests/float_audit.py

@@ -88,6 +88,17 @@ HEADLINE = (
     "cluster_kmeans_step",
     "bpe_merge_step",
     "corpus_jsonl_ingest",
+    # round-6 additions
+    "multimodal_decode_png",
+    "retrieval_rrf_fusion",
+    "ann_pq_codebook_assign",
+    "ann_pq_adc_topk",
+    "embedding_matryoshka_audit",
+    "embedding_whitening_audit",
+    "orders_pareto_frontier",
+    "tokenizer_vocab_coverage",
+    "props_variant_stats",
+    "curation_curriculum_phases",
 )
 
 

@@ -9,6 +9,8 @@ doorway for the Spark engine:
     query NAME [--sf-dir D]   run one registered query, print rows
     oracle NAME               print the DuckDB oracle SQL (if any)
     explain NAME [--sf-dir D] print the formatted physical plan
+    parity NAME [--sf-dir D]  run query + oracle, assert driver-hash
+                              parity (round-6-then-exact; PARITY.md)
     ingest --landing D --out D --checkpoint D [--poll]
                               run the exactly-once file-stream ingest
 
@@ -39,6 +41,12 @@ def _build_parser() -> argparse.ArgumentParser:
     e = sub.add_parser("explain", help="print a query's physical plan")
     e.add_argument("name")
     e.add_argument("--sf-dir", default=None)
+
+    pr = sub.add_parser(
+        "parity", help="check a query against its oracle at driver-hash strictness"
+    )
+    pr.add_argument("name")
+    pr.add_argument("--sf-dir", default=None)
 
     i = sub.add_parser("ingest", help="run the exactly-once file-stream ingest")
     i.add_argument("--landing", required=True)
@@ -85,6 +93,39 @@ def main(argv: list[str] | None = None) -> int:
             df.explain("formatted")
         else:
             df.show(args.limit, truncate=False)
+        return 0
+
+    if args.cmd == "parity":
+        import duckdb
+
+        if args.name not in registry.ORACLES:
+            print(f"no oracle for {args.name!r} (rows-only)", file=sys.stderr)
+            return 1
+        try:
+            from tests.oracle_compare import assert_frames_match
+        except ImportError:
+            print("parity needs the repo checkout (tests/ on sys.path)",
+                  file=sys.stderr)
+            return 1
+
+        spark = get_spark(app_name="hcs-cli-parity")
+        sf_dir = args.sf_dir or DEFAULT_SF_DIR
+        sdf = registry.QUERIES[args.name](spark, sf_dir).toPandas()
+        con = duckdb.connect()
+        for t in (
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "events", "documents", "embeddings",
+        ):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        try:
+            assert_frames_match(
+                sdf, con.sql(registry.ORACLES[args.name]).df(),
+                name=args.name, mode="parity",
+            )
+        except AssertionError as exc:
+            print(f"PARITY RED: {exc}", file=sys.stderr)
+            return 1
+        print(f"PARITY OK: {args.name} ({len(sdf)} rows)")
         return 0
 
     if args.cmd == "ingest":

@@ -309,3 +309,86 @@ def merge_upsert_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merged.write.mode("overwrite").parquet(out)
     return spark.read.parquet(out)
+
+
+# ---------------------------------------------------------------------------
+# Multi-format roundtrip digest: the same corpus written to ORC and
+# quoted CSV.gz, read back, and checksummed against the parquet
+# original — the lossless-ness proof for every landing format the
+# engine claims to support.
+# ---------------------------------------------------------------------------
+
+
+def _write_multiformat_fixture(spark: SparkSession, sf_dir: str) -> str:
+    out = _fixture_dir(sf_dir, "multifmt")
+    done = os.path.join(out, "_FIXTURE_DONE")
+    if os.path.exists(done):
+        return out
+    docs = table(spark, sf_dir, "documents")
+    docs.repartition(4, "doc_id").write.mode("overwrite").orc(
+        os.path.join(out, "orc")
+    )
+    # quoted CSV with escaped quotes + multiLine covers embedded
+    # delimiters/newlines in text — the fields that break naive CSV
+    docs.repartition(4, "doc_id").write.mode("overwrite").option(
+        "compression", "gzip"
+    ).option("header", "true").option("quoteAll", "true").option(
+        "escape", '"'
+    ).csv(os.path.join(out, "csv"))
+    with open(done, "w") as f:
+        f.write("ok")
+    return out
+
+
+@register(
+    "corpus_multiformat_digest",
+    oracle="""
+    WITH digest AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             CAST(sum(CAST(concat('0x', substr(md5(text), 1, 8))
+                      AS BIGINT)) AS BIGINT) AS text_digest
+      FROM documents
+    )
+    SELECT fmt, n_rows, sum_doc_id, sum_chars, text_digest
+    FROM digest, (SELECT unnest(['csv', 'orc']) AS fmt) f
+    """,
+)
+def corpus_multiformat_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the documents corpus to ORC and quoted CSV.gz (distributed,
+    one shard per partition), read each back, and emit per-format
+    integer digests (row count, key sums, md5-prefix text checksum)
+    that the oracle recomputes from the PARQUET original — equal rows
+    prove the roundtrip lost nothing, including text with embedded
+    quotes/newlines through the CSV quoting rules.
+
+    Scale shape: fixture writes are distributed and memoized per
+    sf_dir; the digest is one map-side-combined aggregate per format
+    (all-integer outputs, bit-exact). This closes the format matrix
+    next to parquet (native), JSONL.gz (corpus_jsonl_ingest), and the
+    XDR archive source."""
+    src = _write_multiformat_fixture(spark, sf_dir)
+    text_digest = F.sum(
+        F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
+    ).alias("text_digest")
+
+    def digest(df: DataFrame, fmt: str) -> DataFrame:
+        return df.agg(
+            F.count("*").alias("n_rows"),
+            F.sum("doc_id").alias("sum_doc_id"),
+            F.sum("n_chars").alias("sum_chars"),
+            text_digest,
+        ).select(F.lit(fmt).alias("fmt"), "*")
+
+    orc = spark.read.orc(os.path.join(src, "orc"))
+    csv = (
+        spark.read.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("header", "true")
+        .option("multiLine", "true")
+        .option("escape", '"')
+        .csv(os.path.join(src, "csv"))
+    )
+    return digest(csv, "csv").unionByName(digest(orc, "orc"))

@@ -1067,3 +1067,57 @@ def temporal_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_type.join(leak, "event_type").select(
         "event_type", "n_train", "n_test", "n_users", "n_leaky_users"
     )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum phases: rank-tertile each source by length (the classic
+# easy->hard proxy) so training can feed short documents first without
+# starving any source — the ordering companion of curation_resample.
+# ---------------------------------------------------------------------------
+
+_CURRICULUM_PHASES = 3
+
+
+@register(
+    "curation_curriculum_phases",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             ntile({_CURRICULUM_PHASES}) OVER (
+               PARTITION BY source ORDER BY n_chars, doc_id) AS phase
+      FROM documents
+    )
+    SELECT source, CAST(phase AS INT) AS phase,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM ranked GROUP BY 1, 2
+    """,
+)
+def curation_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split every source into {_CURRICULUM_PHASES} equal-count
+    curriculum phases by document length (ntile over the
+    deterministic (n_chars, doc_id) order) and report each phase's
+    size and length envelope — the manifest a curriculum dataloader
+    consumes.
+
+    Scale shape: one per-source ordered pass (the window partitions on
+    source, so each source sorts independently — range-partition the
+    sort at 100 TB) followed by a bounded (source x phase) reduce.
+    Every ranked column is a stored integer, so phase assignment and
+    all outputs are bit-deterministic across engines.
+    """
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "source",
+        "n_chars",
+        F.ntile(_CURRICULUM_PHASES).over(w).alias("phase"),
+    )
+    return ranked.groupBy("source", "phase").agg(
+        F.count("*").alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum("n_chars").alias("sum_chars"),
+    )

@@ -363,3 +363,131 @@ def zorder_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_rows").alias("rows_scanned"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ZCA whitening audit: decorrelate the embedding space and PROVE it —
+# the feature-conditioning step ahead of linear probes / kNN, with the
+# eigen-solve running where it belongs (driver-side on the bounded
+# 64x64 covariance, never on the data).
+# ---------------------------------------------------------------------------
+
+_ZCA_EPS = 1e-6
+
+
+def _whiten_cov_batches(W, mean):
+    """Second Grammian pass over whitened vectors y = W (x - m):
+    per-batch BLAS, 4096 bounded cells out (same shape as
+    _gram_batches)."""
+    import numpy as np
+
+    Wm = np.asarray(W, dtype=np.float64)
+    mm = np.asarray(mean, dtype=np.float64)
+    idx_i, idx_j = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            X = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            Y = (X - mm) @ Wm.T
+            g = Y.T @ Y
+            s = Y.sum(axis=0)
+            yield pd.DataFrame(
+                {
+                    "di": idx_i.ravel().astype("int32"),
+                    "dj": idx_j.ravel().astype("int32"),
+                    "g": g.ravel(),
+                    "si": np.repeat(s, 64),
+                    "sj": np.tile(s, 64),
+                    "nn": np.full(64 * 64, len(pdf), dtype="int64"),
+                }
+            )
+
+    return gen
+
+
+@register("embedding_whitening_audit")  # rows-only: eigh is not SQL
+def embedding_whitening_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZCA-whiten the corpus (W = V diag(1/sqrt(lambda + eps)) V^T from
+    the exact 64x64 covariance) and audit the result: the covariance of
+    the whitened data, cell by cell, against the identity target.
+
+    Scale shape: TWO Grammian map-combine passes (each batch reduces to
+    4096 cells via one BLAS matmul; the exchange carries cells, not
+    rows) around one O(64^3) driver-side eigendecomposition of the
+    BOUNDED covariance — the only collect is 4096 cells + a 64-vector
+    mean, constant in corpus size. W and the mean broadcast back into
+    the second pass as plain ndarray closure state. Near-singular
+    directions are floored at eps={eps}, so their whitened variance
+    audits close to lambda/(lambda+eps) rather than exploding — the
+    property test pins both the identity error and this guard.
+
+    No DuckDB oracle (eigendecomposition is not SQL-expressible);
+    verified by the pinned property test
+    tests/test_round6.py::test_whitening_audit_identity.
+    """
+    import numpy as np
+
+    emb = table(spark, sf_dir, "embeddings").select("embedding")
+    cells = (
+        emb.mapInPandas(
+            _gram_batches,
+            schema="di int, dj int, g double, si double, sj double, nn long",
+        )
+        .groupBy("di", "dj")
+        .agg(
+            F.sum("g").alias("gsum"),
+            F.sum("si").alias("ssum_i"),
+            F.sum("sj").alias("ssum_j"),
+            F.sum("nn").alias("nn"),
+        )
+        .collect()  # BOUNDED: exactly 4096 cells regardless of corpus size
+    )
+    n = cells[0]["nn"]
+    C = np.zeros((64, 64))
+    s = np.zeros(64)
+    for r in cells:
+        C[r["di"], r["dj"]] = (
+            r["gsum"] - r["ssum_i"] * r["ssum_j"] / n
+        ) / (n - 1)
+        if r["dj"] == 0:
+            s[r["di"]] = r["ssum_i"]
+    mean = s / n
+    lam, V = np.linalg.eigh((C + C.T) / 2.0)
+    W = (V * (1.0 / np.sqrt(np.maximum(lam, 0.0) + _ZCA_EPS))) @ V.T
+
+    wcells = (
+        table(spark, sf_dir, "embeddings")
+        .select("embedding")
+        .mapInPandas(
+            _whiten_cov_batches(W, mean),
+            schema="di int, dj int, g double, si double, sj double, nn long",
+        )
+        .groupBy("di", "dj")
+        .agg(
+            F.sum("g").alias("gsum"),
+            F.sum("si").alias("ssum_i"),
+            F.sum("sj").alias("ssum_j"),
+            F.sum("nn").alias("nn"),
+        )
+    )
+    target = F.when(F.col("di") == F.col("dj"), 1.0).otherwise(0.0)
+    cov_w = (
+        F.col("gsum") - F.col("ssum_i") * F.col("ssum_j") / F.col("nn")
+    ) / (F.col("nn") - 1)
+    return wcells.select(
+        "di",
+        "dj",
+        cov_w.alias("cov_w"),
+        target.alias("target"),
+        F.abs(cov_w - target).alias("abs_err"),
+    )
+
+
+embedding_whitening_audit.__doc__ = embedding_whitening_audit.__doc__.format(
+    eps=_ZCA_EPS
+)

@@ -2,8 +2,9 @@
 
 Images/audio/video are opaque `binary` columns with typed metadata.
 The decode plug point now carries REAL pure-Python codecs — BMP
-(24-bit BI_RGB, padding/bottom-up/BGR handled) and PPM (P6/P3) pixel
-decode, plus 16-bit PCM audio framing — running through the same
+(24-bit BI_RGB, padding/bottom-up/BGR handled), PPM (P6/P3), and PNG
+(stdlib-zlib inflate, all five scanline filters, color types 0/2/4/6)
+pixel decode, plus 16-bit PCM audio framing — running through the same
 Arrow-batched mapInPandas kernels as the deterministic-fake fixture
 mode. Formats beyond those raise NotImplementedError at the documented
 plug point (no media libs in this container); the Spark-side plumbing
@@ -1016,3 +1017,104 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("data")
     )
     return blobs.mapInPandas(_audio_batches, schema=_AUDIO_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Patchify: the ViT preprocessing step — tile each decoded image into
+# PxP patches and emit per-patch statistics, the row shape a vision
+# encoder's data loader consumes (one row per patch, fan-out bounded
+# by image area / P^2).
+# ---------------------------------------------------------------------------
+
+_PATCH = 2  # patch side; synthetic dims are tiny, real corpora use 14/16
+
+
+def _patchify_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            w, h = 3 + d % 5, 2 + d % 3
+            yy, xx, cc = np.meshgrid(
+                np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+            )
+            px = ((d * 31 + yy * 7 + xx * 3 + cc) % 256).astype(np.uint8)
+            blob = encode_bmp(px)
+            img = decode_image(blob).astype(np.int64)  # REAL decode path
+            for py in range(h // _PATCH):
+                for qx in range(w // _PATCH):
+                    block = img[
+                        py * _PATCH : (py + 1) * _PATCH,
+                        qx * _PATCH : (qx + 1) * _PATCH,
+                    ]
+                    rows.append(
+                        (
+                            d,
+                            py,
+                            qx,
+                            int(block.sum()),
+                            int(block.max()),
+                            int(block.min()),
+                        )
+                    )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "patch_y", "patch_x", "patch_sum",
+                "patch_max", "patch_min",
+            ],
+        )
+
+
+@register(
+    "multimodal_patch_stats",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 3 + doc_id % 5 AS w, 2 + doc_id % 3 AS h
+      FROM documents WHERE doc_id % 7 = 0
+    )
+    -- fixed-bound patch/offset grid (max 1x3 patches of 2x2x3),
+    -- filtered per doc: this DuckDB build rejects lateral range()
+    SELECT d.doc_id,
+           CAST(py.py AS INT) AS patch_y, CAST(qx.qx AS INT) AS patch_x,
+           CAST(sum((d.doc_id * 31 + (py.py * 2 + dy.dy) * 7
+                     + (qx.qx * 2 + dx.dx) * 3 + c.c) % 256)
+                AS BIGINT) AS patch_sum,
+           CAST(max((d.doc_id * 31 + (py.py * 2 + dy.dy) * 7
+                     + (qx.qx * 2 + dx.dx) * 3 + c.c) % 256)
+                AS BIGINT) AS patch_max,
+           CAST(min((d.doc_id * 31 + (py.py * 2 + dy.dy) * 7
+                     + (qx.qx * 2 + dx.dx) * 3 + c.c) % 256)
+                AS BIGINT) AS patch_min
+    FROM dims d,
+         range(0, 2) py(py), range(0, 3) qx(qx),
+         range(0, 2) dy(dy), range(0, 2) dx(dx), range(0, 3) c(c)
+    WHERE py.py < d.h // 2 AND qx.qx < d.w // 2
+    GROUP BY d.doc_id, py.py, qx.qx
+    """,
+)
+def multimodal_patch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tile each (real-decoded) image into 2x2 patches and emit one row
+    per patch with integer sum/max/min — the patch-token fan-out a ViT
+    data loader performs, with the closed-form oracle recomputing
+    every patch from the generator formula through the SAME BMP
+    encode -> magic-sniff -> decode path as multimodal_decode_real.
+
+    Scale shape: pure map over pruned doc_ids through the Arrow
+    kernel; fan-out is area/P^2 rows per image (bounded, explicit),
+    and all outputs are integers — bit-exact by construction.
+    """
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 7 == 0)
+        .select("doc_id")
+    )
+    return docs.mapInPandas(
+        _patchify_batches,
+        schema=(
+            "doc_id bigint, patch_y int, patch_x int, "
+            "patch_sum bigint, patch_max bigint, patch_min bigint"
+        ),
+    )

@@ -293,3 +293,23 @@ def test_png_through_mapinpandas_kernel(spark):
         for r in decode_image_pixels(blobs).collect()
     }
     assert got[(0, 0)] == (10, 20, 30) and got[(1, 1)] == (40, 50, 60)
+
+
+def test_png_roundtrip_property():
+    """Hypothesis-style randomized roundtrip: arbitrary dims, channel
+    counts, and per-row filter choices survive encode -> decode
+    bit-for-bit (seeded generator keeps it deterministic)."""
+    rng = np.random.default_rng(0xC0DEC)
+    for _ in range(40):
+        h = int(rng.integers(1, 12))
+        w = int(rng.integers(1, 12))
+        ch = int(rng.choice([1, 2, 3, 4]))
+        px = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+        filters = rng.integers(0, 5, h).tolist()
+        from history_collector_spark.queries.multimodal import (
+            decode_png,
+            encode_png,
+        )
+
+        back = decode_png(encode_png(px, row_filters=filters))
+        assert np.array_equal(back, px), (h, w, ch, filters)

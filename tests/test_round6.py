@@ -142,3 +142,23 @@ def test_parity_mode_nan_and_exact_equal():
     a = pd.DataFrame({"v": [np.nan, 2.5]})
     b = pd.DataFrame({"v": [np.nan, 2.5]})
     assert_frames_match(a, b, name="nan", mode="parity")
+
+
+def test_whitening_audit_identity(spark):
+    """Pinned property for the rows-only ZCA query: the whitened
+    covariance equals V diag(lam/(lam+eps)) V^T — identity up to the
+    eps floor, whose residue appears BOTH on the diagonal and (because
+    D = lam/(lam+eps) is not a multiple of I in the original basis)
+    off-diagonal, each bounded by eps/lam_min. For this corpus
+    lam_min ~ 1e-2, so the bound is ~1e-4; assert at 1e-3 with
+    headroom. A wrong W (bad eigh, transposed V, unsubtracted mean)
+    produces O(1) errors, far above the bound."""
+    from pyspark.sql import functions as F
+
+    df = registry.QUERIES["embedding_whitening_audit"](spark, TEST_SF_DIR)
+    r = df.agg(
+        F.count("*").alias("n"),
+        F.max("abs_err").alias("err"),
+    ).collect()[0]
+    assert r["n"] == 64 * 64
+    assert r["err"] < 1e-3, f"identity deviation beyond eps bound: {r['err']}"
