@@ -1121,3 +1121,103 @@ def curation_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_chars").alias("max_chars"),
         F.sum("n_chars").alias("sum_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Span-corruption mask planning (T5/UL2-style denoising prep): pick
+# deterministic, non-overlapping mask spans per document — the mask
+# plan a denoising-objective dataloader materializes, computed
+# relationally so the plan is reproducible corpus-wide.
+# ---------------------------------------------------------------------------
+
+_SPAN_LEN = 3          # mean-span-length stand-in (fixed for determinism)
+_SPAN_EVERY = 20       # one span per ~20 tokens (~15% noise density)
+_SPAN_GRID = 16        # constant oracle grid bound (docs here are short)
+
+_SPAN_U = (
+    "(CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), '#', "
+    "CAST(s.s AS VARCHAR))), 1, 8)) AS BIGINT) + 1) / 4294967297.0"
+)
+
+
+@register(
+    "curation_span_corruption",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(text, '\\s+')) AS INT) AS n_tokens
+      FROM documents
+    ), docs AS (
+      SELECT doc_id, n_tokens,
+             greatest(1, n_tokens // {_SPAN_EVERY}) AS n_spans,
+             n_tokens // greatest(1, n_tokens // {_SPAN_EVERY}) AS w
+      FROM toks WHERE n_tokens >= 8
+    )
+    SELECT doc_id, n_tokens,
+           CAST(s.s AS INT) AS span_idx,
+           CAST(s.s * w + CAST(floor({_SPAN_U}
+                * greatest(1, w - {_SPAN_LEN})) AS INT) AS INT) AS span_start,
+           CAST({_SPAN_LEN} AS INT) AS span_len
+    FROM docs, (SELECT unnest(range(0, {_SPAN_GRID})) AS s) s
+    WHERE s.s < n_spans
+    """,
+)
+def curation_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan one {_SPAN_LEN}-token mask span per ~{_SPAN_EVERY} tokens of
+    each document: the doc is cut into n_spans equal windows and each
+    window holds exactly one span at an md5-uniform offset — spans are
+    non-overlapping BY CONSTRUCTION (no iterative rejection pass), and
+    the whole plan is integer arithmetic on deterministic hashes, so
+    any worker, any engine, any retry derives the identical mask.
+
+    Scale shape: map-only (tokenize, a handful of integer columns, one
+    bounded explode of n_spans ≤ n_tokens/{_SPAN_EVERY} rows per doc);
+    no shuffle at all — the mask plan streams out next to the doc,
+    exactly what a denoising dataloader wants at 100 TB.
+    """
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.size(F.split("text", r"\s+")).cast("int").alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") >= 8)
+        .withColumn(
+            "n_spans",
+            F.greatest(F.lit(1), (F.col("n_tokens") / _SPAN_EVERY).cast("int")),
+        )
+        .withColumn("w", (F.col("n_tokens") / F.col("n_spans")).cast("int"))
+    )
+    per = docs.select(
+        "doc_id",
+        "n_tokens",
+        "w",
+        F.explode(F.sequence(F.lit(0), F.col("n_spans") - 1)).alias("span_idx"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit("#"),
+                    F.col("span_idx").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(1)) / F.lit(4294967297.0)
+    offmax = F.greatest(F.lit(1), F.col("w") - _SPAN_LEN)
+    start = (
+        F.col("span_idx") * F.col("w") + F.floor(u * offmax).cast("int")
+    ).cast("int")
+    return per.select(
+        "doc_id",
+        "n_tokens",
+        "span_idx",
+        start.alias("span_start"),
+        F.lit(_SPAN_LEN).cast("int").alias("span_len"),
+    )

@@ -269,3 +269,84 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.stddev_samp("m").alias("boot_se"),
         F.count("*").alias("n_replicates"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Differentially-private count release (Dwork et al. 2006, public
+# Laplace mechanism): noise the per-(source, lang) counts with
+# DETERMINISTIC Laplace draws (md5-uniform -> inverse CDF) so the
+# release is reproducible and auditable — the privacy layer a corpus
+# stats endpoint publishes instead of raw counts.
+# ---------------------------------------------------------------------------
+
+_DP_EPS = 0.5  # epsilon; sensitivity 1 for counting queries -> b = 1/eps
+
+_DP_U = (
+    "(CAST(concat('0x', substr(md5(concat(source, '|', lang)), 1, 8)) "
+    "AS BIGINT) + 1) / 4294967297.0"
+)
+
+
+@register(
+    "dp_count_release_audit",
+    oracle=f"""
+    WITH g AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS true_count
+      FROM documents GROUP BY source, lang
+    ), noised AS (
+      SELECT source, lang, true_count,
+             ({_DP_U}) AS u
+      FROM g
+    )
+    SELECT source, lang, true_count,
+           true_count + (CASE WHEN u < 0.5 THEN 1.0 ELSE -1.0 END)
+             * ((1.0 / {_DP_EPS})
+                * ln(CASE WHEN u < 0.5 THEN 2.0 * u
+                          ELSE 2.0 * (1.0 - u) END)) AS released,
+           abs((CASE WHEN u < 0.5 THEN 1.0 ELSE -1.0 END)
+             * ((1.0 / {_DP_EPS})
+                * ln(CASE WHEN u < 0.5 THEN 2.0 * u
+                          ELSE 2.0 * (1.0 - u) END))) AS abs_noise
+    FROM noised
+    """,
+)
+def dp_count_release_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism release of the (source, lang) count table at
+    epsilon={_DP_EPS} (sensitivity 1), with the true count and the
+    realized |noise| kept alongside for the privacy-utility audit.
+    The draw is the inverse-CDF transform of an md5-uniform keyed on
+    the GROUP (not the rows), so the release is deterministic given
+    the group key — reproducible across engines, retries, and the
+    DuckDB oracle, while remaining a faithful Laplace(1/eps) sample
+    per group.
+
+    Scale shape: one bounded-key count aggregate (map-side combined)
+    plus map-only noise arithmetic; the noise expression keeps the
+    same op order on both engines (sign * (b * ln(arg)), arg computed
+    identically) so the released floats match the driver hash.
+    """
+    g = (
+        table(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count("*").alias("true_count"))
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("source"), F.lit("|"), F.col("lang"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(1)) / F.lit(4294967297.0)
+    sign = F.when(u < 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+    arg = F.when(u < 0.5, F.lit(2.0) * u).otherwise(
+        F.lit(2.0) * (F.lit(1.0) - u)
+    )
+    noise = sign * ((F.lit(1.0) / F.lit(_DP_EPS)) * F.log(arg))
+    return g.select(
+        "source",
+        "lang",
+        "true_count",
+        (F.col("true_count") + noise).alias("released"),
+        F.abs(noise).alias("abs_noise"),
+    )

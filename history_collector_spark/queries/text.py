@@ -941,3 +941,101 @@ def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("in_vocab").alias("n_types_in_vocab"),
         (F.sum("in_vocab").cast("double") / F.count("*")).alias("type_coverage"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword scoring (Rose et al. 2010, public formulation): candidate
+# phrases are maximal stopword-free runs; a word's score is its
+# co-occurrence degree over its frequency. Degree sums PHRASE LENGTHS —
+# an integer aggregate — so every score is one exact int/int division.
+# ---------------------------------------------------------------------------
+
+_RAKE_STOPS = (
+    "the|and|of|a|an|to|in|is|it|for|on|with|as|at|by|be|or|this|that|are|was"
+)
+_RAKE_TOP = 30
+
+
+@register(
+    "text_rake_keywords",
+    oracle=f"""
+    WITH cut AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(lower(text), '[.,;:!?()]', '|', 'g'),
+               '\\b({_RAKE_STOPS})\\b', '|', 'g') AS cuttext
+      FROM documents
+    ), phrases AS (
+      SELECT doc_id, trim(p) AS phrase
+      FROM cut, unnest(string_split(cuttext, '|')) AS t(p)
+      WHERE trim(p) != ''
+    ), pwords AS (
+      SELECT phrase,
+             list_filter(string_split_regex(phrase, '\\s+'),
+                         w -> w != '') AS words
+      FROM phrases
+    ), wrows AS (
+      SELECT unnest(words) AS word, len(words) AS plen
+      FROM pwords
+    ), scored AS (
+      SELECT word,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(plen) AS BIGINT) AS degree,
+             CAST(sum(plen) AS DOUBLE) / count(*) AS score
+      FROM wrows GROUP BY word
+    )
+    SELECT word, freq, degree, score, rank FROM (
+      SELECT *, CAST(row_number() OVER (ORDER BY score DESC, word) AS INT)
+                  AS rank
+      FROM scored
+    ) WHERE rank <= {_RAKE_TOP}
+    """,
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level RAKE keyword ranking: split every document into
+    stopword-free candidate phrases (punctuation and a fixed stopword
+    list both cut), then score each word by degree/frequency where
+    degree accumulates the lengths of the phrases it appears in —
+    words that ride long multi-word phrases outrank bare frequent
+    words, which is RAKE's whole trick.
+
+    Scale shape: phrase extraction is map-only regexp work; the only
+    shuffle is the word-keyed count/sum aggregate (map-side combined)
+    and the top-{_RAKE_TOP} cut over the distinct-word aggregate.
+    freq and degree are exact integer sums, so score is a single
+    int/int division — bit-identical across engines, no float-order
+    risk anywhere (parity-audited).
+    """
+    cut = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[.,;:!?()]", "|"),
+            rf"\b({_RAKE_STOPS})\b",
+            "|",
+        ).alias("cuttext"),
+    )
+    phrases = (
+        cut.select(F.explode(F.split("cuttext", r"\|")).alias("p"))
+        .select(F.trim("p").alias("phrase"))
+        .filter(F.col("phrase") != "")
+    )
+    pwords = phrases.select(
+        F.filter(F.split("phrase", r"\s+"), lambda w: w != "").alias("words")
+    )
+    wrows = pwords.select(
+        F.explode("words").alias("word"), F.size("words").alias("plen")
+    )
+    scored = wrows.groupBy("word").agg(
+        F.count("*").alias("freq"),
+        F.sum("plen").alias("degree"),
+        (F.sum("plen").cast("double") / F.count("*")).alias("score"),
+    )
+    return (
+        scored.select(
+            "*",
+            F.row_number()
+            .over(Window.orderBy(F.col("score").desc(), "word"))
+            .alias("rank"),
+        )
+        .filter(F.col("rank") <= _RAKE_TOP)
+    )
