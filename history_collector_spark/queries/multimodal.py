@@ -2,8 +2,9 @@
 
 Images/audio/video are opaque `binary` columns with typed metadata.
 The decode plug point now carries REAL pure-Python codecs — BMP
-(24-bit BI_RGB, padding/bottom-up/BGR handled), PPM (P6/P3), and PNG
-(stdlib-zlib inflate, all five scanline filters, color types 0/2/4/6)
+(24-bit BI_RGB, padding/bottom-up/BGR handled), PPM (P6/P3), PNG
+(stdlib-zlib inflate, all five scanline filters, color types 0/2/4/6),
+and GIF (from-scratch variable-width LZW, palettes, 4-pass interlace)
 pixel decode, plus 16-bit PCM audio framing — running through the same
 Arrow-batched mapInPandas kernels as the deterministic-fake fixture
 mode. Formats beyond those raise NotImplementedError at the documented
@@ -14,7 +15,7 @@ iteration — is identical either way.
 Test binary payloads for the ORACLE path are derived from
 documents.text (utf-8 encode) so DuckDB verifies byte lengths,
 checksums and the fake-decoded metadata bit-for-bit; the REAL codec
-path is pytest-verified pixel-for-pixel on hand-built BMP/PPM bytes
+path is pytest-verified pixel-for-pixel on hand-built BMP/PPM/PNG/GIF bytes
 (tests/test_multimodal_codec.py).
 """
 
@@ -326,16 +327,209 @@ def encode_png(pixels, row_filters=None) -> bytes:
     )
 
 
+def _gif_lzw_decode(min_code_size: int, data: bytes) -> bytearray:
+    """GIF-variant LZW: variable-width codes packed LSB-first, CLEAR
+    resets the table, widths grow to a 12-bit cap."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(clear)}
+    next_code = end + 1
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos, total = 0, len(data) * 8
+    while bitpos + code_size <= total:
+        code = 0
+        for i in range(code_size):
+            code |= ((data[bitpos >> 3] >> (bitpos & 7)) & 1) << i
+            bitpos += 1
+        if code == clear:
+            table = {i: bytes([i]) for i in range(clear)}
+            code_size = min_code_size + 1
+            next_code = end + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code not in table:
+                raise ImageDecodeError(f"bad first LZW code {code}")
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + prev[:1]
+        else:
+            raise ImageDecodeError(f"LZW code {code} out of range")
+        out += entry
+        if prev is not None:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+    return out
+
+
+def decode_gif(data: bytes):
+    """Decode the FIRST frame of a GIF87a/89a into an (height, width, 3)
+    uint8 RGB numpy array — from-scratch LZW (variable-width LSB-first
+    codes, 12-bit cap), global/local color tables, and Adam-less GIF
+    4-pass interlacing. Animation beyond frame one and transparency
+    compositing are out of scope (the frame's palette pixels are
+    returned as-is)."""
+    import struct
+
+    import numpy as np
+
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ImageDecodeError("not a GIF payload")
+    if len(data) < 13:
+        raise ImageDecodeError("truncated GIF header")
+    flags = data[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(data, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(data):
+        b0 = data[pos]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ImageDecodeError(f"unexpected GIF block 0x{b0:02x}")
+        _, _, iw, ih = struct.unpack_from("<HHHH", data, pos + 1)
+        iflags = data[pos + 9]
+        pos += 10
+        pal = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            pal = np.frombuffer(data, np.uint8, 3 * n, pos).reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ImageDecodeError("GIF image has no color table")
+        if iw == 0 or ih == 0:
+            raise ImageDecodeError(f"degenerate dimensions {iw}x{ih}")
+        min_code = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while pos < len(data) and data[pos] != 0:
+            ln = data[pos]
+            lzw += data[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        idx = _gif_lzw_decode(min_code, bytes(lzw))
+        if len(idx) < iw * ih:
+            raise ImageDecodeError(
+                f"GIF pixel stream {len(idx)} < expected {iw * ih}"
+            )
+        rows = np.frombuffer(
+            bytes(idx[: iw * ih]), np.uint8
+        ).reshape(ih, iw)
+        if iflags & 0x40:  # interlaced: rows arrive in 4 passes
+            order = (
+                list(range(0, ih, 8))
+                + list(range(4, ih, 8))
+                + list(range(2, ih, 4))
+                + list(range(1, ih, 2))
+            )
+            deinter = np.zeros_like(rows)
+            deinter[order] = rows
+            rows = deinter
+        if int(rows.max(initial=0)) >= len(pal):
+            raise ImageDecodeError("GIF pixel index outside color table")
+        return pal[rows].copy()
+    raise ImageDecodeError("GIF has no image descriptor")
+
+
+def encode_gif(pixels, interlaced: bool = False) -> bytes:
+    """Inverse for tests: palette-ize the (h, w, 3) array (<=256 distinct
+    colors) and emit a GIF87a with an always-CLEAR LZW stream (each
+    pixel as a literal code between CLEAR resets — valid, just
+    uncompressed; the decoder's dictionary growth is exercised by
+    hand-built streams in the test suite)."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    flat = px.reshape(-1, 3)
+    pal, inv = np.unique(flat, axis=0, return_inverse=True)
+    if len(pal) > 256:
+        raise ImageDecodeError("encode_gif needs <= 256 distinct colors")
+    bits = max(2, int(len(pal) - 1).bit_length())
+    psize = 1 << bits
+    table = np.zeros((psize, 3), np.uint8)
+    table[: len(pal)] = pal
+    idx = inv.reshape(h, w).astype(np.uint8)
+    if interlaced:
+        order = (
+            list(range(0, h, 8))
+            + list(range(4, h, 8))
+            + list(range(2, h, 4))
+            + list(range(1, h, 2))
+        )
+        idx = idx[order]
+    min_code = bits
+    clear, end = 1 << bits, (1 << bits) + 1
+    width = bits + 1
+    stream = bytearray()
+    acc = nbits = 0
+
+    def put(code: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    for v in idx.ravel():
+        put(clear)
+        put(int(v))
+    put(end)
+    if nbits:
+        stream.append(acc & 0xFF)
+    blocks = bytearray()
+    for i in range(0, len(stream), 255):
+        chunk = stream[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)
+    return (
+        b"GIF87a"
+        + struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) & 7), 0, 0)
+        + table.tobytes()
+        + b"\x2C"
+        + struct.pack("<HHHH", 0, 0, w, h)
+        + bytes([0x40 if interlaced else 0])
+        + bytes([min_code])
+        + bytes(blocks)
+        + b"\x3B"
+    )
+
+
 def decode_image(data: bytes):
     """Magic-sniffed pixel decode -> (height, width, 3) uint8 RGB.
 
     PNG gray / gray+alpha are broadcast to 3 channels and RGBA drops
     alpha, so every codec lands on the same RGB contract; use
-    decode_png directly when the alpha plane matters."""
+    decode_png directly when the alpha plane matters. GIF decodes its
+    first frame through the palette."""
     if data[:2] == b"BM":
         return decode_bmp(data)
     if data[:2] in (b"P6", b"P3"):
         return decode_ppm(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(data)
     if data[:8] == _PNG_MAGIC:
         import numpy as np
 
@@ -345,8 +539,8 @@ def decode_image(data: bytes):
             return np.repeat(px[:, :, :1], 3, axis=2).copy()
         return px[:, :, :3].copy()  # RGB passthrough / RGBA drops alpha
     raise NotImplementedError(
-        f"no codec for magic {data[:4]!r}; BMP (24-bit), PPM, and PNG "
-        "(8-bit) are built in, other formats plug in here"
+        f"no codec for magic {data[:4]!r}; BMP (24-bit), PPM, PNG "
+        "(8-bit), and GIF are built in, other formats plug in here"
     )
 
 
@@ -1116,5 +1310,95 @@ def multimodal_patch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema=(
             "doc_id bigint, patch_y int, patch_x int, "
             "patch_sum bigint, patch_max bigint, patch_min bigint"
+        ),
+    )
+
+
+def _gif_roundtrip_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            w, h, ncol = 2 + d % 5, 1 + d % 3, 4 + d % 5
+            pal = np.stack(
+                [
+                    np.array([(d * 7 + c * 3) % 256 for c in range(ncol)]),
+                    np.array([(d * 11 + c * 5) % 256 for c in range(ncol)]),
+                    np.array([(d * 13 + c * 7) % 256 for c in range(ncol)]),
+                ],
+                axis=1,
+            ).astype(np.uint8)
+            yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+            idx = (d + yy * w + xx) % ncol
+            px = pal[idx]
+            blob = encode_gif(px, interlaced=bool(d % 2))
+            back = decode_image(blob)  # REAL decode: magic-sniffed GIF path
+            rows.append(
+                (
+                    d,
+                    back.shape[1],
+                    back.shape[0],
+                    ncol,
+                    int(back.astype(np.int64).sum()),
+                    "ok" if np.array_equal(back, px) else "pixel_mismatch",
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "width", "height", "n_colors", "pixel_sum",
+                "decode_status",
+            ],
+        )
+
+
+@register(
+    "multimodal_decode_gif",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 2 + doc_id % 5 AS w, 1 + doc_id % 3 AS h,
+             4 + doc_id % 5 AS ncol
+      FROM documents WHERE doc_id % 13 = 0
+    ), cells AS (
+      -- fixed-bound grid (max 3x6), filtered per doc; idx is the
+      -- palette index the generator assigns to each pixel
+      SELECT d.doc_id, d.w, d.h, d.ncol,
+             (d.doc_id + y.y * d.w + x.x) % d.ncol AS idx
+      FROM dims d, range(0, 3) y(y), range(0, 6) x(x)
+      WHERE y.y < d.h AND x.x < d.w
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(ncol AS INT) AS n_colors,
+           CAST(sum((doc_id * 7 + idx * 3) % 256
+                    + (doc_id * 11 + idx * 5) % 256
+                    + (doc_id * 13 + idx * 7) % 256) AS BIGINT) AS pixel_sum,
+           'ok' AS decode_status
+    FROM cells GROUP BY doc_id, w, h, ncol
+    """,
+)
+def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode-then-decode REAL GIFs (palette + from-scratch LZW; odd
+    doc_ids take the 4-pass interlaced layout) for a sampled doc set,
+    verifying pixel-for-pixel inside the kernel; the oracle recomputes
+    dimensions, palette size, and the exact pixel sum from the
+    generator formulas. Any LZW bit-packing, palette-mapping, or
+    deinterlacing bug breaks pixel_sum or flips decode_status.
+
+    Scale shape: pure map over the pruned sample through the Arrow
+    path, bounded per-row work — the BMP/PNG roundtrips' GIF sibling.
+    """
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 13 == 0)
+        .select("doc_id")
+    )
+    return docs.mapInPandas(
+        _gif_roundtrip_batches,
+        schema=(
+            "doc_id bigint, width int, height int, n_colors int, "
+            "pixel_sum bigint, decode_status string"
         ),
     )

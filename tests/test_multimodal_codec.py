@@ -313,3 +313,80 @@ def test_png_roundtrip_property():
 
         back = decode_png(encode_png(px, row_filters=filters))
         assert np.array_equal(back, px), (h, w, ch, filters)
+
+
+# ---------------------------------------------------------------------------
+# GIF: hand-packed LZW streams decoded against the spec (dictionary
+# growth and the kwkwk special case), plus encoder roundtrips.
+# ---------------------------------------------------------------------------
+
+
+def _pack_codes(codes, width):
+    acc = n = 0
+    out = bytearray()
+    for c in codes:
+        acc |= c << n
+        n += width
+        while n >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+    if n:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def test_gif_lzw_literal_growth_and_kwkwk():
+    from history_collector_spark.queries.multimodal import _gif_lzw_decode
+
+    # min_code_size=2: CLEAR=4, END=5, first dynamic code=6
+    assert bytes(_gif_lzw_decode(2, _pack_codes([4, 0, 1, 2, 5], 3))) == (
+        b"\x00\x01\x02"
+    )
+    # dictionary growth: code 6 == b"\x00\x01" learned from the stream
+    assert bytes(_gif_lzw_decode(2, _pack_codes([4, 0, 1, 6, 5], 3))) == (
+        b"\x00\x01\x00\x01"
+    )
+    # kwkwk: code == next_code -> prev + prev[0]
+    assert bytes(_gif_lzw_decode(2, _pack_codes([4, 1, 6, 5], 3))) == (
+        b"\x01\x01\x01"
+    )
+
+
+def test_gif_roundtrip_plain_and_interlaced():
+    from history_collector_spark.queries.multimodal import (
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(5)
+    for interlaced in (False, True):
+        pal = rng.integers(0, 256, (7, 3), dtype=np.uint8)
+        px = pal[rng.integers(0, 7, (9, 5))]
+        back = decode_gif(encode_gif(px, interlaced=interlaced))
+        assert np.array_equal(back, px), interlaced
+
+
+def test_gif_through_decode_image_and_errors():
+    from history_collector_spark.queries.multimodal import (
+        decode_gif,
+        decode_image,
+        encode_gif,
+    )
+
+    pal = np.array([[1, 2, 3], [4, 5, 6]], dtype=np.uint8)
+    px = pal[np.zeros((2, 2), dtype=int)]
+    assert decode_image(encode_gif(px)).shape == (2, 2, 3)
+    with pytest.raises(ImageDecodeError):
+        decode_gif(b"notgif")
+    with pytest.raises(ImageDecodeError):
+        decode_gif(b"GIF87a\x00\x00")  # truncated header
+    # stream shorter than the raster must be detected: inflate the
+    # image-descriptor height so the LZW stream can't fill the raster
+    blob = bytearray(encode_gif(px))
+    import struct
+
+    desc = blob.index(0x2C)
+    struct.pack_into("<H", blob, desc + 7, 200)
+    with pytest.raises(ImageDecodeError, match="pixel stream"):
+        decode_gif(bytes(blob))
