@@ -662,3 +662,57 @@ def brand_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("returned_revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exchange reuse: one aggregate consumed twice (absolute revenue AND
+# share-of-total) must plan ONE shuffle with a ReusedExchange on the
+# second consumer — Catalyst's common-subplan dedup, the difference
+# between N scans and one at 100 TB when a metric joins its own total.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "exchange_reuse_share",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_name AS nation,
+             sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      GROUP BY n.n_name
+    )
+    SELECT r.nation, r.revenue,
+           r.revenue / t.total AS revenue_share
+    FROM rev r, (SELECT sum(revenue) AS total FROM rev) t
+    """,
+)
+def exchange_reuse_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation revenue next to its share of the grand total, built so the
+    nation aggregate is ONE dataframe consumed twice — Catalyst plans a
+    single Exchange and a ReusedExchange for the total branch
+    (plan-asserted in tests/test_round6.py), and the 1-row total rides
+    a broadcast back. The naive form recomputes the whole fact-table
+    aggregate per consumer; this form is how share-of-total metrics
+    stay one-scan at 100 TB.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    su = table(spark, sf_dir, "supplier")
+    na = table(spark, sf_dir, "nation")
+    rev = (
+        li.join(su, li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+            ).alias("revenue")
+        )
+    )
+    total = rev.agg(F.sum("revenue").alias("total"))
+    return rev.crossJoin(F.broadcast(total)).select(
+        "nation",
+        "revenue",
+        (F.col("revenue") / F.col("total")).alias("revenue_share"),
+    )

@@ -392,3 +392,71 @@ def corpus_multiformat_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .csv(os.path.join(src, "csv"))
     )
     return digest(csv, "csv").unionByName(digest(orc, "orc"))
+
+
+# ---------------------------------------------------------------------------
+# Dynamic partition overwrite: replace ONE partition of a partitioned
+# table in place without touching its siblings — the idempotent
+# partition-level backfill primitive every lakehouse reprocess relies
+# on (static overwrite mode would silently DROP the other partitions).
+# ---------------------------------------------------------------------------
+
+
+def _write_dpo_fixture(spark: SparkSession, sf_dir: str) -> str:
+    out = _fixture_dir(sf_dir, "dpo")
+    done = os.path.join(out, "_FIXTURE_DONE")
+    tbl = os.path.join(out, "tbl")
+    if os.path.exists(done):
+        return tbl
+    docs = table(spark, sf_dir, "documents")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(tbl)
+    # the backfill: rewrite ONLY lang=de with the even-doc_id subset,
+    # under dynamic mode so sibling partitions survive the overwrite
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            docs.filter((F.col("lang") == "de") & (F.col("doc_id") % 2 == 0))
+            .write.mode("overwrite")
+            .partitionBy("lang")
+            .parquet(tbl)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+    with open(done, "w") as f:
+        f.write("ok")
+    return tbl
+
+
+@register(
+    "sink_dynamic_partition_overwrite",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+    FROM documents
+    WHERE lang != 'de' OR doc_id % 2 = 0
+    GROUP BY lang
+    """,
+)
+def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Land the corpus lang-partitioned, then overwrite ONLY the
+    lang=de partition with its even-doc_id backfill under
+    partitionOverwriteMode=dynamic; the readback proves de was
+    replaced while every sibling partition kept its full contents
+    (static mode would have dropped them — the classic data-loss
+    foot-gun this mode exists to prevent). The oracle states the
+    post-backfill table directly from the source of truth.
+
+    Scale shape: both writes are distributed partitioned writes; the
+    readback aggregate is bounded-key. Fixture memoized per sf_dir.
+    """
+    tbl = _write_dpo_fixture(spark, sf_dir)
+    return (
+        spark.read.parquet(tbl)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").alias("sum_doc_id"),
+        )
+    )

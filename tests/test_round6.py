@@ -162,3 +162,18 @@ def test_whitening_audit_identity(spark):
     ).collect()[0]
     assert r["n"] == 64 * 64
     assert r["err"] < 1e-3, f"identity deviation beyond eps bound: {r['err']}"
+
+
+def test_exchange_reuse_share_reuses_shuffle(spark):
+    """The share-of-total form must dedup the nation aggregate: one
+    Exchange, a ReusedExchange (or reused stage under AQE) feeding the
+    total branch — never two scans of lineitem."""
+    df = registry.QUERIES["exchange_reuse_share"](spark, TEST_SF_DIR)
+    plan = _executed_plan(df)
+    assert "ReusedExchange" in plan or "ReusedQueryStage" in plan, plan[-2000:]
+    n_scans = sum(
+        1
+        for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "lineitem" in ln
+    )
+    assert n_scans <= 1, f"lineitem scanned {n_scans}x"
