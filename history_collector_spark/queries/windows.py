@@ -643,3 +643,58 @@ def conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         disc(0.90).alias("p90_sec"),
         disc(0.99).alias("p99_sec"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exponential-decay lifetime value: the feature-store aggregate that
+# weights each interaction by recency — recent activity dominates, old
+# activity decays smoothly, and the whole feature is one scan.
+# ---------------------------------------------------------------------------
+
+_LTV_LAMBDA = 0.1  # per-day decay rate
+
+
+@register(
+    "user_ltv_decayed",
+    oracle=f"""
+    WITH ref AS (SELECT max(ts) AS t_ref FROM events)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           sum(value * exp(-{_LTV_LAMBDA}
+               * ((epoch_us(ref.t_ref) - epoch_us(ts)) / 86400000000.0)))
+             AS ltv_decayed,
+           max(ts) AS last_seen
+    FROM events, ref
+    GROUP BY user_id
+    """,
+)
+def user_ltv_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user recency-weighted value: each event contributes
+    value * exp(-lambda * age_days) against the corpus's newest
+    timestamp — the standard decayed counter every feature store
+    materializes for churn/LTV models (a half-life of ~7 days at
+    lambda={_LTV_LAMBDA}).
+
+    Scale shape: the reference time is a 1-row aggregate broadcast
+    into a single map+reduce pass (user-keyed, map-side combined);
+    age arithmetic is exact integer micros scaled identically on both
+    engines, so the only cross-engine noise is libm exp() ulp drift —
+    drift-class, parity-audited. A serving variant folds new events
+    in incrementally as ltv' = ltv * exp(-lambda * dt) + value.
+    """
+    ev = table(spark, sf_dir, "events")
+    ref = ev.agg(F.max("ts").alias("t_ref"))
+    age_days = (
+        F.unix_micros("t_ref") - F.unix_micros("ts")
+    ) / F.lit(86400000000.0)
+    return (
+        ev.crossJoin(F.broadcast(ref))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.col("value") * F.exp(F.lit(-_LTV_LAMBDA) * age_days)
+            ).alias("ltv_decayed"),
+            F.max("ts").alias("last_seen"),
+        )
+    )

@@ -568,3 +568,115 @@ def streaming_zscore_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             q.stop()
     return spark.table(name).select("event_id", "user_id", "z")
+
+
+# ---------------------------------------------------------------------------
+# CDC -> SCD2 streaming maintenance: the warehouse-dimension dataflow —
+# each micro-batch of change records rewrites ONLY the touched keys'
+# version histories (epoch-tagged snapshots, last-write-wins read), and
+# the final table must equal the SCD2 window over the full change log.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_scd2_cdc_e2e",
+    oracle="""
+    SELECT user_id,
+           ts AS valid_from,
+           lead(ts) OVER w AS valid_to,
+           value,
+           (lead(ts) OVER w IS NULL) AS is_current
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def streaming_scd2_cdc_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintain a slowly-changing-dimension (type 2) table from the
+    6-batch CDC replay: every change record opens a version and closes
+    its predecessor. foreachBatch rebuilds the version history ONLY
+    for the keys the batch touched — previous state for those keys is
+    recovered from the accumulated epoch snapshots (last-write-wins at
+    key grain), merged with the batch's changes, re-windowed, and
+    written as this epoch's snapshot. The read side takes each key's
+    LATEST epoch, and the result must equal the one-shot SCD2 window
+    over the entire change log (any missed close, duplicated version,
+    or stale snapshot breaks the oracle).
+
+    Scale shape: per-epoch work is bounded by touched keys x their
+    version counts, not table size — the incremental MERGE shape a
+    dimension table needs when the key space is huge and per-batch
+    churn is sparse. Ties on (ts) break on event_id in both the
+    maintenance job and the oracle, so versions are deterministic.
+    """
+    import os
+
+    flat = _time_partitioned_replay_dir(spark, sf_dir, _EWMA_FILES)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    out_dir = tempfile.mkdtemp(prefix="hc_scd2_")
+
+    def current_changes(batch_spark, users_df):
+        """Recover the touched keys' accumulated CHANGE LIST from the
+        newest epoch snapshot per key (empty frame on epoch 0)."""
+        try:
+            prev = batch_spark.read.option("basePath", out_dir).parquet(
+                os.path.join(out_dir, "epoch=*")
+            )
+        except Exception:
+            return None
+        latest = F.max("batch_id").over(Window.partitionBy("user_id"))
+        return (
+            prev.join(users_df, "user_id")
+            .withColumn("mx", latest)
+            .filter(F.col("batch_id") == F.col("mx"))
+            .select("user_id", "event_id", F.col("valid_from").alias("ts"), "value")
+        )
+
+    def apply_cdc(batch_df, epoch_id: int) -> None:
+        changes = batch_df.select("user_id", "event_id", "ts", "value")
+        touched = changes.select("user_id").distinct()
+        prev = current_changes(batch_df.sparkSession, touched)
+        if prev is not None:
+            changes = changes.unionByName(prev)
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        versions = changes.select(
+            "user_id",
+            "event_id",
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+            "value",
+            F.lead("ts").over(w).isNull().alias("is_current"),
+        ).withColumn("batch_id", F.lit(int(epoch_id)))
+        versions.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"epoch={epoch_id}")
+        )
+
+    with scoped_state_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(apply_cdc)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="hc_scd2_ck_")
+            )
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+
+    snaps = spark.read.option("basePath", out_dir).parquet(
+        os.path.join(out_dir, "epoch=*")
+    )
+    latest = F.max("batch_id").over(Window.partitionBy("user_id"))
+    return (
+        snaps.withColumn("mx", latest)
+        .filter(F.col("batch_id") == F.col("mx"))
+        .select("user_id", "valid_from", "valid_to", "value", "is_current")
+    )
