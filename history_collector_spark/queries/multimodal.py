@@ -25,7 +25,7 @@ import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
@@ -1401,4 +1401,113 @@ def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id bigint, width int, height int, n_colors int, "
             "pixel_sum bigint, decode_status string"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Voice-activity segmentation (VAD): threshold the per-window energy and
+# emit maximal ACTIVE runs — the segmentation step an ASR data pipeline
+# runs to cut recordings into speech spans before transcription.
+# ---------------------------------------------------------------------------
+
+_VAD_THRESHOLD = 9000  # mean squared-sample threshold per window (integer)
+
+
+def _audio_ssq_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Integer sum-of-squares per PCM window (exact int64 math — the
+    activity threshold then compares integers, so segmentation is
+    bit-deterministic; rms floats never enter the decision)."""
+    import numpy as np
+
+    for pdf in batches:
+        out = {"doc_id": [], "window_idx": [], "ssq": []}
+        for doc_id, blob in zip(pdf["doc_id"], pdf["data"]):
+            b = bytes(blob)
+            arr = np.frombuffer(b[: len(b) // 2 * 2], dtype="<u2")
+            n_win = min(len(arr) // _AUDIO_WIN, _AUDIO_MAX_WIN)
+            for wi in range(n_win):
+                win = arr[wi * _AUDIO_WIN : (wi + 1) * _AUDIO_WIN].astype(
+                    np.int64
+                )
+                out["doc_id"].append(int(doc_id))
+                out["window_idx"].append(wi)
+                out["ssq"].append(int((win * win).sum()))
+        yield pd.DataFrame(out)
+
+
+@register(
+    "multimodal_audio_vad_segments",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, wi,
+             list_sum(list_transform(range(1, {_AUDIO_WIN + 1}),
+               j -> (1 * ascii(substr(text, 2 * (wi * {_AUDIO_WIN} + j) - 1, 1))
+                     + 256 * ascii(substr(text, 2 * (wi * {_AUDIO_WIN} + j), 1)))
+                  * (1 * ascii(substr(text, 2 * (wi * {_AUDIO_WIN} + j) - 1, 1))
+                     + 256 * ascii(substr(text, 2 * (wi * {_AUDIO_WIN} + j), 1)))
+             )) AS ssq
+      FROM documents, (SELECT unnest(range({_AUDIO_MAX_WIN})) AS wi)
+      WHERE octet_length(encode(text)) >= 2 * {_AUDIO_WIN} * (wi + 1)
+    ), flags AS (
+      SELECT doc_id, wi, ssq,
+             (ssq >= {_VAD_THRESHOLD} * {_AUDIO_WIN}) AS active
+      FROM w
+    ), marked AS (
+      SELECT doc_id, wi, ssq,
+             CASE WHEN wi - 1 = lag(wi) OVER (PARTITION BY doc_id ORDER BY wi)
+                  THEN 0 ELSE 1 END AS new_run
+      FROM flags WHERE active
+    ), runs AS (
+      SELECT doc_id, wi, ssq,
+             sum(new_run) OVER (PARTITION BY doc_id ORDER BY wi
+                                ROWS UNBOUNDED PRECEDING) AS seg
+      FROM marked
+    )
+    SELECT doc_id, CAST(seg AS INT) AS seg_idx,
+           CAST(min(wi) AS INT) AS start_win,
+           CAST(max(wi) AS INT) AS end_win,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(sum(ssq) AS BIGINT) AS energy_sum
+    FROM runs GROUP BY doc_id, seg
+    """,
+)
+def multimodal_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cut each PCM asset into maximal runs of ACTIVE windows (integer
+    mean-square >= {_VAD_THRESHOLD}): the kernel emits exact int64
+    window energies under the same per-asset frame budget as
+    multimodal_audio_energy, and a per-doc gaps-and-islands window
+    turns the active flags into segments. Because the activity
+    decision compares INTEGERS, segmentation is bit-deterministic —
+    no float threshold flip can move a boundary.
+
+    Scale shape: map-only kernel (budgeted windows per asset) + one
+    doc-keyed window pass + bounded (doc, segment) reduce — the ASR
+    pre-segmentation profile at corpus scale.
+    """
+    blobs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("data")
+    )
+    wins = blobs.mapInPandas(
+        _audio_ssq_batches, schema="doc_id long, window_idx int, ssq long"
+    )
+    active = wins.filter(
+        F.col("ssq") >= F.lit(_VAD_THRESHOLD * _AUDIO_WIN)
+    )
+    w = Window.partitionBy("doc_id").orderBy("window_idx")
+    runs = active.withColumn(
+        "new_run",
+        F.when(
+            F.col("window_idx") - 1 == F.lag("window_idx").over(w), 0
+        ).otherwise(1),
+    ).withColumn(
+        "seg",
+        F.sum("new_run").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return runs.groupBy("doc_id", F.col("seg").cast("int").alias("seg_idx")).agg(
+        F.min("window_idx").alias("start_win"),
+        F.max("window_idx").alias("end_win"),
+        F.count("*").alias("n_windows"),
+        F.sum("ssq").alias("energy_sum"),
     )

@@ -1039,3 +1039,102 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank") <= _RAKE_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney bigram probabilities (Kneser & Ney 1995 / Chen & Goodman
+# 1998, public formulation) — the smoothing every production n-gram LM
+# uses: absolute discounting plus a CONTINUATION back-off (how many
+# contexts a word completes, not how often it occurs).
+# ---------------------------------------------------------------------------
+
+_KN_D = 0.75
+_KN_TOP = 50
+
+
+@register(
+    "text_kneser_ney_bigrams",
+    oracle=f"""
+    WITH toks AS (
+      SELECT string_split_regex(lower(text), '\\s+') AS t FROM documents
+    ), bg AS (
+      SELECT unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+             unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS w2
+      FROM toks
+    ), cb AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2
+    ), cl AS (
+      SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+             CAST(count(*) AS BIGINT) AS n_right
+      FROM cb GROUP BY w1
+    ), cr AS (
+      SELECT w2, CAST(count(*) AS BIGINT) AS n_left FROM cb GROUP BY w2
+    ), tot AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM cb)
+    SELECT w1, w2, c12, c1, n_right, n_left, n_types,
+           (greatest(c12 - {_KN_D}, 0.0) / c1)
+             + ((({_KN_D} * n_right) / c1) * ((1.0 * n_left) / n_types))
+             AS p_kn,
+           rank
+    FROM (
+      SELECT cb.w1, cb.w2, cb.c12, cl.c1, cl.n_right, cr.n_left, tot.n_types,
+             CAST(row_number() OVER (ORDER BY cb.c12 DESC, cb.w1, cb.w2)
+                  AS INT) AS rank
+      FROM cb JOIN cl USING (w1) JOIN cr USING (w2) CROSS JOIN tot
+    ) WHERE rank <= {_KN_TOP}
+    """,
+)
+def text_kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney probability for the corpus's top
+    {_KN_TOP} bigrams: P(w2|w1) = max(c12 - d, 0)/c1 +
+    (d * |right types of w1| / c1) * (|left contexts of w2| / |bigram
+    types|), d = {_KN_D}. The continuation term is KN's insight — a
+    word that completes MANY contexts backs off high even if rare
+    (the "san francisco" test: "francisco" is frequent but only ever
+    follows "san", so its continuation probability is tiny).
+
+    Scale shape: bigram formation is map-only over the token array;
+    every count table is vocabulary-bounded and map-side combined;
+    the rank window runs over the distinct-bigram aggregate. All
+    inputs to p_kn are exact integers and the expression uses the
+    same parenthesized op order on both engines (parity-audited).
+    """
+    toks = table(spark, sf_dir, "documents").select(
+        F.split(F.lower(F.col("text")), r"\s+").alias("t")
+    )
+    bg = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("t", 1, F.greatest(F.size("t") - 1, F.lit(0))),
+                F.slice("t", 2, F.greatest(F.size("t") - 1, F.lit(0))),
+            )
+        ).alias("p")
+    ).select(F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+    cb = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    cl = cb.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count("*").alias("n_right")
+    )
+    cr = cb.groupBy("w2").agg(F.count("*").alias("n_left"))
+    tot = cb.agg(F.count("*").alias("n_types"))
+    joined = (
+        cb.join(cl, "w1")
+        .join(cr, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1", "w2", "c12", "c1", "n_right", "n_left", "n_types",
+            F.row_number()
+            .over(Window.orderBy(F.col("c12").desc(), "w1", "w2"))
+            .alias("rank"),
+        )
+        .filter(F.col("rank") <= _KN_TOP)
+    )
+    p_kn = (
+        F.greatest(F.col("c12") - F.lit(_KN_D), F.lit(0.0)) / F.col("c1")
+    ) + (
+        ((F.lit(_KN_D) * F.col("n_right")) / F.col("c1"))
+        * ((F.lit(1.0) * F.col("n_left")) / F.col("n_types"))
+    )
+    return joined.select(
+        "w1", "w2", "c12", "c1", "n_right", "n_left", "n_types",
+        p_kn.alias("p_kn"),
+        "rank",
+    )
