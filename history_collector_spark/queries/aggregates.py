@@ -879,3 +879,66 @@ def orders_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.partitionBy("priority").orderBy("price"))
         .alias("frontier_pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact weighted median: the order statistic where every row counts
+# with its own mass — the price point at which half the shipped
+# QUANTITY is cheaper, not half the line items.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lineitem_weighted_median",
+    oracle="""
+    WITH cum AS (
+      SELECT l_returnflag, l_extendedprice, l_quantity,
+             sum(l_quantity) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ROWS UNBOUNDED PRECEDING) AS cw,
+             sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           min(l_extendedprice) AS weighted_median_price,
+           CAST(min(tw) AS BIGINT) AS total_quantity
+    FROM cum WHERE 2 * cw >= tw
+    GROUP BY l_returnflag
+    """,
+)
+def lineitem_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per return flag: the smallest price whose cumulative shipped
+    quantity reaches half the group's total — the exact
+    quantity-weighted median (lower weighted median convention).
+
+    Scale shape: one shuffle on the bounded l_returnflag key, an
+    in-partition ordered pass for the cumulative weight, and a
+    bounded-key reduce. The selected value is a STORED double and the
+    2*cw >= tw comparison is over sums of whole-number quantities
+    (exact in double), so the answer is bit-deterministic — the
+    weighted sibling of exact_percentiles, with the same
+    "pre-aggregate then scan" discipline as the skyline query.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    cum = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("l_quantity")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cw"),
+        F.sum("l_quantity")
+        .over(Window.partitionBy("l_returnflag"))
+        .alias("tw"),
+    )
+    return (
+        cum.filter(F.lit(2) * F.col("cw") >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("l_extendedprice").alias("weighted_median_price"),
+            F.min("tw").cast("long").alias("total_quantity"),
+        )
+    )
