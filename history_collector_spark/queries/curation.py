@@ -1221,3 +1221,119 @@ def curation_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         start.alias("span_start"),
         F.lit(_SPAN_LEN).cast("int").alias("span_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Water-filling quota allocation: split a global token budget across
+# sources as alloc_i = min(demand_i, level), with the water level the
+# unique value making the allocations sum to the budget — the max-min
+# fair answer to "cap the big sources, never starve the small ones".
+# Closed form via one sorted cumulative pass (no iteration).
+# ---------------------------------------------------------------------------
+
+_WF_BUDGET_NUM = 3  # budget = 3/5 of total demand (forces capping)
+_WF_BUDGET_DEN = 5
+
+
+@register(
+    "curation_quota_water_filling",
+    oracle=f"""
+    WITH demand AS (
+      SELECT source, CAST(sum(n_chars) AS BIGINT) AS d
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(sum(d) * {_WF_BUDGET_NUM} / {_WF_BUDGET_DEN} AS DOUBLE)
+               AS budget,
+             CAST(count(*) AS BIGINT) AS n
+      FROM demand
+    ), ranked AS (
+      SELECT source, d,
+             row_number() OVER (ORDER BY d, source) AS k,
+             sum(d) OVER (ORDER BY d, source
+                          ROWS UNBOUNDED PRECEDING) - d AS p_below
+      FROM demand
+    ), levels AS (
+      SELECT r.source, r.d, r.k,
+             (t.budget - r.p_below) / (t.n - r.k + 1) AS lvl
+      FROM ranked r, tot t
+    ), pick AS (
+      -- the level regime starts at the FIRST ascending-demand rank
+      -- whose candidate level stops exceeding its demand; later rows'
+      -- candidates are bogus (they subtract demands that were never
+      -- fully granted), so take the lvl at the smallest such k. The
+      -- aggregate yields a single NULL row when nothing qualifies
+      -- (budget >= total demand -> nobody capped).
+      SELECT arg_min(lvl, k) AS level FROM levels WHERE lvl <= d
+    )
+    SELECT l.source, l.d AS demand,
+           CASE WHEN p.level IS NULL OR l.d <= p.level
+                THEN CAST(l.d AS DOUBLE) ELSE p.level END AS alloc,
+           (p.level IS NOT NULL AND l.d > p.level) AS capped
+    FROM levels l, pick p
+    """,
+)
+def curation_quota_water_filling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allocate {_WF_BUDGET_NUM}/{_WF_BUDGET_DEN} of total demand across
+    sources by water-filling: sort demands ascending, and the first
+    rank k where the candidate level (remaining budget over remaining
+    sources) no longer exceeds that source's demand fixes the level;
+    smaller sources keep their full demand, larger ones are capped AT
+    the level. One sorted pass — no fixed-point loop — and the level
+    arithmetic is a single division of exact integer sums, so
+    allocations are engine-stable.
+
+    Scale shape: demands are a bounded-key aggregate; the rank/cumsum
+    window runs over source-cardinality rows (tiny relative to data);
+    total and level ride 1-row broadcasts. The same plan shape works
+    for thousands of tenants — it is the token-budget sibling of
+    curation_source_quota's proportional split.
+    """
+    docs = table(spark, sf_dir, "documents")
+    demand = docs.groupBy("source").agg(F.sum("n_chars").alias("d"))
+    tot = demand.agg(
+        (
+            F.sum("d").cast("double")
+            * F.lit(_WF_BUDGET_NUM)
+            / F.lit(_WF_BUDGET_DEN)
+        ).alias("budget"),
+        F.count("*").alias("n"),
+    )
+    w = Window.orderBy("d", "source")
+    ranked = demand.select(
+        "source",
+        "d",
+        F.row_number().over(w).alias("k"),
+        (
+            F.sum("d").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            - F.col("d")
+        ).alias("p_below"),
+    )
+    levels = ranked.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "d",
+        "k",
+        (
+            (F.col("budget") - F.col("p_below")) / (F.col("n") - F.col("k") + 1)
+        ).alias("lvl"),
+    )
+    # first qualifying rank fixes the level (see oracle comment); the
+    # min_by aggregate returns a single NULL row when nothing qualifies
+    # (budget covers total demand -> nobody capped)
+    pick = levels.filter(F.col("lvl") <= F.col("d")).agg(
+        F.min_by("lvl", "k").alias("level")
+    )
+    return levels.crossJoin(F.broadcast(pick)).select(
+        "source",
+        F.col("d").alias("demand"),
+        F.when(
+            F.col("level").isNull() | (F.col("d") <= F.col("level")),
+            F.col("d").cast("double"),
+        )
+        .otherwise(F.col("level"))
+        .alias("alloc"),
+        (F.col("level").isNotNull() & (F.col("d") > F.col("level"))).alias(
+            "capped"
+        ),
+    )

@@ -263,3 +263,25 @@ def test_vad_integer_threshold_is_inclusive():
     assert ssq == _AUDIO_WIN * s * s
     # the query-side predicate: ssq >= THRESHOLD * WIN
     assert (ssq >= _VAD_THRESHOLD * _AUDIO_WIN) == (s * s >= _VAD_THRESHOLD)
+
+
+def test_water_filling_allocation_invariants(spark):
+    """Water-filling must (a) spend exactly the budget when capping,
+    (b) never exceed a source's demand, (c) be max-min fair: every
+    capped source's allocation (the level) >= every uncapped demand."""
+    rows = registry.QUERIES["curation_quota_water_filling"](
+        spark, TEST_SF_DIR
+    ).collect()
+    assert rows
+    total_demand = sum(r["demand"] for r in rows)
+    budget = total_demand * 3 / 5
+    total_alloc = sum(r["alloc"] for r in rows)
+    assert abs(total_alloc - budget) < 1e-6 * budget
+    capped_levels = {r["alloc"] for r in rows if r["capped"]}
+    uncapped = [r for r in rows if not r["capped"]]
+    for r in rows:
+        assert r["alloc"] <= r["demand"] + 1e-9
+    if capped_levels:
+        level = min(capped_levels)
+        for r in uncapped:
+            assert r["demand"] <= level + 1e-9
