@@ -1511,3 +1511,92 @@ def multimodal_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count("*").alias("n_windows"),
         F.sum("ssq").alias("energy_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hash (average-hash family): a content fingerprint that
+# survives re-encoding — the image analogue of text near-dup hashing.
+# One bit per pixel: is this pixel brighter than the image mean?
+# ---------------------------------------------------------------------------
+
+
+def _ahash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            w, h = 3 + d % 5, 2 + d % 3
+            yy, xx, cc = np.meshgrid(
+                np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+            )
+            px = ((d * 31 + yy * 7 + xx * 3 + cc) % 256).astype(np.uint8)
+            img = decode_image(encode_bmp(px)).astype(np.int64)  # REAL path
+            gray3 = img.sum(axis=2)  # 3x the mean-free gray, exact ints
+            npix = w * h
+            total = int(gray3.sum())
+            # integer cross-multiply avoids any float mean: bit set iff
+            # gray3 * npix >= total  <=>  gray >= mean(gray)
+            bits = (gray3 * npix >= total).astype(np.int64)
+            pos = (yy[:, :, 0] * w + xx[:, :, 0]).astype(np.int64)
+            phash = int((bits << pos).sum())
+            rows.append((d, w, h, phash, int(bits.sum())))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "width", "height", "phash", "n_bits_set"]
+        )
+
+
+@register(
+    "multimodal_image_ahash",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 3 + doc_id % 5 AS w, 2 + doc_id % 3 AS h
+      FROM documents WHERE doc_id % 7 = 0
+    ), px AS (
+      SELECT d.doc_id, d.w, d.h, y.y, x.x,
+             (d.doc_id * 31 + y.y * 7 + x.x * 3 + 0) % 256
+             + (d.doc_id * 31 + y.y * 7 + x.x * 3 + 1) % 256
+             + (d.doc_id * 31 + y.y * 7 + x.x * 3 + 2) % 256 AS gray3
+      FROM dims d, range(0, 4) y(y), range(0, 7) x(x)
+      WHERE y.y < d.h AND x.x < d.w
+    ), tot AS (
+      SELECT doc_id, sum(gray3) AS total, count(*) AS npix FROM px
+      GROUP BY doc_id
+    )
+    SELECT p.doc_id,
+           CAST(min(p.w) AS INT) AS width, CAST(min(p.h) AS INT) AS height,
+           CAST(sum(CASE WHEN p.gray3 * t.npix >= t.total
+                    THEN CAST(1 AS BIGINT) << (p.y * p.w + p.x)
+                    ELSE 0 END) AS BIGINT) AS phash,
+           CAST(sum(CASE WHEN p.gray3 * t.npix >= t.total THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bits_set
+    FROM px p JOIN tot t USING (doc_id)
+    GROUP BY p.doc_id
+    """,
+)
+def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average-hash fingerprints computed through the REAL
+    encode->decode path: one bit per pixel (brighter than the image
+    mean, decided by integer cross-multiplication so no float mean can
+    flip a bit), packed into a bigint — the content-level image
+    near-dup key that byte-exact digests can't provide (a re-encoded
+    copy keeps its aHash; its md5 changes). Downstream dedup buckets
+    on the hash or on band substrings for Hamming-tolerant matching,
+    exactly like dedup_simhash does for text.
+
+    Scale shape: pure map over pruned ids; fingerprints are 8 bytes a
+    row. Bit-exact by construction (all-integer pipeline).
+    """
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 7 == 0)
+        .select("doc_id")
+    )
+    return docs.mapInPandas(
+        _ahash_batches,
+        schema=(
+            "doc_id bigint, width int, height int, "
+            "phash bigint, n_bits_set bigint"
+        ),
+    )
