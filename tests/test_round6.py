@@ -285,3 +285,28 @@ def test_water_filling_allocation_invariants(spark):
         level = min(capped_levels)
         for r in uncapped:
             assert r["demand"] <= level + 1e-9
+
+
+def test_kmeans_training_monotone(spark):
+    """Lloyd's algorithm guarantees WSS never increases across
+    iterations; the elbow profile must also be weakly decreasing in k
+    at the final iterate (richer models fit no worse on seeds that
+    nest). Empty-cluster guard keeps n_empty bookkeeping honest."""
+    rows = registry.QUERIES["cluster_kmeans_train"](
+        spark, TEST_SF_DIR
+    ).collect()
+    assert rows
+    by_k: dict[int, list] = {}
+    for r in rows:
+        by_k.setdefault(r["k"], []).append((r["iter"], r["wss"], r["n_empty"]))
+    finals = {}
+    for k, hist in by_k.items():
+        hist.sort()
+        assert [i for i, _, _ in hist] == list(range(len(hist)))
+        for (_, w1, _), (_, w2, _) in zip(hist, hist[1:]):
+            assert w2 <= w1 + 1e-9, f"k={k}: WSS increased {w1} -> {w2}"
+        assert all(e >= 0 for _, _, e in hist)
+        finals[k] = hist[-1][1]
+    ks = sorted(finals)
+    for ka, kb in zip(ks, ks[1:]):
+        assert finals[kb] <= finals[ka] + 1e-6, (finals, "elbow not monotone")
