@@ -734,3 +734,79 @@ def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dau") / F.col("mau28").cast("double")).alias("stickiness"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-changepoint detection via binary segmentation: recursively
+# split the (bounded) daily series at the SSE-minimizing day — the
+# multi-break extension of cusum_changepoint, with the recursion on
+# calendar-bounded state and every heavy count distributed.
+# ---------------------------------------------------------------------------
+
+_BINSEG_MAX_CP = 5
+_BINSEG_MIN_SEG = 3  # days per side
+
+
+@register("event_changepoints_binseg")  # rows-only: recursion is not SQL
+def event_changepoints_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_BINSEG_MAX_CP} changepoints of the daily event-count
+    series by greedy binary segmentation: each step splits the segment
+    whose best within-segment split removes the most squared error.
+    The distributed work is the one daily aggregate (map-side
+    combined); the recursion runs driver-side on the CALENDAR-bounded
+    series (days, not events — ~30 rows/month regardless of volume),
+    the same bounded-state discipline as the whitening eigh and the
+    k-means loop.
+
+    Verified by tests/test_round6.py::test_binseg_changepoints:
+    every reported split has positive gain, splits respect the
+    min-segment guard, and gains are non-increasing (greedy order).
+    """
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("day")
+        .collect()  # BOUNDED: one row per calendar day
+    )
+    days = [r["day"] for r in daily]
+    y = [float(r["n"]) for r in daily]
+
+    def sse(lo: int, hi: int) -> float:  # [lo, hi)
+        seg = y[lo:hi]
+        if not seg:
+            return 0.0
+        m = sum(seg) / len(seg)
+        return sum((v - m) ** 2 for v in seg)
+
+    def best_split(lo: int, hi: int):
+        base = sse(lo, hi)
+        best = (0.0, None)
+        for cut in range(lo + _BINSEG_MIN_SEG, hi - _BINSEG_MIN_SEG + 1):
+            gain = base - sse(lo, cut) - sse(cut, hi)
+            if best[1] is None or gain > best[0]:
+                best = (gain, cut)
+        return best
+
+    segments = [(0, len(y))]
+    found: list[tuple] = []
+    for order in range(_BINSEG_MAX_CP):
+        candidates = []
+        for lo, hi in segments:
+            if hi - lo >= 2 * _BINSEG_MIN_SEG:
+                gain, cut = best_split(lo, hi)
+                if cut is not None and gain > 0:
+                    candidates.append((gain, cut, lo, hi))
+        if not candidates:
+            break
+        gain, cut, lo, hi = max(candidates)
+        lmean = sum(y[lo:cut]) / (cut - lo)
+        rmean = sum(y[cut:hi]) / (hi - cut)
+        found.append((order, days[cut], float(gain), lmean, rmean))
+        segments.remove((lo, hi))
+        segments += [(lo, cut), (cut, hi)]
+    return spark.createDataFrame(
+        found,
+        "split_order int, change_day timestamp, sse_gain double, "
+        "mean_before double, mean_after double",
+    )

@@ -698,3 +698,79 @@ def user_ltv_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts").alias("last_seen"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov stationary behavior profile: the long-run fraction of time a
+# user's journey spends in each event state — power-iterated from the
+# transition counts, with the matrix solve on BOUNDED state (one cell
+# per state pair; states = event types).
+# ---------------------------------------------------------------------------
+
+_MARKOV_ITERS = 200
+
+
+@register("events_markov_stationary")  # rows-only: power iteration is not SQL
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the per-user event-type Markov chain:
+    transition counts come from ONE distributed window pass (lag of
+    event_type per user), the row-normalized matrix is
+    states x states — bounded by the event-type vocabulary, a handful
+    of cells at any corpus size — and the driver power-iterates pi'
+    = pi P to the fixed point. Output: state, stationary probability,
+    empirical visit share, and the gap between them (mixing
+    diagnostic).
+
+    Verified by the pinned property test
+    tests/test_round6.py::test_markov_stationary_fixed_point:
+    pi P == pi to 1e-12 and pi sums to 1.
+    """
+    import numpy as np
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.lag("event_type").over(w).alias("s_from"),
+            F.col("event_type").alias("s_to"),
+        )
+        .filter(F.col("s_from").isNotNull())
+        .groupBy("s_from", "s_to")
+        .agg(F.count("*").alias("n"))
+        .collect()  # BOUNDED: one row per state pair
+    )
+    visits = {
+        r["event_type"]: r["cnt"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    states = sorted(visits)
+    idx = {s: i for i, s in enumerate(states)}
+    n = len(states)
+    P = np.zeros((n, n))
+    for r in pairs:
+        P[idx[r["s_from"]], idx[r["s_to"]]] = r["n"]
+    rowsum = P.sum(axis=1, keepdims=True)
+    # states with no outgoing edges restart uniformly (ergodicity guard)
+    P = np.where(rowsum > 0, P / np.where(rowsum == 0, 1, rowsum), 1.0 / n)
+    pi = np.full(n, 1.0 / n)
+    for _ in range(_MARKOV_ITERS):
+        nxt = pi @ P
+        if float(np.abs(nxt - pi).sum()) < 1e-15:
+            pi = nxt
+            break
+        pi = nxt
+    total_visits = sum(visits.values())
+    out = [
+        (
+            s,
+            float(pi[i]),
+            visits[s] / total_visits,
+            float(abs(pi[i] - visits[s] / total_visits)),
+        )
+        for i, s in enumerate(states)
+    ]
+    return spark.createDataFrame(
+        out, "state string, stationary double, visit_share double, gap double"
+    )

@@ -310,3 +310,88 @@ def test_kmeans_training_monotone(spark):
     ks = sorted(finals)
     for ka, kb in zip(ks, ks[1:]):
         assert finals[kb] <= finals[ka] + 1e-6, (finals, "elbow not monotone")
+
+
+def test_markov_stationary_fixed_point(spark):
+    """pi must be a genuine fixed point of the row-normalized
+    transition matrix (recomputed independently here) and a proper
+    distribution."""
+    import duckdb
+    import numpy as np
+
+    rows = registry.QUERIES["events_markov_stationary"](
+        spark, TEST_SF_DIR
+    ).collect()
+    states = [r["state"] for r in rows]
+    pi = np.array([r["stationary"] for r in rows])
+    assert abs(pi.sum() - 1.0) < 1e-9
+    assert (pi >= 0).all()
+    con = duckdb.connect()
+    pairs = con.sql(
+        f"""
+        WITH ordered AS (
+          SELECT user_id, event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev
+          FROM '{TEST_SF_DIR}/events.parquet'
+        )
+        SELECT prev, event_type, count(*) FROM ordered
+        WHERE prev IS NOT NULL GROUP BY 1, 2
+        """
+    ).fetchall()
+    idx = {s: i for i, s in enumerate(states)}
+    n = len(states)
+    P = np.zeros((n, n))
+    for a, b, c in pairs:
+        P[idx[a], idx[b]] = c
+    rs = P.sum(axis=1, keepdims=True)
+    P = np.where(rs > 0, P / np.where(rs == 0, 1, rs), 1.0 / n)
+    assert np.abs(pi @ P - pi).max() < 1e-9
+
+
+def test_binseg_changepoints(spark):
+    """Binseg accounting invariant: the final segmentation's total SSE
+    must equal the whole-series SSE minus the sum of reported gains —
+    exact bookkeeping of every split. (Gains themselves are NOT
+    monotone across greedy rounds: a split can unmask a sharper change
+    inside a sub-segment.) Also: positive gains, unique split days."""
+    import duckdb
+
+    rows = sorted(
+        registry.QUERIES["event_changepoints_binseg"](
+            spark, TEST_SF_DIR
+        ).collect(),
+        key=lambda r: r["split_order"],
+    )
+    assert rows, "no changepoints found on the fixture series"
+    gains = [r["sse_gain"] for r in rows]
+    assert all(g > 0 for g in gains)
+    days = sorted(r["change_day"] for r in rows)
+    assert len(set(days)) == len(days)
+
+    con = duckdb.connect()
+    series = con.sql(
+        f"""
+        SELECT date_trunc('day', ts) AS day, count(*) AS n
+        FROM '{TEST_SF_DIR}/events.parquet' GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+    y = [float(n) for _, n in series]
+    # DuckDB hands back date objects; Spark timestamps -> normalize
+    day_set = {d.date() for d in days}
+    cuts = [
+        i
+        for i, (d, _) in enumerate(series)
+        if (d.date() if hasattr(d, "date") else d) in day_set
+    ]
+    assert len(cuts) == len(days)
+
+    def sse(seg):
+        m = sum(seg) / len(seg)
+        return sum((v - m) ** 2 for v in seg)
+
+    bounds = [0] + sorted(cuts) + [len(y)]
+    final_sse = sum(
+        sse(y[a:b]) for a, b in zip(bounds, bounds[1:]) if b > a
+    )
+    assert abs((sse(y) - sum(gains)) - final_sse) < 1e-6 * max(1.0, sse(y))
