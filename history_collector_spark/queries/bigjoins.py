@@ -28,7 +28,7 @@ import os
 import tempfile
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from history_collector_spark.catalog import table
@@ -715,4 +715,95 @@ def exchange_reuse_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nation",
         "revenue",
         (F.col("revenue") / F.col("total")).alias("revenue_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Customer segment-migration matrix: spend tertile in the first half of
+# the time range vs the second — the cohort-movement BI table behind
+# "are our mid-tier customers upgrading or churning".
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_migration_matrix",
+    oracle="""
+    WITH bounds AS (
+      SELECT min(o_orderdate) AS mn,
+             min(o_orderdate)
+               + (max(o_orderdate) - min(o_orderdate)) / 2 AS mid
+      FROM orders
+    ), halves AS (
+      SELECT o_custkey,
+             CASE WHEN o_orderdate < b.mid THEN 1 ELSE 2 END AS half,
+             sum(o_totalprice) AS spend
+      FROM orders, bounds b
+      GROUP BY 1, 2
+    ), seg AS (
+      SELECT o_custkey, half,
+             ntile(3) OVER (PARTITION BY half
+                            ORDER BY spend, o_custkey) AS tertile
+      FROM halves
+    )
+    SELECT a.tertile AS from_tertile, b.tertile AS to_tertile,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM seg a JOIN seg b ON a.o_custkey = b.o_custkey
+     AND a.half = 1 AND b.half = 2
+    GROUP BY 1, 2
+    """,
+)
+def customer_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3x3 migration matrix: each customer's spend tertile in the first
+    half of the order-date range against their tertile in the second
+    (customers active in only one half drop out of the matrix — they
+    are the separate churn/new-logo rows a dashboard adds).
+
+    Scale shape: per-(customer, half) spend is one map-side-combined
+    aggregate; tertiles are a per-half rank pass over the customer
+    aggregate (deterministic (spend, custkey) order); the self-join
+    keys on customer and the final matrix is 9 cells. The date
+    midpoint rides a 1-row broadcast.
+    """
+    o = table(spark, sf_dir, "orders")
+    # o_orderdate ships as TIMESTAMP_NTZ in this vintage; hop through
+    # TIMESTAMP for the micros math, back to NTZ for the comparison
+    b = o.agg(
+        F.min("o_orderdate").cast("timestamp").alias("mn"),
+        F.max("o_orderdate").cast("timestamp").alias("mx"),
+    ).select(
+        F.timestamp_micros(
+            ((F.unix_micros("mn") + F.unix_micros("mx")) / 2).cast("long")
+        )
+        .cast("timestamp_ntz")
+        .alias("mid")
+    )
+    halves = (
+        o.crossJoin(F.broadcast(b))
+        .select(
+            "o_custkey",
+            F.when(F.col("o_orderdate") < F.col("mid"), 1)
+            .otherwise(2)
+            .alias("half"),
+            "o_totalprice",
+        )
+        .groupBy("o_custkey", "half")
+        .agg(F.sum("o_totalprice").alias("spend"))
+    )
+    seg = halves.select(
+        "o_custkey",
+        "half",
+        F.ntile(3)
+        .over(Window.partitionBy("half").orderBy("spend", "o_custkey"))
+        .alias("tertile"),
+    )
+    a = seg.filter(F.col("half") == 1).select(
+        "o_custkey", F.col("tertile").alias("from_tertile")
+    )
+    bb = seg.filter(F.col("half") == 2).select(
+        "o_custkey", F.col("tertile").alias("to_tertile")
+    )
+    return (
+        a.join(bb, "o_custkey")
+        .groupBy("from_tertile", "to_tertile")
+        .agg(F.count("*").alias("n_customers"))
     )

@@ -1138,3 +1138,105 @@ def text_kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         p_kn.alias("p_kn"),
         "rank",
     )
+
+
+# ---------------------------------------------------------------------------
+# Burrows' Delta (Burrows 2002, public stylometry formulation): distance
+# between sources in z-scored most-frequent-word space — the corpus
+# forensics measure for "do these two sources share an author/register".
+# ---------------------------------------------------------------------------
+
+_DELTA_TOP_WORDS = 30
+
+
+@register(
+    "text_burrows_delta",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest(string_split_regex(lower(text), '\\s+')) AS w
+      FROM documents
+    ), stok AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_tok FROM tok GROUP BY source
+    ), topw AS (
+      SELECT w FROM (
+        SELECT w, row_number() OVER (ORDER BY count(*) DESC, w) AS rn
+        FROM tok GROUP BY w
+      ) WHERE rn <= {_DELTA_TOP_WORDS}
+    ), freq AS (
+      SELECT t.source, t.w,
+             (1.0 * count(*)) / min(s.n_tok) AS f
+      FROM tok t JOIN topw USING (w) JOIN stok s ON s.source = t.source
+      GROUP BY t.source, t.w
+    ), grid AS (
+      SELECT s.source, topw.w, coalesce(f.f, 0.0) AS f
+      FROM stok s CROSS JOIN topw
+      LEFT JOIN freq f ON f.source = s.source AND f.w = topw.w
+    ), stats AS (
+      SELECT w, avg(f) AS mu, greatest(stddev_samp(f), 1e-30) AS sd
+      FROM grid GROUP BY w
+    ), z AS (
+      SELECT g.source, g.w, (g.f - st.mu) / st.sd AS z
+      FROM grid g JOIN stats st USING (w)
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           avg(abs(a.z - b.z)) AS delta
+    FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+)
+def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Burrows' Delta between sources over the corpus's top
+    {_DELTA_TOP_WORDS} words: relative frequencies z-scored ACROSS
+    sources per word (zero-variance guard at 1e-30), then the mean
+    absolute z-difference per source pair. Low delta = similar
+    register/style; the measure that found Elena Ferrante.
+
+    Scale shape: the only corpus-sized pass is the (source, word)
+    count with the broadcast top-word filter; everything after runs on
+    sources x {_DELTA_TOP_WORDS} rows, and the pair join is over the
+    bounded source vocabulary. Frequencies are single int/int
+    divisions; downstream z-arithmetic is drift-class only.
+    """
+    tok = table(spark, sf_dir, "documents").select(
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w"),
+    )
+    stok = tok.groupBy("source").agg(F.count("*").alias("n_tok"))
+    topw = (
+        tok.groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "w",
+            F.row_number()
+            .over(Window.orderBy(F.col("n").desc(), "w"))
+            .alias("rn"),
+        )
+        .filter(F.col("rn") <= _DELTA_TOP_WORDS)
+        .select("w")
+    )
+    freq = (
+        tok.join(F.broadcast(topw), "w")
+        .join(stok, "source")
+        .groupBy("source", "w")
+        .agg(((F.lit(1.0) * F.count("*")) / F.min("n_tok")).alias("f"))
+    )
+    grid = (
+        stok.crossJoin(F.broadcast(topw))
+        .join(freq, ["source", "w"], "left")
+        .select("source", "w", F.coalesce("f", F.lit(0.0)).alias("f"))
+    )
+    stats = grid.groupBy("w").agg(
+        F.avg("f").alias("mu"),
+        F.greatest(F.stddev_samp("f"), F.lit(1e-30)).alias("sd"),
+    )
+    z = grid.join(F.broadcast(stats), "w").select(
+        "source", "w", ((F.col("f") - F.col("mu")) / F.col("sd")).alias("z")
+    )
+    a = z.select(F.col("source").alias("source_a"), "w", F.col("z").alias("za"))
+    b = z.select(F.col("source").alias("source_b"), "w", F.col("z").alias("zb"))
+    return (
+        a.join(F.broadcast(b), "w")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.avg(F.abs(F.col("za") - F.col("zb"))).alias("delta"))
+    )
