@@ -73,7 +73,10 @@ _LOADED = False
 # deliberately STAYS in the window to prove the r5 hash fix, and the
 # round-6 PNG codec roundtrip takes point_lookup's slot (Q2 remains
 # locally verified; account_history keeps the reference-sample-query
-# flag in the window).
+# flag in the window). Late-round swap: three round-6 flagships built
+# after the first rotation — the CDC->SCD2 streaming merge, the PQ-ADC
+# serving probe, and the GIF codec roundtrip — replace the long-stable
+# asof_join_last_signup / dedup_edit_distance / interval_coverage rows.
 PRIORITY_QUERIES = (
     "account_history",
     "multimodal_decode_png",
@@ -103,7 +106,7 @@ PRIORITY_QUERIES = (
     "ann_index_delta_merge",
     "embedding_covariance",
     "streaming_late_drop_e2e",
-    "asof_join_last_signup",
+    "streaming_scd2_cdc_e2e",
     "range_join_events",
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -112,11 +115,11 @@ PRIORITY_QUERIES = (
     "dedup_clusters",
     "dedup_exact_substring",
     "heavy_hitter_tokens",
-    "dedup_edit_distance",
+    "ann_pq_adc_topk",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "cluster_kmeans_step",
-    "interval_coverage",
+    "multimodal_decode_gif",
     "retrieval_mmr_rerank",
     "ann_recall_audit",
     "bpe_merge_step",
