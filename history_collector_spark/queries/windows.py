@@ -774,3 +774,116 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "state string, stationary double, visit_share double, gap double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov attribution (removal effect): which event types actually DRIVE
+# conversion — model each user's pre-purchase journey as a Markov chain
+# with absorbing CONV/NULL states, then credit each channel by how much
+# conversion probability disappears when that channel is knocked out.
+# ---------------------------------------------------------------------------
+
+
+@register("events_markov_attribution")  # rows-only: absorbing solve not SQL
+def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Removal-effect attribution over the event-type channels: the
+    distributed pass builds per-user journeys (events up to the first
+    purchase, START prefix, CONV/NULL absorbing ends) and reduces them
+    to transition counts — bounded by (channels + 3)^2 cells at any
+    corpus size. The driver solves the absorbing chain for P(conv)
+    from START, re-solves with each channel knocked out (its inbound
+    mass redirected to NULL), and normalizes the drops into
+    attribution shares.
+
+    Pinned properties (tests/test_round6.py::test_markov_attribution):
+    every knockout can only LOWER conversion probability (paths are
+    removed, never added), and shares sum to 1.
+    """
+    import numpy as np
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.struct("ts", "event_id"))
+        )
+        .over(Window.partitionBy("user_id"))
+        .alias("first_purchase"),
+    )
+    journey = marked.filter(
+        F.col("first_purchase").isNull()
+        | (F.struct("ts", "event_id") <= F.col("first_purchase"))
+    )
+    steps = journey.select(
+        "user_id",
+        F.coalesce(F.lag("event_type").over(w), F.lit("START")).alias("s_from"),
+        F.when(F.col("event_type") == "purchase", F.lit("CONV"))
+        .otherwise(F.col("event_type"))
+        .alias("s_to"),
+        F.lead("event_type").over(w).alias("nxt"),
+    )
+    trans = steps.select("s_from", "s_to").unionByName(
+        # journeys that end without converting fall into NULL
+        steps.filter(
+            F.col("nxt").isNull() & (F.col("s_to") != "CONV")
+        ).select(F.col("s_to").alias("s_from"), F.lit("NULL").alias("s_to"))
+    )
+    counts = (
+        trans.groupBy("s_from", "s_to").agg(F.count("*").alias("n")).collect()
+    )  # BOUNDED: (channels + 3)^2 cells
+
+    channels = sorted(
+        {r["s_from"] for r in counts} | {r["s_to"] for r in counts}
+        - {"START", "CONV", "NULL"}
+    )
+    states = ["START"] + channels + ["CONV", "NULL"]
+    idx = {s: i for i, s in enumerate(states)}
+    n = len(states)
+
+    def p_conv(knockout: str | None) -> float:
+        P = np.zeros((n, n))
+        for r in counts:
+            dst = r["s_to"]
+            if knockout is not None and dst == knockout:
+                dst = "NULL"
+            P[idx[r["s_from"]], idx[dst]] += r["n"]
+        if knockout is not None:
+            P[idx[knockout], :] = 0.0  # unreachable; keep matrix sane
+            P[idx[knockout], idx["NULL"]] = 1.0
+        rs = P.sum(axis=1, keepdims=True)
+        P = np.where(rs > 0, P / np.where(rs == 0, 1, rs), 0.0)
+        for a in ("CONV", "NULL"):
+            P[idx[a], :] = 0.0
+            P[idx[a], idx[a]] = 1.0
+        t = n - 2  # transient block size (START + channels)
+        Q, R = P[:t, :t], P[:t, t:]
+        B = np.linalg.solve(np.eye(t) - Q, R)  # absorption probabilities
+        return float(B[idx["START"], 0])  # column 0 = CONV
+
+    full = p_conv(None)
+    touches = {
+        c: sum(r["n"] for r in counts if r["s_to"] == c) for c in channels
+    }
+    removed = {c: p_conv(c) for c in channels}
+    effects = {c: max(full - removed[c], 0.0) for c in channels}
+    total_effect = sum(effects.values()) or 1.0
+    out = [
+        (
+            c,
+            int(touches[c]),
+            full,
+            removed[c],
+            effects[c],
+            effects[c] / total_effect,
+        )
+        for c in channels
+    ]
+    return spark.createDataFrame(
+        out,
+        "channel string, n_touches long, p_conv_full double, "
+        "p_conv_removed double, removal_effect double, attribution double",
+    )

@@ -395,3 +395,22 @@ def test_binseg_changepoints(spark):
         sse(y[a:b]) for a, b in zip(bounds, bounds[1:]) if b > a
     )
     assert abs((sse(y) - sum(gains)) - final_sse) < 1e-6 * max(1.0, sse(y))
+
+
+def test_markov_attribution(spark):
+    """Knockouts only remove conversion paths, so p_conv_removed <=
+    p_conv_full for every channel; attribution shares are a proper
+    distribution; the purchase channel itself is absorbed into CONV
+    (never listed)."""
+    rows = registry.QUERIES["events_markov_attribution"](
+        spark, TEST_SF_DIR
+    ).collect()
+    assert rows
+    full = rows[0]["p_conv_full"]
+    assert 0.0 < full <= 1.0
+    assert all(abs(r["p_conv_full"] - full) < 1e-12 for r in rows)
+    for r in rows:
+        assert r["channel"] != "purchase"
+        assert r["p_conv_removed"] <= full + 1e-9, r
+        assert r["removal_effect"] >= 0.0
+    assert abs(sum(r["attribution"] for r in rows) - 1.0) < 1e-9
