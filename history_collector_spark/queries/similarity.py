@@ -869,3 +869,90 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _ADC_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# kNN-graph health audit: degree truncation makes every node emit k
+# edges, but a GOOD embedding space makes many of them mutual — low
+# reciprocity is the standard early-warning that an ANN graph (HNSW/
+# NSG) will route badly on this corpus.
+# ---------------------------------------------------------------------------
+
+_KNNG_K = 5
+
+
+@register(
+    "ann_knn_graph_audit",
+    oracle=f"""
+    WITH {_EMB_NORM_SQL},
+    edges AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_COS_SQL} DESC, c.vec_id) AS rank
+        FROM emb q JOIN emb c ON q.vec_id != c.vec_id
+      ) WHERE rank <= {_KNNG_K}
+    ), recip AS (
+      SELECT a.query_id,
+             sum(CASE WHEN b.query_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS n_mutual
+      FROM edges a
+      LEFT JOIN edges b ON b.query_id = a.neighbor_id
+                       AND b.neighbor_id = a.query_id
+      GROUP BY a.query_id
+    )
+    SELECT CAST(n_mutual AS INT) AS n_mutual_edges,
+           CAST(count(*) AS BIGINT) AS n_nodes
+    FROM recip GROUP BY n_mutual
+    """,
+)
+def ann_knn_graph_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of per-node edge reciprocity in the cosine {_KNNG_K}-NN
+    graph: for each node, how many of its {_KNNG_K} out-edges point
+    back. A healthy embedding space concentrates mass at high mutual
+    counts; a hubby/collapsed space shows many zero-mutual nodes —
+    the audit an ANN-graph build runs before trusting its routing.
+
+    Scale shape: the graph here comes from the exact top-k (bounded
+    corpus); at scale the SAME audit consumes any ann_*_topk output —
+    the reciprocity join keys on (src, dst) pairs, k-bounded per node,
+    and the histogram is a bounded reduce. All outputs are integers.
+    """
+    emb = _emb_with_norm(spark, sf_dir)
+    q = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    cos = cosine(
+        F.col("q_emb"), F.col("c_emb"), F.col("q_nrm"), F.col("c_nrm")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), "neighbor_id"
+    )
+    edges = (
+        q.join(F.broadcast(c), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _KNNG_K)
+        .select("query_id", "neighbor_id")
+    )
+    rev = edges.select(
+        F.col("query_id").alias("neighbor_id"),
+        F.col("neighbor_id").alias("query_id"),
+        F.lit(1).alias("has_back"),
+    )
+    recip = (
+        edges.join(rev, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce("has_back", F.lit(0))).alias("n_mutual"))
+    )
+    return recip.groupBy(
+        F.col("n_mutual").cast("int").alias("n_mutual_edges")
+    ).agg(F.count("*").alias("n_nodes"))

@@ -1240,3 +1240,71 @@ def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.avg(F.abs(F.col("za") - F.col("zb"))).alias("delta"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Compression-ratio quality signal: zlib as a universal repetition
+# detector — boilerplate, templated spam, and token-loop junk compress
+# far better than natural prose, so deflate ratio is one of the
+# cheapest high-recall corpus filters (used alongside the Gopher
+# heuristics in real pretraining pipelines).
+# ---------------------------------------------------------------------------
+
+
+def _compress_batches(batches):
+    import zlib
+
+    import pandas as pd
+
+    for pdf in batches:
+        raw_len, comp_len = [], []
+        for t in pdf["text"]:
+            b = (t or "").encode("utf-8")
+            raw_len.append(len(b))
+            comp_len.append(len(zlib.compress(b, 6)))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "source": pdf["source"],
+                "raw_bytes": raw_len,
+                "compressed_bytes": comp_len,
+            }
+        )
+
+
+@register("text_compression_quality")  # rows-only: zlib is not SQL
+def text_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source deflate-compressibility profile: mean compression
+    ratio, the extremes, and how many docs fall under the
+    "suspiciously compressible" 0.4 threshold (a ratio that low on
+    prose-length text almost always means templated/repeated
+    content). The kernel is Arrow-batched zlib over the text bytes —
+    map-only, one bounded per-source reduce.
+
+    Verified by tests/test_round6.py::test_compression_quality_signal:
+    a 50x-repeated document must compress dramatically better than
+    its single copy, and every ratio is positive with the stored
+    byte counts consistent.
+    """
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    per = docs.mapInPandas(
+        _compress_batches,
+        schema=(
+            "doc_id bigint, source string, raw_bytes bigint, "
+            "compressed_bytes bigint"
+        ),
+    )
+    ratio = F.col("compressed_bytes").cast("double") / F.col("raw_bytes")
+    return (
+        per.filter(F.col("raw_bytes") > 0)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.avg(ratio).alias("avg_ratio"),
+            F.min(ratio).alias("min_ratio"),
+            F.max(ratio).alias("max_ratio"),
+            F.sum(F.when(ratio < 0.4, 1).otherwise(0)).alias(
+                "n_suspicious"
+            ),
+        )
+    )

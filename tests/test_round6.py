@@ -414,3 +414,25 @@ def test_markov_attribution(spark):
         assert r["p_conv_removed"] <= full + 1e-9, r
         assert r["removal_effect"] >= 0.0
     assert abs(sum(r["attribution"] for r in rows) - 1.0) < 1e-9
+
+
+def test_compression_quality_signal(spark):
+    """The signal must actually detect repetition: a 50x-repeated text
+    compresses to a far smaller ratio than its single copy, and the
+    corpus profile is sane (ratios positive, counts consistent)."""
+    import zlib
+
+    base = "the quarterly revenue grew across all regions this period "
+    single = len(zlib.compress(base.encode(), 6)) / len(base.encode())
+    repeated = len(zlib.compress((base * 50).encode(), 6)) / (
+        len(base.encode()) * 50
+    )
+    assert repeated < single / 3, (single, repeated)
+
+    rows = registry.QUERIES["text_compression_quality"](
+        spark, TEST_SF_DIR
+    ).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["min_ratio"] <= r["avg_ratio"] <= r["max_ratio"]
+        assert 0 <= r["n_suspicious"] <= r["n_docs"]
