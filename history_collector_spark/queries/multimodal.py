@@ -1600,3 +1600,114 @@ def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "phash bigint, n_bits_set bigint"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Laplacian sharpness (variance-of-Laplacian blur detector): the
+# standard cheap focus/blur score a vision-data curation pass runs to
+# drop unusable frames before any expensive model sees them.
+# ---------------------------------------------------------------------------
+
+
+def _sharpness_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            w, h = 3 + d % 5, 2 + d % 3
+            yy, xx, cc = np.meshgrid(
+                np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+            )
+            px = ((d * 31 + yy * 7 + xx * 3 + cc) % 256).astype(np.uint8)
+            img = decode_image(encode_bmp(px)).astype(np.int64)  # REAL path
+            gray3 = img.sum(axis=2)  # integer 3x-gray
+            # 4-neighbor Laplacian on interior pixels — pure int math
+            lap = (
+                4 * gray3[1:-1, 1:-1]
+                - gray3[:-2, 1:-1]
+                - gray3[2:, 1:-1]
+                - gray3[1:-1, :-2]
+                - gray3[1:-1, 2:]
+            )
+            n_int = lap.size
+            rows.append(
+                (
+                    d,
+                    w,
+                    h,
+                    int(n_int),
+                    int(lap.sum()) if n_int else 0,
+                    int((lap * lap).sum()) if n_int else 0,
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "width", "height", "n_interior",
+                "lap_sum", "lap_sq_sum",
+            ],
+        )
+
+
+@register(
+    "multimodal_sharpness_audit",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 3 + doc_id % 5 AS w, 2 + doc_id % 3 AS h
+      FROM documents WHERE doc_id % 7 = 0
+    ), g AS (
+      -- integer 3x-gray of the generator pixel at (y, x)
+      SELECT d.doc_id, d.w, d.h, y.y, x.x,
+             (d.doc_id * 31 + y.y * 7 + x.x * 3 + 0) % 256
+             + (d.doc_id * 31 + y.y * 7 + x.x * 3 + 1) % 256
+             + (d.doc_id * 31 + y.y * 7 + x.x * 3 + 2) % 256 AS g3
+      FROM dims d, range(0, 4) y(y), range(0, 7) x(x)
+      WHERE y.y < d.h AND x.x < d.w
+    ), lap AS (
+      SELECT c.doc_id, c.w, c.h,
+             4 * c.g3 - up.g3 - dn.g3 - lf.g3 - rt.g3 AS lv
+      FROM g c
+      JOIN g up ON up.doc_id = c.doc_id AND up.y = c.y - 1 AND up.x = c.x
+      JOIN g dn ON dn.doc_id = c.doc_id AND dn.y = c.y + 1 AND dn.x = c.x
+      JOIN g lf ON lf.doc_id = c.doc_id AND lf.y = c.y AND lf.x = c.x - 1
+      JOIN g rt ON rt.doc_id = c.doc_id AND rt.y = c.y AND rt.x = c.x + 1
+      WHERE c.y BETWEEN 1 AND c.h - 2 AND c.x BETWEEN 1 AND c.w - 2
+    )
+    SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+           CAST(coalesce(l.n_interior, 0) AS BIGINT) AS n_interior,
+           CAST(coalesce(l.lap_sum, 0) AS BIGINT) AS lap_sum,
+           CAST(coalesce(l.lap_sq_sum, 0) AS BIGINT) AS lap_sq_sum
+    FROM dims d LEFT JOIN (
+      SELECT doc_id, count(*) AS n_interior, sum(lv) AS lap_sum,
+             sum(lv * lv) AS lap_sq_sum
+      FROM lap GROUP BY doc_id
+    ) l USING (doc_id)
+    """,
+)
+def multimodal_sharpness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-of-Laplacian sharpness statistics per sampled image,
+    computed through the REAL encode->decode path: integer 4-neighbor
+    Laplacian over interior pixels, exact integer sum and
+    sum-of-squares (variance = sq/n - (sum/n)^2 is one consumer
+    division away, kept integer here so the driver hash is
+    bit-deterministic). Images too small for an interior (h or w < 3)
+    report zero interior pixels — the degenerate guard the oracle's
+    LEFT JOIN mirrors.
+
+    Scale shape: pure map over pruned ids; the convolution is numpy
+    slicing over the tiny synthetic raster, per-row bounded.
+    """
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 7 == 0)
+        .select("doc_id")
+    )
+    return docs.mapInPandas(
+        _sharpness_batches,
+        schema=(
+            "doc_id bigint, width int, height int, n_interior bigint, "
+            "lap_sum bigint, lap_sq_sum bigint"
+        ),
+    )

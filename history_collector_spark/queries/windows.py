@@ -887,3 +887,79 @@ def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "channel string, n_touches long, p_conv_full double, "
         "p_conv_removed double, removal_effect double, attribution double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Entropy rate of the behavior chain: how predictable the NEXT action
+# is given the current one — the single number that separates
+# scripted/bot traffic (near 0) from diverse organic behavior.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_entropy_rate",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ), c AS (
+      SELECT prev AS s_from, event_type AS s_to,
+             CAST(count(*) AS BIGINT) AS n
+      FROM ordered WHERE prev IS NOT NULL GROUP BY 1, 2
+    ), row_tot AS (
+      SELECT s_from, CAST(sum(n) AS BIGINT) AS row_n FROM c GROUP BY s_from
+    ), tot AS (SELECT CAST(sum(n) AS BIGINT) AS all_n FROM c)
+    SELECT c.s_from AS state,
+           r.row_n AS n_out,
+           -sum(((1.0 * c.n) / r.row_n) * ln((1.0 * c.n) / r.row_n))
+             AS h_state,
+           ((1.0 * r.row_n) / t.all_n) AS weight
+    FROM c JOIN row_tot r USING (s_from) CROSS JOIN tot t
+    GROUP BY c.s_from, r.row_n, t.all_n
+    """,
+)
+def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-state conditional entropy H(next | state) with the state's
+    empirical weight — the weighted sum is the chain's entropy rate.
+    Near-zero rows are the scripted flows; log(n_states)-ish rows are
+    anybody's-guess states.
+
+    Scale shape: one lag-window pass (user-keyed) collapses to
+    state-pair counts; everything after runs on the bounded state
+    vocabulary. Probabilities are single int/int divisions; the
+    entropy sum groups a bounded handful of terms (drift-class only).
+    Bounds are pinned: 0 <= h_state <= ln(n_states), weights sum to 1
+    (tests/test_round6.py::test_entropy_rate_bounds).
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    c = (
+        ev.select(
+            F.lag("event_type").over(w).alias("s_from"),
+            F.col("event_type").alias("s_to"),
+        )
+        .filter(F.col("s_from").isNotNull())
+        .groupBy("s_from", "s_to")
+        .agg(F.count("*").alias("n"))
+    )
+    row_tot = c.groupBy("s_from").agg(F.sum("n").alias("row_n"))
+    tot = c.agg(F.sum("n").alias("all_n"))
+    p = (F.lit(1.0) * F.col("n")) / F.col("row_n")
+    return (
+        c.join(F.broadcast(row_tot), "s_from")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(
+            F.col("s_from").alias("state"),
+            F.col("row_n").alias("n_out"),
+            "all_n",
+        )
+        .agg((-F.sum(p * F.log(p))).alias("h_state"))
+        .select(
+            "state",
+            "n_out",
+            "h_state",
+            ((F.lit(1.0) * F.col("n_out")) / F.col("all_n")).alias("weight"),
+        )
+    )

@@ -436,3 +436,18 @@ def test_compression_quality_signal(spark):
     for r in rows:
         assert 0 < r["min_ratio"] <= r["avg_ratio"] <= r["max_ratio"]
         assert 0 <= r["n_suspicious"] <= r["n_docs"]
+
+
+def test_entropy_rate_bounds(spark):
+    """0 <= H(next|state) <= ln(n_states); weights form a distribution."""
+    import math
+
+    rows = registry.QUERIES["events_entropy_rate"](
+        spark, TEST_SF_DIR
+    ).collect()
+    assert rows
+    n_states = len({r["state"] for r in rows})
+    cap = math.log(max(n_states, 2)) + 1e-9
+    for r in rows:
+        assert -1e-12 <= r["h_state"] <= cap, r
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-9
