@@ -1337,3 +1337,67 @@ def curation_quota_water_filling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "capped"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Padding-vs-packing cost audit: what one-doc-per-padded-window training
+# costs versus the contiguous packed stream — the table that justifies
+# sequence packing to whoever pays the GPU bill.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "curation_pack_efficiency",
+    oracle=f"""
+    WITH t AS (
+      SELECT source,
+             CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum((n_tokens + {_CTX} - 1) // {_CTX}) AS BIGINT)
+             AS padded_chunks,
+           CAST((sum(n_tokens) + {_CTX} - 1) // {_CTX} AS BIGINT)
+             AS packed_chunks,
+           CAST(sum((n_tokens + {_CTX} - 1) // {_CTX}) * {_CTX}
+                - sum(n_tokens) AS BIGINT) AS padding_tokens,
+           (1.0 * (sum((n_tokens + {_CTX} - 1) // {_CTX}) * {_CTX}
+                   - sum(n_tokens))) / sum(n_tokens) AS padding_overhead
+    FROM t GROUP BY source
+    """,
+)
+def curation_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per source: chunks consumed by pad-to-{_CTX} training (each doc
+    rounded up to whole windows) vs the contiguous packed stream
+    (curation_sequence_pack's layout), and the padding overhead that
+    packing eliminates. Every quantity is an exact integer sum except
+    the final overhead ratio (one int/int division).
+
+    Scale shape: one map-side-combined aggregate over token counts —
+    the whole audit is a bounded-key reduce.
+    """
+    t = table(spark, sf_dir, "documents").select(
+        "source",
+        F.size(F.split("text", r"\s+")).cast("long").alias("n_tokens"),
+    )
+    ceil_chunks = (F.col("n_tokens") + _CTX - 1) / _CTX
+    return t.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum(ceil_chunks.cast("long")).alias("padded_chunks"),
+        ((F.sum("n_tokens") + _CTX - 1) / _CTX)
+        .cast("long")
+        .alias("packed_chunks"),
+        (F.sum(ceil_chunks.cast("long")) * _CTX - F.sum("n_tokens")).alias(
+            "padding_tokens"
+        ),
+        (
+            (
+                F.lit(1.0)
+                * (F.sum(ceil_chunks.cast("long")) * _CTX - F.sum("n_tokens"))
+            )
+            / F.sum("n_tokens")
+        ).alias("padding_overhead"),
+    )

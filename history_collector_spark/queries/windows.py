@@ -963,3 +963,90 @@ def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.lit(1.0) * F.col("n_out")) / F.col("all_n")).alias("weight"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier retention: the survival curve of user lifetimes with
+# right-censoring — users still active at the corpus edge are censored,
+# not churned, which is exactly what naive retention curves get wrong.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "user_retention_kaplan_meier",
+    oracle="""
+    WITH span AS (
+      SELECT user_id,
+             CAST(min(CAST(ts AS DATE)) AS DATE) AS first_day,
+             CAST(max(CAST(ts AS DATE)) AS DATE) AS last_day
+      FROM events GROUP BY user_id
+    ), mx AS (SELECT max(last_day) AS max_day FROM span),
+    life AS (
+      SELECT user_id,
+             date_diff('day', first_day, last_day) AS t_days,
+             (last_day < mx.max_day) AS churned
+      FROM span, mx
+    ), steps AS (
+      SELECT t_days,
+             CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_churn,
+             CAST(count(*) AS BIGINT) AS n_ending
+      FROM life GROUP BY t_days
+    ), risk AS (
+      SELECT t_days, n_churn,
+             CAST(sum(n_ending) OVER (ORDER BY t_days DESC
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS n_risk
+      FROM steps
+    )
+    SELECT t_days, n_risk, n_churn,
+           product(1.0 - (1.0 * n_churn) / n_risk)
+             OVER (ORDER BY t_days ROWS UNBOUNDED PRECEDING) AS km_survival
+    FROM risk
+    """,
+)
+def user_retention_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KM estimator over user activity lifespans (first to last active
+    day): a user whose last activity touches the corpus's final day is
+    CENSORED (they may still be alive), everyone else churns at their
+    observed duration. S(t) multiplies the per-step hazards
+    (1 - churned/at-risk) in duration order — the censoring-aware
+    retention curve.
+
+    Scale shape: the per-user span is one map-side-combined aggregate;
+    the KM table lives on DISTINCT durations (calendar-bounded), where
+    the at-risk counts are a reverse cumulative sum and the survival
+    product is an ordered window over the same bounded rows. Hazard
+    factors are single int/int divisions; the running product
+    multiplies identical doubles in identical order on both engines
+    (parity-audited).
+    """
+    ev = table(spark, sf_dir, "events")
+    span = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day"),
+        F.max(F.to_date("ts")).alias("last_day"),
+    )
+    mx = span.agg(F.max("last_day").alias("max_day"))
+    life = span.crossJoin(F.broadcast(mx)).select(
+        F.datediff("last_day", "first_day").alias("t_days"),
+        (F.col("last_day") < F.col("max_day")).alias("churned"),
+    )
+    steps = life.groupBy("t_days").agg(
+        F.sum(F.when(F.col("churned"), 1).otherwise(0)).alias("n_churn"),
+        F.count("*").alias("n_ending"),
+    )
+    w_desc = (
+        Window.orderBy(F.col("t_days").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = steps.withColumn("n_risk", F.sum("n_ending").over(w_desc))
+    w_asc = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    hazard = F.lit(1.0) - (F.lit(1.0) * F.col("n_churn")) / F.col("n_risk")
+    return risk.select(
+        "t_days",
+        "n_risk",
+        "n_churn",
+        F.product(hazard).over(w_asc).alias("km_survival"),
+    )

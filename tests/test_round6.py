@@ -451,3 +451,24 @@ def test_entropy_rate_bounds(spark):
     for r in rows:
         assert -1e-12 <= r["h_state"] <= cap, r
     assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-9
+
+
+def test_kaplan_meier_properties(spark):
+    """S is a survival curve: starts <= 1, non-increasing in t, stays
+    non-negative, and only DROPS at steps with observed churn (pure
+    censoring steps leave it flat)."""
+    rows = sorted(
+        registry.QUERIES["user_retention_kaplan_meier"](
+            spark, TEST_SF_DIR
+        ).collect(),
+        key=lambda r: r["t_days"],
+    )
+    assert rows
+    prev = 1.0
+    for r in rows:
+        s = r["km_survival"]
+        assert 0.0 <= s <= prev + 1e-12, r
+        if r["n_churn"] == 0:
+            assert abs(s - prev) < 1e-12, f"flat step dropped: {r}"
+        assert r["n_risk"] >= r["n_churn"] >= 0
+        prev = s
