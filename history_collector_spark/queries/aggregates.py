@@ -942,3 +942,63 @@ def lineitem_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("tw").cast("long").alias("total_quantity"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient of customer spend: THE inequality number — how
+# concentrated revenue is across the customer base (0 = egalitarian,
+# ->1 = one whale), from the ranked-sum closed form.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_spend_gini",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey, sum(o_totalprice) AS s
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT s, row_number() OVER (ORDER BY s, o_custkey) AS i,
+             count(*) OVER () AS n
+      FROM spend
+    )
+    SELECT CAST(min(n) AS BIGINT) AS n_customers,
+           sum(s) AS total_spend,
+           (2.0 * sum((1.0 * i) * s)) / (min(n) * sum(s))
+             - ((1.0 * min(n) + 1.0) / min(n)) AS gini
+    FROM ranked
+    """,
+)
+def customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini = 2*sum(i * x_i) / (n * sum(x)) - (n+1)/n over spends
+    ranked ascending (ties broken by custkey) — the ranked-sum closed
+    form, no pairwise differences.
+
+    Scale shape: the rank runs over the per-customer AGGREGATE (one
+    map-side-combined reduce collapses orders first), then a single
+    global reduction; the ordered pass is the same pre-aggregate
+    discipline as the skyline and weighted-median queries. The
+    expression keeps the oracle's exact op order (parity-audited);
+    the test pins 0 <= gini < 1 and the closed form against a direct
+    mean-absolute-difference computation.
+    """
+    spend = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("s"))
+    )
+    w = Window.orderBy("s", "o_custkey")
+    ranked = spend.select(
+        "s",
+        F.row_number().over(w).alias("i"),
+    ).withColumn("n", F.count("*").over(Window.partitionBy()))
+    gini = (
+        F.lit(2.0) * F.sum((F.lit(1.0) * F.col("i")) * F.col("s"))
+    ) / (F.min("n") * F.sum("s")) - (
+        (F.lit(1.0) * F.min("n") + F.lit(1.0)) / F.min("n")
+    )
+    return ranked.agg(
+        F.min("n").cast("long").alias("n_customers"),
+        F.sum("s").alias("total_spend"),
+        gini.alias("gini"),
+    )

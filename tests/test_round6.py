@@ -472,3 +472,29 @@ def test_kaplan_meier_properties(spark):
             assert abs(s - prev) < 1e-12, f"flat step dropped: {r}"
         assert r["n_risk"] >= r["n_churn"] >= 0
         prev = s
+
+
+def test_gini_closed_form_vs_pairwise(spark):
+    """The ranked-sum closed form must equal the definitional
+    mean-absolute-difference Gini, computed independently here."""
+    import duckdb
+
+    row = registry.QUERIES["customer_spend_gini"](
+        spark, TEST_SF_DIR
+    ).collect()[0]
+    assert 0.0 <= row["gini"] < 1.0
+    con = duckdb.connect()
+    xs = [
+        float(s)
+        for (s,) in con.sql(
+            f"""
+            SELECT sum(o_totalprice) FROM '{TEST_SF_DIR}/orders.parquet'
+            GROUP BY o_custkey
+            """
+        ).fetchall()
+    ]
+    n = len(xs)
+    mu = sum(xs) / n
+    mad = sum(abs(a - b) for a in xs for b in xs) / (n * n)
+    gini_def = mad / (2 * mu)
+    assert abs(row["gini"] - gini_def) < 1e-9, (row["gini"], gini_def)
