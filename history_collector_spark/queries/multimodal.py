@@ -548,9 +548,9 @@ def decode_blob(data: bytes, fake: bool = False) -> dict:
     """Decode one media blob into metadata.
 
     ``fake=False`` (real mode) magic-sniffs the payload and runs the
-    built-in pure-Python codec (BMP 24-bit BI_RGB, PPM P6/P3);
-    formats without a built-in codec raise NotImplementedError at the
-    documented plug point. ``fake=True`` is the fixture mode: metadata
+    built-in pure-Python codec (BMP 24-bit BI_RGB, PPM P6/P3, PNG
+    8-bit, GIF first-frame); formats without a built-in codec raise
+    NotImplementedError at the documented plug point. ``fake=True`` is the fixture mode: metadata
     derived from the payload's sha256, so the DuckDB oracles verify
     the full distributed path over synthetic text blobs.
     """
