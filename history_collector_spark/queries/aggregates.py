@@ -1002,3 +1002,86 @@ def customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("s").alias("total_spend"),
         gini.alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Chi-squared test of independence: is order priority independent of
+# order status? The contingency-table statistic every experimentation /
+# data-drift platform computes, distributed as bounded-key aggregates.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_chi2_independence",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderpriority AS pri, o_orderstatus AS st,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2
+    ), rows_t AS (
+      SELECT pri, CAST(sum(n) AS BIGINT) AS rn FROM c GROUP BY pri
+    ), cols_t AS (
+      SELECT st, CAST(sum(n) AS BIGINT) AS cn FROM c GROUP BY st
+    ), tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c),
+    cells AS (
+      SELECT r.pri, col.st,
+             coalesce(c.n, 0) AS observed,
+             ((1.0 * r.rn) * col.cn) / tot.t AS expected
+      FROM rows_t r CROSS JOIN cols_t col CROSS JOIN tot
+      LEFT JOIN c ON c.pri = r.pri AND c.st = col.st
+    )
+    SELECT pri, st, CAST(observed AS BIGINT) AS observed, expected,
+           ((observed - expected) * (observed - expected)) / expected
+             AS chi2_term
+    FROM cells
+    """,
+)
+def orders_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full contingency table of (priority x status) with observed
+    counts, independence-expected counts, and each cell's chi-squared
+    contribution — sum the chi2_term column and compare against the
+    chi-squared critical value at (R-1)(C-1) dof to reject
+    independence; large single cells localize WHERE the dependence
+    lives (the drift-debugging payoff).
+
+    Scale shape: one map-side-combined count over the bounded
+    (priority, status) key space; margins and the total ride tiny
+    broadcasts; the zero-cell LEFT JOIN keeps structurally absent
+    combinations in the table (their chi2 term is the full expected
+    mass). Expected counts are single-chain int arithmetic in matched
+    op order (parity-audited); the additivity of chi2 terms against
+    an independently computed statistic is pinned in
+    tests/test_round6.py::test_chi2_matches_direct_computation.
+    """
+    o = table(spark, sf_dir, "orders")
+    c = o.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderstatus").alias("st"),
+    ).agg(F.count("*").alias("n"))
+    rows_t = c.groupBy("pri").agg(F.sum("n").alias("rn"))
+    cols_t = c.groupBy("st").agg(F.sum("n").alias("cn"))
+    tot = c.agg(F.sum("n").alias("t"))
+    cells = (
+        rows_t.crossJoin(F.broadcast(cols_t))
+        .crossJoin(F.broadcast(tot))
+        .join(c, ["pri", "st"], "left")
+        .select(
+            "pri",
+            "st",
+            F.coalesce("n", F.lit(0)).alias("observed"),
+            (((F.lit(1.0) * F.col("rn")) * F.col("cn")) / F.col("t")).alias(
+                "expected"
+            ),
+        )
+    )
+    return cells.select(
+        "pri",
+        "st",
+        "observed",
+        "expected",
+        (
+            ((F.col("observed") - F.col("expected"))
+             * (F.col("observed") - F.col("expected")))
+            / F.col("expected")
+        ).alias("chi2_term"),
+    )

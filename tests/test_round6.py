@@ -498,3 +498,39 @@ def test_gini_closed_form_vs_pairwise(spark):
     mad = sum(abs(a - b) for a in xs for b in xs) / (n * n)
     gini_def = mad / (2 * mu)
     assert abs(row["gini"] - gini_def) < 1e-9, (row["gini"], gini_def)
+
+
+def test_chi2_matches_direct_computation(spark):
+    """Sum of per-cell chi2 terms must equal the chi-squared statistic
+    computed independently from the raw contingency table."""
+    import duckdb
+
+    rows = registry.QUERIES["orders_chi2_independence"](
+        spark, TEST_SF_DIR
+    ).collect()
+    assert rows
+    chi2 = sum(r["chi2_term"] for r in rows)
+    con = duckdb.connect()
+    obs = con.sql(
+        f"""
+        SELECT o_orderpriority, o_orderstatus, count(*)
+        FROM '{TEST_SF_DIR}/orders.parquet' GROUP BY 1, 2
+        """
+    ).fetchall()
+    from collections import defaultdict
+
+    rt, ct, t = defaultdict(int), defaultdict(int), 0
+    for p, s, n in obs:
+        rt[p] += n
+        ct[s] += n
+        t += n
+    direct = 0.0
+    table_ = {(p, s): n for p, s, n in obs}
+    for p in rt:
+        for s in ct:
+            e = rt[p] * ct[s] / t
+            o = table_.get((p, s), 0)
+            direct += (o - e) ** 2 / e
+    assert abs(chi2 - direct) < 1e-9, (chi2, direct)
+    # observed margins reproduced exactly in the emitted table
+    assert sum(r["observed"] for r in rows) == t
