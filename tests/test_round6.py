@@ -534,3 +534,64 @@ def test_chi2_matches_direct_computation(spark):
     assert abs(chi2 - direct) < 1e-9, (chi2, direct)
     # observed margins reproduced exactly in the emitted table
     assert sum(r["observed"] for r in rows) == t
+
+
+def test_driver_window_hygiene():
+    """Window invariants the rotation must never break: exactly 50
+    unique names, all registered, all oracle-bearing (the window is
+    the driver's hash gate — a rows-only entry would waste a slot),
+    and registration order puts the window first."""
+    pq = registry.PRIORITY_QUERIES
+    assert len(pq) == 50 and len(set(pq)) == 50
+    assert all(n in registry.QUERIES for n in pq)
+    assert all(n in registry.ORACLES for n in pq)
+    assert list(registry.QUERIES)[:50] == list(pq)
+
+
+def test_coverage_doc_tracks_registry():
+    """Docs-drift guard: every round-6 flagship name appears in
+    COVERAGE.md, and COVERAGE.md never references a query name that
+    does not exist in the registry (backtick-quoted names only)."""
+    import os
+    import re
+
+    doc = open(
+        os.path.join(os.path.dirname(__file__), "..", "COVERAGE.md")
+    ).read()
+    for name in (
+        "multimodal_decode_png", "multimodal_decode_gif",
+        "ann_pq_codebook_assign", "ann_pq_adc_topk",
+        "retrieval_rrf_fusion", "embedding_whitening_audit",
+        "streaming_scd2_cdc_e2e", "user_retention_kaplan_meier",
+        "orders_chi2_independence", "customer_spend_gini",
+    ):
+        assert name in doc, f"{name} missing from COVERAGE.md"
+    referenced = set(re.findall(r"`([a-z0-9_]+)`", doc))
+    known = (
+        set(registry.QUERIES)
+        | {"queries", "oracle_sql", "tests", "region", "python"}
+    )
+    # names that LOOK like query ids (two+ underscores) must exist
+    lookalikes = {
+        r for r in referenced
+        if r.count("_") >= 2 and not r.endswith((".py", ".md"))
+        and "/" not in r and r not in known
+    }
+    # non-query lookalikes must at least exist somewhere in the
+    # package or test source (function/module references)
+    src_root = os.path.join(
+        os.path.dirname(__file__), "..", "history_collector_spark"
+    )
+    corpus = []
+    for base, _, files in os.walk(src_root):
+        for f in files:
+            if f.endswith(".py"):
+                corpus.append(open(os.path.join(base, f)).read())
+    for f in os.listdir(os.path.dirname(__file__)):
+        if f.endswith(".py"):
+            corpus.append(
+                open(os.path.join(os.path.dirname(__file__), f)).read()
+            )
+    blob = "\n".join(corpus)
+    ghosts = {r for r in lookalikes if r not in blob}
+    assert not ghosts, f"COVERAGE.md references unknown names: {sorted(ghosts)}"
