@@ -13,6 +13,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from history_collector_spark.catalog import table
+from history_collector_spark.functions.ranking import (
+    grouped_range_prefix_sum,
+    grouped_range_rank,
+)
 from history_collector_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -920,20 +924,24 @@ def lineitem_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted sibling of exact_percentiles, with the same
     "pre-aggregate then scan" discipline as the skyline query.
     """
-    li = table(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_returnflag").orderBy(
-        "l_extendedprice", "l_orderkey", "l_linenumber"
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_orderkey",
+        "l_linenumber", "l_quantity",
     )
-    cum = li.select(
-        "l_returnflag",
-        "l_extendedprice",
-        F.sum("l_quantity")
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .alias("cw"),
-        F.sum("l_quantity")
-        .over(Window.partitionBy("l_returnflag"))
-        .alias("tw"),
+    # two-phase range prefix sum: a window PARTITION BY l_returnflag
+    # would push a third of lineitem through ONE task's sort; the
+    # helper range-slices the sort and only prefix-sums slice totals
+    # globally. cw addends are whole-number quantities, so the re-
+    # grouped summation stays exact in double (order-independent).
+    cum = grouped_range_prefix_sum(
+        li,
+        ["l_returnflag"],
+        [F.col("l_extendedprice"), F.col("l_orderkey"), F.col("l_linenumber")],
+        "l_quantity",
+        out_col="cw",
     )
+    tot = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("tw"))
+    cum = cum.join(F.broadcast(tot), "l_returnflag")
     return (
         cum.filter(F.lit(2) * F.col("cw") >= F.col("tw"))
         .groupBy("l_returnflag")
@@ -987,11 +995,14 @@ def customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(F.sum("o_totalprice").alias("s"))
     )
-    w = Window.orderBy("s", "o_custkey")
-    ranked = spend.select(
-        "s",
-        F.row_number().over(w).alias("i"),
-    ).withColumn("n", F.count("*").over(Window.partitionBy()))
+    # global rank via the two-phase range helper (a bare Window.orderBy
+    # serializes every customer through one task); n rides a 1-row
+    # broadcast instead of a single-partition count window
+    ranked = grouped_range_rank(
+        spend, [], [F.col("s"), F.col("o_custkey")], rank_col="i"
+    ).select("s", "i")
+    nrow = spend.agg(F.count("*").alias("n"))
+    ranked = ranked.crossJoin(F.broadcast(nrow))
     gini = (
         F.lit(2.0) * F.sum((F.lit(1.0) * F.col("i")) * F.col("s"))
     ) / (F.min("n") * F.sum("s")) - (

@@ -736,14 +736,31 @@ def exchange_reuse_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), halves AS (
       SELECT o_custkey,
              CASE WHEN o_orderdate < b.mid THEN 1 ELSE 2 END AS half,
-             sum(o_totalprice) AS spend
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS spend_cents
       FROM orders, bounds b
       GROUP BY 1, 2
-    ), seg AS (
-      SELECT o_custkey, half,
-             ntile(3) OVER (PARTITION BY half
-                            ORDER BY spend, o_custkey) AS tertile
+    ), ranked AS (
+      SELECT o_custkey, half, spend_cents,
+             row_number() OVER (PARTITION BY half
+                                ORDER BY spend_cents) AS r,
+             count(*) OVER (PARTITION BY half) AS n
       FROM halves
+    ), cuts AS (
+      -- nearest-rank (percentile_disc) tertile cutoffs per half;
+      -- mirrors Spark percentile_disc's cume_dist >= q rule
+      SELECT half,
+             min(CASE WHEN CAST(r AS DOUBLE) / n >= 1.0/3
+                      THEN spend_cents END) AS c1,
+             min(CASE WHEN CAST(r AS DOUBLE) / n >= 2.0/3
+                      THEN spend_cents END) AS c2
+      FROM ranked GROUP BY half
+    ), seg AS (
+      -- tie policy: spend exactly at a cutoff goes to the LOWER tertile
+      SELECT h.o_custkey, h.half,
+             CASE WHEN h.spend_cents <= c.c1 THEN 1
+                  WHEN h.spend_cents <= c.c2 THEN 2
+                  ELSE 3 END AS tertile
+      FROM halves h JOIN cuts c ON h.half = c.half
     )
     SELECT a.tertile AS from_tertile, b.tertile AS to_tertile,
            CAST(count(*) AS BIGINT) AS n_customers
@@ -758,11 +775,22 @@ def customer_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     (customers active in only one half drop out of the matrix — they
     are the separate churn/new-logo rows a dashboard adds).
 
+    Tertiles are VALUE-based (nearest-rank percentile cutoffs over
+    exact integer cents), not row-count ntile buckets: the cutoffs
+    c1 = percentile_disc(1/3), c2 = percentile_disc(2/3) are computed
+    per half and every customer is assigned by range comparison, with
+    spend exactly at a cutoff going to the LOWER tertile. Spend is
+    summed in integer cents (round(price*100) before the sum), so the
+    cutoff comparisons are bit-deterministic across engines.
+
     Scale shape: per-(customer, half) spend is one map-side-combined
-    aggregate; tertiles are a per-half rank pass over the customer
-    aggregate (deterministic (spend, custkey) order); the self-join
-    keys on customer and the final matrix is 9 cells. The date
-    midpoint rides a 1-row broadcast.
+    aggregate; the cutoffs are a 2-row aggregate (percentile_disc
+    partials, no total-order window over the customer set) broadcast
+    back for the range assignment; the self-join keys on customer and
+    the final matrix is 9 cells. The date midpoint rides a 1-row
+    broadcast. Replaces the round-6 ntile(3) OVER (PARTITION BY half)
+    plan whose 2 partitions each forced a single-task sort of half the
+    customer aggregate.
     """
     o = table(spark, sf_dir, "orders")
     # o_orderdate ships as TIMESTAMP_NTZ in this vintage; hop through
@@ -784,16 +812,25 @@ def customer_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("o_orderdate") < F.col("mid"), 1)
             .otherwise(2)
             .alias("half"),
-            "o_totalprice",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
         )
         .groupBy("o_custkey", "half")
-        .agg(F.sum("o_totalprice").alias("spend"))
+        .agg(F.sum("cents").alias("spend_cents"))
     )
-    seg = halves.select(
+    cuts = halves.groupBy("half").agg(
+        F.expr(
+            "percentile_disc(1.0/3) WITHIN GROUP (ORDER BY spend_cents)"
+        ).alias("c1"),
+        F.expr(
+            "percentile_disc(2.0/3) WITHIN GROUP (ORDER BY spend_cents)"
+        ).alias("c2"),
+    )
+    seg = halves.join(F.broadcast(cuts), "half").select(
         "o_custkey",
         "half",
-        F.ntile(3)
-        .over(Window.partitionBy("half").orderBy("spend", "o_custkey"))
+        F.when(F.col("spend_cents") <= F.col("c1"), 1)
+        .when(F.col("spend_cents") <= F.col("c2"), 2)
+        .otherwise(3)
         .alias("tertile"),
     )
     a = seg.filter(F.col("half") == 1).select(

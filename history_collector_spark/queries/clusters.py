@@ -232,9 +232,12 @@ def dedup_cluster_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale shape: everything up to `clusters` is dedup_clusters
     (iterative CC over the dup subgraph only); quality is a map-only
     projection on the documents scan; the join is co-partitioned on
-    doc_id and the representative pick is one window over cluster_id —
-    cluster sizes are small by construction (near-dup groups), so the
-    window partition never concentrates data.
+    doc_id and the representative pick is a single map-side-combined
+    max-struct aggregate per cluster — no window at all, so even a
+    pathological giant dup cluster reduces through partial aggregates
+    instead of one task's sort. The tiebreak (quality DESC, doc_id ASC)
+    is encoded as max(struct(quality, -doc_id)), matching the oracle's
+    row_number order exactly.
     """
     from history_collector_spark.queries.text import with_quality
 
@@ -243,20 +246,20 @@ def dedup_cluster_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents").select("doc_id", "text")
     ).select("doc_id", "quality")
     joined = clusters.join(q, "doc_id")
-    w = Window.partitionBy("cluster_id").orderBy(
-        F.col("quality").desc(), "doc_id"
+    best = joined.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"),
+        F.max(
+            F.struct(
+                F.col("quality").alias("q"),
+                (-F.col("doc_id")).alias("neg_id"),
+            )
+        ).alias("best"),
     )
-    wcnt = Window.partitionBy("cluster_id")
-    return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .withColumn("n_members", F.count("*").over(wcnt))
-        .filter(F.col("rn") == 1)
-        .select(
-            "cluster_id",
-            F.col("doc_id").alias("rep_doc_id"),
-            "n_members",
-            F.col("quality").alias("rep_quality"),
-        )
+    return best.select(
+        "cluster_id",
+        (-F.col("best.neg_id")).cast("long").alias("rep_doc_id"),
+        "n_members",
+        F.col("best.q").alias("rep_quality"),
     )
 
 

@@ -25,6 +25,10 @@ from pyspark.sql import functions as F
 
 from history_collector_spark.catalog import table
 from history_collector_spark.functions.nlp import cosine, l2_norm
+from history_collector_spark.functions.ranking import (
+    grouped_range_prefix_sum,
+    grouped_range_rank,
+)
 from history_collector_spark.registry import register
 
 _STOP_PAT = r"\b(the|a|of|and|to|in)\b"
@@ -317,14 +321,13 @@ def curation_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source",
         F.size(F.split("text", r"\s+")).cast("long").alias("n_tokens"),
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    o = t.withColumn(
-        "start_off", F.sum("n_tokens").over(w) - F.col("n_tokens")
-    )
+    # two-phase range prefix sum (functions/ranking.py): a window
+    # PARTITION BY source would stream a hot source's every doc through
+    # one task; range slices bound each local scan, and only per-slice
+    # token totals prefix-sum globally. Exclusive form = inclusive - own.
+    o = grouped_range_prefix_sum(
+        t, ["source"], [F.col("doc_id")], "n_tokens", out_col="cum"
+    ).withColumn("start_off", F.col("cum") - F.col("n_tokens"))
     return o.select(
         "doc_id", "source", "n_tokens", "start_off",
         F.floor(F.col("start_off") / _CTX).alias("first_chunk"),
@@ -921,13 +924,20 @@ def curation_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     replaces the sort with a scan + a bounded correction; the exact
     window form here IS the correction step run on the survivors.
     """
-    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
     counts = docs.groupBy("lang").agg(F.count("*").alias("c"))
     k = counts.agg(F.min("c").alias("k"))
-    w = Window.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    # two-phase range rank per class (functions/ranking.py) — a window
+    # PARTITION BY lang would sort a dominant class through one task;
+    # the K-smallest-hash selection is a rank filter, so the rank can
+    # come from bounded range slices + broadcast slice offsets.
+    ranked = grouped_range_rank(
+        docs, ["lang"], [F.col("h"), F.col("doc_id")], rank_col="rn"
     )
-    ranked = docs.withColumn("rn", F.row_number().over(w))
     return (
         ranked.crossJoin(F.broadcast(k))
         .filter(F.col("rn") <= F.col("k"))
@@ -1080,42 +1090,76 @@ _CURRICULUM_PHASES = 3
 
 @register(
     "curation_curriculum_phases",
-    oracle=f"""
+    oracle="""
     WITH ranked AS (
-      SELECT doc_id, source, n_chars,
-             ntile({_CURRICULUM_PHASES}) OVER (
-               PARTITION BY source ORDER BY n_chars, doc_id) AS phase
+      SELECT source, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY n_chars) AS r,
+             count(*) OVER (PARTITION BY source) AS n
       FROM documents
+    ), cuts AS (
+      -- nearest-rank (percentile_disc) phase cutoffs per source;
+      -- mirrors Spark percentile_disc's cume_dist >= q rule
+      SELECT source,
+             min(CASE WHEN CAST(r AS DOUBLE) / n >= 1.0/3
+                      THEN n_chars END) AS c1,
+             min(CASE WHEN CAST(r AS DOUBLE) / n >= 2.0/3
+                      THEN n_chars END) AS c2
+      FROM ranked GROUP BY source
+    ), phased AS (
+      -- tie policy: a length exactly at a cutoff goes to the LOWER phase
+      SELECT d.source, d.n_chars,
+             CASE WHEN d.n_chars <= c.c1 THEN 1
+                  WHEN d.n_chars <= c.c2 THEN 2
+                  ELSE 3 END AS phase
+      FROM documents d JOIN cuts c ON d.source = c.source
     )
     SELECT source, CAST(phase AS INT) AS phase,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(min(n_chars) AS BIGINT) AS min_chars,
            CAST(max(n_chars) AS BIGINT) AS max_chars,
            CAST(sum(n_chars) AS BIGINT) AS sum_chars
-    FROM ranked GROUP BY 1, 2
+    FROM phased GROUP BY 1, 2
     """,
 )
 def curation_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Split every source into {_CURRICULUM_PHASES} equal-count
-    curriculum phases by document length (ntile over the
-    deterministic (n_chars, doc_id) order) and report each phase's
-    size and length envelope — the manifest a curriculum dataloader
-    consumes.
+    """Split every source into {_CURRICULUM_PHASES} curriculum phases
+    by document length and report each phase's size and length
+    envelope — the manifest a curriculum dataloader consumes.
 
-    Scale shape: one per-source ordered pass (the window partitions on
-    source, so each source sorts independently — range-partition the
-    sort at 100 TB) followed by a bounded (source x phase) reduce.
-    Every ranked column is a stored integer, so phase assignment and
-    all outputs are bit-deterministic across engines.
+    Phases are VALUE-based tertiles: per-source nearest-rank cutoffs
+    c1 = percentile_disc(1/3), c2 = percentile_disc(2/3) over n_chars,
+    with every document assigned by range comparison and a length
+    exactly at a cutoff going to the LOWER phase. Unlike ntile, equal
+    lengths always land in the same phase (phase counts may differ by
+    more than 1 under heavy ties; a source whose lengths are all equal
+    collapses into phase 1 — deterministic by construction, since the
+    assignment depends only on the stored integer n_chars).
+
+    Scale shape: the cutoffs are a bounded-cardinality per-source
+    aggregate (percentile_disc partials — no per-source total-order
+    window, so a billion-row crawl source never funnels through one
+    sort task) broadcast back for the range assignment, followed by a
+    bounded (source x phase) reduce. Replaces the round-6
+    ntile(3) OVER (PARTITION BY source) single-task-per-source sort.
     """
     docs = table(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
-    ranked = docs.select(
+    cuts = docs.groupBy("source").agg(
+        F.expr(
+            "percentile_disc(1.0/3) WITHIN GROUP (ORDER BY n_chars)"
+        ).alias("c1"),
+        F.expr(
+            "percentile_disc(2.0/3) WITHIN GROUP (ORDER BY n_chars)"
+        ).alias("c2"),
+    )
+    phased = docs.join(F.broadcast(cuts), "source").select(
         "source",
         "n_chars",
-        F.ntile(_CURRICULUM_PHASES).over(w).alias("phase"),
+        F.when(F.col("n_chars") <= F.col("c1"), 1)
+        .when(F.col("n_chars") <= F.col("c2"), 2)
+        .otherwise(3)
+        .alias("phase"),
     )
-    return ranked.groupBy("source", "phase").agg(
+    return phased.groupBy("source", "phase").agg(
         F.count("*").alias("n_docs"),
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),

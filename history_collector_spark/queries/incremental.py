@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from history_collector_spark.catalog import table
+from history_collector_spark.functions.ranking import grouped_range_rank
 from history_collector_spark.registry import register
 
 
@@ -41,28 +42,17 @@ from history_collector_spark.registry import register
     """,
 )
 def assign_global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense global ids in (source, doc_id) order via the two-phase
+    range-rank helper: range-slice the corpus on the full sort key,
+    rank locally per slice, prefix-sum only the per-slice counts (a
+    task-count-sized frame) and broadcast the offsets back. The round-6
+    version ranked WITHIN source first — which still pushed every doc
+    of a hot source through one task's sort; ranking over range slices
+    bounds every sort by the split size instead."""
     docs = table(spark, sf_dir, "documents").select("doc_id", "source")
-
-    # Phase 1: rank within source (one exchange on the partition key).
-    w = Window.partitionBy("source").orderBy("doc_id")
-    ranked = docs.withColumn("local_rank", F.row_number().over(w))
-
-    # Phase 2: per-source counts -> prefix-sum offsets on the tiny
-    # source-sized frame (the unbounded-window sort runs over #sources
-    # rows, not the corpus), broadcast back.
-    counts = docs.groupBy("source").agg(F.count("*").alias("cnt"))
-    off_w = (
-        Window.orderBy("source")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    offsets = counts.select(
-        "source", (F.sum("cnt").over(off_w) - F.col("cnt")).alias("offset")
-    )
-    return ranked.join(F.broadcast(offsets), "source").select(
-        "doc_id",
-        "source",
-        (F.col("offset") + F.col("local_rank")).cast("long").alias("global_id"),
-    )
+    return grouped_range_rank(
+        docs, [], [F.col("source"), F.col("doc_id")], rank_col="global_id"
+    ).select("doc_id", "source", "global_id")
 
 
 _CUTOVER = "1970-01-08"  # events before this day are the standing state

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from history_collector_spark.catalog import table
+from history_collector_spark.functions.ranking import grouped_range_rank
 from history_collector_spark.registry import register
 
 # Fixed retrieval query — mid-frequency corpus terms so scores separate.
@@ -376,14 +377,23 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("hits"))
     )
     cand = overlap.join(dl, "doc_id")
-    ranked = cand.select(
+    # both leg ranks via the two-phase range helper: a bare global
+    # Window.orderBy would funnel the whole candidate set through one
+    # task's sort; range slices bound each local sort and only slice
+    # counts prefix-sum globally (functions/ranking.py)
+    r1 = grouped_range_rank(
+        cand, [], [F.col("hits").desc(), F.col("doc_id")], rank_col="r_sparse"
+    ).select("doc_id", "hits", "dl", "r_sparse")
+    r2 = grouped_range_rank(
+        cand.select("doc_id", "dl"),
+        [],
+        [F.col("dl").desc(), F.col("doc_id")],
+        rank_col="r_prior",
+    ).select("doc_id", "r_prior")
+    ranked = r1.join(r2, "doc_id").select(
         "doc_id",
-        F.row_number()
-        .over(Window.orderBy(F.col("hits").desc(), "doc_id"))
-        .alias("r_sparse"),
-        F.row_number()
-        .over(Window.orderBy(F.col("dl").desc(), "doc_id"))
-        .alias("r_prior"),
+        F.col("r_sparse").cast("int").alias("r_sparse"),
+        F.col("r_prior").cast("int").alias("r_prior"),
     )
     fused = ranked.select(
         "doc_id",
