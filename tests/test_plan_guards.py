@@ -28,9 +28,19 @@ registry.load_all()
 ALL_NAMES = sorted(registry.QUERIES)
 
 
+_PLAN_CACHE: dict = {}
+
+
+def _qe(spark, name: str):
+    if name not in _PLAN_CACHE:
+        df = registry.QUERIES[name](spark, TEST_SF_DIR)
+        qe = df._jdf.queryExecution()
+        _PLAN_CACHE[name] = (qe.executedPlan().toString(), qe.optimizedPlan())
+    return _PLAN_CACHE[name]
+
+
 def _plan(spark, name: str) -> str:
-    df = registry.QUERIES[name](spark, TEST_SF_DIR)
-    return df._jdf.queryExecution().executedPlan().toString()
+    return _qe(spark, name)[0]
 
 
 @pytest.mark.parametrize("name", ALL_NAMES)
@@ -178,3 +188,183 @@ def test_q6_predicates_reach_the_scan(spark):
 def test_q10_top20_is_take_ordered_not_global_sort(spark):
     plan = _plan(spark, "returned_item_report")
     assert "TakeOrderedAndProject" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# Window-partition scale policy (round 8): a window's per-partition
+# sort runs in ONE task, so every Window operator must fall into a
+# bounded class or the query fails review here. Classes:
+#
+#   * HIGH-CARD partition key — per-entity partitions (user, doc,
+#     query, ...) stay small as data grows;
+#   * hash-expression partition (sha2/md5/xxhash64/...) — same;
+#   * range-slice partition (__rr_pid from functions/ranking.py) — the
+#     two-phase rank helper; each slice is one range split;
+#   * offsets frame (ORDER BY __rr_pid) — the helper's per-slice totals
+#     frame, task-count x group-count rows;
+#   * BOUNDED_INPUT_WINDOWS — reviewed sites where the window input is
+#     a bounded-cardinality aggregate or a top-k limit. The entry is a
+#     justification string; entries marked "WGL:" additionally require
+#     WindowGroupLimit in the physical plan (rank-filter pushdown, so
+#     the per-partition sort sees only k rows per group per task).
+#
+# A new low-card / global window over unbounded input has no class and
+# fails — the guard that makes the round-6 ntile shape un-reintroducible.
+# ---------------------------------------------------------------------------
+
+HIGH_CARD_WINDOW_KEYS = {
+    "user_id", "query_id", "doc_id", "vec_id", "o_custkey", "qid",
+    "event_id", "o_orderkey", "l_orderkey", "l_partkey", "l_suppkey",
+    "cluster_id", "h", "gh", "shingle", "sig",
+}
+
+_HASHY = ("sha2(", "md5(", "xxhash64(", "hash(", "crc32(", "sha1(")
+
+BOUNDED_INPUT_WINDOWS = {
+    ("bpe_merge_step", ()): "pair-count aggregate, VOCAB_CAP-bounded",
+    ("curation_filtered_retrieval", ()): "input is the top-20 limit",
+    ("curation_quota_water_filling", ()): "per-source demand aggregate",
+    ("curation_vocabulary", ()): "input is the top-50 limit",
+    ("curation_weighted_sample", ()): "input is the top-K limit",
+    ("retrieval_rrf_fusion", ()): "final rank over the top-10 limit",
+    ("text_bm25_retrieval", ()): "input is the top-k limit",
+    ("text_burrows_delta", ()): "word-frequency aggregate (vocab-bounded)",
+    ("text_kneser_ney_bigrams", ()): "bigram-type aggregate (vocab^2)",
+    ("text_rake_keywords", ()): "keyword-score aggregate (vocab-bounded)",
+    ("text_zipf_fit", ()): "token-frequency aggregate (vocab-bounded)",
+    ("tokenizer_vocab_coverage", ()): "term-frequency agg (vocab-bounded)",
+    ("user_retention_kaplan_meier", ()): "distinct-duration aggregate",
+    ("revenue_contribution", ()): "nation-level aggregate (~25 rows)",
+    ("revenue_contribution", ("r_name",)): "nation-level aggregate",
+    ("orders_pareto_frontier", ("priority",)):
+        "distinct-price aggregate; grid-partition refinement documented "
+        "in the query docstring for key spaces where that stays huge",
+    ("cusum_changepoint", ("event_type",)): "hourly aggregate input",
+    ("streaming_topk_e2e", ("event_type",)):
+        "per-key micro-batch count aggregate, key-space-bounded",
+    ("curation_shard_assign", ("shard",)):
+        "shard count is a sizing config; shards are file-sized at scale",
+    ("curation_source_quota", ("source",)):
+        "WGL: rank<=5 literal filter compiles to WindowGroupLimit "
+        "(per-partition top-k before the shuffle)",
+    ("text_source_drift_kl", ("source",)):
+        "per-(source, term) vocab-bounded aggregate",
+    ("text_ngram_lm", ("w1", "w2")):
+        "bigram-context groups over the n-gram TYPE aggregate",
+    ("text_perplexity_lm", ("w1", "w2")):
+        "bigram-context groups over the n-gram TYPE aggregate",
+}
+
+
+def _strip_ids(s: str) -> str:
+    import re as _re
+
+    return _re.sub(r"#\d+L?", "", s)
+
+
+def _window_specs(optimized_plan):
+    """Yield (partition_keys, order_keys) for every Window node in the
+    optimized logical plan (walked via py4j)."""
+
+    def walk(node):
+        yield node
+        ch = node.children()
+        for i in range(ch.length()):
+            yield from walk(ch.apply(i))
+
+    for node in walk(optimized_plan):
+        if node.getClass().getSimpleName() == "Window":
+            ps, os_ = node.partitionSpec(), node.orderSpec()
+            yield (
+                tuple(_strip_ids(ps.apply(i).toString())
+                      for i in range(ps.length())),
+                tuple(_strip_ids(os_.apply(i).toString())
+                      for i in range(os_.length())),
+            )
+
+
+def window_violations(name, specs, physical_plan) -> list:
+    """Classify every window of a query; return unclassifiable ones."""
+    bad = []
+    for pk, ok in specs:
+        if any(k == "__rr_pid" for k in pk):
+            continue  # range-slice local rank (functions/ranking.py)
+        if any(o.startswith("__rr_pid ") for o in ok):
+            continue  # helper offsets frame: task-count x groups rows
+        if any(k in HIGH_CARD_WINDOW_KEYS for k in pk):
+            continue  # per-entity partitions stay small
+        if pk and all(
+            any(hf in k for hf in _HASHY)
+            or (k.startswith("_w") and _is_hashy_alias(k, physical_plan))
+            for k in pk
+        ):
+            continue  # hash-expression partition — high-card
+        just = BOUNDED_INPUT_WINDOWS.get((name, pk))
+        if just is not None:
+            if just.startswith("WGL:") and "WindowGroupLimit" not in physical_plan:
+                bad.append((pk, ok, "allowlisted as WindowGroupLimit "
+                            "rank-pushdown, but physical plan has none"))
+            continue
+        bad.append((pk, ok, "unclassified window partition"))
+    return bad
+
+
+def _is_hashy_alias(key: str, physical_plan: str) -> bool:
+    """Resolve a `_wN` projection alias: accept iff its defining
+    expression in the plan is a hash function (high-cardinality).
+    The definition prints as `<expr> AS _wN#id` inside a Project's
+    comma-separated list — recover <expr> by scanning backwards to the
+    nearest comma/bracket at paren depth 0."""
+    marker = f" AS {key}#"
+    pos = physical_plan.find(marker)
+    while pos != -1:
+        start = physical_plan.rfind("\n", 0, pos) + 1
+        prefix = physical_plan[start:pos]
+        depth = 0
+        expr_start = 0
+        for i in range(len(prefix) - 1, -1, -1):
+            c = prefix[i]
+            if c == ")":
+                depth += 1
+            elif c == "(":
+                if depth == 0:
+                    expr_start = i + 1
+                    break
+                depth -= 1
+            elif c in ",[" and depth == 0:
+                expr_start = i + 1
+                break
+        expr = prefix[expr_start:].strip()
+        if any(expr.startswith(hf) for hf in _HASHY):
+            return True
+        pos = physical_plan.find(marker, pos + 1)
+    return False
+
+
+@pytest.mark.parametrize("name", ALL_NAMES)
+def test_window_partitions_bounded(spark, name):
+    physical, optimized = _qe(spark, name)
+    bad = window_violations(name, list(_window_specs(optimized)), physical)
+    assert not bad, (
+        f"{name}: window(s) over potentially unbounded partitions — "
+        f"{bad}; either partition by a high-cardinality key, use "
+        "functions/ranking.py's two-phase range helpers, or add a "
+        "reviewed BOUNDED_INPUT_WINDOWS entry with justification"
+    )
+
+
+def test_guard_catches_reintroduced_per_source_ntile(spark):
+    """The round-6 killer shape, rebuilt deliberately: ntile over
+    PARTITION BY source on raw documents must be flagged."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{TEST_SF_DIR}/documents.parquet")
+    w = W.partitionBy("source").orderBy("n_chars", "doc_id")
+    df = docs.select("source", F.ntile(3).over(w).alias("phase"))
+    qe = df._jdf.queryExecution()
+    bad = window_violations(
+        "deliberate_ntile", list(_window_specs(qe.optimizedPlan())),
+        qe.executedPlan().toString(),
+    )
+    assert bad, "guard failed to flag a per-source ntile over raw docs"
