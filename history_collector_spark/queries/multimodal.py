@@ -221,9 +221,12 @@ def decode_png(data: bytes):
     while pos + 8 <= len(data):
         (length,) = struct.unpack_from(">I", data, pos)
         ctype = data[pos + 4 : pos + 8]
-        body = data[pos + 8 : pos + 8 + length]
-        if len(body) != length:
+        # the full chunk is length + 12 bytes (len, type, body, CRC);
+        # a payload truncated INSIDE the trailing CRC must fail as a
+        # decode error, not a raw struct.error
+        if pos + 12 + length > len(data):
             raise ImageDecodeError("truncated PNG chunk")
+        body = data[pos + 8 : pos + 8 + length]
         expect_crc = struct.unpack_from(">I", data, pos + 8 + length)[0]
         if zlib.crc32(ctype + body) & 0xFFFFFFFF != expect_crc:
             raise ImageDecodeError(f"PNG CRC mismatch in {ctype!r}")
@@ -405,7 +408,7 @@ def decode_gif(data: bytes):
             continue
         if b0 != 0x2C:
             raise ImageDecodeError(f"unexpected GIF block 0x{b0:02x}")
-        _, _, iw, ih = struct.unpack_from("<HHHH", data, pos + 1)
+        ileft, itop, iw, ih = struct.unpack_from("<HHHH", data, pos + 1)
         iflags = data[pos + 9]
         pos += 10
         pal = gct
@@ -444,6 +447,32 @@ def decode_gif(data: bytes):
             rows = deinter
         if int(rows.max(initial=0)) >= len(pal):
             raise ImageDecodeError("GIF pixel index outside color table")
+        # honor the logical screen: a first frame smaller than (or
+        # offset within) the screen is composited onto a background-
+        # color canvas of the SCREEN size — previously frame dims were
+        # silently reported as image dims
+        lw, lh = struct.unpack_from("<HH", data, 6)
+        if ileft + iw > lw or itop + ih > lh:
+            raise ImageDecodeError(
+                f"GIF frame {iw}x{ih}+{ileft}+{itop} exceeds "
+                f"logical screen {lw}x{lh}"
+            )
+        if (ileft, itop) != (0, 0) or (iw, ih) != (lw, lh):
+            if gct is None:
+                raise ImageDecodeError(
+                    "GIF offset/partial frame without a global color "
+                    "table to supply the background"
+                )
+            bg = data[11]
+            if bg >= len(gct):
+                raise ImageDecodeError(
+                    "GIF background index outside global color table"
+                )
+            canvas = np.broadcast_to(
+                gct[bg], (lh, lw, 3)
+            ).copy()
+            canvas[itop : itop + ih, ileft : ileft + iw] = pal[rows]
+            return canvas
         return pal[rows].copy()
     raise ImageDecodeError("GIF has no image descriptor")
 
@@ -1423,7 +1452,10 @@ def _audio_ssq_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
         out = {"doc_id": [], "window_idx": [], "ssq": []}
         for doc_id, blob in zip(pdf["doc_id"], pdf["data"]):
             b = bytes(blob)
-            arr = np.frombuffer(b[: len(b) // 2 * 2], dtype="<u2")
+            # SIGNED 16-bit PCM, matching _audio_batches: reading "<u2"
+            # here would turn quiet negative samples (-1 = 0xFFFF) into
+            # near-maximal unsigned energy and mark silence as speech
+            arr = np.frombuffer(b[: len(b) // 2 * 2], dtype="<i2")
             n_win = min(len(arr) // _AUDIO_WIN, _AUDIO_MAX_WIN)
             for wi in range(n_win):
                 win = arr[wi * _AUDIO_WIN : (wi + 1) * _AUDIO_WIN].astype(
@@ -1440,11 +1472,15 @@ def _audio_ssq_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
     oracle=f"""
     WITH w AS (
       SELECT doc_id, wi,
+             -- SIGNED 16-bit LE PCM: (u + 32768) % 65536 - 32768
+             -- mirrors the kernel's "<i2" read exactly
              list_sum(list_transform(range(1, {_AUDIO_WIN + 1}),
-               j -> (1 * ascii(substr(text, 2 * (wi * {_AUDIO_WIN} + j) - 1, 1))
-                     + 256 * ascii(substr(text, 2 * (wi * {_AUDIO_WIN} + j), 1)))
-                  * (1 * ascii(substr(text, 2 * (wi * {_AUDIO_WIN} + j) - 1, 1))
-                     + 256 * ascii(substr(text, 2 * (wi * {_AUDIO_WIN} + j), 1)))
+               j -> ((1 * ascii(substr(text, 2 * (wi * {_AUDIO_WIN} + j) - 1, 1))
+                      + 256 * ascii(substr(text, 2 * (wi * {_AUDIO_WIN} + j), 1))
+                      + 32768) % 65536 - 32768)
+                  * ((1 * ascii(substr(text, 2 * (wi * {_AUDIO_WIN} + j) - 1, 1))
+                      + 256 * ascii(substr(text, 2 * (wi * {_AUDIO_WIN} + j), 1))
+                      + 32768) % 65536 - 32768)
              )) AS ssq
       FROM documents, (SELECT unnest(range({_AUDIO_MAX_WIN})) AS wi)
       WHERE octet_length(encode(text)) >= 2 * {_AUDIO_WIN} * (wi + 1)

@@ -390,3 +390,56 @@ def test_gif_through_decode_image_and_errors():
     struct.pack_into("<H", blob, desc + 7, 200)
     with pytest.raises(ImageDecodeError, match="pixel stream"):
         decode_gif(bytes(blob))
+
+
+def test_png_truncated_inside_crc_is_decode_error():
+    """Round-7 audit: a payload cut INSIDE a chunk's trailing CRC must
+    raise ImageDecodeError, not leak a raw struct.error."""
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    blob = encode_png(px)
+    for cut in (1, 2, 3):  # truncate 1..3 bytes into the final CRC
+        with pytest.raises(ImageDecodeError, match="truncated PNG chunk"):
+            decode_png(blob[:-cut])
+
+
+def test_gif_partial_frame_composites_onto_logical_screen():
+    """A first frame smaller than / offset within the logical screen
+    must produce a SCREEN-sized canvas (background color under the
+    frame), not silently report frame dims as image dims."""
+    from history_collector_spark.queries.multimodal import (
+        decode_gif,
+        encode_gif,
+    )
+
+    pal = np.array([[9, 9, 9], [200, 10, 30]], dtype=np.uint8)
+    idx = np.array([[1, 0], [0, 1], [1, 1]])
+    px = pal[idx]  # 3 rows x 2 cols
+    blob = bytearray(encode_gif(px))
+    struct.pack_into("<HH", blob, 6, 4, 5)  # logical screen w=4, h=5
+    desc = 13 + 3 * 4  # header + 4-entry global color table
+    assert blob[desc] == 0x2C
+    struct.pack_into("<HH", blob, desc + 1, 1, 2)  # frame at left=1, top=2
+    out = decode_gif(bytes(blob))
+    assert out.shape == (5, 4, 3)
+    # frame pixels land at their offset...
+    assert np.array_equal(out[2:5, 1:3], px)
+    # ...and everything else is the background (global palette entry 0,
+    # the lexicographically-smallest color after encode_gif's unique())
+    bg = np.array([9, 9, 9], dtype=np.uint8)
+    assert np.array_equal(out[0, 0], bg) and np.array_equal(out[4, 3], bg)
+    # 14 canvas pixels outside the frame + the 2 idx==0 pixels inside
+    assert int((out == bg).all(axis=2).sum()) == (5 * 4 - 3 * 2) + 2
+
+
+def test_gif_frame_exceeding_logical_screen_is_rejected():
+    from history_collector_spark.queries.multimodal import (
+        decode_gif,
+        encode_gif,
+    )
+
+    pal = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    px = pal[np.ones((3, 2), dtype=int)]
+    blob = bytearray(encode_gif(px))
+    struct.pack_into("<HH", blob, 6, 1, 1)  # screen smaller than frame
+    with pytest.raises(ImageDecodeError, match="exceeds"):
+        decode_gif(bytes(blob))

@@ -250,19 +250,47 @@ def test_vad_integer_threshold_is_inclusive():
         _audio_ssq_batches,
     )
 
-    # constant sample s gives ssq = WIN * s^2; choose s so the MEAN
-    # square equals the threshold exactly
-    s = int(_VAD_THRESHOLD ** 0.5)
-    assert s * s != _VAD_THRESHOLD or True
-    samples = np.full(_AUDIO_WIN, s, dtype="<u2")
-    blob = samples.tobytes()
-    pdf = pd.DataFrame({"doc_id": [1], "data": [blob]})
+    # build a window whose sum of squares is EXACTLY the inclusive
+    # boundary THRESHOLD * WIN = 576000: 758^2 + 36^2 + 10^2 + 6^2 + 2^2
+    target = _VAD_THRESHOLD * _AUDIO_WIN
+    nonzero = [758, 36, 10, 6, 2]
+    assert sum(v * v for v in nonzero) == target, "fixture drifted"
+    samples = np.zeros(_AUDIO_WIN, dtype="<i2")
+    samples[: len(nonzero)] = nonzero
+    pdf = pd.DataFrame({"doc_id": [1], "data": [samples.tobytes()]})
     out = pd.concat(list(_audio_ssq_batches(iter([pdf]))))
     assert len(out) == 1
     ssq = int(out["ssq"].iloc[0])
-    assert ssq == _AUDIO_WIN * s * s
-    # the query-side predicate: ssq >= THRESHOLD * WIN
-    assert (ssq >= _VAD_THRESHOLD * _AUDIO_WIN) == (s * s >= _VAD_THRESHOLD)
+    assert ssq == target
+    # the query-side predicate is INCLUSIVE: exactly-at-threshold is active
+    assert ssq >= _VAD_THRESHOLD * _AUDIO_WIN
+
+
+def test_vad_reads_signed_pcm():
+    """Regression for the round-7 audit finding: quiet NEGATIVE samples
+    (high bit set, e.g. -1 = 0xFFFF) must produce tiny energy. The
+    unsigned read this replaces scored a window of -1s as
+    64 * 65535^2 (deafening) and marked silence as speech."""
+    import numpy as np
+    import pandas as pd
+
+    from history_collector_spark.queries.multimodal import (
+        _AUDIO_WIN,
+        _VAD_THRESHOLD,
+        _audio_ssq_batches,
+    )
+
+    quiet = np.full(_AUDIO_WIN, -1, dtype="<i2")  # bytes FF FF x 64
+    loud = np.full(_AUDIO_WIN, -300, dtype="<i2")  # loud negative tone
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2], "data": [quiet.tobytes(), loud.tobytes()]}
+    )
+    out = pd.concat(list(_audio_ssq_batches(iter([pdf]))))
+    ssq = dict(zip(out["doc_id"], (int(v) for v in out["ssq"])))
+    assert ssq[1] == _AUDIO_WIN  # (-1)^2 per sample, signed
+    assert ssq[1] < _VAD_THRESHOLD * _AUDIO_WIN, "silence flagged active"
+    assert ssq[2] == _AUDIO_WIN * 300 * 300
+    assert ssq[2] >= _VAD_THRESHOLD * _AUDIO_WIN, "loud tone must be active"
 
 
 def test_water_filling_allocation_invariants(spark):
