@@ -290,7 +290,11 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cross_source_contamination",
     oracle="""
     WITH grams AS (
-      SELECT DISTINCT source, g
+      -- the Spark side dedups/joins on xxhash64(gram) (8-byte shuffle
+      -- keys); the oracle keeps the raw gram string — counts are equal
+      -- as long as no two distinct grams collide in 64 bits, which the
+      -- parity gate itself verifies on the fixed testdata
+      SELECT DISTINCT source, g AS gh
       FROM (
         SELECT source,
                unnest(list_transform(
@@ -306,7 +310,7 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), inter AS (
       SELECT a.source AS source_a, b.source AS source_b,
              CAST(count(*) AS BIGINT) AS n_common
-      FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+      FROM grams a JOIN grams b ON a.gh = b.gh AND a.source < b.source
       GROUP BY 1, 2
     )
     SELECT i.source_a, i.source_b, i.n_common,
@@ -349,16 +353,27 @@ def cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # hash each gram to 64 bits (native xxhash64, JVM-side) before the
+    # distinct: the dedup shuffle and the self-join then move 8-byte
+    # longs instead of 3-word strings — same postings bound, a
+    # several-fold reduction in shuffled bytes. The oracle dedups the
+    # raw gram strings; counts agree unless two distinct grams collide
+    # in 64 bits (P ~ n^2/2^65 — and deterministic, so the parity gate
+    # itself proves absence on the test corpus; at 100 TB a stray
+    # collision shifts n_common by 1, immaterial for a contamination
+    # ratio)
+    gh = F.xxhash64(F.col("g"))
     grams = (
         docs.select("source", F.explode(gram3).alias("g"))
         .filter(F.col("g").isNotNull())
+        .select("source", gh.alias("gh"))
         .distinct()
     )
     sizes = grams.groupBy("source").agg(F.count("*").alias("n"))
-    a = grams.select(F.col("source").alias("source_a"), "g")
-    b = grams.select(F.col("source").alias("source_b"), "g")
+    a = grams.select(F.col("source").alias("source_a"), "gh")
+    b = grams.select(F.col("source").alias("source_b"), "gh")
     inter = (
-        a.join(b, "g")
+        a.join(b, "gh")
         .filter(F.col("source_a") < F.col("source_b"))
         .groupBy("source_a", "source_b")
         .agg(F.count("*").alias("n_common"))

@@ -77,17 +77,29 @@ _LOADED = False
 # after the first rotation — the CDC->SCD2 streaming merge, the PQ-ADC
 # serving probe, and the GIF codec roundtrip — replace the long-stable
 # asof_join_last_signup / dedup_edit_distance / interval_coverage rows.
+# Round-8 rotation (verdict item 3): twelve never-driver-sampled rows
+# replace long-green ones — this round's seven scale rewrites
+# (migration matrix + curriculum phases on broadcast percentile_disc
+# cutoffs, weighted median / gini / RRF on the two-phase range-rank
+# helpers, cluster representative as a max-struct agg, the xxhash64-
+# trimmed contamination join), the VAD signed-PCM fix, plus
+# chi-squared independence, Kaplan-Meier retention, TPC-H Q3, and the
+# aHash fingerprint. Retired (all stay locally oracle-verified every
+# run): event_linear_interpolate (fix proven green r6+r7),
+# Q8/Q9 (Q7 keeps the family's seat), bloom audit, three dedup/ANN
+# siblings whose family heads remain, MMR (RRF takes the retrieval
+# seat), embedding_covariance, heavy hitters, kmeans assignment step.
 PRIORITY_QUERIES = (
     "account_history",
     "multimodal_decode_png",
     "salted_two_phase_agg",
-    "event_linear_interpolate",
+    "customer_migration_matrix",
     "tpch_q7_trade_volume",
-    "bloom_membership_audit",
+    "customer_spend_gini",
     "text_perplexity_lm",
     "assign_global_ids",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
+    "curation_curriculum_phases",
+    "lineitem_weighted_median",
     "file_sequence",
     "xdr_triplet_parity",
     "pipeline_parity",
@@ -95,7 +107,7 @@ PRIORITY_QUERIES = (
     "streaming_ewma_e2e",
     "streaming_outer_join_e2e",
     "dq_expectations_report",
-    "dedup_prefix_filter",
+    "retrieval_rrf_fusion",
     "tpch_q19_disjunctive",
     "ann_ivf_bucketed_probe",
     "streaming_ingest_e2e",
@@ -104,23 +116,23 @@ PRIORITY_QUERIES = (
     "streaming_gapless_e2e",
     "streaming_jdbc_e2e",
     "ann_index_delta_merge",
-    "embedding_covariance",
+    "dedup_cluster_representative",
     "streaming_late_drop_e2e",
     "streaming_scd2_cdc_e2e",
     "range_join_events",
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_minhash_pairs",
+    "multimodal_audio_vad_segments",
     "dedup_ngram_jaccard",
     "dedup_clusters",
     "dedup_exact_substring",
-    "heavy_hitter_tokens",
+    "user_retention_kaplan_meier",
     "ann_pq_adc_topk",
-    "ann_cosine_topk",
-    "ann_lsh_topk",
-    "cluster_kmeans_step",
+    "orders_chi2_independence",
+    "cross_source_contamination",
+    "multimodal_image_ahash",
     "multimodal_decode_gif",
-    "retrieval_mmr_rerank",
+    "shipping_priority_q3",
     "ann_recall_audit",
     "bpe_merge_step",
     "curation_quality_pipeline",

@@ -576,6 +576,27 @@ def test_driver_window_hygiene():
     assert list(registry.QUERIES)[:50] == list(pq)
 
 
+def test_driver_window_rotated_since_round7():
+    """Anti-stagnation guard (round-7 postmortem: the window shipped
+    IDENTICAL to round 6's, so external evidence under-measured the
+    repo for a second round). The current window must contain at
+    least 10 names absent from the recorded round-7 sample; r07 is a
+    committed artifact, so this assertion stays true once satisfied
+    and fails only if someone reverts the rotation."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "CORRECTNESS_r07.json"
+    )
+    r07 = set(json.load(open(path)))
+    fresh = [n for n in registry.PRIORITY_QUERIES if n not in r07]
+    assert len(fresh) >= 10, (
+        f"window rotation reverted: only {len(fresh)} names not in the "
+        f"round-7 sample ({fresh})"
+    )
+
+
 def test_coverage_doc_tracks_registry():
     """Docs-drift guard: every round-6 flagship name appears in
     COVERAGE.md, and COVERAGE.md never references a query name that
