@@ -567,9 +567,14 @@ def decode_image(data: bytes):
         if ch in (1, 2):  # gray / gray+alpha -> replicate luma
             return np.repeat(px[:, :, :1], 3, axis=2).copy()
         return px[:, :, :3].copy()  # RGB passthrough / RGBA drops alpha
+    if data[:2] == b"\xff\xd8":
+        from history_collector_spark.functions.jpeg import decode_jpeg
+
+        return decode_jpeg(data)
     raise NotImplementedError(
         f"no codec for magic {data[:4]!r}; BMP (24-bit), PPM, PNG "
-        "(8-bit), and GIF are built in, other formats plug in here"
+        "(8-bit), GIF, and baseline JPEG are built in, other formats "
+        "plug in here"
     )
 
 
@@ -1745,5 +1750,114 @@ def multimodal_sharpness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema=(
             "doc_id bigint, width int, height int, n_interior bigint, "
             "lap_sum bigint, lap_sq_sum bigint"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG roundtrip: encode -> magic-sniffed decode -> pixel pin.
+# JPEG is lossy, so the fixture is built to make the decoded image
+# CLOSED-FORM predictable: per-8x8-block constant grayscale with EVEN
+# offsets from 128. With the Annex K luma table (q00 = 16), the DC
+# quantizer round((v-128)*8/16)*16/8 reproduces v-128 exactly for even
+# offsets (and AC stays zero), so the full Huffman/DCT path must
+# return the original pixels bit-for-bit — any entropy-coding,
+# dequant, zigzag, or IDCT bug breaks pixel_sum or decode_status.
+# ---------------------------------------------------------------------------
+
+
+def _jpeg_roundtrip_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from history_collector_spark.functions.jpeg import encode_jpeg
+
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            wb, hb = 2 + d % 3, 1 + d % 2
+            by, bx = np.meshgrid(
+                np.arange(hb, dtype=np.int64),
+                np.arange(wb, dtype=np.int64),
+                indexing="ij",
+            )
+            vals = 128 + 2 * (((d * 7 + by * 5 + bx * 3) % 64) - 32)
+            img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype(
+                np.uint8
+            )
+            blob = encode_jpeg(img)
+            back = decode_image(blob)  # REAL decode: magic-sniffed JPEG
+            exact = (
+                back.shape == (8 * hb, 8 * wb, 3)
+                and np.array_equal(back[:, :, 0], img)
+                and np.array_equal(back[:, :, 0], back[:, :, 1])
+                and np.array_equal(back[:, :, 0], back[:, :, 2])
+            )
+            rows.append(
+                (
+                    d,
+                    back.shape[1],
+                    back.shape[0],
+                    int(back.astype(np.int64).sum()),
+                    "ok" if exact else "pixel_mismatch",
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "width", "height", "pixel_sum",
+                     "decode_status"],
+        )
+
+
+@register(
+    "multimodal_decode_jpeg",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 2 + doc_id % 3 AS wb, 1 + doc_id % 2 AS hb
+      FROM documents WHERE doc_id % 11 = 0
+    ), cells AS (
+      -- fixed-bound block grid (max 2x4), filtered per doc; v is the
+      -- generator's constant block value (even offset from 128, so
+      -- the Annex-K DC quantizer is exact — see the kernel comment)
+      SELECT d.doc_id, d.wb, d.hb,
+             128 + 2 * (((d.doc_id * 7 + y.y * 5 + x.x * 3) % 64) - 32) AS v
+      FROM dims d,
+           (SELECT unnest(range(2)) AS y) y,
+           (SELECT unnest(range(4)) AS x) x
+      WHERE y.y < d.hb AND x.x < d.wb
+    )
+    SELECT doc_id,
+           CAST(8 * wb AS INT) AS width,
+           CAST(8 * hb AS INT) AS height,
+           CAST(3 * 64 * sum(v) AS BIGINT) AS pixel_sum,
+           'ok' AS decode_status
+    FROM cells GROUP BY doc_id, wb, hb
+    """,
+)
+def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode-then-decode REAL baseline JPEGs (SOF0, Annex K example
+    quant + Huffman tables, JFIF wrapper) for a sampled doc set; the
+    kernel verifies pixel-for-pixel against the generator mosaic and
+    the oracle recomputes dimensions and the exact pixel sum from the
+    generator formulas. Exactness is by construction: constant 8x8
+    blocks with even offsets from 128 survive DC quantization at
+    q00=16 losslessly and carry zero AC energy.
+
+    Scale shape: pure map over the pruned sample through the Arrow
+    path, bounded per-row work — the BMP/PNG/GIF roundtrips' JPEG
+    sibling (functions/jpeg.py holds the codec; progressive JPEG and
+    chroma-subsampled color paths are exercised by the local pytest
+    suite, which decodes hand-assembled coefficient streams against an
+    independent numpy IDCT)."""
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 11 == 0)
+        .select("doc_id")
+    )
+    return docs.mapInPandas(
+        _jpeg_roundtrip_batches,
+        schema=(
+            "doc_id bigint, width int, height int, pixel_sum bigint, "
+            "decode_status string"
         ),
     )

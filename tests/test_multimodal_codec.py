@@ -104,8 +104,22 @@ def test_decode_blob_real_mode_metadata():
     assert meta == {
         "width": 3, "height": 2, "n_frames": 1, "decode_status": "ok"
     }
+    # JPEG now has a real baseline codec behind the dispatcher: a
+    # well-formed payload decodes, a truncated one fails as a decode
+    # error (not NotImplementedError, not a raw struct.error)
+    from history_collector_spark.functions.jpeg import (
+        JpegDecodeError,
+        encode_jpeg,
+    )
+
+    jm = decode_blob(encode_jpeg(np.full((8, 16), 130, dtype=np.uint8)))
+    assert jm == {
+        "width": 16, "height": 8, "n_frames": 1, "decode_status": "ok"
+    }
+    with pytest.raises(JpegDecodeError):
+        decode_blob(b"\xff\xd8\xff\xe0JFIF")  # truncated JPEG
     with pytest.raises(NotImplementedError):
-        decode_blob(b"\xff\xd8\xff\xe0JFIF")  # no JPEG codec: plug point
+        decode_blob(b"RIFF....WEBP")  # still-unplugged format
 
 
 def test_real_decode_through_mapinpandas_kernel(spark):
