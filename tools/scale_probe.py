@@ -1,0 +1,73 @@
+"""Measured 10x scale probe: run the slowest batch families plus every
+round-8 rewrite at sf0.1 and at the synthetic sf1 (tools/
+make_scale_probe.py), report wall seconds and the measured slope
+t(sf1)/t(sf0.1). Linear work => slope ~10 with a floor from fixed
+overheads; anything clearly super-linear needs a fix or an explanation
+in SCALING.md."""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from history_collector_spark import registry
+from history_collector_spark.session import get_spark
+
+PROBE = [
+    "cross_source_contamination", "bootstrap_mean_ci", "ewma_smoothing",
+    "graph_pagerank_dups", "dedup_edit_distance", "dedup_prefix_filter",
+    "pipeline_parity", "dedup_containment", "ann_pq_adc_topk",
+    "dedup_minhash_lsh", "heavy_hitter_tokens",
+    "tpch_q21_waiting_supplier", "star_schema_revenue",
+    "streaming_ewma_e2e", "streaming_scd2_cdc_e2e",
+    # round-8 rewrites
+    "customer_migration_matrix", "curation_curriculum_phases",
+    "lineitem_weighted_median", "customer_spend_gini",
+    "assign_global_ids", "curation_sequence_pack",
+    "curation_class_balance", "retrieval_rrf_fusion",
+    "dedup_cluster_representative", "multimodal_decode_jpeg",
+    # last: positional index over a 10x-deep clone corpus is the
+    # probe's heaviest cell — don't let it block the rest
+    "dedup_exact_substring",
+]
+
+
+RESULTS_PATH = "/root/repo/.scale_probe/results.json"
+
+
+def main():
+    spark = get_spark()
+    registry.load_all()
+    dirs = {"sf0.1": "/root/testdata/sf0.1",
+            "sf1": "/root/repo/.scale_probe/sf1"}
+    results = {}
+    if os.path.exists(RESULTS_PATH):
+        with open(RESULTS_PATH) as f:
+            results = json.load(f)
+    todo = sys.argv[1:] or PROBE
+    for name in todo:
+        if name in results:  # resumable: crash-safe across sessions
+            continue
+        fn = registry.QUERIES[name]
+        row = {}
+        for sf, d in dirs.items():
+            best = None
+            for _ in range(2):  # min-of-2 damps JIT/GC noise
+                t0 = time.time()
+                fn(spark, d).collect()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            row[sf] = round(best, 2)
+        row["slope"] = round(row["sf1"] / row["sf0.1"], 1)
+        results[name] = row
+        with open(RESULTS_PATH, "w") as f:
+            json.dump(results, f, indent=1)
+        print(f"{name:35s} {row['sf0.1']:7.2f} {row['sf1']:8.2f} "
+              f"x{row['slope']}", flush=True)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
