@@ -326,13 +326,14 @@ def cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap spikes means one crawl is mirroring another (shared CDN,
     scraped re-posts) and the mix is double-counting that content.
 
-    The full-data pass ends at DISTINCT (source, gram) — from there the
-    self-join runs gram-keyed over source-deduplicated postings, so a
-    gram contributes at most sources² pairs (sources are few), never
-    documents². The gram sets shuffle once on the gram; the size join
-    is broadcast. The df-explosion risk of raw-document inverted
-    indexes (see dedup_ngram_jaccard's cap) doesn't arise: per-source
-    dedup bounds every posting list at the source count.
+    The full-data pass is ONE gram-keyed aggregate building each
+    gram's source-set (collect_set dedups map-side), so a gram
+    contributes at most sources² pairs (sources are few), never
+    documents². Sizes and pair counts both derive from that grouped
+    frame via narrow explodes; the size join is broadcast. The
+    df-explosion risk of raw-document inverted indexes (see
+    dedup_ngram_jaccard's cap) doesn't arise: the set bounds every
+    posting list at the source count.
     """
     docs = table(spark, sf_dir, "documents")
     words = F.split(F.lower(F.col("text")), r"\s+")
@@ -363,18 +364,42 @@ def cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collision shifts n_common by 1, immaterial for a contamination
     # ratio)
     gh = F.xxhash64(F.col("g"))
-    grams = (
+    # ONE gram-keyed exchange replaces the former distinct + self-join
+    # (three full-width shuffles): collect_set(source) dedups in the
+    # partial aggregate map-side and every gram's posting is bounded by
+    # the source count, so the merged state is a tiny set per gh. Both
+    # downstream facts — per-source distinct-gram sizes and the
+    # source-pair co-occurrence counts — are derived from that grouped
+    # frame with narrow explodes; nothing corpus-wide shuffles again.
+    grouped = (
         docs.select("source", F.explode(gram3).alias("g"))
         .filter(F.col("g").isNotNull())
         .select("source", gh.alias("gh"))
-        .distinct()
+        .groupBy("gh")
+        .agg(F.collect_set("source").alias("ss"))
     )
-    sizes = grams.groupBy("source").agg(F.count("*").alias("n"))
-    a = grams.select(F.col("source").alias("source_a"), "gh")
-    b = grams.select(F.col("source").alias("source_b"), "gh")
+    sizes = (
+        grouped.select(F.explode("ss").alias("source"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+    )
+    pair_structs = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("ss"),
+                lambda x: F.transform(
+                    F.col("ss"),
+                    lambda y: F.struct(
+                        x.alias("source_a"), y.alias("source_b")
+                    ),
+                ),
+            )
+        ),
+        lambda p: p["source_a"] < p["source_b"],
+    )
     inter = (
-        a.join(b, "gh")
-        .filter(F.col("source_a") < F.col("source_b"))
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .select("p.source_a", "p.source_b")
         .groupBy("source_a", "source_b")
         .agg(F.count("*").alias("n_common"))
         .filter(F.col("n_common") > 0)

@@ -1445,3 +1445,95 @@ def curation_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_tokens")
         ).alias("padding_overhead"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Encoding-artifact audit: per-source profile of the classic crawl
+# defects — U+FFFD replacement characters (lossy transcoding), C0
+# control characters (binary bleed-through), and UTF-8-read-as-Latin-1
+# mojibake markers ('Ã', 'â€'). Char counts come from length-diff
+# against replace()/regexp_replace(), so the whole audit is a map-only
+# scan plus one tiny per-source agg — at 100 TB the scan is the cost
+# and nothing here adds exchange beyond a source-keyed partial agg.
+# The synthetic corpus is clean (all zeros except the ratio); the
+# detection arithmetic is pinned on hand-built dirty docs in
+# tests/test_round8.py.
+# ---------------------------------------------------------------------------
+
+_MOJIBAKE_A = "Ã"      # 'Ã' — UTF-8 lead byte read as Latin-1
+_MOJIBAKE_B = "â€"  # 'â€' — U+2018..201D smart quotes mangled
+_REPLACEMENT = "�"
+_CTRL_CLASS = r"[\x00-\x08\x0B\x0C\x0E-\x1F]"
+_NON_ASCII_CLASS = r"[^\x00-\x7F]"
+
+
+def encoding_artifact_cols():
+    """Per-row artifact char counts over a `text` column; shared by
+    the registered query and the fixture tests so the tested
+    arithmetic IS the shipped arithmetic."""
+    L = F.length("text")
+
+    def _lit_diff(marker: str):
+        return L - F.length(F.replace(F.col("text"), F.lit(marker)))
+
+    def _re_diff(pattern: str):
+        return L - F.length(F.regexp_replace("text", pattern, ""))
+
+    return [
+        L.alias("L"),
+        _lit_diff(_REPLACEMENT).alias("repl_chars"),
+        _re_diff(_CTRL_CLASS).alias("ctrl_chars"),
+        (_lit_diff(_MOJIBAKE_A) + _lit_diff(_MOJIBAKE_B)).alias(
+            "moji_chars"
+        ),
+        _re_diff(_NON_ASCII_CLASS).alias("non_ascii_chars"),
+    ]
+
+
+@register(
+    "curation_encoding_audit",
+    oracle=f"""
+    WITH per AS (
+      SELECT source, length(text) AS L,
+        length(text) - length(replace(text, '{_REPLACEMENT}', ''))
+          AS repl_chars,
+        length(text) - length(regexp_replace(text,
+          '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '', 'g')) AS ctrl_chars,
+        (length(text) - length(replace(text, '{_MOJIBAKE_A}', '')))
+          + (length(text) - length(replace(text, '{_MOJIBAKE_B}', '')))
+          AS moji_chars,
+        length(text) - length(regexp_replace(text,
+          '[^\\x00-\\x7F]', '', 'g')) AS non_ascii_chars
+      FROM documents
+    )
+    SELECT source,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(CASE WHEN repl_chars + ctrl_chars + moji_chars > 0
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_flagged,
+      CAST(sum(repl_chars) AS BIGINT) AS repl_chars,
+      CAST(sum(ctrl_chars) AS BIGINT) AS ctrl_chars,
+      CAST(sum(moji_chars) AS BIGINT) AS mojibake_chars,
+      CAST(sum(non_ascii_chars) AS BIGINT) AS non_ascii_chars,
+      CAST(sum(L) AS BIGINT) AS total_chars,
+      CAST(sum(non_ascii_chars) AS DOUBLE) / sum(L) AS non_ascii_ratio
+    FROM per GROUP BY source
+    """,
+)
+def curation_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    per = docs.select("source", *encoding_artifact_cols())
+    flagged = (
+        F.col("repl_chars") + F.col("ctrl_chars") + F.col("moji_chars") > 0
+    )
+    return per.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(flagged, 1).otherwise(0)).alias("n_docs_flagged"),
+        F.sum("repl_chars").cast("long").alias("repl_chars"),
+        F.sum("ctrl_chars").cast("long").alias("ctrl_chars"),
+        F.sum("moji_chars").cast("long").alias("mojibake_chars"),
+        F.sum("non_ascii_chars").cast("long").alias("non_ascii_chars"),
+        F.sum("L").cast("long").alias("total_chars"),
+        (F.sum("non_ascii_chars").cast("double") / F.sum("L")).alias(
+            "non_ascii_ratio"
+        ),
+    )

@@ -794,6 +794,29 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "segments first)."
         )
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # Narrow pre-gate BEFORE any text moves: the length gate below
+    # only needs doc lengths, and documents carries them as the
+    # 8-byte n_chars column (== length(text), asserted in
+    # tests/test_round8.py). Joining cand against (doc_id, n_chars)
+    # first and discarding gate-failing pairs means the WIDE join —
+    # shipping two full texts per pair — runs only on plausible
+    # survivors. On a diverse corpus most LSH collisions differ in
+    # length and die here for 16 bytes of traffic instead of two
+    # documents' worth; on a clone-heavy corpus it's a no-op pass.
+    # The original text-derived gate stays on the final plan, so
+    # results are identical even if n_chars ever drifted.
+    lens = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    la = lens.selectExpr("doc_id AS doc_a", "n_chars AS len_a")
+    lb = lens.selectExpr("doc_id AS doc_b", "n_chars AS len_b")
+    cand = (
+        cand.join(la, "doc_a")
+        .join(lb, "doc_b")
+        .filter(
+            F.abs(F.col("len_a") - F.col("len_b"))
+            <= 0.2 * F.greatest("len_a", "len_b")
+        )
+        .select("doc_a", "doc_b")
+    )
     cand_ids = (
         cand.selectExpr("doc_a AS doc_id")
         .unionAll(cand.selectExpr("doc_b AS doc_id"))

@@ -1308,3 +1308,115 @@ def text_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition panel (Rae et al. 2021, table A1): fraction
+# of a document's characters covered by its most-covering word n-gram
+# (n=2,3) and by word n-grams occurring more than once (n=5,10).
+# Deviations from the paper, chosen for cross-engine determinism: the
+# "top" n-gram maximizes chars-covered c*len(g) (the paper's
+# most-frequent with an unspecified tie-break is ambiguous), and the
+# duplicate coverage is not overlap-adjusted (each occurrence's chars
+# count once per occurrence). Both are documented monotone proxies of
+# the published signals.
+# ---------------------------------------------------------------------------
+
+_GOPHER_NS = (2, 3, 5, 10)
+
+
+@register(
+    "text_gopher_signals",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, length(text) AS L,
+             string_split_regex(lower(text), '\\s+') AS w
+      FROM documents
+    ), g AS (
+      SELECT doc_id, L, n,
+             unnest(list_transform(range(1, len(w) - n + 2),
+                    i -> array_to_string(list_slice(w, i, i + n - 1), ' ')))
+               AS g
+      FROM t, (SELECT unnest([2, 3, 5, 10]) AS n) ns
+      WHERE len(w) >= n
+    ), c AS (
+      SELECT doc_id, L, n, g, count(*) AS c
+      FROM g GROUP BY doc_id, L, n, g
+    ), p AS (
+      SELECT doc_id, L, n, max(length(g) * c) AS topc,
+             sum(CASE WHEN c > 1 THEN length(g) * c ELSE 0 END) AS dupc
+      FROM c GROUP BY doc_id, L, n
+    )
+    SELECT doc_id,
+      CAST(max(CASE WHEN n = 2 THEN topc END) AS DOUBLE) / L
+        AS top2_char_frac,
+      CAST(max(CASE WHEN n = 3 THEN topc END) AS DOUBLE) / L
+        AS top3_char_frac,
+      CAST(max(CASE WHEN n = 5 THEN dupc END) AS DOUBLE) / L
+        AS dup5_char_frac,
+      CAST(max(CASE WHEN n = 10 THEN dupc END) AS DOUBLE) / L
+        AS dup10_char_frac
+    FROM p GROUP BY doc_id, L
+    """,
+)
+def text_gopher_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One scan builds ALL four n-gram streams as tagged structs and
+    explodes once — at 100 TB the input is read a single time, not
+    once per n. Downstream is two map-side-combined hash aggs keyed by
+    doc_id (+n, +gram) and a final per-doc pivot-by-conditional-agg:
+    every exchange is on doc-grain keys, so partial aggregation does
+    the heavy lifting and no stage sees more than the per-doc gram
+    fan-out (len(w) * 4 rows per doc). The char fractions are single
+    int/int divisions for bit-stable parity (PARITY.md).
+
+    A doc shorter than n words contributes no n-rows (NULL that
+    column), mirroring the oracle's `len(w) >= n` gate.
+    """
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.length("text").alias("L"),
+        F.split(F.lower(F.col("text")), r"\s+").alias("w"),
+    )
+
+    def tagged(n: int):
+        return F.when(
+            F.size("w") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - n + 1),
+                lambda i: F.struct(
+                    F.lit(n).alias("n"),
+                    F.array_join(F.slice("w", i, n), " ").alias("g"),
+                ),
+            ),
+        ).otherwise(F.expr("CAST(array() AS array<struct<n:int,g:string>>)"))
+
+    ex = (
+        t.select(
+            "doc_id",
+            "L",
+            F.explode(
+                F.concat(*[tagged(n) for n in _GOPHER_NS])
+            ).alias("s"),
+        )
+        .select("doc_id", "L", F.col("s.n").alias("n"), F.col("s.g").alias("g"))
+    )
+    c = ex.groupBy("doc_id", "L", "n", "g").agg(F.count("*").alias("c"))
+    cover = F.length("g").cast("long") * F.col("c")
+    p = c.groupBy("doc_id", "L", "n").agg(
+        F.max(cover).alias("topc"),
+        F.sum(F.when(F.col("c") > 1, cover).otherwise(F.lit(0))).alias(
+            "dupc"
+        ),
+    )
+
+    def frac(n: int, col: str, alias: str):
+        picked = F.max(F.when(F.col("n") == n, F.col(col)))
+        return (picked.cast("double") / F.col("L")).alias(alias)
+
+    return p.groupBy("doc_id", "L").agg(
+        frac(2, "topc", "top2_char_frac"),
+        frac(3, "topc", "top3_char_frac"),
+        frac(5, "dupc", "dup5_char_frac"),
+        frac(10, "dupc", "dup10_char_frac"),
+    ).drop("L")

@@ -89,9 +89,17 @@ _LOADED = False
 # Q8/Q9 (Q7 keeps the family's seat), bloom audit, three dedup/ANN
 # siblings whose family heads remain, MMR (RRF takes the retrieval
 # seat), embedding_covariance, heavy hitters, kmeans assignment step.
+# Late round 8: the three queries ADDED this round rotate in
+# (baseline-JPEG roundtrip, Gopher repetition panel, encoding-artifact
+# audit); retired in exchange are ngram-Jaccard + GIF + ANN-recall,
+# each a sibling whose family head keeps its seat (minhash_lsh /
+# decode_png + decode_real / ivf_bucketed_probe + pq_adc).
 PRIORITY_QUERIES = (
     "account_history",
     "multimodal_decode_png",
+    "multimodal_decode_jpeg",
+    "text_gopher_signals",
+    "curation_encoding_audit",
     "salted_two_phase_agg",
     "customer_migration_matrix",
     "tpch_q7_trade_volume",
@@ -123,7 +131,6 @@ PRIORITY_QUERIES = (
     "dedup_exact",
     "dedup_minhash_lsh",
     "multimodal_audio_vad_segments",
-    "dedup_ngram_jaccard",
     "dedup_clusters",
     "dedup_exact_substring",
     "user_retention_kaplan_meier",
@@ -131,9 +138,7 @@ PRIORITY_QUERIES = (
     "orders_chi2_independence",
     "cross_source_contamination",
     "multimodal_image_ahash",
-    "multimodal_decode_gif",
     "shipping_priority_q3",
-    "ann_recall_audit",
     "bpe_merge_step",
     "curation_quality_pipeline",
     "curation_decontaminate",
