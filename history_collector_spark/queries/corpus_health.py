@@ -336,21 +336,28 @@ def cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting list at the source count.
     """
     docs = table(spark, sf_dir, "documents")
-    words = F.split(F.lower(F.col("text")), r"\s+")
-    n = F.size(words)
+    # Bind the token array in a projection FIRST: a lambda that
+    # references the raw split(lower(text)) expression re-splits the
+    # whole document for every gram position — O(len²) per doc, and
+    # measured at ~8 s of the query's sf0.1 wall before this fix. Over
+    # the bound column the transform is the O(len) it looks like.
+    toks = docs.select(
+        "source", F.split(F.lower(F.col("text")), r"\s+").alias("w")
+    )
+    n = F.size("w")
     # Docs with <3 tokens emit NO grams (the oracle's substring-count
     # formulation does the same).  Guarded with F.when because
     # F.sequence(0, -1) yields a *descending* [0, -1] — not an empty
-    # array — whose element_at(words, 0) aborts under ANSI mode.
+    # array — whose element_at(w, 0) aborts under ANSI mode.
     gram3 = F.when(
         n >= 3,
         F.transform(
             F.sequence(F.lit(0), n - 3),
             lambda i: F.concat_ws(
                 " ",
-                F.element_at(words, i + 1),
-                F.element_at(words, i + 2),
-                F.element_at(words, i + 3),
+                F.element_at("w", i + 1),
+                F.element_at("w", i + 2),
+                F.element_at("w", i + 3),
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
@@ -372,7 +379,7 @@ def cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # source-pair co-occurrence counts — are derived from that grouped
     # frame with narrow explodes; nothing corpus-wide shuffles again.
     grouped = (
-        docs.select("source", F.explode(gram3).alias("g"))
+        toks.select("source", F.explode(gram3).alias("g"))
         .filter(F.col("g").isNotNull())
         .select("source", gh.alias("gh"))
         .groupBy("gh")
