@@ -202,7 +202,9 @@ _POISSON_CDF = (
              o_totalprice
       FROM (
         SELECT o_totalprice, r,
-               (CAST(concat('0x', substr(md5(o_orderkey || '#' || r), 1, 8))
+               (CAST(concat('0x', substr(
+                    md5(o_orderkey || '#' || CAST(r // 4 AS BIGINT)),
+                    CAST(1 + 8 * (r % 4) AS BIGINT), 8))
                   AS BIGINT) + 1) / 4294967297.0 AS u
         FROM orders, (SELECT unnest(range(0, {N_REPLICATES})) AS r) reps
       )
@@ -226,19 +228,31 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     converges to the multinomial bootstrap at large n and needs no
     coordination at all.
 
-    Weights are DETERMINISTIC: u = md5(orderkey # replicate) mapped to
-    [0,1), inverted through the Poisson(1) CDF (7 terms cover
-    P < 1e-4). The replicate fan-out is an in-row array transform then
-    explode (x50 rows, map-side combined into 50 replicate groups), so
-    the whole resample is one scan + one 50-key aggregate; the final
-    percentile runs on 50 numbers.
+    Weights are DETERMINISTIC: each md5 digest is 32 hex chars = four
+    independent 32-bit words, so replicate r draws its uniform from
+    word r%4 of md5(orderkey # r//4) — 13 digests per row instead of
+    50, computed ONCE per input row in a bound array column BEFORE the
+    replicate explode (inlining md5 after the explode would evaluate
+    it per (row, replicate): 4x the hashing for identical digests).
+    The uniform inverts through the Poisson(1) CDF (7 terms cover
+    P < 1e-4); the fan-out explode is map-side combined into 50
+    replicate groups, so the whole resample is one scan + one 50-key
+    aggregate; the final percentile runs on 50 numbers.
     """
     orders = table(spark, sf_dir, "orders")
     reps = F.sequence(F.lit(0), F.lit(N_REPLICATES - 1))
+    n_hashes = (N_REPLICATES + 3) // 4
+    hashes = F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda h: F.md5(
+            F.concat_ws("#", F.col("o_orderkey"), h.cast("long"))
+        ),
+    )
     u = (
         F.conv(
-            F.substring(
-                F.md5(F.concat_ws("#", F.col("o_orderkey"), F.col("r"))), 1, 8
+            F.expr(
+                "substring(element_at(hs, CAST(r DIV 4 AS INT) + 1),"
+                " CAST(1 + 8 * (r % 4) AS INT), 8)"
             ),
             16,
             10,
@@ -249,7 +263,8 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k in range(6, -1, -1):
         wgt = F.when(F.col("u") < F.lit(_POISSON_CDF[k]), k).otherwise(wgt)
     weighted = (
-        orders.select("o_orderkey", "o_totalprice", F.explode(reps).alias("r"))
+        orders.select("o_totalprice", hashes.alias("hs"))
+        .select("o_totalprice", "hs", F.explode(reps).alias("r"))
         .withColumn("u", u)
         .withColumn("wgt", wgt)
     )
