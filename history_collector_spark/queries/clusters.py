@@ -15,7 +15,7 @@ recursive CTE.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from history_collector_spark.catalog import table
@@ -322,4 +322,174 @@ def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sizes.groupBy("cluster_size").agg(
         F.count("*").alias("n_clusters"),
         (F.col("cluster_size") * F.count("*")).alias("n_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup split leakage: the eval-contamination failure mode that
+# doc-granular hash splits cannot avoid — two near-identical documents
+# hash to different train/val/test buckets, so the eval split "tests"
+# text the model already trained on. The audit joins the connected
+# components above with the same 90/5/5 md5 split curation_hash_split
+# uses and reports, per eval split, how many docs share a clone family
+# with a train doc. The companion query below (cluster_hash_split) is
+# the fix: hash the CLUSTER id, so a clone family lands in one split
+# by construction.
+# ---------------------------------------------------------------------------
+
+# the 90/5/5 md5 bucket rule, identical to curation_hash_split (the
+# audit must use the exact same assignment it is auditing)
+_SPLIT_BUCKET_SQL = (
+    "CAST(CAST(concat('0x', substr(md5(CAST({key} AS VARCHAR)), 1, 4)) "
+    "AS INT) % 100 AS INT)"
+)
+_SPLIT_CASE_SQL = (
+    "CASE WHEN {b} < 90 THEN 'train' WHEN {b} < 95 THEN 'val' "
+    "ELSE 'test' END"
+)
+
+# the dedup_clusters fixpoint as a reusable oracle prefix (recursive
+# CTE over the LSH candidate pairs, verbatim from dedup_clusters)
+_COMP_CTE = f"""{_BUCKETS_SQL},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    shl AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - 1, 1)),
+               i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+      FROM toks
+    ),
+    dup AS (
+      SELECT doc_a, doc_b FROM cand
+      JOIN shl x ON cand.doc_a = x.doc_id
+      JOIN shl y ON cand.doc_b = y.doc_id
+      WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+              / len(list_distinct(list_concat(x.s, y.s))) >= {_DUP_THRESHOLD}
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM dup
+      UNION ALL SELECT doc_b, doc_a FROM dup
+    ),
+    reach(u, v) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (
+      SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u
+    )"""
+
+
+def _split_bucket(key: Column) -> Column:
+    """Spark twin of _SPLIT_BUCKET_SQL (curation_hash_split's rule)."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 4), 16, 10)
+        .cast("int") % 100
+    )
+
+
+def _split_of(bucket: Column) -> Column:
+    return (
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "val")
+        .otherwise("test")
+    )
+
+
+@register(
+    "split_leakage_near_dup",
+    oracle=f"""
+    WITH RECURSIVE {_COMP_CTE},
+    s AS (
+      SELECT doc_id, cluster_id,
+             {_SPLIT_CASE_SQL.format(b=_SPLIT_BUCKET_SQL.format(key="doc_id"))}
+               AS split
+      FROM comp
+    ),
+    ct AS (
+      SELECT cluster_id,
+             max(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS has_train
+      FROM s GROUP BY cluster_id
+    )
+    SELECT s.split AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(ct.has_train) AS BIGINT) AS n_contaminated,
+           CAST(count(DISTINCT CASE WHEN ct.has_train = 1
+                                    THEN s.cluster_id END) AS BIGINT)
+             AS n_leaky_clusters,
+           CAST(sum(ct.has_train) AS DOUBLE) / count(*) AS contamination_rate
+    FROM s JOIN ct USING (cluster_id)
+    WHERE s.split <> 'train'
+    GROUP BY s.split
+    """,
+)
+def split_leakage_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per eval split: docs whose near-dup cluster also contains a
+    train doc under the doc-granular 90/5/5 md5 split.
+
+    Scale shape: components come from the memoized dup-subgraph label
+    propagation (dedup_clusters); the split is a map-only expression;
+    `ct` is a map-side-combined max per cluster_id; the join back is
+    co-partitioned on cluster_id (both sides are outputs of the same
+    aggregation key); the final aggregate has two groups. No window,
+    no driver-side data. contamination_rate is one int/int division,
+    identical op order in the oracle (parity-safe)."""
+    comp = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    s = comp.select(
+        "doc_id",
+        "cluster_id",
+        _split_of(_split_bucket(F.col("doc_id"))).alias("split"),
+    )
+    ct = s.groupBy("cluster_id").agg(
+        F.max((F.col("split") == "train").cast("int")).alias("has_train")
+    )
+    ev = s.filter(F.col("split") != "train").join(ct, "cluster_id")
+    return ev.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("has_train").alias("n_contaminated"),
+        F.countDistinct(
+            F.when(F.col("has_train") == 1, F.col("cluster_id"))
+        ).alias("n_leaky_clusters"),
+        (F.sum("has_train").cast("double") / F.count("*")).alias(
+            "contamination_rate"
+        ),
+    )
+
+
+@register(
+    "cluster_hash_split",
+    oracle=f"""
+    WITH RECURSIVE {_COMP_CTE}
+    SELECT doc_id, cluster_id,
+           {_SPLIT_CASE_SQL.format(
+               b=_SPLIT_BUCKET_SQL.format(key="cluster_id"))} AS split,
+           ({_SPLIT_CASE_SQL.format(
+                b=_SPLIT_BUCKET_SQL.format(key="cluster_id"))}
+            <> {_SPLIT_CASE_SQL.format(
+                b=_SPLIT_BUCKET_SQL.format(key="doc_id"))}) AS moved
+    FROM comp
+    """,
+)
+def cluster_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-proof train/val/test assignment: hash the near-dup
+    CLUSTER id instead of the doc id, so every clone family lands in
+    exactly one split (the fix for what split_leakage_near_dup
+    measures). `moved` marks docs whose split differs from the
+    doc-granular rule — the migration cost of adopting the fix.
+
+    Scale shape: one map-only projection over the components output;
+    the md5 bucket expressions are codegen'd per row. Nothing beyond
+    dedup_clusters' own dataflow is shuffled."""
+    comp = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    cl_split = _split_of(_split_bucket(F.col("cluster_id")))
+    doc_split = _split_of(_split_bucket(F.col("doc_id")))
+    return comp.select(
+        "doc_id",
+        "cluster_id",
+        cl_split.alias("split"),
+        (cl_split != doc_split).alias("moved"),
     )

@@ -1537,3 +1537,92 @@ def curation_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "non_ascii_ratio"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate template detection: scraped corpora repeat page furniture
+# (cookie banners, navigation headers, licence blurbs) across thousands
+# of documents; a cheap first-pass signal is a document PREFIX shared
+# verbatim by multiple docs. This is the pre-LSH screen real pipelines
+# run before fuzzy dedup — O(corpus) with one combinable aggregation,
+# no pairwise work at all.
+# ---------------------------------------------------------------------------
+
+_TEMPLATE_PREFIX_TOKENS = 6
+
+
+@register(
+    "boilerplate_prefix_templates",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id, source,
+             concat_ws(' ', t[1], t[2], t[3], t[4], t[5], t[6]) AS p
+      FROM (SELECT doc_id, source,
+                   string_split_regex(lower(text), '\\s+') AS t
+            FROM documents)
+    ),
+    g AS (SELECT p AS gp FROM p GROUP BY p HAVING count(*) >= 2),
+    tp AS (
+      SELECT source, count(*) AS n_templated,
+             count(DISTINCT p) AS n_templates
+      FROM p JOIN g ON p.p = g.gp GROUP BY source
+    ),
+    s AS (SELECT source, count(*) AS n_docs FROM p GROUP BY source)
+    SELECT s.source AS source,
+           CAST(s.n_docs AS BIGINT) AS n_docs,
+           CAST(coalesce(tp.n_templated, 0) AS BIGINT) AS n_templated,
+           CAST(coalesce(tp.n_templates, 0) AS BIGINT) AS n_templates,
+           CAST(coalesce(tp.n_templated, 0) AS DOUBLE) / s.n_docs
+             AS template_rate
+    FROM s LEFT JOIN tp USING (source)
+    """,
+)
+def boilerplate_prefix_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source share of docs opening with a corpus-repeated
+    six-token prefix (a "template").
+
+    Scale shape: prefix extraction is a map-only projection; the
+    global prefix df is ONE map-side-combined aggregation keyed by
+    prefix (cardinality <= corpus, combinable); templated docs come
+    from a co-partitioned join on that same prefix key (no broadcast
+    needed — both sides already hash on `p`); the per-source rollups
+    are source-cardinality aggregates. No window, no pairwise join —
+    this is the cheap screen that runs BEFORE MinHash. template_rate
+    is one int/int division, op order mirrored in the oracle."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.split(F.lower(F.col("text")), r"\s+"),
+                1,
+                _TEMPLATE_PREFIX_TOKENS,
+            ),
+        ).alias("p"),
+    )
+    shared = (
+        docs.groupBy("p")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("p")
+    )
+    tp = (
+        docs.join(shared, "p")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_templated"),
+            F.countDistinct("p").alias("n_templates"),
+        )
+    )
+    s = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    return s.join(tp, "source", "left").select(
+        "source",
+        "n_docs",
+        F.coalesce(F.col("n_templated"), F.lit(0)).alias("n_templated"),
+        F.coalesce(F.col("n_templates"), F.lit(0)).alias("n_templates"),
+        (
+            F.coalesce(F.col("n_templated"), F.lit(0)).cast("double")
+            / F.col("n_docs")
+        ).alias("template_rate"),
+    )
