@@ -47,6 +47,14 @@ def _dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dup_pairs_with_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same edges as _dup_pairs but keeping the exact verify jaccard
+    (a single int/int division per pair — bit-stable across engines)."""
+    return verified_pair_table(spark, sf_dir).filter(
+        F.col("jaccard") >= _DUP_THRESHOLD
+    )
+
+
 @register(
     "dedup_clusters",
     oracle=f"""
@@ -397,6 +405,141 @@ def _split_of(bucket: Column) -> Column:
         F.when(bucket < 90, "train")
         .when(bucket < 95, "val")
         .otherwise("test")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-provenance rollups over the same dup evidence: which sources
+# overlap (mirror detection) and how many tokens each source actually
+# contributes once clone families are collapsed to one canonical doc.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "source_overlap_matrix",
+    oracle=f"""
+    WITH {_BUCKETS_SQL},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    shl AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - 1, 1)),
+               i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+      FROM toks
+    ),
+    dup AS (
+      SELECT doc_a, doc_b,
+             CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+               / len(list_distinct(list_concat(x.s, y.s))) AS jaccard
+      FROM cand
+      JOIN shl x ON cand.doc_a = x.doc_id
+      JOIN shl y ON cand.doc_b = y.doc_id
+      WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+              / len(list_distinct(list_concat(x.s, y.s))) >= {_DUP_THRESHOLD}
+    )
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           max(jaccard) AS max_jaccard
+    FROM dup
+    JOIN documents da ON dup.doc_a = da.doc_id
+    JOIN documents db ON dup.doc_b = db.doc_id
+    GROUP BY least(da.source, db.source), greatest(da.source, db.source)
+    """,
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources near-duplicate which: dup pairs rolled up to an
+    unordered (source_a, source_b) matrix — the provenance view a
+    curation team reads to find mirror sites and cross-source scrape
+    overlap before deciding what to drop.
+
+    Scale shape: the pair table is the memoized LSH+verify output
+    (scales with duplication, not corpus); the two source lookups are
+    doc_id-keyed joins against a two-column projection of the corpus
+    (co-partitioned; at 100 TB the small pair side broadcasts or AQE
+    picks the shuffle side); the rollup key space is bounded by
+    source-pair count. max_jaccard is a stored-value endpoint
+    (bit-stable), no float accumulation."""
+    pairs = _dup_pairs_with_jaccard(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    j = (
+        pairs.join(
+            docs.select(
+                F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")
+            ),
+            "doc_a",
+        ).join(
+            docs.select(
+                F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")
+            ),
+            "doc_b",
+        )
+    )
+    return j.groupBy(
+        F.least("sa", "sb").alias("source_a"),
+        F.greatest("sa", "sb").alias("source_b"),
+    ).agg(
+        F.count("*").alias("n_pairs"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+
+
+@register(
+    "dedup_token_yield",
+    oracle=f"""
+    WITH RECURSIVE {_COMP_CTE},
+    tk AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks)
+    SELECT d.source AS source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN c.cluster_id = c.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_canonical,
+           CAST(sum(tk.n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN c.cluster_id = c.doc_id THEN tk.n_tokens
+                         ELSE 0 END) AS BIGINT) AS retained_tokens,
+           CAST(sum(CASE WHEN c.cluster_id = c.doc_id THEN tk.n_tokens
+                         ELSE 0 END) AS DOUBLE) / sum(tk.n_tokens)
+             AS token_yield
+    FROM comp c
+    JOIN documents d ON c.doc_id = d.doc_id
+    JOIN tk ON c.doc_id = tk.doc_id
+    GROUP BY d.source
+    """,
+)
+def dedup_token_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective dataset size after fuzzy dedup, per source: how many
+    tokens survive keeping one canonical doc (min doc_id) per near-dup
+    cluster — the number a pretraining-data budget actually uses.
+
+    Scale shape: components from the memoized label propagation; token
+    counts are a map-only projection; one co-partitioned doc_id join;
+    the rollup is source-cardinality with map-side combine. token_yield
+    is one int/int division (parity-exact, op order mirrored)."""
+    comp = dedup_clusters(spark, sf_dir).select(
+        "doc_id", "cluster_id", "is_canonical"
+    )
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    j = comp.join(docs, "doc_id")
+    canon_tokens = F.sum(
+        F.when(F.col("is_canonical"), F.col("n_tokens")).otherwise(F.lit(0))
+    )
+    return j.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("is_canonical"), 1).otherwise(0)).alias(
+            "n_canonical"
+        ),
+        F.sum("n_tokens").alias("total_tokens"),
+        canon_tokens.alias("retained_tokens"),
+        (canon_tokens.cast("double") / F.sum("n_tokens")).alias(
+            "token_yield"
+        ),
     )
 
 
