@@ -253,6 +253,9 @@ BOUNDED_INPUT_WINDOWS = {
         "bigram-context groups over the n-gram TYPE aggregate",
     ("text_perplexity_lm", ("w1", "w2")):
         "bigram-context groups over the n-gram TYPE aggregate",
+    ("curation_perplexity_buckets", ("w1", "w2")):
+        "bigram-context groups over the n-gram TYPE aggregate "
+        "(same LM subtree as text_perplexity_lm)",
 }
 
 
