@@ -94,6 +94,13 @@ _LOADED = False
 # audit); retired in exchange are ngram-Jaccard + GIF + ANN-recall,
 # each a sibling whose family head keeps its seat (minhash_lsh /
 # decode_png + decode_real / ivf_bucketed_probe + pq_adc).
+# Late round 8 (second wave): five freshly-built flagships —
+# Bradley-Terry ratings, DSIR selection, CCNet perplexity buckets,
+# the unigram Viterbi tokenizer, and DoReMi domain reweighting —
+# take the seats of five long-green r7 rows whose families keep
+# representation (assign_global_ids, streaming outer-join + late-drop
+# (7 streaming seats remain), exact-substring dedup (4 dedup seats
+# remain), TPC-H Q22 (Q3/Q7/Q19/Q21 remain)).
 PRIORITY_QUERIES = (
     "account_history",
     "multimodal_decode_png",
@@ -105,7 +112,7 @@ PRIORITY_QUERIES = (
     "tpch_q7_trade_volume",
     "customer_spend_gini",
     "text_perplexity_lm",
-    "assign_global_ids",
+    "events_bradley_terry",
     "curation_curriculum_phases",
     "lineitem_weighted_median",
     "file_sequence",
@@ -113,7 +120,7 @@ PRIORITY_QUERIES = (
     "pipeline_parity",
     "streaming_upsert_e2e",
     "streaming_ewma_e2e",
-    "streaming_outer_join_e2e",
+    "curation_dsir_weights",
     "dq_expectations_report",
     "retrieval_rrf_fusion",
     "tpch_q19_disjunctive",
@@ -125,14 +132,14 @@ PRIORITY_QUERIES = (
     "streaming_jdbc_e2e",
     "ann_index_delta_merge",
     "dedup_cluster_representative",
-    "streaming_late_drop_e2e",
+    "curation_perplexity_buckets",
     "streaming_scd2_cdc_e2e",
     "range_join_events",
     "dedup_exact",
     "dedup_minhash_lsh",
     "multimodal_audio_vad_segments",
     "dedup_clusters",
-    "dedup_exact_substring",
+    "tokenizer_unigram_viterbi",
     "user_retention_kaplan_meier",
     "ann_pq_adc_topk",
     "orders_chi2_independence",
@@ -143,7 +150,7 @@ PRIORITY_QUERIES = (
     "curation_quality_pipeline",
     "curation_decontaminate",
     "star_schema_revenue",
-    "tpch_q22_dormant_customers",
+    "curation_domain_reweight",
     # the REAL-codec roundtrip (encode_bmp -> magic-sniffed decode ->
     # pixel checksum) supersedes the fixture-fake multimodal_decode in
     # the window; the fake path stays locally oracle-verified
