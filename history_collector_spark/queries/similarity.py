@@ -973,3 +973,123 @@ def ann_knn_graph_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recip.groupBy(
         F.col("n_mutual").cast("int").alias("n_mutual_edges")
     ).agg(F.count("*").alias("n_nodes"))
+
+
+# ---------------------------------------------------------------------------
+# Label-noise audit: confident-learning-style kNN label agreement —
+# for every vector, what fraction of its global cosine top-k carries
+# the same label. Per-class agreement rates and suspect counts are the
+# triage list a labeling pipeline re-reviews first (Northcutt et al.
+# 2021's prune-by-noise-rate intuition, reduced to the kNN readout).
+# ---------------------------------------------------------------------------
+
+_LNK_K = 10
+_LNK_MAX_BUILD_ROWS = 1_000_000  # broadcast index bound, ~0.5 GB @ dim 64
+
+
+@register(
+    "label_noise_knn",
+    oracle=f"""
+    WITH {_EMB_NORM_SQL},
+    nn AS (
+      SELECT vec_id, qlab FROM (
+        SELECT q.vec_id, q.label AS qlab, c.label AS clab,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_COS_SQL} DESC, c.vec_id) AS rank
+        FROM emb q JOIN emb c ON q.vec_id != c.vec_id
+      ) WHERE rank <= {_LNK_K} AND clab = qlab
+    ),
+    agree AS (
+      SELECT e.vec_id, e.label,
+             CAST(coalesce(m.matches, 0) AS BIGINT) AS matches
+      FROM emb e LEFT JOIN (
+        SELECT vec_id, count(*) AS matches FROM nn GROUP BY vec_id
+      ) m ON e.vec_id = m.vec_id
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(matches) AS BIGINT) AS total_matches,
+           CAST(sum(matches) AS DOUBLE) / (count(*) * {_LNK_K})
+             AS mean_agreement,
+           CAST(sum(CASE WHEN matches * 2 < {_LNK_K} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_suspect
+    FROM agree GROUP BY label
+    """,
+)
+def label_noise_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label kNN agreement: n_vecs, total same-label neighbors in
+    each vector's global cosine top-10, the int/int mean agreement, and
+    how many vectors have a minority-label neighborhood (matches*2 < k
+    — likely mislabeled or boundary points).
+
+    Scale shape: the index side (ids, labels, L2-normalized matrix) is
+    collected ONCE and broadcast — bounded by _LNK_MAX_BUILD_ROWS with
+    a refusal pointing at the IVF path (the ann_ivf_bucketed_probe
+    shape: quantize, then per-list kernels) — while the query side
+    streams through mapInPandas in Arrow batches, one BLAS matmul per
+    batch, so compute is partition-parallel and nothing corpus-sized
+    shuffles. Ties at the k-th neighbor break by ascending vec_id
+    (np.lexsort mirrors the SQL (cos DESC, vec_id) ordering; duplicate
+    vectors produce bit-equal cosines in both engines). All outputs
+    integer except one int/int division — parity-EXACT."""
+    import numpy as np
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    n_build = emb.count()
+    if n_build > _LNK_MAX_BUILD_ROWS:
+        raise ValueError(
+            f"label_noise_knn: broadcast index would hold {n_build} rows "
+            f"(> {_LNK_MAX_BUILD_ROWS}). Quantize first and run per-list "
+            "kernels (see ann_ivf_bucketed_probe / ann_knn_graph_audit)."
+        )
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    labs = np.array([r["label"] for r in rows], dtype=np.int64)[order]
+    X = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in rows]
+    )[order]
+    nrm = np.sqrt((X * X).sum(axis=1, keepdims=True))
+    Xh = X / np.where(nrm == 0, 1, nrm)
+    bc = spark.sparkContext.broadcast((ids, labs, Xh))
+
+    def score(batches):
+        import pandas as pd
+
+        b_ids, b_labs, b_xh = bc.value
+        for pdf in batches:
+            q_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            q_labs = pdf["label"].to_numpy(dtype=np.int64)
+            Q = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            qn = np.sqrt((Q * Q).sum(axis=1, keepdims=True))
+            Qh = Q / np.where(qn == 0, 1, qn)
+            S = Qh @ b_xh.T
+            # exclude self by id (the query batch is a subset of the index)
+            self_mask = q_ids[:, None] == b_ids[None, :]
+            S[self_mask] = -np.inf
+            k = min(_LNK_K, len(b_ids) - 1)
+            matches = np.empty(len(q_ids), dtype=np.int64)
+            for i in range(len(q_ids)):
+                top = np.lexsort((b_ids, -S[i]))[:k]
+                matches[i] = int((b_labs[top] == q_labs[i]).sum())
+            yield pd.DataFrame(
+                {"label": q_labs, "matches": matches}
+            )
+
+    scored = emb.mapInPandas(score, schema="label long, matches long")
+    return scored.groupBy(F.col("label").cast("int").alias("label")).agg(
+        F.count("*").alias("n_vecs"),
+        F.sum("matches").alias("total_matches"),
+        (F.sum("matches").cast("double") / (F.count("*") * _LNK_K)).alias(
+            "mean_agreement"
+        ),
+        F.sum(
+            F.when(F.col("matches") * 2 < _LNK_K, 1).otherwise(0)
+        ).alias("n_suspect"),
+    )
