@@ -40,6 +40,7 @@ from history_collector_spark.streaming.stateful import (
     track_ewma,
     track_gapless,
     track_heavy_hitters,
+    track_page_hinkley,
     track_zscore,
 )
 
@@ -680,3 +681,70 @@ def streaming_scd2_cdc_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("batch_id") == F.col("mx"))
         .select("user_id", "valid_from", "valid_to", "value", "is_current")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Page-Hinkley drift e2e: concept-drift monitoring with four
+# numbers per key carried across micro-batches.
+# ---------------------------------------------------------------------------
+
+_PH_DELTA = 0.05
+_PH_LAMBDA = 25.0
+
+
+@register(
+    "streaming_page_hinkley_e2e",
+    oracle=f"""
+    WITH x AS (
+      SELECT event_id, user_id, ts, value,
+             avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS rm
+      FROM events
+    ), m AS (
+      SELECT event_id, user_id, ts,
+             sum(value - rm - {_PH_DELTA}) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mt
+      FROM x
+    )
+    SELECT event_id, user_id,
+           mt - min(mt) OVER wp AS ph,
+           (mt - min(mt) OVER wp) > {_PH_LAMBDA} AS drift
+    FROM m
+    WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def streaming_page_hinkley_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events replayed as time-range micro-batches into the stateful
+    Page-Hinkley monitor (streaming/stateful.py:track_page_hinkley):
+    the cumulative deviation and its running minimum genuinely carry
+    through the state store across batch boundaries, and every emitted
+    statistic must equal the batch two-stacked-prefix-window closed
+    form the oracle states. State is four numbers per key — bounded at
+    any scale; keys partition the stream so a million independent
+    monitors run in parallel (the same contract as the EWMA/z-score
+    trackers)."""
+    flat = _time_partitioned_replay_dir(spark, sf_dir, _EWMA_FILES)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    out = track_page_hinkley(stream, _PH_DELTA, _PH_LAMBDA)
+    name = f"sph_{uuid.uuid4().hex[:8]}"
+    with scoped_state_partitions(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    return spark.table(name).select("event_id", "user_id", "ph", "drift")

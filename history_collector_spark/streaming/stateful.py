@@ -25,6 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -226,6 +227,92 @@ def track_zscore(stream: DataFrame) -> DataFrame:
         make_zscore_tracker(),
         outputStructType=ZSCORE_OUT_SCHEMA,
         stateStructType=ZSCORE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming Page-Hinkley drift detection: a four-number concept-drift
+# monitor per key that survives micro-batches in the state store.
+# ---------------------------------------------------------------------------
+
+PH_OUT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("ph", DoubleType()),
+        StructField("drift", BooleanType()),
+    ]
+)
+
+# (n, running sum, cumulative deviation m_t, min m_t) per key.
+PH_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("sumv", DoubleType()),
+        StructField("mt", DoubleType()),
+        StructField("minm", DoubleType()),
+    ]
+)
+
+
+def make_page_hinkley_tracker(delta: float, lam: float):
+    """Per-key streaming Page-Hinkley test (Page 1954; the standard
+    data-stream drift monitor, cf. Gama et al. 2014 survey §3.2):
+    maintain m_t = sum_{i<=t} (x_i - mean_i - delta) where mean_i is
+    the running mean INCLUDING x_i, and raise drift when
+    m_t - min_{j<=t} m_j > lambda — an upward level shift makes the
+    deviations stop hugging zero and m_t climb away from its minimum.
+
+    The mean is kept as sum/count (NOT Welford) so each emitted ph
+    equals the batch prefix-window formulation operation-for-operation
+    — the oracle in xstream.streaming_page_hinkley_e2e restates the
+    same arithmetic with two stacked cumulative windows."""
+
+    def track(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, sumv, mt, minm = (
+            state.get if state.exists else (0, 0.0, 0.0, None)
+        )
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"])
+        out_ids, out_ph, out_drift = [], [], []
+        for eid, x in zip(pdf["event_id"], pdf["value"]):
+            x = float(x)
+            n += 1
+            sumv += x
+            mean = sumv / n
+            mt += x - mean - delta
+            minm = mt if minm is None else min(minm, mt)
+            ph = mt - minm
+            out_ids.append(int(eid))
+            out_ph.append(ph)
+            out_drift.append(ph > lam)
+        if out_ids:
+            yield pd.DataFrame(
+                {
+                    "event_id": out_ids,
+                    "user_id": key[0],
+                    "ph": out_ph,
+                    "drift": out_drift,
+                }
+            )
+        state.update((int(n), float(sumv), float(mt), float(minm)))
+
+    return track
+
+
+def track_page_hinkley(
+    stream: DataFrame, delta: float, lam: float
+) -> DataFrame:
+    """stream(event_id, ts, user_id, value) -> Page-Hinkley drift
+    statistic per event, four numbers per key in the state store."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        make_page_hinkley_tracker(delta, lam),
+        outputStructType=PH_OUT_SCHEMA,
+        stateStructType=PH_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
