@@ -1074,10 +1074,13 @@ def label_noise_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             self_mask = q_ids[:, None] == b_ids[None, :]
             S[self_mask] = -np.inf
             k = min(_LNK_K, len(b_ids) - 1)
-            matches = np.empty(len(q_ids), dtype=np.int64)
-            for i in range(len(q_ids)):
-                top = np.lexsort((b_ids, -S[i]))[:k]
-                matches[i] = int((b_labs[top] == q_labs[i]).sum())
+            # stable argsort on -S: columns are already in ascending
+            # b_ids order, so equal cosines break by ascending vec_id —
+            # the SQL (cos DESC, vec_id) ordering, fully vectorized
+            top = np.argsort(-S, axis=1, kind="stable")[:, :k]
+            matches = (b_labs[top] == q_labs[:, None]).sum(
+                axis=1, dtype=np.int64
+            )
             yield pd.DataFrame(
                 {"label": q_labs, "matches": matches}
             )
