@@ -135,7 +135,7 @@ PRIORITY_QUERIES = (
     "curation_perplexity_buckets",
     "streaming_scd2_cdc_e2e",
     "range_join_events",
-    "dedup_exact",
+    "curation_token_budget_plan",
     "dedup_minhash_lsh",
     "multimodal_audio_vad_segments",
     "dedup_clusters",
@@ -145,11 +145,11 @@ PRIORITY_QUERIES = (
     "orders_chi2_independence",
     "cross_source_contamination",
     "multimodal_image_ahash",
-    "shipping_priority_q3",
+    "streaming_page_hinkley_e2e",
     "bpe_merge_step",
     "curation_quality_pipeline",
     "curation_decontaminate",
-    "star_schema_revenue",
+    "label_noise_knn",
     "curation_domain_reweight",
     # the REAL-codec roundtrip (encode_bmp -> magic-sniffed decode ->
     # pixel checksum) supersedes the fixture-fake multimodal_decode in
