@@ -365,3 +365,241 @@ def dp_count_release_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("true_count") + noise).alias("released"),
         F.abs(noise).alias("abs_noise"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ranking-classifier eval: AUC-ROC, average precision, calibration.
+#
+# A data pipeline that trains quality / toxicity / language classifiers
+# needs their evals to run ON the cluster over millions of scored rows.
+# The scale shape shared by all three: collapse the scored corpus to a
+# DISTINCT-SCORE aggregate first (bounded: the score is discretized),
+# then compute rank statistics on that tiny table. The full-resolution
+# per-row sort (how sklearn does it) is exactly the global-sort trap
+# the window-partition guard bans.
+#
+# The classifier under eval is synthetic but deterministic: each order
+# scores s = md5_uniform(o_orderkey) % 1000 + 300 * label, with label
+# = (o_orderstatus = 'F') — a "model" with genuine signal (AUC ~ 0.65)
+# whose integer scores make every rank statistic exact across engines.
+# ---------------------------------------------------------------------------
+
+_SCORE_STEPS = 1300  # score range [0, 1300): 1000 hash + 300 label lift
+
+# (score, n_pos_s, n_neg_s) per distinct integer score — the bounded
+# aggregate every eval below starts from; mirrored by _eval_scored().
+_EVAL_SCORED_SQL = """
+  scored AS (
+    SELECT (CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+              AS BIGINT) % 1000)
+           + CASE WHEN o_orderstatus = 'F' THEN 300 ELSE 0 END AS score,
+           CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+    FROM orders
+  ),
+  per_score AS (
+    SELECT score,
+           CAST(sum(y) AS BIGINT) AS p,
+           CAST(sum(1 - y) AS BIGINT) AS n
+    FROM scored GROUP BY score
+  ),
+  tot AS (
+    SELECT CAST(sum(p) AS BIGINT) AS n_pos, CAST(sum(n) AS BIGINT) AS n_neg
+    FROM per_score
+  )
+"""
+
+
+def _eval_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(score, p, n) per distinct integer score — one map-side-combined
+    aggregate over orders; everything downstream is <= 1300 rows."""
+    orders = table(spark, sf_dir, "orders")
+    h = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    y = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    scored = orders.select(
+        ((h % 1000) + F.when(F.col("o_orderstatus") == "F", 300).otherwise(0))
+        .alias("score"),
+        y.alias("y"),
+    )
+    return scored.groupBy("score").agg(
+        F.sum("y").alias("p"),
+        F.sum(F.lit(1) - F.col("y")).alias("n"),
+    )
+
+
+@register(
+    "eval_auc_roc",
+    oracle=f"""
+    WITH {_EVAL_SCORED_SQL},
+    ranked AS (
+      SELECT p, n,
+             coalesce(sum(n) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS neg_below
+      FROM per_score
+    )
+    SELECT tot.n_pos, tot.n_neg,
+           CAST(sum(p * (2 * neg_below + n)) AS BIGINT) AS auc2_numerator,
+           CAST(sum(p * (2 * neg_below + n)) AS DOUBLE)
+             / (2 * tot.n_pos * tot.n_neg) AS auc
+    FROM ranked, tot
+    GROUP BY tot.n_pos, tot.n_neg
+    """,
+)
+def eval_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected AUC-ROC (Mann-Whitney form) of the synthetic
+    order-status classifier, computed entirely on the distinct-score
+    aggregate: AUC = [#(pos>neg pairs) + #ties/2] / (n_pos * n_neg),
+    and with integer scores the doubled numerator
+    sum_s p_s * (2 * neg_below(s) + n_s) is an exact BIGINT — the only
+    float op is the final single division, so the result is bit-stable
+    across engines.
+
+    Scale shape: one scan into a <=1300-row score aggregate (map-side
+    combined); the cumulative window runs over that bounded table (one
+    task, 1300 rows — allowlisted), never over the corpus. sklearn's
+    per-row sort at 100 TB is exactly the global-sort trap this avoids.
+    """
+    per_score = _eval_scored(spark, sf_dir)
+    w = (
+        Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = per_score.withColumn(
+        "neg_below", F.coalesce(F.sum("n").over(w), F.lit(0))
+    )
+    num = F.sum(
+        F.col("p") * (F.lit(2) * F.col("neg_below") + F.col("n"))
+    )
+    return ranked.agg(
+        F.sum("p").alias("n_pos"),
+        F.sum("n").alias("n_neg"),
+        num.alias("auc2_numerator"),
+        (
+            num.cast("double")
+            / (F.lit(2) * F.sum("p") * F.sum("n"))
+        ).alias("auc"),
+    )
+
+
+@register(
+    "eval_average_precision",
+    oracle=f"""
+    WITH {_EVAL_SCORED_SQL},
+    cum AS (
+      SELECT score, p,
+             sum(p) OVER (ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_p,
+             sum(p + n) OVER (ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_all
+      FROM per_score
+    ),
+    terms AS (
+      SELECT score,
+             CAST(p * cum_p AS DOUBLE) / (tot.n_pos * cum_all) AS term
+      FROM cum, tot
+      WHERE p > 0
+    )
+    SELECT tot.n_pos,
+           CAST(count(*) AS BIGINT) AS n_positive_scores,
+           list_sum(list(term ORDER BY score)) AS avg_precision
+    FROM terms, tot
+    GROUP BY tot.n_pos
+    """,
+)
+def eval_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (area under the precision-recall curve, step
+    interpolation) on the distinct-score aggregate:
+    AP = sum_s (p_s / n_pos) * precision(s), precision(s) = cum_p(s) /
+    cum_all(s) cumulated from the top score down, ties handled as one
+    block. Each term is a single BIGINT/BIGINT division (exact per
+    row); the final sum left-folds the terms in ascending-score order
+    on BOTH engines (F.aggregate over the sorted array here, ordered
+    list_sum in the oracle) so the float accumulation is replayed
+    bit-for-bit.
+
+    Scale shape: identical to eval_auc_roc — corpus collapses to the
+    <=1300-row score table before any ordering happens.
+    """
+    per_score = _eval_scored(spark, sf_dir)
+    w = Window.orderBy(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_score.select(
+        "score",
+        "p",
+        F.sum("p").over(w).alias("cum_p"),
+        F.sum(F.col("p") + F.col("n")).over(w).alias("cum_all"),
+    )
+    n_pos = per_score.agg(F.sum("p").alias("n_pos"))
+    terms = (
+        cum.filter(F.col("p") > 0)
+        .crossJoin(F.broadcast(n_pos))
+        .select(
+            "n_pos",
+            "score",
+            (
+                (F.col("p") * F.col("cum_p")).cast("double")
+                / (F.col("n_pos") * F.col("cum_all"))
+            ).alias("term"),
+        )
+    )
+    folded = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("score", "term"))),
+            lambda s: s.term,
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    return terms.groupBy("n_pos").agg(
+        F.count("*").alias("n_positive_scores"),
+        folded.alias("avg_precision"),
+    )
+
+
+@register(
+    "eval_calibration_bins",
+    oracle=f"""
+    WITH {_EVAL_SCORED_SQL}
+    SELECT CAST(score // 100 AS BIGINT) AS bin,
+           CAST(sum(p + n) AS BIGINT) AS n_rows,
+           CAST(sum(p) AS BIGINT) AS n_pos,
+           CAST(sum(p) AS DOUBLE) / sum(p + n) AS accuracy,
+           CAST(sum(score * (p + n)) AS DOUBLE)
+             / (sum(p + n) * {_SCORE_STEPS}) AS confidence,
+           abs(CAST(sum(p) AS DOUBLE) / sum(p + n)
+               - CAST(sum(score * (p + n)) AS DOUBLE)
+                 / (sum(p + n) * {_SCORE_STEPS})) AS calibration_gap
+    FROM per_score
+    GROUP BY 1
+    """,
+)
+def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins for the synthetic classifier whose
+    predicted probability is score/{_SCORE_STEPS}: per score-centile
+    bin (13 bins of width 100), observed positive rate vs mean
+    predicted probability and the |gap| an ECE would weight. Every
+    column is integer sums plus one BIGINT/BIGINT division (confidence
+    folds the /{_SCORE_STEPS} into the divisor so it stays a single
+    division) — exact across engines.
+
+    Scale shape: a second tiny aggregate over the distinct-score table;
+    the corpus is touched once, bins are bounded (13 rows), no windows.
+    """
+    per_score = _eval_scored(spark, sf_dir)
+    n_rows = F.sum(F.col("p") + F.col("n"))
+    acc = F.sum("p").cast("double") / n_rows
+    conf = F.sum(F.col("score") * (F.col("p") + F.col("n"))).cast(
+        "double"
+    ) / (n_rows * F.lit(_SCORE_STEPS))
+    return per_score.groupBy(
+        F.expr("score DIV 100").cast("long").alias("bin")
+    ).agg(
+        n_rows.alias("n_rows"),
+        F.sum("p").alias("n_pos"),
+        acc.alias("accuracy"),
+        conf.alias("confidence"),
+        F.abs(acc - conf).alias("calibration_gap"),
+    )

@@ -240,6 +240,12 @@ BOUNDED_INPUT_WINDOWS = {
         "distinct-price aggregate; grid-partition refinement documented "
         "in the query docstring for key spaces where that stays huge",
     ("cusum_changepoint", ("event_type",)): "hourly aggregate input",
+    ("eval_auc_roc", ()):
+        "distinct-integer-score aggregate (<=1300 rows) — the corpus "
+        "collapses to per-score counts before the cumulative window",
+    ("eval_average_precision", ()):
+        "distinct-integer-score aggregate (<=1300 rows), same subtree "
+        "as eval_auc_roc",
     ("streaming_topk_e2e", ("event_type",)):
         "per-key micro-batch count aggregate, key-space-bounded",
     ("curation_shard_assign", ("shard",)):
