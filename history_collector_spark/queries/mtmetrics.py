@@ -1,0 +1,421 @@
+"""Generation-quality metrics: chrF and corpus BLEU over paired texts.
+
+A training-data pipeline that distills, translates, or paraphrases at
+corpus scale needs its generation evals ON the cluster — per-pair chrF
+for filtering (keep only faithful rewrites) and corpus BLEU for run
+regression tracking. Candidate/reference pairs are formed from the
+documents table itself (doc 2k rewrites doc 2k+1), which keeps the
+metric arithmetic honest without shipping a generation model.
+
+Scale shape shared by both metrics: n-grams are formed O(len) per row
+JVM-side (zip_with over array slices / substr over char positions —
+never a re-split per gram), pair-local counts meet in ONE co-partitioned
+join keyed (pair_id, n, gram), and everything after that join is a
+bounded-column aggregate. No windows, no driver loops, no Python row
+path.
+
+Reference scope: kinecosystem/history-collector has no text metrics;
+LLM-pipeline extension tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from history_collector_spark.catalog import table
+from history_collector_spark.registry import register
+
+_CHRF_BETA2 = 4  # beta = 2: recall weighted 2x, per the chrF paper
+
+# candidate = even doc_id, reference = the following odd doc_id; both
+# lowercased once. Shared by both oracles.
+_PAIRS_SQL = """
+  pairs AS (
+    SELECT c.doc_id // 2 AS pair_id,
+           lower(c.text) AS cand,
+           lower(r.text) AS ref
+    FROM documents c
+    JOIN documents r ON r.doc_id = c.doc_id + 1
+    WHERE c.doc_id % 2 = 0
+  )
+"""
+
+
+def _pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    c = docs.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") / 2).cast("long").alias("pair_id"),
+        F.lower(F.col("text")).alias("cand"),
+    )
+    r = docs.filter(F.col("doc_id") % 2 == 1).select(
+        F.floor(F.col("doc_id") / 2).cast("long").alias("pair_id"),
+        F.lower(F.col("text")).alias("ref"),
+    )
+    return c.join(r, "pair_id")
+
+
+def _char_grams(text: Column, n: int) -> Column:
+    """Char n-grams as an array, O(n) per gram: substr copies n chars
+    per position; the text column itself is never re-derived per
+    element (the projection-collapse trap dsir._gram_expr documents)."""
+    m = F.length(text)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(m - (n - 1), F.lit(0))),
+        lambda i: text.substr(i, F.lit(n)),
+    )
+
+
+def _word_grams(w: Column, n: int) -> Column:
+    """Word n-grams by chaining zip_with over shifted slices — each
+    slice materializes once per row, so gram formation is O(len)
+    regardless of how Catalyst collapses the token projection."""
+    m = F.size(w)
+    g = w
+    for k in range(2, n + 1):
+        g = F.zip_with(
+            F.slice(g, 1, F.greatest(m - (k - 1), F.lit(0))),
+            F.slice(w, k, F.greatest(m - (k - 1), F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.when(m >= n, g).otherwise(F.array().cast("array<string>"))
+
+
+def _gram_counts(
+    df: DataFrame, text_col: str, orders: tuple[int, ...]
+) -> DataFrame:
+    """(pair_id, n, g, c): per-pair char-gram multiset counts per n —
+    one explode per order, unioned; each branch map-side combines."""
+    grams = [_char_grams(F.col(text_col), n).alias(f"g{n}") for n in orders]
+    parts = []
+    for n, gexpr in zip(orders, grams):
+        parts.append(
+            df.select("pair_id", gexpr)
+            .select("pair_id", F.explode(f"g{n}").alias("g"))
+            .groupBy("pair_id", "g")
+            .agg(F.count("*").alias("c"))
+            .select("pair_id", F.lit(n).alias("n"), "g", "c")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# per-(pair, n) clipped overlap: sum of min(cand count, ref count) —
+# an inner join suffices (missing grams clip to 0).
+_CHRF_OV_SQL = """
+  cg AS (
+    SELECT pair_id, n, g, CAST(count(*) AS BIGINT) AS c
+    FROM (
+      SELECT pair_id, n, unnest(list_transform(
+               range(1, greatest(length(cand) - (n - 1), 0) + 1),
+               i -> substr(cand, CAST(i AS INT), CAST(n AS INT)))) AS g
+      FROM pairs, (SELECT unnest(range(1, 4)) AS n) ns
+    ) GROUP BY 1, 2, 3
+  ),
+  rg AS (
+    SELECT pair_id, n, g, CAST(count(*) AS BIGINT) AS c
+    FROM (
+      SELECT pair_id, n, unnest(list_transform(
+               range(1, greatest(length(ref) - (n - 1), 0) + 1),
+               i -> substr(ref, CAST(i AS INT), CAST(n AS INT)))) AS g
+      FROM pairs, (SELECT unnest(range(1, 4)) AS n) ns
+    ) GROUP BY 1, 2, 3
+  ),
+  ov AS (
+    SELECT cg.pair_id, cg.n,
+           CAST(sum(least(cg.c, rg.c)) AS BIGINT) AS ov
+    FROM cg JOIN rg ON cg.pair_id = rg.pair_id
+                   AND cg.n = rg.n AND cg.g = rg.g
+    GROUP BY 1, 2
+  ),
+  grid AS (
+    SELECT p.pair_id, ns.n,
+           greatest(length(p.cand) - (ns.n - 1), 0) AS tc,
+           greatest(length(p.ref) - (ns.n - 1), 0) AS tr
+    FROM pairs p CROSS JOIN (SELECT unnest(range(1, 4)) AS n) ns
+  ),
+  pern AS (
+    SELECT gd.pair_id, gd.n, gd.tc, gd.tr, coalesce(ov.ov, 0) AS ov
+    FROM grid gd LEFT JOIN ov ON ov.pair_id = gd.pair_id AND ov.n = gd.n
+  ),
+  folded AS (
+    SELECT pair_id,
+           (sum(CASE WHEN n = 1 AND tc > 0 THEN CAST(ov AS DOUBLE) / tc ELSE 0.0 END)
+            + sum(CASE WHEN n = 2 AND tc > 0 THEN CAST(ov AS DOUBLE) / tc ELSE 0.0 END)
+            + sum(CASE WHEN n = 3 AND tc > 0 THEN CAST(ov AS DOUBLE) / tc ELSE 0.0 END)
+           ) / 3 AS chrp,
+           (sum(CASE WHEN n = 1 AND tr > 0 THEN CAST(ov AS DOUBLE) / tr ELSE 0.0 END)
+            + sum(CASE WHEN n = 2 AND tr > 0 THEN CAST(ov AS DOUBLE) / tr ELSE 0.0 END)
+            + sum(CASE WHEN n = 3 AND tr > 0 THEN CAST(ov AS DOUBLE) / tr ELSE 0.0 END)
+           ) / 3 AS chrr
+    FROM pern GROUP BY pair_id
+  )
+"""
+
+
+@register(
+    "text_chrf_score",
+    oracle=f"""
+    WITH {_PAIRS_SQL},
+    {_CHRF_OV_SQL}
+    SELECT pair_id, chrp, chrr,
+           CASE WHEN {_CHRF_BETA2} * chrp + chrr > 0.0
+                THEN ((1 + {_CHRF_BETA2}) * (chrp * chrr))
+                     / ({_CHRF_BETA2} * chrp + chrr)
+                ELSE 0.0 END AS chrf
+    FROM folded
+    ORDER BY chrf DESC, pair_id
+    LIMIT 100
+    """,
+)
+def text_chrf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """chrF2 (Popović 2015) per candidate/reference pair, top-100 by
+    score — the per-pair faithfulness filter: character 1..3-gram
+    precision and recall (clipped multiset overlap), averaged over n,
+    combined with beta=2.
+
+    Parity: per-n P and R are single BIGINT/BIGINT divisions (clip
+    totals are integers; the denominator is closed-form from the text
+    length, no second aggregate), averaged and combined in the same op
+    order both engines; the per-n fold is a fixed 3-term CASE sum, not
+    an unordered float aggregation. Top-k is TakeOrderedAndProject
+    with (chrf DESC, pair_id) tiebreak.
+
+    Scale: one (pair_id, n, gram)-keyed join of two map-side-combined
+    count aggregates; gram formation O(len) per row (substr, no
+    re-split); everything else per-pair arithmetic.
+    """
+    pairs = _pairs(spark, sf_dir).select(
+        "pair_id",
+        "cand",
+        "ref",
+        F.length("cand").alias("lc"),
+        F.length("ref").alias("lr"),
+    )
+    orders = (1, 2, 3)
+    cg = _gram_counts(pairs, "cand", orders)
+    rg = _gram_counts(pairs, "ref", orders).withColumnRenamed("c", "cr")
+    ov = (
+        cg.join(rg, ["pair_id", "n", "g"])
+        .groupBy("pair_id", "n")
+        .agg(F.sum(F.least("c", "cr")).alias("ov"))
+    )
+    # pivot the <=3 per-pair rows into fixed columns (fixed fold order)
+    piv = ov.groupBy("pair_id").agg(
+        *[
+            F.sum(F.when(F.col("n") == n, F.col("ov")).otherwise(0)).alias(
+                f"ov{n}"
+            )
+            for n in orders
+        ]
+    )
+    base = pairs.select("pair_id", "lc", "lr").join(piv, "pair_id", "left")
+
+    def _p(n: int, length: Column) -> Column:
+        tot = F.greatest(length - (n - 1), F.lit(0))
+        ovn = F.coalesce(F.col(f"ov{n}"), F.lit(0))
+        return F.when(tot > 0, ovn.cast("double") / tot).otherwise(F.lit(0.0))
+
+    chrp = (
+        _p(1, F.col("lc")) + _p(2, F.col("lc")) + _p(3, F.col("lc"))
+    ) / F.lit(3)
+    chrr = (
+        _p(1, F.col("lr")) + _p(2, F.col("lr")) + _p(3, F.col("lr"))
+    ) / F.lit(3)
+    scored = base.select(
+        "pair_id", chrp.alias("chrp"), chrr.alias("chrr")
+    ).withColumn(
+        "chrf",
+        F.when(
+            F.lit(_CHRF_BETA2) * F.col("chrp") + F.col("chrr") > 0.0,
+            (F.lit(1 + _CHRF_BETA2) * (F.col("chrp") * F.col("chrr")))
+            / (F.lit(_CHRF_BETA2) * F.col("chrp") + F.col("chrr")),
+        ).otherwise(F.lit(0.0)),
+    )
+    return scored.orderBy(F.desc("chrf"), "pair_id").limit(100)
+
+
+_BLEU_GRAMS_SQL = """
+  toks AS (
+    SELECT pair_id,
+           string_split_regex(cand, '\\s+') AS cw,
+           string_split_regex(ref, '\\s+') AS rw
+    FROM pairs
+  ),
+  cg AS (
+    SELECT pair_id, n, g, CAST(count(*) AS BIGINT) AS c
+    FROM (
+      SELECT pair_id, n,
+             unnest(list_transform(
+               range(1, greatest(len(cw) - (n - 1), 0) + 1),
+               i -> array_to_string(cw[i:i+n-1], ' '))) AS g
+      FROM toks, (SELECT unnest(range(1, 5)) AS n) ns
+    ) GROUP BY 1, 2, 3
+  ),
+  rg AS (
+    SELECT pair_id, n, g, CAST(count(*) AS BIGINT) AS c
+    FROM (
+      SELECT pair_id, n,
+             unnest(list_transform(
+               range(1, greatest(len(rw) - (n - 1), 0) + 1),
+               i -> array_to_string(rw[i:i+n-1], ' '))) AS g
+      FROM toks, (SELECT unnest(range(1, 5)) AS n) ns
+    ) GROUP BY 1, 2, 3
+  ),
+  clip AS (
+    SELECT cg.n, CAST(sum(least(cg.c, rg.c)) AS BIGINT) AS clip_n
+    FROM cg JOIN rg ON cg.pair_id = rg.pair_id
+                   AND cg.n = rg.n AND cg.g = rg.g
+    GROUP BY 1
+  ),
+  tots AS (
+    SELECT ns.n,
+           CAST(sum(greatest(len(t.cw) - (ns.n - 1), 0)) AS BIGINT) AS tot_n
+    FROM toks t, (SELECT unnest(range(1, 5)) AS n) ns
+    GROUP BY 1
+  ),
+  lens AS (
+    SELECT CAST(sum(len(cw)) AS BIGINT) AS c_len,
+           CAST(sum(len(rw)) AS BIGINT) AS r_len
+    FROM toks
+  )
+"""
+
+
+@register(
+    "text_bleu_corpus",
+    oracle=f"""
+    WITH {_PAIRS_SQL},
+    {_BLEU_GRAMS_SQL},
+    wide AS (
+      SELECT lens.c_len, lens.r_len,
+             max(CASE WHEN t.n = 1 THEN coalesce(c.clip_n, 0) END) AS clip1,
+             max(CASE WHEN t.n = 2 THEN coalesce(c.clip_n, 0) END) AS clip2,
+             max(CASE WHEN t.n = 3 THEN coalesce(c.clip_n, 0) END) AS clip3,
+             max(CASE WHEN t.n = 4 THEN coalesce(c.clip_n, 0) END) AS clip4,
+             max(CASE WHEN t.n = 1 THEN t.tot_n END) AS tot1,
+             max(CASE WHEN t.n = 2 THEN t.tot_n END) AS tot2,
+             max(CASE WHEN t.n = 3 THEN t.tot_n END) AS tot3,
+             max(CASE WHEN t.n = 4 THEN t.tot_n END) AS tot4
+      FROM tots t LEFT JOIN clip c ON c.n = t.n CROSS JOIN lens
+      GROUP BY lens.c_len, lens.r_len
+    )
+    SELECT c_len, r_len, clip1, clip2, clip3, clip4,
+           tot1, tot2, tot3, tot4,
+           CASE WHEN least(clip1, clip2, clip3, clip4) = 0 THEN 0.0
+                ELSE (CASE WHEN c_len > r_len THEN 1.0
+                           ELSE exp(1.0 - CAST(r_len AS DOUBLE) / c_len) END)
+                     * exp((ln(CAST(clip1 AS DOUBLE) / tot1)
+                            + ln(CAST(clip2 AS DOUBLE) / tot2)
+                            + ln(CAST(clip3 AS DOUBLE) / tot3)
+                            + ln(CAST(clip4 AS DOUBLE) / tot4)) / 4)
+           END AS bleu
+    FROM wide
+    """,
+)
+def text_bleu_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level BLEU-4 (Papineni et al. 2002) of the paired
+    candidate/reference corpus: clipped n-gram matches and candidate
+    totals are summed over ALL pairs before the precision ratio (the
+    corpus statistic, not an average of sentence BLEUs), with the
+    standard brevity penalty.
+
+    Parity: every count column is an exact BIGINT; bleu itself is the
+    only transcendental (exp/ln, both ≤1 ulp per engine — the PARITY.md
+    drift class that passes unless a value sits on a rounding
+    boundary), with the op order matched term-for-term and the
+    int/int precision divisions kept single.
+
+    Scale: the same (pair_id, n, gram)-keyed join as chrF, collapsed
+    to a 4-row clip aggregate and a 1-row length aggregate — corpus
+    size only ever flows through map-side-combined counts.
+    """
+    pairs = _pairs(spark, sf_dir)
+    toks = pairs.select(
+        "pair_id",
+        F.split(F.col("cand"), r"\s+").alias("cw"),
+        F.split(F.col("ref"), r"\s+").alias("rw"),
+    )
+    orders = (1, 2, 3, 4)
+
+    # word-gram counts straight from the token arrays
+    def counts(col: str, out: str) -> DataFrame:
+        parts = []
+        for n in orders:
+            parts.append(
+                toks.select(
+                    "pair_id", _word_grams(F.col(col), n).alias("gs")
+                )
+                .select("pair_id", F.explode("gs").alias("g"))
+                .groupBy("pair_id", "g")
+                .agg(F.count("*").alias(out))
+                .select("pair_id", F.lit(n).alias("n"), "g", out)
+            )
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
+
+    cgc = counts("cw", "c")
+    rgc = counts("rw", "cr")
+    clip = (
+        cgc.join(rgc, ["pair_id", "n", "g"])
+        .groupBy("n")
+        .agg(F.sum(F.least("c", "cr")).alias("clip_n"))
+    )
+    tots = (
+        toks.select(
+            "pair_id",
+            F.size("cw").alias("lc"),
+            F.size("rw").alias("lr"),
+        )
+        .agg(
+            F.sum("lc").alias("c_len"),
+            F.sum("lr").alias("r_len"),
+            *[
+                F.sum(F.greatest(F.col("lc") - (n - 1), F.lit(0))).alias(
+                    f"tot{n}"
+                )
+                for n in orders
+            ],
+        )
+    )
+    wide = tots.crossJoin(
+        F.broadcast(
+            clip.groupBy().pivot("n", list(orders)).sum("clip_n")
+        ).select(
+            *[
+                F.coalesce(F.col(str(n)), F.lit(0)).alias(f"clip{n}")
+                for n in orders
+            ]
+        )
+    )
+    bp = F.when(F.col("c_len") > F.col("r_len"), F.lit(1.0)).otherwise(
+        F.exp(
+            F.lit(1.0) - F.col("r_len").cast("double") / F.col("c_len")
+        )
+    )
+    logmean = (
+        F.log(F.col("clip1").cast("double") / F.col("tot1"))
+        + F.log(F.col("clip2").cast("double") / F.col("tot2"))
+        + F.log(F.col("clip3").cast("double") / F.col("tot3"))
+        + F.log(F.col("clip4").cast("double") / F.col("tot4"))
+    ) / F.lit(4)
+    bleu = F.when(
+        F.least("clip1", "clip2", "clip3", "clip4") == 0, F.lit(0.0)
+    ).otherwise(bp * F.exp(logmean))
+    return wide.select(
+        "c_len",
+        "r_len",
+        "clip1",
+        "clip2",
+        "clip3",
+        "clip4",
+        "tot1",
+        "tot2",
+        "tot3",
+        "tot4",
+        bleu.alias("bleu"),
+    )
