@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from history_collector_spark.catalog import table
+from history_collector_spark.catalog import checked_embedding, table
 from history_collector_spark.queries.text import text_language_id, with_quality
 from history_collector_spark.registry import register
 
@@ -214,4 +214,77 @@ def churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             "days_active",
             F.col("active").isNull().alias("churned"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Full-batch logistic-regression gradient step — the distributed inner
+# loop of every quality / toxicity / langid classifier a data pipeline
+# trains on its own corpus. One step from zero init is exactly
+# representable: sigmoid(0) = 1/2, so grad_j = sum_i (1/2 - y_i) x_ij
+# needs no transcendentals at all.
+# ---------------------------------------------------------------------------
+
+_LRS_Q = 1 << 24  # fixed-point scale for the feature quantization
+_LRS_LR = 0.25  # learning rate; /2^2, so the update stays a power-of-2 shift
+
+
+@register(
+    "ml_logreg_step",
+    oracle=f"""
+    WITH terms AS (
+      SELECT CAST(i - 1 AS BIGINT) AS dim,
+             (1 - 2 * (CASE WHEN label = 0 THEN 1 ELSE 0 END))
+               * CAST(floor(CAST(embedding[i] AS DOUBLE) * {_LRS_Q})
+                      AS BIGINT) AS t
+      FROM embeddings, (SELECT unnest(range(1, 65)) AS i) r
+    )
+    SELECT dim,
+           CAST(sum(t) AS BIGINT) AS grad2_fixed,
+           CAST(sum(t) AS DOUBLE) / {2 * _LRS_Q} AS grad,
+           -(CAST(sum(t) AS DOUBLE) / {int(2 * _LRS_Q / _LRS_LR)}) AS w_after
+    FROM terms
+    GROUP BY dim
+    """,
+)
+def ml_logreg_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full-batch logistic-regression gradient step for the binary
+    task y = (label == 0) over the embedding table, from zero init at
+    lr=0.25 — the distributed step a corpus-scale classifier trainer
+    repeats. At w=0 every predicted probability is exactly 1/2, so the
+    NLL gradient is sum_i (1/2 - y_i) x_ij: pure sums, no sigmoid.
+
+    Bit-exactness device: features are quantized to 24-bit fixed point
+    (floor(x * 2^24) is exact — a float32 times a power of two is an
+    exact double, floor is deterministic), so the per-dimension
+    gradient accumulates as a BIGINT in ANY order; the (1/2 - y) factor
+    and the lr=1/4 step fold into power-of-two divisors (2^25, 2^27),
+    each a single exact division. Summation-order nondeterminism —
+    the reason a naive float gradient can't hash-match across engines —
+    is engineered out, not tolerated.
+
+    Scale shape: one scan, posexplode to (dim, term), a 64-key
+    aggregate with map-side combine; the model state is 64 numbers.
+    Reference scope: no ML in kinecosystem/history-collector;
+    LLM-pipeline extension tier.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    y = F.when(F.col("label") == 0, 1).otherwise(0)
+    terms = emb.select(
+        (F.lit(1) - F.lit(2) * y).alias("s"),
+        F.posexplode(checked_embedding()).alias("dim", "v"),
+    ).select(
+        F.col("dim").cast("long").alias("dim"),
+        (
+            F.col("s")
+            * F.floor(F.col("v").cast("double") * _LRS_Q).cast("long")
+        ).alias("t"),
+    )
+    g = F.sum("t")
+    return terms.groupBy("dim").agg(
+        g.alias("grad2_fixed"),
+        (g.cast("double") / F.lit(float(2 * _LRS_Q))).alias("grad"),
+        (-(g.cast("double") / F.lit(float(int(2 * _LRS_Q / _LRS_LR))))).alias(
+            "w_after"
+        ),
     )

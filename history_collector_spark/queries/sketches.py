@@ -392,3 +392,122 @@ def countmin_frequency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "exact_cnt")
         .agg(F.min("c").alias("cms_estimate"))
     )
+
+
+# ---------------------------------------------------------------------------
+# From-scratch HyperLogLog (Flajolet et al. 2007), cross-engine exact:
+# unlike the approx_count_distinct sketch above (engine-private bytes,
+# rows-only check), these registers are plain integers both engines
+# compute identically, so the whole estimator is oracle-verified.
+# ---------------------------------------------------------------------------
+
+_HLL_M = 64  # registers; bucket = low 6 bits of the 32-bit hash
+_HLL_ALPHA = 0.709  # alpha_64 from the HLL paper
+_HLL_VBITS = 26  # value bits left after the bucket split
+
+
+@register(
+    "sketch_hll_estimate",
+    oracle=f"""
+    WITH h AS (
+      SELECT CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8))
+               AS BIGINT) AS hv
+      FROM orders
+    ),
+    rho AS (
+      SELECT hv % {_HLL_M} AS bucket,
+             CASE WHEN hv // {_HLL_M} = 0 THEN {_HLL_VBITS + 1}
+                  ELSE {_HLL_VBITS} - length(bin(hv // {_HLL_M})) + 1
+             END AS r
+      FROM h
+    ),
+    regs AS (
+      SELECT g.b AS bucket, coalesce(max(rho.r), 0) AS r
+      FROM (SELECT unnest(range(0, {_HLL_M})) AS b) g
+      LEFT JOIN rho ON rho.bucket = g.b
+      GROUP BY g.b
+    ),
+    s AS (
+      SELECT sum(power(2.0, -r)) AS sum_inv,
+             CAST(sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero,
+             CAST(sum((bucket + 1) * r) AS BIGINT) AS register_checksum
+      FROM regs
+    ),
+    t AS (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS true_distinct
+          FROM orders)
+    SELECT {_HLL_M} AS m, n_zero, register_checksum, sum_inv,
+           ({_HLL_ALPHA} * {_HLL_M * _HLL_M}) / sum_inv AS estimate_raw,
+           CASE WHEN ({_HLL_ALPHA} * {_HLL_M * _HLL_M}) / sum_inv
+                     <= {2.5 * _HLL_M} AND n_zero > 0
+                THEN {_HLL_M} * ln({float(_HLL_M)} / n_zero)
+                ELSE ({_HLL_ALPHA} * {_HLL_M * _HLL_M}) / sum_inv
+           END AS estimate,
+           t.true_distinct
+    FROM s, t
+    """,
+)
+def sketch_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-customer estimate over orders, built from
+    scratch so every intermediate is oracle-checkable: 32-bit md5 hash,
+    bucket = h mod 64, rho = leading-zero rank of the remaining 26 value
+    bits (computed exactly as 26 - bitlength + 1 via bin(), no float
+    log), register = max(rho) per bucket, with the paper's linear-
+    counting correction for the small range.
+
+    Parity: registers are small integers; sum(2^-r) over 64 registers
+    is a sum of exact powers of two (no rounding at any order — every
+    partial sum is representable), so even the float estimate is
+    bit-stable; the correction branch compares exact values. The
+    register_checksum column pins the full register vector, not just
+    the estimate.
+
+    Scale shape: the register build is a 64-key max-aggregate with
+    map-side combine — the canonical mergeable sketch: partitions
+    build registers independently and max-merge, bytes shuffled are
+    O(64) per partition regardless of corpus size. true_distinct (the
+    audit column) is the one exact pass.
+    """
+    orders = table(spark, sf_dir, "orders")
+    hv = md5_hash32(F.col("o_custkey").cast("string"))
+    v = F.floor(F.col("hv") / _HLL_M).cast("long")
+    rho = (
+        orders.select(hv.alias("hv"))
+        .select(
+            (F.col("hv") % _HLL_M).alias("bucket"),
+            F.when(v == 0, F.lit(_HLL_VBITS + 1))
+            .otherwise(F.lit(_HLL_VBITS) - F.length(F.bin(v)) + 1)
+            .alias("r"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("r").alias("r"))
+    )
+    grid = spark.range(_HLL_M).select(F.col("id").alias("b"))
+    regs = (
+        grid.join(rho, grid.b == rho.bucket, "left")
+        .select("b", F.coalesce(F.col("r"), F.lit(0)).alias("r"))
+    )
+    s = regs.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("sum_inv"),
+        F.sum(F.when(F.col("r") == 0, 1).otherwise(0)).alias("n_zero"),
+        F.sum((F.col("b") + 1) * F.col("r")).alias("register_checksum"),
+    )
+    t = orders.agg(
+        F.count_distinct(F.col("o_custkey")).alias("true_distinct")
+    )
+    raw = (F.lit(_HLL_ALPHA) * F.lit(float(_HLL_M * _HLL_M))) / F.col(
+        "sum_inv"
+    )
+    est = F.when(
+        (raw <= F.lit(2.5 * _HLL_M)) & (F.col("n_zero") > 0),
+        F.lit(_HLL_M) * F.log(F.lit(float(_HLL_M)) / F.col("n_zero")),
+    ).otherwise(raw)
+    return s.crossJoin(F.broadcast(t)).select(
+        F.lit(_HLL_M).alias("m"),
+        "n_zero",
+        "register_checksum",
+        "sum_inv",
+        raw.alias("estimate_raw"),
+        est.alias("estimate"),
+        "true_distinct",
+    )
