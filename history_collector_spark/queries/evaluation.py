@@ -603,3 +603,107 @@ def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         conf.alias("confidence"),
         F.abs(acc - conf).alias("calibration_gap"),
     )
+
+
+@register(
+    "eval_conformal_coverage",
+    oracle=f"""
+    WITH scored AS (
+      SELECT o_orderkey % 2 = 0 AS cal,
+             CASE WHEN o_orderstatus = 'F'
+                  THEN {_SCORE_STEPS} -
+                       ((CAST(concat('0x', substr(md5(CAST(o_orderkey
+                            AS VARCHAR)), 1, 8)) AS BIGINT) % 1000) + 300)
+                  ELSE (CAST(concat('0x', substr(md5(CAST(o_orderkey
+                            AS VARCHAR)), 1, 8)) AS BIGINT) % 1000)
+             END AS alpha
+      FROM orders
+    ),
+    cal_hist AS (
+      SELECT alpha, CAST(count(*) AS BIGINT) AS c
+      FROM scored WHERE cal GROUP BY alpha
+    ),
+    cal_tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_cal FROM cal_hist),
+    cum AS (
+      SELECT alpha,
+             sum(c) OVER (ORDER BY alpha
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c
+      FROM cal_hist
+    ),
+    thr AS (
+      SELECT min(alpha) AS threshold
+      FROM cum, cal_tot
+      WHERE cum_c >= least((9 * (cal_tot.n_cal + 1) + 9) // 10,
+                           cal_tot.n_cal)
+    )
+    SELECT cal_tot.n_cal, thr.threshold,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN s.alpha <= thr.threshold THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_covered,
+           CAST(sum(CASE WHEN s.alpha <= thr.threshold THEN 1 ELSE 0 END)
+                AS DOUBLE) / count(*) AS coverage
+    FROM scored s CROSS JOIN thr CROSS JOIN cal_tot
+    WHERE NOT s.cal
+    GROUP BY cal_tot.n_cal, thr.threshold
+    """,
+)
+def eval_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction calibration at 90% target coverage:
+    the nonconformity of the true label under the synthetic classifier
+    (alpha = {_SCORE_STEPS}-score for positives, score for negatives),
+    thresholded at the ceil((n_cal+1)*0.9)-th smallest calibration
+    alpha (nearest-rank, computed with the exact integer formula
+    (9*(n+1)+9) DIV 10 — no float quantile), then audited for realized
+    coverage on the held-out half. The split is o_orderkey parity —
+    deterministic, engine-independent.
+
+    Everything is integers plus one final int/int division — EXACT.
+    Scale shape: the calibration side collapses to the bounded
+    distinct-alpha histogram (<= {_SCORE_STEPS + 1} rows; cumulative
+    window allowlisted on that aggregate), the threshold broadcasts
+    back, and the test side is one map-side-combined count — two scans,
+    no corpus sort, no corpus shuffle.
+    """
+    orders = table(spark, sf_dir, "orders")
+    h = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    is_pos = F.col("o_orderstatus") == "F"
+    alpha = F.when(
+        is_pos, F.lit(_SCORE_STEPS) - ((h % 1000) + F.lit(300))
+    ).otherwise(h % 1000)
+    scored = orders.select(
+        (F.col("o_orderkey") % 2 == 0).alias("cal"), alpha.alias("alpha")
+    )
+    cal_hist = (
+        scored.filter("cal").groupBy("alpha").agg(F.count("*").alias("c"))
+    )
+    cal_tot = cal_hist.agg(F.sum("c").alias("n_cal"))
+    w = Window.orderBy("alpha").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = cal_hist.select("alpha", F.sum("c").over(w).alias("cum_c"))
+    thr = (
+        cum.crossJoin(F.broadcast(cal_tot))
+        .filter(
+            F.col("cum_c")
+            >= F.least(
+                F.expr("(9 * (n_cal + 1) + 9) DIV 10"), F.col("n_cal")
+            )
+        )
+        .agg(F.min("alpha").alias("threshold"))
+    )
+    covered = F.sum(
+        F.when(F.col("alpha") <= F.col("threshold"), 1).otherwise(0)
+    )
+    return (
+        scored.filter(~F.col("cal"))
+        .crossJoin(F.broadcast(thr))
+        .crossJoin(F.broadcast(cal_tot))
+        .groupBy("n_cal", "threshold")
+        .agg(
+            F.count("*").alias("n_test"),
+            covered.alias("n_covered"),
+            (covered.cast("double") / F.count("*")).alias("coverage"),
+        )
+    )

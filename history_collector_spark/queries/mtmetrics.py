@@ -419,3 +419,139 @@ def text_bleu_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tot4",
         bleu.alias("bleu"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ROUGE-L: longest-common-subsequence recall/precision per pair. The
+# LCS DP is unrolled to a fixed token horizon with the SAME Python
+# loop generating both engines' expressions (the tokenizer_unigram_
+# viterbi lockstep idiom), using the prefix-max form of the row
+# update — valid because LCS DP rows are nondecreasing in j:
+#   dp_new[j] = max(dp_old[j], max_{k<=j}(dp_old[k-1] + [cand_i=ref_k]))
+# (non-match terms are absorbed by dp_old[j], so mismatches contribute
+# a harmless 0). Integer DP -> EXACT parity.
+# ---------------------------------------------------------------------------
+
+_RL_CAP = 24  # token horizon per side; docs truncate deterministically
+
+
+def _rouge_sql() -> str:
+    """Chained-SELECT unrolled LCS for DuckDB over the pairs CTE."""
+    cap = _RL_CAP
+    steps = [
+        "d0 AS (SELECT pair_id,"
+        " (string_split_regex(cand, '\\s+'))[1:%d] AS cw,"
+        " (string_split_regex(ref, '\\s+'))[1:%d] AS rw,"
+        " list_transform(range(0, %d), x -> CAST(0 AS BIGINT)) AS row_0"
+        " FROM pairs)" % (cap, cap, cap + 1)
+    ]
+    for i in range(1, cap + 1):
+        steps.append(
+            f"a{i} AS (SELECT *, list_transform(range(1, {cap + 1}),"
+            f" k -> CASE WHEN rw[k] = cw[{i}] THEN row_{i - 1}[k] + 1"
+            f" ELSE CAST(0 AS BIGINT) END) AS av FROM d{i - 1})"
+        )
+        steps.append(
+            f"d{i} AS (SELECT pair_id, cw, rw,"
+            f" CASE WHEN {i} <= len(cw) THEN"
+            f" list_prepend(CAST(0 AS BIGINT),"
+            f" list_transform(range(1, {cap + 1}),"
+            f" j -> greatest(row_{i - 1}[j + 1],"
+            f" coalesce(list_max(av[1:j]), CAST(0 AS BIGINT)))))"
+            f" ELSE row_{i - 1} END AS row_{i} FROM a{i})"
+        )
+    steps.append(
+        f"lcs AS (SELECT pair_id, CAST(len(cw) AS BIGINT) AS clen,"
+        f" CAST(len(rw) AS BIGINT) AS rlen,"
+        f" row_{cap}[len(rw) + 1] AS lcs_len FROM d{cap})"
+    )
+    return ",\n  ".join(steps)
+
+
+@register(
+    "text_rouge_l",
+    oracle=f"""
+    WITH {_PAIRS_SQL},
+  {_rouge_sql()}
+    SELECT pair_id, clen, rlen, lcs_len,
+           CAST(lcs_len AS DOUBLE) / clen AS rouge_l_p,
+           CAST(lcs_len AS DOUBLE) / rlen AS rouge_l_r,
+           CAST(2 * lcs_len AS DOUBLE) / (clen + rlen) AS rouge_l_f
+    FROM lcs
+    """,
+)
+def text_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-L per candidate/reference pair over the first {_RL_CAP}
+    tokens of each side (deterministic truncation, mirrored in the
+    oracle): LCS length plus precision/recall/F1. With P = lcs/clen
+    and R = lcs/rlen, F1 = 2PR/(P+R) simplifies to 2*lcs/(clen+rlen),
+    so all three ratios are single BIGINT/BIGINT divisions — EXACT.
+
+    The DP runs as {_RL_CAP} unrolled JVM-side array transforms per
+    row (O(cap^3) integer ops per pair, constant in corpus size),
+    partition-parallel with no shuffle at all after the pair join —
+    the cluster shape for a metric that is per-row embarrassingly
+    parallel but sequential inside the row. F.get (never element_at)
+    keeps out-of-bounds token probes NULL-safe under ANSI mode.
+    """
+    cap = _RL_CAP
+    pairs = _pairs(spark, sf_dir)
+    d = pairs.select(
+        "pair_id",
+        F.slice(F.split(F.col("cand"), r"\s+"), 1, cap).alias("cw"),
+        F.slice(F.split(F.col("ref"), r"\s+"), 1, cap).alias("rw"),
+    ).withColumn("row_0", F.array_repeat(F.lit(0).cast("long"), cap + 1))
+    clen = F.size("cw")
+
+    # single-arg lambda factories: a lambda with extra default args is
+    # counted as a multi-arg HOF by Spark (the F.transform arity trap)
+    def _mk_av(row: Column, ci: Column):
+        return lambda k: F.when(
+            F.get("rw", k - 1) == ci, F.get(row, k - 1) + 1
+        ).otherwise(F.lit(0).cast("long"))
+
+    def _mk_new(row: Column):
+        return lambda j: F.greatest(
+            F.get(row, j),
+            F.coalesce(
+                F.array_max(F.slice(F.col("av"), 1, j)),
+                F.lit(0).cast("long"),
+            ),
+        )
+
+    for i in range(1, cap + 1):
+        ci = F.get("cw", i - 1)
+        row = F.col(f"row_{i - 1}")
+        d = d.withColumn(
+            "av",
+            F.transform(F.sequence(F.lit(1), F.lit(cap)), _mk_av(row, ci)),
+        ).withColumn(
+            f"row_{i}",
+            F.when(
+                F.lit(i) <= clen,
+                F.concat(
+                    F.array(F.lit(0).cast("long")),
+                    F.transform(
+                        F.sequence(F.lit(1), F.lit(cap)), _mk_new(row)
+                    ),
+                ),
+            ).otherwise(row),
+        )
+    lcs = d.select(
+        "pair_id",
+        clen.cast("long").alias("clen"),
+        F.size("rw").cast("long").alias("rlen"),
+        F.get(F.col(f"row_{cap}"), F.size("rw")).alias("lcs_len"),
+    )
+    return lcs.select(
+        "pair_id",
+        "clen",
+        "rlen",
+        "lcs_len",
+        (F.col("lcs_len").cast("double") / F.col("clen")).alias("rouge_l_p"),
+        (F.col("lcs_len").cast("double") / F.col("rlen")).alias("rouge_l_r"),
+        (
+            (F.lit(2) * F.col("lcs_len")).cast("double")
+            / (F.col("clen") + F.col("rlen"))
+        ).alias("rouge_l_f"),
+    )

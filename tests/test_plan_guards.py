@@ -246,6 +246,8 @@ BOUNDED_INPUT_WINDOWS = {
     ("eval_average_precision", ()):
         "distinct-integer-score aggregate (<=1300 rows), same subtree "
         "as eval_auc_roc",
+    ("eval_conformal_coverage", ()):
+        "distinct-alpha calibration histogram (<=1301 rows)",
     ("streaming_topk_e2e", ("event_type",)):
         "per-key micro-batch count aggregate, key-space-bounded",
     ("curation_shard_assign", ("shard",)):

@@ -1,0 +1,105 @@
+"""Independent cross-checks for the round-8 metric waves.
+
+The oracle gate proves Spark == DuckDB; these tests prove the shared
+formula itself is right, against brute-force reference implementations
+that share no code with either engine's expression tree.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from history_collector_spark import registry
+from tests.conftest import TEST_SF_DIR
+
+registry.load_all()
+
+
+def _lcs_bruteforce(a: list[str], b: list[str]) -> int:
+    n, m = len(a), len(b)
+    dp = [[0] * (m + 1) for _ in range(n + 1)]
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            dp[i][j] = (
+                dp[i - 1][j - 1] + 1
+                if a[i - 1] == b[j - 1]
+                else max(dp[i - 1][j], dp[i][j - 1])
+            )
+    return dp[n][m]
+
+
+def test_rouge_l_matches_bruteforce_lcs(spark):
+    rows = (
+        registry.QUERIES["text_rouge_l"](spark, TEST_SF_DIR)
+        .select("pair_id", "lcs_len", "clen", "rlen")
+        .collect()
+    )
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{TEST_SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    assert rows
+    for r in rows:
+        cand = docs[2 * r["pair_id"]].lower().split()[:24]
+        ref = docs[2 * r["pair_id"] + 1].lower().split()[:24]
+        assert r["clen"] == len(cand) and r["rlen"] == len(ref)
+        expect = _lcs_bruteforce(cand, ref)
+        assert r["lcs_len"] == expect, (
+            f"pair {r['pair_id']}: dp={r['lcs_len']} brute={expect}"
+        )
+
+
+def test_auc_matches_bruteforce_pair_count(spark):
+    """Recompute AUC as the literal fraction of (pos, neg) pairs the
+    classifier orders correctly (ties at 1/2) — O(n_pos * n_neg) on
+    the tiny SF, independent of the rank formulation."""
+    import hashlib
+
+    orders = (
+        spark.read.parquet(f"{TEST_SF_DIR}/orders.parquet")
+        .select("o_orderkey", "o_orderstatus")
+        .collect()
+    )
+    pos, neg = [], []
+    for r in orders:
+        h = int(hashlib.md5(str(r["o_orderkey"]).encode()).hexdigest()[:8], 16)
+        y = r["o_orderstatus"] == "F"
+        s = h % 1000 + (300 if y else 0)
+        (pos if y else neg).append(s)
+    wins = sum(1 for p in pos for q in neg if p > q)
+    ties = sum(1 for p in pos for q in neg if p == q)
+    expect = (wins + ties / 2) / (len(pos) * len(neg))
+    got = registry.QUERIES["eval_auc_roc"](spark, TEST_SF_DIR).collect()[0]
+    assert got["n_pos"] == len(pos) and got["n_neg"] == len(neg)
+    assert got["auc2_numerator"] == 2 * wins + ties
+    assert math.isclose(got["auc"], expect, rel_tol=0, abs_tol=0)
+
+
+def test_bleu_identical_pair_is_one(spark):
+    """BLEU of a corpus where candidate == reference must be exactly
+    1.0 (every precision 1, brevity penalty 1) — checked through the
+    same registered plan by pointing both sides at the same text."""
+    import pyspark.sql.functions as F
+
+    from history_collector_spark.queries import mtmetrics
+
+    docs = spark.read.parquet(f"{TEST_SF_DIR}/documents.parquet")
+    pairs = docs.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") / 2).cast("long").alias("pair_id"),
+        F.lower("text").alias("cand"),
+        F.lower("text").alias("ref"),
+    )
+    orig = mtmetrics._pairs
+    try:
+        mtmetrics._pairs = lambda spark, sf_dir: pairs
+        row = registry.QUERIES["text_bleu_corpus"](spark, TEST_SF_DIR).collect()[0]
+    finally:
+        mtmetrics._pairs = orig
+    assert row["bleu"] == 1.0
+    assert row["clip1"] == row["tot1"] and row["clip4"] == row["tot4"]
