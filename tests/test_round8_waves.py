@@ -103,3 +103,40 @@ def test_bleu_identical_pair_is_one(spark):
         mtmetrics._pairs = orig
     assert row["bleu"] == 1.0
     assert row["clip1"] == row["tot1"] and row["clip4"] == row["tot4"]
+
+
+def test_hll_estimate_within_theoretical_error(spark):
+    """HLL with m=64 registers has relative standard error
+    1.04/sqrt(64) = 13%; assert the estimate lands within 4 sigma of
+    the exact distinct count (and that the register checksum is
+    consistent with a non-trivial register fill)."""
+    row = registry.QUERIES["sketch_hll_estimate"](spark, TEST_SF_DIR).collect()[0]
+    rel = abs(row["estimate"] - row["true_distinct"]) / row["true_distinct"]
+    assert rel < 4 * 0.13, (row["estimate"], row["true_distinct"])
+    assert row["m"] == 64
+    assert 0 <= row["n_zero"] < 64
+    assert row["register_checksum"] > 0
+
+
+def test_logreg_gradient_matches_numpy(spark):
+    """The fixed-point gradient must equal numpy's float computation
+    of sum_i (1 - 2*y_i) * floor(x_ij * 2^24) exactly."""
+    import numpy as np
+
+    emb = (
+        spark.read.parquet(f"{TEST_SF_DIR}/embeddings.parquet")
+        .select("embedding", "label")
+        .collect()
+    )
+    x = np.array([r["embedding"] for r in emb], dtype=np.float64)
+    y = np.array([1 if r["label"] == 0 else 0 for r in emb], dtype=np.int64)
+    xq = np.floor(x * (1 << 24)).astype(np.int64)
+    grad2 = ((1 - 2 * y)[:, None] * xq).sum(axis=0)
+    rows = registry.QUERIES["ml_logreg_step"](spark, TEST_SF_DIR).collect()
+    got = {r["dim"]: r["grad2_fixed"] for r in rows}
+    assert len(got) == 64
+    for j in range(64):
+        assert got[j] == grad2[j], (j, got[j], grad2[j])
+        # and the emitted step is the exact power-of-two scaling
+        r = [q for q in rows if q["dim"] == j][0]
+        assert r["w_after"] == -(grad2[j] / (1 << 27))
