@@ -810,3 +810,143 @@ def event_changepoints_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "split_order int, change_day timestamp, sse_gain double, "
         "mean_before double, mean_after double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt linear (double-exponential) smoothing per event type — the
+# classic level+trend forecaster a metrics pipeline fits per series.
+# alpha = 1/2, beta = 1/4 (dyadic, so the smoothing multiplies are
+# exact); the sequential recurrence is an ORDERED LEFT FOLD over the
+# hourly series, replayed bit-for-bit by the oracle with DuckDB's
+# list_reduce over the same ordered list (the DSIR list_sum idiom,
+# generalized to struct state).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_holt_linear",
+    oracle="""
+    WITH RECURSIVE hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+               AS micros
+      FROM events GROUP BY 1, 2
+    ),
+    pts AS (
+      SELECT event_type,
+             list(CAST(micros AS DOUBLE) / 1000000 ORDER BY h) AS vs,
+             CAST(count(*) AS BIGINT) AS n_hours
+      FROM hourly GROUP BY 1
+    ),
+    -- sequential recurrence as a recursive CTE (NOT list_reduce: DuckDB
+    -- 1.0 mis-evaluates lambdas whose struct fields share duplicated
+    -- subexpressions — trend/sse read partially-updated state; see
+    -- SCALING.md round-8 notes). Anchor columns cast explicitly.
+    f AS (
+      SELECT event_type, vs, n_hours, CAST(1 AS BIGINT) AS i,
+             CAST(vs[1] AS DOUBLE) AS level,
+             CAST(0.0 AS DOUBLE) AS trend,
+             CAST(0.0 AS DOUBLE) AS sse
+      FROM pts
+      UNION ALL
+      SELECT event_type, vs, n_hours, i + 1,
+             0.5 * vs[i + 1] + 0.5 * (level + trend),
+             0.125 * (vs[i + 1] - level) + 0.875 * trend,
+             sse + (vs[i + 1] - (level + trend))
+                   * (vs[i + 1] - (level + trend))
+      FROM f WHERE i < n_hours
+    )
+    SELECT event_type, n_hours, level, trend,
+           level + trend AS forecast_next, sse
+    FROM f WHERE i = n_hours
+    """,
+)
+def events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend smoothing (alpha=1/2, beta=1/4) over each
+    event type's hourly value series: final level/trend state, the
+    one-step-ahead forecast, and the in-sample one-step SSE.
+
+    The update uses the factored dyadic form (identical on BOTH
+    engines, term for term):
+      level' = 0.5*v + 0.5*(level + trend)
+      trend' = 0.125*(v - level) + 0.875*trend
+      sse'   = sse + (v - (level + trend))^2
+    (algebraically 0.25*(level'-level) + 0.75*trend, factored so no
+    subexpression repeats across state fields).
+
+    Parity engineering: hourly sums quantize to exact BIGINT micros
+    (raw double sums would be aggregation-order-dependent), v =
+    micros/1e6 is one deterministic division, and the inherently
+    sequential recurrence runs as an ordered left fold here
+    (F.aggregate over the hour-sorted array) and as a recursive CTE in
+    the oracle — the engine's list_reduce was rejected after it
+    mis-evaluated duplicated lambda subexpressions (caught by the
+    parity gate, documented in SCALING.md). EXACT, no tolerance.
+
+    Scale shape: one (type, hour) aggregate with map-side combine
+    (bounded: types x hours), then a per-type fold over its own
+    bounded series — per-series state is 3 doubles no matter how many
+    raw events flow in. Missing hours are skipped (the observed grid
+    is the series), deterministically on both engines.
+    """
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.sum(F.round(F.col("value") * 1000000).cast("long")).alias(
+            "micros"
+        )
+    )
+    pts = hourly.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "h", (F.col("micros") / F.lit(1000000.0)).alias("v")
+                    )
+                )
+            ),
+            lambda p: p.v,
+        ).alias("vs"),
+        F.count("*").alias("n_hours"),
+    )
+    zero = F.struct(
+        F.lit(0.0).alias("level"),
+        F.lit(0.0).alias("trend"),
+        F.lit(0.0).alias("sse"),
+        F.lit(0).cast("long").alias("n"),
+    )
+
+    def step(s, v):
+        first = s.n == 0
+        return F.struct(
+            F.when(first, v)
+            .otherwise(F.lit(0.5) * v + F.lit(0.5) * (s.level + s.trend))
+            .alias("level"),
+            F.when(first, F.lit(0.0))
+            .otherwise(
+                F.lit(0.125) * (v - s.level) + F.lit(0.875) * s.trend
+            )
+            .alias("trend"),
+            F.when(first, F.lit(0.0))
+            .otherwise(
+                s.sse
+                + (v - (s.level + s.trend)) * (v - (s.level + s.trend))
+            )
+            .alias("sse"),
+            (s.n + 1).alias("n"),
+        )
+
+    folded = pts.select(
+        "event_type",
+        "n_hours",
+        F.aggregate("vs", zero, step).alias("s"),
+    )
+    return folded.select(
+        "event_type",
+        "n_hours",
+        F.col("s.level").alias("level"),
+        F.col("s.trend").alias("trend"),
+        (F.col("s.level") + F.col("s.trend")).alias("forecast_next"),
+        F.col("s.sse").alias("sse"),
+    )

@@ -140,3 +140,46 @@ def test_logreg_gradient_matches_numpy(spark):
         # and the emitted step is the exact power-of-two scaling
         r = [q for q in rows if q["dim"] == j][0]
         assert r["w_after"] == -(grad2[j] / (1 << 27))
+
+
+def test_holt_linear_matches_python_recurrence(spark):
+    """The registered fold must replay the textbook recurrence exactly
+    (bit-for-bit) on series rebuilt independently in Python."""
+    import pyspark.sql.functions as F
+
+    ev = spark.read.parquet(f"{TEST_SF_DIR}/events.parquet")
+    # catalog-normalized read used by the query; rebuild minimally here
+    from history_collector_spark.catalog import table as cat_table
+
+    hourly = (
+        cat_table(spark, TEST_SF_DIR, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.sum(F.round(F.col("value") * 1000000).cast("long")).alias("m"))
+        .collect()
+    )
+    series: dict[str, list] = {}
+    for r in hourly:
+        series.setdefault(r["event_type"], []).append((r["h"], r["m"]))
+    got = {
+        r["event_type"]: r
+        for r in registry.QUERIES["events_holt_linear"](
+            spark, TEST_SF_DIR
+        ).collect()
+    }
+    assert set(got) == set(series)
+    for et, pts in series.items():
+        vs = [m / 1000000.0 for _, m in sorted(pts)]
+        level = trend = sse = 0.0
+        for k, v in enumerate(vs):
+            if k == 0:
+                level, trend, sse = v, 0.0, 0.0
+            else:
+                f = level + trend
+                nl = 0.5 * v + 0.5 * (level + trend)
+                trend = 0.125 * (v - level) + 0.875 * trend
+                sse = sse + (v - f) * (v - f)
+                level = nl
+        r = got[et]
+        assert r["n_hours"] == len(vs)
+        assert r["level"] == level and r["trend"] == trend
+        assert r["sse"] == sse and r["forecast_next"] == level + trend
