@@ -183,3 +183,36 @@ def test_holt_linear_matches_python_recurrence(spark):
         assert r["n_hours"] == len(vs)
         assert r["level"] == level and r["trend"] == trend
         assert r["sse"] == sse and r["forecast_next"] == level + trend
+
+
+def test_wordpiece_greedy_matches_bruteforce(spark):
+    """Greedy longest-match-first re-implemented independently; also
+    pins regret >= 0 (the DP is optimal) for every word."""
+    from history_collector_spark.queries.unigram_tok import (
+        _BY_LEN,
+        _MAX_LEN,
+    )
+
+    rows = registry.QUERIES["tokenizer_wordpiece_greedy"](
+        spark, TEST_SF_DIR
+    ).collect()
+    assert rows
+    for r in rows:
+        w = r["word"]
+        if len(w) > _MAX_LEN:
+            exp_np, exp_pc = len(w), 100 * len(w)
+        else:
+            pos, exp_np, exp_pc = 0, 0, 0
+            while pos < len(w):
+                for ln in (4, 3, 2):
+                    cost = _BY_LEN[ln].get(w[pos:pos + ln])
+                    if cost is not None:
+                        break
+                else:
+                    ln, cost = 1, 100
+                pos += ln
+                exp_np += 1
+                exp_pc += cost
+        assert (r["greedy_pieces"], r["greedy_cost"]) == (exp_np, exp_pc), w
+        assert r["cost_regret"] >= 0, w
+        assert r["opt_cost"] + r["cost_regret"] == r["greedy_cost"]
