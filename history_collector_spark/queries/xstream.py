@@ -40,6 +40,7 @@ from history_collector_spark.streaming.stateful import (
     track_ewma,
     track_gapless,
     track_heavy_hitters,
+    track_hll,
     track_page_hinkley,
     track_zscore,
 )
@@ -748,3 +749,134 @@ def streaming_page_hinkley_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             q.stop()
     return spark.table(name).select("event_id", "user_id", "ph", "drift")
+
+
+# ---------------------------------------------------------------------------
+# Streaming HLL merge e2e: distinct-user sketch built ACROSS 6 real
+# micro-batches and 4 state-store shards, then max-merged — the
+# mergeable-sketch contract (batch boundaries and shard splits change
+# NOTHING) stated exactly by a batch-built oracle.
+# ---------------------------------------------------------------------------
+
+_SHLL_M = 64
+_SHLL_SHARDS = 4
+_SHLL_VBITS = 26
+_SHLL_ALPHA = 0.709
+
+
+@register(
+    "streaming_hll_merge_e2e",
+    oracle=f"""
+    WITH h AS (
+      SELECT CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+               AS BIGINT) AS hv
+      FROM events
+    ),
+    rho AS (
+      SELECT hv % {_SHLL_M} AS bucket,
+             CASE WHEN hv // {_SHLL_M} = 0 THEN {_SHLL_VBITS + 1}
+                  ELSE {_SHLL_VBITS} - length(bin(hv // {_SHLL_M})) + 1
+             END AS r
+      FROM h
+    ),
+    regs AS (
+      SELECT g.b AS bucket, coalesce(max(rho.r), 0) AS r
+      FROM (SELECT unnest(range(0, {_SHLL_M})) AS b) g
+      LEFT JOIN rho ON rho.bucket = g.b
+      GROUP BY g.b
+    )
+    SELECT {_SHLL_M} AS m,
+           CAST(sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+           CAST(sum((bucket + 1) * r) AS BIGINT) AS register_checksum,
+           sum(power(2.0, -r)) AS sum_inv,
+           ({_SHLL_ALPHA} * {_SHLL_M * _SHLL_M}) / sum(power(2.0, -r))
+             AS estimate
+    FROM regs
+    """,
+)
+def streaming_hll_merge_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user HLL built in Structured Streaming: the events
+    replay (6 time-partitioned micro-batches) flows into
+    streaming/stateful.py:track_hll, which carries 64 integer
+    registers per state-store shard (user_id % 4) and max-merges each
+    batch with one vectorized numpy scatter; afterwards the 4 shard
+    vectors max-merge into one. Because register max is commutative,
+    associative, and idempotent, the final registers — and therefore
+    every output column — are BIT-IDENTICAL to the oracle's batch
+    build over the same rows: the mergeable-sketch contract, asserted
+    exactly, not approximately.
+
+    Scale shape: per-shard state is 64 longs regardless of corpus
+    size; the hash/bucket/rho math runs JVM-side BEFORE the Python
+    stateful operator (Arrow carries three small ints per row); the
+    post-stream merge touches shards x 64 rows. This is the streaming
+    half of sketch_hll_estimate (same register layout), i.e. the
+    incremental form a 100 TB nightly distinct-count rollup runs.
+    """
+    flat = _time_partitioned_replay_dir(spark, sf_dir, 6)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    h = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+        )
+        .cast("long")
+    )
+    v = F.floor(F.col("hv") / _SHLL_M).cast("long")
+    enriched = stream.select(
+        (F.col("user_id") % _SHLL_SHARDS).alias("shard"), h.alias("hv")
+    ).select(
+        "shard",
+        (F.col("hv") % _SHLL_M).alias("bucket"),
+        F.when(v == 0, F.lit(_SHLL_VBITS + 1))
+        .otherwise(F.lit(_SHLL_VBITS) - F.length(F.bin(v)) + 1)
+        .alias("rho"),
+    )
+    out = track_hll(enriched, m=_SHLL_M)
+    name = f"shll_{uuid.uuid4().hex[:8]}"
+    with scoped_state_partitions(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    t = spark.table(name)
+    last = (
+        t.groupBy("shard")
+        .agg(F.max("upd").alias("u"))
+        .select(F.col("shard").alias("lshard"), "u")
+    )
+    final = t.join(
+        F.broadcast(last),
+        (F.col("shard") == F.col("lshard")) & (F.col("upd") == F.col("u")),
+    ).select("bucket", "r")
+    regs = final.groupBy("bucket").agg(F.max("r").alias("r"))
+    raw = (F.lit(_SHLL_ALPHA) * F.lit(float(_SHLL_M * _SHLL_M))) / F.col(
+        "sum_inv"
+    )
+    return (
+        regs.agg(
+            F.sum(F.when(F.col("r") == 0, 1).otherwise(0)).alias("n_zero"),
+            F.sum((F.col("bucket") + 1) * F.col("r")).alias(
+                "register_checksum"
+            ),
+            F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("sum_inv"),
+        )
+        .select(
+            F.lit(_SHLL_M).alias("m"),
+            "n_zero",
+            "register_checksum",
+            "sum_inv",
+            raw.alias("estimate"),
+        )
+    )

@@ -25,6 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     BooleanType,
     DoubleType,
     LongType,
@@ -407,6 +408,79 @@ def track_heavy_hitters(stream: DataFrame, capacity: int = MG_CAPACITY) -> DataF
         make_mg_tracker(capacity),
         outputStructType=MG_OUT_SCHEMA,
         stateStructType=MG_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming HyperLogLog: the canonical MERGEABLE sketch carried through
+# the state store — per shard, 64 integer registers max-merge with each
+# micro-batch. Because max is commutative/associative/idempotent, the
+# final registers are bit-identical to a batch build over the same
+# rows, whatever the batch boundaries — which is exactly what the e2e
+# query's oracle asserts.
+# ---------------------------------------------------------------------------
+
+HLL_OUT_SCHEMA = StructType(
+    [
+        StructField("shard", LongType()),
+        StructField("upd", LongType()),
+        StructField("bucket", LongType()),
+        StructField("r", LongType()),
+    ]
+)
+
+HLL_STATE_SCHEMA = StructType(
+    [
+        StructField("upd", LongType()),
+        StructField("regs", ArrayType(LongType())),
+    ]
+)
+
+
+def make_hll_tracker(m: int):
+    """Per-shard register state: one numpy max-scatter per Arrow batch
+    (vectorized — no per-row Python), emitting the full register
+    vector after every update so the consumer can read the final state
+    per shard (max upd) and audit monotone growth across batches."""
+
+    def track(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        if state.exists:
+            upd, regs = state.get
+            regs = np.asarray(regs, dtype=np.int64)
+        else:
+            upd, regs = 0, np.zeros(m, dtype=np.int64)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        np.maximum.at(
+            regs,
+            pdf["bucket"].to_numpy(dtype=np.int64),
+            pdf["rho"].to_numpy(dtype=np.int64),
+        )
+        upd += 1
+        state.update((upd, [int(x) for x in regs]))
+        yield pd.DataFrame(
+            {
+                "shard": int(key[0]),
+                "upd": upd,
+                "bucket": np.arange(m, dtype=np.int64),
+                "r": regs,
+            }
+        )
+
+    return track
+
+
+def track_hll(stream: DataFrame, m: int = 64) -> DataFrame:
+    """stream(shard, bucket, rho) -> per-shard register emissions."""
+    return stream.groupBy("shard").applyInPandasWithState(
+        make_hll_tracker(m),
+        outputStructType=HLL_OUT_SCHEMA,
+        stateStructType=HLL_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
