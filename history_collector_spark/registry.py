@@ -112,6 +112,13 @@ _LOADED = False
 # ann_index_delta_merge (probe + PQ-ADC keep ANN), bpe_merge_step
 # (the Viterbi tokenizer keeps the seat). All retired rows stay
 # locally oracle-verified every run.
+# Late round 8 (fourth wave): the streaming HLL merge (bit-exact
+# mergeable-sketch contract), Holt linear smoothing, and greedy
+# WordPiece regret rotate in for curation_decontaminate
+# (cross_source_contamination keeps the contamination seat; 6
+# curation seats remain), text_perplexity_lm (curation_perplexity_
+# buckets keeps the LM subtree), and dedup_clusters
+# (cluster_representative + minhash_lsh keep dedup's 3 other seats).
 PRIORITY_QUERIES = (
     "account_history",
     "multimodal_decode_png",
@@ -122,7 +129,7 @@ PRIORITY_QUERIES = (
     "customer_migration_matrix",
     "tpch_q7_trade_volume",
     "customer_spend_gini",
-    "text_perplexity_lm",
+    "events_holt_linear",
     "events_bradley_terry",
     "curation_curriculum_phases",
     "lineitem_weighted_median",
@@ -149,7 +156,7 @@ PRIORITY_QUERIES = (
     "curation_token_budget_plan",
     "dedup_minhash_lsh",
     "multimodal_audio_vad_segments",
-    "dedup_clusters",
+    "tokenizer_wordpiece_greedy",
     "tokenizer_unigram_viterbi",
     "user_retention_kaplan_meier",
     "ann_pq_adc_topk",
@@ -159,7 +166,7 @@ PRIORITY_QUERIES = (
     "streaming_page_hinkley_e2e",
     "experiment_cuped_adjusted",
     "curation_quality_pipeline",
-    "curation_decontaminate",
+    "streaming_hll_merge_e2e",
     "label_noise_knn",
     "curation_domain_reweight",
     # the REAL-codec roundtrip (encode_bmp -> magic-sniffed decode ->
