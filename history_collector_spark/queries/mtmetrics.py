@@ -536,12 +536,19 @@ def text_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
     and R = lcs/rlen, F1 = 2PR/(P+R) simplifies to 2*lcs/(clen+rlen),
     so all three ratios are single BIGINT/BIGINT divisions — EXACT.
 
-    The DP runs as {_RL_CAP} unrolled JVM-side array transforms per
-    row (O(cap^3) integer ops per pair, constant in corpus size),
-    partition-parallel with no shuffle at all after the pair join —
-    the cluster shape for a metric that is per-row embarrassingly
-    parallel but sequential inside the row. F.get (never element_at)
-    keeps out-of-bounds token probes NULL-safe under ANSI mode.
+    The LCS DP runs as ONE vectorized numpy kernel per Arrow batch
+    (mapInPandas): tokens integer-encode per batch, pads use distinct
+    negative ids per side so they never match, and the prefix-max row
+    update (valid because LCS rows are nondecreasing) becomes
+    np.maximum.accumulate over the whole (batch x cap) matrix — cap
+    iterations of O(batch*cap) SIMD work, integers end to end. A
+    first cut unrolled the same DP as {_RL_CAP} JVM array transforms
+    per row: pure-JVM and exact, but ~1.5us/element interpreted HOF
+    cost made it the suite's slowest query (8.6s at sf0.1 vs 0.4s for
+    this kernel — measured, see SCALING.md); the oracle (lockstep
+    chained-CTE DP) and the brute-force pytest cross-check pin both
+    forms to the same integers. Partition-parallel, zero shuffle
+    after the pair join.
     """
     cap = _RL_CAP
     pairs = _pairs(spark, sf_dir)
@@ -549,55 +556,62 @@ def text_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pair_id",
         F.slice(F.split(F.col("cand"), r"\s+"), 1, cap).alias("cw"),
         F.slice(F.split(F.col("ref"), r"\s+"), 1, cap).alias("rw"),
-    ).withColumn("row_0", F.array_repeat(F.lit(0).cast("long"), cap + 1))
-    clen = F.size("cw")
+    )
 
-    # single-arg lambda factories: a lambda with extra default args is
-    # counted as a multi-arg HOF by Spark (the F.transform arity trap)
-    def _mk_av(row: Column, ci: Column):
-        return lambda k: F.when(
-            F.get("rw", k - 1) == ci, F.get(row, k - 1) + 1
-        ).otherwise(F.lit(0).cast("long"))
+    def lcs_batches(pdfs):
+        import numpy as np
+        import pandas as pd
 
-    def _mk_new(row: Column):
-        return lambda j: F.greatest(
-            F.get(row, j),
-            F.coalesce(
-                F.array_max(F.slice(F.col("av"), 1, j)),
-                F.lit(0).cast("long"),
-            ),
-        )
+        for pdf in pdfs:
+            b = len(pdf)
+            if b == 0:
+                continue
+            cw = pdf["cw"].tolist()
+            rw = pdf["rw"].tolist()
+            clen = np.array([len(x) for x in cw], dtype=np.int64)
+            rlen = np.array([len(x) for x in rw], dtype=np.int64)
+            # integer-encode the batch vocabulary; pads -1/-2 never match
+            flat = [t for row in cw for t in row] + [
+                t for row in rw for t in row
+            ]
+            uniq, inv = np.unique(np.array(flat, dtype=object),
+                                  return_inverse=True)
+            c = np.full((b, cap), -1, dtype=np.int64)
+            r = np.full((b, cap), -2, dtype=np.int64)
+            k = 0
+            for i, row in enumerate(cw):
+                n = len(row)
+                c[i, :n] = inv[k:k + n]
+                k += n
+            for i, row in enumerate(rw):
+                n = len(row)
+                r[i, :n] = inv[k:k + n]
+                k += n
+            dp = np.zeros((b, cap + 1), dtype=np.int64)
+            for i in range(cap):
+                match = r == c[:, i:i + 1]  # pads never match
+                a = np.where(match, dp[:, :-1] + 1, 0)
+                new = np.maximum(dp[:, 1:], np.maximum.accumulate(a, axis=1))
+                dp[:, 1:] = new
+            lcs = dp[np.arange(b), rlen]
+            yield pd.DataFrame(
+                {
+                    "pair_id": pdf["pair_id"].to_numpy(dtype=np.int64),
+                    "clen": clen,
+                    "rlen": rlen,
+                    "lcs_len": lcs,
+                }
+            )
 
-    for i in range(1, cap + 1):
-        ci = F.get("cw", i - 1)
-        row = F.col(f"row_{i - 1}")
-        d = d.withColumn(
-            "av",
-            F.transform(F.sequence(F.lit(1), F.lit(cap)), _mk_av(row, ci)),
-        ).withColumn(
-            f"row_{i}",
-            F.when(
-                F.lit(i) <= clen,
-                F.concat(
-                    F.array(F.lit(0).cast("long")),
-                    F.transform(
-                        F.sequence(F.lit(1), F.lit(cap)), _mk_new(row)
-                    ),
-                ),
-            ).otherwise(row),
-        )
-    lcs = d.select(
-        "pair_id",
-        clen.cast("long").alias("clen"),
-        F.size("rw").cast("long").alias("rlen"),
-        F.get(F.col(f"row_{cap}"), F.size("rw")).alias("lcs_len"),
+    lcs = d.mapInPandas(
+        lcs_batches, schema="pair_id long, clen long, rlen long, lcs_len long"
     )
     return lcs.select(
         "pair_id",
         "clen",
         "rlen",
         "lcs_len",
-        (F.col("lcs_len").cast("double") / F.col("clen")).alias("rouge_l_p"),
+(F.col("lcs_len").cast("double") / F.col("clen")).alias("rouge_l_p"),
         (F.col("lcs_len").cast("double") / F.col("rlen")).alias("rouge_l_r"),
         (
             (F.lit(2) * F.col("lcs_len")).cast("double")
