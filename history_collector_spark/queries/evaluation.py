@@ -707,3 +707,117 @@ def eval_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             (covered.cast("double") / F.count("*")).alias("coverage"),
         )
     )
+
+
+@register(
+    "events_welch_ttest",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(count(CASE WHEN event_type = 'click' THEN 1 END)
+               AS BIGINT) AS n1,
+             CAST(count(CASE WHEN event_type = 'view' THEN 1 END)
+               AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN event_type = 'click'
+               THEN CAST(round(value * 1000000) AS BIGINT) END)
+               AS BIGINT) AS s1,
+             CAST(sum(CASE WHEN event_type = 'view'
+               THEN CAST(round(value * 1000000) AS BIGINT) END)
+               AS BIGINT) AS s2,
+             sum(CASE WHEN event_type = 'click'
+               THEN CAST(CAST(round(value * 1000000) AS BIGINT) AS HUGEINT)
+                    * CAST(round(value * 1000000) AS BIGINT) END) AS q1,
+             sum(CASE WHEN event_type = 'view'
+               THEN CAST(CAST(round(value * 1000000) AS BIGINT) AS HUGEINT)
+                    * CAST(round(value * 1000000) AS BIGINT) END) AS q2
+      FROM events
+    ),
+    v AS (
+      SELECT n1, n2,
+             CAST(s1 AS DOUBLE) / n1 AS m1,
+             CAST(s2 AS DOUBLE) / n2 AS m2,
+             (CAST(q1 AS DOUBLE)
+              - (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / n1)
+               / (n1 - 1) AS v1,
+             (CAST(q2 AS DOUBLE)
+              - (CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)) / n2)
+               / (n2 - 1) AS v2
+      FROM m
+    )
+    SELECT n1, n2,
+           m1 / 1000000 AS mean_click,
+           m2 / 1000000 AS mean_view,
+           (m1 - m2) / sqrt(v1 / n1 + v2 / n2) AS t_stat,
+           ((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2))
+             / (((v1 / n1) * (v1 / n1)) / (n1 - 1)
+                + ((v2 / n2) * (v2 / n2)) / (n2 - 1)) AS welch_df
+    FROM v
+    """,
+)
+def events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between the 'click' and 'view'
+    value distributions — the workhorse significance test an
+    experimentation readout runs per metric, in one scan.
+
+    Parity engineering: values quantize to exact BIGINT micros; the
+    squared sums widen to HUGEINT/decimal(38,0) (micros^2 overflows
+    int64); every downstream float — means, variances (moment form),
+    the t statistic, the Welch-Satterthwaite df — is a FIXED sequence
+    of double ops over those exact integers, and sqrt is correctly
+    rounded by IEEE-754, so the whole row is bit-stable across
+    engines. EXACT, no tolerance.
+
+    Scale shape: ONE map-side-combined aggregate row; the test costs a
+    single scan at any corpus size.
+    """
+    ev = table(spark, sf_dir, "events")
+    micros = F.round(F.col("value") * 1000000).cast("long")
+    microsq = micros.cast("decimal(19,0)") * micros.cast("decimal(19,0)")
+
+    def only(t: str, c):
+        return F.when(F.col("event_type") == t, c)
+
+    m = ev.agg(
+        F.count(only("click", F.lit(1))).alias("n1"),
+        F.count(only("view", F.lit(1))).alias("n2"),
+        F.sum(only("click", micros)).alias("s1"),
+        F.sum(only("view", micros)).alias("s2"),
+        F.sum(only("click", microsq)).alias("q1"),
+        F.sum(only("view", microsq)).alias("q2"),
+    )
+    d = F.col
+    v = m.select(
+        "n1",
+        "n2",
+        (d("s1").cast("double") / d("n1")).alias("m1"),
+        (d("s2").cast("double") / d("n2")).alias("m2"),
+        (
+            (
+                d("q1").cast("double")
+                - (d("s1").cast("double") * d("s1").cast("double")) / d("n1")
+            )
+            / (d("n1") - 1)
+        ).alias("v1"),
+        (
+            (
+                d("q2").cast("double")
+                - (d("s2").cast("double") * d("s2").cast("double")) / d("n2")
+            )
+            / (d("n2") - 1)
+        ).alias("v2"),
+    )
+    se1 = d("v1") / d("n1")
+    se2 = d("v2") / d("n2")
+    return v.select(
+        "n1",
+        "n2",
+        (d("m1") / F.lit(1000000)).alias("mean_click"),
+        (d("m2") / F.lit(1000000)).alias("mean_view"),
+        ((d("m1") - d("m2")) / F.sqrt(se1 + se2)).alias("t_stat"),
+        (
+            ((se1 + se2) * (se1 + se2))
+            / (
+                (se1 * se1) / (d("n1") - 1)
+                + (se2 * se2) / (d("n2") - 1)
+            )
+        ).alias("welch_df"),
+    )
