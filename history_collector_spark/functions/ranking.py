@@ -93,26 +93,60 @@ def grouped_range_prefix_sum(
     df: DataFrame,
     group_cols: Sequence[str],
     order_cols: Sequence[Column],
-    weight_col: str,
-    out_col: str = "prefix_sum",
+    weight_col: str | Sequence[str],
+    out_col: str | Sequence[str] = "prefix_sum",
     n_parts: Optional[int] = None,
 ) -> DataFrame:
     """INCLUSIVE running ``sum(weight_col)`` in ``order_cols`` order per
     group — the distributed form of
     ``sum(w) OVER (PARTITION BY g ORDER BY o ROWS UNBOUNDED PRECEDING)``.
-    Subtract the row's own weight for the exclusive form."""
+    Subtract the row's own weight for the exclusive form.
+
+    ``weight_col``/``out_col`` accept parallel sequences to compute
+    SEVERAL running sums in the same order in ONE pass. Prefer that
+    over chaining two calls: each call samples fresh range boundaries,
+    and chaining puts a join between the two range exchanges, which
+    can defeat physical exchange reuse — the two consumers of a range
+    split must see the SAME boundary placement for the offsets to be
+    consistent (observed live as a nondeterministic KS statistic; one
+    call per ordering is also simply cheaper)."""
+    wcols = [weight_col] if isinstance(weight_col, str) else list(weight_col)
+    ocols = [out_col] if isinstance(out_col, str) else list(out_col)
+    assert len(wcols) == len(ocols)
     parts = _ranged(df, group_cols, order_cols, n_parts)
     wloc = (
         Window.partitionBy(_PID, *group_cols)
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = parts.withColumn(_LOCAL, F.sum(weight_col).over(wloc))
+    local = parts
+    for i, w in enumerate(wcols):
+        local = local.withColumn(f"{_LOCAL}_{i}", F.sum(w).over(wloc))
     totals = parts.groupBy(_PID, *group_cols).agg(
-        F.sum(weight_col).alias("_c")
+        *[F.sum(w).alias(f"_c_{i}") for i, w in enumerate(wcols)]
     )
-    return (
-        _with_offsets(local, group_cols, totals)
-        .withColumn(out_col, F.col(_OFFSET) + F.col(_LOCAL))
-        .drop(_PID, _LOCAL, _OFFSET)
+    woff = (
+        Window.partitionBy(*group_cols).orderBy(_PID)
+        if group_cols
+        else Window.orderBy(_PID)
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        _PID,
+        *group_cols,
+        *[
+            F.coalesce(F.sum(f"_c_{i}").over(woff), F.lit(0)).alias(
+                f"{_OFFSET}_{i}"
+            )
+            for i in range(len(wcols))
+        ],
+    )
+    out = local.join(F.broadcast(offsets), [_PID, *group_cols])
+    for i, oc in enumerate(ocols):
+        out = out.withColumn(
+            oc, F.col(f"{_OFFSET}_{i}") + F.col(f"{_LOCAL}_{i}")
+        )
+    return out.drop(
+        _PID,
+        *[f"{_LOCAL}_{i}" for i in range(len(wcols))],
+        *[f"{_OFFSET}_{i}" for i in range(len(wcols))],
     )

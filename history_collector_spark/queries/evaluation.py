@@ -821,3 +821,111 @@ def events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("welch_df"),
     )
+
+
+@register(
+    "events_ks_test",
+    oracle="""
+    WITH q AS (
+      SELECT CAST(round(value * 1000000) AS BIGINT) AS v,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS i1,
+             CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS i2
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    byv AS (
+      SELECT v, CAST(sum(i1) AS BIGINT) AS c1, CAST(sum(i2) AS BIGINT) AS c2
+      FROM q GROUP BY v
+    ),
+    tot AS (
+      SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+      FROM byv
+    ),
+    cum AS (
+      SELECT sum(c1) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+             sum(c2) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2
+      FROM byv
+    ),
+    d AS (
+      SELECT tot.n1, tot.n2,
+             max(abs(CAST(cum1 AS DOUBLE) / tot.n1
+                     - CAST(cum2 AS DOUBLE) / tot.n2)) AS d_stat
+      FROM cum, tot GROUP BY tot.n1, tot.n2
+    )
+    SELECT n1, n2, d_stat,
+           d_stat * sqrt(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)) AS ks_z,
+           2 * (exp(-2 * (d_stat * sqrt(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)))
+                        * (d_stat * sqrt(CAST(n1 AS DOUBLE) * n2 / (n1 + n2))))
+                - exp(-8 * (d_stat * sqrt(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)))
+                         * (d_stat * sqrt(CAST(n1 AS DOUBLE) * n2 / (n1 + n2))))
+                + exp(-18 * (d_stat * sqrt(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)))
+                          * (d_stat * sqrt(CAST(n1 AS DOUBLE) * n2 / (n1 + n2))))
+           ) AS p_approx
+    FROM d
+    """,
+)
+def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test between the 'click' and
+    'view' value distributions: D = sup |F1 - F2| over the pooled
+    step CDF, the scaled statistic, and the 3-term Kolmogorov series
+    p-value approximation.
+
+    Scale shape: the pooled CDF is the 100 TB-hostile part — a naive
+    ``sum() OVER (ORDER BY v)`` sorts every distinct value through one
+    task. Here both running counts come from functions/ranking.py's
+    grouped_range_prefix_sum (range-partition, per-slice local sums,
+    one bounded offsets frame broadcast back), so no task ever sees
+    more than one range slice; the final D is a plain max-aggregate
+    (order-free). Parity: exact micro-quantized values, exact integer
+    cumulative counts, one exact division per side per row, |diff| and
+    max are bit-stable; sqrt is correctly rounded; the exp terms are
+    the 1-ulp libm class (flip-safe off rounding boundaries).
+    """
+    from history_collector_spark.functions.ranking import (
+        grouped_range_prefix_sum,
+    )
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    byv = (
+        ev.select(
+            F.round(F.col("value") * 1000000).cast("long").alias("v"),
+            F.when(F.col("event_type") == "click", 1).otherwise(0).alias("i1"),
+            F.when(F.col("event_type") == "view", 1).otherwise(0).alias("i2"),
+        )
+        .groupBy("v")
+        .agg(F.sum("i1").alias("c1"), F.sum("i2").alias("c2"))
+    )
+    # BOTH running counts in one helper pass: chaining two calls puts
+    # a join between two independently-sampled range exchanges, which
+    # broke offset consistency (nondeterministic D) — see the helper's
+    # docstring
+    cum = grouped_range_prefix_sum(
+        byv, [], [F.col("v")], ["c1", "c2"], out_col=["cum1", "cum2"]
+    )
+    tot = byv.agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    d = (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n1", "n2")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum1").cast("double") / F.col("n1")
+                    - F.col("cum2").cast("double") / F.col("n2")
+                )
+            ).alias("d_stat")
+        )
+    )
+    z = F.col("d_stat") * F.sqrt(
+        F.col("n1").cast("double") * F.col("n2") / (F.col("n1") + F.col("n2"))
+    )
+    p = F.lit(2) * (
+        F.exp(F.lit(-2) * z * z)
+        - F.exp(F.lit(-8) * z * z)
+        + F.exp(F.lit(-18) * z * z)
+    )
+    return d.select("n1", "n2", "d_stat", z.alias("ks_z"), p.alias("p_approx"))
