@@ -929,3 +929,85 @@ def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.exp(F.lit(-18) * z * z)
     )
     return d.select("n1", "n2", "d_stat", z.alias("ks_z"), p.alias("p_approx"))
+
+
+@register(
+    "eval_brier_decomposition",
+    oracle=f"""
+    WITH {_EVAL_SCORED_SQL},
+    binned AS (
+      SELECT CAST(score // 100 AS BIGINT) AS bin,
+             CAST(sum(p + n) AS BIGINT) AS nb,
+             CAST(sum(p) AS BIGINT) AS pb,
+             CAST(sum(score * (p + n)) AS BIGINT) AS sb,
+             CAST(sum(score * score * (p + n)) AS BIGINT) AS sqb,
+             CAST(sum(score * p) AS BIGINT) AS spb
+      FROM per_score GROUP BY 1
+    )
+    SELECT bin, nb AS n_rows, pb AS n_pos,
+           CAST(sqb - 2 * {_SCORE_STEPS} * spb
+                + {_SCORE_STEPS * _SCORE_STEPS} * pb AS DOUBLE)
+             / (nb * {_SCORE_STEPS * _SCORE_STEPS}) AS brier_bin,
+           CAST((sb * nb - {_SCORE_STEPS} * pb * nb)
+                * (sb - {_SCORE_STEPS} * pb) AS DOUBLE)
+             / (nb * nb * CAST(nb AS DOUBLE)
+                * {_SCORE_STEPS * _SCORE_STEPS}) AS reliability_bin,
+           CAST(pb AS DOUBLE) / nb
+             * (1 - CAST(pb AS DOUBLE) / nb) AS uncertainty_bin
+    FROM binned
+    """,
+)
+def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bin Brier score with Murphy-style terms for the synthetic
+    classifier (p = score/{_SCORE_STEPS}): the bin's mean squared
+    error, its reliability term n_b*(conf_b - acc_b)^2 / n_b (how much
+    of the error is miscalibration), and its outcome uncertainty
+    acc_b*(1-acc_b).
+
+    Exactness: with integer scores, every numerator is an exact
+    BIGINT — brier_bin's numerator is sum((score - S*y)^2) expanded to
+    sqb - 2*S*spb + S^2*pb, and reliability_bin's is
+    (sb - S*pb)^2 / n scaled to the common integer form
+    (sb*n - S*pb*n)*(sb - S*pb) — so each emitted float is a single
+    integer/integer division (or one fixed product chain). EXACT.
+
+    Scale shape: a 13-row rollup of the bounded distinct-score
+    aggregate; the corpus is scanned once, no windows.
+    """
+    per_score = _eval_scored(spark, sf_dir)
+    s = _SCORE_STEPS
+    nb = F.sum(F.col("p") + F.col("n"))
+    pb = F.sum("p")
+    sb = F.sum(F.col("score") * (F.col("p") + F.col("n")))
+    sqb = F.sum(F.col("score") * F.col("score") * (F.col("p") + F.col("n")))
+    spb = F.sum(F.col("score") * F.col("p"))
+    binned = per_score.groupBy(
+        F.expr("score DIV 100").cast("long").alias("bin")
+    ).agg(
+        nb.alias("nb"),
+        pb.alias("pb"),
+        sb.alias("sb"),
+        sqb.alias("sqb"),
+        spb.alias("spb"),
+    )
+    d = F.col
+    acc = d("pb").cast("double") / d("nb")
+    return binned.select(
+        "bin",
+        d("nb").alias("n_rows"),
+        d("pb").alias("n_pos"),
+        (
+            (
+                d("sqb") - F.lit(2 * s) * d("spb") + F.lit(s * s) * d("pb")
+            ).cast("double")
+            / (d("nb") * F.lit(s * s))
+        ).alias("brier_bin"),
+        (
+            (
+                (d("sb") * d("nb") - F.lit(s) * d("pb") * d("nb"))
+                * (d("sb") - F.lit(s) * d("pb"))
+            ).cast("double")
+            / (d("nb") * d("nb") * d("nb").cast("double") * F.lit(s * s))
+        ).alias("reliability_bin"),
+        (acc * (F.lit(1) - acc)).alias("uncertainty_bin"),
+    )
