@@ -460,3 +460,83 @@ def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
             F.sum("doc_id").alias("sum_doc_id"),
         )
     )
+
+
+@register(
+    "sink_dpp_join_prune",
+    oracle="""
+    WITH dim AS (
+      SELECT lang,
+             CASE WHEN CAST(concat('0x', substr(md5(lang), 1, 8)) AS BIGINT)
+                       % 2 = 0
+                  THEN 'hot' ELSE 'cold' END AS tier
+      FROM (SELECT DISTINCT lang FROM documents)
+    )
+    SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+    FROM documents d JOIN dim ON d.lang = dim.lang
+    WHERE dim.tier = 'hot'
+    GROUP BY d.lang
+    """,
+)
+def sink_dpp_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning over the lang-partitioned sink: the
+    fact is read through a join to a dim TABLE filtered on a NON-join
+    column (tier = 'hot'), so the surviving langs are only knowable at
+    run time — static pruning cannot apply (a literal lang filter
+    would be constraint-propagated instead, which is why the dim
+    filter is deliberately on tier). Spark injects a dynamicpruning
+    subquery into the fact scan's PartitionFilters: at 100 TB the
+    fact side lists and reads only the hot langs' directories. The
+    plan guard (test_dpp_join_prunes_partitions) asserts the
+    dynamicpruning expression appears in the executed scan; this
+    query asserts the semantics against the oracle.
+
+    Fixtures (built once per corpus, shared with
+    sink_partitioned_roundtrip): the lang-partitioned fact and a
+    (lang, tier) dim parquet whose tiers derive deterministically from
+    md5(lang) — mirrored in the oracle's CASE.
+
+    Reference scope: the reference rewrites whole tables per batch
+    (python/adapters); partition-pruned serving layouts are the
+    extension tier.
+    """
+    out = _fixture_dir(sf_dir, "parts")
+    done = os.path.join(out, "_FIXTURE_DONE")
+    if not os.path.exists(done):
+        docs = table(spark, sf_dir, "documents")
+        docs.write.mode("overwrite").partitionBy("lang").parquet(
+            os.path.join(out, "parquet")
+        )
+        with open(done, "w") as f:
+            f.write("ok")
+    dim_done = os.path.join(out, "_DIM_DONE")
+    if not os.path.exists(dim_done):
+        tier = F.when(
+            F.conv(F.substring(F.md5(F.col("lang")), 1, 8), 16, 10)
+            .cast("long") % 2
+            == 0,
+            "hot",
+        ).otherwise("cold")
+        (
+            table(spark, sf_dir, "documents")
+            .select("lang")
+            .distinct()
+            .select("lang", tier.alias("tier"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(out, "dim"))
+        )
+        with open(dim_done, "w") as f:
+            f.write("ok")
+    fact = spark.read.parquet(os.path.join(out, "parquet"))
+    dim = spark.read.parquet(os.path.join(out, "dim")).filter(
+        F.col("tier") == "hot"
+    )
+    return (
+        fact.join(F.broadcast(dim), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )

@@ -379,3 +379,15 @@ def test_guard_catches_reintroduced_per_source_ntile(spark):
         qe.executedPlan().toString(),
     )
     assert bad, "guard failed to flag a per-source ntile over raw docs"
+
+
+def test_dpp_join_prunes_partitions(spark):
+    """sink_dpp_join_prune must read the lang-partitioned fact through
+    a DYNAMIC pruning subquery (the hot langs are only knowable at run
+    time): the executed fact scan's PartitionFilters must carry a
+    dynamicpruning expression — at scale that is the difference
+    between listing the surviving partitions and scanning the sink."""
+    df = registry.QUERIES["sink_dpp_join_prune"](spark, TEST_SF_DIR)
+    df.collect()  # DPP prints in the EXECUTED plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
