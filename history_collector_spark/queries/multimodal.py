@@ -22,6 +22,7 @@ path is pytest-verified pixel-for-pixel on hand-built BMP/PPM/PNG/GIF bytes
 from __future__ import annotations
 
 import hashlib
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -1860,4 +1861,121 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id bigint, width int, height int, pixel_sum bigint, "
             "decode_status string"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spectral tone energy: power at fixed DFT bins over the first PCM
+# window — the feature a voice/music/tone triage computes per asset
+# before any heavier audio model runs. The twiddle factors are
+# PYTHON-GENERATED LITERALS shared verbatim by both engines (repr()
+# round-trips doubles), so the only cross-engine float surface is the
+# ordered fold itself — the DSIR list_sum idiom.
+# ---------------------------------------------------------------------------
+
+_TONE_N = 24  # samples in the analysis window (48 fixture bytes)
+_TONE_BINS = (1, 2, 3)
+_TONE_COS = {
+    k: [math.cos(2 * math.pi * k * n / _TONE_N) for n in range(_TONE_N)]
+    for k in _TONE_BINS
+}
+_TONE_SIN = {
+    k: [math.sin(2 * math.pi * k * n / _TONE_N) for n in range(_TONE_N)]
+    for k in _TONE_BINS
+}
+
+
+def _tone_sql() -> str:
+    s = (
+        "list_transform(range(0, %d), n -> CAST("
+        "ascii(substr(text, CAST(2 * n + 1 AS INT), 1))"
+        " + 256 * ascii(substr(text, CAST(2 * n + 2 AS INT), 1))"
+        " AS DOUBLE) / 32768)" % _TONE_N
+    )
+    cols = []
+    for k in _TONE_BINS:
+        cw = "[" + ", ".join(repr(v) for v in _TONE_COS[k]) + "]::DOUBLE[]"
+        sw = "[" + ", ".join(repr(v) for v in _TONE_SIN[k]) + "]::DOUBLE[]"
+        c = (f"list_sum(list_transform(range(1, {_TONE_N + 1}),"
+             f" i -> s[i] * ({cw})[i]))")
+        sn = (f"list_sum(list_transform(range(1, {_TONE_N + 1}),"
+              f" i -> s[i] * ({sw})[i]))")
+        cols.append(f"({c}) * ({c}) + ({sn}) * ({sn}) AS power_{k}")
+    return (
+        f"SELECT doc_id, {', '.join(cols)} "
+        f"FROM (SELECT doc_id, {s} AS s FROM documents "
+        f"      WHERE length(text) >= {2 * _TONE_N})"
+    )
+
+
+@register(
+    "multimodal_audio_tone_energy",
+    oracle=f"""
+    WITH base AS ({{inner}})
+    SELECT doc_id, power_1, power_2, power_3,
+           CASE WHEN power_1 >= power_2 AND power_1 >= power_3 THEN 1
+                WHEN power_2 >= power_3 THEN 2 ELSE 3 END AS dominant_bin
+    FROM base
+    """.format(inner=_tone_sql()),
+)
+def multimodal_audio_tone_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DFT-bin power at 3 fixed frequencies over each asset's first
+    {_TONE_N}-sample PCM window (fixture bytes read as 16-bit LE, same
+    convention as multimodal_audio_energy), plus the dominant bin —
+    per-asset tone triage.
+
+    Parity: samples are exact integers (ASCII fixture bytes), twiddle
+    factors are python-repr literals identical in both plans, and each
+    C_k/S_k is an ordered left fold (F.aggregate over the zip here,
+    ordered list_sum in the oracle) over samples normalized by the
+    exact power-of-two 1/32768 — normalization keeps the powers O(100)
+    so the residual last-ulp fold drift (4e-15, zero flips in
+    float_audit; DuckDB's list_sum is not guaranteed bit-sequential)
+    sits ten orders of magnitude under the driver's 1e-6 hash quantum.
+    Flip-free drift class, same as the TPC-H revenue sums.
+
+    Scale shape: pure scan + map — zero shuffle, the window cap bounds
+    per-row work regardless of recording length.
+    """
+    docs = table(spark, sf_dir, "documents").filter(
+        F.length("text") >= 2 * _TONE_N
+    )
+    chars = F.split(F.col("text"), "")
+    s = F.transform(
+        F.sequence(F.lit(0), F.lit(_TONE_N - 1)),
+        lambda n: (
+            F.ascii(F.get(chars, 2 * n))
+            + F.lit(256) * F.ascii(F.get(chars, 2 * n + 1))
+        ).cast("double")
+        / F.lit(32768),
+    )
+    d = docs.select("doc_id", s.alias("s"))
+
+    def bin_power(k: int):
+        cw = F.array(*[F.lit(v) for v in _TONE_COS[k]])
+        sw = F.array(*[F.lit(v) for v in _TONE_SIN[k]])
+        c = F.aggregate(
+            F.zip_with("s", cw, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sn = F.aggregate(
+            F.zip_with("s", sw, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return (c * c + sn * sn).alias(f"power_{k}")
+
+    base = d.select("doc_id", *[bin_power(k) for k in _TONE_BINS])
+    dom = (
+        F.when(
+            (F.col("power_1") >= F.col("power_2"))
+            & (F.col("power_1") >= F.col("power_3")),
+            1,
+        )
+        .when(F.col("power_2") >= F.col("power_3"), 2)
+        .otherwise(3)
+    )
+    return base.select(
+        "doc_id", "power_1", "power_2", "power_3", dom.alias("dominant_bin")
     )

@@ -232,3 +232,34 @@ def test_pointer_jumping_matches_direct_walk(spark):
             c //= 8
             d += 1
         assert (r["root"], r["depth"]) == (c, d), r
+
+
+def test_tone_energy_matches_numpy_fft(spark):
+    """Bin powers must equal |FFT|^2 at bins 1..3 of the same
+    normalized 24-sample window (numpy as the independent reference)."""
+    import numpy as np
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{TEST_SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    rows = registry.QUERIES["multimodal_audio_tone_energy"](
+        spark, TEST_SF_DIR
+    ).collect()
+    assert rows
+    for r in rows[:50]:
+        t = docs[r["doc_id"]]
+        s = np.array(
+            [
+                (ord(t[2 * n]) + 256 * ord(t[2 * n + 1])) / 32768
+                for n in range(24)
+            ]
+        )
+        spec = np.fft.fft(s)
+        for k in (1, 2, 3):
+            assert abs(r[f"power_{k}"] - abs(spec[k]) ** 2) < 1e-9, (
+                r["doc_id"],
+                k,
+            )
