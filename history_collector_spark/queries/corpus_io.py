@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from history_collector_spark.catalog import table
+from history_collector_spark.functions.nlp import md5_hash32
 from history_collector_spark.registry import register
 
 _DOC_SCHEMA = T.StructType(
@@ -540,3 +541,75 @@ def sink_dpp_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+_CODECS = ("snappy", "gzip", "zstd")
+
+
+@register(
+    "maintenance_compression_codecs",
+    oracle="""
+    WITH h AS (
+      SELECT CAST(concat('0x', substr(md5(concat_ws('|',
+               doc_id, lang, source, n_chars, text)), 1, 8)) AS BIGINT) AS rh
+      FROM documents
+    ),
+    d AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(rh) AS BIGINT) AS digest_sum,
+             CAST(bit_xor(rh) AS BIGINT) AS digest_xor
+      FROM h
+    )
+    SELECT c.codec, d.n_rows, d.digest_sum, d.digest_xor
+    FROM (SELECT unnest(['snappy', 'gzip', 'zstd']) AS codec) c, d
+    """,
+)
+def maintenance_compression_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the corpus under each parquet compression codec (snappy /
+    gzip / zstd), read each landing back, and emit its
+    order-independent content digest — all three rows must carry the
+    SAME digest as the source table (which is exactly what the oracle
+    states), proving the codec roundtrips are lossless. The codec
+    choice is a pure storage/IO trade at 100 TB (zstd ~30-50% smaller
+    than snappy at similar scan speed) and must never be a correctness
+    variable; this query pins that.
+
+    Scale shape: three map-only writes + three scan-and-digest passes,
+    each a map-side-combined 1-row aggregate (the digest idiom of
+    table_content_digest — 32-bit row hashes, sum/xor commutative).
+    Fixtures build once per corpus.
+    """
+    docs = table(spark, sf_dir, "documents")
+    out = _fixture_dir(sf_dir, "codecs")
+    rh = md5_hash32(
+        F.concat_ws(
+            "|",
+            F.col("doc_id"),
+            F.col("lang"),
+            F.col("source"),
+            F.col("n_chars"),
+            F.col("text"),
+        )
+    )
+    parts = []
+    for codec in _CODECS:
+        path = os.path.join(out, codec)
+        done = os.path.join(out, f"_DONE_{codec}")
+        if not os.path.exists(done):
+            docs.write.mode("overwrite").option("compression", codec).parquet(
+                path
+            )
+            with open(done, "w") as f:
+                f.write("ok")
+        back = spark.read.parquet(path)
+        parts.append(
+            back.select(rh.alias("rh")).agg(
+                F.count("*").alias("n_rows"),
+                F.sum("rh").alias("digest_sum"),
+                F.expr("bit_xor(rh)").alias("digest_xor"),
+            ).select(F.lit(codec).alias("codec"), "*")
+        )
+    res = parts[0]
+    for p in parts[1:]:
+        res = res.unionByName(p)
+    return res
