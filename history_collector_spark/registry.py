@@ -119,6 +119,11 @@ _LOADED = False
 # curation seats remain), text_perplexity_lm (curation_perplexity_
 # buckets keeps the LM subtree), and dedup_clusters
 # (cluster_representative + minhash_lsh keep dedup's 3 other seats).
+# Late round 8 (fifth wave): the KS test (two-phase range-rank CDF),
+# Wyllie pointer jumping, and the dynamic-partition-pruning join
+# rotate in for curation_token_budget_plan (5 curation seats remain),
+# label_noise_knn (IVF-probe + PQ-ADC keep the ANN/kNN seats), and
+# streaming_page_hinkley_e2e (6 streaming seats remain).
 PRIORITY_QUERIES = (
     "account_history",
     "multimodal_decode_png",
@@ -153,7 +158,7 @@ PRIORITY_QUERIES = (
     "curation_perplexity_buckets",
     "streaming_scd2_cdc_e2e",
     "text_bleu_corpus",
-    "curation_token_budget_plan",
+    "events_ks_test",
     "dedup_minhash_lsh",
     "multimodal_audio_vad_segments",
     "tokenizer_wordpiece_greedy",
@@ -163,11 +168,11 @@ PRIORITY_QUERIES = (
     "orders_chi2_independence",
     "cross_source_contamination",
     "multimodal_image_ahash",
-    "streaming_page_hinkley_e2e",
+    "sink_dpp_join_prune",
     "experiment_cuped_adjusted",
     "curation_quality_pipeline",
     "streaming_hll_merge_e2e",
-    "label_noise_knn",
+    "hierarchy_pointer_jumping",
     "curation_domain_reweight",
     # the REAL-codec roundtrip (encode_bmp -> magic-sniffed decode ->
     # pixel checksum) supersedes the fixture-fake multimodal_decode in
