@@ -1940,7 +1940,11 @@ def multimodal_audio_tone_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").filter(
         F.length("text") >= 2 * _TONE_N
     )
-    chars = F.split(F.col("text"), "")
+    # split ONLY the analysis prefix: `chars` is re-evaluated per
+    # transform element under projection collapse (the dsir._gram_expr
+    # trap), so splitting the full text would cost O(len * N) per row —
+    # the 48-char prefix makes the re-evaluation O(N^2) = trivial
+    chars = F.split(F.substring(F.col("text"), 1, 2 * _TONE_N), "")
     s = F.transform(
         F.sequence(F.lit(0), F.lit(_TONE_N - 1)),
         lambda n: (
