@@ -1983,3 +1983,140 @@ def multimodal_audio_tone_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select(
         "doc_id", "power_1", "power_2", "power_3", dom.alias("dominant_bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# Video shot-boundary detection: decode each sampled frame (REAL
+# BMP roundtrip through the codec), aHash it, and flag frames whose
+# Hamming distance to the previous frame exceeds the cut threshold —
+# the pre-filter a video curation pipeline runs before any expensive
+# shot-level model. Frames are synthetic-deterministic (the patchify
+# pixel formula), so the oracle can state the expected integers
+# CLOSED-FORM without any decoder.
+# ---------------------------------------------------------------------------
+
+_SHOT_MAX_FRAMES = 8  # decode budget per asset (frame-sampling discipline)
+_SHOT_SIDE = 4  # frame is SIDE x SIDE x 3
+_SHOT_THRESHOLD = 6  # Hamming cut threshold over 16 aHash bits
+
+
+def _shot_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    side = _SHOT_SIDE
+    for pdf in batches:
+        out = []
+        for doc_id, n_frames in zip(pdf["doc_id"], pdf["n_frames"]):
+            d, nf = int(doc_id), min(int(n_frames), _SHOT_MAX_FRAMES)
+            prev_bits = None
+            n_bound, max_h, first_b = 0, 0, -1
+            for f in range(nf):
+                yy, xx, cc = np.meshgrid(
+                    np.arange(side), np.arange(side), np.arange(3),
+                    indexing="ij",
+                )
+                px = ((d * 31 + f * 17 + yy * 7 + xx * 3 + cc) % 256).astype(
+                    np.uint8
+                )
+                img = decode_image(encode_bmp(px)).astype(np.int64)  # REAL
+                gray = img.sum(axis=2) // 3
+                bits = (16 * gray >= gray.sum()).astype(np.int64)
+                if prev_bits is not None:
+                    h = int(np.abs(bits - prev_bits).sum())
+                    if h >= _SHOT_THRESHOLD:
+                        n_bound += 1
+                        if first_b < 0:
+                            first_b = f
+                    max_h = max(max_h, h)
+                prev_bits = bits
+            out.append((d, nf, n_bound, max_h, first_b))
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "doc_id", "n_frames_scanned", "n_boundaries",
+                "max_hamming", "first_boundary_idx",
+            ],
+        )
+
+
+@register(
+    "multimodal_video_shot_boundaries",
+    oracle=f"""
+    WITH meta AS (
+      SELECT doc_id,
+             least(CAST(CAST(concat('0x', substr(sha256(text), 9, 4)) AS INT)
+                        % 300 AS INT), {_SHOT_MAX_FRAMES}) AS nf
+      FROM documents
+    ),
+    grays AS (
+      SELECT doc_id, nf, f,
+             list_transform(range(0, 16), i ->
+               (((doc_id * 31 + f * 17 + (i // 4) * 7 + (i % 4) * 3) % 256)
+                + ((doc_id * 31 + f * 17 + (i // 4) * 7 + (i % 4) * 3 + 1)
+                   % 256)
+                + ((doc_id * 31 + f * 17 + (i // 4) * 7 + (i % 4) * 3 + 2)
+                   % 256)) // 3) AS gray
+      FROM meta, unnest(range(0, nf)) AS t(f)
+      WHERE nf > 0
+    ),
+    bits AS (
+      SELECT doc_id, nf, f,
+             list_transform(gray, x ->
+               CASE WHEN 16 * x >= list_sum(gray) THEN 1 ELSE 0 END) AS bv
+      FROM grays
+    ),
+    ham AS (
+      SELECT a.doc_id, a.nf, a.f,
+             list_sum(list_transform(range(1, 17),
+               i -> abs(a.bv[i] - b.bv[i]))) AS h
+      FROM bits a JOIN bits b
+        ON a.doc_id = b.doc_id AND b.f = a.f - 1
+    )
+    SELECT m.doc_id,
+           CAST(m.nf AS BIGINT) AS n_frames_scanned,
+           CAST(coalesce(sum(CASE WHEN ham.h >= {_SHOT_THRESHOLD}
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_boundaries,
+           CAST(coalesce(max(ham.h), 0) AS BIGINT) AS max_hamming,
+           CAST(coalesce(min(CASE WHEN ham.h >= {_SHOT_THRESHOLD}
+                                  THEN ham.f END), -1) AS BIGINT)
+             AS first_boundary_idx
+    FROM meta m LEFT JOIN ham ON ham.doc_id = m.doc_id
+    GROUP BY m.doc_id, m.nf
+    """,
+)
+def multimodal_video_shot_boundaries(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-asset shot-boundary scorecard: decode up to
+    {_SHOT_MAX_FRAMES} frames (REAL BMP encode -> codec decode per
+    frame — the plumbing under test), aHash each 4x4 frame
+    (mean-threshold bits, integer compare 16*gray >= sum so no
+    division), and count frames whose Hamming distance to their
+    predecessor reaches the cut threshold — plus the max distance and
+    the first cut index.
+
+    The oracle states the same integers CLOSED-FORM from the synthetic
+    pixel formula (no decoder in SQL) — agreement proves the whole
+    encode/decode/hash chain is pixel-exact, the same pattern as
+    multimodal_decode_real. All-integer output, EXACT.
+
+    Scale shape: Arrow-batched mapInPandas, zero shuffle; the frame
+    budget bounds per-asset work however long the video is (the
+    multimodal_frame_sample discipline).
+    """
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("data")
+    )
+    n_frames = (
+        F.conv(F.substring(F.sha2("data", 256), 9, 4), 16, 10).cast("int")
+        % 300
+    )
+    meta = docs.select("doc_id", n_frames.alias("n_frames"))
+    return meta.mapInPandas(
+        _shot_batches,
+        schema=(
+            "doc_id long, n_frames_scanned long, n_boundaries long,"
+            " max_hamming long, first_boundary_idx long"
+        ),
+    )
