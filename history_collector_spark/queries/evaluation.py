@@ -1011,3 +1011,157 @@ def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("reliability_bin"),
         (acc * (F.lit(1) - acc)).alias("uncertainty_bin"),
     )
+
+
+@register(
+    "eval_bootstrap_auc_ci",
+    oracle=f"""
+    WITH scored AS (
+      SELECT o_orderkey,
+             (CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+                AS BIGINT) % 1000)
+             + CASE WHEN o_orderstatus = 'F' THEN 300 ELSE 0 END AS score,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    weighted AS (
+      SELECT r, score, y,
+             (CASE
+                WHEN u < {_POISSON_CDF[0]} THEN 0 WHEN u < {_POISSON_CDF[1]} THEN 1
+                WHEN u < {_POISSON_CDF[2]} THEN 2 WHEN u < {_POISSON_CDF[3]} THEN 3
+                WHEN u < {_POISSON_CDF[4]} THEN 4 WHEN u < {_POISSON_CDF[5]} THEN 5
+                WHEN u < {_POISSON_CDF[6]} THEN 6 ELSE 7 END) AS wgt
+      FROM (
+        SELECT score, y, r,
+               (CAST(concat('0x', substr(
+                    md5(o_orderkey || '#' || CAST(r // 4 AS BIGINT)),
+                    CAST(1 + 8 * (r % 4) AS BIGINT), 8))
+                  AS BIGINT) + 1) / 4294967297.0 AS u
+        FROM scored, (SELECT unnest(range(0, {N_REPLICATES})) AS r) reps
+      )
+    ),
+    per_score AS (
+      SELECT r, score,
+             CAST(sum(wgt * y) AS BIGINT) AS wp,
+             CAST(sum(wgt * (1 - y)) AS BIGINT) AS wn
+      FROM weighted GROUP BY r, score
+    ),
+    ranked AS (
+      SELECT r, wp, wn,
+             coalesce(sum(wn) OVER (PARTITION BY r ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS neg_below
+      FROM per_score
+    ),
+    aucs AS (
+      SELECT r,
+             CAST(sum(wp * (2 * neg_below + wn)) AS DOUBLE)
+               / (2 * sum(wp) * sum(wn)) AS auc
+      FROM ranked GROUP BY r
+      HAVING sum(wp) > 0 AND sum(wn) > 0
+    )
+    SELECT avg(auc) AS boot_mean_auc,
+           quantile_cont(auc, 0.025) AS ci_lo,
+           quantile_cont(auc, 0.975) AS ci_hi,
+           stddev_samp(auc) AS boot_se,
+           CAST(count(*) AS BIGINT) AS n_replicates
+    FROM aucs
+    """,
+)
+def eval_bootstrap_auc_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% Poisson-bootstrap confidence interval for the classifier's
+    AUC — uncertainty-quantified eval in one dataflow: each row draws
+    its deterministic Poisson(1) weight per replicate (the
+    bootstrap_mean_ci md5-four-words idiom), the weighted rows
+    collapse to per-(replicate, score) integer counts, each
+    replicate's AUC is the exact tie-corrected Mann-Whitney ratio
+    (eval_auc_roc's integer numerator, weighted), and the CI is read
+    off the {N_REPLICATES} replicate AUCs.
+
+    Scale shape: one scan fans out x{N_REPLICATES} into a
+    (replicate, score) aggregate — bounded at {N_REPLICATES} x 1300
+    rows whatever the corpus size; the cumulative window runs per
+    replicate over that bounded table (allowlisted); the final
+    percentile touches {N_REPLICATES} numbers. Per-replicate AUCs are
+    exact (integer numerator, single division); the summary row's
+    avg/quantile/stddev over 50 exact doubles is the flip-free class.
+    """
+    orders = table(spark, sf_dir, "orders")
+    h = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    y = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    reps = F.sequence(F.lit(0), F.lit(N_REPLICATES - 1))
+    n_hashes = (N_REPLICATES + 3) // 4
+    hashes = F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda hh: F.md5(
+            F.concat_ws("#", F.col("o_orderkey"), hh.cast("long"))
+        ),
+    )
+    # weights are derived AFTER the replicate explode from the carried
+    # digest array (bootstrap_mean_ci's exact shape). Two pre-explode
+    # "optimizations" were measured and REJECTED at sf0.1: a transform
+    # lambda referencing the digest column re-evaluates all 13 md5 per
+    # element (177s — the dsir._gram_expr collapse trap), and even the
+    # collapse-safe flatten-the-digests form ran 2x slower (16.6s vs
+    # 8.3s) than this explode.
+    u = (
+        F.conv(
+            F.expr(
+                "substring(element_at(hs, CAST(r DIV 4 AS INT) + 1),"
+                " CAST(1 + 8 * (r % 4) AS INT), 8)"
+            ),
+            16,
+            10,
+        ).cast("long")
+        + F.lit(1)
+    ) / F.lit(4294967297.0)
+    wgt = F.lit(7)
+    for k in range(6, -1, -1):
+        wgt = F.when(F.col("u") < F.lit(_POISSON_CDF[k]), k).otherwise(wgt)
+    weighted = (
+        orders.select(
+            ((h % 1000) + F.when(y == 1, 300).otherwise(0)).alias("score"),
+            y.alias("y"),
+            hashes.alias("hs"),
+        )
+        .select("score", "y", "hs", F.explode(reps).alias("r"))
+        .withColumn("u", u)
+        .withColumn("wgt", wgt)
+    )
+    per_score = weighted.groupBy("r", "score").agg(
+        F.sum(F.col("wgt") * F.col("y")).alias("wp"),
+        F.sum(F.col("wgt") * (F.lit(1) - F.col("y"))).alias("wn"),
+    )
+    w = (
+        Window.partitionBy("r")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = per_score.withColumn(
+        "neg_below", F.coalesce(F.sum("wn").over(w), F.lit(0))
+    )
+    num = F.sum(F.col("wp") * (F.lit(2) * F.col("neg_below") + F.col("wn")))
+    aucs = (
+        ranked.groupBy("r")
+        .agg(
+            num.alias("num"),
+            F.sum("wp").alias("tp"),
+            F.sum("wn").alias("tn"),
+        )
+        .filter((F.col("tp") > 0) & (F.col("tn") > 0))
+        .select(
+            (
+                F.col("num").cast("double")
+                / (F.lit(2) * F.col("tp") * F.col("tn"))
+            ).alias("auc")
+        )
+    )
+    return aucs.agg(
+        F.avg("auc").alias("boot_mean_auc"),
+        F.expr("percentile(auc, 0.025)").alias("ci_lo"),
+        F.expr("percentile(auc, 0.975)").alias("ci_hi"),
+        F.stddev_samp("auc").alias("boot_se"),
+        F.count("*").alias("n_replicates"),
+    )

@@ -248,6 +248,9 @@ BOUNDED_INPUT_WINDOWS = {
         "as eval_auc_roc",
     ("eval_conformal_coverage", ()):
         "distinct-alpha calibration histogram (<=1301 rows)",
+    ("eval_bootstrap_auc_ci", ("r",)):
+        "50 bootstrap replicates over the bounded distinct-score "
+        "aggregate (<=50x1300 rows)",
     ("streaming_topk_e2e", ("event_type",)):
         "per-key micro-batch count aggregate, key-space-bounded",
     ("curation_shard_assign", ("shard",)):
