@@ -102,6 +102,38 @@ HEADLINE = (
 )
 
 
+# Pinned 20-query canary: measured FIRST in the session (fresh JVM,
+# right after warm-up, before the 300+-query suite piles GC/codegen
+# pressure onto the shared JVM), and reported as a separate block in
+# BENCH_FULL.json. Cross-round drift analysis compares canary-to-canary
+# (a stable denominator measured under identical conditions) instead of
+# suite-to-suite (round 8 saw +15.8% on untouched queries purely from
+# 40 extra queries sharing the session). DO NOT rename/remove members —
+# the set's value is its stability across rounds.
+CANARY = (
+    "account_history",
+    "group_agg_pricing",
+    "topn_per_group",
+    "event_sessionize",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "ann_cosine_topk",
+    "text_tfidf_topterms",
+    "text_language_id",
+    "curation_quality_pipeline",
+    "explode_txset",
+    "broadcast_lookup_time",
+    "asof_join_last_signup",
+    "trailing_hour_sum",
+    "streaming_window_counts",
+    "streaming_zscore_e2e",
+    "multimodal_decode",
+    "embedding_quantize",
+    "pipeline_parity",
+)
+
+
 def run_one(spark, fn, sf_dir: str) -> float:
     t0 = time.perf_counter()
     df = fn(spark, sf_dir)
@@ -125,6 +157,17 @@ def main() -> None:
             _table(spark, sf_dir, t).count()
         except Exception:
             pass
+
+    # canary first: pristine-session timings for the pinned subset
+    canary: dict[str, float | None] = {}
+    for name in CANARY:
+        if name not in qs:
+            continue
+        try:
+            canary[name] = round(run_one(spark, qs[name], sf_dir), 4)
+        except Exception as exc:
+            print(f"bench: canary {name} FAILED: {exc}", file=sys.stderr)
+            canary[name] = None
 
     times: dict[str, float | None] = {}
     for name in sorted(qs):
@@ -154,6 +197,7 @@ def main() -> None:
                 times[name] = round(min(dt, dt2), 4)
 
     total = sum(v for v in times.values() if v is not None)
+    canary_total = sum(v for v in canary.values() if v is not None)
 
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_FULL.json")
@@ -164,6 +208,8 @@ def main() -> None:
                 "value": round(total, 4),
                 "unit": "sec",
                 "queries": times,
+                "canary": canary,
+                "canary_total_sec": round(canary_total, 4),
                 "sf": sf,
                 "n_queries": len(times),
             },
@@ -179,6 +225,7 @@ def main() -> None:
                 "value": round(total, 4),
                 "unit": "sec",
                 "queries": headline,
+                "canary_total_sec": round(canary_total, 4),
                 "sf": sf,
                 "n_queries": len(times),
                 "full": "BENCH_FULL.json",

@@ -27,9 +27,18 @@ import struct
 
 import numpy as np
 
+from history_collector_spark.functions.codec_errors import ImageDecodeError
 
-class JpegDecodeError(ValueError):
-    pass
+
+class JpegDecodeError(ImageDecodeError):
+    """Malformed or unsupported JPEG payload.
+
+    Subclasses :class:`ImageDecodeError` so the Arrow decode kernels'
+    ``except (ImageDecodeError, NotImplementedError)`` graceful-
+    degradation path catches JPEG failures the same way it catches
+    BMP/PPM/PNG/GIF failures (a corrupt blob must yield a
+    ``decode_status`` error row, never kill the Spark task).
+    """
 
 
 ZIGZAG = np.array([
@@ -182,7 +191,14 @@ class _BitReader:
             if nxt == 0x00:
                 self.pos += 2
             elif 0xD0 <= nxt <= 0xD7:
-                raise _RestartMarker(nxt)
+                # RSTn markers are only legal at MCU-aligned restart
+                # boundaries, which _decode_scan consumes explicitly
+                # via expect_restart(); one appearing mid-entropy-data
+                # means the stream is malformed.
+                raise JpegDecodeError(
+                    f"unexpected restart marker 0xFF{nxt:02X} in "
+                    "entropy data"
+                )
             else:
                 raise JpegDecodeError(
                     f"unexpected marker 0xFF{nxt:02X} in entropy data"
@@ -220,11 +236,6 @@ class _BitReader:
                 f"expected RST{n & 7} at offset {self.pos}"
             )
         self.pos += 2
-
-
-class _RestartMarker(Exception):
-    def __init__(self, marker):
-        self.marker = marker
 
 
 def _read_symbol(br: _BitReader, table) -> int:
@@ -294,7 +305,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 )
                 b = b[17 + n :]
         elif marker == 0xC0:  # SOF0 baseline
+            if len(body) < 6:
+                raise JpegDecodeError("truncated SOF0 header")
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if len(body) < 6 + 3 * nc:
+                raise JpegDecodeError(
+                    f"truncated SOF0: {len(body)} bytes for "
+                    f"{nc} components"
+                )
             if prec != 8:
                 raise JpegDecodeError("only 8-bit precision supported")
             if nc not in (1, 3):
@@ -315,11 +333,19 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 f"non-baseline frame type 0xFF{marker:02X} unsupported"
             )
         elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise JpegDecodeError("truncated DRI segment")
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise JpegDecodeError("SOS before SOF0")
+            if not body:
+                raise JpegDecodeError("empty SOS header")
             ns = body[0]
+            if len(body) < 1 + 2 * ns + 3:
+                raise JpegDecodeError(
+                    f"truncated SOS: {len(body)} bytes for {ns} scans"
+                )
             scan = []
             for i in range(ns):
                 cs, tt = body[1 + 2 * i], body[2 + 2 * i]

@@ -39,9 +39,19 @@ def _ranged(
     order_cols: Sequence[Column],
     n_parts: Optional[int],
 ) -> DataFrame:
-    n = n_parts or int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-    )
+    if n_parts:
+        n = n_parts
+    else:
+        # spark.sql.shuffle.partitions may be non-numeric (e.g. "auto"
+        # under some AQE configurations) — fall back rather than fail.
+        try:
+            n = int(
+                df.sparkSession.conf.get(
+                    "spark.sql.shuffle.partitions", "32"
+                )
+            )
+        except (TypeError, ValueError):
+            n = df.sparkSession.sparkContext.defaultParallelism or 32
     keys = [F.col(c) for c in group_cols] + list(order_cols)
     return df.repartitionByRange(n, *keys).withColumn(
         _PID, F.spark_partition_id()

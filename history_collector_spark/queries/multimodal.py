@@ -51,8 +51,9 @@ from history_collector_spark.registry import register
 # ---------------------------------------------------------------------------
 
 
-class ImageDecodeError(ValueError):
-    """Malformed or unsupported image payload."""
+from history_collector_spark.functions.codec_errors import (  # noqa: E402
+    ImageDecodeError,
+)
 
 
 def decode_bmp(data: bytes):

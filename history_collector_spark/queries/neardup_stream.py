@@ -1,0 +1,357 @@
+"""Streaming near-duplicate detection: MinHash-LSH dedup of a document
+stream against (a) a static corpus LSH index and (b) the stream itself.
+
+This is the streaming twin of the batch MinHash-LSH family in
+``dedup.py`` — the capability a real ingest pipeline needs: documents
+arrive in micro-batches and must be near-dup-checked against the
+already-indexed corpus AND against other in-flight documents, without
+ever rescanning the corpus or holding raw text in state.
+
+Composition (each half scales independently):
+
+1. **Per-doc signatures are map-only.** An Arrow-batched
+   ``mapInPandas`` computes the full 32-hash MinHash signature and the
+   16 band buckets per document in one pass (numpy affine-mix over the
+   md5'd shingle hashes). Unlike the batch path — which reuses
+   exploded shingle ROWS and a 32-min groupBy because other consumers
+   need the shingle sets — the streaming path needs no shuffle at all:
+   a signature is a pure function of one document. At 100 TB/day this
+   is the shape you want: signing is embarrassingly parallel, the only
+   exchanges downstream carry 16 short (doc_id, band, bucket) rows per
+   document, never text.
+2. **Corpus probe = stream-static join.** The existing corpus's LSH
+   index (doc_id, band, bucket — the table ``dedup_minhash_lsh``
+   materializes) is joined to each micro-batch on (band, bucket). No
+   streaming state: the index is the state, exactly like a 100 TB
+   deployment where the index lives as a bucketed table and the join
+   is co-located.
+3. **In-stream collisions = bounded keyed state.**
+   ``applyInPandasWithState`` keyed by (band, bucket) carries the
+   doc_ids previously seen in that bucket; each arriving doc emits a
+   pair per prior member, then joins the member list. State is O(real
+   duplication) per bucket — the same growth law as the batch LSH
+   collision table — and never holds text.
+
+The e2e query replays the odd-doc_id half of ``documents`` as 4
+micro-batches against a static index built from the even half, and the
+emitted pair set must equal the batch LSH pair table restricted to
+pairs touching an odd doc — proving the incremental composition loses
+and invents nothing vs. the batch truth (dedup.py's oracle discipline,
+extended to a real stream).
+
+Reference parity note: the reference engine has no streaming dedup —
+this extends its exactly-once ingest loop (reference python/main.py:
+254-309) with the LLM-pipeline operator set per the round brief.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import os
+import re
+import shutil
+import tempfile
+import uuid
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from history_collector_spark.catalog import table
+from history_collector_spark.functions.nlp import (
+    MH_PRIME,
+    mh_consts,
+    shingle_rows,
+)
+from history_collector_spark.registry import register
+from history_collector_spark.streaming.conf import scoped_state_partitions
+
+N_HASHES = 32
+N_BANDS = 16
+_A, _B = mh_consts(N_HASHES)
+_A_NP = np.array(_A, dtype=np.int64)[:, None]
+_B_NP = np.array(_B, dtype=np.int64)[:, None]
+
+_N_FILES = 4
+_SIG_SCHEMA = "doc_id bigint, band int, bucket string"
+
+_PAIR_OUT_SCHEMA = StructType(
+    [
+        StructField("doc_a", LongType()),
+        StructField("doc_b", LongType()),
+    ]
+)
+_PAIR_STATE_SCHEMA = StructType(
+    [StructField("members", ArrayType(LongType()))]
+)
+
+
+def doc_signature_buckets(doc_id: int, text: str):
+    """One document -> its 16 (band, bucket) LSH rows, bit-identical to
+    the batch formulation in dedup.py (md5-derived shingle hashes,
+    affine 32-hash family, md5-paired band buckets). Docs with < 3
+    tokens have no shingles and produce no rows, matching the batch
+    groupBy's empty-group absence."""
+    toks = re.split(r"\s+", text)
+    n = len(toks)
+    if n < 3:
+        return []
+    hs = np.fromiter(
+        (
+            int(
+                hashlib.md5(
+                    " ".join(toks[i : i + 3]).encode("utf-8")
+                ).hexdigest()[:8],
+                16,
+            )
+            for i in range(n - 2)
+        ),
+        dtype=np.int64,
+        count=n - 2,
+    )
+    # A[i] < 2^20, h < 2^32 -> product < 2^52: exact in int64
+    mins = ((_A_NP * hs[None, :] + _B_NP) % MH_PRIME).min(axis=1)
+    return [
+        (
+            doc_id,
+            j,
+            hashlib.md5(
+                f"{mins[2 * j]}_{mins[2 * j + 1]}".encode()
+            ).hexdigest(),
+        )
+        for j in range(N_BANDS)
+    ]
+
+
+def _sign_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows: list[tuple] = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            rows.extend(doc_signature_buckets(int(doc_id), text))
+        yield pd.DataFrame(rows, columns=["doc_id", "band", "bucket"])
+
+
+def signature_stream(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, band, bucket), map-only; works on
+    both batch and streaming DataFrames."""
+    return docs.mapInPandas(_sign_batches, schema=_SIG_SCHEMA)
+
+
+def _bucket_pair_tracker(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Keyed (band, bucket) membership state: each arriving doc pairs
+    with every doc already seen in this bucket (earlier batches via
+    state, earlier rows of this batch via the running list), then
+    joins the membership. Emits (min, max) doc pairs."""
+    members: list[int] = list(state.get[0]) if state.exists else []
+    out_a: list[int] = []
+    out_b: list[int] = []
+    for pdf in pdfs:
+        for d in sorted(int(x) for x in pdf["doc_id"]):
+            for m in members:
+                if m != d:
+                    out_a.append(min(m, d))
+                    out_b.append(max(m, d))
+            members.append(d)
+    state.update((members,))
+    yield pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
+
+
+def track_bucket_pairs(sig_stream: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) stream -> in-stream collision pairs."""
+    return sig_stream.groupBy("band", "bucket").applyInPandasWithState(
+        _bucket_pair_tracker,
+        outputStructType=_PAIR_OUT_SCHEMA,
+        stateStructType=_PAIR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+_DOC_REPLAY_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _doc_replay_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Odd-doc_id documents as _N_FILES doc_id-range-partitioned parquet
+    files with strictly increasing mtimes (the file source orders
+    micro-batches by modification time), memoized per (session, corpus)
+    like xstream._time_partitioned_replay_dir."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _DOC_REPLAY_CACHE.get(key)
+    if cached is not None and os.path.isdir(cached):
+        return cached
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "text")
+    )
+    bounds = docs.agg(
+        F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+    )
+    feed = docs.crossJoin(F.broadcast(bounds)).withColumn(
+        "file_no",
+        F.floor(
+            F.lit(_N_FILES)
+            * (F.col("doc_id") - F.col("mn"))
+            / (F.col("mx") - F.col("mn") + F.lit(1))
+        ).cast("int"),
+    )
+    landing = tempfile.mkdtemp(prefix="hc_neardup_")
+    flat = tempfile.mkdtemp(prefix="hc_neardup_flat_")
+    feed = feed.persist()
+    for fno in range(_N_FILES):
+        feed.filter(F.col("file_no") == fno).select(
+            "doc_id", "text"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{landing}/f{fno}")
+    feed.unpersist()
+    for i, p in enumerate(sorted(glob.glob(f"{landing}/f*/part-*.parquet"))):
+        dst = os.path.join(flat, f"{i:02d}.parquet")
+        shutil.copy(p, dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    shutil.rmtree(landing, ignore_errors=True)
+    _DOC_REPLAY_CACHE[key] = flat
+    return flat
+
+
+def _run_to_table(spark: SparkSession, out: DataFrame, prefix: str) -> DataFrame:
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    with scoped_state_partitions(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    return spark.table(name)
+
+
+# Batch LSH CTE over a PARAMETRIZED doc set (dedup._BUCKETS_SQL is
+# all-docs; the streaming oracle needs the same math with the pair
+# filter applied afterwards, so it is restated here over `documents`).
+_A_SQL = "[" + ", ".join(map(str, _A)) + "]"
+_B_SQL = "[" + ", ".join(map(str, _B)) + "]"
+_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - 1, 1)),
+               i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS s
+      FROM toks
+    ),
+    hs AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT) AS h
+      FROM sh
+    ),
+    seeds AS (
+      SELECT i AS seed, {_A_SQL}[i + 1] AS a, {_B_SQL}[i + 1] AS b
+      FROM (SELECT unnest(range({N_HASHES})) AS i)
+    ),
+    mh AS (
+      SELECT doc_id, seed, min((a * h + b) % {MH_PRIME}) AS m
+      FROM hs, seeds
+      GROUP BY doc_id, seed
+    ),
+    buckets AS (
+      SELECT a.doc_id, CAST(a.seed // 2 AS INT) AS band,
+             md5(concat(a.m, '_', b.m)) AS bucket
+      FROM mh a JOIN mh b ON a.doc_id = b.doc_id AND b.seed = a.seed + 1
+      WHERE a.seed % 2 = 0
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM buckets a
+    JOIN buckets b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    WHERE a.doc_id % 2 = 1 OR b.doc_id % 2 = 1
+"""
+
+
+@register("streaming_neardup_e2e", oracle=_ORACLE)
+def streaming_neardup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Odd docs stream in 4 micro-batches; each batch is LSH-signed
+    map-side, probed against the static even-doc index (stream-static
+    join), and checked against in-flight odd docs (bounded keyed bucket
+    state). The union of both pair channels must equal the batch LSH
+    pair table restricted to pairs touching an odd doc — the batch/
+    streaming equivalence contract (same discipline as
+    streaming_hll_merge_e2e's bit-equal registers).
+
+    Scale: the static side is the LSH index (16 short rows/doc, the
+    thing a 100 TB corpus materializes anyway), the stream side carries
+    16 rows/doc, state holds doc_ids only. Nothing rescans the corpus,
+    no channel ever holds text past the map-side signer.
+    """
+    docs = table(spark, sf_dir, "documents")
+    # static index: batch LSH table over the "already ingested" half —
+    # built with the BATCH formulation (shingle rows + 32 min-aggs)
+    # from dedup.py, proving the two formulations interoperate.
+    from history_collector_spark.queries.dedup import _lsh_buckets
+
+    even_shingles = shingle_rows(
+        docs.filter(F.col("doc_id") % 2 == 0).select(
+            "doc_id", "lang", "text"
+        ),
+        distinct=False,
+    )
+    index = _lsh_buckets(spark, sf_dir, even_shingles).persist()
+    index.count()  # pin before the per-micro-batch joins
+
+    flat = _doc_replay_dir(spark, sf_dir)
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    sigs = signature_stream(stream)
+
+    # channel 1: probe the static corpus index on (band, bucket)
+    idx = index.select(
+        F.col("doc_id").alias("idx_doc"),
+        F.col("band").alias("iband"),
+        F.col("bucket").alias("ibucket"),
+    )
+    probe = sigs.join(
+        idx,
+        (sigs.band == idx.iband) & (sigs.bucket == idx.ibucket),
+    ).select(
+        F.least("doc_id", "idx_doc").alias("doc_a"),
+        F.greatest("doc_id", "idx_doc").alias("doc_b"),
+    )
+    probed = _run_to_table(spark, probe, "ndprobe")
+
+    # channel 2: in-stream collisions via keyed bucket state
+    instream = _run_to_table(
+        spark,
+        track_bucket_pairs(
+            signature_stream(
+                spark.readStream.schema("doc_id bigint, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(flat)
+            )
+        ),
+        "ndstate",
+    )
+    index.unpersist()
+    return probed.unionByName(instream).distinct()

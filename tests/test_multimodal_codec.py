@@ -153,6 +153,69 @@ def test_real_decode_through_mapinpandas_kernel(spark):
                 assert got[(doc, y, x)] == p
 
 
+def test_malformed_jpeg_degrades_gracefully_in_kernel(spark):
+    """Regression (round-9 ADVICE): JpegDecodeError must be an
+    ImageDecodeError subclass so the Arrow kernels' graceful-degradation
+    except-tuple catches it — a corrupt JPEG blob yields an error row,
+    it does NOT kill the Spark task."""
+    from history_collector_spark.functions.codec_errors import (
+        ImageDecodeError as SharedBase,
+    )
+    from history_collector_spark.functions.jpeg import (
+        JpegDecodeError,
+        encode_jpeg,
+    )
+
+    assert issubclass(JpegDecodeError, SharedBase)
+    assert issubclass(JpegDecodeError, ImageDecodeError)
+
+    good = encode_jpeg(np.full((8, 8), 90, dtype=np.uint8))
+    blobs = spark.createDataFrame(
+        [
+            (1, bytearray(good)),
+            (2, bytearray(b"\xff\xd8\xff\xe0JFIF")),  # truncated JPEG
+            (3, bytearray(good[: len(good) // 2])),  # cut mid-stream
+            # short declared SOF0 seglen (3): raw struct.error class
+            (4, bytearray(b"\xff\xd8\xff\xc0\x00\x03\x08\xff\xd9")),
+        ],
+        "doc_id long, data binary",
+    ).repartition(2)
+    meta = {r["doc_id"]: r.asDict() for r in decode_images(blobs).collect()}
+    assert meta[1]["decode_status"] == "ok"
+    for doc in (2, 3, 4):
+        assert meta[doc]["decode_status"].startswith("error"), meta[doc]
+        assert meta[doc]["width"] is None
+
+
+def test_jpeg_malformed_segments_raise_decode_error():
+    """Short declared segment lengths and stray restart markers must
+    surface as JpegDecodeError, never raw struct.error/IndexError."""
+    from history_collector_spark.functions.jpeg import (
+        JpegDecodeError,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    # SOF0 with seglen=3 (no component bytes)
+    with pytest.raises(JpegDecodeError, match="SOF0"):
+        decode_jpeg(b"\xff\xd8\xff\xc0\x00\x03\x08\xff\xd9")
+    # DRI with empty body
+    with pytest.raises(JpegDecodeError, match="DRI"):
+        decode_jpeg(b"\xff\xd8\xff\xdd\x00\x02\xff\xd9")
+    # SOS declaring 3 scans but carrying bytes for none
+    good = encode_jpeg(np.full((8, 8), 10, dtype=np.uint8))
+    sos_at = good.find(b"\xff\xda")
+    assert sos_at > 0
+    bad = good[: sos_at + 2] + b"\x00\x03\x03" + good[sos_at + 4 :]
+    with pytest.raises(JpegDecodeError):
+        decode_jpeg(bad)
+    # stray RSTn mid-entropy-data: JpegDecodeError, not a bare escape
+    ent_at = sos_at + 2 + int.from_bytes(good[sos_at + 2 : sos_at + 4], "big")
+    bad2 = good[:ent_at] + b"\xff\xd3" + good[ent_at:]
+    with pytest.raises(JpegDecodeError, match="restart"):
+        decode_jpeg(bad2)
+
+
 # ---------------------------------------------------------------------------
 # PNG: hand-built bytes (struct + zlib directly, NOT encode_png) decoded
 # against the spec; the encoder roundtrip is a separate property.

@@ -576,24 +576,30 @@ def test_driver_window_hygiene():
     assert list(registry.QUERIES)[:50] == list(pq)
 
 
-def test_driver_window_rotated_since_round7():
+def test_driver_window_rotated_since_last_round():
     """Anti-stagnation guard (round-7 postmortem: the window shipped
     IDENTICAL to round 6's, so external evidence under-measured the
     repo for a second round). The current window must contain at
-    least 10 names absent from the recorded round-7 sample; r07 is a
-    committed artifact, so this assertion stays true once satisfied
-    and fails only if someone reverts the rotation."""
+    least 10 names absent from the LATEST recorded driver sample —
+    pinned dynamically to the newest CORRECTNESS_r*.json so the check
+    can never go stale (round-8 postmortem: a hard-coded r07 pin
+    would have passed an un-rotated round-9 window)."""
+    import glob
     import json
     import os
 
-    path = os.path.join(
-        os.path.dirname(__file__), "..", "CORRECTNESS_r07.json"
+    paths = sorted(
+        glob.glob(
+            os.path.join(os.path.dirname(__file__), "..",
+                         "CORRECTNESS_r*.json")
+        )
     )
-    r07 = set(json.load(open(path)))
-    fresh = [n for n in registry.PRIORITY_QUERIES if n not in r07]
+    assert paths, "no recorded driver samples found"
+    last = set(json.load(open(paths[-1])))
+    fresh = [n for n in registry.PRIORITY_QUERIES if n not in last]
     assert len(fresh) >= 10, (
         f"window rotation reverted: only {len(fresh)} names not in the "
-        f"round-7 sample ({fresh})"
+        f"latest recorded sample {os.path.basename(paths[-1])} ({fresh})"
     )
 
 
