@@ -206,12 +206,83 @@ def _png_unfilter(raw, height: int, stride: int, bpp: int):
     return out
 
 
+# Adam7 pass grid: (x0, y0, dx, dy) per pass (PNG spec §8.2)
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _unpack_subbyte(rows, width: int, depth: int):
+    """(h, packed_stride) uint8 -> (h, width) palette indices for
+    depth in {1, 2, 4} (big-endian bit packing within each byte)."""
+    import numpy as np
+
+    bits = np.unpackbits(rows, axis=1)
+    n = bits.shape[1] // depth
+    vals = np.zeros((rows.shape[0], n), dtype=np.uint8)
+    for j in range(depth):
+        vals = (vals << 1) | bits[:, j::depth][:, :n]
+    return vals[:, :width]
+
+
+def _png_decode_planes(plain, width, height, depth, ch, interlace):
+    """Unfilter the inflated pixel stream into an (h, w, ch) uint8 array
+    of RAW samples (palette indices when ch == 1 and depth < 8 callers
+    pass ch=1). Handles both sequential and Adam7 layouts; each Adam7
+    pass is an independently filtered sub-image scattered back onto the
+    (dy, dx) grid."""
+    import numpy as np
+
+    def stride_of(w):
+        return (w * ch * depth + 7) // 8
+
+    bpp = max(1, ch * depth // 8)
+    passes = (
+        _ADAM7 if interlace else ((0, 0, 1, 1),)
+    )
+    expected = 0
+    dims = []
+    for x0, y0, dx, dy in passes:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        dims.append((pw, ph))
+        if pw and ph:
+            expected += ph * (1 + stride_of(pw))
+    if len(plain) != expected:
+        raise ImageDecodeError(
+            f"PNG pixel stream {len(plain)} != expected {expected}"
+        )
+    raw = np.frombuffer(plain, dtype=np.uint8)
+    out = np.zeros((height, width, ch), dtype=np.uint8)
+    pos = 0
+    for (x0, y0, dx, dy), (pw, ph) in zip(passes, dims):
+        if not (pw and ph):
+            continue
+        stride = stride_of(pw)
+        n = ph * (1 + stride)
+        rows = _png_unfilter(raw[pos : pos + n], ph, stride, bpp=bpp)
+        pos += n
+        if depth == 8:
+            px = rows.reshape(ph, pw, ch)
+        else:  # sub-byte palette indices, ch == 1
+            px = _unpack_subbyte(rows, pw, depth)[:, :, None]
+        out[y0::dy, x0::dx] = px
+    return out
+
+
 def decode_png(data: bytes):
-    """Decode a PNG (8-bit, non-interlaced, color types 0/2/4/6) into an
-    (height, width, channels) uint8 numpy array — stdlib zlib inflate of
-    the concatenated IDAT stream plus full five-filter scanline
-    unfiltering; no media libs. Palette (3), 16-bit depth, and Adam7
-    interlacing are rejected with a clear error."""
+    """Decode a PNG into an (height, width, channels) uint8 numpy array
+    — stdlib zlib inflate of the concatenated IDAT stream plus full
+    five-filter scanline unfiltering; no media libs. Supported: 8-bit
+    color types 0/2/4/6, palette (type 3) at depths 1/2/4/8 with
+    optional tRNS alpha (-> RGBA), and Adam7 interlacing for all of
+    those. 16-bit depth is rejected with a clear error."""
     import struct
     import zlib
 
@@ -220,6 +291,7 @@ def decode_png(data: bytes):
     if data[:8] != _PNG_MAGIC:
         raise ImageDecodeError("not a PNG payload")
     pos, ihdr, idat = 8, None, []
+    plte, trns = None, None
     while pos + 8 <= len(data):
         (length,) = struct.unpack_from(">I", data, pos)
         ctype = data[pos + 4 : pos + 8]
@@ -234,6 +306,12 @@ def decode_png(data: bytes):
             raise ImageDecodeError(f"PNG CRC mismatch in {ctype!r}")
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            if length % 3 or length == 0 or length > 768:
+                raise ImageDecodeError(f"bad PLTE length {length}")
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = np.frombuffer(body, dtype=np.uint8)
         elif ctype == b"IDAT":
             idat.append(body)
         elif ctype == b"IEND":
@@ -242,31 +320,50 @@ def decode_png(data: bytes):
     if ihdr is None:
         raise ImageDecodeError("PNG missing IHDR")
     width, height, depth, color_type, comp, filt, interlace = ihdr
-    if depth != 8:
-        raise ImageDecodeError(f"only 8-bit PNG supported, got depth={depth}")
-    if color_type not in _PNG_CHANNELS:
+    if color_type == 3:
+        if depth not in (1, 2, 4, 8):
+            raise ImageDecodeError(
+                f"bad palette PNG depth {depth} (must be 1/2/4/8)"
+            )
+    elif color_type in _PNG_CHANNELS:
+        if depth != 8:
+            raise ImageDecodeError(
+                f"only 8-bit PNG supported for color type "
+                f"{color_type}, got depth={depth}"
+            )
+    else:
         raise ImageDecodeError(f"unsupported PNG color type {color_type}")
     if comp != 0 or filt != 0:
         raise ImageDecodeError("nonstandard PNG compression/filter method")
-    if interlace != 0:
-        raise ImageDecodeError("Adam7 interlaced PNG not supported")
+    if interlace not in (0, 1):
+        raise ImageDecodeError(f"bad PNG interlace method {interlace}")
     if width == 0 or height == 0:
         raise ImageDecodeError(f"degenerate dimensions {width}x{height}")
     if not idat:
         raise ImageDecodeError("PNG missing IDAT")
-    ch = _PNG_CHANNELS[color_type]
-    stride = width * ch
     try:
         plain = zlib.decompress(b"".join(idat))
     except zlib.error as exc:
         raise ImageDecodeError(f"PNG inflate failed: {exc}") from exc
-    if len(plain) != height * (1 + stride):
-        raise ImageDecodeError(
-            f"PNG pixel stream {len(plain)} != expected {height * (1 + stride)}"
-        )
-    raw = np.frombuffer(plain, dtype=np.uint8)
-    px = _png_unfilter(raw, height, stride, bpp=ch)
-    return px.reshape(height, width, ch).copy()
+    if color_type == 3:
+        if plte is None:
+            raise ImageDecodeError("palette PNG missing PLTE")
+        idx = _png_decode_planes(
+            plain, width, height, depth, 1, interlace
+        )[:, :, 0]
+        if (idx >= len(plte)).any():
+            raise ImageDecodeError(
+                f"palette index out of range (PLTE has {len(plte)} entries)"
+            )
+        rgb = plte[idx]
+        if trns is None:
+            return rgb.copy()
+        # tRNS: alpha per palette entry, opaque (255) past its length
+        alpha_lut = np.full(len(plte), 255, dtype=np.uint8)
+        alpha_lut[: min(len(trns), len(plte))] = trns[: len(plte)]
+        return np.dstack([rgb, alpha_lut[idx]])
+    ch = _PNG_CHANNELS[color_type]
+    return _png_decode_planes(plain, width, height, 8, ch, interlace).copy()
 
 
 def encode_png(pixels, row_filters=None) -> bytes:
@@ -329,6 +426,110 @@ def encode_png(pixels, row_filters=None) -> bytes:
         + chunk(b"IHDR", ihdr)
         + chunk(b"IDAT", zlib.compress(bytes(lines), 6))
         + chunk(b"IEND", b"")
+    )
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _pack_subbyte(idx_rows, depth: int) -> bytes:
+    """(h, w) uint8 indices -> packed big-endian depth-bit rows, each
+    row padded to a byte boundary (inverse of _unpack_subbyte)."""
+    import numpy as np
+
+    h, w = idx_rows.shape
+    per = 8 // depth
+    padded_w = (w + per - 1) // per * per
+    padded = np.zeros((h, padded_w), dtype=np.uint8)
+    padded[:, :w] = idx_rows
+    bits = np.zeros((h, padded_w * depth), dtype=np.uint8)
+    for j in range(depth):
+        bits[:, j::depth] = (padded >> (depth - 1 - j)) & 1
+    return np.packbits(bits, axis=1).tobytes()
+
+
+def encode_png_palette(
+    indices, palette, trns=None, depth: int = 8, interlace: int = 0
+) -> bytes:
+    """Build a color-type-3 PNG from an (h, w) index array and an
+    (n, 3) palette; optional tRNS per-entry alpha; depth in {1,2,4,8};
+    optional Adam7 interlacing (filter type 0 on every scanline). A
+    fixture builder for the decoder tests and the rotating driver
+    fixtures — exercises the exact byte layout decode_png parses."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    idx = np.asarray(indices, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8).reshape(-1, 3)
+    height, width = idx.shape
+    if idx.max(initial=0) >= len(pal):
+        raise ValueError("index out of palette range")
+    passes = _ADAM7 if interlace else ((0, 0, 1, 1),)
+    lines = bytearray()
+    for x0, y0, dx, dy in passes:
+        sub = idx[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        if depth == 8:
+            rows = sub.tobytes()
+            stride = sub.shape[1]
+        else:
+            rows = _pack_subbyte(sub, depth)
+            stride = (sub.shape[1] * depth + 7) // 8
+        for y in range(sub.shape[0]):
+            lines.append(0)  # filter None
+            lines.extend(rows[y * stride : (y + 1) * stride])
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, 3, 0, 0, interlace)
+    out = _PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+    out += _png_chunk(b"PLTE", pal.tobytes())
+    if trns is not None:
+        out += _png_chunk(
+            b"tRNS", np.asarray(trns, dtype=np.uint8).tobytes()
+        )
+    out += _png_chunk(b"IDAT", zlib.compress(bytes(lines), 6))
+    return out + _png_chunk(b"IEND", b"")
+
+
+def encode_png_adam7(pixels) -> bytes:
+    """Adam7-interlaced truecolor/gray PNG fixture builder (filter 0
+    rows): same channel mapping as encode_png, interlace method 1."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    height, width, ch = px.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    lines = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = px[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        ph, pw = sub.shape[:2]
+        flat = sub.reshape(ph, pw * ch)
+        for y in range(ph):
+            lines.append(0)
+            lines.extend(flat[y].tobytes())
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 1)
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(lines), 6))
+        + _png_chunk(b"IEND", b"")
     )
 
 
@@ -884,11 +1085,32 @@ def _png_roundtrip_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataF
                 np.arange(h), np.arange(w), np.arange(3), indexing="ij"
             )
             px = ((d * 17 + yy * 11 + xx * 5 + cc * 2) % 256).astype(np.uint8)
-            # rotate the starting filter per doc so all five filter
-            # types (None/Sub/Up/Average/Paeth) hit the decoder in
-            # every driver run, not just in unit tests
-            filters = [(d + y) % 5 for y in range(h)]
-            blob = encode_png(px, row_filters=filters)
+            # rotate the LAYOUT per doc so all three container shapes
+            # exercise in every driver run against ONE oracle formula:
+            # 0 -> sequential truecolor with rotating scanline filters
+            #      (None/Sub/Up/Average/Paeth all hit every run),
+            # 1 -> color-type-3 palette: a 256-entry palette
+            #      pal[v] = (v, v+2, v+4) mod 256 with index
+            #      v = (d*17 + y*11 + x*5) % 256 reproduces the EXACT
+            #      same pixels, so the oracle needs no palette branch,
+            # 2 -> Adam7-interlaced truecolor (7-pass scatter).
+            variant = d % 3
+            if variant == 1:
+                idx = ((d * 17 + yy[:, :, 0] * 11 + xx[:, :, 0] * 5)
+                       % 256).astype(np.uint8)
+                pal = np.stack(
+                    [
+                        np.arange(256, dtype=np.int64) + 2 * c
+                        for c in range(3)
+                    ],
+                    axis=1,
+                ) % 256
+                blob = encode_png_palette(idx, pal.astype(np.uint8))
+            elif variant == 2:
+                blob = encode_png_adam7(px)
+            else:
+                filters = [(d + y) % 5 for y in range(h)]
+                blob = encode_png(px, row_filters=filters)
             meta = decode_blob(blob)  # REAL decode: magic-sniffed PNG path
             back = decode_image(blob)
             rows.append(
@@ -950,6 +1172,113 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id bigint, width int, height int, "
             "pixel_sum bigint, decode_status string"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decode-yield scorecard: per-format success/failure counts over a mixed
+# asset corpus — the observability a real crawl's decode stage needs
+# (what fraction of each format actually decodes, and how failures
+# fail). Six formats (incl. two deliberately undecodable classes) are
+# built deterministically per doc and pushed through the REAL magic-
+# sniffed codec dispatcher; the oracle predicts every row closed-form,
+# so agreement proves each codec path succeeds/fails exactly as
+# designed — including that corrupt inputs degrade to the error column
+# rather than killing tasks (the graceful-degradation contract).
+# ---------------------------------------------------------------------------
+
+_YIELD_FORMATS = ("bmp", "ppm", "png", "jpeg", "png_truncated", "webp")
+
+
+def _yield_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from history_collector_spark.functions.jpeg import encode_jpeg
+
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            v = d % 7
+            w, h = 2 + d % 6, 1 + d % 4
+            yy, xx, cc = np.meshgrid(
+                np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+            )
+            px = ((d * 17 + yy * 11 + xx * 5 + cc * 2) % 256).astype(
+                np.uint8
+            )
+            if v == 0:
+                fmt, blob = "bmp", encode_bmp(px)
+            elif v == 1:
+                fmt = "ppm"
+                blob = f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
+            elif v == 2:
+                fmt, blob = "png", encode_png(px)
+            elif v == 3:
+                fmt, blob = "jpeg", encode_jpeg(px)
+            elif v == 4:
+                fmt, blob = "png_truncated", encode_png(px)
+                blob = blob[: len(blob) // 2]
+            elif v == 5:
+                fmt = "webp"  # no codec plugged: NotImplementedError
+                blob = b"RIFF\x24\x00\x00\x00WEBPVP8 " + bytes(16)
+            else:
+                fmt, blob = "gif", encode_gif(px)
+            try:
+                meta = decode_blob(blob)
+                status = meta["decode_status"]
+                pixels = meta["width"] * meta["height"]
+            except (ImageDecodeError, NotImplementedError) as e:
+                status, pixels = f"error: {type(e).__name__}", 0
+            rows.append((fmt, status, pixels))
+        yield pd.DataFrame(
+            rows, columns=["format", "decode_status", "pixels"]
+        )
+
+
+@register(
+    "multimodal_decode_yield",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, doc_id % 7 AS v,
+             2 + doc_id % 6 AS w, 1 + doc_id % 4 AS h
+      FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT CASE v WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' WHEN 2 THEN 'png'
+                  WHEN 3 THEN 'jpeg' WHEN 4 THEN 'png_truncated'
+                  WHEN 5 THEN 'webp' ELSE 'gif' END AS format,
+           CASE WHEN v = 4 THEN 'error: ImageDecodeError'
+                WHEN v = 5 THEN 'error: NotImplementedError'
+                ELSE 'ok' END AS decode_status,
+           CAST(count(*) AS BIGINT) AS n_assets,
+           CAST(sum(CASE WHEN v IN (4, 5) THEN 0 ELSE w * h END)
+                AS BIGINT) AS total_pixels
+    FROM s GROUP BY 1, 2
+    """,
+)
+def multimodal_decode_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-format decode yield over a six-format synthetic asset mix
+    (BMP/PPM/PNG/JPEG ok-paths, a truncated PNG, an unplugged WEBP):
+    REAL decodes through the magic dispatcher, aggregated to (format,
+    status, count, decoded pixels). The oracle predicts each cell
+    closed-form from the generator arithmetic — a wrong-way failure
+    (codec crash, wrong error class, wrong dimensions) flips a cell.
+
+    Scale shape: pure map over sampled ids (Arrow batches), then a
+    ~7-key aggregate — the map-side-combined scorecard a 100 TB decode
+    stage emits per partition for free."""
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 0)
+        .select("doc_id")
+    )
+    per_doc = docs.mapInPandas(
+        _yield_batches,
+        schema="format string, decode_status string, pixels bigint",
+    )
+    return per_doc.groupBy("format", "decode_status").agg(
+        F.count("*").alias("n_assets"),
+        F.sum("pixels").alias("total_pixels"),
     )
 
 

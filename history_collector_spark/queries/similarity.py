@@ -536,6 +536,243 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# IVF recall-vs-nprobe tradeoff: the serving-tuning sweep. A real IVF
+# deployment picks nprobe (how many nearest lists each query probes) by
+# measuring recall@k per setting; this runs nprobe in {1, 2, 4} in ONE
+# pass (the 4-list candidate set is computed once, each level filters
+# it) and reports per-level recall against the exact brute-force top-5.
+#
+# Cross-engine determinism of the LIST RANKING (which lists are
+# "nearest") is the hard part: centroid averages of floats are
+# order-dependent, so ranking by them could diverge between Spark's
+# unordered partial aggregates and DuckDB. Instead the centroid math is
+# EXACT: embeddings quantize to integers (round(x * 4096) — a scale
+# that keeps every intermediate inside int64 at any plausible list
+# size), list "centroids" stay as (integer sum vector S, count n), and
+# the query-to-list distance uses ||q*n - S||^2 — an exact integer, so
+# both engines rank identically; the only float is the final
+# double(a)/double(n^2) sort key, identical IEEE ops on identical
+# integers. Candidate scoring inside probed lists reuses the standard
+# cos idiom the other ANN oracles already pin.
+# ---------------------------------------------------------------------------
+
+_SWEEP_Q_MOD = 97
+_SWEEP_SCALE = 4096
+_SWEEP_LEVELS = (1, 2, 4)
+
+
+@register(
+    "ann_ivf_nprobe_sweep",
+    oracle=f"""
+    WITH {_EMB_NORM_SQL},
+    grid AS (SELECT unnest(range(1, 65)) AS pos),
+    qi AS (
+      SELECT vec_id, grid.pos,
+             CAST(round(CAST(embedding[grid.pos] AS DOUBLE)
+                        * {_SWEEP_SCALE}) AS BIGINT) AS qv
+      FROM embeddings, grid WHERE vec_id % {_SWEEP_Q_MOD} = 0
+    ),
+    ci AS (
+      SELECT label, grid.pos,
+             SUM(CAST(round(CAST(embedding[grid.pos] AS DOUBLE)
+                            * {_SWEEP_SCALE}) AS BIGINT)) AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM embeddings, grid GROUP BY 1, 2
+    ),
+    dist AS (
+      SELECT qi.vec_id AS query_id, ci.label,
+             SUM(CAST(qi.qv * ci.n - ci.s AS HUGEINT)
+                 * CAST(qi.qv * ci.n - ci.s AS HUGEINT)) AS a,
+             MAX(ci.n) AS n
+      FROM qi JOIN ci ON qi.pos = ci.pos GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT query_id, label,
+             CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY CAST(a AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)),
+                        label) AS INT) AS list_rank
+      FROM dist
+    ),
+    cand AS (
+      SELECT r.query_id, r.list_rank, c.vec_id AS neighbor_id,
+             c.embedding, c.nrm
+      FROM ranked r JOIN emb c ON c.label = r.label
+      WHERE r.list_rank <= 4 AND c.vec_id != r.query_id
+    ),
+    lv AS (SELECT unnest([1, 2, 4]) AS nprobe),
+    scored AS (
+      SELECT l.nprobe, cand.query_id, cand.neighbor_id,
+             CAST(row_number() OVER (
+               PARTITION BY l.nprobe, cand.query_id
+               ORDER BY list_sum(list_transform(range(1, 65),
+                 i -> CAST(q.embedding[i] AS DOUBLE)
+                      * CAST(cand.embedding[i] AS DOUBLE)))
+                 / (q.nrm * cand.nrm) DESC,
+               cand.neighbor_id) AS INT) AS rank
+      FROM cand
+      JOIN lv l ON cand.list_rank <= l.nprobe
+      JOIN emb q ON q.vec_id = cand.query_id
+    ),
+    top AS (SELECT nprobe, query_id, neighbor_id FROM scored
+            WHERE rank <= 5),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_COS_SQL} DESC, c.vec_id) AS rank
+        FROM emb q JOIN emb c ON q.vec_id != c.vec_id
+        WHERE q.vec_id % {_SWEEP_Q_MOD} = 0
+      ) WHERE rank <= 5
+    )
+    SELECT t.nprobe,
+           CAST(count(DISTINCT t.query_id) AS BIGINT) AS n_queries,
+           CAST(sum(CASE WHEN e.neighbor_id IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           CAST(sum(CASE WHEN e.neighbor_id IS NOT NULL
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(5 * count(DISTINCT t.query_id) AS DOUBLE)
+             AS recall_at_5
+    FROM top t
+    LEFT JOIN exact e
+      ON t.query_id = e.query_id AND t.neighbor_id = e.neighbor_id
+    GROUP BY t.nprobe
+    """,
+)
+def ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 per nprobe in one pass. List ranking per query uses the
+    exact-integer centroid math (see the section comment); the 4-list
+    candidate set is scored ONCE and each nprobe level is a filter over
+    list_rank, so the sweep costs one probe of the widest setting, not
+    three separate probes — the shape a serving-parameter sweep should
+    have at any corpus size. Aggregates are per-level integer hit
+    counts; the only emitted float is one int/int division.
+
+    Scale: the centroid table is (lists x 64) rows built by map-side
+    combined integer sums; query-to-list ranking is (queries x lists);
+    candidate scoring is bounded by the 4 probed lists per query —
+    never all-pairs. The plan's index side stays the label-keyed join
+    of ann_ivf_topk.
+    """
+    emb = _emb_with_norm(spark, sf_dir)
+    sc = F.lit(float(_SWEEP_SCALE))
+
+    def quant(df, idcol):
+        return df.select(
+            idcol, F.posexplode("embedding").alias("pos", "val")
+        ).select(
+            idcol, "pos",
+            F.round(F.col("val").cast("double") * sc, 0)
+            .cast("long").alias("qv"),
+        )
+
+    qi = quant(
+        emb.filter(F.col("vec_id") % _SWEEP_Q_MOD == 0)
+        .select("vec_id", "embedding"),
+        "vec_id",
+    )
+    ci = (
+        quant(emb.select("label", "embedding"), "label")
+        .groupBy("label", "pos")
+        .agg(F.sum("qv").alias("s"), F.count("*").alias("n"))
+    )
+    diff = F.col("qv") * F.col("n") - F.col("s")
+    dist = (
+        qi.join(ci, "pos")
+        .select(
+            F.col("vec_id").alias("query_id"), "label", "n",
+            (diff.cast("decimal(19,0)") * diff.cast("decimal(19,0)"))
+            .alias("d2"),
+        )
+        .groupBy("query_id", "label")
+        .agg(F.sum("d2").alias("a"), F.max("n").alias("n"))
+    )
+    key = F.col("a").cast("double") / (
+        F.col("n").cast("double") * F.col("n").cast("double")
+    )
+    wr = Window.partitionBy("query_id").orderBy(key, "label")
+    ranked = (
+        dist.withColumn("list_rank", F.row_number().over(wr).cast("int"))
+        .filter(F.col("list_rank") <= max(_SWEEP_LEVELS))
+        .select("query_id", "label", "list_rank")
+    )
+    c = emb.alias("c")
+    cand = (
+        ranked.join(c, ranked.label == F.col("c.label"))
+        .filter(F.col("c.vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "list_rank",
+            F.col("c.vec_id").alias("neighbor_id"),
+            F.col("c.embedding").alias("cemb"),
+            F.col("c.nrm").alias("cnrm"),
+        )
+    )
+    levels = F.explode(
+        F.array(*[F.lit(v) for v in _SWEEP_LEVELS])
+    ).alias("nprobe")
+    q2 = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = (
+        cand.select("*", levels)
+        .filter(F.col("list_rank") <= F.col("nprobe"))
+        .join(q2, "query_id")
+        .select(
+            "nprobe", "query_id", "neighbor_id",
+            cosine(
+                F.col("qemb"), F.col("cemb"),
+                F.col("qnrm"), F.col("cnrm"),
+            ).alias("cos_sim"),
+        )
+    )
+    wt = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    top = (
+        scored.withColumn("rank", F.row_number().over(wt))
+        .filter(F.col("rank") <= 5)
+        .select("nprobe", "query_id", "neighbor_id")
+    )
+    # exact ground truth on the same query budget (bounded brute force:
+    # the query side is the tiny filtered set)
+    q = emb.filter(F.col("vec_id") % _SWEEP_Q_MOD == 0).alias("q")
+    ex_cos = cosine(
+        F.col("q.embedding"), F.col("c.embedding"),
+        F.col("q.nrm"), F.col("c.nrm"),
+    )
+    we = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    exact = (
+        q.join(c, F.col("q.vec_id") != F.col("c.vec_id"))
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            ex_cos.alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(we))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    )
+    hits = top.join(exact, ["query_id", "neighbor_id"], "left")
+    return hits.groupBy("nprobe").agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+        .cast("long").alias("n_hits"),
+    ).select(
+        "nprobe", "n_queries", "n_hits",
+        (
+            F.col("n_hits").cast("double")
+            / (F.lit(5) * F.col("n_queries")).cast("double")
+        ).alias("recall_at_5"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Hard-negative mining for contrastive training: nearest OTHER-label
 # vectors per query, on the audit-style fixed query budget.
 # ---------------------------------------------------------------------------

@@ -140,6 +140,12 @@ _LOADED = False
 # vs static index + in-stream bucket state, the round-9 capability
 # item) supersedes streaming_dedup_e2e's seat — exact-key stream
 # dedup stays locally verified; 6 streaming seats remain.
+# Round 9 (second wave): the two queries BUILT this round rotate in —
+# the IVF nprobe tuning sweep (exact-integer list ranking) takes
+# experiment_cuped_adjusted's seat (ks_test + chi2 keep stats) and
+# the decode-yield scorecard takes ml_logreg_step's (the eval family
+# keeps auc/conformal/bootstrap seats); both retirees stay locally
+# oracle-verified every run.
 PRIORITY_QUERIES = (
     "account_history",
     "multimodal_decode_png",
@@ -160,7 +166,7 @@ PRIORITY_QUERIES = (
     "text_rouge_l",
     "eval_conformal_coverage",
     "curation_dsir_weights",
-    "ml_logreg_step",
+    "multimodal_decode_yield",
     "text_bm25_retrieval",
     "tpch_q19_disjunctive",
     "ann_ivf_bucketed_probe",
@@ -185,7 +191,7 @@ PRIORITY_QUERIES = (
     "cross_source_contamination",
     "graph_pagerank_dups",
     "curation_quota_water_filling",
-    "experiment_cuped_adjusted",
+    "ann_ivf_nprobe_sweep",
     "curation_quality_pipeline",
     "streaming_hll_merge_e2e",
     "embedding_matryoshka_audit",

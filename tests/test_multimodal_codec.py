@@ -333,14 +333,25 @@ def test_decode_png_error_paths():
     )
     with pytest.raises(ImageDecodeError, match="8-bit"):
         decode_png(blob16)
-    # interlaced rejected
-    ihdr_i = struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1)
+    # unknown interlace method rejected (Adam7 itself decodes now)
+    ihdr_i = struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 2)
     blob_i = (
         b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr_i)
         + _png_chunk(b"IEND", b"")
     )
-    with pytest.raises(ImageDecodeError, match="interlaced"):
+    with pytest.raises(ImageDecodeError, match="interlace"):
         decode_png(blob_i)
+    # palette PNG without PLTE rejected
+    import zlib as _z
+
+    ihdr_p = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)
+    blob_p = (
+        b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr_p)
+        + _png_chunk(b"IDAT", _z.compress(b"\x00\x00"))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ImageDecodeError, match="PLTE"):
+        decode_png(blob_p)
     # truncated pixel stream
     import zlib
 
@@ -352,6 +363,122 @@ def test_decode_png_error_paths():
     )
     with pytest.raises(ImageDecodeError, match="pixel stream"):
         decode_png(short)
+
+
+def test_decode_png_palette_hand_built():
+    """Color type 3 at depth 8, hand-built bytes (struct + zlib, not
+    the encoder): indices map through PLTE; tRNS adds per-entry alpha
+    (entries past the tRNS length are opaque)."""
+    import zlib
+
+    pal = b"\xff\x00\x00" + b"\x00\xff\x00" + b"\x00\x00\xff"  # R,G,B
+    # 3x2, filter 0 rows: indices [[0,1,2],[2,1,0]]
+    raw = b"\x00\x00\x01\x02" + b"\x00\x02\x01\x00"
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0)
+    blob = (
+        b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", pal)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    px = decode_png(blob)
+    assert px.shape == (2, 3, 3)
+    assert px[0, 0].tolist() == [255, 0, 0]
+    assert px[0, 1].tolist() == [0, 255, 0]
+    assert px[0, 2].tolist() == [0, 0, 255]
+    assert px[1, 0].tolist() == [0, 0, 255]
+    # + tRNS: entry 0 transparent, 1 half, 2 defaults opaque
+    blob_a = (
+        b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", pal)
+        + _png_chunk(b"tRNS", b"\x00\x80")
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    pxa = decode_png(blob_a)
+    assert pxa.shape == (2, 3, 4)
+    assert pxa[0, :, 3].tolist() == [0, 128, 255]
+    # out-of-range palette index is a decode error
+    raw_bad = b"\x00\x00\x01\x07" + b"\x00\x02\x01\x00"
+    blob_bad = (
+        b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", pal)
+        + _png_chunk(b"IDAT", zlib.compress(raw_bad))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ImageDecodeError, match="palette index"):
+        decode_png(blob_bad)
+
+
+def test_decode_png_palette_subbyte_depths():
+    """Depths 1/2/4: hand-checked bit packing for depth 4 and 1, plus
+    encoder roundtrips for all three."""
+    from history_collector_spark.queries.multimodal import (
+        encode_png_palette,
+    )
+    import zlib
+
+    # depth 4, 3x1: indices 1,2,3 pack as 0x12 0x30
+    pal = np.array(
+        [[0, 0, 0], [10, 10, 10], [20, 20, 20], [30, 30, 30]], np.uint8
+    )
+    ihdr = struct.pack(">IIBBBBB", 3, 1, 4, 3, 0, 0, 0)
+    blob = (
+        b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", pal.tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00\x12\x30"))
+        + _png_chunk(b"IEND", b"")
+    )
+    px = decode_png(blob)
+    assert px[:, :, 0].tolist() == [[10, 20, 30]]
+    # depth 1, 10x1: bits 1010101010 -> 0xAA 0x80
+    pal2 = np.array([[0, 0, 0], [255, 255, 255]], np.uint8)
+    ihdr1 = struct.pack(">IIBBBBB", 10, 1, 1, 3, 0, 0, 0)
+    blob1 = (
+        b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr1)
+        + _png_chunk(b"PLTE", pal2.tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00\xaa\x80"))
+        + _png_chunk(b"IEND", b"")
+    )
+    px1 = decode_png(blob1)
+    assert px1[0, :, 0].tolist() == [255, 0] * 5
+    # encoder roundtrips at every depth
+    rng = np.random.default_rng(7)
+    for depth, n in ((1, 2), (2, 4), (4, 16), (8, 5)):
+        idx = rng.integers(0, n, size=(5, 7)).astype(np.uint8)
+        pal = rng.integers(0, 256, size=(n, 3)).astype(np.uint8)
+        got = decode_png(encode_png_palette(idx, pal, depth=depth))
+        assert (got == pal[idx]).all(), depth
+
+
+def test_decode_png_adam7_interlaced():
+    """Adam7: encoder-built interlaced images must decode pixel-equal
+    to their sequential twins, across sizes that exercise empty and
+    partial passes, for truecolor, gray, and palette."""
+    from history_collector_spark.queries.multimodal import (
+        encode_png_adam7,
+        encode_png_palette,
+    )
+
+    rng = np.random.default_rng(11)
+    for h, w in ((1, 1), (2, 3), (5, 5), (8, 8), (9, 13), (16, 4)):
+        px = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+        assert (decode_png(encode_png_adam7(px)) == px).all(), (h, w)
+        gray = rng.integers(0, 256, size=(h, w)).astype(np.uint8)
+        got = decode_png(encode_png_adam7(gray))
+        assert (got[:, :, 0] == gray).all(), (h, w)
+    # palette + Adam7 + sub-byte depth together
+    idx = rng.integers(0, 4, size=(9, 9)).astype(np.uint8)
+    pal = rng.integers(0, 256, size=(4, 3)).astype(np.uint8)
+    blob = encode_png_palette(idx, pal, depth=2, interlace=1)
+    assert (decode_png(blob) == pal[idx]).all()
+    # and with tRNS alpha
+    blob_a = encode_png_palette(
+        idx, pal, trns=[0, 64, 128], depth=2, interlace=1
+    )
+    got = decode_png(blob_a)
+    alut = np.array([0, 64, 128, 255], np.uint8)
+    assert (got[:, :, 3] == alut[idx]).all()
 
 
 def test_png_through_mapinpandas_kernel(spark):

@@ -35,7 +35,9 @@ def _qe(spark, name: str):
     if name not in _PLAN_CACHE:
         df = registry.QUERIES[name](spark, TEST_SF_DIR)
         qe = df._jdf.queryExecution()
-        _PLAN_CACHE[name] = (qe.executedPlan().toString(), qe.optimizedPlan())
+        plan_obj = qe.executedPlan()
+        _PLAN_CACHE[name] = (plan_obj.toString(), qe.optimizedPlan(),
+                             plan_obj)
     return _PLAN_CACHE[name]
 
 
@@ -394,3 +396,104 @@ def test_dpp_join_prunes_partitions(spark):
     df.collect()  # DPP prints in the EXECUTED plan
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan
+
+
+# ---------------------------------------------------------------------------
+# Spill-safety guard (round-9, VERDICT item 8): the dedup_edit_distance
+# postmortem generalized. Shipping a WIDE payload column (document
+# text) through a shuffled join (SortMergeJoin / ShuffledHashJoin) is
+# the spill-cliff class — at memory pressure the sorter spills the
+# payload bytes, and the measured cost cliff was 478s -> 20s once the
+# pair set was pre-gated on narrow columns. Any shuffled join whose
+# either input carries a wide payload column must be allowlisted with
+# a justification explaining why the input is bounded (the
+# BOUNDED_INPUT_WINDOWS pattern).
+# ---------------------------------------------------------------------------
+
+WIDE_PAYLOAD_COLS = {"text"}
+
+# (query name, join node class) -> why the wide-side input is bounded
+WIDE_JOIN_ALLOWLIST: dict = {
+    ("dedup_edit_distance", "SortMergeJoinExec"):
+        "text fetch happens AFTER the narrow n_chars pre-gate and the "
+        "work-budget refusal (EDIT_MAX_CELLS): the pair set riding the "
+        "join is the length-gated LSH survivors, bounded by real "
+        "duplication, never corpus-sized — measured 478s -> 20.2s at "
+        "the sf1 probe once the pre-gate landed (SCALING.md)",
+}
+
+_SHUFFLE_JOIN_CLASSES = ("SortMergeJoinExec", "ShuffledHashJoinExec")
+
+
+def _walk_physical(node):
+    yield node
+    ch = node.children()
+    for i in range(ch.length()):
+        yield from _walk_physical(ch.apply(i))
+    # AQE wraps subtrees in query-stage/adaptive nodes whose children()
+    # can be empty while the real plan hangs off innerChildren — the
+    # string form still shows them, so also descend any plan exposed
+    # via the adaptive executedPlan/initialPlan accessors.
+    for acc in ("executedPlan", "initialPlan"):
+        try:
+            sub = getattr(node, acc)()
+            yield from _walk_physical(sub)
+        except Exception:
+            pass
+
+
+def wide_join_violations(plan_obj) -> list:
+    """Shuffled-join nodes whose input carries a wide payload column."""
+    bad = []
+    for node in _walk_physical(plan_obj):
+        cls = node.getClass().getSimpleName()
+        if cls not in _SHUFFLE_JOIN_CLASSES:
+            continue
+        for side, child in (("left", node.left()), ("right", node.right())):
+            out = child.output()
+            wide = [
+                out.apply(i).name()
+                for i in range(out.length())
+                if out.apply(i).name() in WIDE_PAYLOAD_COLS
+            ]
+            if wide:
+                bad.append((cls, side, wide))
+    return bad
+
+
+@pytest.mark.parametrize("name", ALL_NAMES)
+def test_no_wide_payload_through_shuffled_join(spark, name):
+    plan_obj = _qe(spark, name)[2]
+    bad = wide_join_violations(plan_obj)
+    if bad and (name, bad[0][0]) in WIDE_JOIN_ALLOWLIST:
+        return
+    assert not bad, (
+        f"{name}: wide payload column rides a shuffled join {bad} — "
+        "pre-gate the pair set on narrow columns and fetch text "
+        "after (dedup_edit_distance idiom), broadcast the text side, "
+        "or add a WIDE_JOIN_ALLOWLIST entry with a boundedness "
+        "justification"
+    )
+
+
+def test_guard_catches_text_through_smj(spark):
+    """Deliberate reintroduction: a text-carrying self-join big enough
+    that Catalyst picks a shuffled join must be flagged."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{TEST_SF_DIR}/documents.parquet")
+    a = docs.select("doc_id", "lang", "text").alias("a")
+    b = docs.select(
+        F.col("doc_id").alias("bid"), F.col("lang").alias("blang")
+    ).alias("b")
+    # disable broadcast so the join shuffles, as it would at scale
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = a.join(b, F.col("a.lang") == F.col("b.blang")).select(
+            "doc_id", "bid", "text"
+        )
+        bad = wide_join_violations(df._jdf.queryExecution().executedPlan())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert bad, "guard failed to flag text riding a shuffled join"
