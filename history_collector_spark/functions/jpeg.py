@@ -4,7 +4,8 @@ libraries, for the multimodal pipeline's dominant real-world format.
 Decoder scope: baseline sequential DCT (SOF0), 8-bit precision, 1 or 3
 components, sampling factors 1-2 (4:4:4 / 4:2:2 / 4:2:0), multiple
 DQT/DHT segments, restart intervals (DRI + RSTn), byte-stuffing
-(0xFF00), APPn/COM skip. Progressive (SOF2), arithmetic coding, 12-bit
+(0xFF00), APPn/COM skip. Progressive (SOF2) dispatches to the sibling
+jpeg_progressive module (round 9); arithmetic coding, 12-bit
 precision, and 4-component CMYK are rejected with JpegDecodeError.
 
 The encoder exists to build deterministic fixtures: baseline 4:4:4 (or
@@ -327,7 +328,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     )
                 comps.append({"id": cid, "h": hi, "v": vi, "tq": tq})
             frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker == 0xC2:  # SOF2: delegate to the progressive path
+            from history_collector_spark.functions.jpeg_progressive import (
+                decode_progressive,
+            )
+
+            return decode_progressive(data)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise JpegDecodeError(
                 f"non-baseline frame type 0xFF{marker:02X} unsupported"

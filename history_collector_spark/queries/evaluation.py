@@ -1000,14 +1000,26 @@ def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 d("sqb") - F.lit(2 * s) * d("spb") + F.lit(s * s) * d("pb")
             ).cast("double")
-            / (d("nb") * F.lit(s * s))
+            / (d("nb").cast("double") * F.lit(float(s * s)))
         ).alias("brier_bin"),
+        # numerator algebra: (sb*nb - s*pb*nb) * (sb - s*pb) ==
+        # nb * (sb - s*pb)^2 — the SAME integer, but the factored form
+        # widens through decimal so it survives sf1+ bin counts where
+        # the expanded long product overflowed (caught by the round-9
+        # full-suite scale probe); identical integers -> identical
+        # doubles -> hash-identical to the oracle at the driver SF.
         (
             (
-                (d("sb") * d("nb") - F.lit(s) * d("pb") * d("nb"))
-                * (d("sb") - F.lit(s) * d("pb"))
+                d("nb").cast("decimal(19,0)")
+                * (d("sb") - F.lit(s) * d("pb")).cast("decimal(19,0)")
+                * (d("sb") - F.lit(s) * d("pb")).cast("decimal(19,0)")
             ).cast("double")
-            / (d("nb") * d("nb") * d("nb").cast("double") * F.lit(s * s))
+            / (
+                d("nb").cast("double")
+                * d("nb").cast("double")
+                * d("nb").cast("double")
+                * F.lit(float(s * s))
+            )
         ).alias("reliability_bin"),
         (acc * (F.lit(1) - acc)).alias("uncertainty_bin"),
     )

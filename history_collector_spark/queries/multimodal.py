@@ -2116,7 +2116,20 @@ def _jpeg_roundtrip_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Data
             img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype(
                 np.uint8
             )
-            blob = encode_jpeg(img)
+            # rotate the container per doc: baseline SOF0 vs
+            # progressive SOF2 (6-scan spectral-selection + successive-
+            # approximation progression). Both carry the SAME quantized
+            # coefficients, so the closed-form oracle needs no branch —
+            # the driver gate now exercises the full progressive scan
+            # machinery (DC/AC first + refine, EOB runs) every run.
+            if d % 2:
+                from history_collector_spark.functions.jpeg_progressive import (  # noqa: E501
+                    encode_jpeg_progressive,
+                )
+
+                blob = encode_jpeg_progressive(img)
+            else:
+                blob = encode_jpeg(img)
             back = decode_image(blob)  # REAL decode: magic-sniffed JPEG
             exact = (
                 back.shape == (8 * hb, 8 * wb, 3)

@@ -1298,29 +1298,54 @@ def label_noise_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
 
         b_ids, b_labs, b_xh = bc.value
+        # chunk the Arrow batch so per-task temporaries stay bounded:
+        # the score matrix and its masks are O(chunk x index) — at a
+        # 20k-row index an unchunked 10k-row batch allocated ~1.6GB
+        # per boolean temporary PER TASK, and 8+ concurrent tasks
+        # thrashed the allocator (measured 2x wall swings at the sf1
+        # probe). 512 rows x index is ~80MB of float64 — flat.
+        chunk = 512
         for pdf in batches:
-            q_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            q_labs = pdf["label"].to_numpy(dtype=np.int64)
-            Q = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
-            )
-            qn = np.sqrt((Q * Q).sum(axis=1, keepdims=True))
-            Qh = Q / np.where(qn == 0, 1, qn)
-            S = Qh @ b_xh.T
-            # exclude self by id (the query batch is a subset of the index)
-            self_mask = q_ids[:, None] == b_ids[None, :]
-            S[self_mask] = -np.inf
-            k = min(_LNK_K, len(b_ids) - 1)
-            # stable argsort on -S: columns are already in ascending
-            # b_ids order, so equal cosines break by ascending vec_id —
-            # the SQL (cos DESC, vec_id) ordering, fully vectorized
-            top = np.argsort(-S, axis=1, kind="stable")[:, :k]
-            matches = (b_labs[top] == q_labs[:, None]).sum(
-                axis=1, dtype=np.int64
-            )
-            yield pd.DataFrame(
-                {"label": q_labs, "matches": matches}
-            )
+            for lo in range(0, len(pdf), chunk):
+                yield _score_chunk(
+                    pdf.iloc[lo : lo + chunk], b_ids, b_labs, b_xh
+                )
+
+    def _score_chunk(pdf, b_ids, b_labs, b_xh):
+        import pandas as pd
+
+        q_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        q_labs = pdf["label"].to_numpy(dtype=np.int64)
+        Q = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+        )
+        qn = np.sqrt((Q * Q).sum(axis=1, keepdims=True))
+        Qh = Q / np.where(qn == 0, 1, qn)
+        S = Qh @ b_xh.T
+        # exclude self by id (the query batch is a subset of the index)
+        self_mask = q_ids[:, None] == b_ids[None, :]
+        S[self_mask] = -np.inf
+        k = min(_LNK_K, len(b_ids) - 1)
+        # EXACT top-k label count without the full-row argsort
+        # (O(m log m) per query — measured 76s at the sf1 probe,
+        # the suite's slowest cell; this partition+masks form is
+        # O(m)). Semantics preserved bit-for-bit: strictly-greater
+        # columns are all in; at the k-th-value boundary, ties admit
+        # the SMALLEST vec_ids first — columns are in ascending b_ids
+        # order, so a cumulative count over the equality mask IS the
+        # (cos DESC, vec_id ASC) tie-break, fully vectorized.
+        kth = -np.partition(-S, k - 1, axis=1)[:, k - 1 : k]
+        gt = S > kth
+        eq = S == kth
+        need = (k - gt.sum(axis=1))[:, None]
+        # int32 cumsum + split sums: the boolean temporaries are
+        # the memory ceiling at (chunk x index) scale — an int64
+        # cumsum alone would be 8 bytes/cell
+        sel_eq = eq & (np.cumsum(eq, axis=1, dtype=np.int32) <= need)
+        lab_eq = b_labs[None, :] == q_labs[:, None]
+        matches = (gt & lab_eq).sum(axis=1, dtype=np.int64)
+        matches += (sel_eq & lab_eq).sum(axis=1, dtype=np.int64)
+        return pd.DataFrame({"label": q_labs, "matches": matches})
 
     scored = emb.mapInPandas(score, schema="label long, matches long")
     return scored.groupBy(F.col("label").cast("int").alias("label")).agg(

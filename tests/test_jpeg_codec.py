@@ -283,11 +283,18 @@ def test_jpeg_error_paths():
     with pytest.raises(JpegDecodeError, match="SOI"):
         decode_jpeg(b"notjpeg")
     blob = bytearray(encode_jpeg(np.full((8, 8), 99, np.uint8)))
-    # flip SOF0 -> SOF2 (progressive): must be rejected, not mis-parsed
+    # flip SOF0 -> SOF2: now DISPATCHES to the progressive decoder
+    # (round 9), which must reject the baseline-shaped scan header
+    # (Ss=0 with Se=63 is illegal for a progressive DC scan) as a
+    # decode error — never a silent mis-parse
     i = bytes(blob).index(b"\xff\xc0")
     prog = blob[:i] + b"\xff\xc2" + blob[i + 2 :]
-    with pytest.raises(JpegDecodeError, match="non-baseline"):
+    with pytest.raises(JpegDecodeError, match="DC scan"):
         decode_jpeg(bytes(prog))
+    # a remaining non-baseline frame type is still rejected up front
+    prog2 = blob[:i] + b"\xff\xc1" + blob[i + 2 :]
+    with pytest.raises(JpegDecodeError, match="non-baseline"):
+        decode_jpeg(bytes(prog2))
     # truncation inside the entropy stream
     with pytest.raises(JpegDecodeError):
         decode_jpeg(bytes(blob[:-4]))

@@ -82,7 +82,14 @@ def main():
                 n_runs = 1 if sf == "sf1" and row.get("sf0.1", 0) > 5 else 2
                 for _ in range(n_runs):
                     t0 = time.time()
-                    fn(spark, d).collect()
+                    # noop sink (same as bench.py): measures the
+                    # distributed plan, not driver-side collect()
+                    # materialization — a 24M-row unpivot at sf1 spent
+                    # most of its wall in driver deserialization under
+                    # collect(), reading as a fake x17 slope
+                    fn(spark, d).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
                     dt = time.time() - t0
                     best = dt if best is None else min(best, dt)
                 row[sf] = round(best, 2)
