@@ -5,8 +5,9 @@ Decoder scope: baseline sequential DCT (SOF0), 8-bit precision, 1 or 3
 components, sampling factors 1-2 (4:4:4 / 4:2:2 / 4:2:0), multiple
 DQT/DHT segments, restart intervals (DRI + RSTn), byte-stuffing
 (0xFF00), APPn/COM skip. Progressive (SOF2) dispatches to the sibling
-jpeg_progressive module (round 9); arithmetic coding, 12-bit
-precision, and 4-component CMYK are rejected with JpegDecodeError.
+jpeg_progressive module, and 4-component Adobe CMYK/YCCK (APP14
+transform flag) composites onto white (both round 9); arithmetic
+coding and 12-bit precision are rejected with JpegDecodeError.
 
 The encoder exists to build deterministic fixtures: baseline 4:4:4 (or
 grayscale) with the Annex K example quantization and Huffman tables
@@ -266,6 +267,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     huff_ac: dict[int, dict] = {}
     frame = None
     restart_interval = 0
+    adobe_transform = None  # APP14: 0=CMYK, 1=YCbCr, 2=YCCK
     while True:
         if pos + 4 > len(data):
             raise JpegDecodeError("truncated before SOS")
@@ -316,7 +318,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 )
             if prec != 8:
                 raise JpegDecodeError("only 8-bit precision supported")
-            if nc not in (1, 3):
+            if nc not in (1, 3, 4):
                 raise JpegDecodeError(f"{nc}-component JPEG unsupported")
             comps = []
             for i in range(nc):
@@ -343,6 +345,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if len(body) < 2:
                 raise JpegDecodeError("truncated DRI segment")
             (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xEE:  # APP14 (Adobe): color transform flag
+            if body[:5] == b"Adobe" and len(body) >= 12:
+                adobe_transform = body[11]
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise JpegDecodeError("SOS before SOF0")
@@ -366,14 +371,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 raise JpegDecodeError("partial scans unsupported")
             return _decode_scan(
                 data, pos, frame, scan, qt, huff_dc, huff_ac,
-                restart_interval,
+                restart_interval, adobe_transform,
             )
         # APPn / COM / others: skipped
     raise JpegDecodeError("no SOS marker")
 
 
 def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac,
-                 restart_interval):
+                 restart_interval, adobe_transform=None):
     import numpy as np
 
     w, h, comps = frame["w"], frame["h"], frame["comps"]
@@ -442,6 +447,26 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac,
     if len(out) == 1:
         y = np.clip(np.round(out[0] + 128), 0, 255).astype(np.uint8)
         return np.repeat(y[:, :, None], 3, axis=2)
+    if len(out) == 4:
+        # Adobe CMYK family. Stored channels follow the Adobe INVERTED
+        # convention (stored = 255 - ink). transform 2 (YCCK) first
+        # maps the leading three channels through the standard YCbCr
+        # inversion (yielding inverted C, M, Y); transform 0 stores
+        # them directly. Final composite onto white:
+        # rgb = stored_cmy * stored_k / 255.
+        if adobe_transform == 2:  # YCCK
+            y, cb, cr = out[0] + 128, out[1], out[2]
+            c = y + 1.402 * cr
+            m = y - 0.344136 * cb - 0.714136 * cr
+            ylw = y + 1.772 * cb
+        else:  # plain (inverted) CMYK
+            c, m, ylw = out[0] + 128, out[1] + 128, out[2] + 128
+        k = np.clip(np.round(out[3] + 128), 0, 255)
+        cmy = np.clip(
+            np.round(np.stack([c, m, ylw], axis=2)), 0, 255
+        )
+        rgb = np.round(cmy * k[:, :, None] / 255.0)
+        return np.clip(rgb, 0, 255).astype(np.uint8)
     y, cb, cr = out[0] + 128, out[1], out[2]
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
@@ -525,6 +550,78 @@ def _encode_block(bw, zz, pred, dc_codes, ac_codes):
         code, ln = ac_codes[0x00]  # EOB
         bw.write(code, ln)
     return int(zz[0])
+
+
+def encode_jpeg_cmyk(cmyk: np.ndarray, transform: int = 0) -> bytes:
+    """4-component Adobe JPEG fixture: ``cmyk`` is (h, w, 4) uint8 in
+    the Adobe INVERTED storage convention (stored = 255 - ink).
+    transform 0 stores the channels directly; transform 2 (YCCK) runs
+    the leading three through the forward YCbCr transform. 1x1
+    sampling, luma tables for every component, APP14 Adobe marker."""
+    px = np.asarray(cmyk, dtype=np.float64)
+    h, w = px.shape[:2]
+    if transform == 2:
+        c, m, y_ = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+        yy = 0.299 * c + 0.587 * m + 0.114 * y_
+        cb = -0.168736 * c - 0.331264 * m + 0.5 * y_
+        cr = 0.5 * c - 0.418688 * m - 0.081312 * y_
+        planes = [yy - 128.0, cb, cr, px[:, :, 3] - 128.0]
+    elif transform == 0:
+        planes = [px[:, :, i] - 128.0 for i in range(4)]
+    else:
+        raise ValueError(f"unsupported Adobe transform {transform}")
+    dc = _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    ac = _canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+    by, bx = (h + 7) // 8, (w + 7) // 8
+    bw_ = _BitWriter()
+    preds = [0] * 4
+    for myy in range(by):
+        for mxx in range(bx):
+            for ci, plane in enumerate(planes):
+                blk = np.zeros((8, 8))
+                ys, xs = myy * 8, mxx * 8
+                tile = plane[ys : min(ys + 8, h), xs : min(xs + 8, w)]
+                blk[: tile.shape[0], : tile.shape[1]] = tile
+                if tile.shape[0] < 8:
+                    blk[tile.shape[0] :, :] = blk[tile.shape[0] - 1, :]
+                if tile.shape[1] < 8:
+                    blk[:, tile.shape[1] :] = blk[
+                        :, tile.shape[1] - 1
+                    ][:, None]
+                zz = np.round(
+                    dct2(blk).reshape(-1)[ZIGZAG] / QUANT_LUMA[ZIGZAG]
+                ).astype(np.int64)
+                preds[ci] = _encode_block(bw_, zz, preds[ci], dc, ac)
+    bw_.flush()
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(
+            ">H", len(payload) + 2
+        ) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(
+        0xEE,
+        b"Adobe" + bytes([0, 100, 0, 0, 0, 0, transform]),
+    )
+    zq = QUANT_LUMA[ZIGZAG].astype(np.uint8).tobytes()
+    out += seg(0xDB, bytes([0]) + zq)
+    sof = struct.pack(">BHHB", 8, h, w, 4)
+    for i in range(4):
+        sof += bytes([i + 1, 0x11, 0])
+    out += seg(0xC0, sof)
+    out += seg(0xC4, bytes([0x00]) + bytes(DC_LUMA_BITS)
+               + bytes(DC_LUMA_VALS))
+    out += seg(0xC4, bytes([0x10]) + bytes(AC_LUMA_BITS)
+               + bytes(AC_LUMA_VALS))
+    sos = bytes([4])
+    for i in range(4):
+        sos += bytes([i + 1, 0x00])
+    sos += b"\x00\x3f\x00"
+    out += seg(0xDA, sos)
+    out += bw_.out
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 def encode_jpeg(pixels: np.ndarray) -> bytes:

@@ -270,6 +270,12 @@ def _png_decode_planes(plain, width, height, depth, ch, interlace):
         pos += n
         if depth == 8:
             px = rows.reshape(ph, pw, ch)
+        elif depth == 16:
+            # big-endian 16-bit samples -> high byte (the standard
+            # 16->8 downconversion, v >> 8)
+            px = (
+                rows.reshape(ph, pw, ch, 2)[:, :, :, 0]
+            )
         else:  # sub-byte palette indices, ch == 1
             px = _unpack_subbyte(rows, pw, depth)[:, :, None]
         out[y0::dy, x0::dx] = px
@@ -280,9 +286,9 @@ def decode_png(data: bytes):
     """Decode a PNG into an (height, width, channels) uint8 numpy array
     — stdlib zlib inflate of the concatenated IDAT stream plus full
     five-filter scanline unfiltering; no media libs. Supported: 8-bit
-    color types 0/2/4/6, palette (type 3) at depths 1/2/4/8 with
-    optional tRNS alpha (-> RGBA), and Adam7 interlacing for all of
-    those. 16-bit depth is rejected with a clear error."""
+    and 16-bit color types 0/2/4/6 (16-bit downconverts to the high
+    byte), palette (type 3) at depths 1/2/4/8 with optional tRNS
+    alpha (-> RGBA), and Adam7 interlacing for all of those."""
     import struct
     import zlib
 
@@ -326,10 +332,10 @@ def decode_png(data: bytes):
                 f"bad palette PNG depth {depth} (must be 1/2/4/8)"
             )
     elif color_type in _PNG_CHANNELS:
-        if depth != 8:
+        if depth not in (8, 16):
             raise ImageDecodeError(
-                f"only 8-bit PNG supported for color type "
-                f"{color_type}, got depth={depth}"
+                f"PNG depth {depth} unsupported for color type "
+                f"{color_type} (must be 8 or 16)"
             )
     else:
         raise ImageDecodeError(f"unsupported PNG color type {color_type}")
@@ -363,7 +369,9 @@ def decode_png(data: bytes):
         alpha_lut[: min(len(trns), len(plte))] = trns[: len(plte)]
         return np.dstack([rgb, alpha_lut[idx]])
     ch = _PNG_CHANNELS[color_type]
-    return _png_decode_planes(plain, width, height, 8, ch, interlace).copy()
+    return _png_decode_planes(
+        plain, width, height, depth, ch, interlace
+    ).copy()
 
 
 def encode_png(pixels, row_filters=None) -> bytes:
@@ -1179,7 +1187,7 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Decode-yield scorecard: per-format success/failure counts over a mixed
 # asset corpus — the observability a real crawl's decode stage needs
 # (what fraction of each format actually decodes, and how failures
-# fail). Six formats (incl. two deliberately undecodable classes) are
+# fail). Eight formats (incl. two deliberately undecodable classes) are
 # built deterministically per doc and pushed through the REAL magic-
 # sniffed codec dispatcher; the oracle predicts every row closed-form,
 # so agreement proves each codec path succeeds/fails exactly as
@@ -1187,19 +1195,25 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rather than killing tasks (the graceful-degradation contract).
 # ---------------------------------------------------------------------------
 
-_YIELD_FORMATS = ("bmp", "ppm", "png", "jpeg", "png_truncated", "webp")
+_YIELD_FORMATS = (
+    "bmp", "ppm", "png", "jpeg", "png_truncated", "webp", "gif",
+    "jpeg_cmyk",
+)
 
 
 def _yield_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     import numpy as np
 
-    from history_collector_spark.functions.jpeg import encode_jpeg
+    from history_collector_spark.functions.jpeg import (
+        encode_jpeg,
+        encode_jpeg_cmyk,
+    )
 
     for pdf in batches:
         rows = []
         for doc_id in pdf["doc_id"]:
             d = int(doc_id)
-            v = d % 7
+            v = d % 8
             w, h = 2 + d % 6, 1 + d % 4
             yy, xx, cc = np.meshgrid(
                 np.arange(h), np.arange(w), np.arange(3), indexing="ij"
@@ -1222,8 +1236,14 @@ def _yield_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             elif v == 5:
                 fmt = "webp"  # no codec plugged: NotImplementedError
                 blob = b"RIFF\x24\x00\x00\x00WEBPVP8 " + bytes(16)
-            else:
+            elif v == 6:
                 fmt, blob = "gif", encode_gif(px)
+            else:
+                fmt = "jpeg_cmyk"  # Adobe 4-component, transform 0
+                cmyk = np.concatenate(
+                    [px, np.full((h, w, 1), 200, np.uint8)], axis=2
+                )
+                blob = encode_jpeg_cmyk(cmyk, transform=0)
             try:
                 meta = decode_blob(blob)
                 status = meta["decode_status"]
@@ -1240,13 +1260,14 @@ def _yield_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     "multimodal_decode_yield",
     oracle="""
     WITH s AS (
-      SELECT doc_id, doc_id % 7 AS v,
+      SELECT doc_id, doc_id % 8 AS v,
              2 + doc_id % 6 AS w, 1 + doc_id % 4 AS h
       FROM documents WHERE doc_id % 3 = 0
     )
     SELECT CASE v WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' WHEN 2 THEN 'png'
                   WHEN 3 THEN 'jpeg' WHEN 4 THEN 'png_truncated'
-                  WHEN 5 THEN 'webp' ELSE 'gif' END AS format,
+                  WHEN 5 THEN 'webp' WHEN 6 THEN 'gif'
+                  ELSE 'jpeg_cmyk' END AS format,
            CASE WHEN v = 4 THEN 'error: ImageDecodeError'
                 WHEN v = 5 THEN 'error: NotImplementedError'
                 ELSE 'ok' END AS decode_status,
@@ -1257,8 +1278,9 @@ def _yield_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """,
 )
 def multimodal_decode_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-format decode yield over a six-format synthetic asset mix
-    (BMP/PPM/PNG/JPEG ok-paths, a truncated PNG, an unplugged WEBP):
+    """Per-format decode yield over an eight-format synthetic asset
+    mix (BMP/PPM/PNG/JPEG/GIF/Adobe-CMYK ok-paths, a truncated PNG,
+    an unplugged WEBP):
     REAL decodes through the magic dispatcher, aggregated to (format,
     status, count, decoded pixels). The oracle predicts each cell
     closed-form from the generator arithmetic — a wrong-way failure

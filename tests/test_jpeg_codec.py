@@ -301,3 +301,54 @@ def test_jpeg_error_paths():
     # truncation inside a marker segment
     with pytest.raises(JpegDecodeError):
         decode_jpeg(bytes(blob[:20]))
+
+
+def test_cmyk_jpeg_decode_transform0_exact():
+    """Adobe 4-component (inverted CMYK, transform 0): constant 8x8
+    blocks survive the DCT path exactly, so the composite-onto-white
+    rgb = cmy * k / 255 is closed-form checkable."""
+    from history_collector_spark.functions.jpeg import encode_jpeg_cmyk
+
+    blocks = np.array([[140, 180], [100, 220]], dtype=np.uint8)
+    cmyk = np.zeros((16, 16, 4), np.uint8)
+    for by in range(2):
+        for bx in range(2):
+            v = int(blocks[by, bx])
+            cmyk[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = [
+                v, (v + 20) % 256, (v + 40) % 256, 200
+            ]
+    rgb = decode_jpeg(encode_jpeg_cmyk(cmyk, transform=0))
+    exp = np.round(
+        cmyk[:, :, :3].astype(float) * cmyk[:, :, 3:4].astype(float)
+        / 255.0
+    ).astype(np.uint8)
+    assert np.array_equal(rgb, exp)
+
+
+def test_ycck_jpeg_decode_transform2_close():
+    """YCCK (transform 2): the forward+inverse YCbCr float path adds
+    ~1-2 counts of rounding on top of quantization — assert within 2."""
+    from history_collector_spark.functions.jpeg import encode_jpeg_cmyk
+
+    cmyk = np.zeros((8, 8, 4), np.uint8)
+    cmyk[:, :, 0] = 150
+    cmyk[:, :, 1] = 90
+    cmyk[:, :, 2] = 130
+    cmyk[:, :, 3] = 240
+    rgb = decode_jpeg(encode_jpeg_cmyk(cmyk, transform=2))
+    exp = np.round(
+        cmyk[:, :, :3].astype(float) * cmyk[:, :, 3:4].astype(float)
+        / 255.0
+    )
+    assert np.abs(rgb.astype(int) - exp.astype(int)).max() <= 2
+
+
+def test_cmyk_jpeg_through_decode_blob():
+    from history_collector_spark.functions.jpeg import encode_jpeg_cmyk
+    from history_collector_spark.queries.multimodal import decode_blob
+
+    cmyk = np.full((8, 16, 4), 128, np.uint8)
+    meta = decode_blob(encode_jpeg_cmyk(cmyk))
+    assert meta == {
+        "width": 16, "height": 8, "n_frames": 1, "decode_status": "ok"
+    }

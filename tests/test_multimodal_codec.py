@@ -325,14 +325,36 @@ def test_decode_png_error_paths():
     blob[-5] ^= 0xFF
     with pytest.raises(ImageDecodeError, match="CRC"):
         decode_png(bytes(blob))
-    # 16-bit depth rejected
-    ihdr16 = struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)
+    # 16-bit truecolor decodes via high-byte downconversion (round 9);
+    # hand-built: 2x1 RGB, big-endian samples, filter-0 rows. Second
+    # row uses the Up filter to pin bpp=6 byte-distance filtering.
+    import zlib as _zz
+
+    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    row0 = b"\x00" + struct.pack(
+        ">6H", 0xFF00, 0x0180, 0x8040, 0x1234, 0xABCD, 0x0001
+    )
+    # Up filter: raw deltas so reconstructed = row0 + delta (mod 256
+    # per byte); use zero deltas -> row1 == row0
+    row1 = b"\x02" + bytes(12)
     blob16 = (
         b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr16)
+        + _png_chunk(b"IDAT", _zz.compress(row0 + row1))
         + _png_chunk(b"IEND", b"")
     )
-    with pytest.raises(ImageDecodeError, match="8-bit"):
-        decode_png(blob16)
+    px16 = decode_png(blob16)
+    assert px16.shape == (2, 2, 3)
+    assert px16[0, 0].tolist() == [0xFF, 0x01, 0x80]
+    assert px16[0, 1].tolist() == [0x12, 0xAB, 0x00]
+    assert (px16[1] == px16[0]).all()
+    # 12-bit (invalid) depth still rejected
+    ihdr12 = struct.pack(">IIBBBBB", 1, 1, 12, 2, 0, 0, 0)
+    blob12 = (
+        b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr12)
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ImageDecodeError, match="depth"):
+        decode_png(blob12)
     # unknown interlace method rejected (Adam7 itself decodes now)
     ihdr_i = struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 2)
     blob_i = (
