@@ -145,7 +145,10 @@ _LOADED = False
 # experiment_cuped_adjusted's seat (ks_test + chi2 keep stats) and
 # the decode-yield scorecard takes ml_logreg_step's (the eval family
 # keeps auc/conformal/bootstrap seats); both retirees stay locally
-# oracle-verified every run.
+# oracle-verified every run. Third wave: the five-stage composed
+# curation pipeline (quality -> exact -> near-dup -> decontaminate ->
+# budget funnel, curation_end_to_end) takes curation_quality_pipeline's
+# seat (the quality family keeps encoding_audit + the funnel itself).
 PRIORITY_QUERIES = (
     "account_history",
     "multimodal_decode_png",
@@ -192,7 +195,7 @@ PRIORITY_QUERIES = (
     "graph_pagerank_dups",
     "curation_quota_water_filling",
     "ann_ivf_nprobe_sweep",
-    "curation_quality_pipeline",
+    "curation_end_to_end",
     "streaming_hll_merge_e2e",
     "embedding_matryoshka_audit",
     "curation_domain_reweight",

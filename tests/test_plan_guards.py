@@ -359,7 +359,7 @@ def _is_hashy_alias(key: str, physical_plan: str) -> bool:
 
 @pytest.mark.parametrize("name", ALL_NAMES)
 def test_window_partitions_bounded(spark, name):
-    physical, optimized = _qe(spark, name)
+    physical, optimized = _qe(spark, name)[:2]
     bad = window_violations(name, list(_window_specs(optimized)), physical)
     assert not bad, (
         f"{name}: window(s) over potentially unbounded partitions — "
