@@ -2351,6 +2351,185 @@ def multimodal_audio_tone_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Mel filterbank band energies: the standard speech/audio front-end
+# (power spectrum -> triangular mel-spaced filters) over the same
+# fixed PCM analysis window as the tone-energy triage. All spectral
+# constants (twiddles AND filter weights) are python-repr literals
+# shared verbatim by both engines; band energies are fixed literal
+# combinations of the bin powers in matched evaluation order, so the
+# only cross-engine float surface remains the ordered fold (the
+# flip-free tone-energy class).
+# ---------------------------------------------------------------------------
+
+_MEL_BINS = tuple(range(1, 9))  # DFT bins 1..8 over the 24-sample window
+_MEL_N_BANDS = 4
+_MEL_SR = 8000.0  # nominal sample rate for the mel grid
+_MEL_COS = {
+    k: [math.cos(2 * math.pi * k * n / _TONE_N) for n in range(_TONE_N)]
+    for k in _MEL_BINS
+}
+_MEL_SIN = {
+    k: [math.sin(2 * math.pi * k * n / _TONE_N) for n in range(_TONE_N)]
+    for k in _MEL_BINS
+}
+
+
+def _mel_weights() -> list[list[float]]:
+    """Triangular mel-spaced filters over the bin-center frequencies:
+    standard HTK mel scale, _MEL_N_BANDS filters spanning bin 1..8."""
+
+    def mel(f):
+        return 2595.0 * math.log10(1.0 + f / 700.0)
+
+    def imel(m):
+        return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+
+    freqs = [k * _MEL_SR / _TONE_N for k in _MEL_BINS]
+    lo, hi = mel(freqs[0]), mel(freqs[-1])
+    edges = [
+        imel(lo + (hi - lo) * j / (_MEL_N_BANDS + 1))
+        for j in range(_MEL_N_BANDS + 2)
+    ]
+    out = []
+    for b in range(_MEL_N_BANDS):
+        left, mid, right = edges[b], edges[b + 1], edges[b + 2]
+        w = []
+        for f in freqs:
+            if left < f <= mid:
+                w.append((f - left) / (mid - left))
+            elif mid < f < right:
+                w.append((right - f) / (right - mid))
+            else:
+                w.append(0.0)
+        out.append(w)
+    return out
+
+
+_MEL_W = _mel_weights()
+
+
+def _mel_sql() -> str:
+    s = (
+        "list_transform(range(0, %d), n -> CAST("
+        "ascii(substr(text, CAST(2 * n + 1 AS INT), 1))"
+        " + 256 * ascii(substr(text, CAST(2 * n + 2 AS INT), 1))"
+        " AS DOUBLE) / 32768)" % _TONE_N
+    )
+    pcols = []
+    for k in _MEL_BINS:
+        cw = "[" + ", ".join(repr(v) for v in _MEL_COS[k]) + "]::DOUBLE[]"
+        sw = "[" + ", ".join(repr(v) for v in _MEL_SIN[k]) + "]::DOUBLE[]"
+        c = (f"list_sum(list_transform(range(1, {_TONE_N + 1}),"
+             f" i -> s[i] * ({cw})[i]))")
+        sn = (f"list_sum(list_transform(range(1, {_TONE_N + 1}),"
+              f" i -> s[i] * ({sw})[i]))")
+        pcols.append(f"({c}) * ({c}) + ({sn}) * ({sn}) AS p{k}")
+    bands = []
+    for b in range(_MEL_N_BANDS):
+        terms = [
+            f"{repr(_MEL_W[b][i])} * p{k}"
+            for i, k in enumerate(_MEL_BINS)
+            if _MEL_W[b][i] != 0.0
+        ]
+        bands.append("(" + " + ".join(terms) + f") AS mel_{b + 1}")
+    return (
+        f"SELECT doc_id, {', '.join(bands)} FROM ("
+        f"SELECT doc_id, {', '.join(pcols)} FROM ("
+        f"SELECT doc_id, {s} AS s FROM documents "
+        f"WHERE length(text) >= {2 * _TONE_N}))"
+    )
+
+
+@register(
+    "multimodal_audio_mel_energies",
+    oracle=f"""
+    WITH base AS ({{inner}})
+    SELECT doc_id, mel_1, mel_2, mel_3, mel_4,
+           CASE WHEN mel_1 >= mel_2 AND mel_1 >= mel_3 AND mel_1 >= mel_4
+                  THEN 1
+                WHEN mel_2 >= mel_3 AND mel_2 >= mel_4 THEN 2
+                WHEN mel_3 >= mel_4 THEN 3 ELSE 4 END AS dominant_band
+    FROM base
+    """.format(inner=_mel_sql()),
+)
+def multimodal_audio_mel_energies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-band triangular mel filterbank over the 8-bin power spectrum
+    of each asset's first {_TONE_N}-sample PCM window, plus the
+    dominant band — the classic audio front-end feature (what an MFCC
+    pipeline computes before the log+DCT), here with every constant a
+    shared python-repr literal and band arithmetic in matched
+    evaluation order on both engines. Same flip-free parity class as
+    multimodal_audio_tone_energy (powers O(100), fold drift ~1e-15,
+    ten orders under the hash quantum).
+
+    Scale shape: pure scan + map, zero shuffle; the fixed window caps
+    per-row work at 8 bins x 2 folds x {_TONE_N} elements regardless
+    of recording length — at 100 TB this is embarrassingly parallel
+    feature extraction.
+    """
+    docs = table(spark, sf_dir, "documents").filter(
+        F.length("text") >= 2 * _TONE_N
+    )
+    chars = F.split(F.substring(F.col("text"), 1, 2 * _TONE_N), "")
+    s = F.transform(
+        F.sequence(F.lit(0), F.lit(_TONE_N - 1)),
+        lambda n: (
+            F.ascii(F.get(chars, 2 * n))
+            + F.lit(256) * F.ascii(F.get(chars, 2 * n + 1))
+        ).cast("double")
+        / F.lit(32768),
+    )
+    d = docs.select("doc_id", s.alias("s"))
+
+    def bin_power(k: int):
+        cw = F.array(*[F.lit(v) for v in _MEL_COS[k]])
+        sw = F.array(*[F.lit(v) for v in _MEL_SIN[k]])
+        c = F.aggregate(
+            F.zip_with("s", cw, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sn = F.aggregate(
+            F.zip_with("s", sw, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return (c * c + sn * sn).alias(f"p{k}")
+
+    powers = d.select("doc_id", *[bin_power(k) for k in _MEL_BINS])
+    bands = []
+    for b in range(_MEL_N_BANDS):
+        expr = None
+        for i, k in enumerate(_MEL_BINS):
+            w = _MEL_W[b][i]
+            if w == 0.0:
+                continue
+            term = F.lit(w) * F.col(f"p{k}")
+            expr = term if expr is None else expr + term
+        bands.append(expr.alias(f"mel_{b + 1}"))
+    base = powers.select("doc_id", *bands)
+    dom = (
+        F.when(
+            (F.col("mel_1") >= F.col("mel_2"))
+            & (F.col("mel_1") >= F.col("mel_3"))
+            & (F.col("mel_1") >= F.col("mel_4")),
+            1,
+        )
+        .when(
+            (F.col("mel_2") >= F.col("mel_3"))
+            & (F.col("mel_2") >= F.col("mel_4")),
+            2,
+        )
+        .when(F.col("mel_3") >= F.col("mel_4"), 3)
+        .otherwise(4)
+    )
+    return base.select(
+        "doc_id", "mel_1", "mel_2", "mel_3", "mel_4",
+        dom.alias("dominant_band"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Video shot-boundary detection: decode each sampled frame (REAL
 # BMP roundtrip through the codec), aHash it, and flag frames whose
 # Hamming distance to the previous frame exceeds the cut threshold —

@@ -148,7 +148,10 @@ _LOADED = False
 # oracle-verified every run. Third wave: the five-stage composed
 # curation pipeline (quality -> exact -> near-dup -> decontaminate ->
 # budget funnel, curation_end_to_end) takes curation_quality_pipeline's
-# seat (the quality family keeps encoding_audit + the funnel itself).
+# seat (the quality family keeps encoding_audit + the funnel itself),
+# and the streaming ANN probe e2e (micro-batched queries vs the static
+# bucketed IVF index) takes user_retention_kaplan_meier's (stats keeps
+# ks/chi2/bootstrap-CI seats; 7 streaming seats now).
 PRIORITY_QUERIES = (
     "account_history",
     "multimodal_decode_png",
@@ -188,7 +191,7 @@ PRIORITY_QUERIES = (
     "multimodal_audio_vad_segments",
     "tokenizer_wordpiece_greedy",
     "tokenizer_unigram_viterbi",
-    "user_retention_kaplan_meier",
+    "streaming_ann_probe_e2e",
     "ann_pq_adc_topk",
     "orders_chi2_independence",
     "cross_source_contamination",
