@@ -613,3 +613,234 @@ def maintenance_compression_codecs(spark: SparkSession, sf_dir: str) -> DataFram
     for p in parts[1:]:
         res = res.unionByName(p)
     return res
+
+
+# ---------------------------------------------------------------------------
+# WARC ingestion: the container web crawls actually ship in. The
+# fixture writes 4 shards — 2 plain .warc, 2 multi-member .warc.gz —
+# each led by a warcinfo record the parser must carry and the query
+# must SKIP (only `response` records are corpus payload). The oracle
+# recomputes every aggregate closed-form from `documents`, so framing
+# bugs (header parse, Content-Length arithmetic, gzip member joins,
+# record-type routing) flip a value.
+# ---------------------------------------------------------------------------
+
+
+def _write_warc_fixture(spark: SparkSession, sf_dir: str) -> str:
+    from history_collector_spark.sources.warc import write_warc
+
+    out = _fixture_dir(sf_dir, "warc")
+    done = os.path.join(out, "_FIXTURE_DONE")
+    if os.path.exists(done):
+        return out
+    os.makedirs(out, exist_ok=True)
+    # fixture-builder collect: bounded sample, writes test INPUT files
+    # (the archiver side, not the engine under test)
+    rows = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id", "source", "text")
+        .collect()
+    )
+    shards: dict[int, list] = {k: [] for k in range(4)}
+    for r in sorted(rows, key=lambda r: r["doc_id"]):
+        shards[r["doc_id"] % 4].append(
+            {
+                "warc_type": "response",
+                "uri": f"http://corpus.example/{r['source']}/{r['doc_id']}",
+                "date": "2024-01-01T00:00:00Z",
+                "payload": r["text"].encode("utf-8"),
+            }
+        )
+    for k, recs in shards.items():
+        gz = k % 2 == 1
+        info = [{
+            "warc_type": "warcinfo",
+            "uri": f"file://shard{k}",
+            "date": "2024-01-01T00:00:00Z",
+            "payload": b"software: hc-fixture\r\n",
+        }]
+        blob = write_warc(info + recs, gzip_members=gz)
+        name = f"shard{k}.warc" + (".gz" if gz else "")
+        with open(os.path.join(out, name), "wb") as f:
+            f.write(blob)
+    with open(done, "w") as f:
+        f.write("ok")
+    return out
+
+
+def _warc_batches(batches):
+    import hashlib
+
+    import pandas as pd
+
+    from history_collector_spark.sources.warc import parse_warc
+
+    for pdf in batches:
+        rows = []
+        for blob in pdf["content"]:
+            for rec in parse_warc(bytes(blob)):
+                if rec["warc_type"] != "response":
+                    continue
+                parts = rec["uri"].rsplit("/", 2)
+                rows.append(
+                    (
+                        parts[-2],
+                        int(parts[-1]),
+                        len(rec["payload"]),
+                        int(
+                            hashlib.md5(rec["payload"]).hexdigest()[:8],
+                            16,
+                        ),
+                    )
+                )
+        yield pd.DataFrame(
+            rows, columns=["source", "doc_id", "n_bytes", "h32"]
+        )
+
+
+@register(
+    "corpus_warc_ingest",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_records,
+           CAST(sum(octet_length(encode(text))) AS BIGINT)
+             AS payload_bytes,
+           CAST(sum(CAST(concat('0x', substr(md5(text), 1, 8))
+                AS BIGINT)) AS BIGINT) AS digest_sum,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM documents WHERE doc_id % 2 = 0
+    GROUP BY source
+    """,
+)
+def corpus_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile scan of the WARC shards -> Arrow-batched framing
+    parser (plain + multi-member gzip) -> response-record payload
+    aggregates per source, equal to the closed-form recomputation from
+    `documents`. Scale shape: each WARC shard parses independently in
+    its task (binaryFile gives one row per file; real crawls shard at
+    ~1GB so per-task memory is one shard), aggregation is a small
+    per-source combine — the standard crawl-ingest topology.
+    """
+    src = _write_warc_fixture(spark, sf_dir)
+    blobs = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "shard*.warc*")
+        .load(src)
+        .select("content")
+    )
+    recs = blobs.mapInPandas(
+        _warc_batches,
+        schema="source string, doc_id bigint, n_bytes bigint, h32 bigint",
+    )
+    return recs.groupBy("source").agg(
+        F.count("*").alias("n_records"),
+        F.sum("n_bytes").alias("payload_bytes"),
+        F.sum("h32").alias("digest_sum"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TAR ingestion: USTAR shards of the odd-doc half (the WARC query
+# covers the even half, so together the two container paths cover the
+# corpus). Framing is the from-scratch parser in sources/tarball.py,
+# cross-validated against stdlib tarfile in the test suite.
+# ---------------------------------------------------------------------------
+
+
+def _write_tar_fixture(spark: SparkSession, sf_dir: str) -> str:
+    from history_collector_spark.sources.tarball import write_tar
+
+    out = _fixture_dir(sf_dir, "tar")
+    done = os.path.join(out, "_FIXTURE_DONE")
+    if os.path.exists(done):
+        return out
+    os.makedirs(out, exist_ok=True)
+    rows = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "source", "text")
+        .collect()
+    )
+    shards: dict[int, list] = {k: [] for k in range(3)}
+    for r in sorted(rows, key=lambda r: r["doc_id"]):
+        shards[r["doc_id"] % 3].append(
+            (
+                f"{r['source']}/{r['doc_id']}.txt",
+                r["text"].encode("utf-8"),
+            )
+        )
+    for k, files in shards.items():
+        with open(os.path.join(out, f"shard{k}.tar"), "wb") as f:
+            f.write(write_tar(files))
+    with open(done, "w") as f:
+        f.write("ok")
+    return out
+
+
+def _tar_batches(batches):
+    import hashlib
+
+    import pandas as pd
+
+    from history_collector_spark.sources.tarball import parse_tar
+
+    for pdf in batches:
+        rows = []
+        for blob in pdf["content"]:
+            for name, payload in parse_tar(bytes(blob)):
+                source, fname = name.rsplit("/", 1)
+                rows.append(
+                    (
+                        source,
+                        int(fname.removesuffix(".txt")),
+                        len(payload),
+                        int(hashlib.md5(payload).hexdigest()[:8], 16),
+                    )
+                )
+        yield pd.DataFrame(
+            rows, columns=["source", "doc_id", "n_bytes", "h32"]
+        )
+
+
+@register(
+    "corpus_tar_ingest",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_records,
+           CAST(sum(octet_length(encode(text))) AS BIGINT)
+             AS payload_bytes,
+           CAST(sum(CAST(concat('0x', substr(md5(text), 1, 8))
+                AS BIGINT)) AS BIGINT) AS digest_sum,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM documents WHERE doc_id % 2 = 1
+    GROUP BY source
+    """,
+)
+def corpus_tar_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile scan of USTAR shards -> Arrow-batched from-scratch
+    framing (checksum-validated 512-byte headers) -> per-source
+    payload aggregates equal to the closed-form oracle. Same
+    one-shard-per-task topology as corpus_warc_ingest."""
+    src = _write_tar_fixture(spark, sf_dir)
+    blobs = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "shard*.tar")
+        .load(src)
+        .select("content")
+    )
+    recs = blobs.mapInPandas(
+        _tar_batches,
+        schema="source string, doc_id bigint, n_bytes bigint, h32 bigint",
+    )
+    return recs.groupBy("source").agg(
+        F.count("*").alias("n_records"),
+        F.sum("n_bytes").alias("payload_bytes"),
+        F.sum("h32").alias("digest_sum"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )

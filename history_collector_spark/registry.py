@@ -151,7 +151,10 @@ _LOADED = False
 # seat (the quality family keeps encoding_audit + the funnel itself),
 # and the streaming ANN probe e2e (micro-batched queries vs the static
 # bucketed IVF index) takes user_retention_kaplan_meier's (stats keeps
-# ks/chi2/bootstrap-CI seats; 7 streaming seats now).
+# ks/chi2/bootstrap-CI seats; 7 streaming seats now). Fourth wave: the
+# WARC container ingest (from-scratch ISO 28500 framing, multi-member
+# gzip) takes tpch_q19_disjunctive's seat (Q4/Q14/Q15 keep TPC-H);
+# its USTAR twin stays locally verified.
 PRIORITY_QUERIES = (
     "account_history",
     "multimodal_decode_png",
@@ -174,7 +177,7 @@ PRIORITY_QUERIES = (
     "curation_dsir_weights",
     "multimodal_decode_yield",
     "text_bm25_retrieval",
-    "tpch_q19_disjunctive",
+    "corpus_warc_ingest",
     "ann_ivf_bucketed_probe",
     "streaming_ingest_e2e",
     "scd2_customer_history",
