@@ -71,11 +71,7 @@ from pyspark.sql.types import (
 )
 
 from history_collector_spark.catalog import table
-from history_collector_spark.functions.nlp import (
-    MH_PRIME,
-    mh_consts,
-    shingle_rows,
-)
+from history_collector_spark.functions.nlp import MH_PRIME, mh_consts
 from history_collector_spark.registry import register
 from history_collector_spark.streaming.conf import scoped_state_partitions
 
@@ -150,35 +146,57 @@ def signature_stream(docs: DataFrame) -> DataFrame:
     return docs.mapInPandas(_sign_batches, schema=_SIG_SCHEMA)
 
 
-def _bucket_pair_tracker(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """Keyed (band, bucket) membership state: each arriving doc pairs
-    with every doc already seen in this bucket (earlier batches via
-    state, earlier rows of this batch via the running list), then
-    joins the membership. Emits (min, max) doc pairs."""
-    members: list[int] = list(state.get[0]) if state.exists else []
-    out_a: list[int] = []
-    out_b: list[int] = []
-    for pdf in pdfs:
-        for d in sorted(int(x) for x in pdf["doc_id"]):
-            for m in members:
-                if m != d:
-                    out_a.append(min(m, d))
-                    out_b.append(max(m, d))
-            members.append(d)
-    state.update((members,))
-    yield pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
+def make_bucket_pair_tracker(ttl_ms: int = 0):
+    """Tracker factory. ``ttl_ms > 0`` arms a processing-time timeout
+    per bucket key: a bucket idle for ttl_ms is EVICTED (its member
+    list dropped), bounding state for a forever-running ingest — docs
+    arriving after eviction only pair against the static corpus index
+    and newer in-flight docs, the standard freshness-window trade
+    every streaming near-dup deployment makes. The e2e query uses
+    ttl=0 (NoTimeout) so its result is exactly the batch pair table;
+    the eviction path is pinned by its own unit test."""
+
+    def track(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if ttl_ms and state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame({"doc_a": [], "doc_b": []})
+            return
+        members: list[int] = list(state.get[0]) if state.exists else []
+        out_a: list[int] = []
+        out_b: list[int] = []
+        for pdf in pdfs:
+            for d in sorted(int(x) for x in pdf["doc_id"]):
+                for m in members:
+                    if m != d:
+                        out_a.append(min(m, d))
+                        out_b.append(max(m, d))
+                members.append(d)
+        state.update((members,))
+        if ttl_ms:
+            state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
+
+    return track
 
 
-def track_bucket_pairs(sig_stream: DataFrame) -> DataFrame:
-    """(doc_id, band, bucket) stream -> in-stream collision pairs."""
+_bucket_pair_tracker = make_bucket_pair_tracker()
+
+
+def track_bucket_pairs(sig_stream: DataFrame, ttl_ms: int = 0) -> DataFrame:
+    """(doc_id, band, bucket) stream -> in-stream collision pairs;
+    ttl_ms > 0 bounds bucket state by idle-eviction (see factory)."""
     return sig_stream.groupBy("band", "bucket").applyInPandasWithState(
-        _bucket_pair_tracker,
+        make_bucket_pair_tracker(ttl_ms),
         outputStructType=_PAIR_OUT_SCHEMA,
         stateStructType=_PAIR_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if ttl_ms
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 
@@ -303,30 +321,31 @@ def streaming_neardup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     16 rows/doc, state holds doc_ids only. Nothing rescans the corpus,
     no channel ever holds text past the map-side signer.
     """
-    docs = table(spark, sf_dir, "documents")
     # static index: batch LSH table over the "already ingested" half —
-    # built with the BATCH formulation (shingle rows + 32 min-aggs)
-    # from dedup.py, proving the two formulations interoperate.
-    from history_collector_spark.queries.dedup import _lsh_buckets
+    # the BATCH formulation (shingle rows + 32 min-aggs) from dedup.py,
+    # proving the two formulations interoperate. A doc's bucket rows
+    # are independent of every other doc, so the even-half index IS
+    # the session-memoized full-corpus index filtered to even ids —
+    # reusing the pinned table the dedup family already shares instead
+    # of re-deriving shingles+min-aggs per invocation (measured ~4s of
+    # this query's wall at sf0.1).
+    from history_collector_spark.queries.dedup import lsh_index_table
 
-    even_shingles = shingle_rows(
-        docs.filter(F.col("doc_id") % 2 == 0).select(
-            "doc_id", "lang", "text"
-        ),
-        distinct=False,
+    index = lsh_index_table(spark, sf_dir).filter(
+        F.col("doc_id") % 2 == 0
     )
-    index = _lsh_buckets(spark, sf_dir, even_shingles).persist()
-    index.count()  # pin before the per-micro-batch joins
 
     flat = _doc_replay_dir(spark, sf_dir)
-    stream = (
-        spark.readStream.schema("doc_id bigint, text string")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(flat)
-    )
-    sigs = signature_stream(stream)
+
+    def sig_stream():
+        return signature_stream(
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(flat)
+        )
 
     # channel 1: probe the static corpus index on (band, bucket)
+    sigs = sig_stream()
     idx = index.select(
         F.col("doc_id").alias("idx_doc"),
         F.col("band").alias("iband"),
@@ -339,19 +358,10 @@ def streaming_neardup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least("doc_id", "idx_doc").alias("doc_a"),
         F.greatest("doc_id", "idx_doc").alias("doc_b"),
     )
-    probed = _run_to_table(spark, probe, "ndprobe")
-
-    # channel 2: in-stream collisions via keyed bucket state
-    instream = _run_to_table(
-        spark,
-        track_bucket_pairs(
-            signature_stream(
-                spark.readStream.schema("doc_id bigint, text string")
-                .option("maxFilesPerTrigger", 1)
-                .parquet(flat)
-            )
-        ),
-        "ndstate",
-    )
-    index.unpersist()
-    return probed.unionByName(instream).distinct()
+    # channel 2: in-stream collisions via keyed bucket state. Both
+    # channels UNION into one streaming query, so the feed replays
+    # once (4 micro-batches, not 2x4) — the stateful subtree and the
+    # stream-static join coexist under a single availableNow run.
+    both = probe.unionByName(track_bucket_pairs(sig_stream()))
+    merged = _run_to_table(spark, both, "ndpairs")
+    return merged.distinct()

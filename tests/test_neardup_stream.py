@@ -94,3 +94,42 @@ def test_bucket_pair_tracker_exactly_once_and_bounded():
     assert sorted(zip(out2["doc_a"], out2["doc_b"])) == [(1, 5), (3, 5)]
     # state holds doc_ids only (bounded by bucket membership)
     assert sorted(st.get[0]) == [1, 3, 5]
+
+
+def test_bucket_tracker_ttl_eviction():
+    """ttl_ms > 0: a timed-out bucket drops its member list — the
+    bounded-state mode a forever-running ingest uses. Simulated via
+    the GroupState protocol (hasTimedOut batch, then fresh arrivals)."""
+    from history_collector_spark.queries.neardup_stream import (
+        make_bucket_pair_tracker,
+    )
+
+    class _TtlState(_FakeState):
+        def __init__(self):
+            super().__init__()
+            self.hasTimedOut = False
+            self.timeout_set = None
+            self.removed = False
+
+        def remove(self):
+            self.removed = True
+            self.exists = False
+            self._v = None
+
+        def setTimeoutDuration(self, ms):
+            self.timeout_set = ms
+
+    track = make_bucket_pair_tracker(ttl_ms=1000)
+    st = _TtlState()
+    (out1,) = track(("0", "x"), iter([pd.DataFrame({"doc_id": [1, 3]})]), st)
+    assert sorted(zip(out1["doc_a"], out1["doc_b"])) == [(1, 3)]
+    assert st.timeout_set == 1000
+    # timeout fires: state evicted, nothing emitted
+    st.hasTimedOut = True
+    (out2,) = track(("0", "x"), iter([]), st)
+    assert len(out2) == 0 and st.removed and not st.exists
+    # post-eviction arrival pairs only within itself (history gone)
+    st.hasTimedOut = False
+    (out3,) = track(("0", "x"), iter([pd.DataFrame({"doc_id": [5]})]), st)
+    assert len(out3) == 0
+    assert list(st.get[0]) == [5]
