@@ -793,9 +793,10 @@ def decode_blob(data: bytes, fake: bool = False) -> dict:
     """Decode one media blob into metadata.
 
     ``fake=False`` (real mode) magic-sniffs the payload and runs the
-    built-in pure-Python codec (BMP 24-bit BI_RGB, PPM P6/P3, PNG
-    8-bit, GIF first-frame); formats without a built-in codec raise
-    NotImplementedError at the documented plug point. ``fake=True`` is the fixture mode: metadata
+    built-in pure-Python codec (BMP 24-bit BI_RGB; PPM P6/P3; PNG
+    8/16-bit + palette + Adam7; GIF first-frame; JPEG baseline,
+    progressive, and Adobe CMYK/YCCK); formats without a built-in
+    codec raise NotImplementedError at the documented plug point. ``fake=True`` is the fixture mode: metadata
     derived from the payload's sha256, so the DuckDB oracles verify
     the full distributed path over synthetic text blobs.
     """

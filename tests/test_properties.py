@@ -565,3 +565,123 @@ def test_quantile_sketch_rank_error_bound(spark):
     assert len(rows) == 3
     for r in rows:
         assert r["rank_error"] <= 1.0 / _QS_ACCURACY + 1.0 / r["n"], dict(r.asDict())
+
+
+# ---------------------------------------------------------------------------
+# Round-9 properties: container framing codecs, the progressive JPEG
+# scan machinery, and the streaming minhash signer.
+# ---------------------------------------------------------------------------
+
+_warc_payloads = st.lists(st.binary(min_size=0, max_size=400),
+                          min_size=1, max_size=8)
+
+
+@settings(max_examples=25, deadline=None)
+@given(payloads=_warc_payloads, gz=st.booleans())
+def test_warc_roundtrip_property(payloads, gz):
+    from history_collector_spark.sources.warc import parse_warc, write_warc
+
+    recs = [
+        {"warc_type": "response", "uri": f"http://x/{i}",
+         "date": "2024-01-01T00:00:00Z", "payload": p}
+        for i, p in enumerate(payloads)
+    ]
+    back = parse_warc(write_warc(recs, gzip_members=gz))
+    assert [r["payload"] for r in back] == payloads
+    assert [r["uri"] for r in back] == [r["uri"] for r in recs]
+
+
+_tar_names = st.lists(
+    st.text(alphabet="abcdefghij/_.0123456789", min_size=1, max_size=60)
+    .filter(lambda s: not s.startswith("/") and ".." not in s),
+    min_size=1, max_size=8, unique=True,
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(names=_tar_names, data=st.data())
+def test_tar_roundtrip_property_and_stdlib_agreement(names, data):
+    import io
+    import tarfile
+
+    from history_collector_spark.sources.tarball import parse_tar, write_tar
+
+    files = [
+        (n, data.draw(st.binary(min_size=0, max_size=1500)))
+        for n in names
+    ]
+    blob = write_tar(files)
+    assert parse_tar(blob) == files
+    # stdlib must agree on every member
+    with tarfile.open(fileobj=io.BytesIO(blob)) as tf:
+        got = [(m.name, tf.extractfile(m).read())
+               for m in tf.getmembers() if m.isfile()]
+    assert got == files
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=24),
+    w=st.integers(min_value=1, max_value=24),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    gray=st.booleans(),
+)
+def test_progressive_jpeg_equals_baseline_property(h, w, seed, gray):
+    """For ANY image, the progressive encoding must decode to exactly
+    the baseline decoding of the same pixels — they carry identical
+    quantized coefficients, so this pins the full scan machinery
+    (spectral selection, successive approximation, EOB runs)."""
+    import numpy as np
+
+    from history_collector_spark.functions.jpeg import (
+        decode_jpeg, encode_jpeg,
+    )
+    from history_collector_spark.functions.jpeg_progressive import (
+        decode_progressive, encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if gray else (h, w, 3)
+    px = rng.integers(0, 256, size=shape).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(px)),
+        decode_progressive(encode_jpeg_progressive(px)),
+    )
+
+
+_doc_text = st.text(
+    alphabet=st.sampled_from("abc defg \thi\njk "), min_size=0, max_size=300
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(text=_doc_text, doc_id=st.integers(0, 10**6))
+def test_streaming_signer_matches_batch_minhash_property(text, doc_id):
+    """The map-only Python signer must agree with an independent
+    recomputation of the dedup.py minhash math (md5 shingle hashes,
+    affine family, banded buckets) for arbitrary whitespace-messy
+    text, including the <3-token empty case."""
+    import hashlib
+    import re
+
+    from history_collector_spark.functions.nlp import MH_PRIME, mh_consts
+    from history_collector_spark.queries.neardup_stream import (
+        N_BANDS, N_HASHES, doc_signature_buckets,
+    )
+
+    rows = doc_signature_buckets(doc_id, text)
+    toks = re.split(r"\s+", text)
+    if len(toks) < 3:
+        assert rows == []
+        return
+    grams = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams]
+    A, B = mh_consts(N_HASHES)
+    mins = [min((A[s] * h + B[s]) % MH_PRIME for h in hs)
+            for s in range(N_HASHES)]
+    exp = [
+        (doc_id, j,
+         hashlib.md5(f"{mins[2 * j]}_{mins[2 * j + 1]}".encode()).hexdigest())
+        for j in range(N_BANDS)
+    ]
+    assert rows == exp
