@@ -844,3 +844,75 @@ def corpus_tar_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming WARC ingest: the production shape of crawl ingestion —
+# shards LAND over time and each micro-batch parses only its new
+# files. Same framing parser, same closed-form oracle as the batch
+# query; equality proves the incremental ingest loses/duplicates
+# nothing vs. the batch read (the streaming_ingest_e2e discipline
+# applied to the web-crawl container).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_warc_ingest_e2e",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_records,
+           CAST(sum(octet_length(encode(text))) AS BIGINT)
+             AS payload_bytes,
+           CAST(sum(CAST(concat('0x', substr(md5(text), 1, 8))
+                AS BIGINT)) AS BIGINT) AS digest_sum
+    FROM documents WHERE doc_id % 2 = 0
+    GROUP BY source
+    """,
+)
+def streaming_warc_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC shards consumed as a binaryFile STREAM (one shard per
+    micro-batch), Arrow-parsed in flight, landed append-only; the
+    post-stream per-source aggregate must equal the batch closed-form
+    truth. Scale: this is the ingest loop a crawl pipeline runs
+    forever — per-batch work is one shard's parse, checkpointing is
+    the file-source offset log, and nothing rescans old shards."""
+    import uuid as _uuid
+
+    from history_collector_spark.streaming.conf import (
+        scoped_state_partitions,
+    )
+
+    src = _write_warc_fixture(spark, sf_dir)
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("pathGlobFilter", "shard*.warc*")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+        .select("content")
+    )
+    recs = stream.mapInPandas(
+        _warc_batches,
+        schema="source string, doc_id bigint, n_bytes bigint, h32 bigint",
+    )
+    name = f"warcstream_{_uuid.uuid4().hex[:8]}"
+    with scoped_state_partitions(spark):
+        q = (
+            recs.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    return spark.table(name).groupBy("source").agg(
+        F.count("*").alias("n_records"),
+        F.sum("n_bytes").alias("payload_bytes"),
+        F.sum("h32").alias("digest_sum"),
+    )

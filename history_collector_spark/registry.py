@@ -154,13 +154,16 @@ _LOADED = False
 # ks/chi2/bootstrap-CI seats; 7 streaming seats now). Fourth wave: the
 # WARC container ingest (from-scratch ISO 28500 framing, multi-member
 # gzip) takes tpch_q19_disjunctive's seat (Q4/Q14/Q15 keep TPC-H);
-# its USTAR twin stays locally verified.
+# its USTAR twin stays locally verified. Fifth wave: the STREAMING
+# WARC ingest e2e (shards land over time, per-batch parse, equal to
+# the batch read) takes curation_encoding_audit's seat (curation
+# keeps dsir/domain_reweight/curriculum/quota/end_to_end).
 PRIORITY_QUERIES = (
     "account_history",
     "multimodal_decode_png",
     "multimodal_decode_jpeg",
     "text_gopher_signals",
-    "curation_encoding_audit",
+    "streaming_warc_ingest_e2e",
     "eval_auc_roc",
     "customer_migration_matrix",
     "tpch_q14_promo_share",
