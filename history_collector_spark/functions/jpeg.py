@@ -413,6 +413,13 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac,
                     for bx in range(c["h"]):
                         zz = np.zeros(64, np.int64)
                         t = _read_symbol(br, huff_dc[td])
+                        if t > 15:
+                            # a corrupt DHT can map codes to symbols
+                            # up to 255; reading that many magnitude
+                            # bits would overflow the coefficient math
+                            raise JpegDecodeError(
+                                f"DC category {t} out of range"
+                            )
                         diff = _extend(br.bits(t), t) if t else 0
                         pred[ci] += diff
                         zz[0] = pred[ci]

@@ -191,6 +191,10 @@ def decode_progressive(data: bytes) -> np.ndarray:
                 scomps.append((ci, tt >> 4, tt & 0x0F))
             ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
             ah, al = ahal >> 4, ahal & 0x0F
+            if not (0 <= ss <= se <= 63):
+                raise JpegDecodeError(
+                    f"bad spectral selection Ss={ss} Se={se}"
+                )
             end = _entropy_end(data, pos)
             _decode_one_scan(
                 data[pos:end], frame, scomps, ss, se, ah, al,
@@ -260,6 +264,10 @@ def _decode_dc_scan(br, frame, scomps, ah, al, huff_dc, coefs, dims,
                 if td not in huff_dc:
                     raise JpegDecodeError("missing DC Huffman table")
                 t = _read_symbol(br, huff_dc[td])
+                if t > 15:
+                    raise JpegDecodeError(
+                        f"DC category {t} out of range"
+                    )
                 diff = _extend(br.bits(t), t) if t else 0
                 preds[ci_index[ci]] += diff
                 blk[0] = preds[ci_index[ci]] << al

@@ -140,7 +140,12 @@ def decode_ppm(data: bytes):
             start = pos
             while pos < len(data) and not data[pos : pos + 1].isspace():
                 pos += 1
-            tokens.append(int(data[start:pos]))
+            try:
+                tokens.append(int(data[start:pos]))
+            except ValueError as exc:  # non-digit garbage in header
+                raise ImageDecodeError(
+                    f"bad PPM header token {data[start:pos][:12]!r}"
+                ) from exc
     width, height, maxval = tokens
     if width <= 0 or height <= 0:
         raise ImageDecodeError(f"degenerate dimensions {width}x{height}")
@@ -544,6 +549,11 @@ def encode_png_adam7(pixels) -> bytes:
 def _gif_lzw_decode(min_code_size: int, data: bytes) -> bytearray:
     """GIF-variant LZW: variable-width codes packed LSB-first, CLEAR
     resets the table, widths grow to a 12-bit cap."""
+    if not (1 <= min_code_size <= 8):
+        # root codes are palette indices, so > 8 bits is malformed
+        raise ImageDecodeError(
+            f"bad GIF LZW minimum code size {min_code_size}"
+        )
     clear = 1 << min_code_size
     end = clear + 1
     code_size = min_code_size + 1
@@ -605,6 +615,8 @@ def decode_gif(data: bytes):
     gct = None
     if flags & 0x80:
         n = 2 << (flags & 0x07)
+        if pos + 3 * n > len(data):
+            raise ImageDecodeError("truncated GIF global color table")
         gct = np.frombuffer(data, np.uint8, 3 * n, pos).reshape(n, 3)
         pos += 3 * n
     while pos < len(data):
@@ -619,18 +631,24 @@ def decode_gif(data: bytes):
             continue
         if b0 != 0x2C:
             raise ImageDecodeError(f"unexpected GIF block 0x{b0:02x}")
+        if pos + 10 > len(data):
+            raise ImageDecodeError("truncated GIF image descriptor")
         ileft, itop, iw, ih = struct.unpack_from("<HHHH", data, pos + 1)
         iflags = data[pos + 9]
         pos += 10
         pal = gct
         if iflags & 0x80:
             n = 2 << (iflags & 0x07)
+            if pos + 3 * n > len(data):
+                raise ImageDecodeError("truncated GIF local color table")
             pal = np.frombuffer(data, np.uint8, 3 * n, pos).reshape(n, 3)
             pos += 3 * n
         if pal is None:
             raise ImageDecodeError("GIF image has no color table")
         if iw == 0 or ih == 0:
             raise ImageDecodeError(f"degenerate dimensions {iw}x{ih}")
+        if pos >= len(data):
+            raise ImageDecodeError("truncated before GIF LZW stream")
         min_code = data[pos]
         pos += 1
         lzw = bytearray()

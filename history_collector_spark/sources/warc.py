@@ -17,6 +17,7 @@ analogue of that container boundary, LLM-pipeline extension tier.
 from __future__ import annotations
 
 import gzip
+import zlib
 
 
 class WarcParseError(ValueError):
@@ -56,7 +57,10 @@ def parse_warc(data: bytes) -> list[dict]:
     if data[:2] == b"\x1f\x8b":
         try:
             data = gzip.decompress(data)  # handles concatenated members
-        except OSError as exc:
+        except (OSError, EOFError, zlib.error) as exc:
+            # gzip surfaces BadGzipFile(OSError) for framing problems
+            # but lets zlib.error/EOFError escape for corrupt DEFLATE
+            # payloads — all three are "bad member" to the caller
             raise WarcParseError(f"bad gzip member: {exc}") from exc
     records = []
     pos = 0
@@ -74,7 +78,13 @@ def parse_warc(data: bytes) -> list[dict]:
             if b":" not in line:
                 raise WarcParseError(f"malformed header line {line!r}")
             k, v = line.split(b":", 1)
-            headers[k.strip().lower().decode()] = v.strip().decode()
+            # latin-1 is total (any byte decodes) — header bytes are
+            # ASCII in practice, but corrupt input must not escape as
+            # UnicodeDecodeError from a decoder that promises
+            # WarcParseError
+            headers[k.strip().lower().decode("latin-1")] = v.strip().decode(
+                "latin-1"
+            )
         try:
             clen = int(headers["content-length"])
         except (KeyError, ValueError) as exc:

@@ -1,0 +1,135 @@
+"""Deterministic mutation fuzz over every from-scratch codec.
+
+Real crawls feed the decode stage garbage; the graceful-degradation
+contract (decode_status error rows, never task death) holds only if
+every decoder either succeeds or raises its DECLARED error class.
+This sweep takes one valid fixture per format and applies hundreds of
+deterministic byte mutations (flips, truncations, zero-fills,
+duplications) — any raw IndexError / struct.error / KeyError /
+UnicodeDecodeError / OverflowError escaping a decoder is a latent
+task-killer and fails the test. Mutations are seeded, so failures
+reproduce exactly.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from history_collector_spark.functions.codec_errors import ImageDecodeError
+from history_collector_spark.functions.jpeg import encode_jpeg, encode_jpeg_cmyk
+from history_collector_spark.functions.jpeg_progressive import (
+    encode_jpeg_progressive,
+)
+from history_collector_spark.queries.multimodal import (
+    decode_image,
+    encode_bmp,
+    encode_gif,
+    encode_png,
+    encode_png_palette,
+)
+from history_collector_spark.sources.tarball import (
+    TarParseError,
+    parse_tar,
+    write_tar,
+)
+from history_collector_spark.sources.warc import (
+    WarcParseError,
+    parse_warc,
+    write_warc,
+)
+
+_RGB = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+_GRAY = np.arange(64, dtype=np.uint8).reshape(8, 8)
+
+
+def _mutations(blob: bytes, rng: np.random.Generator, n: int):
+    """Yield n deterministic corruptions of blob."""
+    b = np.frombuffer(blob, dtype=np.uint8)
+    for _ in range(n):
+        kind = rng.integers(0, 4)
+        m = b.copy()
+        if kind == 0 and len(m):  # flip 1-4 bytes
+            idx = rng.integers(0, len(m), size=int(rng.integers(1, 5)))
+            m[idx] ^= rng.integers(1, 256, size=len(idx)).astype(np.uint8)
+            yield m.tobytes()
+        elif kind == 1 and len(m) > 1:  # truncate
+            yield m[: int(rng.integers(1, len(m)))].tobytes()
+        elif kind == 2 and len(m):  # zero-fill a window
+            lo = int(rng.integers(0, len(m)))
+            hi = min(len(m), lo + int(rng.integers(1, 16)))
+            m[lo:hi] = 0
+            yield m.tobytes()
+        else:  # duplicate a slice (grows the payload)
+            lo = int(rng.integers(0, max(len(m), 1)))
+            hi = min(len(m), lo + int(rng.integers(1, 32)))
+            yield (m[:hi].tobytes() + m[lo:hi].tobytes()
+                   + m[hi:].tobytes())
+
+
+_IMAGE_FIXTURES = {
+    "bmp": lambda: encode_bmp(_RGB),
+    "ppm": lambda: b"P6\n6 4\n255\n" + _RGB.tobytes(),
+    "png": lambda: encode_png(_RGB, row_filters=[0, 1, 2, 4]),
+    "png_palette": lambda: encode_png_palette(
+        (_GRAY % 4), np.arange(12, dtype=np.uint8).reshape(4, 3),
+        trns=[0, 128], depth=2, interlace=1,
+    ),
+    "gif": lambda: encode_gif(_RGB),
+    "jpeg": lambda: encode_jpeg(_RGB),
+    "jpeg_gray": lambda: encode_jpeg(_GRAY),
+    "jpeg_progressive": lambda: encode_jpeg_progressive(_RGB),
+    "jpeg_cmyk": lambda: encode_jpeg_cmyk(
+        np.dstack([_RGB, np.full((4, 6, 1), 200, np.uint8)])
+    ),
+}
+
+# the contract: these (and only these) may escape a decode attempt
+_ALLOWED_IMG = (ImageDecodeError, NotImplementedError)
+
+
+@pytest.mark.parametrize("fmt", sorted(_IMAGE_FIXTURES))
+def test_image_codec_fuzz(fmt):
+    blob = _IMAGE_FIXTURES[fmt]()
+    rng = np.random.default_rng(hash(fmt) % (2**32))
+    ok = err = 0
+    for mutant in _mutations(blob, rng, 250):
+        try:
+            px = decode_image(mutant)
+            assert px.dtype == np.uint8 and px.ndim == 3
+            ok += 1
+        except _ALLOWED_IMG:
+            err += 1
+        # anything else propagates and fails the test with the
+        # reproducible seed in the parametrized id
+    assert ok + err == 250
+
+
+@pytest.mark.parametrize("kind", ["warc", "warc_gz", "tar"])
+def test_container_codec_fuzz(kind):
+    recs = [
+        {"warc_type": "response", "uri": f"http://x/{i}",
+         "date": "2024-01-01", "payload": bytes(range(i * 7 % 250))}
+        for i in range(5)
+    ]
+    if kind == "tar":
+        blob = write_tar([(f"d/{i}.bin", r["payload"])
+                          for i, r in enumerate(recs)])
+        parse, allowed = parse_tar, (TarParseError,)
+    else:
+        blob = write_warc(recs, gzip_members=(kind == "warc_gz"))
+        parse, allowed = parse_warc, (WarcParseError,)
+    rng = np.random.default_rng(hash(kind) % (2**32))
+    ok = err = 0
+    for mutant in _mutations(blob, rng, 300):
+        try:
+            parse(mutant)
+            ok += 1
+        except allowed:
+            err += 1
+    assert ok + err == 300
