@@ -133,3 +133,56 @@ def test_container_codec_fuzz(kind):
         except allowed:
             err += 1
     assert ok + err == 300
+
+
+def test_xdr_parser_fuzz():
+    """The XDR archive parsers follow the stall-don't-skip contract: a
+    corrupt archive must fail LOUDLY but diagnosably — only ValueError
+    (the module's declared class) may escape, never a raw struct.error
+    or IndexError that would read as an engine bug."""
+    from history_collector_spark.sources import xdr_codec as xc
+
+    src, dst, iss = bytes(range(32)), bytes(range(32, 64)), bytes(
+        range(64, 96)
+    )
+    tx = xc.build_transaction(
+        src, fee=200, seq_num=42, memo_text="1-anon-t",
+        operations=[
+            xc.build_operation(
+                xc.OP_PAYMENT, dst, 1500,
+                asset_code="KIN", asset_issuer=iss,
+            ),
+            xc.build_operation(xc.OP_CREATE_ACCOUNT, dst, 10000),
+        ],
+    )
+    entry = xc.build_transaction_entry(640, [xc.build_envelope(tx)])
+    cases = {
+        "tx": (
+            xc.frame_record(entry) * 3,
+            lambda b: xc.parse_transactions(
+                b, with_hash=True, network_passphrase="x"
+            ),
+        ),
+        "ledger": (
+            xc.frame_record(xc.build_ledger_entry(640, 1535594286)) * 3,
+            xc.parse_ledgers,
+        ),
+        "result": (
+            xc.frame_record(
+                xc.build_result_entry(
+                    640, [(bytes(range(32)), 100, 0, [(1, 0)])]
+                )
+            ) * 3,
+            xc.parse_results,
+        ),
+    }
+    for name, (blob, fn) in cases.items():
+        rng = np.random.default_rng(hash(name) % (2**32))
+        ok = err = 0
+        for mutant in _mutations(blob, rng, 300):
+            try:
+                fn(mutant)
+                ok += 1
+            except ValueError:
+                err += 1
+        assert ok + err == 300, name
