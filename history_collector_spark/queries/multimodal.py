@@ -1232,7 +1232,8 @@ def _yield_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rows = []
         for doc_id in pdf["doc_id"]:
             d = int(doc_id)
-            v = d % 8
+            v = d % len(_YIELD_FORMATS)
+            fmt = _YIELD_FORMATS[v]
             w, h = 2 + d % 6, 1 + d % 4
             yy, xx, cc = np.meshgrid(
                 np.arange(h), np.arange(w), np.arange(3), indexing="ij"
@@ -1240,25 +1241,22 @@ def _yield_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             px = ((d * 17 + yy * 11 + xx * 5 + cc * 2) % 256).astype(
                 np.uint8
             )
-            if v == 0:
-                fmt, blob = "bmp", encode_bmp(px)
-            elif v == 1:
-                fmt = "ppm"
+            if fmt == "bmp":
+                blob = encode_bmp(px)
+            elif fmt == "ppm":
                 blob = f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
-            elif v == 2:
-                fmt, blob = "png", encode_png(px)
-            elif v == 3:
-                fmt, blob = "jpeg", encode_jpeg(px)
-            elif v == 4:
-                fmt, blob = "png_truncated", encode_png(px)
-                blob = blob[: len(blob) // 2]
-            elif v == 5:
-                fmt = "webp"  # no codec plugged: NotImplementedError
+            elif fmt == "png":
+                blob = encode_png(px)
+            elif fmt == "jpeg":
+                blob = encode_jpeg(px)
+            elif fmt == "png_truncated":
+                whole = encode_png(px)
+                blob = whole[: len(whole) // 2]
+            elif fmt == "webp":  # no codec plugged: NotImplementedError
                 blob = b"RIFF\x24\x00\x00\x00WEBPVP8 " + bytes(16)
-            elif v == 6:
-                fmt, blob = "gif", encode_gif(px)
-            else:
-                fmt = "jpeg_cmyk"  # Adobe 4-component, transform 0
+            elif fmt == "gif":
+                blob = encode_gif(px)
+            else:  # jpeg_cmyk: Adobe 4-component, transform 0
                 cmyk = np.concatenate(
                     [px, np.full((h, w, 1), 200, np.uint8)], axis=2
                 )
