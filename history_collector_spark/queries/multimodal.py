@@ -316,6 +316,12 @@ def decode_png(data: bytes):
         if zlib.crc32(ctype + body) & 0xFFFFFFFF != expect_crc:
             raise ImageDecodeError(f"PNG CRC mismatch in {ctype!r}")
         if ctype == b"IHDR":
+            # a CRC-valid IHDR with the wrong body size must degrade to
+            # a decode error, not escape as a raw struct.error
+            if len(body) != 13:
+                raise ImageDecodeError(
+                    f"bad IHDR length {len(body)} (must be 13)"
+                )
             ihdr = struct.unpack(">IIBBBBB", body)
         elif ctype == b"PLTE":
             if length % 3 or length == 0 or length > 768:

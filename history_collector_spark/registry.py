@@ -158,32 +158,54 @@ _LOADED = False
 # WARC ingest e2e (shards land over time, per-batch parse, equal to
 # the batch read) takes curation_encoding_audit's seat (curation
 # keeps dsir/domain_reweight/curriculum/quota/end_to_end).
+# Round-10 rotation (VERDICT r9 item 1: 174/325 queries had never
+# appeared in ANY r1-r9 driver window): 14 never-driver-sampled rows
+# rotate in — three fresh TPC-H optimizer shapes (Q12 ship-mode
+# two-class CASE agg, Q16 anti-join + count-distinct variety, Q20
+# dominant-supplier nested-agg semi-join), the USTAR container ingest
+# (its WARC twin keeps the container seat it won in r9), boilerplate
+# prefix-template detection, mel filterbank energies, two streaming
+# e2e shapes (session-window agg, stream-stream interval join), OHLC
+# bars, funnel conversion, VARIANT stats, Kneser-Ney bigrams, the
+# salted-skew-join enrich demo, and the Benford first-digit audit.
+# Retired seats all keep family representation (decode_real +
+# decode_yield + vad + mel keep multimodal; q4 keeps TPC-H's old
+# guard alongside the three new shapes; conformal + bootstrap keep
+# eval; chi2 keeps stats; bleu + bm25 keep text metrics; dsir +
+# domain_reweight + quota + end_to_end keep curation;
+# streaming_scd2_cdc keeps SCD2; sessionize-e2e takes the
+# sessionization seat from the batch form) and stay locally
+# oracle-verified on every pytest/driver-sim run.
 PRIORITY_QUERIES = (
     "account_history",
-    "multimodal_decode_png",
-    "multimodal_decode_jpeg",
-    "text_gopher_signals",
+    "tpch_q12_shipclass_priority",
+    "tpch_q16_supplier_variety",
+    "tpch_q20_dominant_supplier",
     "streaming_warc_ingest_e2e",
-    "eval_auc_roc",
-    "customer_migration_matrix",
-    "tpch_q14_promo_share",
-    "tpch_q15_top_supplier",
-    "cusum_changepoint",
-    "event_sessionize",
-    "curation_curriculum_phases",
-    "lineitem_weighted_median",
+    "corpus_tar_ingest",
+    "boilerplate_prefix_templates",
+    "multimodal_audio_mel_energies",
+    "streaming_sessionize_e2e",
+    "streaming_interval_join_e2e",
+    "event_ohlc_bars",
+    "funnel_conversion",
+    "props_variant_stats",
     "tpch_q4_priority_exists",
     "xdr_triplet_parity",
     "pipeline_parity",
-    "text_rouge_l",
+    "text_kneser_ney_bigrams",
     "eval_conformal_coverage",
     "curation_dsir_weights",
     "multimodal_decode_yield",
     "text_bm25_retrieval",
-    "corpus_warc_ingest",
+    # round-10 build: WARC framing + HTML main-content extraction in one
+    # dataflow takes the batch-WARC seat (streaming_warc_ingest_e2e +
+    # corpus_tar_ingest keep the container family; corpus_warc_ingest
+    # stays locally oracle-verified every run)
+    "corpus_html_extract",
     "ann_ivf_bucketed_probe",
     "streaming_ingest_e2e",
-    "scd2_customer_history",
+    "skew_salted_enrich",
     "streaming_neardup_e2e",
     "streaming_gapless_e2e",
     "streaming_jdbc_e2e",
@@ -192,7 +214,7 @@ PRIORITY_QUERIES = (
     "embedding_covariance",
     "streaming_scd2_cdc_e2e",
     "text_bleu_corpus",
-    "events_ks_test",
+    "benford_first_digit",
     "dedup_minhash_lsh",
     "multimodal_audio_vad_segments",
     "tokenizer_wordpiece_greedy",

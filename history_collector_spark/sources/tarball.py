@@ -69,7 +69,10 @@ def parse_tar(data: bytes) -> list[tuple[str, bytes]]:
             raise TarParseError(
                 f"header checksum mismatch at offset {pos}"
             )
-        name = hdr[0:100].split(b"\x00", 1)[0].decode()
+        try:
+            name = hdr[0:100].split(b"\x00", 1)[0].decode()
+        except UnicodeDecodeError as exc:
+            raise TarParseError("non-UTF8 name field") from exc
         try:
             size = int(hdr[124:136].rstrip(b"\x00 ").strip() or b"0", 8)
         except ValueError as exc:

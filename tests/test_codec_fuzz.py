@@ -186,3 +186,71 @@ def test_xdr_parser_fuzz():
             except ValueError:
                 err += 1
         assert ok + err == 300, name
+
+
+def test_crc_valid_short_ihdr_degrades():
+    """Round-10 ADVICE regression: a CRC-VALID IHDR chunk whose body is
+    shorter than the mandatory 13 bytes must raise ImageDecodeError,
+    not escape as a raw struct.error (which would kill the Spark task
+    instead of yielding a decode_status error row)."""
+    import struct
+    import zlib
+
+    from history_collector_spark.functions.codec_errors import (
+        ImageDecodeError,
+    )
+    from history_collector_spark.queries.multimodal import decode_png
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    for n in (0, 5, 12, 14):
+        blob = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", b"\x00" * n)
+        with pytest.raises(ImageDecodeError):
+            decode_png(blob)
+
+
+def test_checksum_valid_non_utf8_tar_name_degrades():
+    """Round-10 ADVICE regression: a checksum-valid USTAR header whose
+    name field is not UTF-8 must raise TarParseError, not a raw
+    UnicodeDecodeError."""
+    from history_collector_spark.sources.tarball import (
+        TarParseError,
+        parse_tar,
+        write_tar,
+    )
+
+    tar = bytearray(write_tar([("a.txt", b"hi")]))
+    tar[0:4] = b"\xff\xfe\x80\x81"
+    hdr = tar[0:512]
+    hdr[148:156] = b" " * 8
+    chk = sum(hdr)
+    hdr[148:156] = (b"%06o" % chk) + b"\x00 "
+    tar[0:512] = hdr
+    with pytest.raises(TarParseError):
+        parse_tar(bytes(tar))
+
+
+def test_html_extractor_fuzz():
+    """The HTML extractor is TOTAL — on any mutated page it must return
+    a 4-tuple, never raise (crawl payloads are adversarial; an
+    exception kills the task instead of yielding a row)."""
+    from history_collector_spark.functions.html_extract import (
+        extract_main_text,
+    )
+    from history_collector_spark.queries.corpus_html import render_page
+
+    page = render_page(7, "srcX", "key agg row scan slow fast " * 20)
+    blob = page.encode()
+    rng = np.random.default_rng(0xC0FFEE)
+    for mutant in _mutations(blob, rng, 400):
+        title, text, n_content, n_boiler = extract_main_text(
+            mutant.decode("utf-8", "replace")
+        )
+        assert isinstance(title, str) and isinstance(text, str)
+        assert n_content >= 0 and n_boiler >= 0

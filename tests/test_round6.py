@@ -588,11 +588,16 @@ def test_driver_window_rotated_since_last_round():
     import json
     import os
 
+    import re
+
     paths = sorted(
         glob.glob(
             os.path.join(os.path.dirname(__file__), "..",
                          "CORRECTNESS_r*.json")
-        )
+        ),
+        # NUMERIC round key: lexicographic sort puts r10 before r9,
+        # silently pinning the guard to a stale round from round 10 on
+        key=lambda p: int(re.search(r"_r(\d+)", os.path.basename(p)).group(1)),
     )
     assert paths, "no recorded driver samples found"
     last = set(json.load(open(paths[-1])))
