@@ -806,10 +806,14 @@ def decode_image(data: bytes):
         from history_collector_spark.functions.jpeg import decode_jpeg
 
         return decode_jpeg(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        from history_collector_spark.functions.webp import decode_webp
+
+        return decode_webp(data)[:, :, :3].copy()  # RGBA -> drop alpha
     raise NotImplementedError(
         f"no codec for magic {data[:4]!r}; BMP (24-bit), PPM, PNG "
-        "(8-bit), GIF, and baseline JPEG are built in, other formats "
-        "plug in here"
+        "(8-bit), GIF, WebP (VP8L), and baseline JPEG are built in, "
+        "other formats plug in here"
     )
 
 
@@ -1208,6 +1212,103 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _webp_roundtrip_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from history_collector_spark.functions.webp import (
+        decode_webp,
+        encode_webp_vp8l,
+    )
+
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            w, h = 2 + d % 6, 1 + d % 4
+            yy, xx, cc = np.meshgrid(
+                np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+            )
+            px = ((d * 17 + yy * 11 + xx * 5 + cc * 2) % 256).astype(np.uint8)
+            # rotate the STREAM SHAPE per doc so every driver run
+            # exercises all three encoder paths against ONE oracle:
+            # 0 -> plain literals, 1 -> subtract-green transform,
+            # 2 -> RGBA input (alpha = 255 everywhere, so the pixel
+            #      formula is unchanged; exercises the alpha plane)
+            variant = d % 3
+            if variant == 2:
+                rgba = np.concatenate(
+                    [px, np.full((h, w, 1), 255, np.uint8)], axis=2
+                )
+                blob = encode_webp_vp8l(rgba)
+            else:
+                blob = encode_webp_vp8l(px, subtract_green=variant == 1)
+            meta = decode_blob(blob)  # REAL decode: magic-sniffed path
+            back = decode_webp(blob)
+            ok = (
+                np.array_equal(back[:, :, :3], px)
+                and (back[:, :, 3] == 255).all()
+            )
+            rows.append(
+                (
+                    d,
+                    meta["width"],
+                    meta["height"],
+                    int(back[:, :, :3].astype(np.int64).sum()),
+                    meta["decode_status"] if ok else "pixel_mismatch",
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "width", "height", "pixel_sum", "decode_status"],
+        )
+
+
+@register(
+    "multimodal_decode_webp",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 2 + doc_id % 6 AS w, 1 + doc_id % 4 AS h
+      FROM documents WHERE doc_id % 13 = 0
+    )
+    SELECT d.doc_id,
+           CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+           CAST(sum((d.doc_id * 17 + y.y * 11 + x.x * 5 + c.c * 2) % 256)
+                AS BIGINT) AS pixel_sum,
+           'ok' AS decode_status
+    FROM dims d, range(0, 4) y(y), range(0, 7) x(x), range(0, 3) c(c)
+    WHERE y.y < d.h AND x.x < d.w
+    GROUP BY d.doc_id, d.w, d.h
+    """,
+)
+def multimodal_decode_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode-then-decode REAL lossless WebP (from-scratch VP8L codec,
+    functions/webp.py: RIFF framing, LSB-first bitstream, canonical
+    prefix codes, per-doc rotating plain / subtract-green / RGBA
+    stream shapes) for a sampled doc set, verifying pixel-for-pixel
+    inside the kernel; the oracle recomputes dimensions and the exact
+    pixel sum from the generator formula. Any bit-order, canonical-
+    code, or transform-inverse bug breaks pixel_sum or flips
+    decode_status and fails the driver gate. The LZ77 / color-cache /
+    meta-code / predictor / palette DECODE paths (which this literal-
+    only encoder never emits) are pinned by hand-built bitstreams in
+    tests/test_round10_waves.py.
+
+    Scale shape: pure map over the sampled ids through the Arrow path;
+    per-row work bounded by the tiny synthetic dims (max 4x7)."""
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 13 == 0)
+        .select("doc_id")
+    )
+    return docs.mapInPandas(
+        _webp_roundtrip_batches,
+        schema=(
+            "doc_id bigint, width int, height int, "
+            "pixel_sum bigint, decode_status string"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Decode-yield scorecard: per-format success/failure counts over a mixed
 # asset corpus — the observability a real crawl's decode stage needs
@@ -1222,7 +1323,7 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _YIELD_FORMATS = (
     "bmp", "ppm", "png", "jpeg", "png_truncated", "webp", "gif",
-    "jpeg_cmyk",
+    "jpeg_cmyk", "webp_lossy",
 )
 
 
@@ -1238,7 +1339,9 @@ def _yield_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rows = []
         for doc_id in pdf["doc_id"]:
             d = int(doc_id)
-            v = d % len(_YIELD_FORMATS)
+            # sampled ids are multiples of 3, so index by d//3 (d % 9
+            # would only ever hit formats 0/3/6 — gcd(3, 9) = 3)
+            v = (d // 3) % len(_YIELD_FORMATS)
             fmt = _YIELD_FORMATS[v]
             w, h = 2 + d % 6, 1 + d % 4
             yy, xx, cc = np.meshgrid(
@@ -1258,8 +1361,18 @@ def _yield_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             elif fmt == "png_truncated":
                 whole = encode_png(px)
                 blob = whole[: len(whole) // 2]
-            elif fmt == "webp":  # no codec plugged: NotImplementedError
-                blob = b"RIFF\x24\x00\x00\x00WEBPVP8 " + bytes(16)
+            elif fmt == "webp":  # VP8L lossless, alternating subtract-green
+                from history_collector_spark.functions.webp import (
+                    encode_webp_vp8l,
+                )
+
+                blob = encode_webp_vp8l(px, subtract_green=bool(d % 2))
+            elif fmt == "webp_lossy":  # VP8 (lossy): unplugged by design
+                blob = (
+                    b"RIFF\x1c\x00\x00\x00WEBPVP8 "
+                    + (16).to_bytes(4, "little")
+                    + bytes(16)
+                )
             elif fmt == "gif":
                 blob = encode_gif(px)
             else:  # jpeg_cmyk: Adobe 4-component, transform 0
@@ -1283,27 +1396,27 @@ def _yield_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     "multimodal_decode_yield",
     oracle="""
     WITH s AS (
-      SELECT doc_id, doc_id % 8 AS v,
+      SELECT doc_id, (doc_id // 3) % 9 AS v,
              2 + doc_id % 6 AS w, 1 + doc_id % 4 AS h
       FROM documents WHERE doc_id % 3 = 0
     )
     SELECT CASE v WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' WHEN 2 THEN 'png'
                   WHEN 3 THEN 'jpeg' WHEN 4 THEN 'png_truncated'
                   WHEN 5 THEN 'webp' WHEN 6 THEN 'gif'
-                  ELSE 'jpeg_cmyk' END AS format,
+                  WHEN 7 THEN 'jpeg_cmyk' ELSE 'webp_lossy' END AS format,
            CASE WHEN v = 4 THEN 'error: ImageDecodeError'
-                WHEN v = 5 THEN 'error: NotImplementedError'
+                WHEN v = 8 THEN 'error: NotImplementedError'
                 ELSE 'ok' END AS decode_status,
            CAST(count(*) AS BIGINT) AS n_assets,
-           CAST(sum(CASE WHEN v IN (4, 5) THEN 0 ELSE w * h END)
+           CAST(sum(CASE WHEN v IN (4, 8) THEN 0 ELSE w * h END)
                 AS BIGINT) AS total_pixels
     FROM s GROUP BY 1, 2
     """,
 )
 def multimodal_decode_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-format decode yield over an eight-format synthetic asset
-    mix (BMP/PPM/PNG/JPEG/GIF/Adobe-CMYK ok-paths, a truncated PNG,
-    an unplugged WEBP):
+    """Per-format decode yield over a nine-format synthetic asset
+    mix (BMP/PPM/PNG/JPEG/GIF/Adobe-CMYK/VP8L-WebP ok-paths, a
+    truncated PNG, an unplugged lossy-VP8 WebP):
     REAL decodes through the magic dispatcher, aggregated to (format,
     status, count, decoded pixels). The oracle predicts each cell
     closed-form from the generator arithmetic — a wrong-way failure

@@ -216,7 +216,10 @@ PRIORITY_QUERIES = (
     "text_bleu_corpus",
     "benford_first_digit",
     "dedup_minhash_lsh",
-    "multimodal_audio_vad_segments",
+    # round-10 build: the from-scratch VP8L WebP roundtrip takes the
+    # VAD seat (audio keeps the mel-energies seat; vad stays locally
+    # oracle-verified every run)
+    "multimodal_decode_webp",
     "tokenizer_wordpiece_greedy",
     "tokenizer_unigram_viterbi",
     "streaming_ann_probe_e2e",

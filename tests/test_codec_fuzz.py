@@ -87,7 +87,15 @@ _IMAGE_FIXTURES = {
     "jpeg_cmyk": lambda: encode_jpeg_cmyk(
         np.dstack([_RGB, np.full((4, 6, 1), 200, np.uint8)])
     ),
+    "webp": lambda: _encode_webp(_RGB),
+    "webp_sg": lambda: _encode_webp(_RGB, subtract_green=True),
 }
+
+
+def _encode_webp(px, **kw):
+    from history_collector_spark.functions.webp import encode_webp_vp8l
+
+    return encode_webp_vp8l(px, **kw)
 
 # the contract: these (and only these) may escape a decode attempt
 _ALLOWED_IMG = (ImageDecodeError, NotImplementedError)

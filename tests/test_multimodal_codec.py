@@ -118,8 +118,24 @@ def test_decode_blob_real_mode_metadata():
     }
     with pytest.raises(JpegDecodeError):
         decode_blob(b"\xff\xd8\xff\xe0JFIF")  # truncated JPEG
+    # WebP is plugged since round 10 (VP8L lossless): a lossless
+    # payload decodes for real, the lossy VP8 half stays a plug point,
+    # and a RIFF-framed payload with garbage lengths is a decode error
+    from history_collector_spark.functions.webp import encode_webp_vp8l
+
+    wm = decode_blob(encode_webp_vp8l(np.full((2, 3, 3), 9, np.uint8)))
+    assert wm == {
+        "width": 3, "height": 2, "n_frames": 1, "decode_status": "ok"
+    }
     with pytest.raises(NotImplementedError):
-        decode_blob(b"RIFF....WEBP")  # still-unplugged format
+        decode_blob(
+            b"RIFF\x1c\x00\x00\x00WEBPVP8 "
+            + (16).to_bytes(4, "little") + bytes(16)
+        )  # lossy VP8: still-unplugged format
+    with pytest.raises(ImageDecodeError):
+        decode_blob(b"RIFF....WEBP")  # corrupt RIFF framing
+    with pytest.raises(NotImplementedError):
+        decode_blob(b"II*\x00tiff?")  # still-unplugged format (TIFF)
 
 
 def test_real_decode_through_mapinpandas_kernel(spark):

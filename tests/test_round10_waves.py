@@ -200,3 +200,356 @@ def test_corpus_html_extract_plan_is_map_only(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     plan = plan.split("== Initial Plan ==")[0]
     assert "Exchange" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# WebP VP8L codec — decode-only paths exercised via hand-built
+# bitstreams (no reference WebP implementation exists in this
+# environment; the encoder never emits LZ77/cache/meta/predictor, so
+# these streams are constructed bit-by-bit from the spec).
+# ---------------------------------------------------------------------------
+
+
+def _vp8l_wrap(payload_bits) -> bytes:
+    payload = b"\x2f" + payload_bits.tobytes()
+    chunk = b"VP8L" + len(payload).to_bytes(4, "little") + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    riff = b"WEBP" + chunk
+    return b"RIFF" + len(riff).to_bytes(4, "little") + riff
+
+
+def _vp8l_header(bw, w, h):
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)  # alpha hint
+    bw.write(0, 3)  # version
+
+
+def _literal_codes(bw, greens, reds, blues, alphas, cache_bits=0,
+                   lengths=(), dists=()):
+    """Write the 5 prefix codes covering the given symbol sets and
+    return them for emitting."""
+    from history_collector_spark.functions import webp as W
+
+    galpha = 256 + 24 + ((1 << cache_bits) if cache_bits else 0)
+    gsyms = sorted(set(greens) | {256 + l for l in lengths})
+    def lens(syms):
+        syms = list(syms)
+        return {syms[0]: 1} if len(syms) == 1 else W._huffman_lengths(
+            {s: 1 for s in syms}
+        )
+    g = W._write_prefix_code(bw, lens(gsyms), galpha)
+    r = W._write_prefix_code(bw, lens(sorted(set(reds))), 256)
+    b = W._write_prefix_code(bw, lens(sorted(set(blues))), 256)
+    a = W._write_prefix_code(bw, lens(sorted(set(alphas))), 256)
+    d = W._write_prefix_code(
+        bw, lens(sorted(set(dists) or {0})), 40
+    )
+    return g, r, b, a, d
+
+
+def _emit_literal(bw, codes, argb):
+    from history_collector_spark.functions import webp as W
+
+    g, r, b, a, _ = codes
+    W._write_symbol(bw, g, (argb >> 8) & 0xFF)
+    W._write_symbol(bw, r, (argb >> 16) & 0xFF)
+    W._write_symbol(bw, b, argb & 0xFF)
+    W._write_symbol(bw, a, (argb >> 24) & 0xFF)
+
+
+def test_vp8l_lz77_backref_row_copy():
+    """length-4 backref at distance code 1 ((0,1) => one row up)."""
+    import numpy as np
+
+    from history_collector_spark.functions import webp as W
+
+    row = [0xFF102030, 0xFF112131, 0xFF122232, 0xFF132333]
+    bw = W._BitWriter()
+    _vp8l_header(bw, 4, 2)
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no cache
+    bw.write(0, 1)  # no meta
+    codes = _literal_codes(
+        bw,
+        greens=[(p >> 8) & 0xFF for p in row],
+        reds=[(p >> 16) & 0xFF for p in row],
+        blues=[p & 0xFF for p in row],
+        alphas=[0xFF],
+        lengths=[3],  # length prefix 3 => value 4
+        dists=[0],  # distance prefix 0 => value 1 => map (0,1)
+    )
+    for p in row:
+        _emit_literal(bw, codes, p)
+    W._write_symbol(bw, codes[0], 256 + 3)  # length 4
+    W._write_symbol(bw, codes[4], 0)  # dist code 1
+    out = W.decode_webp(_vp8l_wrap(bw))
+    top = out[0].astype(np.uint32)
+    assert (out[1] == out[0]).all()
+    got = [
+        (0xFF000000 | (int(r) << 16) | (int(g) << 8) | int(b))
+        for r, g, b, _ in top
+    ]
+    assert got == row
+
+
+def test_vp8l_color_cache_hit():
+    from history_collector_spark.functions import webp as W
+
+    A, B = 0xFF0A141E, 0xFF303132
+    cache_bits = 4
+    idx = ((0x1E35A7BD * A) & 0xFFFFFFFF) >> (32 - cache_bits)
+    bw = W._BitWriter()
+    _vp8l_header(bw, 3, 1)
+    bw.write(0, 1)  # no transforms
+    bw.write(1, 1)  # cache present
+    bw.write(cache_bits, 4)
+    bw.write(0, 1)  # no meta
+    cache_sym = 256 + 24 + idx
+    from history_collector_spark.functions.webp import (
+        _huffman_lengths,
+        _write_prefix_code,
+    )
+
+    galpha = 256 + 24 + (1 << cache_bits)
+    gsyms = sorted({(A >> 8) & 0xFF, (B >> 8) & 0xFF, cache_sym})
+    g = _write_prefix_code(bw, _huffman_lengths({s: 1 for s in gsyms}), galpha)
+    r = _write_prefix_code(
+        bw, _huffman_lengths({(A >> 16) & 0xFF: 1, (B >> 16) & 0xFF: 1}), 256
+    )
+    b = _write_prefix_code(
+        bw, _huffman_lengths({A & 0xFF: 1, B & 0xFF: 1}), 256
+    )
+    a = _write_prefix_code(bw, {0xFF: 1}, 256)
+    _write_prefix_code(bw, {0: 1}, 40)
+    codes = (g, r, b, a, None)
+    _emit_literal(bw, codes, A)
+    _emit_literal(bw, codes, B)
+    W._write_symbol(bw, g, cache_sym)
+    out = W.decode_webp(_vp8l_wrap(bw))
+    px = [
+        0xFF000000 | (int(p[0]) << 16) | (int(p[1]) << 8) | int(p[2])
+        for p in out[0]
+    ]
+    assert px == [A, B, A]
+
+
+def test_vp8l_predictor_transform_mode_left():
+    """2x2 image, predictor mode 1 (L) for the interior pixel; border
+    pixels use the spec's implicit black/L/T predictors."""
+    from history_collector_spark.functions import webp as W
+
+    bw = W._BitWriter()
+    _vp8l_header(bw, 2, 2)
+    bw.write(1, 1)  # transform present
+    bw.write(W._PREDICTOR_TRANSFORM, 2)
+    bw.write(2, 3)  # bits = 2+2 = 4 => one 16x16 block
+    # predictor sub-image: 1x1, mode 1 in green channel
+    bw.write(0, 1)  # no cache (sub-image)
+    codes = _literal_codes(bw, greens=[1], reds=[0], blues=[0], alphas=[0])
+    _emit_literal(bw, codes, 0x00000100)
+    bw.write(0, 1)  # no more transforms
+    bw.write(0, 1)  # no cache (main)
+    bw.write(0, 1)  # no meta
+    # target image:
+    #  (0,0)=alpha-black + residual; want ARGB FF404040
+    #  residual(0,0) = want - 0xFF000000 per channel = 00404040
+    #  (0,1): pred = L = FF404040, want FF505050 -> res 00101010
+    #  (1,0): pred = T = FF404040, want FF606060 -> res 00202020
+    #  (1,1): pred = L = FF606060 (mode 1), want FF707070 -> res 00101010
+    residuals = [0x00404040, 0x00101010, 0x00202020, 0x00101010]
+    codes = _literal_codes(
+        bw,
+        greens=[(p >> 8) & 0xFF for p in residuals],
+        reds=[(p >> 16) & 0xFF for p in residuals],
+        blues=[p & 0xFF for p in residuals],
+        alphas=[0],
+    )
+    for p in residuals:
+        _emit_literal(bw, codes, p)
+    out = W.decode_webp(_vp8l_wrap(bw))
+    got = [
+        (int(a) << 24) | (int(r) << 16) | (int(g) << 8) | int(b)
+        for row in out
+        for r, g, b, a in row.tolist()
+    ]
+    assert got == [0xFF404040, 0xFF505050, 0xFF606060, 0xFF707070]
+
+
+def test_vp8l_color_transform_deltas():
+    from history_collector_spark.functions import webp as W
+
+    g2r, g2b, r2b = 0x10, 0xF0, 0x08  # 16, -16, 8 as int8
+    # multipliers in the low three channels: g2r=blue, g2b=green, r2b=red
+    ct_pixel = (r2b << 16) | (g2b << 8) | g2r
+    bw = W._BitWriter()
+    _vp8l_header(bw, 1, 1)
+    bw.write(1, 1)
+    bw.write(W._COLOR_TRANSFORM, 2)
+    bw.write(2, 3)  # bits = 4
+    bw.write(0, 1)  # sub-image: no cache
+    codes = _literal_codes(
+        bw, greens=[g2b], reds=[r2b], blues=[g2r], alphas=[0]
+    )
+    _emit_literal(bw, codes, ct_pixel)
+    bw.write(0, 1)  # no more transforms
+    bw.write(0, 1)
+    bw.write(0, 1)
+    stored = 0xFF204060  # a=FF r=20 g=40 b=60 (residual space)
+    codes = _literal_codes(bw, greens=[0x40], reds=[0x20], blues=[0x60],
+                           alphas=[0xFF])
+    _emit_literal(bw, codes, stored)
+    out = W.decode_webp(_vp8l_wrap(bw))
+    green = 0x40
+    red = (0x20 + W._ct_delta(g2r, green)) & 0xFF
+    blue = (0x60 + W._ct_delta(g2b, green) + W._ct_delta(r2b, red)) & 0xFF
+    assert out[0, 0].tolist() == [red, green, blue, 0xFF]
+
+
+def test_vp8l_palette_with_bundling():
+    """3-color palette => width_bits 2 (four 2-bit indices share one
+    packed green byte)."""
+    from history_collector_spark.functions import webp as W
+
+    palette = [0xFF111111, 0xFF222222, 0xFF333333]
+    indices = [0, 1, 2, 1, 0, 2]  # 6x1 image
+    bw = W._BitWriter()
+    _vp8l_header(bw, 6, 1)
+    bw.write(1, 1)
+    bw.write(W._COLOR_INDEXING, 2)
+    bw.write(len(palette) - 1, 8)
+    # palette sub-image: delta-coded entries
+    deltas = []
+    prev = 0
+    for p in palette:
+        deltas.append(
+            tuple(((p >> s) - (prev >> s)) & 0xFF for s in (24, 16, 8, 0))
+        )
+        prev = p
+    bw.write(0, 1)  # no cache
+    codes = _literal_codes(
+        bw,
+        greens=[d[2] for d in deltas],
+        reds=[d[1] for d in deltas],
+        blues=[d[3] for d in deltas],
+        alphas=[d[0] for d in deltas],
+    )
+    for d in deltas:
+        _emit_literal(bw, codes, (d[0] << 24) | (d[1] << 16) | (d[2] << 8) | d[3])
+    bw.write(0, 1)  # no more transforms
+    bw.write(0, 1)  # no cache (main)
+    bw.write(0, 1)  # no meta
+    # packed width = ceil(6/4) = 2; greens pack 4 indices LSB-first
+    packed = [
+        indices[0] | indices[1] << 2 | indices[2] << 4 | indices[3] << 6,
+        indices[4] | indices[5] << 2,
+    ]
+    codes = _literal_codes(bw, greens=packed, reds=[0], blues=[0], alphas=[0])
+    for g in packed:
+        _emit_literal(bw, codes, g << 8)
+    out = W.decode_webp(_vp8l_wrap(bw))
+    got = [
+        (int(a) << 24) | (int(r) << 16) | (int(g) << 8) | int(b)
+        for r, g, b, a in out[0].tolist()
+    ]
+    assert got == [palette[i] for i in indices]
+
+
+def test_vp8l_meta_prefix_codes():
+    """8x1 image, meta_bits=2 => two horizontal code groups with
+    different (degenerate single-symbol) literal codes."""
+    from history_collector_spark.functions import webp as W
+
+    bw = W._BitWriter()
+    _vp8l_header(bw, 8, 1)
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no cache
+    bw.write(1, 1)  # meta present
+    bw.write(0, 3)  # meta_bits = 2 => huffman image 2x1
+    # huffman image (entropy, no meta): pixels' (red<<8|green) = 0, 1
+    bw.write(0, 1)  # no cache in huffman image
+    codes = _literal_codes(bw, greens=[0, 1], reds=[0], blues=[0], alphas=[0])
+    _emit_literal(bw, codes, 0x00000000)
+    _emit_literal(bw, codes, 0x00000100)
+    # group 0: constant red 0xAA; group 1: constant red 0xBB
+    for red in (0xAA, 0xBB):
+        _literal_codes(bw, greens=[5], reds=[red], blues=[7], alphas=[0xFF])
+    # all symbols are single-symbol codes: zero data bits needed
+    out = W.decode_webp(_vp8l_wrap(bw))
+    reds = [int(p[0]) for p in out[0]]
+    assert reds == [0xAA] * 4 + [0xBB] * 4
+    assert [int(p[1]) for p in out[0]] == [5] * 8
+
+
+def test_webp_roundtrip_matrix():
+    """Pixel-exact encode->decode across shapes, channel counts, and
+    the subtract-green transform."""
+    import numpy as np
+
+    from history_collector_spark.functions.webp import (
+        decode_webp,
+        encode_webp_vp8l,
+    )
+
+    rng = np.random.default_rng(7)
+    for shape in [(1, 1, 3), (4, 6, 3), (3, 5, 4), (8, 8, 3), (2, 17, 3)]:
+        for sg in (False, True):
+            px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+            out = decode_webp(encode_webp_vp8l(px, subtract_green=sg))
+            want = (
+                px
+                if shape[2] == 4
+                else np.dstack(
+                    [px, np.full(shape[:2] + (1,), 255, np.uint8)]
+                )
+            )
+            assert (out == want).all(), (shape, sg)
+    # constant image: the degenerate single-symbol code path
+    px = np.full((5, 7, 3), 42, np.uint8)
+    assert (decode_webp(encode_webp_vp8l(px))[:, :, :3] == px).all()
+
+
+def test_webp_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import numpy as np
+
+    from history_collector_spark.functions.webp import (
+        decode_webp,
+        encode_webp_vp8l,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=9),
+        st.integers(min_value=1, max_value=9),
+        st.integers(min_value=3, max_value=4),
+        st.booleans(),
+        st.integers(min_value=0, max_value=2**32 - 1),
+    )
+    def check(w, h, ch, sg, seed):
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+        out = decode_webp(encode_webp_vp8l(px, subtract_green=sg))
+        assert out.shape == (h, w, 4)
+        assert (out[:, :, :ch] == px).all()
+        if ch == 3:
+            assert (out[:, :, 3] == 255).all()
+
+    check()
+
+
+def test_webp_lossy_and_extended_are_plug_points():
+    import pytest
+
+    from history_collector_spark.functions.webp import decode_webp
+
+    for tag in (b"VP8 ", b"VP8X"):
+        blob = (
+            b"RIFF\x1c\x00\x00\x00WEBP" + tag
+            + (16).to_bytes(4, "little") + bytes(16)
+        )
+        with pytest.raises(NotImplementedError):
+            decode_webp(blob)
