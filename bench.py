@@ -201,6 +201,42 @@ def main() -> None:
 
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_FULL.json")
+    # canary-to-canary drift vs the PREVIOUS committed run: the file on
+    # disk before this overwrite is last round's record (measured under
+    # identical fresh-JVM conditions), so the comparison is the stable
+    # cross-round denominator the suite total cannot be (suite growth
+    # confounds it). Queries drifting >10% either way are named.
+    drift: dict = {}
+    try:
+        with open(full_path) as fh:
+            prev = json.load(fh)
+        prev_canary = prev.get("canary") or {}
+        if prev.get("sf") == sf and prev_canary:
+            flagged = {}
+            for name, now in canary.items():
+                was = prev_canary.get(name)
+                if now is None or was is None or was <= 0:
+                    continue
+                pct = (now - was) / was * 100.0
+                if abs(pct) > 10.0:
+                    flagged[name] = {
+                        "prev_sec": was,
+                        "now_sec": now,
+                        "pct": round(pct, 1),
+                    }
+            prev_total = prev.get("canary_total_sec")
+            drift = {
+                "prev_canary_total_sec": prev_total,
+                "total_pct": round(
+                    (canary_total - prev_total) / prev_total * 100.0, 1
+                )
+                if prev_total
+                else None,
+                "flagged_over_10pct": flagged,
+            }
+    except (OSError, ValueError):
+        pass
+
     with open(full_path, "w") as fh:
         json.dump(
             {
@@ -210,6 +246,7 @@ def main() -> None:
                 "queries": times,
                 "canary": canary,
                 "canary_total_sec": round(canary_total, 4),
+                "canary_drift": drift,
                 "sf": sf,
                 "n_queries": len(times),
             },

@@ -524,54 +524,111 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Embedding-cosine near-dup pairs: brute-force baseline. Each Arrow
-# batch of the probe side BLAS-matmuls against a broadcast float64
-# matrix of the whole (small) build side — the broadcast-join shape,
-# with numpy doing the 64-dim dot products instead of 128M interpreted
-# expression evaluations. The LSH/IVF queries are the 100 TB path.
+# Embedding-cosine near-dup audit. The registered form is LINEAR BY
+# CONSTRUCTION (round-10 verdict item 5): a deterministic ~fixed-size
+# md5-uniform sample of QUERY vectors — threshold target/n adapts to
+# the corpus count, so sampled-query work stays ~constant while the
+# broadcast corpus side grows linearly — scored against the FULL
+# corpus with one BLAS matmul per Arrow chunk. The exact all-pairs
+# brute force (previously the registered default; measured x14.8 on
+# x10 data at the scale probe) survives behind exhaustive=True for
+# callers who opt into quadratic cost. The LSH/IVF queries remain the
+# 100 TB pair-generation path.
 # ---------------------------------------------------------------------------
 
 COSINE_MAX_BUILD_ROWS = 1_000_000  # ~0.5 GB of float64 at dim 64
+_COSINE_SAMPLE_TARGET = 256.0  # expected sampled query rows, any sf
 
 
 @register(
     "dedup_embedding_cosine",
-    oracle="""
+    oracle=f"""
     WITH e AS (
       SELECT vec_id, embedding,
              sqrt(list_sum(list_transform(embedding,
                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
       FROM embeddings
+    ),
+    n AS (SELECT count(*) AS n FROM embeddings),
+    q AS (
+      SELECT e.* FROM e, n
+      WHERE (CAST(concat('0x', substr(md5(CAST(e.vec_id AS VARCHAR)),
+              1, 8)) AS BIGINT) + 1) / 4294967297.0
+            < {_COSINE_SAMPLE_TARGET} / n.n
     )
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    SELECT q.vec_id AS query_id, b.vec_id AS corpus_id,
            list_sum(list_transform(range(1, 65),
-             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-             / (a.nrm * b.nrm) AS cos_sim
-    FROM e a JOIN e b ON a.vec_id < b.vec_id
+             i -> CAST(q.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+             / (q.nrm * b.nrm) AS cos_sim
+    FROM q JOIN e b ON b.vec_id != q.vec_id
     WHERE list_sum(list_transform(range(1, 65),
-            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-            / (a.nrm * b.nrm) >= 0.3
+            i -> CAST(q.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+            / (q.nrm * b.nrm) >= 0.3
     """,
 )
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_embedding_cosine(
+    spark: SparkSession, sf_dir: str, exhaustive: bool = False
+) -> DataFrame:
+    """Bounded-sample cosine near-dup audit (default) or the exact
+    all-pairs brute force (exhaustive=True, opt-in; quadratic).
+
+    Scale shape (default): the sampled-query side holds ~256 rows at
+    ANY sf (adaptive md5-uniform threshold), so total work is one
+    O(sample x corpus) matmul pass — linear in the corpus; the corpus
+    matrix rides a broadcast bounded by COSINE_MAX_BUILD_ROWS with a
+    refusal pointing at the bucketed ANN path."""
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
     # build side: one driver-collected matrix, broadcast to executors —
-    # exactly what a broadcast hash join does with its build side. This
-    # is the labeled exactness BASELINE: refuse to collect an unbounded
-    # corpus onto the driver — the scale path is similarity.ann_lsh_topk.
+    # exactly what a broadcast hash join does with its build side.
+    # Refuse to collect an unbounded corpus onto the driver — the scale
+    # path is similarity.ann_lsh_topk.
     n_build = emb.count()
     if n_build > COSINE_MAX_BUILD_ROWS:
         raise ValueError(
-            f"dedup_embedding_cosine is the brute-force baseline; build side "
-            f"has {n_build} rows (> {COSINE_MAX_BUILD_ROWS}). Use the bucketed "
-            f"ANN path (ann_lsh_topk / ann_ivf_topk) at this scale."
+            f"dedup_embedding_cosine: build side has {n_build} rows "
+            f"(> {COSINE_MAX_BUILD_ROWS}). Use the bucketed ANN path "
+            f"(ann_lsh_topk / ann_ivf_topk) at this scale."
         )
     build = emb.toPandas()
     b_ids = build["vec_id"].to_numpy()
     b_mat = np.stack(build["embedding"].to_numpy()).astype(np.float64)
     b_nrm = np.sqrt((b_mat * b_mat).sum(axis=1))
     bc = spark.sparkContext.broadcast((b_ids, b_mat, b_nrm))
+
+    if exhaustive:
+        # all-pairs baseline: every row probes, each unordered pair
+        # emitted once via id_a < id_b
+        def score_all(batches):
+            ids_b, mat_b, nrm_b = bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                a_mat = np.stack(
+                    pdf["embedding"].to_numpy()
+                ).astype(np.float64)
+                a_ids = pdf["vec_id"].to_numpy()
+                a_nrm = np.sqrt((a_mat * a_mat).sum(axis=1))
+                sims = (a_mat @ mat_b.T) / np.outer(a_nrm, nrm_b)
+                keep = (a_ids[:, None] < ids_b[None, :]) & (sims >= 0.3)
+                r, c = np.nonzero(keep)
+                yield pd.DataFrame(
+                    {
+                        "id_a": a_ids[r],
+                        "id_b": ids_b[c],
+                        "cos_sim": sims[r, c],
+                    }
+                )
+
+        return emb.mapInPandas(
+            score_all, schema="id_a bigint, id_b bigint, cos_sim double"
+        )
+
+    h = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    u = (h + F.lit(1)) / F.lit(4294967297.0)
+    probe = emb.filter(u < F.lit(_COSINE_SAMPLE_TARGET / n_build))
 
     def score(batches):
         ids_b, mat_b, nrm_b = bc.value
@@ -582,14 +639,18 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             a_ids = pdf["vec_id"].to_numpy()
             a_nrm = np.sqrt((a_mat * a_mat).sum(axis=1))
             sims = (a_mat @ mat_b.T) / np.outer(a_nrm, nrm_b)
-            keep = (a_ids[:, None] < ids_b[None, :]) & (sims >= 0.3)
+            keep = (a_ids[:, None] != ids_b[None, :]) & (sims >= 0.3)
             r, c = np.nonzero(keep)
             yield pd.DataFrame(
-                {"id_a": a_ids[r], "id_b": ids_b[c], "cos_sim": sims[r, c]}
+                {
+                    "query_id": a_ids[r],
+                    "corpus_id": ids_b[c],
+                    "cos_sim": sims[r, c],
+                }
             )
 
-    return emb.mapInPandas(
-        score, schema="id_a bigint, id_b bigint, cos_sim double"
+    return probe.mapInPandas(
+        score, schema="query_id bigint, corpus_id bigint, cos_sim double"
     )
 
 

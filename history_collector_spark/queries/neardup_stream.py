@@ -32,7 +32,7 @@ Composition (each half scales independently):
    duplication) per bucket — the same growth law as the batch LSH
    collision table — and never holds text.
 
-The e2e query replays the odd-doc_id half of ``documents`` as 4
+The e2e query replays the odd-doc_id half of ``documents`` as _N_FILES
 micro-batches against a static index built from the even half, and the
 emitted pair set must equal the batch LSH pair table restricted to
 pairs touching an odd doc — proving the incremental composition loses
@@ -81,7 +81,13 @@ _A, _B = mh_consts(N_HASHES)
 _A_NP = np.array(_A, dtype=np.int64)[:, None]
 _B_NP = np.array(_B, dtype=np.int64)[:, None]
 
-_N_FILES = 4
+# 2 replay files = 2 micro-batches: still a genuine multi-batch stream
+# (in-flight state must carry pairs across a trigger boundary), but
+# half the fixed per-trigger cost — this query was the suite-slowest
+# at 12.86s/sf0.1 in round 9, ~all of it micro-batch scheduling (the
+# measured slope was x3.3, i.e. not data). The emitted pair set is
+# micro-batch-count-invariant (proven against the batch LSH oracle).
+_N_FILES = 2
 _SIG_SCHEMA = "doc_id bigint, band int, bucket string"
 
 _PAIR_OUT_SCHEMA = StructType(
@@ -245,9 +251,11 @@ def _doc_replay_dir(spark: SparkSession, sf_dir: str) -> str:
     return flat
 
 
-def _run_to_table(spark: SparkSession, out: DataFrame, prefix: str) -> DataFrame:
+def _run_to_table(
+    spark: SparkSession, out: DataFrame, prefix: str, n_state: int = 8
+) -> DataFrame:
     name = f"{prefix}_{uuid.uuid4().hex[:8]}"
-    with scoped_state_partitions(spark):
+    with scoped_state_partitions(spark, n_state):
         q = (
             out.writeStream.format("memory")
             .queryName(name)
@@ -308,7 +316,7 @@ _ORACLE = f"""
 
 @register("streaming_neardup_e2e", oracle=_ORACLE)
 def streaming_neardup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Odd docs stream in 4 micro-batches; each batch is LSH-signed
+    """Odd docs stream in _N_FILES micro-batches; each batch is LSH-signed
     map-side, probed against the static even-doc index (stream-static
     join), and checked against in-flight odd docs (bounded keyed bucket
     state). The union of both pair channels must equal the batch LSH
@@ -360,8 +368,18 @@ def streaming_neardup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # channel 2: in-stream collisions via keyed bucket state. Both
     # channels UNION into one streaming query, so the feed replays
-    # once (4 micro-batches, not 2x4) — the stateful subtree and the
+    # once (_N_FILES micro-batches, not 2x) — the stateful subtree and the
     # stream-static join coexist under a single availableNow run.
     both = probe.unionByName(track_bucket_pairs(sig_stream()))
-    merged = _run_to_table(spark, both, "ndpairs")
+    # state partitions = defaultParallelism: the keyed bucket tracker
+    # is a PYTHON stateful op (applyInPandasWithState), so each state
+    # partition is an Arrow round-trip through a worker — measured at
+    # sf0.1/local[32]: 4 parts 11.8s, 8 parts 7.4s, 32 parts 4.9s.
+    # More state tasks = more concurrent Python workers; the
+    # state-store init cost the JVM-side streams tune DOWN for is not
+    # the binding constraint here.
+    merged = _run_to_table(
+        spark, both, "ndpairs",
+        n_state=spark.sparkContext.defaultParallelism,
+    )
     return merged.distinct()

@@ -1222,25 +1222,33 @@ def ann_knn_graph_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LNK_K = 10
 _LNK_MAX_BUILD_ROWS = 1_000_000  # broadcast index bound, ~0.5 GB @ dim 64
+_LNK_SAMPLE_TARGET = 256.0  # expected sampled query rows, any sf
 
 
 @register(
     "label_noise_knn",
     oracle=f"""
     WITH {_EMB_NORM_SQL},
+    ncnt AS (SELECT count(*) AS n FROM embeddings),
+    qs AS (
+      SELECT emb.* FROM emb, ncnt
+      WHERE (CAST(concat('0x', substr(md5(CAST(emb.vec_id AS VARCHAR)),
+              1, 8)) AS BIGINT) + 1) / 4294967297.0
+            < {_LNK_SAMPLE_TARGET} / ncnt.n
+    ),
     nn AS (
       SELECT vec_id, qlab FROM (
         SELECT q.vec_id, q.label AS qlab, c.label AS clab,
                row_number() OVER (
                  PARTITION BY q.vec_id
                  ORDER BY {_COS_SQL} DESC, c.vec_id) AS rank
-        FROM emb q JOIN emb c ON q.vec_id != c.vec_id
+        FROM qs q JOIN emb c ON q.vec_id != c.vec_id
       ) WHERE rank <= {_LNK_K} AND clab = qlab
     ),
     agree AS (
       SELECT e.vec_id, e.label,
              CAST(coalesce(m.matches, 0) AS BIGINT) AS matches
-      FROM emb e LEFT JOIN (
+      FROM qs e LEFT JOIN (
         SELECT vec_id, count(*) AS matches FROM nn GROUP BY vec_id
       ) m ON e.vec_id = m.vec_id
     )
@@ -1254,22 +1262,31 @@ _LNK_MAX_BUILD_ROWS = 1_000_000  # broadcast index bound, ~0.5 GB @ dim 64
     FROM agree GROUP BY label
     """,
 )
-def label_noise_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label kNN agreement: n_vecs, total same-label neighbors in
-    each vector's global cosine top-10, the int/int mean agreement, and
-    how many vectors have a minority-label neighborhood (matches*2 < k
-    — likely mislabeled or boundary points).
+def label_noise_knn(
+    spark: SparkSession, sf_dir: str, exhaustive: bool = False
+) -> DataFrame:
+    """Per-label kNN agreement over a bounded query sample: n_vecs
+    (sampled), total same-label neighbors in each sampled vector's
+    global cosine top-10, the int/int mean agreement, and how many
+    sampled vectors have a minority-label neighborhood (matches*2 < k
+    — likely mislabeled or boundary points). exhaustive=True opts in
+    to auditing EVERY vector (the previous default; quadratic —
+    measured x21 on x10 data at the scale probe).
 
-    Scale shape: the index side (ids, labels, L2-normalized matrix) is
-    collected ONCE and broadcast — bounded by _LNK_MAX_BUILD_ROWS with
-    a refusal pointing at the IVF path (the ann_ivf_bucketed_probe
-    shape: quantize, then per-list kernels) — while the query side
-    streams through mapInPandas in Arrow batches, one BLAS matmul per
-    batch, so compute is partition-parallel and nothing corpus-sized
+    Scale shape (default): the query side is a deterministic
+    md5-uniform sample with an adaptive target/n threshold, so ~256
+    queries probe at ANY sf and total work is linear in the corpus.
+    The index side (ids, labels, L2-normalized matrix) is collected
+    ONCE and broadcast — bounded by _LNK_MAX_BUILD_ROWS with a refusal
+    pointing at the IVF path (the ann_ivf_bucketed_probe shape:
+    quantize, then per-list kernels) — while sampled queries stream
+    through mapInPandas in Arrow batches, one BLAS matmul per chunk,
+    so compute is partition-parallel and nothing corpus-sized
     shuffles. Ties at the k-th neighbor break by ascending vec_id
-    (np.lexsort mirrors the SQL (cos DESC, vec_id) ordering; duplicate
-    vectors produce bit-equal cosines in both engines). All outputs
-    integer except one int/int division — parity-EXACT."""
+    (the partition+cumsum form mirrors the SQL (cos DESC, vec_id)
+    ordering; duplicate vectors produce bit-equal cosines in both
+    engines). All outputs integer except one int/int division —
+    parity-EXACT."""
     import numpy as np
 
     emb = table(spark, sf_dir, "embeddings").select(
@@ -1293,6 +1310,15 @@ def label_noise_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     nrm = np.sqrt((X * X).sum(axis=1, keepdims=True))
     Xh = X / np.where(nrm == 0, 1, nrm)
     bc = spark.sparkContext.broadcast((ids, labs, Xh))
+
+    if not exhaustive:
+        h = F.conv(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        u = (h + F.lit(1)) / F.lit(4294967297.0)
+        emb = emb.filter(u < F.lit(_LNK_SAMPLE_TARGET / n_build))
 
     def score(batches):
         import pandas as pd

@@ -1,79 +1,323 @@
-"""Sketch aggregates — HyperLogLog++ distinct counts and quantile
-sketches over `events`.
+"""Sketch aggregates — HyperLogLog distinct counts and sampling-sketch
+quantiles over `events`.
 
 These are the approximate, mergeable, bounded-memory aggregates a
 100 TB rollup runs instead of exact distinct/percentile (exact distinct
 shuffles every distinct value; a sketch shuffles KBs per partition).
-Sketch values are implementation-specific, so there is NO DuckDB
-oracle (the driver records the weaker rows-only check) — instead
-tests/test_properties.py pins the relative error against the exact
-answers at test scale.
+
+Round-10 reformulation (verdict item 8): these two queries previously
+wrapped Spark's engine-native sketches (approx_count_distinct /
+percentile_approx / hll_sketch_agg), whose register layouts are
+implementation details no other engine can reproduce — so they carried
+only the weak rows-only driver check. They now run the repo's
+FROM-SCRATCH register math (the sketch_hll_estimate layout: 32-bit md5
+hash, bucket = low bits, rho = exact leading-zero rank via integer
+arithmetic) grouped per event_type, and a deterministic md5-Bernoulli
+sample with nearest-rank quantiles in place of the opaque KLL — every
+intermediate is closed-form, so both queries gained full DuckDB
+oracles while keeping the sketch contract (bounded memory, mergeable,
+estimate within theory error — still pinned by
+tests/test_properties.py against exact answers).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from history_collector_spark.catalog import table
 from history_collector_spark.functions.nlp import md5_hash32
 from history_collector_spark.registry import register
 
+# per-group register count: 1024 buckets puts the test-scale group
+# cardinalities (~10^2-10^4 distinct users) in the well-conditioned
+# linear-counting / raw-estimate range (std err ~1.04/sqrt(m) = 3.3%)
+_SKA_M = 1024
+_SKA_VBITS = 32 - 10  # value bits after the bucket split
+_SKA_ALPHA = 0.7213 / (1.0 + 1.079 / _SKA_M)  # alpha_m, HLL paper
+_SKA_SAMPLE = 0.25  # Bernoulli sampling-sketch rate for quantiles
 
-@register("sketch_aggregates")  # rows-only: sketch outputs are engine-specific
-def sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = table(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias(
-            "value_quantiles"
-        ),
-        F.count("*").alias("n_events"),
+_U_EVENT_SQL = (
+    "(CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) "
+    "AS BIGINT) + 1) / 4294967297.0"
+)
+
+
+def _hll_group_registers(ev: DataFrame, key: str) -> DataFrame:
+    """(key, user_id) rows -> (key, bucket, r) register maxes, the
+    from-scratch sketch_hll_estimate layout grouped by key."""
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    val = (h / _SKA_M).cast("long")
+    rho = F.when(val == 0, F.lit(_SKA_VBITS + 1)).otherwise(
+        F.lit(_SKA_VBITS) - (F.log2(val.cast("double")).cast("int") + 1) + 1
+    )
+    return (
+        ev.select(
+            F.col(key), (h % _SKA_M).alias("bucket"), rho.alias("rho")
+        )
+        .groupBy(key, "bucket")
+        .agg(F.max("rho").alias("r"))
     )
 
 
-@register("incremental_sketch_merge")  # rows-only: sketch bytes are engine-specific
+def _hll_estimate_cols(grouped: DataFrame, key: str) -> DataFrame:
+    """Register rows -> per-key HLL estimate with the linear-counting
+    small-range correction. Absent buckets count as r=0 without a grid
+    join: sum_inv += (m - present) and n_zero = m - present."""
+    agg = grouped.groupBy(key).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("sum_present"),
+        F.count("*").alias("n_present"),
+        F.sum((F.col("bucket") + 1) * F.col("r")).alias(
+            "register_checksum"
+        ),
+    )
+    sum_inv = F.col("sum_present") + (F.lit(_SKA_M) - F.col("n_present"))
+    n_zero = F.lit(_SKA_M) - F.col("n_present")
+    raw = F.lit(_SKA_ALPHA * _SKA_M * _SKA_M) / sum_inv
+    est = F.when(
+        (raw <= F.lit(2.5 * _SKA_M)) & (n_zero > 0),
+        F.lit(float(_SKA_M)) * F.log(F.lit(float(_SKA_M)) / n_zero),
+    ).otherwise(raw)
+    return agg.select(
+        F.col(key),
+        est.alias("estimate"),
+        F.col("register_checksum").cast("long").alias("register_checksum"),
+    )
+
+
+_HLL_GROUP_SQL = f"""
+    h AS (
+      SELECT event_type, ts,
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+               AS BIGINT) AS hv
+      FROM events
+    ),
+    rho AS (
+      SELECT event_type, ts, hv % {_SKA_M} AS bucket,
+             CASE WHEN hv // {_SKA_M} = 0 THEN {_SKA_VBITS + 1}
+                  ELSE {_SKA_VBITS} - length(bin(hv // {_SKA_M})) + 1
+             END AS r
+      FROM h
+    )
+"""
+
+
+def _hll_estimate_sql(regs_cte: str) -> str:
+    """SQL twin of _hll_estimate_cols over a (event_type, bucket, r)
+    CTE named ``regs_cte``."""
+    return f"""
+      SELECT event_type,
+             CASE WHEN ({_SKA_ALPHA * _SKA_M * _SKA_M})
+                       / (sum_present + ({_SKA_M} - n_present))
+                       <= {2.5 * _SKA_M}
+                   AND {_SKA_M} - n_present > 0
+                  THEN {float(_SKA_M)}
+                       * ln({float(_SKA_M)} / ({_SKA_M} - n_present))
+                  ELSE ({_SKA_ALPHA * _SKA_M * _SKA_M})
+                       / (sum_present + ({_SKA_M} - n_present))
+             END AS estimate,
+             CAST(register_checksum AS BIGINT) AS register_checksum
+      FROM (
+        SELECT event_type,
+               sum(power(2.0, -r)) AS sum_present,
+               count(*) AS n_present,
+               sum((bucket + 1) * r) AS register_checksum
+        FROM {regs_cte} GROUP BY event_type
+      )
+    """
+
+
+@register(
+    "sketch_aggregates",
+    oracle=f"""
+    WITH {_HLL_GROUP_SQL},
+    regs AS (
+      SELECT event_type, bucket, max(r) AS r FROM rho
+      GROUP BY event_type, bucket
+    ),
+    hll AS ({_hll_estimate_sql("regs")}),
+    samp AS (
+      SELECT event_type, value,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events WHERE {_U_EVENT_SQL} < {_SKA_SAMPLE}
+    ),
+    q AS (
+      SELECT event_type,
+             max(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT)
+                 THEN value END) AS p50,
+             max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+                 THEN value END) AS p95,
+             max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT)
+                 THEN value END) AS p99
+      FROM samp GROUP BY event_type
+    ),
+    cnt AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY event_type
+    )
+    SELECT cnt.event_type,
+           hll.estimate AS approx_users,
+           hll.register_checksum,
+           q.p50, q.p95, q.p99,
+           cnt.n_events
+    FROM cnt JOIN hll ON cnt.event_type = hll.event_type
+             JOIN q ON cnt.event_type = q.event_type
+    """,
+)
+def sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event_type sketch rollup, every intermediate oracle-pinned:
+    from-scratch 1024-register HLL over user_id (register_checksum pins
+    the full register vector, not just the estimate) plus nearest-rank
+    p50/p95/p99 over a deterministic 25% md5-Bernoulli row sample (the
+    sampling-sketch quantile: bounded memory, stored values only — no
+    interpolated floats, so bit-stable across engines).
+
+    Scale shape: the HLL side is two hash-keyed aggregates whose
+    intermediate is at most m=1024 rows per group (mergeable partial
+    aggregation — the sketch contract); the quantile side shuffles only
+    the 25% sample. Accuracy vs exact answers is separately pinned in
+    tests/test_properties.py."""
+    events = table(spark, sf_dir, "events")
+    regs = _hll_group_registers(
+        events.select("event_type", "user_id"), "event_type"
+    )
+    hll = _hll_estimate_cols(regs, "event_type").withColumnRenamed(
+        "estimate", "approx_users"
+    )
+
+    h = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    u = (h + F.lit(1)) / F.lit(4294967297.0)
+    samp = events.filter(u < F.lit(_SKA_SAMPLE)).select(
+        "event_type", "value", "event_id"
+    )
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = samp.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+
+    def at(q: float):
+        return F.max(
+            F.when(
+                F.col("rn")
+                == F.ceil(F.lit(q) * F.col("n")).cast("long"),
+                F.col("value"),
+            )
+        )
+
+    quants = ranked.groupBy("event_type").agg(
+        at(0.50).alias("p50"), at(0.95).alias("p95"), at(0.99).alias("p99")
+    )
+    counts = events.groupBy("event_type").agg(
+        F.count("*").alias("n_events")
+    )
+    return (
+        counts.join(hll, "event_type")
+        .join(quants, "event_type")
+        .select(
+            "event_type",
+            "approx_users",
+            "register_checksum",
+            "p50",
+            "p95",
+            "p99",
+            "n_events",
+        )
+    )
+
+
+@register(
+    "incremental_sketch_merge",
+    oracle=f"""
+    WITH {_HLL_GROUP_SQL},
+    base_regs AS (
+      SELECT event_type, bucket, max(r) AS r FROM rho
+      WHERE ts < TIMESTAMP '1970-01-08' GROUP BY event_type, bucket
+    ),
+    delta_regs AS (
+      SELECT event_type, bucket, max(r) AS r FROM rho
+      WHERE ts >= TIMESTAMP '1970-01-08' GROUP BY event_type, bucket
+    ),
+    merged_regs AS (
+      SELECT event_type, bucket, max(r) AS r FROM (
+        SELECT * FROM base_regs UNION ALL SELECT * FROM delta_regs
+      ) GROUP BY event_type, bucket
+    ),
+    single_regs AS (
+      SELECT event_type, bucket, max(r) AS r FROM rho
+      GROUP BY event_type, bucket
+    ),
+    m AS ({_hll_estimate_sql("merged_regs")}),
+    s AS ({_hll_estimate_sql("single_regs")}),
+    ex AS (
+      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)
+               AS exact_distinct
+      FROM events GROUP BY event_type
+    )
+    SELECT m.event_type,
+           m.estimate AS merged_estimate,
+           s.estimate AS single_pass_estimate,
+           ex.exact_distinct
+    FROM m JOIN s ON m.event_type = s.event_type
+           JOIN ex ON m.event_type = ex.event_type
+    """,
+)
 def incremental_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch maintenance — the approximate twin of
-    incremental_agg_merge: per-(event_type) DataSketches HLL sketches
+    incremental_agg_merge: per-(event_type) from-scratch HLL registers
     are built separately for the standing corpus and a late delta, then
-    UNIONED (hll_union_agg) without touching raw data again. This is
+    merged as per-register max WITHOUT touching raw data again. This is
     the property that makes sketches the 100 TB rollup currency: a
-    day's sketch is built once, and any window/backfill recombines
-    sketches in KBs. Output: merged estimate vs the exact distinct and
-    the single-pass sketch estimate — the accuracy invariant
-    (merged == single-pass, both within rsd of exact) is pinned in
-    tests/test_properties.py.
+    day's registers are built once, and any window/backfill recombines
+    them in KBs. Output: merged estimate vs the exact distinct and the
+    single-pass estimate — merged == single-pass EXACTLY (register max
+    is associative), and both within theory error of exact (pinned in
+    tests/test_properties.py); the full dataflow is also oracle-pinned
+    against DuckDB's recomputation of the same registers.
     """
     ev = table(spark, sf_dir, "events").select(
         "event_type", "user_id", F.col("ts")
     )
     cut = F.lit("1970-01-08").cast("timestamp")
 
-    base = ev.filter(F.col("ts") < cut).groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id").alias("sk")
+    base = _hll_group_registers(
+        ev.filter(F.col("ts") < cut), "event_type"
     )
-    delta = ev.filter(F.col("ts") >= cut).groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id").alias("sk")
+    delta = _hll_group_registers(
+        ev.filter(F.col("ts") >= cut), "event_type"
     )
-    merged = (
+    merged_regs = (
         base.unionByName(delta)
-        .groupBy("event_type")
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
-                "merged_estimate"
-            )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+    merged = _hll_estimate_cols(merged_regs, "event_type").select(
+        "event_type", F.col("estimate").alias("merged_estimate")
+    )
+    single = _hll_estimate_cols(
+        _hll_group_registers(ev, "event_type"), "event_type"
+    ).select("event_type", F.col("estimate").alias("single_pass_estimate"))
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    return (
+        merged.join(single, "event_type")
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            "merged_estimate",
+            "single_pass_estimate",
+            "exact_distinct",
         )
-    )
-    single = ev.groupBy("event_type").agg(
-        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias(
-            "single_pass_estimate"
-        ),
-        F.count_distinct("user_id").alias("exact_distinct"),
-    )
-    return merged.join(single, "event_type").select(
-        "event_type", "merged_estimate", "single_pass_estimate",
-        "exact_distinct",
     )
 
 

@@ -137,8 +137,9 @@ def test_nullability_split_property(spark, rows):
 
 
 def test_sketch_aggregates_accuracy(spark):
-    """Sketches have no oracle (engine-specific values); pin their
-    relative error against exact answers instead."""
+    """The oracle (since round 10) proves Spark == DuckDB on the
+    from-scratch registers; this pins the sketch against the EXACT
+    answers — the accuracy contract the oracle alone cannot state."""
     from history_collector_spark import registry
 
     registry.load_all()
@@ -157,7 +158,15 @@ def test_sketch_aggregates_accuracy(spark):
         .groupBy("event_type")
         .agg(
             F.countDistinct("user_id").alias("users"),
-            F.expr("percentile(value, 0.5)").alias("p50"),
+            # exact quantile BRACKETS: a Bernoulli sampling sketch's
+            # p-quantile estimate has rank std ~ sqrt(p(1-p)/n_s), so
+            # the honest pin is an interval in rank space, not a
+            # value-space epsilon (the old percentile_approx was
+            # near-exact; the deterministic sample is not)
+            F.expr(
+                "percentile(value, array(0.25, 0.75, 0.85, 0.90))"
+            ).alias("brackets"),
+            F.max("value").alias("vmax"),
             F.count("*").alias("n"),
         )
         .collect()
@@ -168,8 +177,11 @@ def test_sketch_aggregates_accuracy(spark):
         assert abs(got[k]["approx_users"] - exact[k]["users"]) <= max(
             2, 0.05 * exact[k]["users"]
         )
-        p50_sketch = got[k]["value_quantiles"][0]
-        assert abs(p50_sketch - exact[k]["p50"]) <= max(0.5, 0.1 * exact[k]["p50"])
+        lo25, hi75, lo85, lo90 = exact[k]["brackets"]
+        vmax = exact[k]["vmax"]
+        assert lo25 <= got[k]["p50"] <= hi75, k
+        assert lo85 <= got[k]["p95"] <= vmax, k
+        assert lo90 <= got[k]["p99"] <= vmax, k
 
 
 def test_sequence_pack_layout_invariants(spark):
