@@ -92,7 +92,7 @@ def render_page(doc_id: int, source: str, text: str) -> str:
 def _write_html_warc_fixture(spark: SparkSession, sf_dir: str) -> str:
     from history_collector_spark.sources.warc import write_warc
 
-    out = _fixture_dir(sf_dir, "htmlwarc")
+    out = _fixture_dir(sf_dir, "htmlwarc2")
     done = os.path.join(out, "_FIXTURE_DONE")
     if os.path.exists(done):
         return out
@@ -104,9 +104,15 @@ def _write_html_warc_fixture(spark: SparkSession, sf_dir: str) -> str:
         .select("doc_id", "source", "text")
         .collect()
     )
-    shards: dict[int, list] = {k: [] for k in range(8)}
+    # Real crawls shard at a fixed SIZE, so shard COUNT grows with the
+    # corpus — that is where scan parallelism comes from. The round-10
+    # probe measured the cost of getting this wrong: a pinned 8-shard
+    # fixture read x13.5 sf0.1->sf1 (10x work on the same 8 tasks);
+    # ~2500 pages/shard re-measured x3.5 with the identical oracle.
+    n_shards = max(8, -(-len(rows) // 2500))
+    shards: dict[int, list] = {k: [] for k in range(n_shards)}
     for r in sorted(rows, key=lambda r: r["doc_id"]):
-        shards[r["doc_id"] % 8].append(
+        shards[r["doc_id"] % n_shards].append(
             {
                 "warc_type": "response",
                 "uri": f"http://crawl.example/{r['source']}/{r['doc_id']}",
@@ -223,4 +229,173 @@ def corpus_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_boiler_blocks").cast("bigint").alias("n_boiler_blocks"),
         "extracted_chars",
         "h32",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Web-corpus end-to-end: the crawl-side twin of curation_end_to_end
+# (VERDICT r10 item 2's optional extension) — container bytes in, a
+# curated per-source funnel out, ONE DAG. The extraction kernel emits
+# only narrow columns (token count, text hash, boilerplate count); the
+# extracted text never crosses a task boundary.
+# ---------------------------------------------------------------------------
+
+_WEB_MIN_TOKENS = 45
+_WEB_BUDGET = 600
+
+
+def _funnel_meta_batches(batches):
+    import hashlib
+
+    import pandas as pd
+
+    from history_collector_spark.functions.html_extract import (
+        extract_main_text,
+    )
+    from history_collector_spark.sources.warc import parse_warc
+
+    for pdf in batches:
+        rows = []
+        for blob in pdf["content"]:
+            for rec in parse_warc(bytes(blob)):
+                if rec["warc_type"] != "response":
+                    continue
+                parts = rec["uri"].rsplit("/", 2)
+                _, text, _, n_boiler = extract_main_text(
+                    rec["payload"].decode("utf-8", "replace"),
+                    max_link_density=_MAX_LINK_DENSITY,
+                )
+                rows.append(
+                    (
+                        int(parts[-1]),
+                        parts[-2],
+                        len(text.split(" ")) if text else 0,
+                        hashlib.md5(text.encode()).hexdigest(),
+                        n_boiler,
+                    )
+                )
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "source", "nt", "h", "n_boiler"]
+        )
+
+
+@register(
+    "curation_web_end_to_end",
+    oracle=f"""
+    WITH meta AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+             md5(text) AS h,
+             CAST(3 + doc_id % 2 AS BIGINT) AS n_boiler
+      FROM documents
+    ),
+    q AS (SELECT * FROM meta WHERE nt >= {_WEB_MIN_TOKENS}),
+    ex AS (
+      SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+      FROM q
+    ),
+    b AS (SELECT * FROM ex WHERE rn = 1),
+    e AS (
+      SELECT doc_id, sum(nt) OVER (
+        PARTITION BY source ORDER BY doc_id
+        ROWS UNBOUNDED PRECEDING) AS cum
+      FROM b
+    ),
+    fates AS (
+      SELECT m.source, m.nt, m.n_boiler,
+        CASE WHEN m.nt < {_WEB_MIN_TOKENS} THEN 'quality'
+             WHEN ex.rn > 1 THEN 'exact'
+             WHEN e.cum > {_WEB_BUDGET} THEN 'budget'
+             ELSE 'kept' END AS fate
+      FROM meta m
+      LEFT JOIN ex ON ex.doc_id = m.doc_id
+      LEFT JOIN e ON e.doc_id = m.doc_id
+    )
+    SELECT source,
+      CAST(count(*) AS BIGINT) AS n_pages,
+      CAST(sum(n_boiler) AS BIGINT) AS boiler_blocks_dropped,
+      CAST(sum(CASE WHEN fate = 'quality' THEN 1 ELSE 0 END) AS BIGINT)
+        AS drop_quality,
+      CAST(sum(CASE WHEN fate = 'exact' THEN 1 ELSE 0 END) AS BIGINT)
+        AS drop_exact,
+      CAST(sum(CASE WHEN fate = 'budget' THEN 1 ELSE 0 END) AS BIGINT)
+        AS drop_budget,
+      CAST(sum(CASE WHEN fate = 'kept' THEN 1 ELSE 0 END) AS BIGINT)
+        AS kept_docs,
+      CAST(sum(CASE WHEN fate = 'kept' THEN nt ELSE 0 END) AS BIGINT)
+        AS kept_tokens
+    FROM fates GROUP BY source
+    """,
+)
+def curation_web_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC shards -> HTML main-content extraction -> quality gate
+    (>= 45 extracted tokens) -> exact dedup on the extracted text's
+    md5 (keep lowest doc_id) -> per-source token budget (inclusive
+    running total <= 600, doc_id order) -> per-source attrition funnel,
+    every page charged to the FIRST stage that drops it, fate columns
+    summing exactly to the page count. Because extraction inverts the
+    fixture rendering exactly, DuckDB states the whole funnel
+    closed-form over `documents` — a single leaked nav link or
+    swallowed paragraph changes a token count and breaks a funnel cell.
+
+    Scale shape: one WARC shard per task through the Arrow kernel
+    (text reduced to (nt, md5) in-task); downstream is hash-keyed
+    exchanges of narrow metadata and the two-phase range prefix sum
+    for the budget cumsum."""
+    from history_collector_spark.functions.ranking import (
+        grouped_range_prefix_sum,
+    )
+
+    src = _write_html_warc_fixture(spark, sf_dir)
+    blobs = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "pages*.warc*")
+        .load(src)
+        .select("content")
+    )
+    meta = blobs.mapInPandas(
+        _funnel_meta_batches,
+        schema=(
+            "doc_id bigint, source string, nt bigint, h string,"
+            " n_boiler bigint"
+        ),
+    )
+    from pyspark.sql import Window
+
+    q = meta.filter(F.col("nt") >= _WEB_MIN_TOKENS)
+    wex = Window.partitionBy("h").orderBy("doc_id")
+    ex = q.withColumn("rn", F.row_number().over(wex))
+    b = ex.filter(F.col("rn") == 1).select("doc_id", "source", "nt")
+    e = grouped_range_prefix_sum(
+        b, ["source"], [F.col("doc_id")], "nt", out_col="cum"
+    ).select("doc_id", "cum")
+
+    fate = (
+        meta.join(ex.select("doc_id", "rn"), "doc_id", "left")
+        .join(e, "doc_id", "left")
+        .select(
+            "source",
+            "nt",
+            "n_boiler",
+            F.when(F.col("nt") < _WEB_MIN_TOKENS, "quality")
+            .when(F.col("rn") > 1, "exact")
+            .when(F.col("cum") > _WEB_BUDGET, "budget")
+            .otherwise("kept")
+            .alias("fate"),
+        )
+    )
+    return fate.groupBy("source").agg(
+        F.count("*").alias("n_pages"),
+        F.sum("n_boiler").alias("boiler_blocks_dropped"),
+        F.sum((F.col("fate") == "quality").cast("long")).alias(
+            "drop_quality"
+        ),
+        F.sum((F.col("fate") == "exact").cast("long")).alias("drop_exact"),
+        F.sum((F.col("fate") == "budget").cast("long")).alias(
+            "drop_budget"
+        ),
+        F.sum((F.col("fate") == "kept").cast("long")).alias("kept_docs"),
+        F.sum(
+            F.when(F.col("fate") == "kept", F.col("nt")).otherwise(0)
+        ).alias("kept_tokens"),
     )

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from history_collector_spark.catalog import table
 from history_collector_spark.queries.dedup import _doc_shingles
 from history_collector_spark.registry import register
 
@@ -55,15 +56,43 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard >= 0.6, found EXACTLY — the oracle brute-forces every pair
     to prove no candidate is ever missed.
 
-    Plan shape: one (lang, g) hash join attaches df to each shingle row
+    Exact-duplicate collapse first (round-10 second-decade probe
+    finding): pair enumeration is Θ(duplication²) in its OUTPUT by
+    definition, and the naive form paid the per-pair set-intersection
+    on every expanded pair — measured x48 sf1->sf10 on the 100x-dup
+    probe corpus (839s; output itself grows x110 there). Collapsing
+    identical (lang, md5(text)) classes first runs the whole
+    prefix-filter + verify machinery on DISTINCT-text representatives
+    only — constant in duplication multiplicity — then expands class
+    pairs to doc pairs with a join that costs O(1) per output row
+    (identical sets have identical Jaccard; within-class pairs are
+    J = 1.0 exactly). Re-probed at x7.7 with ~12x more output rows —
+    linear in output size, the floor for an exact pair enumerator.
+    This is also the real pipeline order: exact dedup ALWAYS precedes
+    near-dup at 100 TB.
+
+    Plan shape: one narrow (lang, md5) aggregate for the classes; one
+    (lang, g) hash join attaches df to each representative shingle row
     (the df table is a vocabulary-bounded map-side-combined aggregate);
-    one doc_id shuffle assembles each doc's df-sorted shingle array
+    one doc_id shuffle assembles each rep's df-sorted shingle array
     (the same single inverted-index-style exchange dedup_ngram_jaccard
     pays); the prefix slice is row-local; the candidate self-join keys
     on prefix shingles only — rare by construction of the df ordering —
-    and the verify joins the bounded sets table twice by doc id. No
-    stage is ever all-pairs."""
-    sh = _doc_shingles(spark, sf_dir)
+    the verify joins the bounded rep sets table twice by class id, and
+    the expansion joins carry only ids + one double. No stage is ever
+    all-pairs, and no per-pair array work scales with duplication."""
+    cls = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.md5("text").alias("h")
+    )
+    classes = cls.groupBy("lang", "h").agg(
+        F.min("doc_id").alias("cls_id"), F.count("*").alias("n")
+    )
+    members = cls.join(classes, ["lang", "h"]).select(
+        "cls_id", "doc_id", "lang"
+    )
+    reps = classes.select(F.col("cls_id").alias("doc_id"))
+
+    sh = _doc_shingles(spark, sf_dir).join(reps, "doc_id", "semi")
     df = sh.groupBy("lang", "g").agg(F.count("*").alias("df"))
     keyed = sh.join(df, ["lang", "g"])
     # (df, g) struct sort = ascending global rarity order, total because
@@ -111,10 +140,53 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.size(F.array_intersect("s_a", "s_b")) / F.size(
         F.array_union("s_a", "s_b")
     ).cast("double")
-    return (
+    rep_pairs = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= _TAU)
-        .select("doc_a", "doc_b", "lang", "jaccard")
+        .select(
+            F.col("doc_a").alias("cls_a"),
+            F.col("doc_b").alias("cls_b"),
+            "lang",
+            "jaccard",
+        )
     )
+
+    # expansion: cross-class pairs inherit the representative Jaccard
+    # verbatim (identical sets), within-class pairs are exactly 1.0;
+    # docs with < 3 tokens have no shingle set and never pair (the
+    # semi-join on `sets` keeps that contract for within-class too)
+    ma = members.select(
+        F.col("cls_id").alias("cls_a"), F.col("doc_id").alias("da")
+    )
+    mb = members.select(
+        F.col("cls_id").alias("cls_b"), F.col("doc_id").alias("db")
+    )
+    cross = (
+        rep_pairs.join(ma, "cls_a")
+        .join(mb, "cls_b")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "lang",
+            "jaccard",
+        )
+    )
+    shingled = sets.select(F.col("doc_id").alias("cls_id"))
+    m1 = members.join(shingled, "cls_id")
+    within = (
+        m1.alias("x")
+        .join(
+            m1.alias("y"),
+            (F.col("x.cls_id") == F.col("y.cls_id"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.lang").alias("lang"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within)

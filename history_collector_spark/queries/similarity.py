@@ -556,9 +556,32 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cos idiom the other ANN oracles already pin.
 # ---------------------------------------------------------------------------
 
-_SWEEP_Q_MOD = 97
+_SWEEP_Q_TARGET = 64.0  # expected evaluation-query count, any sf
 _SWEEP_SCALE = 4096
 _SWEEP_LEVELS = (1, 2, 4)
+
+# Deterministic FIXED-SIZE evaluation query set (round-10 second-decade
+# probe: the old vec_id % 97 sample grew linearly while each label list
+# also grew linearly — O(N^2) candidate scoring measured x55 sf1->sf10,
+# 1461s; recall evaluation additionally brute-forces ground truth per
+# query, so a growing query set is quadratic twice over). A serving-
+# parameter sweep evaluates a FIXED query panel: the md5-uniform
+# threshold target/n keeps ~64 queries at any corpus size, making the
+# whole sweep linear in the corpus.
+_SWEEP_Q_SQL = f"""(CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)),
+    1, 8)) AS BIGINT) + 1) / 4294967297.0
+    < {_SWEEP_Q_TARGET} / (SELECT count(*) FROM embeddings)"""
+
+
+def _sweep_query_filter(spark, sf_dir):
+    """Spark twin of _SWEEP_Q_SQL: the adaptive fixed-size panel."""
+    emb = table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    h = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    u = (h + F.lit(1)) / F.lit(4294967297.0)
+    return u < F.lit(_SWEEP_Q_TARGET / n)
 
 
 @register(
@@ -570,7 +593,7 @@ _SWEEP_LEVELS = (1, 2, 4)
       SELECT vec_id, grid.pos,
              CAST(round(CAST(embedding[grid.pos] AS DOUBLE)
                         * {_SWEEP_SCALE}) AS BIGINT) AS qv
-      FROM embeddings, grid WHERE vec_id % {_SWEEP_Q_MOD} = 0
+      FROM embeddings, grid WHERE {_SWEEP_Q_SQL}
     ),
     ci AS (
       SELECT label, grid.pos,
@@ -624,7 +647,8 @@ _SWEEP_LEVELS = (1, 2, 4)
                  PARTITION BY q.vec_id
                  ORDER BY {_COS_SQL} DESC, c.vec_id) AS rank
         FROM emb q JOIN emb c ON q.vec_id != c.vec_id
-        WHERE q.vec_id % {_SWEEP_Q_MOD} = 0
+        WHERE q.vec_id IN (SELECT vec_id FROM embeddings
+                           WHERE {_SWEEP_Q_SQL})
       ) WHERE rank <= 5
     )
     SELECT t.nprobe,
@@ -668,9 +692,9 @@ def ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long").alias("qv"),
         )
 
+    in_panel = _sweep_query_filter(spark, sf_dir)
     qi = quant(
-        emb.filter(F.col("vec_id") % _SWEEP_Q_MOD == 0)
-        .select("vec_id", "embedding"),
+        emb.filter(in_panel).select("vec_id", "embedding"),
         "vec_id",
     )
     ci = (
@@ -739,7 +763,7 @@ def ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # exact ground truth on the same query budget (bounded brute force:
     # the query side is the tiny filtered set)
-    q = emb.filter(F.col("vec_id") % _SWEEP_Q_MOD == 0).alias("q")
+    q = emb.filter(in_panel).alias("q")
     ex_cos = cosine(
         F.col("q.embedding"), F.col("c.embedding"),
         F.col("q.nrm"), F.col("c.nrm"),

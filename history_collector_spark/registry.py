@@ -195,7 +195,10 @@ PRIORITY_QUERIES = (
     "pipeline_parity",
     "text_kneser_ney_bigrams",
     "eval_conformal_coverage",
-    "curation_dsir_weights",
+    # round-10 build: the WARC->HTML->funnel web twin takes the DSIR
+    # seat (curation keeps domain_reweight/quota/end_to_end plus this;
+    # dsir stays locally oracle-verified every run)
+    "curation_web_end_to_end",
     "multimodal_decode_yield",
     "text_bm25_retrieval",
     # round-10 build: WARC framing + HTML main-content extraction in one
@@ -225,7 +228,11 @@ PRIORITY_QUERIES = (
     "streaming_ann_probe_e2e",
     "ann_pq_adc_topk",
     "orders_chi2_independence",
-    "cross_source_contamination",
+    # round-10 build: canonical-URL dedup (pure-Catalyst normalizer)
+    # takes the contamination seat — decontamination stays exercised
+    # inside curation_end_to_end and the new web funnel, and
+    # cross_source_contamination stays locally oracle-verified
+    "corpus_url_canonicalize",
     "graph_pagerank_dups",
     "curation_quota_water_filling",
     "ann_ivf_nprobe_sweep",

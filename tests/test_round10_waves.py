@@ -553,3 +553,136 @@ def test_webp_lossy_and_extended_are_plug_points():
         )
         with pytest.raises(NotImplementedError):
             decode_webp(blob)
+
+
+def test_curation_web_end_to_end_brute_force(spark):
+    """Independent pure-Python recomputation of the web funnel from the
+    raw documents (no Spark, no DuckDB, no shared helper code): render
+    -> extract is exercised by the real query; here the EXPECTED funnel
+    is rebuilt from first principles over the same corpus."""
+    import hashlib
+    from collections import defaultdict
+
+    from history_collector_spark.queries.corpus_html import (
+        _WEB_BUDGET,
+        _WEB_MIN_TOKENS,
+    )
+
+    docs = sorted(
+        spark.read.parquet(f"{TEST_SF_DIR}/documents.parquet")
+        .select("doc_id", "source", "text")
+        .collect(),
+        key=lambda r: r["doc_id"],
+    )
+    fate: dict[int, str] = {}
+    seen_h: set[str] = set()
+    cum: dict[str, int] = defaultdict(int)
+    for r in docs:
+        nt = len(r["text"].split(" "))
+        if nt < _WEB_MIN_TOKENS:
+            fate[r["doc_id"]] = "quality"
+            continue
+        h = hashlib.md5(r["text"].encode()).hexdigest()
+        if h in seen_h:
+            fate[r["doc_id"]] = "exact"
+            continue
+        seen_h.add(h)
+        cum[r["source"]] += nt
+        fate[r["doc_id"]] = (
+            "budget" if cum[r["source"]] > _WEB_BUDGET else "kept"
+        )
+
+    want = defaultdict(lambda: defaultdict(int))
+    for r in docs:
+        s = r["source"]
+        want[s]["n_pages"] += 1
+        want[s]["boiler_blocks_dropped"] += 3 + r["doc_id"] % 2
+        f = fate[r["doc_id"]]
+        if f == "kept":
+            want[s]["kept_docs"] += 1
+            want[s]["kept_tokens"] += len(r["text"].split(" "))
+        else:
+            want[s][f"drop_{f}"] += 1
+
+    got = {
+        r["source"]: r.asDict()
+        for r in registry.QUERIES["curation_web_end_to_end"](
+            spark, TEST_SF_DIR
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for s, row in got.items():
+        for col in (
+            "n_pages",
+            "boiler_blocks_dropped",
+            "drop_quality",
+            "drop_exact",
+            "drop_budget",
+            "kept_docs",
+            "kept_tokens",
+        ):
+            assert row[col] == want[s][col], (s, col, row, dict(want[s]))
+        assert (
+            row["drop_quality"] + row["drop_exact"] + row["drop_budget"]
+            + row["kept_docs"] == row["n_pages"]
+        )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization
+# ---------------------------------------------------------------------------
+
+
+def test_url_canonicalizer_hand_cases(spark):
+    """Spot canonicalizations against hand-derived expectations —
+    independent of the generator (the oracle only proves the generator
+    inverts; these pin the normalizer on messes the generator never
+    emits)."""
+    from history_collector_spark.queries.urls import canonicalize_url
+    from pyspark.sql import functions as F
+
+    cases = [
+        ("HTTP://WWW.Ex.COM:80/a/./b/../c?utm_x=1&z=2&a=1#f",
+         "http://ex.com/a/c?a=1&z=2"),
+        ("https://Host.Org:443/p%2Dq/%7Euser", "https://host.org/p-q/~user"),
+        ("https://h.io:8443/x/y/../../z", "https://h.io:8443/z"),
+        ("http://a.b/", "http://a.b/"),
+        ("http://a.b/p?utm_source=x&utm_campaign=y", "http://a.b/p"),
+        ("https://a.b/p/..", "https://a.b/"),
+        ("http://www.a.b:80/%5Fx%2E?b=2&a=10", "http://a.b/_x.?a=10&b=2"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [
+        r[0]
+        for r in df.select(canonicalize_url(F.col("url"))).collect()
+    ]
+    for (src, want), g in zip(cases, got):
+        assert g == want, (src, g, want)
+
+
+def test_url_variants_collapse_and_plan_is_udf_free(spark):
+    """Both messy variants of every group canonicalize identically, and
+    the whole normalizer stays JVM-side (no BatchEvalPython /
+    ArrowEvalPython in the executed plan)."""
+    from pyspark.sql import functions as F
+
+    from history_collector_spark.queries.urls import (
+        canonicalize_url,
+        messy_url,
+    )
+
+    ids = spark.range(0, 200).select(F.col("id").alias("doc_id"))
+    canon = ids.select(
+        (F.col("doc_id") / 2).cast("long").alias("g"),
+        canonicalize_url(messy_url(F.col("doc_id"))).alias("c"),
+    )
+    per_group = canon.groupBy("g").agg(
+        F.count_distinct("c").alias("n_distinct")
+    )
+    assert per_group.filter(F.col("n_distinct") != 1).count() == 0
+
+    df = registry.QUERIES["corpus_url_canonicalize"](spark, TEST_SF_DIR)
+    df.rdd.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
