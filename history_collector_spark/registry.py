@@ -206,14 +206,20 @@ PRIORITY_QUERIES = (
     # corpus_tar_ingest keep the container family; corpus_warc_ingest
     # stays locally oracle-verified every run)
     "corpus_html_extract",
-    "ann_ivf_bucketed_probe",
+    # round-10 build, crawl tier: PLD extraction takes the bucketed-
+    # probe seat (ANN keeps nprobe_sweep + pq_adc + streaming probe;
+    # bucketed_probe stays locally oracle-verified every run)
+    "corpus_pld_extract",
     "streaming_ingest_e2e",
     "skew_salted_enrich",
     "streaming_neardup_e2e",
     "streaming_gapless_e2e",
     "streaming_jdbc_e2e",
     "eval_bootstrap_auc_ci",
-    "dedup_cluster_representative",
+    # round-10 build, crawl tier: RFC 9309 robots evaluation takes the
+    # cluster-representative seat (dedup keeps minhash_lsh in-window;
+    # cluster_representative stays locally oracle-verified every run)
+    "corpus_robots_rules",
     "embedding_covariance",
     "streaming_scd2_cdc_e2e",
     "text_bleu_corpus",
@@ -233,7 +239,10 @@ PRIORITY_QUERIES = (
     # inside curation_end_to_end and the new web funnel, and
     # cross_source_contamination stays locally oracle-verified
     "corpus_url_canonicalize",
-    "graph_pagerank_dups",
+    # round-10 build, crawl tier: frontier politeness scheduling takes
+    # the pagerank-dups seat (graph family keeps triangle_count +
+    # pointer-jumping locally verified; pagerank_dups likewise)
+    "crawl_frontier_assign",
     "curation_quota_water_filling",
     "ann_ivf_nprobe_sweep",
     "curation_end_to_end",

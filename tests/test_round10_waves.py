@@ -686,3 +686,129 @@ def test_url_variants_collapse_and_plan_is_udf_free(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     plan = plan.split("== Initial Plan ==")[0]
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Crawl tier: PLD extraction, robots evaluation, frontier scheduling
+# ---------------------------------------------------------------------------
+
+
+def test_registrable_domain_hand_cases(spark):
+    """Hosts the generator never emits — including the naive
+    'last-two-labels' traps and a no-match host."""
+    from pyspark.sql import functions as F
+
+    from history_collector_spark.queries.crawl import registrable_domain
+
+    cases = [
+        ("www.x.co.uk", "co.uk", "x.co.uk"),
+        ("a.b.c.d.site.com.au", "com.au", "site.com.au"),
+        ("user.github.io", "github.io", "user.github.io"),
+        ("deep.sub.user.github.io", "github.io", "user.github.io"),
+        ("plain.net", "net", "plain.net"),
+        ("localhost", None, None),
+        ("internal.corp", None, None),
+    ]
+    df = spark.createDataFrame([(h,) for h, _, _ in cases], "host string")
+    suffix, pld = registrable_domain(F.col("host"))
+    got = df.select(suffix.alias("s"), pld.alias("p")).collect()
+    for (host, ws, wp), r in zip(cases, got):
+        assert r["s"] == ws, (host, r["s"], ws)
+        assert r["p"] == wp, (host, r["p"], wp)
+
+
+def test_robots_longest_match_brute_force(spark):
+    """Independent pure-Python RFC 9309 evaluator over the same
+    generated URLs and rule grid — shares no code with the Spark plan
+    OR the closed-form oracle (which derives fates from generator
+    arithmetic, not rules)."""
+    from collections import defaultdict
+
+    docs = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(f"{TEST_SF_DIR}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    )
+    rules = {
+        f"crawl{k}": [
+            ("/private/", 0),
+            (f"/a/sec{k}/", 0),
+            (f"/a/sec{k}/public/", 1),
+        ]
+        for k in range(5)
+    }
+    want = defaultdict(lambda: [0, 0, 0, 0])  # urls, blocked, allowed, default
+    for d in docs:
+        host = f"crawl{d % 5}"
+        shape = d % 4
+        sec = (d // 4) % 4
+        path = {
+            0: f"/a/sec{sec}/doc",
+            1: f"/a/sec{sec}/public/doc",
+            2: "/private/doc",
+            3: "/open/doc",
+        }[shape]
+        matches = [
+            (len(p), allow)
+            for p, allow in rules[host]
+            if path.startswith(p)
+        ]
+        w = want[host]
+        w[0] += 1
+        if not matches:
+            w[3] += 1
+        elif max(matches)[1]:  # longest wins, length-tie -> allow
+            w[2] += 1
+        else:
+            w[1] += 1
+
+    got = {
+        r["host"]: r
+        for r in registry.QUERIES["corpus_robots_rules"](
+            spark, TEST_SF_DIR
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for host, w in want.items():
+        r = got[host]
+        assert (
+            r["n_urls"],
+            r["n_blocked"],
+            r["n_rule_allowed"],
+            r["n_default_allowed"],
+        ) == tuple(w), host
+
+
+def test_frontier_invariants(spark):
+    """Per-host schedule laws: the budget cap, the makespan identity
+    (delay is a host constant), and head = max priority."""
+    from history_collector_spark.queries.crawl import _HOST_BUDGET
+
+    rows = registry.QUERIES["crawl_frontier_assign"](
+        spark, TEST_SF_DIR
+    ).collect()
+    assert rows
+    for r in rows:
+        k = int(r["host"].removeprefix("crawl"))
+        delay = 1 + k % 3
+        assert r["n_scheduled"] == min(r["n_frontier"], _HOST_BUDGET)
+        assert r["makespan_s"] == (r["n_scheduled"] - 1) * delay
+        assert 0 <= r["head_priority"] <= 88
+
+
+def test_crawl_tier_plans_are_udf_free(spark):
+    """All three crawl decisions must stay JVM-side — they run per
+    DISCOVERED url at 100 TB."""
+    for name in (
+        "corpus_pld_extract",
+        "corpus_robots_rules",
+        "crawl_frontier_assign",
+    ):
+        df = registry.QUERIES[name](spark, TEST_SF_DIR)
+        df.rdd.count()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        plan = plan.split("== Initial Plan ==")[0]
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "MapInPandas" not in plan, name
