@@ -220,7 +220,10 @@ PRIORITY_QUERIES = (
     # cluster-representative seat (dedup keeps minhash_lsh in-window;
     # cluster_representative stays locally oracle-verified every run)
     "corpus_robots_rules",
-    "embedding_covariance",
+    # round-10 build, eval tier: Fleiss-kappa agreement takes the
+    # covariance seat (embedding keeps matryoshka_audit in-window;
+    # covariance stays locally oracle-verified every run)
+    "label_fleiss_kappa",
     "streaming_scd2_cdc_e2e",
     "text_bleu_corpus",
     "benford_first_digit",
@@ -230,7 +233,10 @@ PRIORITY_QUERIES = (
     # oracle-verified every run)
     "multimodal_decode_webp",
     "tokenizer_wordpiece_greedy",
-    "tokenizer_unigram_viterbi",
+    # round-10 build, eval tier: NDCG@5 (bit-stable rank-pivot fold)
+    # takes the Viterbi seat (tokenizers keep wordpiece_greedy;
+    # unigram_viterbi stays locally oracle-verified every run)
+    "eval_ndcg_at_k",
     "streaming_ann_probe_e2e",
     "ann_pq_adc_topk",
     "orders_chi2_independence",
@@ -246,7 +252,10 @@ PRIORITY_QUERIES = (
     "curation_quota_water_filling",
     "ann_ivf_nprobe_sweep",
     "curation_end_to_end",
-    "streaming_hll_merge_e2e",
+    # round-10 build, eval tier: preference-pair QA takes the HLL
+    # seat (sketch family keeps sketch_aggregates locally EXACT and
+    # the streaming family keeps 8 other e2e seats in-window)
+    "preference_pair_stats",
     "embedding_matryoshka_audit",
     "curation_domain_reweight",
     # the REAL-codec roundtrip (encode_bmp -> magic-sniffed decode ->

@@ -812,3 +812,171 @@ def test_crawl_tier_plans_are_udf_free(spark):
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
         assert "MapInPandas" not in plan, name
+
+
+
+# ---------------------------------------------------------------------------
+# Ranking / annotation evaluation
+# ---------------------------------------------------------------------------
+
+
+def test_ndcg_and_mrr_brute_force(spark):
+    """Pure-Python recomputation of NDCG@5 / MRR / recall@5 from the
+    raw lineitem rows — independent of both engines' window + pivot
+    machinery."""
+    import math
+    from collections import defaultdict
+
+    li = spark.read.parquet(f"{TEST_SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    ).collect()
+    orders = {
+        r["o_orderkey"]: r["o_orderpriority"]
+        for r in spark.read.parquet(
+            f"{TEST_SF_DIR}/orders.parquet"
+        ).collect()
+    }
+    by_q = defaultdict(list)
+    for r in li:
+        by_q[r["l_orderkey"]].append(r)
+    W = [1.0 / math.log2(r + 1) for r in range(1, 6)]
+
+    ndcg_acc = defaultdict(list)
+    mrr_acc = defaultdict(list)
+    rec_acc = defaultdict(list)
+    for qid, rows in by_q.items():
+        ranked = sorted(
+            rows, key=lambda r: (-r["l_extendedprice"], r["l_linenumber"])
+        )
+        ideal = sorted(
+            rows, key=lambda r: (-r["l_quantity"], r["l_linenumber"])
+        )
+        dcg = 0.0
+        idcg = 0.0
+        for i in range(min(5, len(rows))):
+            dcg += int(ranked[i]["l_quantity"]) * W[i]
+            idcg += int(ideal[i]["l_quantity"]) * W[i]
+        prio = orders[qid]
+        ndcg_acc[prio].append(dcg / idcg)
+        rel = [r["l_quantity"] >= 45 for r in ranked]
+        n_rel = sum(rel)
+        if n_rel:
+            first = rel.index(True) + 1
+            mrr_acc[prio].append(1.0 / first)
+            rec_acc[prio].append(sum(rel[:5]) / n_rel)
+        else:
+            mrr_acc[prio].append(0.0)
+
+    got_n = {
+        r["o_orderpriority"]: r
+        for r in registry.QUERIES["eval_ndcg_at_k"](
+            spark, TEST_SF_DIR
+        ).collect()
+    }
+    assert set(got_n) == set(ndcg_acc)
+    for p, vals in ndcg_acc.items():
+        r = got_n[p]
+        assert r["n_queries"] == len(vals)
+        assert abs(r["avg_ndcg5"] - sum(vals) / len(vals)) < 1e-9
+        assert abs(r["min_ndcg5"] - min(vals)) < 1e-12
+        assert abs(r["max_ndcg5"] - max(vals)) < 1e-12
+
+    got_m = {
+        r["o_orderpriority"]: r
+        for r in registry.QUERIES["eval_mrr_recall_at_k"](
+            spark, TEST_SF_DIR
+        ).collect()
+    }
+    for p, vals in mrr_acc.items():
+        r = got_m[p]
+        assert r["n_queries"] == len(vals)
+        assert abs(r["mrr"] - sum(vals) / len(vals)) < 1e-9
+        recs = rec_acc[p]
+        assert r["n_with_relevant"] == len(recs)
+        if recs:
+            assert abs(r["avg_recall5"] - sum(recs) / len(recs)) < 1e-9
+
+
+def test_fleiss_kappa_brute_force_and_properties(spark):
+    """Textbook Fleiss computation over the same synthesized panel,
+    plus the two boundary laws: kappa == 1 on perfect agreement and
+    kappa ~ 0 under independence-at-chance."""
+    from collections import Counter, defaultdict
+
+    ev = spark.read.parquet(f"{TEST_SF_DIR}/events.parquet").select(
+        "event_id", "user_id"
+    ).collect()
+    items = defaultdict(list)
+    for r in ev:
+        items[r["event_id"] // 5].append(
+            (r["event_id"] + r["user_id"]) % 4
+        )
+    items = {i: ls for i, ls in items.items() if len(ls) == 5}
+    N, n = len(items), 5
+    p_i = []
+    totals = Counter()
+    for ls in items.values():
+        c = Counter(ls)
+        totals.update(c)
+        p_i.append(
+            (sum(v * v for v in c.values()) - n) / (n * (n - 1))
+        )
+    p_bar = sum(p_i) / N
+    p_e = sum((v / (N * n)) ** 2 for v in totals.values())
+    want_kappa = (p_bar - p_e) / (1 - p_e)
+
+    row = registry.QUERIES["label_fleiss_kappa"](
+        spark, TEST_SF_DIR
+    ).collect()[0]
+    assert row["n_items"] == N
+    assert abs(row["p_bar"] - p_bar) < 1e-12
+    assert abs(row["p_e"] - p_e) < 1e-12
+    assert abs(row["kappa"] - want_kappa) < 1e-12
+    # this synthetic panel is chance-level by construction
+    assert abs(row["kappa"]) < 0.05
+
+    # perfect-agreement law on a hand panel, via the same formula
+    perfect = [[2] * 5, [0] * 5, [3] * 5]
+    s1 = sum(sum(Counter(ls)[j] ** 2 for j in set(ls)) for ls in perfect)
+    pb = (s1 - 3 * 5) / (3 * 5 * 4)
+    assert pb == 1.0
+
+
+def test_preference_pair_stats_brute_force(spark):
+    from collections import defaultdict
+
+    ev = {
+        r["event_id"]: r
+        for r in spark.read.parquet(
+            f"{TEST_SF_DIR}/events.parquet"
+        ).collect()
+    }
+    want = defaultdict(lambda: [0, 0, 0, 0.0, 0])
+    for eid, r in ev.items():
+        if eid % 2 or eid + 1 not in ev:
+            continue
+        a, b = r, ev[eid + 1]
+        w = want[a["event_type"]]
+        m = abs(a["value"] - b["value"])
+        w[0] += 1
+        w[1] += a["value"] >= b["value"]
+        w[2] += a["value"] == b["value"]
+        w[3] = max(w[3], m)
+        w[4] += m >= 10.0
+    got = {
+        r["event_type"]: r
+        for r in registry.QUERIES["preference_pair_stats"](
+            spark, TEST_SF_DIR
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for t, w in want.items():
+        r = got[t]
+        assert (
+            r["n_pairs"],
+            r["n_first_chosen"],
+            r["n_ties"],
+            r["n_confident"],
+        ) == (w[0], w[1], w[2], w[4]), t
+        assert r["max_margin"] == w[3]
+        assert r["first_chosen_rate"] == w[1] / w[0]
