@@ -12,5 +12,13 @@ from this class.
 from __future__ import annotations
 
 
-class ImageDecodeError(ValueError):
+class MediaDecodeError(ValueError):
+    """Malformed or unsupported media payload (any modality)."""
+
+
+class ImageDecodeError(MediaDecodeError):
     """Malformed or unsupported image payload."""
+
+
+class AudioDecodeError(MediaDecodeError):
+    """Malformed or unsupported audio payload."""

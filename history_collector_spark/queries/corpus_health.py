@@ -619,3 +619,116 @@ def embedding_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(ratio >= 0.9, 1).otherwise(0)).alias("n_above_090"),
         F.count("*").alias("n_vecs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding drift: population-stability index per dimension between a
+# reference and a current population — the monitor that catches an
+# upstream encoder change or domain shift before it contaminates an
+# index build or training run. Fixed value-bucket edges (stored-float
+# comparisons: deterministic both engines), Laplace-smoothed
+# proportions as single int/int divisions, and a fixed-parenthesized
+# 4-term PSI fold — the only cross-engine wobble is libm ln (flip-free
+# ulp territory).
+# ---------------------------------------------------------------------------
+
+_PSI_EDGES = (-0.25, 0.0, 0.25)  # 4 fixed buckets over the value range
+
+
+@register(
+    "embedding_drift_psi",
+    oracle="""
+    WITH grid AS (SELECT unnest(range(1, 65)) AS pos),
+    v AS (
+      SELECT grid.pos - 1 AS dim,
+             vec_id % 2 AS pop,
+             CASE WHEN CAST(embedding[grid.pos] AS DOUBLE) < -0.25 THEN 0
+                  WHEN CAST(embedding[grid.pos] AS DOUBLE) < 0.0 THEN 1
+                  WHEN CAST(embedding[grid.pos] AS DOUBLE) < 0.25 THEN 2
+                  ELSE 3 END AS b
+      FROM embeddings, grid
+    ),
+    piv AS (
+      SELECT dim,
+        sum(CASE WHEN pop = 0 THEN 1 ELSE 0 END) AS n_ref,
+        sum(CASE WHEN pop = 1 THEN 1 ELSE 0 END) AS n_cur,
+        sum(CASE WHEN pop = 0 AND b = 0 THEN 1 ELSE 0 END) AS r0,
+        sum(CASE WHEN pop = 0 AND b = 1 THEN 1 ELSE 0 END) AS r1,
+        sum(CASE WHEN pop = 0 AND b = 2 THEN 1 ELSE 0 END) AS r2,
+        sum(CASE WHEN pop = 0 AND b = 3 THEN 1 ELSE 0 END) AS r3,
+        sum(CASE WHEN pop = 1 AND b = 0 THEN 1 ELSE 0 END) AS c0,
+        sum(CASE WHEN pop = 1 AND b = 1 THEN 1 ELSE 0 END) AS c1,
+        sum(CASE WHEN pop = 1 AND b = 2 THEN 1 ELSE 0 END) AS c2,
+        sum(CASE WHEN pop = 1 AND b = 3 THEN 1 ELSE 0 END) AS c3
+      FROM v GROUP BY dim
+    )
+    SELECT CAST(dim AS INT) AS dim,
+      CAST(n_ref AS BIGINT) AS n_ref,
+      CAST(n_cur AS BIGINT) AS n_cur,
+      ((((CAST(r0 + 1 AS DOUBLE) / (n_ref + 4)
+          - CAST(c0 + 1 AS DOUBLE) / (n_cur + 4))
+         * ln((CAST(r0 + 1 AS DOUBLE) / (n_ref + 4))
+              / (CAST(c0 + 1 AS DOUBLE) / (n_cur + 4)))
+        + (CAST(r1 + 1 AS DOUBLE) / (n_ref + 4)
+           - CAST(c1 + 1 AS DOUBLE) / (n_cur + 4))
+          * ln((CAST(r1 + 1 AS DOUBLE) / (n_ref + 4))
+               / (CAST(c1 + 1 AS DOUBLE) / (n_cur + 4))))
+        + (CAST(r2 + 1 AS DOUBLE) / (n_ref + 4)
+           - CAST(c2 + 1 AS DOUBLE) / (n_cur + 4))
+          * ln((CAST(r2 + 1 AS DOUBLE) / (n_ref + 4))
+               / (CAST(c2 + 1 AS DOUBLE) / (n_cur + 4))))
+       + (CAST(r3 + 1 AS DOUBLE) / (n_ref + 4)
+          - CAST(c3 + 1 AS DOUBLE) / (n_cur + 4))
+         * ln((CAST(r3 + 1 AS DOUBLE) / (n_ref + 4))
+              / (CAST(c3 + 1 AS DOUBLE) / (n_cur + 4)))) AS psi
+    FROM piv
+    """,
+)
+def embedding_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension PSI between the even-id (reference) and odd-id
+    (current) halves of the embedding corpus. Proportions are
+    Laplace-smoothed ((c+1)/(n+4): no empty-bucket infinities) single
+    divisions of exact integers; the 4 bucket terms fold in one fixed
+    parenthesization, matching the oracle's expression shape exactly.
+
+    Scale shape: posexplode to (dim, pop, bucket) grain, then ONE
+    map-side-combined hash aggregate pivots everything — 64 output
+    rows regardless of corpus size; no window, no join. At 100 TB a
+    drift monitor must cost one pass, and this is one pass."""
+    emb = table(spark, sf_dir, "embeddings")
+    val = F.col("val").cast("double")
+    b = (
+        F.when(val < _PSI_EDGES[0], 0)
+        .when(val < _PSI_EDGES[1], 1)
+        .when(val < _PSI_EDGES[2], 2)
+        .otherwise(3)
+    )
+    v = emb.select(
+        (F.col("vec_id") % 2).alias("pop"),
+        F.posexplode("embedding").alias("dim", "val"),
+    ).select("pop", "dim", b.alias("b"))
+
+    def cnt(pop: int, bucket: int):
+        return F.sum(
+            ((F.col("pop") == pop) & (F.col("b") == bucket)).cast("int")
+        )
+
+    piv = v.groupBy("dim").agg(
+        F.sum((F.col("pop") == 0).cast("int")).alias("n_ref"),
+        F.sum((F.col("pop") == 1).cast("int")).alias("n_cur"),
+        *[cnt(0, k).alias(f"r{k}") for k in range(4)],
+        *[cnt(1, k).alias(f"c{k}") for k in range(4)],
+    )
+
+    def term(k: int):
+        p = (F.col(f"r{k}") + 1).cast("double") / (F.col("n_ref") + 4)
+        q = (F.col(f"c{k}") + 1).cast("double") / (F.col("n_cur") + 4)
+        return (p - q) * F.log(p / q)
+
+    psi = ((term(0) + term(1)) + term(2)) + term(3)
+    return piv.select(
+        F.col("dim").cast("int").alias("dim"),
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        psi.alias("psi"),
+    )

@@ -346,12 +346,13 @@ def crawl_frontier_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     (k-1) * crawl_delay(host), and hosts are capped at a per-cycle
     budget so one mega-site cannot monopolize a fetch wave.
 
-    Scale shape: ONE hash exchange on host, then a per-host window
-    whose partitions are bounded by the budget-relevant frontier
-    (priority ordering lets a 100 TB deployment pre-filter each host
-    to its top-budget candidates with the in-tree topn_per_group
-    pattern before the window, keeping partitions O(budget) even for
-    mega-hosts); every output is exact integer arithmetic."""
+    Scale shape: totals (frontier size, head priority) are plain
+    per-host aggregates; the slot sequence is computed ONLY for the
+    scheduled subset via a rank filter that Catalyst compiles to
+    WindowGroupLimit (plan-asserted) — each task pre-keeps at most
+    budget rows per host BEFORE the window exchange and sort, so a
+    mega-host costs O(budget) per task, never its full frontier;
+    every output is exact integer arithmetic."""
     docs = table(spark, sf_dir, "documents").select("doc_id")
     d = F.col("doc_id")
     f = docs.select(
@@ -360,18 +361,182 @@ def crawl_frontier_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         (1 + (d % 17) % 3).alias("delay_s"),
         (d % 89).cast("long").alias("priority"),
     )
+    totals = f.groupBy("host").agg(
+        F.count("*").alias("n_frontier"),
+        F.max("priority").alias("head_priority"),
+    )
     w = Window.partitionBy("host").orderBy(
         F.col("priority").desc(), F.col("doc_id")
     )
-    seq = f.withColumn("slot", F.row_number().over(w))
-    sched = F.col("slot") <= _HOST_BUDGET
-    return seq.groupBy("host").agg(
-        F.count("*").alias("n_frontier"),
-        F.sum(sched.cast("long")).alias("n_scheduled"),
-        F.max(
-            F.when(sched, (F.col("slot") - 1) * F.col("delay_s"))
-        ).alias("makespan_s"),
-        F.max(
-            F.when(F.col("slot") == 1, F.col("priority"))
-        ).alias("head_priority"),
+    kept = f.withColumn("slot", F.row_number().over(w)).filter(
+        F.col("slot") <= _HOST_BUDGET
+    )
+    sched = kept.groupBy("host").agg(
+        F.count("*").alias("n_scheduled"),
+        F.max((F.col("slot") - 1) * F.col("delay_s")).alias("makespan_s"),
+    )
+    return totals.join(sched, "host").select(
+        "host",
+        "n_frontier",
+        "n_scheduled",
+        "makespan_s",
+        "head_priority",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sitemap ingestion: the URL-discovery feed a crawler reads right
+# after robots.txt — urlset and sitemapindex documents through the
+# from-scratch sitemaps.org XML parser (functions/sitemap_xml.py),
+# with torn documents degrading to error rows.
+# ---------------------------------------------------------------------------
+
+_SITEMAP_ERR_MOD = 23
+
+
+def _sitemap_batches(batches):
+    import pandas as pd
+
+    from history_collector_spark.functions.sitemap_xml import (
+        SitemapParseError,
+        parse_sitemap,
+        render_sitemap,
+    )
+
+    for pdf in batches:
+        rows = []
+        for doc_id, source in zip(pdf["doc_id"], pdf["source"]):
+            d = int(doc_id)
+            xml = render_sitemap(d, source)
+            if d % _SITEMAP_ERR_MOD == 0:
+                xml = xml[:-11]  # tear off the closing root tag
+            try:
+                sm = parse_sitemap(xml)
+                pris = [
+                    u["priority_milli"]
+                    for u in sm["urls"]
+                    if u["priority_milli"] is not None
+                ]
+                lastmods = [
+                    u["lastmod"] for u in sm["urls"] if u["lastmod"]
+                ]
+                rows.append(
+                    (
+                        source,
+                        "ok",
+                        sm["kind"],
+                        len(sm["urls"]),
+                        len(sm["children"]),
+                        len(pris),
+                        sum(pris),
+                        max(lastmods) if lastmods else None,
+                    )
+                )
+            except SitemapParseError:
+                rows.append(
+                    (source, "error", None, None, None, None, None, None)
+                )
+        yield pd.DataFrame(
+            rows,
+            columns=["source", "status", "kind", "n_urls", "n_children",
+                     "n_with_priority", "sum_priority_milli",
+                     "max_lastmod"],
+        )
+
+
+@register(
+    "corpus_sitemap_ingest",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             doc_id % {_SITEMAP_ERR_MOD} = 0 AS err,
+             doc_id % 5 = 0 AS is_index,
+             3 + doc_id % 3 AS n
+      FROM documents
+    ),
+    u AS (
+      SELECT d.doc_id, d.source,
+             CAST((doc_id + g.k) % 10 AS BIGINT) * 100 AS pri,
+             g.k % 2 = 0 AS has_pri,
+             '2024-0' || CAST(1 + (doc_id + g.k) % 9 AS VARCHAR)
+               || '-11' AS lastmod
+      FROM d, (SELECT unnest(range(0, 6)) AS k) g
+      WHERE NOT d.err AND NOT d.is_index AND g.k < d.n
+    ),
+    per_doc AS (
+      SELECT doc_id, source,
+             CAST(count(*) AS BIGINT) AS n_urls,
+             CAST(sum(CASE WHEN has_pri THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pri,
+             CAST(sum(CASE WHEN has_pri THEN pri ELSE 0 END) AS BIGINT)
+               AS sum_pri,
+             max(lastmod) AS max_lastmod
+      FROM u GROUP BY doc_id, source
+    )
+    SELECT d.source,
+      CAST(count(*) AS BIGINT) AS n_sitemaps,
+      CAST(sum(CASE WHEN d.err THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+      CAST(sum(CASE WHEN NOT d.err AND d.is_index THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_indexes,
+      CAST(sum(CASE WHEN NOT d.err AND NOT d.is_index THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_urlsets,
+      CAST(sum(CASE WHEN NOT d.err AND NOT d.is_index
+                    THEN p.n_urls ELSE 0 END) AS BIGINT) AS n_urls,
+      CAST(sum(CASE WHEN NOT d.err AND d.is_index THEN 2 ELSE 0 END)
+           AS BIGINT) AS n_children,
+      CAST(sum(CASE WHEN NOT d.err AND NOT d.is_index
+                    THEN p.n_pri ELSE 0 END) AS BIGINT)
+        AS n_with_priority,
+      CAST(sum(CASE WHEN NOT d.err AND NOT d.is_index
+                    THEN p.sum_pri ELSE 0 END) AS BIGINT)
+        AS sum_priority_milli,
+      max(CASE WHEN NOT d.err THEN p.max_lastmod END) AS max_lastmod
+    FROM d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+    GROUP BY d.source
+    """,
+)
+def corpus_sitemap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sitemap census through the real parser both
+    directions (render_sitemap -> parse_sitemap): urlset vs
+    sitemapindex kinds, URL and child counts, priority presence and
+    exact milli-priority mass (the protocol's 0.0-1.0 priority parsed
+    as an integer — no float leaves the parser), max lastmod, and a
+    deterministic 1/23 of documents torn mid-tag degrading to error
+    rows (SitemapParseError contract, mutation-fuzz-proven).
+
+    The oracle states every cell closed-form from the generator
+    arithmetic via the constant-bound-grid idiom — DuckDB never reads
+    a tag — so agreement proves the parser inverts the renderer:
+    entity-decoded locs, namespace/declaration/comment tolerance,
+    capture of nested character data, and the index-vs-urlset split.
+
+    Scale shape: map-only Arrow kernel (one sitemap per row), ONE
+    (source) hash aggregate; URL discovery over a trillion sitemaps
+    moves only per-source count rows."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    meta = docs.mapInPandas(
+        _sitemap_batches,
+        schema=(
+            "source string, status string, kind string, n_urls bigint,"
+            " n_children bigint, n_with_priority bigint,"
+            " sum_priority_milli bigint, max_lastmod string"
+        ),
+    )
+    err = F.col("status") == "error"
+    isx = F.col("kind") == "index"
+    return meta.groupBy("source").agg(
+        F.count("*").alias("n_sitemaps"),
+        F.sum(err.cast("int")).cast("long").alias("n_errors"),
+        F.sum((~err & isx).cast("int")).cast("long").alias("n_indexes"),
+        F.sum((~err & ~isx).cast("int")).cast("long").alias("n_urlsets"),
+        F.sum(F.when(~err & ~isx, F.col("n_urls")).otherwise(0))
+        .cast("long").alias("n_urls"),
+        F.sum(F.when(~err & isx, F.col("n_children")).otherwise(0))
+        .cast("long").alias("n_children"),
+        F.sum(F.when(~err & ~isx, F.col("n_with_priority")).otherwise(0))
+        .cast("long").alias("n_with_priority"),
+        F.sum(
+            F.when(~err & ~isx, F.col("sum_priority_milli")).otherwise(0)
+        ).cast("long").alias("sum_priority_milli"),
+        F.max(F.when(~err, F.col("max_lastmod"))).alias("max_lastmod"),
     )

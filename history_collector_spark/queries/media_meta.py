@@ -1,0 +1,251 @@
+"""Audio-container ingest (RIFF/WAVE) and image-metadata harvest
+(TIFF/EXIF IFD) — the two metadata-bearing container walks a
+multimodal corpus sweep runs on every asset before any expensive
+decode: WAV framing yields duration/rate/channel facts that gate
+audio curation, and the TIFF IFD walk yields dimensions/orientation/
+camera facts that gate image curation (and dedup by device).
+
+Topology (same as every codec query here): generate the fixture bytes
+in-kernel from doc_id arithmetic, push them through the REAL
+from-scratch codec both directions (encode -> parse), and emit narrow
+rows — map-only Arrow dataflow, zero exchange before the final
+aggregate. Corrupt blobs (a fixed deterministic fraction) must cost a
+status='error' row, never a task (the shared MediaDecodeError
+contract, fuzz-proven in tests/test_codec_fuzz.py).
+
+Oracles state every field closed-form from the generator arithmetic —
+they never frame a RIFF chunk or walk an IFD — so agreement proves
+the parser inverts the writer exactly on every doc.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from history_collector_spark.catalog import table
+from history_collector_spark.registry import register
+
+_WAV_RATES = (8000, 16000, 44100)
+_WAV_ERR_MOD = 17
+_TIFF_ERR_MOD = 19
+
+
+def _wav_batches(batches):
+    import numpy as np
+    import pandas as pd
+
+    from history_collector_spark.functions.codec_errors import (
+        MediaDecodeError,
+    )
+    from history_collector_spark.functions.wav import encode_wav, parse_wav
+
+    for pdf in batches:
+        out = {
+            "doc_id": [], "status": [], "sample_rate": [],
+            "n_channels": [], "n_frames": [], "duration_us": [],
+            "sum_samples": [], "peak": [],
+        }
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            n_frames = 64 + d % 64
+            channels = 1 + d % 2
+            rate = _WAV_RATES[d % 3]
+            n = n_frames * channels
+            samples = (d * 37 + np.arange(n, dtype=np.int64) * 11) % 4096 - 2048
+            blob = encode_wav(samples, rate, channels)
+            if d % _WAV_ERR_MOD == 0:
+                blob = b"XIFF" + blob[4:]  # torn magic: the crawl case
+            out["doc_id"].append(d)
+            try:
+                w = parse_wav(blob)
+                out["status"].append("ok")
+                out["sample_rate"].append(w["sample_rate"])
+                out["n_channels"].append(w["n_channels"])
+                out["n_frames"].append(w["n_frames"])
+                out["duration_us"].append(
+                    w["n_frames"] * 1_000_000 // w["sample_rate"]
+                )
+                s = w["samples"].astype(np.int64)
+                out["sum_samples"].append(int(s.sum()))
+                out["peak"].append(int(s.max()))
+            except (MediaDecodeError, NotImplementedError):
+                out["status"].append("error")
+                for k in ("sample_rate", "n_channels", "n_frames",
+                          "duration_us", "sum_samples", "peak"):
+                    out[k].append(None)
+        yield pd.DataFrame(
+            {
+                "doc_id": out["doc_id"],
+                "status": out["status"],
+                **{
+                    k: pd.array(out[k], dtype="Int64")
+                    for k in ("sample_rate", "n_channels", "n_frames",
+                              "duration_us", "sum_samples", "peak")
+                },
+            }
+        )
+
+
+@register(
+    "multimodal_audio_wav_ingest",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id,
+             64 + doc_id % 64 AS n_frames,
+             1 + doc_id % 2 AS n_channels,
+             [8000, 16000, 44100][CAST(doc_id % 3 AS INT) + 1] AS rate,
+             (64 + doc_id % 64) * (1 + doc_id % 2) AS n
+      FROM documents
+    )
+    SELECT doc_id,
+      CASE WHEN doc_id % {_WAV_ERR_MOD} = 0 THEN 'error' ELSE 'ok' END
+        AS status,
+      CASE WHEN doc_id % {_WAV_ERR_MOD} = 0 THEN NULL
+           ELSE CAST(rate AS BIGINT) END AS sample_rate,
+      CASE WHEN doc_id % {_WAV_ERR_MOD} = 0 THEN NULL
+           ELSE CAST(n_channels AS BIGINT) END AS n_channels,
+      CASE WHEN doc_id % {_WAV_ERR_MOD} = 0 THEN NULL
+           ELSE CAST(n_frames AS BIGINT) END AS n_frames,
+      CASE WHEN doc_id % {_WAV_ERR_MOD} = 0 THEN NULL
+           ELSE CAST(n_frames AS BIGINT) * 1000000 // rate END
+        AS duration_us,
+      CASE WHEN doc_id % {_WAV_ERR_MOD} = 0 THEN NULL
+           ELSE CAST(list_sum(list_transform(range(0, n),
+                i -> (doc_id * 37 + i * 11) % 4096 - 2048)) AS BIGINT)
+        END AS sum_samples,
+      CASE WHEN doc_id % {_WAV_ERR_MOD} = 0 THEN NULL
+           ELSE CAST(list_max(list_transform(range(0, n),
+                i -> (doc_id * 37 + i * 11) % 4096 - 2048)) AS BIGINT)
+        END AS peak
+    FROM g
+    """,
+)
+def multimodal_audio_wav_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIFF/WAVE ingest through the real from-scratch codec both
+    directions (encode_wav -> parse_wav, incl. the LIST-chunk skip
+    path and word alignment): per asset, the container facts an audio
+    curation pass filters on — rate, channels, frames, exact duration,
+    an exact integer content checksum (sum) and peak. A deterministic
+    1/17 of blobs arrive with torn magic and must yield
+    status='error' rows (the MediaDecodeError graceful-degradation
+    contract; fuzz sweep extended in tests/test_codec_fuzz.py).
+
+    Oracle: every field stated closed-form from the PCM generator's
+    arithmetic — DuckDB never frames a chunk — so agreement proves
+    the reader inverts the writer sample-exactly.
+
+    Scale shape: map-only Arrow kernel over the scan, narrow output,
+    zero exchange (audio containers are framed where they land; only
+    facts move)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        _wav_batches,
+        schema=(
+            "doc_id bigint, status string, sample_rate bigint,"
+            " n_channels bigint, n_frames bigint, duration_us bigint,"
+            " sum_samples bigint, peak bigint"
+        ),
+    )
+
+
+def _tiff_batches(batches):
+    import pandas as pd
+
+    from history_collector_spark.functions.codec_errors import (
+        MediaDecodeError,
+    )
+    from history_collector_spark.functions.tiff import (
+        encode_tiff_meta,
+        parse_tiff_meta,
+    )
+
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            blob = encode_tiff_meta(
+                width=16 + d % 1024,
+                height=16 + (d * 3) % 768,
+                orientation=1 + d % 8,
+                make=f"camera{d % 6}",
+                big_endian=d % 2 == 1,
+            )
+            if d % _TIFF_ERR_MOD == 0:
+                blob = b"XX" + blob[2:]  # torn byte-order mark
+            try:
+                m = parse_tiff_meta(blob)
+                rows.append(
+                    (m["make"], m["byte_order"], m["width"],
+                     m["height"], m["orientation"])
+                )
+            except (MediaDecodeError, NotImplementedError):
+                rows.append((None, None, None, None, None))
+        yield pd.DataFrame(
+            rows,
+            columns=["make", "byte_order", "width", "height",
+                     "orientation"],
+        )
+
+
+@register(
+    "multimodal_exif_tiff_metadata",
+    oracle=f"""
+    WITH g AS (
+      SELECT CASE WHEN doc_id % {_TIFF_ERR_MOD} = 0 THEN NULL
+                  ELSE 'camera' || CAST(doc_id % 6 AS VARCHAR) END
+               AS make,
+             CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END AS mm,
+             16 + doc_id % 1024 AS width,
+             16 + (doc_id * 3) % 768 AS height,
+             1 + doc_id % 8 AS orientation
+      FROM documents
+    )
+    SELECT make,
+      CAST(count(*) AS BIGINT) AS n_images,
+      CAST(sum(CASE WHEN make IS NULL THEN NULL ELSE mm END) AS BIGINT)
+        AS n_big_endian,
+      CAST(sum(CASE WHEN make IS NULL THEN NULL
+                    WHEN orientation >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_rotated,
+      CAST(sum(CASE WHEN make IS NULL THEN NULL ELSE width END)
+           AS BIGINT) AS sum_width,
+      CAST(max(CASE WHEN make IS NULL THEN NULL ELSE height END)
+           AS BIGINT) AS max_height
+    FROM g GROUP BY make
+    """,
+)
+def multimodal_exif_tiff_metadata(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fleet-level EXIF harvest through the real from-scratch TIFF IFD
+    walker both directions (encode_tiff_meta -> parse_tiff_meta, both
+    byte orders, inline AND offset-stored ASCII values): per camera
+    make, the corpus facts an image-curation pass keys on — volume,
+    byte-order mix, rotation incidence (orientation 5-8 need a
+    transpose before any pixel op), width mass, max height. A
+    deterministic 1/19 of blobs arrive with a torn byte-order mark and
+    aggregate under make=NULL (the error bucket).
+
+    Oracle closed-form from the generator arithmetic (DuckDB never
+    walks an IFD).
+
+    Scale shape: map-only Arrow kernel, then ONE hash aggregate on
+    make — a trillion EXIF blocks reduce to a camera-grain profile."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    meta = docs.mapInPandas(
+        _tiff_batches,
+        schema=(
+            "make string, byte_order string, width bigint,"
+            " height bigint, orientation bigint"
+        ),
+    )
+    return meta.groupBy("make").agg(
+        F.count("*").alias("n_images"),
+        F.sum((F.col("byte_order") == "MM").cast("int"))
+        .cast("long").alias("n_big_endian"),
+        F.sum((F.col("orientation") >= 5).cast("int"))
+        .cast("long").alias("n_rotated"),
+        F.sum("width").alias("sum_width"),
+        F.max("height").alias("max_height"),
+    )

@@ -196,13 +196,26 @@ def sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     samp = events.filter(u < F.lit(_SKA_SAMPLE)).select(
         "event_type", "value", "event_id"
     )
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    wn = Window.partitionBy("event_type")
-    ranked = samp.select(
-        "event_type",
-        "value",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(wn).alias("n"),
+    # nearest-rank needs a per-group row_number over the sample; the
+    # sample is a fixed FRACTION, so a plain window would sort a
+    # partition that grows with the corpus (the round-10 full plan
+    # guard caught exactly that). The two-phase range helper is the
+    # distributed form: range-partitioned local ranks + a
+    # partition-count-bounded offset pass.
+    from history_collector_spark.functions.ranking import (
+        grouped_range_prefix_sum,
+    )
+
+    ranked = grouped_range_prefix_sum(
+        samp.withColumn("one", F.lit(1)),
+        ["event_type"],
+        [F.col("value"), F.col("event_id")],
+        "one",
+        out_col="rn",
+    )
+    n_per = samp.groupBy("event_type").agg(F.count("*").alias("n"))
+    ranked = ranked.join(n_per, "event_type").select(
+        "event_type", "value", "rn", "n"
     )
 
     def at(q: float):

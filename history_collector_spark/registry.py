@@ -211,7 +211,10 @@ PRIORITY_QUERIES = (
     # bucketed_probe stays locally oracle-verified every run)
     "corpus_pld_extract",
     "streaming_ingest_e2e",
-    "skew_salted_enrich",
+    # round-10 build, crawl tier: sitemap URL-discovery ingest takes
+    # the skew-demo seat (salted_two_phase_agg keeps the salting
+    # family locally verified; skew_salted_enrich likewise)
+    "corpus_sitemap_ingest",
     "streaming_neardup_e2e",
     "streaming_gapless_e2e",
     "streaming_jdbc_e2e",
@@ -224,8 +227,15 @@ PRIORITY_QUERIES = (
     # covariance seat (embedding keeps matryoshka_audit in-window;
     # covariance stays locally oracle-verified every run)
     "label_fleiss_kappa",
-    "streaming_scd2_cdc_e2e",
-    "text_bleu_corpus",
+    # round-10 build, crawl tier: the streaming frontier (per-host
+    # budget state carried across micro-batches) takes the SCD2-CDC
+    # seat (CDC keeps cdc_last_write_wins + scd2_customer_history
+    # locally oracle-verified; the e2e likewise)
+    "streaming_frontier_e2e",
+    # round-10 build, media tier: RIFF/WAVE ingest through the real
+    # from-scratch codec takes the BLEU seat (text metrics keep bm25 +
+    # kneser-ney in-window; bleu stays locally oracle-verified)
+    "multimodal_audio_wav_ingest",
     "benford_first_digit",
     "dedup_minhash_lsh",
     # round-10 build: the from-scratch VP8L WebP roundtrip takes the
@@ -237,9 +247,18 @@ PRIORITY_QUERIES = (
     # takes the Viterbi seat (tokenizers keep wordpiece_greedy;
     # unigram_viterbi stays locally oracle-verified every run)
     "eval_ndcg_at_k",
-    "streaming_ann_probe_e2e",
-    "ann_pq_adc_topk",
-    "orders_chi2_independence",
+    # round-10 build, eval tier: McNemar's paired-system test takes
+    # the streaming-ANN-probe seat (streaming keeps 7 e2e seats and
+    # ANN keeps nprobe_sweep; the probe stays locally oracle-verified)
+    "eval_mcnemar_paired",
+    # round-10 build, monitoring tier: per-dim PSI drift takes the
+    # PQ-ADC seat (ANN keeps nprobe_sweep + streaming probe in-window;
+    # pq_adc stays locally oracle-verified every run)
+    "embedding_drift_psi",
+    # round-10 build, media tier: TIFF/EXIF IFD metadata harvest takes
+    # the chi2 seat (stats keep benford + bootstrap-CI in-window;
+    # chi2 stays locally oracle-verified every run)
+    "multimodal_exif_tiff_metadata",
     # round-10 build: canonical-URL dedup (pure-Catalyst normalizer)
     # takes the contamination seat — decontamination stays exercised
     # inside curation_end_to_end and the new web funnel, and
@@ -257,11 +276,15 @@ PRIORITY_QUERIES = (
     # the streaming family keeps 8 other e2e seats in-window)
     "preference_pair_stats",
     "embedding_matryoshka_audit",
-    "curation_domain_reweight",
-    # the REAL-codec roundtrip (encode_bmp -> magic-sniffed decode ->
-    # pixel checksum) supersedes the fixture-fake multimodal_decode in
-    # the window; the fake path stays locally oracle-verified
-    "multimodal_decode_real",
+    # round-10 build: the stateless Feistel epoch shuffle takes the
+    # domain-reweight seat (curation keeps quota/end_to_end/web twin
+    # in-window; domain_reweight stays locally oracle-verified)
+    "curation_epoch_shuffle",
+    # round-10 build, crawl tier: charset sniffing (the decode decision
+    # between container framing and HTML parse) takes the decode_real
+    # seat — multimodal keeps yield/webp/wav/tiff/mel in-window and
+    # decode_real stays locally oracle-verified every run
+    "corpus_charset_sniff",
 )
 
 

@@ -262,3 +262,67 @@ def test_html_extractor_fuzz():
         )
         assert isinstance(title, str) and isinstance(text, str)
         assert n_content >= 0 and n_boiler >= 0
+
+
+def test_wav_parser_fuzz():
+    import numpy as np
+
+    from history_collector_spark.functions.codec_errors import (
+        AudioDecodeError,
+    )
+    from history_collector_spark.functions.wav import encode_wav, parse_wav
+
+    blob = encode_wav(
+        (np.arange(192, dtype=np.int64) * 113 % 4096 - 2048), 16000, 2
+    )
+    rng = np.random.default_rng(hash("wav") % (2**32))
+    ok = err = 0
+    for mutant in _mutations(blob, rng, 300):
+        try:
+            w = parse_wav(mutant)
+            assert w["n_frames"] >= 0
+            ok += 1
+        except (AudioDecodeError, NotImplementedError):
+            err += 1
+    assert ok + err == 300
+
+
+def test_tiff_parser_fuzz():
+    import numpy as np
+
+    from history_collector_spark.functions.tiff import (
+        encode_tiff_meta,
+        parse_tiff_meta,
+    )
+
+    blob = encode_tiff_meta(640, 480, 6, "camera3", big_endian=True)
+    rng = np.random.default_rng(hash("tiff") % (2**32))
+    ok = err = 0
+    for mutant in _mutations(blob, rng, 300):
+        try:
+            parse_tiff_meta(mutant)
+            ok += 1
+        except (ImageDecodeError, NotImplementedError):
+            err += 1
+    assert ok + err == 300
+
+
+def test_sitemap_parser_fuzz():
+    import numpy as np
+
+    from history_collector_spark.functions.sitemap_xml import (
+        SitemapParseError,
+        parse_sitemap,
+        render_sitemap,
+    )
+
+    blob = render_sitemap(7, "srcX").encode("utf-8")
+    rng = np.random.default_rng(hash("sitemap") % (2**32))
+    ok = err = 0
+    for mutant in _mutations(blob, rng, 300):
+        try:
+            parse_sitemap(mutant.decode("utf-8", "replace"))
+            ok += 1
+        except SitemapParseError:
+            err += 1
+    assert ok + err == 300

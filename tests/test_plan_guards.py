@@ -260,6 +260,11 @@ BOUNDED_INPUT_WINDOWS = {
     ("curation_source_quota", ("source",)):
         "WGL: rank<=5 literal filter compiles to WindowGroupLimit "
         "(per-partition top-k before the shuffle)",
+    ("crawl_frontier_assign", ("host",)):
+        "WGL: slot <= _HOST_BUDGET literal filter compiles to "
+        "WindowGroupLimit — each task pre-keeps at most budget rows "
+        "per host before the exchange, so a mega-host never sorts "
+        "its full frontier",
     ("text_source_drift_kl", ("source",)):
         "per-(source, term) vocab-bounded aggregate",
     ("text_ngram_lm", ("w1", "w2")):

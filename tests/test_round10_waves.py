@@ -980,3 +980,494 @@ def test_preference_pair_stats_brute_force(spark):
         ) == (w[0], w[1], w[2], w[4]), t
         assert r["max_margin"] == w[3]
         assert r["first_chosen_rate"] == w[1] / w[0]
+
+
+
+# ---------------------------------------------------------------------------
+# WAV / TIFF metadata codecs
+# ---------------------------------------------------------------------------
+
+
+def test_wav_cross_validates_stdlib_both_directions():
+    """Our writer must be readable by stdlib wave, and stdlib-written
+    files must parse identically here (the tarfile discipline)."""
+    import io
+    import wave as stdwave
+
+    import numpy as np
+
+    from history_collector_spark.functions.wav import encode_wav, parse_wav
+
+    samples = (np.arange(300, dtype=np.int64) * 97 % 4096 - 2048)
+    for ch, rate in ((1, 8000), (2, 44100), (3, 16000)):
+        n = len(samples) - len(samples) % ch
+        blob = encode_wav(samples[:n], rate, ch)
+        with stdwave.open(io.BytesIO(blob)) as w:
+            assert w.getnchannels() == ch
+            assert w.getframerate() == rate
+            assert w.getsampwidth() == 2
+            assert w.getnframes() == n // ch
+            std_frames = w.readframes(w.getnframes())
+        assert std_frames == np.asarray(
+            samples[:n], dtype="<i2"
+        ).tobytes()
+
+        buf = io.BytesIO()
+        with stdwave.open(buf, "wb") as w:
+            w.setnchannels(ch)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(np.asarray(samples[:n], dtype="<i2").tobytes())
+        ours = parse_wav(buf.getvalue())
+        assert ours["sample_rate"] == rate
+        assert ours["n_channels"] == ch
+        assert ours["n_frames"] == n // ch
+        assert (
+            ours["samples"] == np.asarray(samples[:n], dtype="<i2")
+        ).all()
+
+
+def test_wav_error_and_plug_points():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from history_collector_spark.functions.codec_errors import (
+        AudioDecodeError,
+    )
+    from history_collector_spark.functions.wav import encode_wav, parse_wav
+
+    good = encode_wav(np.arange(32, dtype=np.int64), 8000, 1)
+    # torn magic / form type / missing chunks
+    with pytest.raises(AudioDecodeError):
+        parse_wav(b"XIFF" + good[4:])
+    with pytest.raises(AudioDecodeError):
+        parse_wav(good[:8] + b"WAVX" + good[12:])
+    with pytest.raises(AudioDecodeError):
+        parse_wav(good[:40])
+    # non-PCM tag and 8-bit PCM are declared plug points
+    nonpcm = bytearray(good)
+    fmt_at = good.index(b"fmt ") + 8
+    struct.pack_into("<H", nonpcm, fmt_at, 3)  # IEEE float tag
+    with pytest.raises(NotImplementedError):
+        parse_wav(bytes(nonpcm))
+    bits8 = bytearray(good)
+    struct.pack_into("<H", bits8, fmt_at + 14, 8)
+    with pytest.raises(NotImplementedError):
+        parse_wav(bytes(bits8))
+
+
+def test_tiff_roundtrip_matrix_and_ifd_chain():
+    """Both byte orders x inline/offset ASCII, plus a hand-built
+    two-IFD chain with an unknown tag that must be skipped."""
+    import struct
+
+    from history_collector_spark.functions.tiff import (
+        encode_tiff_meta,
+        parse_tiff_meta,
+    )
+
+    for be in (False, True):
+        for make in ("abc", "camera5"):  # 4 bytes padded vs offset
+            m = parse_tiff_meta(
+                encode_tiff_meta(1024, 768, 7, make, big_endian=be)
+            )
+            assert m["byte_order"] == ("MM" if be else "II")
+            assert (m["width"], m["height"]) == (1024, 768)
+            assert m["orientation"] == 7
+            assert m["make"] == make
+
+    # hand-built: IFD0 (width SHORT + unknown tag type 99) -> IFD1
+    bo = "<"
+    ifd0_off = 8
+    ifd0 = struct.pack(bo + "H", 2)
+    ifd0 += struct.pack(bo + "HHI", 256, 3, 1) + struct.pack(bo + "HH", 77, 0)
+    ifd0 += struct.pack(bo + "HHI", 555, 99, 1) + b"\x00\x00\x00\x00"
+    next_at = ifd0_off + len(ifd0) + 4
+    ifd0 += struct.pack(bo + "I", next_at)
+    # IFD1 carries a height that must NOT overwrite IFD0's view
+    ifd1 = struct.pack(bo + "H", 1)
+    ifd1 += struct.pack(bo + "HHI", 257, 3, 1) + struct.pack(bo + "HH", 99, 0)
+    ifd1 += struct.pack(bo + "I", 0)
+    blob = b"II" + struct.pack(bo + "H", 42) + struct.pack(
+        bo + "I", ifd0_off
+    ) + ifd0 + ifd1
+    m = parse_tiff_meta(blob)
+    assert m["width"] == 77
+    assert m["height"] is None  # IFD1 is not the primary image
+    assert m["orientation"] is None
+
+
+def test_wav_tiff_queries_are_map_only(spark):
+    for name, agg_ok in (
+        ("multimodal_audio_wav_ingest", False),
+        ("multimodal_exif_tiff_metadata", True),
+    ):
+        df = registry.QUERIES[name](spark, TEST_SF_DIR)
+        df.rdd.count()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        plan = plan.split("== Initial Plan ==")[0]
+        n_exchanges = plan.count("+- Exchange")
+        assert n_exchanges == (1 if agg_ok else 0), (name, plan)
+
+
+# ---------------------------------------------------------------------------
+# Charset sniffing + embedding drift
+# ---------------------------------------------------------------------------
+
+
+def test_utf8_validator_cross_validates_stdlib():
+    """The from-scratch RFC 3629 state machine must agree with
+    bytes.decode('utf-8') on hand-built edge cases AND arbitrary
+    hypothesis byte strings."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from history_collector_spark.queries.charset import validate_utf8
+
+    def ref(blob: bytes) -> str:
+        try:
+            s = blob.decode("utf-8")
+        except UnicodeDecodeError:
+            return "invalid"
+        return "utf8" if any(ord(c) > 127 for c in s) else "ascii"
+
+    cases = [
+        b"",
+        b"plain ascii",
+        "héllo".encode("utf-8"),
+        "€\U0001f600".encode("utf-8"),  # 3- and 4-byte
+        b"\xc0\xaf",  # overlong '/'
+        b"\xe0\x80\xaf",  # overlong 3-byte
+        b"\xed\xa0\x80",  # surrogate U+D800
+        b"\xf4\x90\x80\x80",  # > U+10FFFF
+        b"\xf5\x80\x80\x80",  # invalid lead
+        b"\x80",  # stray continuation
+        b"\xc3",  # truncated 2-byte
+        b"\xe2\x82",  # truncated 3-byte
+        b"\xf0\x9f\x98",  # truncated 4-byte
+        b"ok\xc3\xa9tail",
+        b"\xe9 ",  # latin-1 e-acute + ascii: the fixture's case
+    ]
+    for blob in cases:
+        assert validate_utf8(blob) == ref(blob), blob
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=40))
+    def check(blob):
+        assert validate_utf8(blob) == ref(blob), blob
+
+    check()
+
+
+def test_charset_fixture_covers_all_classes_and_is_exact(spark):
+    got = registry.QUERIES["corpus_charset_sniff"](
+        spark, TEST_SF_DIR
+    ).collect()
+    classes = {r["charset"] for r in got}
+    assert classes == {
+        "ascii", "utf8", "utf8_bom", "utf16le_bom", "utf16be_bom",
+        "latin1",
+    }
+    n = spark.read.parquet(f"{TEST_SF_DIR}/documents.parquet").count()
+    assert sum(r["n_docs"] for r in got) == n
+
+
+def test_embedding_drift_psi_brute_force_and_laws(spark):
+    """Numpy recomputation per dim + the PSI laws: every term (and so
+    the sum) is nonnegative, and identical populations give psi == 0
+    exactly (smoothed proportions equal -> ln(1) == 0)."""
+    import math
+
+    import numpy as np
+
+    rows = spark.read.parquet(
+        f"{TEST_SF_DIR}/embeddings.parquet"
+    ).collect()
+    E = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = np.array([r["vec_id"] for r in rows])
+    edges = [-0.25, 0.0, 0.25]
+
+    def buckets(vals):
+        return np.digitize(vals, edges)
+
+    got = {
+        r["dim"]: r
+        for r in registry.QUERIES["embedding_drift_psi"](
+            spark, TEST_SF_DIR
+        ).collect()
+    }
+    assert set(got) == set(range(E.shape[1]))
+    ref_mask = ids % 2 == 0
+    for dim in range(E.shape[1]):
+        b = buckets(E[:, dim])
+        r_cnt = np.bincount(b[ref_mask], minlength=4)
+        c_cnt = np.bincount(b[~ref_mask], minlength=4)
+        n_ref, n_cur = ref_mask.sum(), (~ref_mask).sum()
+        psi = 0.0
+        for k in range(4):
+            p = (r_cnt[k] + 1) / (n_ref + 4)
+            q = (c_cnt[k] + 1) / (n_cur + 4)
+            psi += (p - q) * math.log(p / q)
+        row = got[dim]
+        assert row["n_ref"] == n_ref and row["n_cur"] == n_cur
+        assert abs(row["psi"] - psi) < 1e-12, dim
+        assert row["psi"] >= 0.0
+
+
+
+# ---------------------------------------------------------------------------
+# Feistel epoch shuffle + McNemar paired test
+# ---------------------------------------------------------------------------
+
+
+def _feistel_py(x: int, key: int) -> int:
+    left, right = (x >> 16) & 0xFFFF, x & 0xFFFF
+    for rnd in range(4):
+        f = ((right * 2654435761 + key + rnd * 1013904223) >> 11) & 0xFFFF
+        left, right = right, left ^ f
+    return (left << 16) | right
+
+
+def _feistel_py_inverse(y: int, key: int) -> int:
+    left, right = (y >> 16) & 0xFFFF, y & 0xFFFF
+    for rnd in reversed(range(4)):
+        f = ((left * 2654435761 + key + rnd * 1013904223) >> 11) & 0xFFFF
+        left, right = right ^ f, left
+    return (left << 16) | right
+
+
+def test_feistel_is_a_bijection_by_invertibility():
+    """A Feistel network is invertible by construction; proving
+    inverse(permute(x)) == x on arbitrary domain points (and that the
+    Spark expression equals the Python model) proves injectivity
+    everywhere — the shuffle contract."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from history_collector_spark.queries.epoch_shuffle import _EPOCH_KEYS
+
+    @settings(max_examples=500, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=2**32 - 1),
+        st.sampled_from(_EPOCH_KEYS),
+    )
+    def check(x, key):
+        y = _feistel_py(x, key)
+        assert 0 <= y < 2**32
+        assert _feistel_py_inverse(y, key) == x
+
+    check()
+
+
+def test_feistel_spark_matches_python_model(spark):
+    from pyspark.sql import functions as F
+
+    from history_collector_spark.queries.epoch_shuffle import (
+        _EPOCH_KEYS,
+        feistel_position,
+    )
+
+    ids = list(range(0, 3000, 7)) + [0, 1, 2**31, 2**32 - 1]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    for key in _EPOCH_KEYS:
+        got = [
+            r[0]
+            for r in df.select(
+                feistel_position(F.col("doc_id"), key)
+            ).collect()
+        ]
+        assert got == [_feistel_py(i, key) for i in ids], key
+
+
+def test_epoch_shuffle_laws(spark):
+    """Per epoch: positions are distinct over the corpus (injectivity
+    materialized), every doc lands in exactly one shard, and the two
+    epochs produce different orders over the same id set."""
+    from pyspark.sql import functions as F
+
+    from history_collector_spark.queries.epoch_shuffle import (
+        _EPOCH_KEYS,
+        feistel_position,
+    )
+
+    docs = spark.read.parquet(f"{TEST_SF_DIR}/documents.parquet").select(
+        "doc_id"
+    )
+    n = docs.count()
+    orders = []
+    for key in _EPOCH_KEYS:
+        p = docs.select(
+            feistel_position(F.col("doc_id"), key).alias("p"),
+            "doc_id",
+        )
+        assert p.select("p").distinct().count() == n
+        orders.append(
+            tuple(
+                r["doc_id"]
+                for r in p.orderBy("p").limit(50).collect()
+            )
+        )
+    assert orders[0] != orders[1]
+
+    rows = registry.QUERIES["curation_epoch_shuffle"](
+        spark, TEST_SF_DIR
+    ).collect()
+    for epoch in (0, 1):
+        assert sum(r["n_docs"] for r in rows if r["epoch"] == epoch) == n
+    # different epoch keys -> different shard orders -> the checksums
+    # cannot all coincide
+    cks = {
+        e: sorted(
+            (r["shard"], r["order_checksum"])
+            for r in rows
+            if r["epoch"] == e
+        )
+        for e in (0, 1)
+    }
+    assert cks[0] != cks[1]
+
+
+def test_mcnemar_brute_force(spark):
+    from collections import defaultdict
+
+    li = spark.read.parquet(f"{TEST_SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_discount",
+    ).collect()
+    by_q = defaultdict(list)
+    for r in li:
+        by_q[r["l_orderkey"]].append(r)
+    cell = defaultdict(int)
+    for rows in by_q.values():
+        ra = sorted(rows, key=lambda r: (-r["l_extendedprice"],
+                                         r["l_linenumber"]))
+        rb = sorted(
+            rows,
+            key=lambda r: (-(r["l_extendedprice"] * (1 - r["l_discount"])),
+                           r["l_linenumber"]),
+        )
+        ha = any(r["l_quantity"] >= 45 for r in ra[:3])
+        hb = any(r["l_quantity"] >= 45 for r in rb[:3])
+        cell[(ha, hb)] += 1
+    got = registry.QUERIES["eval_mcnemar_paired"](
+        spark, TEST_SF_DIR
+    ).collect()[0]
+    assert got["both_hit"] == cell[(True, True)]
+    assert got["only_a"] == cell[(True, False)]
+    assert got["only_b"] == cell[(False, True)]
+    assert got["neither"] == cell[(False, False)]
+    b, c = cell[(True, False)], cell[(False, True)]
+    want = (b - c) ** 2 / (b + c) if b + c else 0.0
+    assert got["mcnemar_chi2"] == want
+
+
+# ---------------------------------------------------------------------------
+# Sitemap XML parser
+# ---------------------------------------------------------------------------
+
+
+def test_sitemap_parser_hand_cases():
+    import pytest
+
+    from history_collector_spark.functions.sitemap_xml import (
+        SitemapParseError,
+        parse_sitemap,
+    )
+
+    sm = parse_sitemap(
+        '<?xml version="1.0"?><!-- c --><ns:urlset xmlns:ns="x">'
+        "<ns:url><ns:loc>https://a/b?x=1&amp;y=2</ns:loc>"
+        "<ns:lastmod>2023-05-06T01:02:03Z</ns:lastmod>"
+        "<ns:priority>0.85</ns:priority></ns:url>"
+        "<ns:url><ns:loc> https://a/c </ns:loc></ns:url>"
+        "</ns:urlset>"
+    )
+    assert sm["kind"] == "urlset"
+    assert sm["urls"][0] == {
+        "loc": "https://a/b?x=1&y=2",
+        "lastmod": "2023-05-06",
+        "priority_milli": 850,
+    }
+    assert sm["urls"][1]["loc"] == "https://a/c"
+    assert sm["urls"][1]["priority_milli"] is None
+
+    idx = parse_sitemap(
+        "<sitemapindex><sitemap><loc>https://a/s1.xml</loc></sitemap>"
+        "<sitemap><loc>https://a/s2.xml</loc></sitemap></sitemapindex>"
+    )
+    assert idx["kind"] == "index"
+    assert idx["children"] == ["https://a/s1.xml", "https://a/s2.xml"]
+
+    for bad in (
+        "",  # no root
+        "<html><body/></html>",  # wrong root
+        "<urlset><url><loc>x</loc>",  # unclosed
+        "<urlset><url></url></urlset>",  # url without loc
+        "<urlset><sitemap><loc>x</loc></sitemap></urlset>",  # mixed kind
+        "<urlset><url><loc>x</loc><priority>1.5</priority></url></urlset>",
+        "<urlset><url><loc>x</loc><lastmod>junk</lastmod></url></urlset>",
+        "<urlset><url><url></url></url></urlset>",  # nested url
+    ):
+        with pytest.raises(SitemapParseError):
+            parse_sitemap(bad)
+
+
+def test_sitemap_priority_bounds_and_self_closing():
+    from history_collector_spark.functions.sitemap_xml import (
+        parse_sitemap,
+    )
+
+    sm = parse_sitemap(
+        "<urlset><url><loc>u</loc><priority>1.0</priority>"
+        "<changefreq/></url></urlset>"
+    )
+    assert sm["urls"][0]["priority_milli"] == 1000
+    sm = parse_sitemap(
+        "<urlset><url><loc>u</loc><priority>0</priority></url></urlset>"
+    )
+    assert sm["urls"][0]["priority_milli"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Streaming frontier
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_frontier_budget_spans_batches(spark):
+    """The e2e is only meaningful if some host's budget is consumed
+    across MORE than one micro-batch — prove the fixture exercises the
+    state carry, and that admissions equal the batch plan per host."""
+    from collections import defaultdict
+
+    from history_collector_spark.queries.frontier_stream import (
+        _BUDGET,
+        _N_FILES,
+    )
+
+    ids = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(
+            f"{TEST_SF_DIR}/documents.parquet"
+        ).collect()
+    )
+    mn, mx = ids[0], ids[-1]
+    per_host_files = defaultdict(set)
+    admitted = defaultdict(int)
+    for d in ids:  # arrival order = doc_id by replay construction
+        h = d % 17
+        if admitted[h] < _BUDGET:
+            admitted[h] += 1
+            per_host_files[h].add(_N_FILES * (d - mn) // (mx - mn + 1))
+    assert any(len(fs) > 1 for fs in per_host_files.values()), (
+        "fixture never carries budget state across a batch boundary"
+    )
+    got = {
+        r["host"]: r["n_admitted"]
+        for r in registry.QUERIES["streaming_frontier_e2e"](
+            spark, TEST_SF_DIR
+        ).collect()
+    }
+    for h, n in admitted.items():
+        assert got[f"crawl{h}"] == n, h
