@@ -540,3 +540,151 @@ def corpus_sitemap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("sum_priority_milli"),
         F.max(F.when(~err, F.col("max_lastmod"))).alias("max_lastmod"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Crawl-discovery end-to-end: messy URLs -> canonical dedup -> robots
+# evaluation -> per-host politeness budget, ONE DAG with a per-host
+# fate funnel — the acquisition-side twin of curation_end_to_end
+# (which starts where this ends: with fetched documents).
+# ---------------------------------------------------------------------------
+
+_CDE_BUDGET = 40
+
+
+@register(
+    "crawl_discovery_end_to_end",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id, doc_id // 2 AS g FROM documents
+    ),
+    grp AS (
+      SELECT g, min(doc_id) AS rep, count(*) AS nvar,
+             g % 5 AS k,
+             g % 4 = g % 5 AS blocked,
+             CAST(g % 89 AS BIGINT) AS priority
+      FROM u GROUP BY g
+    ),
+    surv AS (
+      SELECT k, count(*) AS s, max(priority) AS head_priority
+      FROM grp WHERE NOT blocked GROUP BY k
+    )
+    SELECT 'site' || CAST(grp.k AS VARCHAR) || '.example.com' AS host,
+      CAST(sum(grp.nvar) AS BIGINT) AS n_discovered,
+      CAST(sum(grp.nvar - 1) AS BIGINT) AS drop_dup,
+      CAST(sum(CASE WHEN grp.blocked THEN 1 ELSE 0 END) AS BIGINT)
+        AS drop_robots,
+      CAST(greatest(coalesce(any_value(surv.s), 0) - {_CDE_BUDGET}, 0)
+           AS BIGINT) AS drop_budget,
+      CAST(least(coalesce(any_value(surv.s), 0), {_CDE_BUDGET}) AS BIGINT)
+        AS n_fetched,
+      CAST(any_value(surv.head_priority) AS BIGINT) AS head_priority,
+      CAST(CASE WHEN coalesce(any_value(surv.s), 0) > 0
+                THEN (least(any_value(surv.s), {_CDE_BUDGET}) - 1)
+                     * (1 + grp.k % 3) END AS BIGINT) AS makespan_s
+    FROM grp LEFT JOIN surv ON surv.k = grp.k
+    GROUP BY grp.k
+    """,
+)
+def crawl_discovery_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole acquisition funnel in one DAG, built from the REAL
+    machinery of each stage (not fate shortcuts): messy URL variants
+    -> the pure-Catalyst canonicalizer (queries/urls.py) -> canonical
+    dedup (keep lowest doc_id) -> host/path split -> the broadcast
+    robots-rules join with longest-match max_by -> per-host politeness
+    budget, priorities parsed back OUT of the canonical URL's id
+    parameter (the URL round-trips through the normalizer before the
+    scheduler sees it). Every URL is charged to the first stage that
+    drops it (dup -> robots -> budget), so the funnel columns sum to
+    the discovered count per host.
+
+    The oracle states every cell closed-form from doc_id arithmetic —
+    it never normalizes a URL or matches a rule — so agreement proves
+    the composed normalizer+evaluator+scheduler inverts the generator
+    end to end. Budget fates need only counts (min/max arithmetic), so
+    the Spark side has NO window at all: scan -> expression work ->
+    two hash aggregates -> broadcast rules join -> final host
+    aggregate."""
+    from history_collector_spark.queries.urls import (
+        canonicalize_url,
+        messy_url,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    canon = docs.select(
+        "doc_id",
+        canonicalize_url(messy_url(F.col("doc_id"))).alias("curl"),
+    )
+    grp = canon.groupBy("curl").agg(
+        F.min("doc_id").alias("rep"), F.count("*").alias("nvar")
+    )
+    host = F.regexp_extract("curl", r"://([^:/]+)", 1)
+    path = F.regexp_extract("curl", r"://[^/]+(?::\d+)?(/[^?#]*)", 1)
+    priority = F.regexp_extract("curl", r"[?&]id=(\d+)", 1).cast(
+        "long"
+    ) % 89
+    g = grp.select(
+        "curl",
+        "nvar",
+        host.alias("host"),
+        path.alias("path"),
+        priority.alias("priority"),
+    )
+    rules = spark.range(5).select(
+        F.concat(
+            F.lit("site"), F.col("id").cast("string"),
+            F.lit(".example.com"),
+        ).alias("host"),
+        F.explode(
+            F.array(
+                F.struct(F.lit("/private/").alias("prefix"),
+                         F.lit(0).alias("allow")),
+                F.struct(
+                    F.concat(F.lit("/a/sec"), F.col("id").cast("string"),
+                             F.lit("/")).alias("prefix"),
+                    F.lit(0).alias("allow"),
+                ),
+                F.struct(
+                    F.concat(F.lit("/a/sec"), F.col("id").cast("string"),
+                             F.lit("/public/")).alias("prefix"),
+                    F.lit(1).alias("allow"),
+                ),
+            )
+        ).alias("r"),
+    ).select("host", F.col("r.prefix").alias("prefix"),
+             F.col("r.allow").alias("allow"))
+    verdict = (
+        g.join(rules, "host", "left")
+        .filter(F.col("path").startswith(F.col("prefix")))
+        .groupBy("curl")
+        .agg(
+            F.max_by(
+                F.col("allow"),
+                F.struct(F.length("prefix").alias("l"),
+                         F.col("allow").alias("a")),
+            ).alias("allow")
+        )
+    )
+    staged = g.join(verdict, "curl", "left").select(
+        "host",
+        "nvar",
+        "priority",
+        F.coalesce(F.col("allow") == 0, F.lit(False)).alias("blocked"),
+    )
+    surv_s = F.sum((~F.col("blocked")).cast("long"))
+    delay = 1 + F.regexp_extract("host", r"site(\d+)", 1).cast("long") % 3
+    n_fetched = F.least(surv_s, F.lit(_CDE_BUDGET))
+    return staged.groupBy("host").agg(
+        F.sum("nvar").alias("n_discovered"),
+        F.sum(F.col("nvar") - 1).alias("drop_dup"),
+        F.sum(F.col("blocked").cast("long")).alias("drop_robots"),
+        F.greatest(surv_s - _CDE_BUDGET, F.lit(0)).cast("long").alias(
+            "drop_budget"
+        ),
+        n_fetched.cast("long").alias("n_fetched"),
+        F.max(F.when(~F.col("blocked"), F.col("priority"))).alias(
+            "head_priority"
+        ),
+        F.when(n_fetched > 0, (n_fetched - 1) * F.first(delay))
+        .cast("long").alias("makespan_s"),
+    )

@@ -194,7 +194,10 @@ PRIORITY_QUERIES = (
     "xdr_triplet_parity",
     "pipeline_parity",
     "text_kneser_ney_bigrams",
-    "eval_conformal_coverage",
+    # round-10 build: the acquisition-funnel capstone takes the
+    # conformal seat (eval keeps ndcg/mcnemar/bootstrap-CI in-window;
+    # conformal stays locally oracle-verified every run)
+    "crawl_discovery_end_to_end",
     # round-10 build: the WARC->HTML->funnel web twin takes the DSIR
     # seat (curation keeps domain_reweight/quota/end_to_end plus this;
     # dsir stays locally oracle-verified every run)

@@ -1471,3 +1471,55 @@ def test_streaming_frontier_budget_spans_batches(spark):
     }
     for h, n in admitted.items():
         assert got[f"crawl{h}"] == n, h
+
+
+def test_crawl_discovery_end_to_end_brute_force(spark):
+    """Pure-Python recomputation of the acquisition funnel from raw
+    doc_ids — independent of the normalizer, the rules join, and the
+    oracle's closed forms."""
+    from collections import defaultdict
+
+    ids = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(
+            f"{TEST_SF_DIR}/documents.parquet"
+        ).collect()
+    )
+    groups = defaultdict(int)
+    for d in ids:
+        groups[d // 2] += 1
+    per_host = defaultdict(lambda: [0, 0, 0, []])  # disc, dup, rob, prios
+    for g, nvar in groups.items():
+        k = g % 5
+        w = per_host[k]
+        w[0] += nvar
+        w[1] += nvar - 1
+        if g % 4 == k:
+            w[2] += 1
+        else:
+            w[3].append(g % 89)
+    got = {
+        r["host"]: r
+        for r in registry.QUERIES["crawl_discovery_end_to_end"](
+            spark, TEST_SF_DIR
+        ).collect()
+    }
+    assert set(got) == {f"site{k}.example.com" for k in per_host}
+    for k, w in per_host.items():
+        r = got[f"site{k}.example.com"]
+        s = len(w[3])
+        fetched = min(s, 40)
+        assert r["n_discovered"] == w[0]
+        assert r["drop_dup"] == w[1]
+        assert r["drop_robots"] == w[2]
+        assert r["drop_budget"] == max(s - 40, 0)
+        assert r["n_fetched"] == fetched
+        assert r["head_priority"] == (max(w[3]) if w[3] else None)
+        assert r["makespan_s"] == (
+            (fetched - 1) * (1 + k % 3) if fetched else None
+        )
+        # every URL charged exactly once
+        assert (
+            r["drop_dup"] + r["drop_robots"] + r["drop_budget"]
+            + r["n_fetched"] == r["n_discovered"]
+        )
