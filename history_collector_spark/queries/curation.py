@@ -1626,3 +1626,52 @@ def boilerplate_prefix_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_docs")
         ).alias("template_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic per-group uniform sample via bottom-k of a hash — the
+# scalable way to pull a fixed-size audit sample PER SOURCE from an
+# unbounded corpus: no rand() (reproducible across runs and engines),
+# no full sort (the rank filter compiles to WindowGroupLimit, so each
+# task pre-keeps at most k rows per group), and the sample is stable
+# under corpus growth in the bottom-k sense (a doc only leaves the
+# sample when a smaller-hash doc arrives).
+# ---------------------------------------------------------------------------
+
+_BKS_K = 8
+
+
+@register(
+    "curation_group_sample_bottomk",
+    oracle=f"""
+    SELECT source, doc_id, h FROM (
+      SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                         doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= {_BKS_K}
+    """,
+)
+def curation_group_sample_bottomk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bottom-{_BKS_K}-by-md5 sample per source. The hash order is a
+    deterministic uniform order (the cross-engine md5 idiom), so the
+    kept set is an exact uniform-without-replacement sample of each
+    source that any engine reproduces bit-for-bit — the audit-sample
+    primitive every human-review and eval-annotation pipeline needs.
+
+    Scale shape: the rank<= literal filter compiles to
+    WindowGroupLimit (plan-asserted via the WGL allowlist entry), so
+    each task keeps at most k rows per source BEFORE the exchange —
+    per-source cost is O(k) per task regardless of corpus size."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(h, F.col("doc_id"))
+    return (
+        docs.select("source", "doc_id", h.alias("h"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _BKS_K)
+        .select("source", "doc_id", "h")
+    )

@@ -260,6 +260,9 @@ BOUNDED_INPUT_WINDOWS = {
     ("curation_source_quota", ("source",)):
         "WGL: rank<=5 literal filter compiles to WindowGroupLimit "
         "(per-partition top-k before the shuffle)",
+    ("curation_group_sample_bottomk", ("source",)):
+        "WGL: rn <= k literal filter compiles to WindowGroupLimit — "
+        "each task pre-keeps at most k rows per source",
     ("crawl_frontier_assign", ("host",)):
         "WGL: slot <= _HOST_BUDGET literal filter compiles to "
         "WindowGroupLimit — each task pre-keeps at most budget rows "

@@ -1523,3 +1523,28 @@ def test_crawl_discovery_end_to_end_brute_force(spark):
             r["drop_dup"] + r["drop_robots"] + r["drop_budget"]
             + r["n_fetched"] == r["n_discovered"]
         )
+
+
+def test_group_sample_bottomk_laws(spark):
+    """Exactly k per source (or the whole source if smaller), kept set
+    = the k smallest hashes per source, stable under re-evaluation."""
+    from collections import defaultdict
+    import hashlib
+
+    docs = spark.read.parquet(f"{TEST_SF_DIR}/documents.parquet").select(
+        "doc_id", "source"
+    ).collect()
+    want = defaultdict(list)
+    for r in docs:
+        want[r["source"]].append(
+            (hashlib.md5(str(r["doc_id"]).encode()).hexdigest(),
+             r["doc_id"])
+        )
+    got = defaultdict(list)
+    for r in registry.QUERIES["curation_group_sample_bottomk"](
+        spark, TEST_SF_DIR
+    ).collect():
+        got[r["source"]].append((r["h"], r["doc_id"]))
+    assert set(got) == set(want)
+    for s, pairs in want.items():
+        assert sorted(got[s]) == sorted(sorted(pairs)[:8]), s
