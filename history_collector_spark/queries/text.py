@@ -1441,3 +1441,82 @@ def text_gopher_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             " dup5_char_frac double, dup10_char_frac double"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Syllable-complexity readability panel: the vowel-run syllable proxy
+# under Flesch/Gunning-Fog-class readability scores, reduced to exact
+# integer counts (total syllables, complex words) so every output
+# ratio is a single division — readability is a standard column in
+# training-data quality filters, and the syllable counter is the only
+# non-trivial part of the family.
+# ---------------------------------------------------------------------------
+
+
+def _syl_runs(col):
+    """Word column -> number of maximal vowel runs (syllable proxy):
+    collapse runs to a marker and count markers. The marker 'A' cannot
+    collide because the input is lower()ed first."""
+    marked = F.regexp_replace(col, "[aeiouy]+", "A")
+    return F.length(marked) - F.length(F.regexp_replace(marked, "A", ""))
+
+
+@register(
+    "text_syllable_complexity",
+    oracle="""
+    WITH w AS (
+      SELECT source,
+             list_transform(
+               string_split_regex(lower(text), '\\s+'),
+               x -> len(regexp_replace(x, '[aeiouy]+', 'A', 'g'))
+                  - len(replace(regexp_replace(x, '[aeiouy]+', 'A', 'g'),
+                                'A', ''))
+             ) AS syl
+      FROM documents
+    )
+    SELECT source,
+      CAST(sum(len(syl)) AS BIGINT) AS n_words,
+      CAST(sum(list_sum(syl)) AS BIGINT) AS n_syllables,
+      CAST(sum(list_sum(syl)) AS DOUBLE) / sum(len(syl))
+        AS avg_syllables_per_word,
+      CAST(sum(len(list_filter(syl, s -> s >= 3))) AS DOUBLE)
+        / sum(len(syl)) AS complex_word_pct,
+      CAST(max(list_max(syl)) AS BIGINT) AS max_word_syllables
+    FROM w GROUP BY source
+    """,
+)
+def text_syllable_complexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source syllable statistics via the vowel-run proxy (maximal
+    [aeiouy]+ runs per word — the classic Flesch-era approximation;
+    its known failure modes like silent 'e' are shared by BOTH engines
+    because both count the same runs, which is exactly what the parity
+    gate should prove). All outputs are exact-integer sums with single
+    divisions — bit-stable.
+
+    Scale shape: the per-word counts are a row-local HOF over the
+    word array (bounded by doc length, the BLEU-side of the per-row
+    HOF cost line), reduced to three integers per doc before the ONE
+    source-grain aggregate."""
+    docs = table(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.col("text")), r"\s+")
+    syl = F.transform(words, _syl_runs)
+    per_doc = docs.select(
+        "source",
+        F.size(syl).alias("nw"),
+        F.aggregate(
+            syl, F.lit(0), lambda acc, s: acc + s
+        ).alias("ns"),
+        F.size(F.filter(syl, lambda s: s >= 3)).alias("nc"),
+        F.array_max(syl).alias("mx"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.sum("nw").cast("long").alias("n_words"),
+        F.sum("ns").cast("long").alias("n_syllables"),
+        (F.sum("ns").cast("double") / F.sum("nw")).alias(
+            "avg_syllables_per_word"
+        ),
+        (F.sum("nc").cast("double") / F.sum("nw")).alias(
+            "complex_word_pct"
+        ),
+        F.max("mx").cast("long").alias("max_word_syllables"),
+    )

@@ -190,7 +190,10 @@ PRIORITY_QUERIES = (
     "event_ohlc_bars",
     "funnel_conversion",
     "props_variant_stats",
-    "tpch_q4_priority_exists",
+    # round-10 build: exact Shapley channel attribution takes the Q4
+    # seat (TPC-H keeps the three fresh r10 shapes Q12/Q16/Q20
+    # in-window; Q4 stays locally oracle-verified every run)
+    "events_shapley_attribution",
     "xdr_triplet_parity",
     "pipeline_parity",
     "text_kneser_ney_bigrams",

@@ -1548,3 +1548,95 @@ def test_group_sample_bottomk_laws(spark):
     assert set(got) == set(want)
     for s, pairs in want.items():
         assert sorted(got[s]) == sorted(sorted(pairs)[:8]), s
+
+
+# ---------------------------------------------------------------------------
+# Shapley attribution + syllable complexity
+# ---------------------------------------------------------------------------
+
+
+def test_shapley_attribution_brute_force_and_axioms(spark):
+    """Textbook Shapley over the per-user touchsets (itertools
+    permutation definition — not the subset-weight form the query
+    uses), plus the efficiency axiom."""
+    from collections import Counter, defaultdict
+    from itertools import permutations
+
+    ev = spark.read.parquet(f"{TEST_SF_DIR}/events.parquet").select(
+        "user_id", "ts", "event_type"
+    ).collect()
+    first_p = {}
+    for r in ev:
+        if r["event_type"] == "purchase":
+            u = r["user_id"]
+            if u not in first_p or r["ts"] < first_p[u]:
+                first_p[u] = r["ts"]
+    chans = ["click", "error", "signup", "view"]
+    bit = {c: 1 << i for i, c in enumerate(chans)}
+    masks = defaultdict(int)
+    for r in ev:
+        u = r["user_id"]
+        if (
+            u in first_p
+            and r["event_type"] in bit
+            and r["ts"] < first_p[u]
+        ):
+            masks[u] |= bit[r["event_type"]]
+    mc = Counter(masks.get(u, 0) for u in first_p)
+
+    def v(S):
+        return sum(n for m, n in mc.items() if m & ~S == 0)
+
+    # permutation definition: average marginal over all 4! orders
+    acc = Counter()
+    for perm in permutations(range(4)):
+        S = 0
+        for i in perm:
+            acc[i] += v(S | (1 << i)) - v(S)
+            S |= 1 << i
+    got = {
+        r["channel"]: r
+        for r in registry.QUERIES["events_shapley_attribution"](
+            spark, TEST_SF_DIR
+        ).collect()
+    }
+    total = 0.0
+    for i, c in enumerate(chans):
+        assert got[c]["shapley_num"] == acc[i], c
+        assert got[c]["shapley"] == acc[i] / 24
+        assert got[c]["attributable_conv"] == v(15) - v(0)
+        total += got[c]["shapley"]
+    # efficiency: credits sum to the attributable conversions
+    assert abs(total - (v(15) - v(0))) < 1e-9
+
+
+def test_syllable_complexity_brute_force(spark):
+    import re
+    from collections import defaultdict
+
+    docs = spark.read.parquet(f"{TEST_SF_DIR}/documents.parquet").select(
+        "source", "text"
+    ).collect()
+    runs = re.compile(r"[aeiouy]+")
+    agg = defaultdict(lambda: [0, 0, 0, 0])  # words, syl, complex, max
+    for r in docs:
+        for w in re.split(r"\s+", r["text"].lower()):
+            s = len(runs.findall(w))
+            a = agg[r["source"]]
+            a[0] += 1
+            a[1] += s
+            a[2] += s >= 3
+            a[3] = max(a[3], s)
+    got = {
+        r["source"]: r
+        for r in registry.QUERIES["text_syllable_complexity"](
+            spark, TEST_SF_DIR
+        ).collect()
+    }
+    assert set(got) == set(agg)
+    for s, a in agg.items():
+        r = got[s]
+        assert (r["n_words"], r["n_syllables"], r["max_word_syllables"]) \
+            == (a[0], a[1], a[3]), s
+        assert r["avg_syllables_per_word"] == a[1] / a[0]
+        assert r["complex_word_pct"] == a[2] / a[0]
