@@ -274,7 +274,10 @@ PRIORITY_QUERIES = (
     # the pagerank-dups seat (graph family keeps triangle_count +
     # pointer-jumping locally verified; pagerank_dups likewise)
     "crawl_frontier_assign",
-    "curation_quota_water_filling",
+    # round-10 build: SFT chat-template packing takes the quota seat
+    # (curation keeps end_to_end + the web twin + epoch shuffle
+    # in-window; quota_water_filling stays locally oracle-verified)
+    "curation_chat_template_pack",
     "ann_ivf_nprobe_sweep",
     "curation_end_to_end",
     # round-10 build, eval tier: preference-pair QA takes the HLL

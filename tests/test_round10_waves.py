@@ -1640,3 +1640,107 @@ def test_syllable_complexity_brute_force(spark):
             == (a[0], a[1], a[3]), s
         assert r["avg_syllables_per_word"] == a[1] / a[0]
         assert r["complex_word_pct"] == a[2] / a[0]
+
+
+# ---------------------------------------------------------------------------
+# SFT chat-template packing + win-rate matrix
+# ---------------------------------------------------------------------------
+
+
+def test_chat_template_pack_brute_force(spark):
+    from collections import defaultdict
+
+    from history_collector_spark.queries.sft_pack import (
+        _CTX_BUDGET,
+        _ROLE_OVERHEAD,
+        _SYS_OVERHEAD,
+        _TURNS_PER_CONV,
+    )
+
+    docs = spark.read.parquet(f"{TEST_SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    convs = defaultdict(dict)
+    for r in docs:
+        d = r["doc_id"]
+        nt = len(r["text"].split(" ")) + _ROLE_OVERHEAD[d % 2]
+        convs[d // _TURNS_PER_CONV][d % _TURNS_PER_CONV] = nt
+    want = defaultdict(lambda: [0, 0, 0, 0, 0])
+    for turns in convs.values():
+        cum = _SYS_OVERHEAD
+        kept = 0
+        kept_tok = _SYS_OVERHEAD
+        total = _SYS_OVERHEAD
+        for t in sorted(turns):
+            cum += turns[t]
+            total += turns[t]
+            if cum <= _CTX_BUDGET:
+                kept += 1
+                kept_tok += turns[t]
+        w = want[kept]
+        w[0] += 1
+        w[1] += kept < len(turns)
+        w[2] += kept_tok
+        w[3] += total - kept_tok
+        w[4] = max(w[4], total)
+    got = {
+        r["n_kept"]: r
+        for r in registry.QUERIES["curation_chat_template_pack"](
+            spark, TEST_SF_DIR
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for k, w in want.items():
+        r = got[k]
+        assert (
+            r["n_conversations"], r["n_truncated"], r["sum_kept_tokens"],
+            r["tokens_dropped"], r["max_total_tokens"],
+        ) == tuple(w), k
+
+
+def test_win_rate_matrix_brute_force_and_antisymmetry(spark):
+    from collections import defaultdict
+
+    li = spark.read.parquet(f"{TEST_SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_discount",
+    ).collect()
+    by_q = defaultdict(list)
+    for r in li:
+        by_q[r["l_orderkey"]].append(r)
+    keys = [
+        lambda r: (-r["l_extendedprice"], r["l_linenumber"]),
+        lambda r: (-(r["l_extendedprice"] * (1 - r["l_discount"])),
+                   r["l_linenumber"]),
+        lambda r: (-(r["l_quantity"] * r["l_extendedprice"]),
+                   r["l_linenumber"]),
+    ]
+    hits = []
+    for rows in by_q.values():
+        hits.append(tuple(
+            any(x["l_quantity"] >= 45 for x in sorted(rows, key=k)[:3])
+            for k in keys
+        ))
+    names = ["by_price", "by_discounted", "by_quantity"]
+    got = {
+        (r["system_a"], r["system_b"]): r
+        for r in registry.QUERIES["eval_win_rate_matrix"](
+            spark, TEST_SF_DIR
+        ).collect()
+    }
+    assert len(got) == 6
+    for a in range(3):
+        for b in range(3):
+            if a == b:
+                continue
+            wins = sum(h[a] and not h[b] for h in hits)
+            losses = sum(not h[a] and h[b] for h in hits)
+            ties = sum(h[a] == h[b] for h in hits)
+            r = got[(names[a], names[b])]
+            assert (r["wins"], r["losses"], r["ties"]) == (
+                wins, losses, ties
+            )
+            # antisymmetry with the transposed cell
+            t = got[(names[b], names[a])]
+            assert (t["wins"], t["losses"]) == (losses, wins)
+            assert t["ties"] == ties
