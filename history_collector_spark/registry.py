@@ -176,27 +176,42 @@ _LOADED = False
 # streaming_scd2_cdc keeps SCD2; sessionize-e2e takes the
 # sessionization seat from the batch form) and stay locally
 # oracle-verified on every pytest/driver-sim run.
+# Round-11 rotation (VERDICT r10 item 1: 165/350 queries had never
+# appeared in ANY r1-r10 driver window; the tripwire demands >=10
+# fresh names): 13 never-driver-sampled rows rotate in — the CUBE
+# grouping-sets agg, cohort retention triangles, CDC last-write-wins
+# dedup, PII redaction, Count-Min frequency audit vs exact counts,
+# the multi-format container digest, bootstrap mean CI, PQ codebook
+# assignment, containment (asymmetric Jaccard) dedup, the syllable-
+# complexity readability panel, the pairwise win-rate league table,
+# MRR/recall@k, and per-group deterministic bottom-k sampling.
+# Retired seats all keep family representation (Q20 keeps TPC-H;
+# yield/webp/wav/tiff keep multimodal; neardup-e2e + containment keep
+# dedup/LSH; mcnemar/fleiss/win-rate/mrr/preference keep eval;
+# warc-e2e + multiformat keep containers; shapley keeps events;
+# chat-pack/end_to_end/web/pii keep curation) and stay locally
+# oracle-verified on every pytest/driver-sim run.
 PRIORITY_QUERIES = (
     "account_history",
-    "tpch_q12_shipclass_priority",
-    "tpch_q16_supplier_variety",
+    "cube_order_stats",
+    "cohort_retention",
     "tpch_q20_dominant_supplier",
     "streaming_warc_ingest_e2e",
-    "corpus_tar_ingest",
+    "corpus_multiformat_digest",
     "boilerplate_prefix_templates",
-    "multimodal_audio_mel_energies",
+    "ann_pq_codebook_assign",
     "streaming_sessionize_e2e",
     "streaming_interval_join_e2e",
-    "event_ohlc_bars",
-    "funnel_conversion",
-    "props_variant_stats",
+    "cdc_last_write_wins",
+    "curation_pii_redact",
+    "countmin_frequency_audit",
     # round-10 build: exact Shapley channel attribution takes the Q4
     # seat (TPC-H keeps the three fresh r10 shapes Q12/Q16/Q20
     # in-window; Q4 stays locally oracle-verified every run)
     "events_shapley_attribution",
     "xdr_triplet_parity",
     "pipeline_parity",
-    "text_kneser_ney_bigrams",
+    "text_syllable_complexity",
     # round-10 build: the acquisition-funnel capstone takes the
     # conformal seat (eval keeps ndcg/mcnemar/bootstrap-CI in-window;
     # conformal stays locally oracle-verified every run)
@@ -224,7 +239,7 @@ PRIORITY_QUERIES = (
     "streaming_neardup_e2e",
     "streaming_gapless_e2e",
     "streaming_jdbc_e2e",
-    "eval_bootstrap_auc_ci",
+    "eval_win_rate_matrix",
     # round-10 build, crawl tier: RFC 9309 robots evaluation takes the
     # cluster-representative seat (dedup keeps minhash_lsh in-window;
     # cluster_representative stays locally oracle-verified every run)
@@ -242,17 +257,17 @@ PRIORITY_QUERIES = (
     # from-scratch codec takes the BLEU seat (text metrics keep bm25 +
     # kneser-ney in-window; bleu stays locally oracle-verified)
     "multimodal_audio_wav_ingest",
-    "benford_first_digit",
-    "dedup_minhash_lsh",
+    "bootstrap_mean_ci",
+    "dedup_containment",
     # round-10 build: the from-scratch VP8L WebP roundtrip takes the
     # VAD seat (audio keeps the mel-energies seat; vad stays locally
     # oracle-verified every run)
     "multimodal_decode_webp",
     "tokenizer_wordpiece_greedy",
-    # round-10 build, eval tier: NDCG@5 (bit-stable rank-pivot fold)
-    # takes the Viterbi seat (tokenizers keep wordpiece_greedy;
-    # unigram_viterbi stays locally oracle-verified every run)
-    "eval_ndcg_at_k",
+    # round-11 rotation: MRR/recall@k takes the NDCG seat (eval keeps
+    # mcnemar/win-rate/fleiss/preference in-window; ndcg_at_k stays
+    # locally oracle-verified every run)
+    "eval_mrr_recall_at_k",
     # round-10 build, eval tier: McNemar's paired-system test takes
     # the streaming-ANN-probe seat (streaming keeps 7 e2e seats and
     # ANN keeps nprobe_sweep; the probe stays locally oracle-verified)
@@ -285,10 +300,11 @@ PRIORITY_QUERIES = (
     # the streaming family keeps 8 other e2e seats in-window)
     "preference_pair_stats",
     "embedding_matryoshka_audit",
-    # round-10 build: the stateless Feistel epoch shuffle takes the
-    # domain-reweight seat (curation keeps quota/end_to_end/web twin
-    # in-window; domain_reweight stays locally oracle-verified)
-    "curation_epoch_shuffle",
+    # round-11 rotation: per-group deterministic bottom-k sampling
+    # takes the epoch-shuffle seat (curation keeps chat-pack/
+    # end_to_end/web/pii in-window; epoch_shuffle stays locally
+    # oracle-verified every run)
+    "curation_group_sample_bottomk",
     # round-10 build, crawl tier: charset sniffing (the decode decision
     # between container framing and HTML parse) takes the decode_real
     # seat — multimodal keeps yield/webp/wav/tiff/mel in-window and
