@@ -158,16 +158,27 @@ def main() -> None:
         except Exception:
             pass
 
-    # canary first: pristine-session timings for the pinned subset
+    # canary first: pristine-session timings for the pinned subset.
+    # Min-of-3 per query: two back-to-back runs of an IDENTICAL tree
+    # measured 35.0 s vs 41.8 s (+19%, round-10 drift report in
+    # SCALING.md) — wider than any regression the canary exists to
+    # catch. The per-query min has a defensible floor (a regression
+    # slows ALL three runs; a GC/JIT pause slows one), so the >10%
+    # drift flags become meaningful at the ~5% noise level. The suite
+    # pass below stays single-shot — only the 20-query canary pays 3x.
     canary: dict[str, float | None] = {}
     for name in CANARY:
         if name not in qs:
             continue
-        try:
-            canary[name] = round(run_one(spark, qs[name], sf_dir), 4)
-        except Exception as exc:
-            print(f"bench: canary {name} FAILED: {exc}", file=sys.stderr)
-            canary[name] = None
+        best: float | None = None
+        for _rep in range(3):
+            try:
+                dt = run_one(spark, qs[name], sf_dir)
+            except Exception as exc:
+                print(f"bench: canary {name} FAILED: {exc}", file=sys.stderr)
+                break
+            best = dt if best is None else min(best, dt)
+        canary[name] = round(best, 4) if best is not None else None
 
     times: dict[str, float | None] = {}
     for name in sorted(qs):

@@ -22,10 +22,7 @@ LLM-pipeline extension tier (round-9 wave).
 
 from __future__ import annotations
 
-import glob
 import os
-import shutil
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -40,6 +37,7 @@ from history_collector_spark.queries.similarity import (
 )
 from history_collector_spark.registry import register
 from history_collector_spark.streaming.conf import scoped_state_partitions
+from history_collector_spark.streaming.replay import write_replay_files
 
 _Q_MOD = 103  # disjoint from ann_ivf_bucketed_probe's % 101 set
 _N_FILES = 3
@@ -68,19 +66,9 @@ def _query_replay_dir(spark: SparkSession, sf_dir: str) -> str:
             / (F.col("mx") - F.col("mn") + F.lit(1))
         ).cast("int"),
     )
-    landing = tempfile.mkdtemp(prefix="hc_annq_")
-    flat = tempfile.mkdtemp(prefix="hc_annq_flat_")
-    feed = feed.persist()
-    for fno in range(_N_FILES):
-        feed.filter(F.col("file_no") == fno).select(
-            "vec_id", "label", "embedding"
-        ).coalesce(1).write.mode("overwrite").parquet(f"{landing}/f{fno}")
-    feed.unpersist()
-    for i, p in enumerate(sorted(glob.glob(f"{landing}/f*/part-*.parquet"))):
-        dst = os.path.join(flat, f"{i:02d}.parquet")
-        shutil.copy(p, dst)
-        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
-    shutil.rmtree(landing, ignore_errors=True)
+    flat = write_replay_files(
+        feed, ("vec_id", "label", "embedding"), _N_FILES, prefix="hc_annq_"
+    )
     _REPLAY_CACHE[key] = flat
     return flat
 

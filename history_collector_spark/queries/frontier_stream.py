@@ -28,10 +28,7 @@ tier; no frontier surface exists in the reference.
 
 from __future__ import annotations
 
-import glob
 import os
-import shutil
-import tempfile
 import uuid
 from typing import Iterator
 
@@ -50,7 +47,11 @@ from pyspark.sql.types import (
 
 from history_collector_spark.catalog import table
 from history_collector_spark.registry import register
-from history_collector_spark.streaming.conf import scoped_state_partitions
+from history_collector_spark.streaming.replay import write_replay_files
+from history_collector_spark.streaming.conf import (
+    python_state_partitions,
+    scoped_state_partitions,
+)
 
 _N_FILES = 3
 _BUDGET = 25  # per-host admissions per crawl cycle (spans batches)
@@ -88,19 +89,9 @@ def _frontier_replay_dir(spark: SparkSession, sf_dir: str) -> str:
             / (F.col("mx") - F.col("mn") + F.lit(1))
         ).cast("int"),
     )
-    landing = tempfile.mkdtemp(prefix="hc_frontier_")
-    flat = tempfile.mkdtemp(prefix="hc_frontier_flat_")
-    feed = feed.persist()
-    for fno in range(_N_FILES):
-        feed.filter(F.col("file_no") == fno).select(
-            "doc_id"
-        ).coalesce(1).write.mode("overwrite").parquet(f"{landing}/f{fno}")
-    feed.unpersist()
-    for i, p in enumerate(sorted(glob.glob(f"{landing}/f*/part-*.parquet"))):
-        dst = os.path.join(flat, f"{i:02d}.parquet")
-        shutil.copy(p, dst)
-        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
-    shutil.rmtree(landing, ignore_errors=True)
+    flat = write_replay_files(
+        feed, ("doc_id",), _N_FILES, prefix="hc_frontier_"
+    )
     _REPLAY_CACHE[key] = flat
     return flat
 
@@ -180,7 +171,7 @@ def streaming_frontier_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     name = f"frontier_{uuid.uuid4().hex[:8]}"
-    with scoped_state_partitions(spark):
+    with scoped_state_partitions(spark, python_state_partitions(spark)):
         q = (
             admitted.writeStream.format("memory")
             .queryName(name)

@@ -46,12 +46,9 @@ this extends its exactly-once ingest loop (reference python/main.py:
 
 from __future__ import annotations
 
-import glob
 import hashlib
 import os
 import re
-import shutil
-import tempfile
 import uuid
 from typing import Iterator
 
@@ -73,6 +70,7 @@ from pyspark.sql.types import (
 from history_collector_spark.catalog import table
 from history_collector_spark.functions.nlp import MH_PRIME, mh_consts
 from history_collector_spark.registry import register
+from history_collector_spark.streaming.replay import write_replay_files
 from history_collector_spark.streaming.conf import scoped_state_partitions
 
 N_HASHES = 32
@@ -234,19 +232,9 @@ def _doc_replay_dir(spark: SparkSession, sf_dir: str) -> str:
             / (F.col("mx") - F.col("mn") + F.lit(1))
         ).cast("int"),
     )
-    landing = tempfile.mkdtemp(prefix="hc_neardup_")
-    flat = tempfile.mkdtemp(prefix="hc_neardup_flat_")
-    feed = feed.persist()
-    for fno in range(_N_FILES):
-        feed.filter(F.col("file_no") == fno).select(
-            "doc_id", "text"
-        ).coalesce(1).write.mode("overwrite").parquet(f"{landing}/f{fno}")
-    feed.unpersist()
-    for i, p in enumerate(sorted(glob.glob(f"{landing}/f*/part-*.parquet"))):
-        dst = os.path.join(flat, f"{i:02d}.parquet")
-        shutil.copy(p, dst)
-        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
-    shutil.rmtree(landing, ignore_errors=True)
+    flat = write_replay_files(
+        feed, ("doc_id", "text"), _N_FILES, prefix="hc_neardup_"
+    )
     _DOC_REPLAY_CACHE[key] = flat
     return flat
 

@@ -35,7 +35,11 @@ from pyspark.sql import functions as F
 
 from history_collector_spark.catalog import table
 from history_collector_spark.registry import register
-from history_collector_spark.streaming.conf import scoped_state_partitions
+from history_collector_spark.streaming.conf import (
+    python_state_partitions,
+    scoped_state_partitions,
+)
+from history_collector_spark.streaming.replay import write_replay_files
 from history_collector_spark.streaming.stateful import (
     track_ewma,
     track_gapless,
@@ -100,20 +104,11 @@ def streaming_gapless_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             % 6
         ),
     )
-    landing = tempfile.mkdtemp(prefix="hc_gapless_")
     # one parquet file per file_no -> maxFilesPerTrigger=1 gives 6
     # genuine micro-batches with state carried between them
-    for fno in range(6):
-        feed.filter(F.col("file_no") == fno).select(
-            "stream_id", "seq"
-        ).coalesce(1).write.mode("overwrite").parquet(f"{landing}/f{fno}")
-    flat = tempfile.mkdtemp(prefix="hc_gapless_flat_")
-    import glob
-    import os
-
-    for i, p in enumerate(sorted(glob.glob(f"{landing}/f*/part-*.parquet"))):
-        shutil.copy(p, os.path.join(flat, f"{i:02d}.parquet"))
-    shutil.rmtree(landing, ignore_errors=True)
+    flat = write_replay_files(
+        feed, ("stream_id", "seq"), 6, prefix="hc_gapless_"
+    )
 
     stream = (
         spark.readStream.schema("stream_id string, seq long")
@@ -122,7 +117,7 @@ def streaming_gapless_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     released = track_gapless(stream, start_seq=0, step=_STEP)
     name = f"gapless_{uuid.uuid4().hex[:8]}"
-    with scoped_state_partitions(spark):
+    with scoped_state_partitions(spark, python_state_partitions(spark)):
         q = (
             released.writeStream.format("memory")
             .queryName(name)
@@ -157,7 +152,6 @@ def _time_partitioned_replay_dir(
     batches by MODIFICATION time and same-second copies would scramble
     the replay. Memoized per (session, corpus, n_files) so the two
     stateful e2e consumers pay the fixture I/O once."""
-    import glob
     import os
 
     key = (spark.sparkContext.applicationId, sf_dir, n_files)
@@ -178,19 +172,12 @@ def _time_partitioned_replay_dir(
             / (F.col("mx") - F.col("mn") + F.lit(1))
         ).cast("int"),
     )
-    landing = tempfile.mkdtemp(prefix="hc_replay_")
-    flat = tempfile.mkdtemp(prefix="hc_replay_flat_")
-    feed = feed.persist()
-    for fno in range(n_files):
-        feed.filter(F.col("file_no") == fno).select(
-            "event_id", "ts", "user_id", "value"
-        ).coalesce(1).write.mode("overwrite").parquet(f"{landing}/f{fno}")
-    feed.unpersist()
-    for i, p in enumerate(sorted(glob.glob(f"{landing}/f*/part-*.parquet"))):
-        dst = os.path.join(flat, f"{i:02d}.parquet")
-        shutil.copy(p, dst)
-        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
-    shutil.rmtree(landing, ignore_errors=True)
+    flat = write_replay_files(
+        feed,
+        ("event_id", "ts", "user_id", "value"),
+        n_files,
+        prefix="hc_replay_",
+    )
     _REPLAY_DIR_CACHE[key] = flat
     return flat
 
@@ -291,7 +278,6 @@ def _late_replay_dir(spark: SparkSession, sf_dir: str) -> str:
     unambiguously beyond any sane watermark. Bucketing is integer
     `div` arithmetic so the DuckDB oracle reproduces the displacement
     exactly."""
-    import glob
     import os
 
     key = (spark.sparkContext.applicationId, sf_dir)
@@ -316,22 +302,14 @@ def _late_replay_dir(spark: SparkSession, sf_dir: str) -> str:
                 F.col("orig") + 4,
             ).otherwise(F.col("orig")),
         )
-        .persist()
     )
-    landing = tempfile.mkdtemp(prefix="hc_late_")
-    flat = tempfile.mkdtemp(prefix="hc_late_flat_")
-    for fno in range(_LATE_FILES):
-        feed.filter(F.col("arrival") == fno).select(
-            "event_id", "ts", "event_type"
-        ).coalesce(1).write.mode("overwrite").parquet(f"{landing}/f{fno}")
-    feed.unpersist()
-    import os as _os
-
-    for i, p in enumerate(sorted(glob.glob(f"{landing}/f*/part-*.parquet"))):
-        dst = _os.path.join(flat, f"{i:02d}.parquet")
-        shutil.copy(p, dst)
-        _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
-    shutil.rmtree(landing, ignore_errors=True)
+    flat = write_replay_files(
+        feed,
+        ("event_id", "ts", "event_type"),
+        _LATE_FILES,  # displaced arrivals stay within 0.._LATE_FILES-1
+        bucket_col="arrival",
+        prefix="hc_late_",
+    )
     _LATE_REPLAY_CACHE[key] = flat
     return flat
 
@@ -434,7 +412,7 @@ def streaming_topk_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = stream.withColumn("user_id", F.col("event_id") % 50)
     out = track_heavy_hitters(stream)
     name = f"topk_{uuid.uuid4().hex[:8]}"
-    with scoped_state_partitions(spark):
+    with scoped_state_partitions(spark, python_state_partitions(spark)):
         q = (
             out.writeStream.format("memory")
             .queryName(name)
@@ -461,7 +439,12 @@ def streaming_topk_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _EWMA_ALPHA = 0.2
-_EWMA_FILES = 6
+# 4 range-ordered micro-batches (was 6): every user's rows still
+# straddle multiple batch boundaries, so the state-crossing contract
+# each consumer proves is unchanged, while the per-batch fixed cost
+# (planning + state-store round + Arrow hop) drops by a third across
+# the SIX queries sharing this one memoized feed.
+_EWMA_FILES = 4
 
 
 @register(
@@ -485,7 +468,7 @@ _EWMA_FILES = 6
     """,
 )
 def streaming_ewma_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events replayed as 6 TIME-RANGE-partitioned micro-batches into
+    """events replayed as TIME-RANGE-partitioned micro-batches into
     the stateful EWMA (streaming/stateful.py:track_ewma): because every
     user's rows straddle batch boundaries, the smoothed value genuinely
     carries through the state store — and the result must equal the
@@ -503,7 +486,7 @@ def streaming_ewma_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = track_ewma(stream, _EWMA_ALPHA)
     name = f"sewma_{uuid.uuid4().hex[:8]}"
-    with scoped_state_partitions(spark):
+    with scoped_state_partitions(spark, python_state_partitions(spark)):
         q = (
             out.writeStream.format("memory")
             .queryName(name)
@@ -558,7 +541,7 @@ def streaming_zscore_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = track_zscore(stream)
     name = f"szs_{uuid.uuid4().hex[:8]}"
-    with scoped_state_partitions(spark):
+    with scoped_state_partitions(spark, python_state_partitions(spark)):
         q = (
             out.writeStream.format("memory")
             .queryName(name)
@@ -737,7 +720,7 @@ def streaming_page_hinkley_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = track_page_hinkley(stream, _PH_DELTA, _PH_LAMBDA)
     name = f"sph_{uuid.uuid4().hex[:8]}"
-    with scoped_state_partitions(spark):
+    with scoped_state_partitions(spark, python_state_partitions(spark)):
         q = (
             out.writeStream.format("memory")
             .queryName(name)
@@ -813,7 +796,7 @@ def streaming_hll_merge_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     half of sketch_hll_estimate (same register layout), i.e. the
     incremental form a 100 TB nightly distinct-count rollup runs.
     """
-    flat = _time_partitioned_replay_dir(spark, sf_dir, 6)
+    flat = _time_partitioned_replay_dir(spark, sf_dir, _EWMA_FILES)
     stream = (
         spark.readStream.schema(
             "event_id long, ts timestamp, user_id long, value double"
@@ -839,7 +822,7 @@ def streaming_hll_merge_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = track_hll(enriched, m=_SHLL_M)
     name = f"shll_{uuid.uuid4().hex[:8]}"
-    with scoped_state_partitions(spark):
+    with scoped_state_partitions(spark, python_state_partitions(spark)):
         q = (
             out.writeStream.format("memory")
             .queryName(name)
