@@ -710,23 +710,89 @@ def user_ltv_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MARKOV_ITERS = 200
 
 
-@register("events_markov_stationary")  # rows-only: power iteration is not SQL
+@register(
+    "events_markov_stationary",
+    # Oracle-ized (round 11, formerly rows-only): fixed-count power
+    # iteration with the operand order pinned on BOTH sides — the
+    # recursive CTE replays the identical float sequence the driver
+    # loop produces (the events_bradley_terry idiom: list(... ORDER BY)
+    # freezes matrix layout, list_sum runs the same left-to-right
+    # accumulation as the Python inner loop), so the values are
+    # bit-equal, not merely close.
+    oracle=f"""
+    WITH RECURSIVE
+    ordered AS (
+      SELECT event_type AS s_to,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS s_from
+      FROM events
+    ),
+    trans AS (
+      SELECT s_from, s_to, CAST(count(*) AS BIGINT) AS n
+      FROM ordered WHERE s_from IS NOT NULL GROUP BY s_from, s_to
+    ),
+    visits AS (
+      SELECT event_type AS state, CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY event_type
+    ),
+    states AS (
+      SELECT state, cnt,
+             CAST(row_number() OVER (ORDER BY state) AS INT) AS idx
+      FROM visits
+    ),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM states),
+    rowsum AS (
+      SELECT s_from, CAST(sum(n) AS DOUBLE) AS tot
+      FROM trans GROUP BY s_from
+    ),
+    grid AS (
+      SELECT si.idx AS i, sj.idx AS j,
+             CASE WHEN r.tot IS NULL THEN 1.0 / (SELECT n FROM nn)
+                  ELSE CAST(coalesce(t.n, 0) AS DOUBLE) / r.tot
+             END AS p
+      FROM states si CROSS JOIN states sj
+      LEFT JOIN rowsum r ON r.s_from = si.state
+      LEFT JOIN trans t ON t.s_from = si.state AND t.s_to = sj.state
+    ),
+    rows_ AS (SELECT i, list(p ORDER BY j) AS r FROM grid GROUP BY i),
+    mat AS (SELECT (SELECT list(r ORDER BY i) FROM rows_) AS pm),
+    it AS (
+      SELECT 0 AS k,
+             (SELECT list(1.0 / (SELECT n FROM nn) ORDER BY idx)
+              FROM states) AS pi
+      UNION ALL
+      SELECT k + 1,
+             list_transform(range(1, len(pi) + 1), j ->
+               list_sum(list_transform(range(1, len(pi) + 1), i ->
+                 pi[i] * m.pm[i][j])))
+      FROM it, mat m WHERE k < {_MARKOV_ITERS}
+    ),
+    fin AS (SELECT pi FROM it WHERE k = {_MARKOV_ITERS}),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tv FROM visits)
+    SELECT s.state AS state,
+           fin.pi[s.idx] AS stationary,
+           CAST(s.cnt AS DOUBLE) / tot.tv AS visit_share,
+           abs(fin.pi[s.idx] - CAST(s.cnt AS DOUBLE) / tot.tv) AS gap
+    FROM states s, fin, tot
+    """,
+)
 def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stationary distribution of the per-user event-type Markov chain:
     transition counts come from ONE distributed window pass (lag of
     event_type per user), the row-normalized matrix is
     states x states — bounded by the event-type vocabulary, a handful
-    of cells at any corpus size — and the driver power-iterates pi'
-    = pi P to the fixed point. Output: state, stationary probability,
-    empirical visit share, and the gap between them (mixing
-    diagnostic).
+    of cells at any corpus size — and the driver power-iterates
+    pi' = pi P a FIXED {_MARKOV_ITERS} times (no early exit, so the
+    oracle's recursive CTE replays the identical float sequence:
+    inner sum over source states in index order, outer vector in
+    destination order — mirroring the list_transform/list_sum shape).
+    Output: state, stationary probability, empirical visit share, and
+    the gap between them (mixing diagnostic).
 
-    Verified by the pinned property test
+    Also verified by the pinned property test
     tests/test_round6.py::test_markov_stationary_fixed_point:
     pi P == pi to 1e-12 and pi sums to 1.
     """
-    import numpy as np
-
     ev = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     pairs = (
@@ -748,18 +814,26 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     states = sorted(visits)
     idx = {s: i for i, s in enumerate(states)}
     n = len(states)
-    P = np.zeros((n, n))
+    counts = [[0] * n for _ in range(n)]
     for r in pairs:
-        P[idx[r["s_from"]], idx[r["s_to"]]] = r["n"]
-    rowsum = P.sum(axis=1, keepdims=True)
-    # states with no outgoing edges restart uniformly (ergodicity guard)
-    P = np.where(rowsum > 0, P / np.where(rowsum == 0, 1, rowsum), 1.0 / n)
-    pi = np.full(n, 1.0 / n)
+        counts[idx[r["s_from"]]][idx[r["s_to"]]] = int(r["n"])
+    rowsum = [sum(row) for row in counts]  # exact integer row masses
+    # states with no outgoing edges restart uniformly (ergodicity
+    # guard); division order matches the oracle's grid CTE cell-wise
+    P = [
+        [counts[i][j] / rowsum[i] for j in range(n)]
+        if rowsum[i] > 0
+        else [1.0 / n] * n
+        for i in range(n)
+    ]
+    pi = [1.0 / n] * n
     for _ in range(_MARKOV_ITERS):
-        nxt = pi @ P
-        if float(np.abs(nxt - pi).sum()) < 1e-15:
-            pi = nxt
-            break
+        nxt = []
+        for j in range(n):
+            acc = 0.0
+            for i in range(n):  # i-order sum == the oracle's list_sum
+                acc += pi[i] * P[i][j]
+            nxt.append(acc)
         pi = nxt
     total_visits = sum(visits.values())
     out = [
@@ -784,23 +858,180 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("events_markov_attribution")  # rows-only: absorbing solve not SQL
+_ABS_ITERS = 200
+
+
+@register(
+    "events_markov_attribution",
+    # Oracle-ized (round 11, formerly rows-only): the absorbing-chain
+    # solve is restated as a FIXED-count Neumann iteration b <- Q b + r
+    # (b = P(absorb in CONV | start state), exact solution of
+    # (I - Q) b = r as the iteration count -> inf; 200 iterations is
+    # far past convergence for any row-stochastic Q). Operand order is
+    # pinned on both sides per the events_bradley_terry idiom, so the
+    # recursive CTE replays the driver loop's exact float sequence —
+    # one iteration chain PER knockout, all advancing in lockstep
+    # through the single recursive table keyed by ko.
+    oracle=f"""
+    WITH RECURSIVE
+    fp AS (
+      SELECT user_id, ts AS fts, event_id AS fid
+      FROM (SELECT user_id, ts, event_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events WHERE event_type = 'purchase')
+      WHERE rn = 1
+    ),
+    journey AS (
+      SELECT e.user_id, e.ts, e.event_id, e.event_type
+      FROM events e LEFT JOIN fp ON fp.user_id = e.user_id
+      WHERE fp.user_id IS NULL
+         OR e.ts < fp.fts OR (e.ts = fp.fts AND e.event_id <= fp.fid)
+    ),
+    steps AS (
+      SELECT coalesce(lag(event_type) OVER w, 'START') AS s_from,
+             CASE WHEN event_type = 'purchase' THEN 'CONV'
+                  ELSE event_type END AS s_to,
+             lead(event_type) OVER w AS nxt
+      FROM journey
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    trans AS (
+      SELECT s_from, s_to FROM steps
+      UNION ALL
+      SELECT s_to AS s_from, 'NULL' AS s_to FROM steps
+      WHERE nxt IS NULL AND s_to <> 'CONV'
+    ),
+    cnts AS (
+      SELECT s_from, s_to, CAST(count(*) AS BIGINT) AS n
+      FROM trans GROUP BY s_from, s_to
+    ),
+    sts AS (
+      SELECT state,
+             CAST(row_number() OVER (
+               ORDER BY CASE state WHEN 'START' THEN 0
+                                   WHEN 'CONV' THEN 2
+                                   WHEN 'NULL' THEN 3 ELSE 1 END,
+                        state) AS INT) AS idx
+      FROM (SELECT s_from AS state FROM cnts
+            UNION SELECT s_to FROM cnts
+            UNION SELECT 'START' UNION SELECT 'CONV'
+            UNION SELECT 'NULL')
+    ),
+    chans AS (
+      SELECT state FROM sts WHERE state NOT IN ('START', 'CONV', 'NULL')
+    ),
+    trs AS (SELECT state, idx FROM sts WHERE state NOT IN ('CONV', 'NULL')),
+    kos AS (SELECT '__FULL__' AS ko UNION ALL SELECT state FROM chans),
+    rowsum AS (
+      SELECT s_from, CAST(sum(n) AS DOUBLE) AS tot
+      FROM cnts GROUP BY s_from
+    ),
+    cgrid AS (
+      SELECT k.ko, c.s_from,
+             CASE WHEN c.s_to = k.ko THEN 'NULL' ELSE c.s_to END AS s_to,
+             CAST(sum(c.n) AS BIGINT) AS n
+      FROM cnts c CROSS JOIN kos k
+      GROUP BY 1, 2, 3
+    ),
+    qgrid AS (
+      SELECT k.ko, si.idx AS i, sj.idx AS j,
+             CASE WHEN si.state = k.ko THEN 0.0
+                  WHEN r.tot IS NULL THEN 0.0
+                  ELSE CAST(coalesce(g.n, 0) AS DOUBLE) / r.tot END AS q
+      FROM kos k
+      CROSS JOIN trs si CROSS JOIN trs sj
+      LEFT JOIN rowsum r ON r.s_from = si.state
+      LEFT JOIN cgrid g ON g.ko = k.ko AND g.s_from = si.state
+                       AND g.s_to = sj.state
+    ),
+    rgrid AS (
+      SELECT k.ko, si.idx AS i,
+             CASE WHEN si.state = k.ko THEN 0.0
+                  WHEN r.tot IS NULL THEN 0.0
+                  ELSE CAST(coalesce(g.n, 0) AS DOUBLE) / r.tot END AS rv
+      FROM kos k CROSS JOIN trs si
+      LEFT JOIN rowsum r ON r.s_from = si.state
+      LEFT JOIN cgrid g ON g.ko = k.ko AND g.s_from = si.state
+                       AND g.s_to = 'CONV'
+    ),
+    qrows AS (
+      SELECT ko, i, list(q ORDER BY j) AS qr FROM qgrid GROUP BY ko, i
+    ),
+    mats AS (
+      SELECT q.ko, q.qm, r.rvv
+      FROM (SELECT ko, list(qr ORDER BY i) AS qm FROM qrows GROUP BY ko) q
+      JOIN (SELECT ko, list(rv ORDER BY i) AS rvv
+            FROM rgrid GROUP BY ko) r ON r.ko = q.ko
+    ),
+    it AS (
+      -- CAST in the anchor is load-bearing: a bare 0.0 literal would
+      -- type the recursive column LIST(DECIMAL(1,1)) and silently
+      -- round EVERY iterate to one decimal place
+      SELECT ko, 0 AS k2,
+             list_transform(rvv, x -> CAST(0.0 AS DOUBLE)) AS b,
+             qm, rvv
+      FROM mats
+      UNION ALL
+      SELECT ko, k2 + 1,
+             list_transform(range(1, len(b) + 1), i ->
+               list_sum(list_transform(range(1, len(b) + 1), j ->
+                 qm[i][j] * b[j])) + rvv[i]),
+             qm, rvv
+      FROM it WHERE k2 < {_ABS_ITERS}
+    ),
+    pconv AS (SELECT ko, b[1] AS p FROM it WHERE k2 = {_ABS_ITERS}),
+    fullp AS (SELECT p FROM pconv WHERE ko = '__FULL__'),
+    eff AS (
+      SELECT c.state AS channel,
+             f.p AS p_conv_full,
+             pc.p AS p_conv_removed,
+             greatest(f.p - pc.p, 0.0) AS removal_effect
+      FROM chans c
+      JOIN pconv pc ON pc.ko = c.state
+      CROSS JOIN fullp f
+    ),
+    te AS (
+      SELECT CASE WHEN s = 0 THEN 1.0 ELSE s END AS s
+      FROM (SELECT list_sum(list(removal_effect ORDER BY channel)) AS s
+            FROM eff)
+    ),
+    touch AS (
+      SELECT s_to AS channel, CAST(sum(n) AS BIGINT) AS n_touches
+      FROM cnts GROUP BY s_to
+    )
+    SELECT e.channel,
+           CAST(coalesce(t.n_touches, 0) AS BIGINT) AS n_touches,
+           e.p_conv_full, e.p_conv_removed, e.removal_effect,
+           e.removal_effect / te.s AS attribution
+    FROM eff e LEFT JOIN touch t ON t.channel = e.channel, te
+    """,
+)
 def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Removal-effect attribution over the event-type channels: the
     distributed pass builds per-user journeys (events up to the first
     purchase, START prefix, CONV/NULL absorbing ends) and reduces them
     to transition counts — bounded by (channels + 3)^2 cells at any
-    corpus size. The driver solves the absorbing chain for P(conv)
-    from START, re-solves with each channel knocked out (its inbound
-    mass redirected to NULL), and normalizes the drops into
-    attribution shares.
+    corpus size. The driver computes P(conv) from START via a FIXED
+    {_ABS_ITERS}-step Neumann iteration b <- Q b + r (replacing the
+    former np.linalg.solve — same limit, but with a float sequence the
+    oracle's recursive CTE replays exactly: inner products in column
+    order, knockout chains advanced in lockstep), re-runs with each
+    channel knocked out (its inbound mass redirected to NULL), and
+    normalizes the drops into attribution shares.
+
+    Round 11 also fixed a set-precedence slip in the channel
+    derivation: `a | b - c` bound as `a | (b - c)`, so 'START' (always
+    present as a journey-head s_from) leaked into the channel list and
+    emitted a meaningless knockout row; the parenthesized form keeps
+    channels = real event types only.
 
     Pinned properties (tests/test_round6.py::test_markov_attribution):
     every knockout can only LOWER conversion probability (paths are
-    removed, never added), and shares sum to 1.
+    removed, never added — and each Neumann iterate is monotone in the
+    entrywise-smaller knocked-out (Q, r), so this holds at ANY fixed
+    iteration count, not just in the limit), and shares sum to 1.
     """
-    import numpy as np
-
     ev = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     marked = ev.select(
@@ -837,32 +1068,49 @@ def events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )  # BOUNDED: (channels + 3)^2 cells
 
     channels = sorted(
-        {r["s_from"] for r in counts} | {r["s_to"] for r in counts}
+        ({r["s_from"] for r in counts} | {r["s_to"] for r in counts})
         - {"START", "CONV", "NULL"}
     )
     states = ["START"] + channels + ["CONV", "NULL"]
     idx = {s: i for i, s in enumerate(states)}
     n = len(states)
+    t = n - 2  # transient block size (START + channels)
+    conv_i = idx["CONV"]
+    rowsum = [0] * n  # exact integer row masses (redirect-invariant:
+    for r in counts:  # a knockout moves mass between columns only)
+        rowsum[idx[r["s_from"]]] += int(r["n"])
 
     def p_conv(knockout: str | None) -> float:
-        P = np.zeros((n, n))
+        cmat = [[0] * n for _ in range(n)]
         for r in counts:
             dst = r["s_to"]
             if knockout is not None and dst == knockout:
                 dst = "NULL"
-            P[idx[r["s_from"]], idx[dst]] += r["n"]
-        if knockout is not None:
-            P[idx[knockout], :] = 0.0  # unreachable; keep matrix sane
-            P[idx[knockout], idx["NULL"]] = 1.0
-        rs = P.sum(axis=1, keepdims=True)
-        P = np.where(rs > 0, P / np.where(rs == 0, 1, rs), 0.0)
-        for a in ("CONV", "NULL"):
-            P[idx[a], :] = 0.0
-            P[idx[a], idx[a]] = 1.0
-        t = n - 2  # transient block size (START + channels)
-        Q, R = P[:t, :t], P[:t, t:]
-        B = np.linalg.solve(np.eye(t) - Q, R)  # absorption probabilities
-        return float(B[idx["START"], 0])  # column 0 = CONV
+            cmat[idx[r["s_from"]]][idx[dst]] += int(r["n"])
+        # transient-block Q and the CONV absorption column r, division
+        # order matching the oracle's qgrid/rgrid cells; the knocked-out
+        # row and dead rows (no outgoing mass) are all-zero
+        Q: list[list[float]] = []
+        rv: list[float] = []
+        for i in range(t):
+            if (knockout is not None and states[i] == knockout) or rowsum[
+                i
+            ] == 0:
+                Q.append([0.0] * t)
+                rv.append(0.0)
+            else:
+                Q.append([cmat[i][j] / rowsum[i] for j in range(t)])
+                rv.append(cmat[i][conv_i] / rowsum[i])
+        b = [0.0] * t
+        for _ in range(_ABS_ITERS):
+            nb = []
+            for i in range(t):
+                acc = 0.0
+                for j in range(t):  # j-order sum == the oracle's list_sum
+                    acc += Q[i][j] * b[j]
+                nb.append(acc + rv[i])
+            b = nb
+        return b[idx["START"]]
 
     full = p_conv(None)
     touches = {
