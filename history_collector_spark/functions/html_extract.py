@@ -264,3 +264,196 @@ def extract_main_text(
         else:
             boiler += 1
     return title, " ".join(content), len(content), boiler
+
+
+# ---------------------------------------------------------------------------
+# Outlink + anchor-text extraction: the operator that feeds a crawl
+# frontier (queries/crawl.py) from fetched pages, and the standard
+# anchor-text retrieval/quality signal. Same totality contract as
+# extract_main_text: never raises, malformed markup degrades.
+# ---------------------------------------------------------------------------
+
+
+def _scan_tag_with_attrs(
+    s: str, i: int
+) -> tuple[str, bool, dict[str, str], int]:
+    """Like :func:`_scan_tag`, but also parses ``name=value`` attribute
+    pairs (quoted or bare values; entity references inside values
+    decode via :func:`unescape_entities`, per the HTML attribute-value
+    grammar). First occurrence of an attribute wins. Returns
+    (lowercased tag name, is_closing, attrs, index past '>')."""
+    n = len(s)
+    j = i + 1
+    closing = False
+    if j < n and s[j] == "/":
+        closing = True
+        j += 1
+    k = j
+    while k < n and (s[k].isalnum() or s[k] in "-:"):
+        k += 1
+    name = s[j:k].lower()
+    attrs: dict[str, str] = {}
+    while k < n:
+        # skip whitespace / stray slashes between attributes
+        while k < n and (s[k].isspace() or s[k] == "/"):
+            k += 1
+        if k >= n:
+            break
+        if s[k] == ">":
+            return name, closing, attrs, k + 1
+        a = k
+        while k < n and not s[k].isspace() and s[k] not in ("=", ">", "/"):
+            k += 1
+        aname = s[a:k].lower()
+        while k < n and s[k].isspace():
+            k += 1
+        val = ""
+        if k < n and s[k] == "=":
+            k += 1
+            while k < n and s[k].isspace():
+                k += 1
+            if k < n and s[k] in ('"', "'"):
+                q = s[k]
+                k += 1
+                v = k
+                while k < n and s[k] != q:
+                    k += 1
+                val = s[v:k]
+                k += 1  # past the closing quote (or end of input)
+            else:
+                v = k
+                while k < n and not s[k].isspace() and s[k] != ">":
+                    k += 1
+                val = s[v:k]
+        if aname and aname not in attrs:
+            attrs[aname] = unescape_entities(val)
+    return name, closing, attrs, n
+
+
+def resolve_url(base: str, href: str) -> str:
+    """RFC 3986-lite reference resolution, enough for crawl hrefs:
+    absolute URLs pass through; ``//host/...`` adopts the base scheme;
+    ``/path`` is root-relative; anything else merges with the base
+    path's directory; ``.``/``..`` segments resolve by stack fold
+    (mirroring the pure-Catalyst canonicalizer's dot-segment rule,
+    queries/urls.py). Fragments are dropped (a crawler fetches the
+    resource, not the anchor position). Total: returns '' for
+    non-fetchable schemes (mailto:, javascript:, data:)."""
+    h = href.strip()
+    low = h.lower()
+    for bad in ("mailto:", "javascript:", "data:", "tel:"):
+        if low.startswith(bad):
+            return ""
+    # split off fragment
+    frag = h.find("#")
+    if frag >= 0:
+        h = h[:frag]
+    if not h:
+        return base.split("#", 1)[0]
+    scheme_end = h.find("://")
+    if scheme_end > 0 and h[:scheme_end].isalpha():
+        return h
+    b = base.split("#", 1)[0]
+    bscheme_end = b.find("://")
+    bscheme = b[:bscheme_end] if bscheme_end > 0 else "http"
+    rest = b[bscheme_end + 3 :] if bscheme_end > 0 else b
+    slash = rest.find("/")
+    bhost = rest if slash < 0 else rest[:slash]
+    bpath = "" if slash < 0 else rest[slash:]
+    bpath = bpath.split("?", 1)[0]
+    if h.startswith("//"):
+        return f"{bscheme}:{h}"
+    if h.startswith("?"):
+        # query-only reference: keep the base path (RFC 3986 §5.3)
+        return f"{bscheme}://{bhost}{bpath or '/'}{h}"
+    if h.startswith("/"):
+        merged = h
+    else:
+        bdir = bpath[: bpath.rfind("/") + 1] if "/" in bpath else "/"
+        merged = bdir + h
+    path_q = merged.split("?", 1)
+    segs = path_q[0].split("/")
+    stack: list[str] = []
+    for seg in segs:
+        if seg == "..":
+            if stack:
+                stack.pop()
+        elif seg in (".", ""):
+            continue
+        else:
+            stack.append(seg)
+    out = "/" + "/".join(stack)
+    if path_q[0].endswith("/") and out != "/":
+        out += "/"
+    if len(path_q) > 1:
+        out += "?" + path_q[1]
+    return f"{bscheme}://{bhost}{out}"
+
+
+def extract_links(html: str, base_url: str = "") -> list[tuple[str, str]]:
+    """HTML -> ordered [(resolved_url, anchor_text)] for every
+    ``<a href=...>`` in document order. Anchor text is the
+    entity-decoded, whitespace-collapsed text up to the matching
+    ``</a>`` (a new ``<a`` implicitly closes the previous one, per the
+    HTML5 no-nested-anchors rule); script/style/comment content never
+    contributes hrefs or text. Links whose href is empty or a
+    non-fetchable scheme are dropped. Total: never raises."""
+    n = len(html)
+    i = 0
+    links: list[tuple[str, str]] = []
+    cur_href: str | None = None
+    cur_text: list[str] = []
+
+    def close_anchor() -> None:
+        nonlocal cur_href, cur_text
+        if cur_href is not None:
+            url = resolve_url(base_url, cur_href) if base_url else cur_href
+            if url:
+                links.append((url, " ".join("".join(cur_text).split())))
+        cur_href, cur_text = None, []
+
+    while i < n:
+        c = html[i]
+        if c != "<":
+            j = html.find("<", i)
+            if j < 0:
+                j = n
+            if cur_href is not None:
+                cur_text.append(unescape_entities(html[i:j]))
+            i = j
+            continue
+        if html.startswith("<!--", i):
+            j = html.find("-->", i + 4)
+            i = n if j < 0 else j + 3
+            continue
+        if html.startswith("<!", i) or html.startswith("<?", i):
+            j = html.find(">", i + 2)
+            i = n if j < 0 else j + 1
+            continue
+        if i + 1 < n and not (html[i + 1].isalpha() or html[i + 1] == "/"):
+            if cur_href is not None:
+                cur_text.append("<")
+            i += 1
+            continue
+        name, closing, attrs, i = _scan_tag_with_attrs(html, i)
+        if not closing and name in _SKIP_CONTENT:
+            close = f"</{name}"
+            j = html.lower().find(close, i)
+            if j < 0:
+                i = n
+            else:
+                _, _, i = _scan_tag(html, j)
+            continue
+        if name == "a":
+            close_anchor()  # implicit close on nested/repeated <a>
+            if not closing:
+                href = attrs.get("href")
+                if href is not None and href.strip():
+                    cur_href = href
+            continue
+        if name in _BLOCK_TAGS and cur_href is not None:
+            # block boundary inside an anchor: keep collecting text
+            # but add a separator so words don't fuse across blocks
+            cur_text.append(" ")
+    close_anchor()
+    return links

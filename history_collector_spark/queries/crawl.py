@@ -552,6 +552,67 @@ def corpus_sitemap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CDE_BUDGET = 40
 
 
+def messy_url_py(doc_id: int) -> str:
+    """Python twin of queries/urls.py:messy_url (the Catalyst
+    generator) — used ONLY on the fixture/render side of the discovery
+    e2e, so the links the HTML extractor recovers are the exact messy
+    URL multiset the funnel oracle is stated over. Pinned equal to the
+    expression form by tests/test_round10_waves.py."""
+    g = doc_id // 2
+    odd = doc_id % 2 == 1
+    host = f"site{g % 5}.Example.COM"
+    scheme = "HTTPS" if odd else "https"
+    www = "WWW." if odd else ""
+    port = ":8080" if g % 7 == 0 else (":443" if odd else "")
+    path = (
+        f"/a/./sec{g % 4}/doc%2D{g}"
+        if odd
+        else f"/a/x/../sec{g % 4}/doc-{g}"
+    )
+    query = (
+        f"?utm_source=feed&id={g}&b=2&a=1"
+        if odd
+        else f"?b=2&utm_campaign=x&a=1&id={g}"
+    )
+    frag = f"#sec{doc_id % 3}"
+    return scheme + "://" + www + host + port + path + query + frag
+
+
+def _discovery_link_batches(batches):
+    """Render a tiny index page per doc_id carrying its messy URL as a
+    real <a href> (plus adversarial non-links: a script-quoted fake
+    anchor and a mailto:), run the from-scratch link extractor on the
+    page, and emit (doc_id, url). The page never leaves the task —
+    only the narrow link rows do."""
+    import pandas as pd
+
+    from history_collector_spark.functions.html_extract import (
+        escape_html,
+        extract_links,
+    )
+
+    for pdf in batches:
+        ids, urls = [], []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            page = (
+                "<html><head><title>links</title>"
+                "<script>var x = '<a href=\"/fake\">no</a>';"
+                "</script></head><body>"
+                "<!-- <a href=\"/commented\">out</a> -->"
+                f'<p>see <a href="{escape_html(messy_url_py(d))}">'
+                f"doc {d // 2}</a>"
+                ' or <a href="mailto:ops@crawl.example">write in</a>'
+                "</p></body></html>"
+            )
+            for url, _anchor in extract_links(
+                page, base_url=f"http://idx{d % 7}.example.net/l/{d}"
+            ):
+                ids.append(d)
+                urls.append(url)
+        yield pd.DataFrame({"doc_id": ids, "url": urls})
+
+
 @register(
     "crawl_discovery_end_to_end",
     oracle=f"""
@@ -588,32 +649,37 @@ _CDE_BUDGET = 40
 )
 def crawl_discovery_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole acquisition funnel in one DAG, built from the REAL
-    machinery of each stage (not fate shortcuts): messy URL variants
-    -> the pure-Catalyst canonicalizer (queries/urls.py) -> canonical
-    dedup (keep lowest doc_id) -> host/path split -> the broadcast
-    robots-rules join with longest-match max_by -> per-host politeness
-    budget, priorities parsed back OUT of the canonical URL's id
-    parameter (the URL round-trips through the normalizer before the
-    scheduler sees it). Every URL is charged to the first stage that
-    drops it (dup -> robots -> budget), so the funnel columns sum to
-    the discovered count per host.
+    machinery of each stage (not fate shortcuts): HTML index pages ->
+    the from-scratch outlink extractor (functions/html_extract.py:
+    extract_links — round 11; discovery used to start from synthetic
+    URL lists) -> the pure-Catalyst canonicalizer (queries/urls.py) ->
+    canonical dedup (keep lowest doc_id) -> host/path split -> the
+    broadcast robots-rules join with longest-match max_by -> per-host
+    politeness budget, priorities parsed back OUT of the canonical
+    URL's id parameter (the URL round-trips through attribute entity
+    decode AND the normalizer before the scheduler sees it). Every URL
+    is charged to the first stage that drops it (dup -> robots ->
+    budget), so the funnel columns sum to the discovered count per
+    host.
 
     The oracle states every cell closed-form from doc_id arithmetic —
-    it never normalizes a URL or matches a rule — so agreement proves
-    the composed normalizer+evaluator+scheduler inverts the generator
-    end to end. Budget fates need only counts (min/max arithmetic), so
-    the Spark side has NO window at all: scan -> expression work ->
-    two hash aggregates -> broadcast rules join -> final host
+    it never parses HTML, normalizes a URL, or matches a rule — so
+    agreement proves extractor+normalizer+evaluator+scheduler invert
+    the generator end to end (a leaked script/comment anchor or
+    mailto: would surface as an extra discovered URL). Budget fates
+    need only counts (min/max arithmetic), so the Spark side has NO
+    window at all: map-only Arrow link extraction -> expression work
+    -> two hash aggregates -> broadcast rules join -> final host
     aggregate."""
-    from history_collector_spark.queries.urls import (
-        canonicalize_url,
-        messy_url,
-    )
+    from history_collector_spark.queries.urls import canonicalize_url
 
     docs = table(spark, sf_dir, "documents").select("doc_id")
-    canon = docs.select(
+    links = docs.mapInPandas(
+        _discovery_link_batches, schema="doc_id bigint, url string"
+    )
+    canon = links.select(
         "doc_id",
-        canonicalize_url(messy_url(F.col("doc_id"))).alias("curl"),
+        canonicalize_url(F.col("url")).alias("curl"),
     )
     grp = canon.groupBy("curl").agg(
         F.min("doc_id").alias("rep"), F.count("*").alias("nvar")

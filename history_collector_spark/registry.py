@@ -198,7 +198,12 @@ PRIORITY_QUERIES = (
     "tpch_q20_dominant_supplier",
     "streaming_warc_ingest_e2e",
     "corpus_multiformat_digest",
-    "boilerplate_prefix_templates",
+    # round-11 build: outlink + anchor-text extraction (the missing
+    # link between the HTML stage and the crawl frontier) takes the
+    # boilerplate-templates seat (html_extract + the web funnel keep
+    # the extraction family in-window; boilerplate_prefix_templates
+    # stays locally oracle-verified every run)
+    "corpus_html_outlinks",
     "ann_pq_codebook_assign",
     "streaming_sessionize_e2e",
     "streaming_interval_join_e2e",
