@@ -52,17 +52,26 @@ _COLOR_INDEXING = 3
 
 
 def _distance_map() -> list[tuple[int, int]]:
-    """The 120-entry close-neighborhood (dx, dy) table: candidate
-    offsets ordered by squared euclidean distance, ties broken larger
-    dy first, then positive dx before negative."""
+    """The 120-entry close-neighborhood (dx, dy) table: exactly the
+    offsets with dy in 0..7 and dx in -7..8 (dy=0 rows require dx>=1),
+    ordered by squared euclidean distance, ties broken larger dy
+    first, then positive dx before negative.
+
+    This is the spec's literal table: decoding the plane codes
+    (y = v >> 4, x = 8 - (v & 0xF)) reproduces it entry for entry
+    (pinned, all 120, in tests/test_round11.py). The former generator
+    admitted dy=8 / dx=-8 offsets the spec excludes and truncated to
+    120, displacing 24 far entries — real streams using distance
+    codes 97-120 would have decoded to wrong pixel offsets."""
     cands = []
-    for dy in range(0, 9):
-        for dx in range(-8, 9):
+    for dy in range(0, 8):
+        for dx in range(-7, 9):
             if dy == 0 and dx <= 0:
                 continue
             cands.append((dx, dy))
     cands.sort(key=lambda p: (p[0] * p[0] + p[1] * p[1], -p[1], p[0] < 0))
-    return cands[:120]
+    assert len(cands) == 120
+    return cands
 
 
 _DIST_MAP = _distance_map()
@@ -543,7 +552,12 @@ def _inverse_predictor(px: list[int], xsize: int, ysize: int,
                 l = px[i - 1]
                 t = px[i - xsize]
                 tl = px[i - xsize - 1]
-                tr = px[i - xsize + 1] if x + 1 < xsize else px[i - xsize]
+                # TR at the rightmost column is the flat-buffer
+                # wraparound px[i - xsize + 1] (= the leftmost pixel of
+                # the CURRENT row) — normative behavior, not a clamp to
+                # T: modes 3/5/9/10/11/13 predict the right edge from
+                # it (pinned in tests/test_round11.py)
+                tr = px[i - xsize + 1]
                 if mode == 0:
                     pred = 0xFF000000
                 elif mode == 1:
@@ -594,13 +608,14 @@ def _inverse_subtract_green(px: list[int]) -> None:
 
 def _apply_color_index(packed: list[int], xsize: int, ysize: int,
                        palette: list[int], width_bits: int) -> list[int]:
+    # out-of-range palette indices decode as transparent black
+    # 0x00000000 per the spec (permissive encoders emit them), not as
+    # a decode error
     if width_bits == 0:
         out = []
         for p in packed:
             idx = (p >> 8) & 0xFF
-            if idx >= len(palette):
-                raise ImageDecodeError("palette index out of range")
-            out.append(palette[idx])
+            out.append(palette[idx] if idx < len(palette) else 0)
         return out
     per = 1 << width_bits
     ibits = 8 >> width_bits
@@ -611,9 +626,7 @@ def _apply_color_index(packed: list[int], xsize: int, ysize: int,
         for x in range(xsize):
             g = (packed[y * pxs + (x >> width_bits)] >> 8) & 0xFF
             idx = (g >> (ibits * (x % per))) & mask
-            if idx >= len(palette):
-                raise ImageDecodeError("palette index out of range")
-            out[y * xsize + x] = palette[idx]
+            out[y * xsize + x] = palette[idx] if idx < len(palette) else 0
     return out
 
 
@@ -690,9 +703,82 @@ def decode_vp8l(payload: bytes):
     return out
 
 
+def parse_webp_info(data: bytes) -> dict:
+    """RIFF walk -> container metadata WITHOUT pixel decode: kind
+    ('vp8l' | 'vp8' | 'vp8x'), width, height, has_alpha, has_anim,
+    n_frames. Dimensions come from the real headers — VP8L's 14-bit
+    packed dims, the VP8 keyframe start code + 14-bit dims (RFC 6386
+    §9.1), VP8X's 24-bit canvas dims — and animation frames are
+    counted from ANMF chunks. This is the metadata-grade arm for the
+    formats whose pixel decode is a plug point (lossy VP8 pixels,
+    VP8X sub-streams): a crawl yield scorecard can classify and size
+    the dominant real-crawl WebP share honestly instead of charging
+    it as an error. Raises ImageDecodeError on malformed containers."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ImageDecodeError("not a WebP payload")
+    riff_len = int.from_bytes(data[4:8], "little")
+    if riff_len + 8 > len(data) or riff_len < 4:
+        raise ImageDecodeError("bad RIFF length")
+    pos = 12
+    info: dict | None = None
+    n_anmf = 0
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        clen = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        body = data[pos + 8 : pos + 8 + clen]
+        if len(body) != clen:
+            raise ImageDecodeError("truncated WebP chunk")
+        if tag == b"VP8L" and info is None:
+            if len(body) < 5 or body[0] != 0x2F:
+                raise ImageDecodeError("bad VP8L signature")
+            br = _BitReader(body[1:])
+            w = br.read(14) + 1
+            h = br.read(14) + 1
+            alpha = br.read_bit()
+            info = {
+                "kind": "vp8l", "width": w, "height": h,
+                "has_alpha": bool(alpha), "has_anim": False,
+            }
+        elif tag == b"VP8 " and info is None:
+            # RFC 6386 §9.1: 3-byte frame tag (bit 0 = interframe),
+            # keyframe start code 9D 01 2A, then 14-bit dims + 2-bit
+            # scale in two little-endian uint16s
+            if len(body) < 10:
+                raise ImageDecodeError("VP8 header truncated")
+            if body[0] & 1:
+                raise ImageDecodeError("VP8 stream starts mid-GOP")
+            if body[3:6] != b"\x9d\x01\x2a":
+                raise ImageDecodeError("bad VP8 keyframe start code")
+            w = int.from_bytes(body[6:8], "little") & 0x3FFF
+            h = int.from_bytes(body[8:10], "little") & 0x3FFF
+            info = {
+                "kind": "vp8", "width": w, "height": h,
+                "has_alpha": False, "has_anim": False,
+            }
+        elif tag == b"VP8X" and info is None:
+            if len(body) < 10:
+                raise ImageDecodeError("VP8X header truncated")
+            flags = body[0]
+            info = {
+                "kind": "vp8x",
+                "width": 1 + int.from_bytes(body[4:7], "little"),
+                "height": 1 + int.from_bytes(body[7:10], "little"),
+                "has_alpha": bool((flags >> 4) & 1),
+                "has_anim": bool((flags >> 1) & 1),
+            }
+        elif tag == b"ANMF":
+            n_anmf += 1
+        pos += 8 + clen + (clen & 1)
+    if info is None:
+        raise ImageDecodeError("WebP payload has no image chunk")
+    info["n_frames"] = n_anmf if (info["has_anim"] and n_anmf) else 1
+    return info
+
+
 def decode_webp(data: bytes):
     """RIFF-framed WebP -> (h, w, 4) uint8 RGBA (VP8L lossless only;
-    lossy VP8 and extended VP8X raise NotImplementedError)."""
+    lossy VP8 and extended VP8X raise NotImplementedError — use
+    :func:`parse_webp_info` for their metadata-grade arm)."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ImageDecodeError("not a WebP payload")
     riff_len = int.from_bytes(data[4:8], "little")

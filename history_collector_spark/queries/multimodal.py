@@ -824,12 +824,33 @@ def decode_blob(data: bytes, fake: bool = False) -> dict:
     built-in pure-Python codec (BMP 24-bit BI_RGB; PPM P6/P3; PNG
     8/16-bit + palette + Adam7; GIF first-frame; JPEG baseline,
     progressive, and Adobe CMYK/YCCK); formats without a built-in
-    codec raise NotImplementedError at the documented plug point. ``fake=True`` is the fixture mode: metadata
-    derived from the payload's sha256, so the DuckDB oracles verify
-    the full distributed path over synthetic text blobs.
+    codec raise NotImplementedError at the documented plug point —
+    EXCEPT WebP lossy-VP8/VP8X, whose container+frame headers parse to
+    real dimensions/flags via functions/webp.py:parse_webp_info and
+    come back as decode_status='ok-meta' (metadata-grade: a crawl
+    pipeline can classify, size, and dedup-key the dominant real-crawl
+    WebP share without the pixel plug point). ``fake=True`` is the
+    fixture mode: metadata derived from the payload's sha256, so the
+    DuckDB oracles verify the full distributed path over synthetic
+    text blobs.
     """
     if not fake:
-        px = decode_image(data)  # raises NotImplementedError for unknown magic
+        try:
+            px = decode_image(data)  # NotImplementedError: unknown magic
+        except NotImplementedError:
+            if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+                from history_collector_spark.functions.webp import (
+                    parse_webp_info,
+                )
+
+                info = parse_webp_info(data)
+                return {
+                    "width": info["width"],
+                    "height": info["height"],
+                    "n_frames": info["n_frames"],
+                    "decode_status": "ok-meta",
+                }
+            raise
         return {
             "width": int(px.shape[1]),
             "height": int(px.shape[0]),
@@ -1323,8 +1344,38 @@ def multimodal_decode_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _YIELD_FORMATS = (
     "bmp", "ppm", "png", "jpeg", "png_truncated", "webp", "gif",
-    "jpeg_cmyk", "webp_lossy",
+    "jpeg_cmyk", "webp_lossy", "webp_vp8x",
 )
+
+
+def _vp8_lossy_blob(w: int, h: int) -> bytes:
+    """Minimal real lossy-WebP container: keyframe tag, RFC 6386 start
+    code, 14-bit dims — enough for the metadata-grade arm to size it
+    (pixel data itself stays the documented plug point)."""
+    body = (
+        b"\x10\x00\x00"  # frame tag: keyframe, version 0, show_frame
+        + b"\x9d\x01\x2a"
+        + (w & 0x3FFF).to_bytes(2, "little")
+        + (h & 0x3FFF).to_bytes(2, "little")
+    )
+    chunk = b"VP8 " + len(body).to_bytes(4, "little") + body
+    return b"RIFF" + (4 + len(chunk)).to_bytes(4, "little") + b"WEBP" + chunk
+
+
+def _vp8x_blob(w: int, h: int, alpha: bool) -> bytes:
+    """Minimal extended-WebP container: VP8X flags + 24-bit canvas
+    dims (static; no ANIM), carrying a lossy sub-stream."""
+    flags = (0x10 if alpha else 0x00).to_bytes(1, "big")
+    vp8x = (
+        b"VP8X" + (10).to_bytes(4, "little")
+        + flags + b"\x00\x00\x00"
+        + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")
+    )
+    sub = _vp8_lossy_blob(w, h)[12:]  # reuse the VP8 chunk
+    return (
+        b"RIFF" + (4 + len(vp8x) + len(sub)).to_bytes(4, "little")
+        + b"WEBP" + vp8x + sub
+    )
 
 
 def _yield_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1367,12 +1418,12 @@ def _yield_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 )
 
                 blob = encode_webp_vp8l(px, subtract_green=bool(d % 2))
-            elif fmt == "webp_lossy":  # VP8 (lossy): unplugged by design
-                blob = (
-                    b"RIFF\x1c\x00\x00\x00WEBPVP8 "
-                    + (16).to_bytes(4, "little")
-                    + bytes(16)
-                )
+            elif fmt == "webp_lossy":
+                # real keyframe header: the metadata-grade arm sizes
+                # it (ok-meta); pixel decode stays the plug point
+                blob = _vp8_lossy_blob(w, h)
+            elif fmt == "webp_vp8x":
+                blob = _vp8x_blob(w, h, alpha=bool(d % 2))
             elif fmt == "gif":
                 blob = encode_gif(px)
             else:  # jpeg_cmyk: Adobe 4-component, transform 0
@@ -1396,27 +1447,31 @@ def _yield_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     "multimodal_decode_yield",
     oracle="""
     WITH s AS (
-      SELECT doc_id, (doc_id // 3) % 9 AS v,
+      SELECT doc_id, (doc_id // 3) % 10 AS v,
              2 + doc_id % 6 AS w, 1 + doc_id % 4 AS h
       FROM documents WHERE doc_id % 3 = 0
     )
     SELECT CASE v WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm' WHEN 2 THEN 'png'
                   WHEN 3 THEN 'jpeg' WHEN 4 THEN 'png_truncated'
                   WHEN 5 THEN 'webp' WHEN 6 THEN 'gif'
-                  WHEN 7 THEN 'jpeg_cmyk' ELSE 'webp_lossy' END AS format,
+                  WHEN 7 THEN 'jpeg_cmyk' WHEN 8 THEN 'webp_lossy'
+                  ELSE 'webp_vp8x' END AS format,
            CASE WHEN v = 4 THEN 'error: ImageDecodeError'
-                WHEN v = 8 THEN 'error: NotImplementedError'
+                WHEN v IN (8, 9) THEN 'ok-meta'
                 ELSE 'ok' END AS decode_status,
            CAST(count(*) AS BIGINT) AS n_assets,
-           CAST(sum(CASE WHEN v IN (4, 8) THEN 0 ELSE w * h END)
+           CAST(sum(CASE WHEN v = 4 THEN 0 ELSE w * h END)
                 AS BIGINT) AS total_pixels
     FROM s GROUP BY 1, 2
     """,
 )
 def multimodal_decode_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-format decode yield over a nine-format synthetic asset
+    """Per-format decode yield over a ten-format synthetic asset
     mix (BMP/PPM/PNG/JPEG/GIF/Adobe-CMYK/VP8L-WebP ok-paths, a
-    truncated PNG, an unplugged lossy-VP8 WebP):
+    truncated PNG, and the two metadata-grade WebP arms — a real
+    lossy-VP8 keyframe header and a VP8X extended container, both
+    classified and SIZED as 'ok-meta' via the container/frame-header
+    parser rather than charged as errors):
     REAL decodes through the magic dispatcher, aggregated to (format,
     status, count, decoded pixels). The oracle predicts each cell
     closed-form from the generator arithmetic — a wrong-way failure

@@ -326,3 +326,31 @@ def test_sitemap_parser_fuzz():
         except SitemapParseError:
             err += 1
     assert ok + err == 300
+
+
+def test_webp_info_parser_fuzz():
+    """parse_webp_info (the VP8/VP8X metadata-grade arm) must degrade
+    to ImageDecodeError on any corruption — never IndexError /
+    struct.error / OverflowError."""
+    from history_collector_spark.functions.webp import parse_webp_info
+    from history_collector_spark.queries.multimodal import (
+        _vp8_lossy_blob,
+        _vp8x_blob,
+    )
+
+    for name, blob in (
+        ("vp8", _vp8_lossy_blob(640, 480)),
+        ("vp8x", _vp8x_blob(1920, 1080, alpha=True)),
+        ("vp8l", _encode_webp(_RGB)),
+    ):
+        rng = np.random.default_rng(hash(name) % (2**32))
+        ok = err = 0
+        for mutant in _mutations(blob, rng, 250):
+            try:
+                info = parse_webp_info(mutant)
+                assert info["width"] >= 0 and info["height"] >= 0
+                assert info["n_frames"] >= 1
+                ok += 1
+            except ImageDecodeError:
+                err += 1
+        assert ok + err == 250, name

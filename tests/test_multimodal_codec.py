@@ -127,11 +127,22 @@ def test_decode_blob_real_mode_metadata():
     assert wm == {
         "width": 3, "height": 2, "n_frames": 1, "decode_status": "ok"
     }
-    with pytest.raises(NotImplementedError):
+    # lossy VP8: pixels stay a plug point, but the container/frame
+    # headers parse to metadata-grade 'ok-meta' (round 11); a VP8 body
+    # without the keyframe start code is a decode ERROR, not a plug
+    # point (it is malformed, not merely unsupported)
+    from history_collector_spark.queries.multimodal import _vp8_lossy_blob
+
+    lm = decode_blob(_vp8_lossy_blob(16, 8))
+    assert lm == {
+        "width": 16, "height": 8, "n_frames": 1,
+        "decode_status": "ok-meta",
+    }
+    with pytest.raises(ImageDecodeError):
         decode_blob(
             b"RIFF\x1c\x00\x00\x00WEBPVP8 "
             + (16).to_bytes(4, "little") + bytes(16)
-        )  # lossy VP8: still-unplugged format
+        )  # garbage VP8 body: no keyframe start code
     with pytest.raises(ImageDecodeError):
         decode_blob(b"RIFF....WEBP")  # corrupt RIFF framing
     with pytest.raises(NotImplementedError):

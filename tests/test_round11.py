@@ -299,3 +299,41 @@ def test_vp8l_palette_out_of_range_is_transparent_black():
     g = 0b11100100  # indices 0,1,2,3 for x=0..3
     out = _apply_color_index([(g << 8)], 4, 1, palette, 2)
     assert out == [0xFF111111, 0xFF222222, 0x00000000, 0x00000000]
+
+
+def test_parse_webp_info_fields():
+    from history_collector_spark.functions.webp import (
+        encode_webp_vp8l,
+        parse_webp_info,
+    )
+    from history_collector_spark.queries.multimodal import (
+        _vp8_lossy_blob,
+        _vp8x_blob,
+    )
+    import numpy as np
+
+    i = parse_webp_info(_vp8_lossy_blob(640, 480))
+    assert (i["kind"], i["width"], i["height"]) == ("vp8", 640, 480)
+    assert not i["has_alpha"] and not i["has_anim"] and i["n_frames"] == 1
+
+    i = parse_webp_info(_vp8x_blob(1920, 1080, alpha=True))
+    assert (i["kind"], i["width"], i["height"]) == ("vp8x", 1920, 1080)
+    assert i["has_alpha"] and not i["has_anim"]
+
+    px = np.zeros((3, 5, 4), dtype=np.uint8)
+    px[:, :, 3] = 200  # non-opaque alpha
+    i = parse_webp_info(encode_webp_vp8l(px))
+    assert (i["kind"], i["width"], i["height"]) == ("vp8l", 5, 3)
+
+
+def test_decode_blob_ok_meta_for_lossy_webp():
+    from history_collector_spark.queries.multimodal import (
+        _vp8_lossy_blob,
+        decode_blob,
+    )
+
+    meta = decode_blob(_vp8_lossy_blob(12, 7))
+    assert meta == {
+        "width": 12, "height": 7, "n_frames": 1,
+        "decode_status": "ok-meta",
+    }

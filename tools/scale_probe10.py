@@ -35,6 +35,16 @@ PROBE = [
     # round-10 reformulated audits: expect flat-to-linear now
     "label_noise_knn",
     "dedup_embedding_cosine",
+    # round-11 cohort (VERDICT r10 item 3): the six remaining
+    # first-decade slope>=8 rows that had no second-decade row —
+    # round 10 proved one decade hides real quadratics (3 of 9
+    # probed rows were genuinely super-linear)
+    "dedup_semantic",
+    "multimodal_video_shot_boundaries",
+    "ann_ivf_topk",
+    "text_rouge_l",
+    "explode_txset",
+    "dedup_exact_substring",
 ]
 
 RESULTS_PATH = "/root/repo/.scale_probe/results_sf10.json"
