@@ -1,4 +1,4 @@
-"""From-scratch RIFF/WAVE (PCM) reader + writer.
+"""From-scratch RIFF/WAVE reader + writers (PCM16 / IEEE float / extensible / mono IMA ADPCM).
 
 The crawl-audio analogue of the image codecs: a real corpus's audio
 arrives as WAV/RIFF containers, and the ingest kernel must frame the
@@ -6,11 +6,16 @@ container, validate the format chunk, and expose samples — degrading
 gracefully (``AudioDecodeError``) on the torn blobs a crawl always
 contains, never killing a task.
 
-Subset by design (PCM integer, fmt tag 1): compressed WAVE formats
-(ADPCM, float, extensible) raise ``NotImplementedError`` at the plug
-point, the same posture as lossy WebP in ``functions/webp.py``. The
-chunk walker itself is total: it skips unknown chunks (LIST/INFO/fact
-and anything else) by their declared size like a real RIFF reader, so
+Supported format arms (round 11 widened the round-10 PCM16-only
+subset): integer PCM16 (tag 1), IEEE float 32/64-bit (tag 3, decoded
+to int16 via clip+round scaling), WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE,
+real format dispatched from the SubFormat GUID), and mono IMA ADPCM
+(tag 0x11, the block-based 4-bit codec, decoded with the public
+step/index tables). Remaining compressed formats (MS ADPCM, mu-law,
+MP3-in-WAV) raise ``NotImplementedError`` at the plug point, the same
+posture as lossy-WebP pixels in ``functions/webp.py``. The chunk
+walker itself is total: it skips unknown chunks (LIST/INFO and
+anything else) by their declared size like a real RIFF reader, so
 metadata-bearing files parse fine.
 
 No third-party or stdlib wave module is used anywhere (the stdlib
@@ -52,12 +57,81 @@ def encode_wav(samples, sample_rate: int, n_channels: int = 1) -> bytes:
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
-def parse_wav(blob: bytes) -> dict:
-    """WAV blob -> {sample_rate, n_channels, bits, n_frames, samples}.
+# WAVE format tags (public Microsoft registry constants)
+_FMT_PCM = 0x0001
+_FMT_FLOAT = 0x0003
+_FMT_IMA_ADPCM = 0x0011
+_FMT_EXTENSIBLE = 0xFFFE
 
-    samples is an int16 numpy array of interleaved frames. Raises
-    AudioDecodeError on any malformed framing, NotImplementedError on
-    valid-but-unsupported formats (non-PCM, non-16-bit)."""
+# KSDATAFORMAT GUID tail shared by every extensible subformat; the
+# real tag rides the first two bytes of the 16-byte GUID
+_KS_GUID_TAIL = bytes(
+    (0x00, 0x00, 0x00, 0x00, 0x10, 0x00, 0x80, 0x00,
+     0x00, 0xAA, 0x00, 0x38, 0x9B, 0x71)
+)
+
+# IMA/DVI ADPCM public tables
+_IMA_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8,
+                    -1, -1, -1, -1, 2, 4, 6, 8)
+_IMA_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+)
+
+
+def _ima_decode_nibble(n: int, pred: int, index: int) -> tuple[int, int]:
+    """One IMA ADPCM step: nibble + (predictor, index) -> updated."""
+    step = _IMA_STEP_TABLE[index]
+    diff = step >> 3
+    if n & 1:
+        diff += step >> 2
+    if n & 2:
+        diff += step >> 1
+    if n & 4:
+        diff += step
+    pred = pred - diff if n & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + _IMA_INDEX_TABLE[n]))
+    return pred, index
+
+
+def _decode_ima_adpcm(data: bytes, block_align: int) -> list[int]:
+    """Mono IMA ADPCM data chunk -> int16 samples. Each block: 4-byte
+    header (int16 seed predictor, uint8 step index, reserved), then
+    nibble pairs low-first; the seed is the block's first sample."""
+    if block_align < 4 or block_align % 4:
+        raise AudioDecodeError(f"bad ADPCM block align {block_align}")
+    if len(data) % block_align:
+        raise AudioDecodeError("ADPCM data not block-aligned")
+    out: list[int] = []
+    for b0 in range(0, len(data), block_align):
+        block = data[b0 : b0 + block_align]
+        pred = struct.unpack("<h", block[0:2])[0]
+        index = block[2]
+        if index > 88:
+            raise AudioDecodeError(f"ADPCM step index {index} > 88")
+        out.append(pred)
+        for byte in block[4:]:
+            for n in (byte & 0xF, byte >> 4):
+                pred, index = _ima_decode_nibble(n, pred, index)
+                out.append(pred)
+    return out
+
+
+def parse_wav(blob: bytes) -> dict:
+    """WAV blob -> {sample_rate, n_channels, bits, n_frames, samples,
+    codec}.
+
+    samples is an int16 numpy array of interleaved frames whatever the
+    container format (float and ADPCM arms normalize to int16).
+    Raises AudioDecodeError on any malformed framing,
+    NotImplementedError on valid-but-unsupported formats."""
     import numpy as np
 
     if len(blob) < 12:
@@ -72,6 +146,7 @@ def parse_wav(blob: bytes) -> dict:
     pos = 12
     end = 8 + riff_size
     fmt = None
+    fmt_body = b""
     data = None
     while pos + 8 <= end:
         cid = blob[pos : pos + 4]
@@ -84,6 +159,7 @@ def parse_wav(blob: bytes) -> dict:
             if csize < 16:
                 raise AudioDecodeError("fmt chunk too short")
             fmt = struct.unpack("<HHIIHH", body[:16])
+            fmt_body = body
         elif cid == b"data":
             data = body
         # any other chunk id: skip by declared size (LIST, fact, ...)
@@ -93,25 +169,184 @@ def parse_wav(blob: bytes) -> dict:
     if data is None:
         raise AudioDecodeError("missing data chunk")
     tag, n_channels, rate, _byte_rate, block_align, bits = fmt
-    if tag != 1:
-        raise NotImplementedError(f"non-PCM WAVE format tag {tag}")
-    if bits != 16:
-        raise NotImplementedError(f"{bits}-bit PCM unsupported")
     if n_channels < 1 or n_channels > 32:
         raise AudioDecodeError(f"implausible channel count {n_channels}")
     if rate <= 0:
         raise AudioDecodeError("non-positive sample rate")
-    if block_align != 2 * n_channels:
-        raise AudioDecodeError(
-            f"block align {block_align} != 2 * {n_channels}"
+    if tag == _FMT_EXTENSIBLE:
+        # the real format rides the SubFormat GUID's first two bytes
+        if len(fmt_body) < 40:
+            raise AudioDecodeError("extensible fmt chunk too short")
+        guid = fmt_body[24:40]
+        if guid[2:] != _KS_GUID_TAIL:
+            raise AudioDecodeError("bad extensible subformat GUID")
+        (valid_bits,) = struct.unpack("<H", fmt_body[18:20])
+        if valid_bits and valid_bits > bits:
+            raise AudioDecodeError(
+                f"valid bits {valid_bits} > container bits {bits}"
+            )
+        tag = struct.unpack("<H", guid[:2])[0]
+    if tag == _FMT_PCM:
+        if bits != 16:
+            raise NotImplementedError(f"{bits}-bit PCM unsupported")
+        if block_align != 2 * n_channels:
+            raise AudioDecodeError(
+                f"block align {block_align} != 2 * {n_channels}"
+            )
+        if len(data) % block_align:
+            raise AudioDecodeError("data chunk not frame-aligned")
+        samples = np.frombuffer(data, dtype="<i2")
+        codec = "pcm16"
+    elif tag == _FMT_FLOAT:
+        if bits not in (32, 64):
+            raise AudioDecodeError(f"float WAVE with {bits} bits")
+        width = bits // 8
+        if block_align != width * n_channels:
+            raise AudioDecodeError(
+                f"block align {block_align} != {width} * {n_channels}"
+            )
+        if len(data) % block_align:
+            raise AudioDecodeError("data chunk not frame-aligned")
+        f = np.frombuffer(data, dtype="<f4" if bits == 32 else "<f8")
+        if not np.isfinite(f).all():
+            raise AudioDecodeError("non-finite float samples")
+        # normalize to int16: clip to [-1, 1], scale, round-half-away
+        samples = np.clip(f.astype(np.float64), -1.0, 1.0)
+        samples = np.trunc(samples * 32767.0 + np.copysign(0.5, samples))
+        samples = samples.astype(np.int16)
+        codec = f"float{bits}"
+    elif tag == _FMT_IMA_ADPCM:
+        if n_channels != 1:
+            raise NotImplementedError(
+                "multichannel IMA ADPCM not implemented (mono built in)"
+            )
+        if bits != 4:
+            raise AudioDecodeError(f"IMA ADPCM with {bits} bits/sample")
+        samples = np.array(
+            _decode_ima_adpcm(data, block_align), dtype=np.int16
         )
-    if len(data) % block_align:
-        raise AudioDecodeError("data chunk not frame-aligned")
-    samples = np.frombuffer(data, dtype="<i2")
+        codec = "ima_adpcm"
+    else:
+        raise NotImplementedError(f"WAVE format tag {tag} not implemented")
     return {
         "sample_rate": rate,
         "n_channels": n_channels,
         "bits": bits,
-        "n_frames": len(data) // block_align,
+        "n_frames": len(samples) // n_channels,
         "samples": samples,
+        "codec": codec,
     }
+
+
+def encode_wav_float(samples, sample_rate: int, n_channels: int = 1,
+                     bits: int = 32) -> bytes:
+    """Interleaved float samples in [-1, 1] -> IEEE-float WAV blob
+    (fmt tag 3 + the fact chunk compressed/non-PCM files carry)."""
+    import numpy as np
+
+    dt = "<f4" if bits == 32 else "<f8"
+    raw = np.asarray(samples, dtype=dt).tobytes()
+    width = bits // 8
+    block_align = width * n_channels
+    fmt = struct.pack(
+        "<HHIIHHH", _FMT_FLOAT, n_channels, sample_rate,
+        sample_rate * block_align, block_align, bits, 0,
+    )
+    n_frames = len(raw) // block_align
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, n_frames)
+        + b"data" + struct.pack("<I", len(raw)) + raw
+        + (b"\x00" if len(raw) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def encode_wav_extensible(samples, sample_rate: int,
+                          n_channels: int = 1) -> bytes:
+    """Interleaved int16 samples -> WAVE_FORMAT_EXTENSIBLE blob whose
+    SubFormat GUID carries PCM — the container modern encoders emit
+    for >2 channels or >16 bits, here wrapping plain PCM16."""
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    block_align = 2 * n_channels
+    guid = struct.pack("<H", _FMT_PCM) + _KS_GUID_TAIL
+    fmt = struct.pack(
+        "<HHIIHHHHI", _FMT_EXTENSIBLE, n_channels, sample_rate,
+        sample_rate * block_align, block_align, 16,
+        22,  # cbSize
+        16,  # valid bits
+        (1 << n_channels) - 1,  # channel mask
+    ) + guid
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+        + (b"\x00" if len(pcm) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def _ima_encode_nibble(sample: int, pred: int, index: int
+                       ) -> tuple[int, int, int]:
+    """Pick the nibble for one sample and advance the decoder-mirrored
+    state, so encode/decode share the exact reconstruction."""
+    step = _IMA_STEP_TABLE[index]
+    diff = sample - pred
+    n = 0
+    if diff < 0:
+        n = 8
+        diff = -diff
+    if diff >= step:
+        n |= 4
+        diff -= step
+    if diff >= step >> 1:
+        n |= 2
+        diff -= step >> 1
+    if diff >= step >> 2:
+        n |= 1
+    pred, index = _ima_decode_nibble(n, pred, index)
+    return n, pred, index
+
+
+def encode_wav_ima_adpcm(samples, sample_rate: int,
+                         block_frames: int = 505) -> bytes:
+    """Mono int16 samples -> IMA ADPCM WAV blob (fmt tag 0x11).
+
+    Each block stores 1 seed sample + 2*(block_align-4) nibbles;
+    block_frames must be 1 mod 8 so the block align lands on the
+    4-byte boundary the format requires. The input is truncated to
+    whole blocks (standard encoder behavior for a fixed block
+    size)."""
+    if (block_frames - 1) % 8:
+        raise ValueError("block_frames must be 1 mod 8")
+    samples = [int(s) for s in samples]
+    block_align = 4 + (block_frames - 1) // 2
+    n_blocks = len(samples) // block_frames
+    body = bytearray()
+    index = 0
+    for b in range(n_blocks):
+        chunk = samples[b * block_frames : (b + 1) * block_frames]
+        pred = chunk[0]
+        body += struct.pack("<hBB", pred, index, 0)
+        nibbles: list[int] = []
+        for s in chunk[1:]:
+            n, pred, index = _ima_encode_nibble(s, pred, index)
+            nibbles.append(n)
+        for lo, hi in zip(nibbles[0::2], nibbles[1::2]):
+            body.append(lo | (hi << 4))
+    n_frames = n_blocks * block_frames
+    fmt = struct.pack(
+        "<HHIIHHHH", _FMT_IMA_ADPCM, 1, sample_rate,
+        (sample_rate * block_align + block_frames - 1) // block_frames,
+        block_align, 4,
+        2,  # cbSize
+        block_frames,  # samples per block
+    )
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, n_frames)
+        + b"data" + struct.pack("<I", len(body)) + bytes(body)
+        + (b"\x00" if len(body) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks

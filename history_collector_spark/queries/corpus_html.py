@@ -508,3 +508,86 @@ def corpus_html_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
             " anchor string"
         ),
     )
+
+
+@register(
+    "crawl_anchor_text_index",
+    # Closed-form inversion: the fixture's link inventory is fixed per
+    # doc_id, so every (canonical target, inlink count, referrer
+    # count, consensus anchor) cell is doc_id arithmetic. The nav
+    # targets additionally round-trip the canonicalizer (tracking
+    # params none, query params SORTED: p=K before q=x>y), so a
+    # normalizer regression surfaces as a missing/extra target row.
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source, 3 + doc_id % 3 AS nn, doc_id % 2 AS odd
+      FROM documents
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(odd) AS BIGINT) AS n_odd
+      FROM d
+    ),
+    ks AS (SELECT unnest(range(0, 5)) AS k),
+    rows_ AS (
+      SELECT 'http://crawl.example/s?p=' || k || '&q=x>y' AS target,
+             CAST(count(*) AS BIGINT) AS n_inlinks,
+             'nav' || k AS anchor
+      FROM d JOIN ks ON ks.k < d.nn GROUP BY k
+      UNION ALL
+      SELECT 'http://crawl.example/' || source,
+             CAST(count(*) AS BIGINT), 'SiteName'
+      FROM d GROUP BY source
+      UNION ALL
+      SELECT 'http://crawl.example/ad1', n_odd, 'sponsored' FROM tot
+      UNION ALL
+      SELECT 'http://crawl.example/ad2', n_odd, 'links' FROM tot
+      UNION ALL
+      SELECT 'http://crawl.example/tos', n, 'terms' FROM tot
+      UNION ALL
+      SELECT 'http://crawl.example/priv', n, 'privacy' FROM tot
+    )
+    SELECT target, n_inlinks, n_inlinks AS n_referrer_pages, anchor
+    FROM rows_
+    """,
+)
+def crawl_anchor_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inverted anchor index a retrieval/quality stack builds from
+    extracted outlinks: WARC pages -> extract_links -> canonical
+    target URL (queries/urls.py normalizer, pure Catalyst) -> one
+    hash exchange keyed by target -> per-target inlink count, distinct
+    referrer pages, and the consensus anchor text.
+
+    Scale shape: the only exchange is the target-keyed aggregate with
+    map-side combine — at crawl scale this is the exact dataflow that
+    builds anchor-text fields for trillion-link graphs (the link rows
+    are narrow; page payloads never leave the extraction task)."""
+    from history_collector_spark.queries.urls import canonicalize_url
+
+    src = _write_html_warc_fixture(spark, sf_dir)
+    blobs = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "pages*.warc*")
+        .load(src)
+        .select("content")
+    )
+    links = blobs.mapInPandas(
+        _outlink_batches,
+        schema=(
+            "doc_id bigint, source string, ord bigint, url string,"
+            " anchor string"
+        ),
+    )
+    return (
+        links.select(
+            "doc_id",
+            canonicalize_url(F.col("url")).alias("target"),
+            "anchor",
+        )
+        .groupBy("target")
+        .agg(
+            F.count("*").alias("n_inlinks"),
+            F.countDistinct("doc_id").alias("n_referrer_pages"),
+            F.min("anchor").alias("anchor"),
+        )
+    )

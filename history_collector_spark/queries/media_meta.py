@@ -38,28 +38,58 @@ def _wav_batches(batches):
     from history_collector_spark.functions.codec_errors import (
         MediaDecodeError,
     )
-    from history_collector_spark.functions.wav import encode_wav, parse_wav
+    from history_collector_spark.functions.wav import (
+        encode_wav,
+        encode_wav_extensible,
+        encode_wav_float,
+        encode_wav_ima_adpcm,
+        parse_wav,
+    )
 
     for pdf in batches:
         out = {
-            "doc_id": [], "status": [], "sample_rate": [],
+            "doc_id": [], "status": [], "codec": [], "sample_rate": [],
             "n_channels": [], "n_frames": [], "duration_us": [],
             "sum_samples": [], "peak": [],
         }
         for doc_id in pdf["doc_id"]:
             d = int(doc_id)
+            v = d % 4  # container arm: pcm/float/extensible/adpcm
             n_frames = 64 + d % 64
-            channels = 1 + d % 2
+            channels = 1 if v == 3 else 1 + d % 2
             rate = _WAV_RATES[d % 3]
-            n = n_frames * channels
-            samples = (d * 37 + np.arange(n, dtype=np.int64) * 11) % 4096 - 2048
-            blob = encode_wav(samples, rate, channels)
+            if v == 3:
+                # mono IMA ADPCM, one whole block (block frames must
+                # be 1 mod 8 so the align is 4-byte) of a constant
+                # signal: at step index 0 a zero nibble reconstructs
+                # exactly (step 7 >> 3 == 0), so the decode is
+                # bit-exact and the oracle closed-form
+                bf = ((n_frames - 1) // 8) * 8 + 1
+                c = (d * 37) % 4096 - 2048
+                blob = encode_wav_ima_adpcm(
+                    np.full(bf, c, dtype=np.int64), rate,
+                    block_frames=bf,
+                )
+            else:
+                n = n_frames * channels
+                ints = (
+                    d * 37 + np.arange(n, dtype=np.int64) * 11
+                ) % 4096 - 2048
+                if v == 0:
+                    blob = encode_wav(ints, rate, channels)
+                elif v == 1:
+                    # integer/32767 floats round-trip to the exact
+                    # integers through the clip+round normalization
+                    blob = encode_wav_float(ints / 32767.0, rate, channels)
+                else:
+                    blob = encode_wav_extensible(ints, rate, channels)
             if d % _WAV_ERR_MOD == 0:
                 blob = b"XIFF" + blob[4:]  # torn magic: the crawl case
             out["doc_id"].append(d)
             try:
                 w = parse_wav(blob)
                 out["status"].append("ok")
+                out["codec"].append(w["codec"])
                 out["sample_rate"].append(w["sample_rate"])
                 out["n_channels"].append(w["n_channels"])
                 out["n_frames"].append(w["n_frames"])
@@ -71,6 +101,7 @@ def _wav_batches(batches):
                 out["peak"].append(int(s.max()))
             except (MediaDecodeError, NotImplementedError):
                 out["status"].append("error")
+                out["codec"].append(None)
                 for k in ("sample_rate", "n_channels", "n_frames",
                           "duration_us", "sum_samples", "peak"):
                     out[k].append(None)
@@ -78,6 +109,7 @@ def _wav_batches(batches):
             {
                 "doc_id": out["doc_id"],
                 "status": out["status"],
+                "codec": out["codec"],
                 **{
                     k: pd.array(out[k], dtype="Int64")
                     for k in ("sample_rate", "n_channels", "n_frames",
@@ -92,48 +124,70 @@ def _wav_batches(batches):
     oracle=f"""
     WITH g AS (
       SELECT doc_id,
-             64 + doc_id % 64 AS n_frames,
-             1 + doc_id % 2 AS n_channels,
+             CAST(doc_id % 4 AS INT) AS v,
+             64 + doc_id % 64 AS nf,
+             CASE WHEN doc_id % 4 = 3 THEN 1
+                  ELSE 1 + doc_id % 2 END AS n_channels,
              [8000, 16000, 44100][CAST(doc_id % 3 AS INT) + 1] AS rate,
-             (64 + doc_id % 64) * (1 + doc_id % 2) AS n
+             (doc_id * 37) % 4096 - 2048 AS c
       FROM documents
+    ),
+    g2 AS (
+      SELECT doc_id, v, n_channels, rate, c,
+             CASE WHEN v = 3 THEN ((nf - 1) // 8) * 8 + 1 ELSE nf END
+               AS out_frames,
+             CASE WHEN v = 3 THEN ((nf - 1) // 8) * 8 + 1
+                  ELSE nf * n_channels END AS n,
+             doc_id % {_WAV_ERR_MOD} = 0 AS err
+      FROM g
     )
     SELECT doc_id,
-      CASE WHEN doc_id % {_WAV_ERR_MOD} = 0 THEN 'error' ELSE 'ok' END
-        AS status,
-      CASE WHEN doc_id % {_WAV_ERR_MOD} = 0 THEN NULL
-           ELSE CAST(rate AS BIGINT) END AS sample_rate,
-      CASE WHEN doc_id % {_WAV_ERR_MOD} = 0 THEN NULL
-           ELSE CAST(n_channels AS BIGINT) END AS n_channels,
-      CASE WHEN doc_id % {_WAV_ERR_MOD} = 0 THEN NULL
-           ELSE CAST(n_frames AS BIGINT) END AS n_frames,
-      CASE WHEN doc_id % {_WAV_ERR_MOD} = 0 THEN NULL
-           ELSE CAST(n_frames AS BIGINT) * 1000000 // rate END
+      CASE WHEN err THEN 'error' ELSE 'ok' END AS status,
+      CASE WHEN err THEN NULL
+           WHEN v = 0 THEN 'pcm16' WHEN v = 1 THEN 'float32'
+           WHEN v = 2 THEN 'pcm16' ELSE 'ima_adpcm' END AS codec,
+      CASE WHEN err THEN NULL ELSE CAST(rate AS BIGINT) END
+        AS sample_rate,
+      CASE WHEN err THEN NULL ELSE CAST(n_channels AS BIGINT) END
+        AS n_channels,
+      CASE WHEN err THEN NULL ELSE CAST(out_frames AS BIGINT) END
+        AS n_frames,
+      CASE WHEN err THEN NULL
+           ELSE CAST(out_frames AS BIGINT) * 1000000 // rate END
         AS duration_us,
-      CASE WHEN doc_id % {_WAV_ERR_MOD} = 0 THEN NULL
+      CASE WHEN err THEN NULL
+           WHEN v = 3 THEN CAST(c * out_frames AS BIGINT)
            ELSE CAST(list_sum(list_transform(range(0, n),
                 i -> (doc_id * 37 + i * 11) % 4096 - 2048)) AS BIGINT)
         END AS sum_samples,
-      CASE WHEN doc_id % {_WAV_ERR_MOD} = 0 THEN NULL
+      CASE WHEN err THEN NULL
+           WHEN v = 3 THEN CAST(c AS BIGINT)
            ELSE CAST(list_max(list_transform(range(0, n),
                 i -> (doc_id * 37 + i * 11) % 4096 - 2048)) AS BIGINT)
         END AS peak
-    FROM g
+    FROM g2
     """,
 )
 def multimodal_audio_wav_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RIFF/WAVE ingest through the real from-scratch codec both
-    directions (encode_wav -> parse_wav, incl. the LIST-chunk skip
-    path and word alignment): per asset, the container facts an audio
-    curation pass filters on — rate, channels, frames, exact duration,
-    an exact integer content checksum (sum) and peak. A deterministic
-    1/17 of blobs arrive with torn magic and must yield
-    status='error' rows (the MediaDecodeError graceful-degradation
-    contract; fuzz sweep extended in tests/test_codec_fuzz.py).
+    directions, now across FOUR container arms (round 11; was
+    PCM16-only): integer PCM16, IEEE float32 (samples generated as
+    integer/32767 so the clip+round normalization round-trips the
+    exact integers), WAVE_FORMAT_EXTENSIBLE (real format dispatched
+    from the SubFormat GUID), and mono IMA ADPCM (a constant-signal
+    block whose zero nibbles reconstruct bit-exactly at step index 0,
+    keeping the oracle closed-form while the block walker, seed
+    header, and step tables all execute for real). Per asset: the
+    container facts an audio curation pass filters on — codec, rate,
+    channels, frames, exact duration, an exact integer content
+    checksum (sum) and peak. A deterministic 1/17 of blobs arrive
+    with torn magic and must yield status='error' rows (the
+    MediaDecodeError graceful-degradation contract; fuzz sweep in
+    tests/test_codec_fuzz.py covers all four encoders).
 
-    Oracle: every field stated closed-form from the PCM generator's
+    Oracle: every field stated closed-form from the generators'
     arithmetic — DuckDB never frames a chunk — so agreement proves
-    the reader inverts the writer sample-exactly.
+    each reader arm inverts its writer sample-exactly.
 
     Scale shape: map-only Arrow kernel over the scan, narrow output,
     zero exchange (audio containers are framed where they land; only
@@ -142,9 +196,9 @@ def multimodal_audio_wav_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         _wav_batches,
         schema=(
-            "doc_id bigint, status string, sample_rate bigint,"
-            " n_channels bigint, n_frames bigint, duration_us bigint,"
-            " sum_samples bigint, peak bigint"
+            "doc_id bigint, status string, codec string,"
+            " sample_rate bigint, n_channels bigint, n_frames bigint,"
+            " duration_us bigint, sum_samples bigint, peak bigint"
         ),
     )
 

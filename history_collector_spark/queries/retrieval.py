@@ -157,6 +157,9 @@ def _mmr_oracle() -> str:
     """Chained-CTE greedy MMR: each selection step is an argmax over
     the not-yet-picked candidates penalized by their max similarity to
     the picks so far — five mechanical layers of the same block."""
+    from history_collector_spark.queries.similarity import _panel_sql
+
+    panel = _panel_sql("q.vec_id")
     sql = f"""
     WITH emb AS (
       SELECT vec_id, label, embedding,
@@ -170,7 +173,7 @@ def _mmr_oracle() -> str:
                                 ORDER BY {_MMR_COS} DESC, c.vec_id) AS rn
       FROM emb q JOIN emb c
         ON q.label = c.label AND q.vec_id != c.vec_id
-      WHERE q.vec_id % 100 = 0
+      WHERE {panel}
     ), cands AS (
       SELECT qid, cid, rel, cemb, cnrm FROM ranked WHERE rn <= {_MMR_CANDS}
     ), psim AS (
@@ -268,7 +271,14 @@ def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", "embedding", l2_norm(F.col("embedding")).alias("nrm")
     )
-    q = emb.filter(F.col("vec_id") % 100 == 0).alias("q")
+    # fixed-size query panel (round 11: the %-mod panel grew with the
+    # corpus, making panel x same-label candidate ranking quadratic —
+    # the ann_ivf_topk defect class caught by the sf10 probe)
+    from history_collector_spark.queries.similarity import (
+        _sweep_query_filter,
+    )
+
+    q = emb.filter(_sweep_query_filter(spark, sf_dir)).alias("q")
     c = emb.alias("c")
     dot = F.aggregate(
         F.zip_with(

@@ -42,6 +42,35 @@ _EMB_NORM_SQL = """
   )
 """
 
+_SWEEP_Q_TARGET = 64.0  # expected evaluation-query count, any sf
+
+
+def _panel_sql(col: str = "vec_id") -> str:
+    """The fixed-size evaluation-panel predicate, qualified for use in
+    any FROM shape: md5-uniform u(vec_id) < target/n keeps ~64 panel
+    rows at ANY corpus size. Round 11 reuses it for every ANN/retrieval
+    query that scores a panel against corpus-sized candidate lists —
+    the second-decade probe measured the %-mod alternative (panel
+    growing WITH the corpus) at x22 sf1->sf10 on ann_ivf_topk."""
+    return f"""(CAST(concat('0x', substr(md5(CAST({col} AS VARCHAR)),
+    1, 8)) AS BIGINT) + 1) / 4294967297.0
+    < {_SWEEP_Q_TARGET} / (SELECT count(*) FROM embeddings)"""
+
+
+_SWEEP_Q_SQL = _panel_sql()
+
+
+def _sweep_query_filter(spark, sf_dir):
+    """Spark twin of _panel_sql(): the adaptive fixed-size panel."""
+    emb = table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    h = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    u = (h + F.lit(1)) / F.lit(4294967297.0)
+    return u < F.lit(_SWEEP_Q_TARGET / n)
+
+
 
 def _emb_with_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table(spark, sf_dir, "embeddings").select(
@@ -100,13 +129,17 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                ORDER BY {_COS_SQL} DESC, c.vec_id) AS INT) AS rank
       FROM emb q JOIN emb c
         ON q.label = c.label AND q.vec_id != c.vec_id
-      WHERE q.vec_id % 100 = 0
+      WHERE {_panel_sql("q.vec_id")}
     ) WHERE rank <= 5
     """,
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb_with_norm(spark, sf_dir)
-    q = emb.filter(F.col("vec_id") % 100 == 0).alias("q")
+    # fixed-size query panel (was vec_id % 100: a panel GROWING with
+    # the corpus makes panel x same-label-list scoring quadratic —
+    # measured x22.2 sf1->sf10 before this fix, x?? after; a serving
+    # top-k benchmark holds the workload fixed while the index grows)
+    q = emb.filter(_sweep_query_filter(spark, sf_dir)).alias("q")
     c = emb.alias("c")
     cos = cosine(
         F.col("q.embedding"), F.col("c.embedding"),
@@ -556,7 +589,6 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cos idiom the other ANN oracles already pin.
 # ---------------------------------------------------------------------------
 
-_SWEEP_Q_TARGET = 64.0  # expected evaluation-query count, any sf
 _SWEEP_SCALE = 4096
 _SWEEP_LEVELS = (1, 2, 4)
 
@@ -568,20 +600,6 @@ _SWEEP_LEVELS = (1, 2, 4)
 # parameter sweep evaluates a FIXED query panel: the md5-uniform
 # threshold target/n keeps ~64 queries at any corpus size, making the
 # whole sweep linear in the corpus.
-_SWEEP_Q_SQL = f"""(CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)),
-    1, 8)) AS BIGINT) + 1) / 4294967297.0
-    < {_SWEEP_Q_TARGET} / (SELECT count(*) FROM embeddings)"""
-
-
-def _sweep_query_filter(spark, sf_dir):
-    """Spark twin of _SWEEP_Q_SQL: the adaptive fixed-size panel."""
-    emb = table(spark, sf_dir, "embeddings")
-    n = emb.count()
-    h = F.conv(
-        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10
-    ).cast("long")
-    u = (h + F.lit(1)) / F.lit(4294967297.0)
-    return u < F.lit(_SWEEP_Q_TARGET / n)
 
 
 @register(
@@ -1015,7 +1033,7 @@ _PQ_QDT_SQL = """
       FROM cbest WHERE rn = 1 GROUP BY vec_id
     ), queries AS (
       SELECT vec_id AS qid, embedding AS q_emb
-      FROM embeddings WHERE vec_id % 100 = 0
+      FROM embeddings WHERE {_panel_sql()}
     ), dt AS (
       SELECT q.qid, m.m, c.c_id, {_PQ_QDT_SQL} AS d
       FROM queries q, cents c, (SELECT unnest(range(0, {PQ_M})) AS m) m
@@ -1105,7 +1123,10 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.transform(F.col("cents"), one).alias(f"dt_{m}")
 
     qdt = (
-        emb.filter(F.col("vec_id") % 100 == 0)
+        # fixed-size query panel (round 11, same defect class as
+        # ann_ivf_topk: a %-mod panel grows with the corpus and the
+        # ADC join below scales as panel x codes)
+        emb.filter(_sweep_query_filter(spark, sf_dir))
         .withColumnRenamed("vec_id", "qid")
         .crossJoin(F.broadcast(cents))
         .select("qid", *[dt_col(m) for m in range(PQ_M)])

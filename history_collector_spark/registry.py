@@ -232,10 +232,12 @@ PRIORITY_QUERIES = (
     # corpus_tar_ingest keep the container family; corpus_warc_ingest
     # stays locally oracle-verified every run)
     "corpus_html_extract",
-    # round-10 build, crawl tier: PLD extraction takes the bucketed-
-    # probe seat (ANN keeps nprobe_sweep + pq_adc + streaming probe;
-    # bucketed_probe stays locally oracle-verified every run)
-    "corpus_pld_extract",
+    # round-11 build: the anchor-text inverted index (extract ->
+    # canonicalize -> target-keyed aggregate) takes the PLD seat
+    # (crawl keeps robots/frontier/sitemap/canonicalize/discovery
+    # in-window; corpus_pld_extract was driver-green in r10 and stays
+    # locally oracle-verified every run)
+    "crawl_anchor_text_index",
     "streaming_ingest_e2e",
     # round-10 build, crawl tier: sitemap URL-discovery ingest takes
     # the skew-demo seat (salted_two_phase_agg keeps the salting

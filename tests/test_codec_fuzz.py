@@ -270,21 +270,34 @@ def test_wav_parser_fuzz():
     from history_collector_spark.functions.codec_errors import (
         AudioDecodeError,
     )
-    from history_collector_spark.functions.wav import encode_wav, parse_wav
-
-    blob = encode_wav(
-        (np.arange(192, dtype=np.int64) * 113 % 4096 - 2048), 16000, 2
+    from history_collector_spark.functions.wav import (
+        encode_wav,
+        encode_wav_extensible,
+        encode_wav_float,
+        encode_wav_ima_adpcm,
+        parse_wav,
     )
-    rng = np.random.default_rng(hash("wav") % (2**32))
-    ok = err = 0
-    for mutant in _mutations(blob, rng, 300):
-        try:
-            w = parse_wav(mutant)
-            assert w["n_frames"] >= 0
-            ok += 1
-        except (AudioDecodeError, NotImplementedError):
-            err += 1
-    assert ok + err == 300
+
+    ints = np.arange(192, dtype=np.int64) * 113 % 4096 - 2048
+    fixtures = {
+        "wav": encode_wav(ints, 16000, 2),
+        "wav_float": encode_wav_float(ints / 32767.0, 16000, 2),
+        "wav_float64": encode_wav_float(ints / 32767.0, 8000, 1, bits=64),
+        "wav_ext": encode_wav_extensible(ints, 44100, 2),
+        "wav_adpcm": encode_wav_ima_adpcm(ints[:185], 8000,
+                                          block_frames=185),
+    }
+    for name, blob in fixtures.items():
+        rng = np.random.default_rng(hash(name) % (2**32))
+        ok = err = 0
+        for mutant in _mutations(blob, rng, 300):
+            try:
+                w = parse_wav(mutant)
+                assert w["n_frames"] >= 0
+                ok += 1
+            except (AudioDecodeError, NotImplementedError):
+                err += 1
+        assert ok + err == 300, name
 
 
 def test_tiff_parser_fuzz():

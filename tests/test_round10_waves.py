@@ -1046,12 +1046,19 @@ def test_wav_error_and_plug_points():
         parse_wav(good[:8] + b"WAVX" + good[12:])
     with pytest.raises(AudioDecodeError):
         parse_wav(good[:40])
-    # non-PCM tag and 8-bit PCM are declared plug points
+    # still-unplugged compressed tags and 8-bit PCM are plug points
+    # (round 11 plugged float/extensible/IMA-ADPCM: a PCM16 blob
+    # re-tagged as float is now a decode ERROR — 16-bit floats don't
+    # exist — not a plug point)
     nonpcm = bytearray(good)
     fmt_at = good.index(b"fmt ") + 8
-    struct.pack_into("<H", nonpcm, fmt_at, 3)  # IEEE float tag
+    struct.pack_into("<H", nonpcm, fmt_at, 2)  # MS ADPCM tag
     with pytest.raises(NotImplementedError):
         parse_wav(bytes(nonpcm))
+    retagged_float = bytearray(good)
+    struct.pack_into("<H", retagged_float, fmt_at, 3)
+    with pytest.raises(AudioDecodeError):
+        parse_wav(bytes(retagged_float))  # float WAVE with 16 bits
     bits8 = bytearray(good)
     struct.pack_into("<H", bits8, fmt_at + 14, 8)
     with pytest.raises(NotImplementedError):

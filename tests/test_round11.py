@@ -337,3 +337,93 @@ def test_decode_blob_ok_meta_for_lossy_webp():
         "width": 12, "height": 7, "n_frames": 1,
         "decode_status": "ok-meta",
     }
+
+
+# ---------------------------------------------------------------------------
+# WAV format arms (round 11: float / extensible / IMA ADPCM join the
+# PCM16-only round-10 reader)
+# ---------------------------------------------------------------------------
+
+
+def test_wav_float_roundtrip_exact_for_scaled_integers():
+    import numpy as np
+
+    from history_collector_spark.functions.wav import (
+        encode_wav_float,
+        parse_wav,
+    )
+
+    ints = (np.arange(500, dtype=np.int64) * 613) % 65536 - 32768
+    for bits in (32, 64):
+        w = parse_wav(encode_wav_float(ints / 32767.0, 22050, 1, bits=bits))
+        assert w["codec"] == f"float{bits}"
+        # the int16 normalization scale is 32767: -32768/32767 < -1.0
+        # clips to -1.0 -> -32767; every |i| <= 32767 is exact
+        want = np.maximum(ints, -32767)
+        assert (w["samples"] == want).all()
+
+
+def test_wav_extensible_dispatches_subformat():
+    import numpy as np
+    import pytest
+
+    from history_collector_spark.functions.codec_errors import (
+        AudioDecodeError,
+    )
+    from history_collector_spark.functions.wav import (
+        encode_wav_extensible,
+        parse_wav,
+    )
+
+    ints = np.arange(64, dtype=np.int64) - 32
+    blob = encode_wav_extensible(ints, 48000, 2)
+    w = parse_wav(blob)
+    assert w["codec"] == "pcm16" and w["n_channels"] == 2
+    assert (w["samples"] == ints.astype(np.int16)).all()
+    # corrupt GUID tail must be a decode error, not a silent PCM read
+    bad = bytearray(blob)
+    i = blob.index(b"fmt ") + 8 + 26
+    bad[i + 5] ^= 0xFF
+    with pytest.raises(AudioDecodeError):
+        parse_wav(bytes(bad))
+
+
+def test_wav_ima_adpcm_constant_exact_and_snr():
+    import numpy as np
+
+    from history_collector_spark.functions.wav import (
+        encode_wav_ima_adpcm,
+        parse_wav,
+    )
+
+    # constant signal: zero nibbles at step index 0 reconstruct exactly
+    const = np.full(505 * 2, -1234, dtype=np.int64)
+    w = parse_wav(encode_wav_ima_adpcm(const, 8000))
+    assert w["codec"] == "ima_adpcm"
+    assert w["n_frames"] == 505 * 2 and (w["samples"] == -1234).all()
+    # varying signal: lossy, but must track within a sane SNR
+    t = np.arange(505 * 4)
+    sig = (3000 * np.sin(t / 20)).astype(np.int64)
+    w = parse_wav(encode_wav_ima_adpcm(sig, 8000))
+    err = w["samples"].astype(np.float64) - sig[: len(w["samples"])]
+    snr = 10 * np.log10(
+        (sig[: len(w["samples"])].astype(np.float64) ** 2).mean()
+        / (err**2).mean()
+    )
+    assert snr > 30.0, snr
+
+
+def test_wav_adpcm_decode_pinned_block():
+    """Hand-computed block: seed 100 at step index 0, nibble 0x1
+    (diff = 7>>3 + 7>>2 = 1, index -1 -> clamped 0) then 0x9
+    (diff = -1), then six zero nibbles (diff = 7>>3 = 0)."""
+    import struct
+
+    from history_collector_spark.functions.wav import _decode_ima_adpcm
+
+    block = (
+        struct.pack("<hBB", 100, 0, 0)
+        + bytes([0x1 | (0x9 << 4)])
+        + bytes(3)
+    )
+    assert _decode_ima_adpcm(block, 8) == [100, 101, 100] + [100] * 6
