@@ -159,30 +159,31 @@ def _mmr_oracle() -> str:
     the picks so far — five mechanical layers of the same block."""
     from history_collector_spark.queries.similarity import _panel_sql
 
-    panel = _panel_sql("q.vec_id")
+    panel = _panel_sql()
     sql = f"""
     WITH emb AS (
       SELECT vec_id, label, embedding,
              sqrt(list_sum(list_transform(embedding,
                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
       FROM embeddings
+    ), qpanel AS MATERIALIZED (
+      SELECT * FROM emb WHERE {panel}
     ), ranked AS (
       SELECT q.vec_id AS qid, c.vec_id AS cid, {_MMR_COS} AS rel,
              c.embedding AS cemb, c.nrm AS cnrm,
              row_number() OVER (PARTITION BY q.vec_id
                                 ORDER BY {_MMR_COS} DESC, c.vec_id) AS rn
-      FROM emb q JOIN emb c
+      FROM qpanel q JOIN emb c
         ON q.label = c.label AND q.vec_id != c.vec_id
-      WHERE {panel}
-    ), cands AS (
+    ), cands AS MATERIALIZED (
       SELECT qid, cid, rel, cemb, cnrm FROM ranked WHERE rn <= {_MMR_CANDS}
-    ), psim AS (
+    ), psim AS MATERIALIZED (
       SELECT a.qid, a.cid AS ai, b.cid AS bi,
              list_sum(list_transform(range(1, 65),
                i -> CAST(a.cemb[i] AS DOUBLE) * CAST(b.cemb[i] AS DOUBLE)))
                / (a.cnrm * b.cnrm) AS s
       FROM cands a JOIN cands b ON a.qid = b.qid AND a.cid != b.cid
-    ), p1 AS (
+    ), p1 AS MATERIALIZED (
       SELECT qid, cid, {_MMR_LAMBDA} * rel AS score FROM (
         SELECT qid, cid, rel,
                row_number() OVER (PARTITION BY qid
@@ -200,13 +201,13 @@ def _mmr_oracle() -> str:
       JOIN sel{prev} s ON s.qid = p.qid AND s.cid = p.bi
       WHERE e.cid IS NULL
       GROUP BY c.qid, c.cid, c.rel
-    ), p{k} AS (
+    ), p{k} AS MATERIALIZED (
       SELECT qid, cid, mmr AS score FROM (
         SELECT qid, cid, mmr,
                row_number() OVER (PARTITION BY qid
                                   ORDER BY mmr DESC, cid) AS rn
         FROM score{k}) WHERE rn = 1
-    ), sel{k} AS (
+    ), sel{k} AS MATERIALIZED (
       SELECT qid, cid FROM sel{prev} UNION ALL SELECT qid, cid FROM p{k}
     )"""
     picks = "\n    UNION ALL\n    ".join(

@@ -120,16 +120,21 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_ivf_topk",
     oracle=f"""
-    WITH {_EMB_NORM_SQL}
+    WITH {_EMB_NORM_SQL},
+    qpanel AS MATERIALIZED (
+      -- panel filter BEFORE the join: the scalar-subquery predicate
+      -- does not push through the join, and ranking all pairs first
+      -- is exactly the quadratic this panel exists to avoid
+      SELECT * FROM emb WHERE {_panel_sql()}
+    )
     SELECT query_id, neighbor_id, label, cos_sim, rank FROM (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.label,
              {_COS_SQL} AS cos_sim,
              CAST(row_number() OVER (
                PARTITION BY q.vec_id
                ORDER BY {_COS_SQL} DESC, c.vec_id) AS INT) AS rank
-      FROM emb q JOIN emb c
+      FROM qpanel q JOIN emb c
         ON q.label = c.label AND q.vec_id != c.vec_id
-      WHERE {_panel_sql("q.vec_id")}
     ) WHERE rank <= 5
     """,
 )
@@ -518,13 +523,16 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force ranking, per query. Ground truth reuses the bounded
     brute-force shape (query side is a tiny filtered broadcast — the
     nested-loop build side is queries, never the corpus); the IVF side
-    is the registered ann_ivf_topk dataflow on the SAME query set, so
-    the audit measures exactly what the serving path returns. The
-    query sample is a FIXED budget (every 100th id below 5000, <=50
-    queries) so audit cost scales with the corpus, not corpus x
-    queries — recall audits sample, they never sweep. The
-    match-up join keys on (query, neighbor) pairs — 5 rows per query —
-    and the finale is query-bounded."""
+    runs the same label-probe dataflow shape as ann_ivf_topk on the
+    audit's OWN query set. The audit panel is a FIXED budget (every
+    100th id below 5000, <=50 queries — constant-capped, so it is
+    fixed-size by construction) so audit cost scales with the corpus,
+    not corpus x queries — recall audits sample, they never sweep.
+    (Round 11 decoupled the IVF leg from calling ann_ivf_topk
+    directly: the serving query's panel is now the md5-uniform
+    fixed-size panel, which is a different — also fixed — query set.)
+    The match-up join keys on (query, neighbor) pairs — 5 rows per
+    query — and the finale is query-bounded."""
     emb = _emb_with_norm(spark, sf_dir)
     q = emb.filter(
         (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 5000)
@@ -548,12 +556,19 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("query_id", "neighbor_id")
     )
-    # query_id < 5000 is a window-partition-key predicate, so Catalyst
-    # pushes it through ann_ivf_topk's rank window to the q-side scan —
-    # the IVF leg only ever computes the audited queries
     ivf = (
-        ann_ivf_topk(spark, sf_dir)
-        .filter(F.col("query_id") < 5000)
+        q.join(
+            c,
+            (F.col("q.label") == F.col("c.label"))
+            & (F.col("q.vec_id") != F.col("c.vec_id")),
+        )
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            cos.alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
         .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
     )
     return (

@@ -746,8 +746,105 @@ def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BINSEG_MAX_CP = 5
 _BINSEG_MIN_SEG = 3  # days per side
 
+# One sse term from integer prefix sums: sse(lo, hi) =
+# Q(lo,hi) - S(lo,hi)^2 / (hi-lo), every operand an exact BIGINT cast
+# to double — identical IEEE sequence on both engines (the mul rounds
+# once, the div rounds once), so split choices can never diverge.
+_BSSE = (
+    "(CAST({q1} - {q0} AS DOUBLE)"
+    " - CAST({p1} - {p0} AS DOUBLE) * CAST({p1} - {p0} AS DOUBLE)"
+    " / ({hi} - {lo}))"
+)
 
-@register("event_changepoints_binseg")  # rows-only: recursion is not SQL
+
+def _binseg_oracle() -> str:
+    """Greedy binary segmentation as {_BINSEG_MAX_CP} mechanical CTE
+    layers (the chained-MMR idiom): each layer scores every admissible
+    cut of every current segment from the shared integer prefix-sum
+    table, takes the per-segment argmax (ties -> smallest cut, as the
+    driver loop's strict > keeps the first), takes the global argmax
+    (ties -> larger cut then larger lo, mirroring Python tuple max),
+    and rewrites the segment set. A layer with no positive-gain
+    candidate picks nothing and passes its segments through — the
+    early-stop for free."""
+
+    def sse(lo, hi, plo, phi, qlo, qhi):
+        return _BSSE.format(p0=plo, p1=phi, q0=qlo, q1=qhi, lo=lo, hi=hi)
+
+    layers = []
+    for k in range(_BINSEG_MAX_CP):
+        s, p = f"segs{k}", f"pick{k}"
+        gain = (
+            sse(f"s.lo", f"s.hi", "plo.p", "phi.p", "plo.q", "phi.q")
+            + " - "
+            + sse("s.lo", "c.i", "plo.p", "c.p", "plo.q", "c.q")
+            + " - "
+            + sse("c.i", "s.hi", "c.p", "phi.p", "c.q", "phi.q")
+        )
+        layers.append(f"""
+    cand{k} AS MATERIALIZED (
+      SELECT s.lo, s.hi, c.i AS cut, {gain} AS gain,
+             row_number() OVER (PARTITION BY s.lo, s.hi
+                                ORDER BY {gain} DESC, c.i ASC) AS rn
+      FROM {s} s
+      JOIN pref c ON c.i >= s.lo + {_BINSEG_MIN_SEG}
+                 AND c.i <= s.hi - {_BINSEG_MIN_SEG}
+      JOIN pref plo ON plo.i = s.lo
+      JOIN pref phi ON phi.i = s.hi
+      WHERE s.hi - s.lo >= {2 * _BINSEG_MIN_SEG}
+    ),
+    {p} AS MATERIALIZED (
+      SELECT lo, hi, cut, gain FROM cand{k}
+      WHERE rn = 1 AND gain > 0
+      ORDER BY gain DESC, cut DESC, lo DESC LIMIT 1
+    ),
+    segs{k + 1} AS MATERIALIZED (
+      SELECT s.lo, s.hi FROM {s} s
+      LEFT JOIN {p} p ON p.lo = s.lo AND p.hi = s.hi
+      WHERE p.lo IS NULL
+      UNION ALL SELECT lo, cut FROM {p}
+      UNION ALL SELECT cut, hi FROM {p}
+    ),
+    found{k} AS MATERIALIZED (
+      SELECT {k} AS split_order, p.cut, p.gain, p.lo, p.hi FROM {p} p
+    )""")
+    unions = " UNION ALL ".join(
+        f"SELECT * FROM found{k}" for k in range(_BINSEG_MAX_CP)
+    )
+    return f"""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    ds AS MATERIALIZED (
+      SELECT day, CAST(row_number() OVER (ORDER BY day) AS INT) AS i,
+             CAST(sum(n) OVER (ORDER BY day) AS BIGINT) AS p,
+             CAST(sum(n * n) OVER (ORDER BY day) AS BIGINT) AS q
+      FROM daily
+    ),
+    pref AS MATERIALIZED (
+      SELECT CAST(0 AS INT) AS i, CAST(0 AS BIGINT) AS p,
+             CAST(0 AS BIGINT) AS q
+      UNION ALL SELECT i, p, q FROM ds
+    ),
+    segs0 AS MATERIALIZED (
+      SELECT CAST(0 AS INT) AS lo, CAST(count(*) AS INT) AS hi FROM ds
+    ),{",".join(layers)},
+    allfound AS ({unions})
+    SELECT CAST(f.split_order AS INT) AS split_order,
+           CAST(d.day AS TIMESTAMP) AS change_day,
+           f.gain AS sse_gain,
+           CAST(pc.p - plo.p AS DOUBLE) / (f.cut - f.lo) AS mean_before,
+           CAST(phi.p - pc.p AS DOUBLE) / (f.hi - f.cut) AS mean_after
+    FROM allfound f
+    JOIN ds d ON d.i = f.cut + 1
+    JOIN pref pc ON pc.i = f.cut
+    JOIN pref plo ON plo.i = f.lo
+    JOIN pref phi ON phi.i = f.hi
+    """
+
+
+@register("event_changepoints_binseg", oracle=_binseg_oracle())
 def event_changepoints_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{_BINSEG_MAX_CP} changepoints of the daily event-count
     series by greedy binary segmentation: each step splits the segment
@@ -758,7 +855,16 @@ def event_changepoints_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same bounded-state discipline as the whitening eigh and the
     k-means loop.
 
-    Verified by tests/test_round6.py::test_binseg_changepoints:
+    Oracle-ized in round 11 (formerly rows-only "recursion is not
+    SQL"): both sides now compute every sse from EXACT integer prefix
+    sums, sse = Q - S*S/len with one double multiply and one divide on
+    exactly-representable integers — bit-identical across engines, so
+    the greedy argmax sequence is deterministic and the recursion
+    unrolls into {_BINSEG_MAX_CP} mechanical CTE layers (see
+    _binseg_oracle). Tie-breaking is pinned: per-segment first-best
+    (smallest cut), global Python-tuple max (largest cut, then lo).
+
+    Also verified by tests/test_round6.py::test_binseg_changepoints:
     every reported split has positive gain, splits respect the
     min-segment guard, and gains are non-increasing (greedy order).
     """
@@ -770,14 +876,21 @@ def event_changepoints_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()  # BOUNDED: one row per calendar day
     )
     days = [r["day"] for r in daily]
-    y = [float(r["n"]) for r in daily]
+    yint = [int(r["n"]) for r in daily]
+    P = [0]
+    Q = [0]
+    for v in yint:
+        P.append(P[-1] + v)
+        Q.append(Q[-1] + v * v)
 
     def sse(lo: int, hi: int) -> float:  # [lo, hi)
-        seg = y[lo:hi]
-        if not seg:
+        if hi <= lo:
             return 0.0
-        m = sum(seg) / len(seg)
-        return sum((v - m) ** 2 for v in seg)
+        s = float(P[hi] - P[lo])
+        q = float(Q[hi] - Q[lo])
+        # float(s) * float(s): the mul rounds once, matching the
+        # oracle's DOUBLE multiply (NOT exact-int s*s then one divide)
+        return q - s * s / (hi - lo)
 
     def best_split(lo: int, hi: int):
         base = sse(lo, hi)
@@ -788,7 +901,7 @@ def event_changepoints_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 best = (gain, cut)
         return best
 
-    segments = [(0, len(y))]
+    segments = [(0, len(yint))]
     found: list[tuple] = []
     for order in range(_BINSEG_MAX_CP):
         candidates = []
@@ -800,8 +913,8 @@ def event_changepoints_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not candidates:
             break
         gain, cut, lo, hi = max(candidates)
-        lmean = sum(y[lo:cut]) / (cut - lo)
-        rmean = sum(y[cut:hi]) / (hi - cut)
+        lmean = float(P[cut] - P[lo]) / (cut - lo)
+        rmean = float(P[hi] - P[cut]) / (hi - cut)
         found.append((order, days[cut], float(gain), lmean, rmean))
         segments.remove((lo, hi))
         segments += [(lo, cut), (cut, hi)]

@@ -287,11 +287,11 @@ PRIORITY_QUERIES = (
     # the chi2 seat (stats keep benford + bootstrap-CI in-window;
     # chi2 stays locally oracle-verified every run)
     "multimodal_exif_tiff_metadata",
-    # round-10 build: canonical-URL dedup (pure-Catalyst normalizer)
-    # takes the contamination seat — decontamination stays exercised
-    # inside curation_end_to_end and the new web funnel, and
-    # cross_source_contamination stays locally oracle-verified
-    "corpus_url_canonicalize",
+    # round-11 build: the k-anonymity / l-diversity release audit
+    # takes the URL-canonicalize seat (the canonicalizer stays
+    # in-window inside crawl_anchor_text_index + the discovery e2e;
+    # corpus_url_canonicalize stays locally oracle-verified)
+    "privacy_k_anonymity",
     # round-10 build, crawl tier: frontier politeness scheduling takes
     # the pagerank-dups seat (graph family keeps triangle_count +
     # pointer-jumping locally verified; pagerank_dups likewise)
