@@ -427,3 +427,26 @@ def test_wav_adpcm_decode_pinned_block():
         + bytes(3)
     )
     assert _decode_ima_adpcm(block, 8) == [100, 101, 100] + [100] * 6
+
+
+def test_parse_webp_info_animated_vp8x_counts_frames():
+    """ANIM-flagged VP8X with two ANMF frames: has_anim, n_frames=2,
+    canvas dims from the 24-bit fields."""
+    from history_collector_spark.functions.webp import parse_webp_info
+
+    flags = (0x10 | 0x02).to_bytes(1, "big")  # alpha + animation
+    vp8x = (
+        b"VP8X" + (10).to_bytes(4, "little")
+        + flags + b"\x00\x00\x00"
+        + (320 - 1).to_bytes(3, "little") + (240 - 1).to_bytes(3, "little")
+    )
+    anim = b"ANIM" + (6).to_bytes(4, "little") + bytes(6)
+    anmf_body = bytes(16) + b"fill"  # frame header + payload stub
+    anmf = b"ANMF" + len(anmf_body).to_bytes(4, "little") + anmf_body
+    chunks = vp8x + anim + anmf + anmf
+    blob = b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WEBP" + chunks
+    i = parse_webp_info(blob)
+    assert i == {
+        "kind": "vp8x", "width": 320, "height": 240,
+        "has_alpha": True, "has_anim": True, "n_frames": 2,
+    }
