@@ -916,3 +916,141 @@ def streaming_warc_ingest_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_bytes").alias("payload_bytes"),
         F.sum("h32").alias("digest_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LZ4-framed JSONL ingest (round 11): the .jsonl.lz4 shard layout
+# several large public corpora ship — framed by the from-scratch LZ4
+# codec (functions/lz4.py: block format, frame format, xxh32
+# checksums), decoded in-kernel with per-shard graceful degradation.
+# ---------------------------------------------------------------------------
+
+_LZ4_DOCS_PER_SHARD = 2500
+_LZ4_MIN_SHARDS = 4
+
+
+def _write_lz4_fixture(spark: SparkSession, sf_dir: str) -> str:
+    import json as _json
+
+    from history_collector_spark.functions.lz4 import compress_frame
+
+    out = _fixture_dir(sf_dir, "lz4jsonl")
+    done = os.path.join(out, "_FIXTURE_DONE")
+    if os.path.exists(done):
+        return out
+    os.makedirs(out, exist_ok=True)
+    # fixture-builder collect: bounded, writes test INPUT files
+    rows = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .collect()
+    )
+    # shard COUNT scales with the corpus (the html-fixture lesson:
+    # pinned shard counts hide a 10x-work-per-task cliff at 10x data)
+    n_shards = max(
+        _LZ4_MIN_SHARDS, -(-len(rows) // _LZ4_DOCS_PER_SHARD)
+    )
+    shards: dict[int, list] = {k: [] for k in range(n_shards)}
+    for r in sorted(rows, key=lambda r: r["doc_id"]):
+        shards[r["doc_id"] % n_shards].append(
+            _json.dumps(
+                {
+                    "doc_id": r["doc_id"],
+                    "source": r["source"],
+                    "text": r["text"],
+                }
+            )
+        )
+    for k, lines in shards.items():
+        blob = compress_frame(("\n".join(lines) + "\n").encode("utf-8"))
+        if k == 0:
+            blob = blob[: len(blob) // 2]  # the torn shard
+        with open(os.path.join(out, f"docs{k:03d}.jsonl.lz4"), "wb") as f:
+            f.write(blob)
+    with open(done, "w") as f:
+        f.write("ok")
+    return out
+
+
+def _lz4_ingest_batches(batches):
+    import json as _json
+
+    import pandas as pd
+
+    from history_collector_spark.functions.lz4 import (
+        Lz4DecodeError,
+        decode_lz4_frame,
+    )
+
+    for pdf in batches:
+        agg: dict[str, list] = {}
+        for blob in pdf["content"]:
+            try:
+                raw = decode_lz4_frame(bytes(blob))
+            except Lz4DecodeError:
+                a = agg.setdefault("__error__", [0, 0])
+                a[0] += 1
+                continue
+            for line in raw.decode("utf-8").splitlines():
+                d = _json.loads(line)
+                a = agg.setdefault(d["source"], [0, 0])
+                a[0] += 1
+                a[1] += len(d["text"])
+        yield pd.DataFrame(
+            [(s, v[0], v[1]) for s, v in agg.items()],
+            columns=["source", "n_docs", "total_chars"],
+        )
+
+
+@register(
+    "corpus_lz4_ingest",
+    # the torn shard (k=0, truncated mid-frame) must surface as ONE
+    # error row and lose exactly the doc_id % n_shards == 0 documents;
+    # n_shards is itself closed-form from the corpus size
+    oracle=f"""
+    WITH meta AS (
+      SELECT doc_id, source, length(text) AS n_chars FROM documents
+    ),
+    nn AS (
+      SELECT greatest({_LZ4_MIN_SHARDS},
+                      CAST(ceil(count(*) / {_LZ4_DOCS_PER_SHARD}.0)
+                           AS BIGINT)) AS k
+      FROM meta
+    )
+    SELECT m.source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(m.n_chars) AS BIGINT) AS total_chars
+    FROM meta m, nn WHERE m.doc_id % nn.k <> 0
+    GROUP BY m.source
+    UNION ALL
+    SELECT '__error__', 1, 0
+    """,
+)
+def corpus_lz4_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile scan of .jsonl.lz4 shards -> in-kernel LZ4 frame
+    decode (from-scratch codec, xxh32 header+content checksums
+    verified) + JSON-lines parse -> per-source document counts and
+    char totals, pre-aggregated INSIDE the kernel so only (source,
+    count, chars) partials leave each task. One deterministically
+    torn shard (truncated mid-frame) must degrade to a single
+    '__error__' row — the task never dies — and its documents drop
+    from every per-source total, which the oracle states closed-form
+    from doc_id arithmetic.
+
+    Scale shape: shard count grows with the corpus (one task per
+    shard), decode+parse is map-only, and the only exchange is the
+    final tiny per-source aggregate."""
+    src = _write_lz4_fixture(spark, sf_dir)
+    blobs = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "docs*.jsonl.lz4")
+        .load(src)
+        .select("content")
+    )
+    partials = blobs.mapInPandas(
+        _lz4_ingest_batches,
+        schema="source string, n_docs bigint, total_chars bigint",
+    )
+    return partials.groupBy("source").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("total_chars").alias("total_chars"),
+    )

@@ -700,3 +700,161 @@ def tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c_acctbal").alias("total_bal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-11 additions: the three remaining classic planner shapes the
+# fixture schema supports (no partsupp table, so Q2/Q11 stay out of
+# scope) — Q13's predicate-inside-outer-join + double aggregate, Q17's
+# correlated per-group average threshold, Q18's HAVING-semi join.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q13_count_distribution",
+    # Q13 shape: the o_orderpriority predicate lives INSIDE the outer
+    # join's ON (customers keep a row with zero orders when all their
+    # orders are urgent), then the count-of-counts double aggregate.
+    oracle="""
+    WITH co AS (
+      SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey
+       AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM co GROUP BY c_count
+    """,
+)
+def tpch_q13_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13: distribution of per-customer non-urgent order counts. The
+    planner shape under test is the LEFT OUTER join whose non-key
+    predicate belongs in the ON clause (moving it to WHERE would drop
+    the zero-order customers and change the answer) followed by two
+    stacked aggregates.
+
+    Scale: both the join and the first aggregate hash on the customer
+    key — one exchange reused; the count-of-counts grain is tiny
+    (distinct order counts), map-side combined."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    co = (
+        cust.join(
+            orders,
+            (orders.o_custkey == cust.c_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return co.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "tpch_q17_small_quantity",
+    # Q17 shape: correlated per-part average threshold (l_quantity <
+    # 0.2 * avg over THAT part's items), decorrelated into a join
+    # against the per-part aggregate. l_quantity is integer-valued, so
+    # the avg's numerator is an exact integer sum — order-independent,
+    # the 0.2 * avg threshold is bit-identical across engines, and no
+    # row can flip sides of the comparison.
+    oracle="""
+    WITH pa AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+               / count(*) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_small_items,
+           sum(l.l_extendedprice) / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN pa ON pa.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#13' AND p.p_size <= 25
+      AND l.l_quantity < 0.2 * pa.avg_qty
+    """,
+)
+def tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17: revenue impact of small-quantity ("less than 20% of this
+    part's average order size") line items for one brand's small
+    parts. The correlated scalar average decorrelates into a per-part
+    aggregate joined back to the fact — both fact passes hash on
+    l_partkey (one partitioning reused), the filtered part dimension
+    broadcasts.
+
+    Exactness: the per-part average's numerator is an exact integer
+    sum (quantities are integral), so the 0.2*avg threshold and every
+    comparison are bit-identical on both engines."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    pa = li.groupBy("l_partkey").agg(
+        (
+            F.sum(F.col("l_quantity").cast("long")).cast("double")
+            / F.count("*")
+        ).alias("avg_qty")
+    )
+    pf = part.filter(
+        (F.col("p_brand") == "Brand#13") & (F.col("p_size") <= 25)
+    ).select("p_partkey")
+    return (
+        li.join(F.broadcast(pf), li.l_partkey == pf.p_partkey)
+        .join(pa, "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.count("*").alias("n_small_items"),
+            (F.sum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"),
+        )
+    )
+
+
+_Q18_MIN_QTY = 250
+
+
+@register(
+    "tpch_q18_large_orders",
+    # Q18 shape: HAVING-filtered aggregate feeding a semi join (the
+    # canonical IN (SELECT ... GROUP BY ... HAVING sum > K)); integer
+    # quantity sums make the threshold exact.
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS BIGINT)) > {_Q18_MIN_QTY}
+    )
+    SELECT c.c_name, o.o_custkey, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice, big.total_qty
+    FROM big
+    JOIN orders o ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18: customers who placed very large orders (total line
+    quantity > {_Q18_MIN_QTY}). The HAVING aggregate is the whole
+    fact-side reduction — the orders/customer joins only ever see the
+    few surviving keys (at 100 TB: a full map-side-combined aggregate,
+    then two joins on a table orders of magnitude smaller than the
+    fact; the customer dim attaches by broadcast)."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+        .filter(F.col("total_qty") > _Q18_MIN_QTY)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "total_qty",
+        )
+    )

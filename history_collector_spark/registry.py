@@ -195,8 +195,16 @@ PRIORITY_QUERIES = (
     "account_history",
     "cube_order_stats",
     "cohort_retention",
-    "tpch_q20_dominant_supplier",
-    "streaming_warc_ingest_e2e",
+    # round-11 build: Q13's predicate-inside-outer-join + double
+    # aggregate takes the Q20 seat (Q20 was driver-green in r10 and
+    # stays locally oracle-verified; Q17/Q18 built alongside likewise)
+    "tpch_q13_count_distribution",
+    # round-11 build: the LZ4 JSONL shard ingest (from-scratch LZ4 +
+    # xxh32) takes the streaming-WARC seat (containers keep
+    # multiformat_digest + the html/web WARC pipelines in-window;
+    # streaming_warc_ingest_e2e was driver-green r9+r10 and stays
+    # locally oracle-verified every run)
+    "corpus_lz4_ingest",
     "corpus_multiformat_digest",
     # round-11 build: outlink + anchor-text extraction (the missing
     # link between the HTML stage and the crawl frontier) takes the

@@ -367,3 +367,30 @@ def test_webp_info_parser_fuzz():
             except ImageDecodeError:
                 err += 1
         assert ok + err == 250, name
+
+
+def test_lz4_frame_fuzz():
+    """decode_lz4_frame must degrade to Lz4DecodeError on any
+    corruption — never IndexError / struct.error / MemoryError."""
+    from history_collector_spark.functions.lz4 import (
+        Lz4DecodeError,
+        compress_frame,
+        decode_lz4_frame,
+    )
+
+    payload = (b"crawl shard line one\n" * 40
+               + bytes(range(256)) + b"\ntail")
+    blob = compress_frame(payload, block_size=256)
+    rng = np.random.default_rng(hash("lz4") % (2**32))
+    ok = err = 0
+    for mutant in _mutations(blob, rng, 400):
+        try:
+            out = decode_lz4_frame(mutant)
+            assert isinstance(out, bytes)
+            ok += 1
+        except Lz4DecodeError:
+            err += 1
+    assert ok + err == 400
+    # checksums make silent corruption nearly impossible: flipped
+    # payload bytes must be caught, not returned as wrong data
+    assert err > 300, (ok, err)

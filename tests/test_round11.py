@@ -450,3 +450,73 @@ def test_parse_webp_info_animated_vp8x_counts_frames():
         "kind": "vp8x", "width": 320, "height": 240,
         "has_alpha": True, "has_anim": True, "n_frames": 2,
     }
+
+
+# ---------------------------------------------------------------------------
+# LZ4 + xxHash32 (round 11 from-scratch codec pair)
+# ---------------------------------------------------------------------------
+
+
+def test_xxh32_public_vectors():
+    from history_collector_spark.functions.lz4 import xxh32
+
+    assert xxh32(b"") == 0x02CC5D05
+    assert xxh32(b"a") == 0x550D7456
+    assert xxh32(b"abc") == 0x32D153FF
+    assert xxh32(b"Nobody inspects the spammish repetition") == 0xE2293B2F
+    assert xxh32(b"abc", seed=1) != xxh32(b"abc")
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=4096))
+def test_lz4_block_and_frame_roundtrip(data):
+    from history_collector_spark.functions.lz4 import (
+        compress_block,
+        compress_frame,
+        decode_lz4_frame,
+        decompress_block,
+    )
+
+    assert decompress_block(compress_block(data)) == data
+    assert decode_lz4_frame(compress_frame(data, block_size=512)) == data
+
+
+def test_lz4_compresses_repetitive_input():
+    from history_collector_spark.functions.lz4 import (
+        compress_frame,
+        decode_lz4_frame,
+    )
+
+    data = b"the quick brown fox jumps over the lazy dog " * 200
+    blob = compress_frame(data)
+    assert len(blob) < len(data) // 10
+    assert decode_lz4_frame(blob) == data
+
+
+def test_lz4_content_checksum_catches_block_swap():
+    """Two valid compressed blocks swapped in place re-frame to a
+    structurally valid stream; the content checksum must catch it."""
+    import struct
+
+    import pytest
+
+    from history_collector_spark.functions.lz4 import (
+        Lz4DecodeError,
+        compress_block,
+        decode_lz4_frame,
+        xxh32,
+    )
+
+    b1 = compress_block(b"A" * 300)
+    b2 = compress_block(b"B" * 300)
+    desc = bytes([0x40 | 0x20 | 0x04, 0x40])
+    hc = (xxh32(desc) >> 8) & 0xFF
+    def frame(x, y):
+        return (struct.pack("<I", 0x184D2204) + desc + bytes([hc])
+                + struct.pack("<I", len(x)) + x
+                + struct.pack("<I", len(y)) + y
+                + struct.pack("<I", 0)
+                + struct.pack("<I", xxh32(b"A" * 300 + b"B" * 300)))
+    assert decode_lz4_frame(frame(b1, b2)) == b"A" * 300 + b"B" * 300
+    with pytest.raises(Lz4DecodeError):
+        decode_lz4_frame(frame(b2, b1))
