@@ -235,11 +235,11 @@ PRIORITY_QUERIES = (
     "curation_web_end_to_end",
     "multimodal_decode_yield",
     "text_bm25_retrieval",
-    # round-10 build: WARC framing + HTML main-content extraction in one
-    # dataflow takes the batch-WARC seat (streaming_warc_ingest_e2e +
-    # corpus_tar_ingest keep the container family; corpus_warc_ingest
-    # stays locally oracle-verified every run)
-    "corpus_html_extract",
+    # round-11 build: the Markdown cleaning kernel takes the
+    # html-extract seat (extraction keeps outlinks + anchor index +
+    # the web funnel in-window; corpus_html_extract was driver-green
+    # in r10 and stays locally oracle-verified every run)
+    "corpus_markdown_extract",
     # round-11 build: the anchor-text inverted index (extract ->
     # canonicalize -> target-keyed aggregate) takes the PLD seat
     # (crawl keeps robots/frontier/sitemap/canonicalize/discovery

@@ -520,3 +520,57 @@ def test_lz4_content_checksum_catches_block_swap():
     assert decode_lz4_frame(frame(b1, b2)) == b"A" * 300 + b"B" * 300
     with pytest.raises(Lz4DecodeError):
         decode_lz4_frame(frame(b2, b1))
+
+
+# ---------------------------------------------------------------------------
+# Markdown cleaning kernel (round 11)
+# ---------------------------------------------------------------------------
+
+
+def test_markdown_roundtrip_exact():
+    from history_collector_spark.functions.markdown import (
+        markdown_to_text,
+        render_markdown,
+    )
+
+    text = ("the fast key order sort table scan merge part window "
+            "small hash scan join order batch stream spark dup " * 9).strip()
+    for d in (0, 1, 7, 12):
+        r = markdown_to_text(render_markdown(d, text))
+        assert r["title"] == f"Doc {d}"
+        assert r["text"] == text, d
+        n = len(text.split(" "))
+        assert r["n_links"] == (n + 10) // 11
+        assert r["n_code_blocks"] == 1 + d % 2
+
+
+def test_markdown_constructs():
+    from history_collector_spark.functions.markdown import markdown_to_text
+
+    md = (
+        "# Title here\n\n"
+        "plain *em* **bold** `code` [anchor](http://x.example/p)\n\n"
+        "## Later heading\n\n"
+        "- item one\n"
+        "2. item two\n"
+        "> quoted text\n\n"
+        "![alt words](http://x.example/img.png)\n\n"
+        "```\nfenced *not em* [not](a-link)\n```\n"
+    )
+    r = markdown_to_text(md)
+    assert r["title"] == "Title here"
+    assert r["text"] == (
+        "plain em bold code anchor Later heading item one item two "
+        "quoted text alt words"
+    )
+    assert r["n_links"] == 1 and r["n_images"] == 1
+    assert r["n_code_blocks"] == 1
+    assert r["n_headings"] == 2 and r["n_list_items"] == 2
+
+
+def test_markdown_total_on_garbage():
+    from history_collector_spark.functions.markdown import markdown_to_text
+
+    for s in ("", "```", "```\nunclosed", "[", "![](", "*`_", "#"*10,
+              "> > >", "- \n1. \n", "\x00*a*"):
+        markdown_to_text(s)  # must not raise
