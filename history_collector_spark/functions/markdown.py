@@ -26,7 +26,11 @@ _QUOTE_RE = re.compile(r"^\s*>\s?(.*)$")
 _IMAGE_RE = re.compile(r"!\[([^\]]*)\]\(([^)]*)\)")
 _LINK_RE = re.compile(r"\[([^\]]*)\]\(([^)]*)\)")
 _BOLD_RE = re.compile(r"\*\*([^*]+)\*\*")
-_EMPH_RE = re.compile(r"\*([^*]+)\*|_([^_]+)_")
+# CommonMark: intraword underscores do NOT open emphasis
+# (snake_case identifiers survive cleaning untouched)
+_EMPH_RE = re.compile(
+    r"\*([^*]+)\*|(?<![A-Za-z0-9_])_([^_]+)_(?![A-Za-z0-9_])"
+)
 _CODE_RE = re.compile(r"`([^`]*)`")
 
 

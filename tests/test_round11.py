@@ -574,3 +574,12 @@ def test_markdown_total_on_garbage():
     for s in ("", "```", "```\nunclosed", "[", "![](", "*`_", "#"*10,
               "> > >", "- \n1. \n", "\x00*a*"):
         markdown_to_text(s)  # must not raise
+
+
+def test_markdown_intraword_underscores_survive():
+    """CommonMark: intraword underscores do not open emphasis —
+    snake_case identifiers must survive cleaning untouched."""
+    from history_collector_spark.functions.markdown import markdown_to_text
+
+    r = markdown_to_text("use snake_case names and _real emphasis_ here")
+    assert r["text"] == "use snake_case names and real emphasis here"
