@@ -1054,3 +1054,130 @@ def corpus_lz4_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_docs").alias("n_docs"),
         F.sum("total_chars").alias("total_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Framed-Snappy JSONL ingest (round 11): the Hadoop-ecosystem default
+# codec, through the from-scratch snappy.py (block format, framing,
+# masked CRC32C) — same shard layout / torn-shard contract / closed-
+# form oracle as the LZ4 twin above.
+# ---------------------------------------------------------------------------
+
+
+def _write_snappy_fixture(spark: SparkSession, sf_dir: str) -> str:
+    import json as _json
+
+    from history_collector_spark.functions.snappy import compress_frame
+
+    out = _fixture_dir(sf_dir, "snappyjsonl")
+    done = os.path.join(out, "_FIXTURE_DONE")
+    if os.path.exists(done):
+        return out
+    os.makedirs(out, exist_ok=True)
+    rows = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .collect()
+    )
+    n_shards = max(
+        _LZ4_MIN_SHARDS, -(-len(rows) // _LZ4_DOCS_PER_SHARD)
+    )
+    shards: dict[int, list] = {k: [] for k in range(n_shards)}
+    for r in sorted(rows, key=lambda r: r["doc_id"]):
+        shards[r["doc_id"] % n_shards].append(
+            _json.dumps(
+                {
+                    "doc_id": r["doc_id"],
+                    "source": r["source"],
+                    "text": r["text"],
+                }
+            )
+        )
+    for k, lines in shards.items():
+        blob = compress_frame(("\n".join(lines) + "\n").encode("utf-8"))
+        if k == 0:
+            blob = blob[: len(blob) // 2]  # the torn shard
+        with open(os.path.join(out, f"docs{k:03d}.jsonl.snappy"), "wb") as f:
+            f.write(blob)
+    with open(done, "w") as f:
+        f.write("ok")
+    return out
+
+
+def _snappy_ingest_batches(batches):
+    import json as _json
+
+    import pandas as pd
+
+    from history_collector_spark.functions.snappy import (
+        SnappyDecodeError,
+        decode_snappy_frame,
+    )
+
+    for pdf in batches:
+        agg: dict[str, list] = {}
+        for blob in pdf["content"]:
+            try:
+                raw = decode_snappy_frame(bytes(blob))
+            except SnappyDecodeError:
+                a = agg.setdefault("__error__", [0, 0])
+                a[0] += 1
+                continue
+            for line in raw.decode("utf-8").splitlines():
+                d = _json.loads(line)
+                a = agg.setdefault(d["source"], [0, 0])
+                a[0] += 1
+                a[1] += len(d["text"])
+        yield pd.DataFrame(
+            [(s, v[0], v[1]) for s, v in agg.items()],
+            columns=["source", "n_docs", "total_chars"],
+        )
+
+
+@register(
+    "corpus_snappy_ingest",
+    oracle=f"""
+    WITH meta AS (
+      SELECT doc_id, source, length(text) AS n_chars FROM documents
+    ),
+    nn AS (
+      SELECT greatest({_LZ4_MIN_SHARDS},
+                      CAST(ceil(count(*) / {_LZ4_DOCS_PER_SHARD}.0)
+                           AS BIGINT)) AS k
+      FROM meta
+    )
+    SELECT m.source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(m.n_chars) AS BIGINT) AS total_chars
+    FROM meta m, nn WHERE m.doc_id % nn.k <> 0
+    GROUP BY m.source
+    UNION ALL
+    SELECT '__error__', 1, 0
+    """,
+)
+def corpus_snappy_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile scan of framed-Snappy JSONL shards -> in-kernel
+    frame decode (stream identifier + per-chunk masked CRC32C
+    verified) + JSON-lines parse, pre-aggregated per shard. One torn
+    shard degrades to a single '__error__' row; its document loss is
+    closed-form from doc_id arithmetic. Completes the compression
+    matrix next to gzip (corpus_jsonl_ingest) and LZ4
+    (corpus_lz4_ingest) with identical contracts, so the three rows
+    are directly comparable in the bench.
+
+    Scale shape: shard count grows with the corpus, decode+parse is
+    map-only, the only exchange is the tiny per-source aggregate."""
+    src = _write_snappy_fixture(spark, sf_dir)
+    blobs = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "docs*.jsonl.snappy")
+        .load(src)
+        .select("content")
+    )
+    partials = blobs.mapInPandas(
+        _snappy_ingest_batches,
+        schema="source string, n_docs bigint, total_chars bigint",
+    )
+    return partials.groupBy("source").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("total_chars").alias("total_chars"),
+    )

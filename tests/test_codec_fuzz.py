@@ -394,3 +394,28 @@ def test_lz4_frame_fuzz():
     # checksums make silent corruption nearly impossible: flipped
     # payload bytes must be caught, not returned as wrong data
     assert err > 300, (ok, err)
+
+
+def test_snappy_frame_fuzz():
+    """decode_snappy_frame must degrade to SnappyDecodeError on any
+    corruption; the per-chunk CRC32C makes silent corruption rare."""
+    from history_collector_spark.functions.snappy import (
+        SnappyDecodeError,
+        compress_frame,
+        decode_snappy_frame,
+    )
+
+    payload = (b"shard line with words\n" * 40
+               + bytes(range(256)) + b"\ntail")
+    blob = compress_frame(payload, chunk_size=300)
+    rng = np.random.default_rng(hash("snappy") % (2**32))
+    ok = err = 0
+    for mutant in _mutations(blob, rng, 400):
+        try:
+            out = decode_snappy_frame(mutant)
+            assert isinstance(out, bytes)
+            ok += 1
+        except SnappyDecodeError:
+            err += 1
+    assert ok + err == 400
+    assert err > 300, (ok, err)

@@ -583,3 +583,46 @@ def test_markdown_intraword_underscores_survive():
 
     r = markdown_to_text("use snake_case names and _real emphasis_ here")
     assert r["text"] == "use snake_case names and real emphasis here"
+
+
+# ---------------------------------------------------------------------------
+# Snappy + CRC32C (round 11 from-scratch codec pair)
+# ---------------------------------------------------------------------------
+
+
+def test_crc32c_public_vectors():
+    from history_collector_spark.functions.snappy import crc32c
+
+    assert crc32c(b"") == 0x00000000
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(b"\x00" * 32) == 0x8A9136AA
+    assert crc32c(b"\xff" * 32) == 0x62A8AB43
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=4096))
+def test_snappy_block_and_frame_roundtrip(data):
+    from history_collector_spark.functions.snappy import (
+        compress_block,
+        compress_frame,
+        decode_snappy_frame,
+        decompress_block,
+    )
+
+    assert decompress_block(compress_block(data)) == data
+    assert decode_snappy_frame(compress_frame(data, chunk_size=600)) == data
+
+
+def test_snappy_preamble_length_enforced():
+    import pytest
+
+    from history_collector_spark.functions.snappy import (
+        SnappyDecodeError,
+        compress_block,
+        decompress_block,
+    )
+
+    blk = bytearray(compress_block(b"abcdefgh"))
+    blk[0] += 1  # declare one more byte than the stream produces
+    with pytest.raises(SnappyDecodeError):
+        decompress_block(bytes(blk))
