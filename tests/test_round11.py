@@ -626,3 +626,32 @@ def test_snappy_preamble_length_enforced():
     blk[0] += 1  # declare one more byte than the stream produces
     with pytest.raises(SnappyDecodeError):
         decompress_block(bytes(blk))
+
+
+def test_snappy_copy1_and_copy4_decode_paths():
+    """The greedy encoder only emits copy-2 elements, so the tag-01
+    (1-byte offset, 3-bit length) and tag-11 (4-byte offset) decode
+    paths get hand-built blocks: literals 'abcd' then a copy of them
+    via each tag form."""
+    import struct
+
+    from history_collector_spark.functions.snappy import (
+        _emit_varint,
+        decompress_block,
+    )
+
+    # copy-1: length=4 -> ((4-4)<<2)|01 tag bits, offset 4 (high 3
+    # bits in tag bits 5-7 are 0, low 8 bits in the next byte)
+    blk = _emit_varint(8) + bytes([(4 - 1) << 2]) + b"abcd" \
+        + bytes([0b000_000_01, 4])
+    assert decompress_block(blk) == b"abcdabcd"
+
+    # copy-4: length-1 in high 6 bits, 4-byte LE offset
+    blk = _emit_varint(8) + bytes([(4 - 1) << 2]) + b"abcd" \
+        + bytes([((4 - 1) << 2) | 3]) + struct.pack("<I", 4)
+    assert decompress_block(blk) == b"abcdabcd"
+
+    # copy-1 with overlap (offset < length): run-length expansion
+    blk = _emit_varint(7) + bytes([(1 - 1) << 2]) + b"x" \
+        + bytes([((6 - 4) << 2) | 0b001, 1])
+    assert decompress_block(blk) == b"x" * 7
