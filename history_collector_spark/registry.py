@@ -193,18 +193,37 @@ _LOADED = False
 # oracle-verified on every pytest/driver-sim run.
 PRIORITY_QUERIES = (
     "account_history",
-    "cube_order_stats",
-    "cohort_retention",
-    # round-11 build: Q13's predicate-inside-outer-join + double
-    # aggregate takes the Q20 seat (Q20 was driver-green in r10 and
-    # stays locally oracle-verified; Q17/Q18 built alongside likewise)
-    "tpch_q13_count_distribution",
-    # round-11 build: the LZ4 JSONL shard ingest (from-scratch LZ4 +
-    # xxh32) takes the streaming-WARC seat (containers keep
-    # multiformat_digest + the html/web WARC pipelines in-window;
-    # streaming_warc_ingest_e2e was driver-green r9+r10 and stays
-    # locally oracle-verified every run)
-    "corpus_lz4_ingest",
+    # round-12 rotation (VERDICT r11 item 1: 155/359 queries had never
+    # appeared in ANY r1-r11 driver window; the tripwire demands >=10
+    # fresh names): 14 never-driver-sampled rows rotate in — TPC-H
+    # Q17 (correlated avg) and Q18 (having-in) built in r11, the
+    # Snappy shard ingest, the DP count release, the salted skew-join
+    # enrich, the Pareto frontier, semantic (embedding-cosine) dedup,
+    # the n-gram language identifier, exact triangle counting,
+    # proportional stratified sampling, the Markov stationary
+    # distribution (oracle-ized in r11), binary-segmentation
+    # changepoints (oracle-ized in r11), the video shot-boundary
+    # detector (the last slope-watch row — sampled deliberately), and
+    # the EXACT-vs-sketch aggregate panel. Retired seats all keep
+    # family representation (noted per-seat below) and stay locally
+    # oracle-verified on every pytest/driver-sim run.
+    # round-12 rotation: the Pareto frontier takes the CUBE seat
+    # (grouping-sets agg stays locally oracle-verified every run;
+    # orders analytics keeps q17/q18/pareto in-window)
+    "orders_pareto_frontier",
+    # round-12 rotation: proportional stratified sampling takes the
+    # cohort-retention seat (retention stays locally oracle-verified;
+    # sampling joins bottomk to keep the sampling family at 2 seats)
+    "stratified_sample",
+    # round-12 rotation: Q17 correlated-avg + Q18 having-in (both
+    # r11 builds, never externally sampled) take the Q13 seat —
+    # TPC-H swaps one fresh shape for two fresher ones
+    "tpch_q17_small_quantity",
+    "tpch_q18_large_orders",
+    # round-12 rotation: the Snappy shard ingest (r11 build, never
+    # sampled) takes the LZ4 seat — the compression matrix keeps a
+    # from-scratch-codec seat in-window, LZ4 stays locally verified
+    "corpus_snappy_ingest",
     "corpus_multiformat_digest",
     # round-11 build: outlink + anchor-text extraction (the missing
     # link between the HTML stage and the crawl frontier) takes the
@@ -215,16 +234,29 @@ PRIORITY_QUERIES = (
     "ann_pq_codebook_assign",
     "streaming_sessionize_e2e",
     "streaming_interval_join_e2e",
-    "cdc_last_write_wins",
-    "curation_pii_redact",
-    "countmin_frequency_audit",
-    # round-10 build: exact Shapley channel attribution takes the Q4
-    # seat (TPC-H keeps the three fresh r10 shapes Q12/Q16/Q20
-    # in-window; Q4 stays locally oracle-verified every run)
-    "events_shapley_attribution",
+    # round-12 rotation: binary-segmentation changepoints (gained its
+    # DuckDB oracle in r11, never sampled) takes the CDC seat — CDC
+    # keeps scd2 + last-write-wins locally oracle-verified every run
+    "event_changepoints_binseg",
+    # round-12 rotation: the salted skew-join enrich takes the PII
+    # seat (curation keeps chat-pack/end_to_end/web/bottomk in-window;
+    # pii_redact was driver-green r11 and stays locally verified)
+    "skew_salted_enrich",
+    # round-12 rotation: the EXACT sketch-aggregate panel takes the
+    # CountMin seat (sketch family keeps one window seat; countmin
+    # was driver-green r11 and stays locally oracle-verified)
+    "sketch_aggregates",
+    # round-12 rotation: the Markov stationary distribution (power
+    # iteration on the empirical transition matrix, oracle-ized in
+    # r11) takes the Shapley seat — attribution keeps a window seat;
+    # shapley was driver-green r10+r11 and stays locally verified
+    "events_markov_stationary",
     "xdr_triplet_parity",
     "pipeline_parity",
-    "text_syllable_complexity",
+    # round-12 rotation: the n-gram language identifier takes the
+    # syllable-complexity seat (text keeps bm25 + langid in-window;
+    # syllable panel was driver-green r11 and stays locally verified)
+    "text_language_id",
     # round-10 build: the acquisition-funnel capstone takes the
     # conformal seat (eval keeps ndcg/mcnemar/bootstrap-CI in-window;
     # conformal stays locally oracle-verified every run)
@@ -234,6 +266,12 @@ PRIORITY_QUERIES = (
     # dsir stays locally oracle-verified every run)
     "curation_web_end_to_end",
     "multimodal_decode_yield",
+    # round-12 rotation: the video shot-boundary detector — the one
+    # remaining slope-watch row at the second decade — takes the
+    # EXIF/TIFF seat so the driver measures it directly (multimodal
+    # keeps yield/webp/wav/shots in-window; exif_tiff was driver-green
+    # r11 and stays locally oracle-verified every run)
+    "multimodal_video_shot_boundaries",
     "text_bm25_retrieval",
     # round-11 build: the Markdown cleaning kernel takes the
     # html-extract seat (extraction keeps outlinks + anchor index +
@@ -272,17 +310,21 @@ PRIORITY_QUERIES = (
     # from-scratch codec takes the BLEU seat (text metrics keep bm25 +
     # kneser-ney in-window; bleu stays locally oracle-verified)
     "multimodal_audio_wav_ingest",
-    "bootstrap_mean_ci",
-    "dedup_containment",
+    # round-12 rotation: exact triangle counting (oriented-edge join)
+    # takes the bootstrap-mean-CI seat (eval/stats keep win-rate,
+    # mcnemar, fleiss, preference in-window; bootstrap_mean_ci was
+    # driver-green r11 and stays locally oracle-verified every run)
+    "graph_triangle_count",
+    # round-12 rotation: semantic (embedding-cosine) near-dup takes
+    # the containment seat — dedup keeps a window seat plus the
+    # streaming neardup e2e; containment was driver-green r11 and
+    # stays locally oracle-verified every run
+    "dedup_semantic",
     # round-10 build: the from-scratch VP8L WebP roundtrip takes the
     # VAD seat (audio keeps the mel-energies seat; vad stays locally
     # oracle-verified every run)
     "multimodal_decode_webp",
     "tokenizer_wordpiece_greedy",
-    # round-11 rotation: MRR/recall@k takes the NDCG seat (eval keeps
-    # mcnemar/win-rate/fleiss/preference in-window; ndcg_at_k stays
-    # locally oracle-verified every run)
-    "eval_mrr_recall_at_k",
     # round-10 build, eval tier: McNemar's paired-system test takes
     # the streaming-ANN-probe seat (streaming keeps 7 e2e seats and
     # ANN keeps nprobe_sweep; the probe stays locally oracle-verified)
@@ -291,15 +333,11 @@ PRIORITY_QUERIES = (
     # PQ-ADC seat (ANN keeps nprobe_sweep + streaming probe in-window;
     # pq_adc stays locally oracle-verified every run)
     "embedding_drift_psi",
-    # round-10 build, media tier: TIFF/EXIF IFD metadata harvest takes
-    # the chi2 seat (stats keep benford + bootstrap-CI in-window;
-    # chi2 stays locally oracle-verified every run)
-    "multimodal_exif_tiff_metadata",
-    # round-11 build: the k-anonymity / l-diversity release audit
-    # takes the URL-canonicalize seat (the canonicalizer stays
-    # in-window inside crawl_anchor_text_index + the discovery e2e;
-    # corpus_url_canonicalize stays locally oracle-verified)
-    "privacy_k_anonymity",
+    # round-12 rotation: the differential-privacy count release audit
+    # (r11 build, never sampled) takes the k-anonymity seat — privacy
+    # keeps one window seat; k_anonymity was driver-green r11 and
+    # stays locally oracle-verified every run
+    "dp_count_release_audit",
     # round-10 build, crawl tier: frontier politeness scheduling takes
     # the pagerank-dups seat (graph family keeps triangle_count +
     # pointer-jumping locally verified; pagerank_dups likewise)
