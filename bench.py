@@ -176,6 +176,10 @@ def main() -> None:
                 dt = run_one(spark, qs[name], sf_dir)
             except Exception as exc:
                 print(f"bench: canary {name} FAILED: {exc}", file=sys.stderr)
+                # a query that failed ANY rep records null (matching the
+                # prior single-shot semantics) — not the min of whichever
+                # earlier reps happened to succeed
+                best = None
                 break
             best = dt if best is None else min(best, dt)
         canary[name] = round(best, 4) if best is not None else None

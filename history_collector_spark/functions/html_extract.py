@@ -172,6 +172,7 @@ def parse_blocks(html: str) -> tuple[str, list[Block]]:
     """
     n = len(html)
     i = 0
+    low: str | None = None  # html.lower(), computed once on first use
     title_parts: list[str] = []
     in_title = False
     anchor_depth = 0
@@ -214,7 +215,9 @@ def parse_blocks(html: str) -> tuple[str, list[Block]]:
         name, closing, i = _scan_tag(html, i)
         if not closing and name in _SKIP_CONTENT:
             close = f"</{name}"
-            j = html.lower().find(close, i)
+            if low is None:  # one O(n) lower, not one per script tag
+                low = html.lower()
+            j = low.find(close, i)
             if j < 0:
                 i = n
             else:
@@ -400,6 +403,7 @@ def extract_links(html: str, base_url: str = "") -> list[tuple[str, str]]:
     non-fetchable scheme are dropped. Total: never raises."""
     n = len(html)
     i = 0
+    low: str | None = None  # html.lower(), computed once on first use
     links: list[tuple[str, str]] = []
     cur_href: str | None = None
     cur_text: list[str] = []
@@ -438,7 +442,9 @@ def extract_links(html: str, base_url: str = "") -> list[tuple[str, str]]:
         name, closing, attrs, i = _scan_tag_with_attrs(html, i)
         if not closing and name in _SKIP_CONTENT:
             close = f"</{name}"
-            j = html.lower().find(close, i)
+            if low is None:  # one O(n) lower, not one per script tag
+                low = html.lower()
+            j = low.find(close, i)
             if j < 0:
                 i = n
             else:

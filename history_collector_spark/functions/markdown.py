@@ -124,6 +124,22 @@ def render_markdown(doc_id: int, text: str) -> str:
         return w
 
     styled = [style(j, w) for j, w in enumerate(words)]
+
+    def para_safe(line: str) -> str:
+        # A plain paragraph whose first token is a bare "12."-style
+        # word would read back as an ordered-list marker (the
+        # extractor's _LIST_RE handles \d+\. because real CommonMark
+        # does) and be stripped, silently breaking the byte-exact
+        # inversion. Today this is unreachable — every line-initial
+        # word index is a multiple of 5, so style() always wraps it —
+        # but that invariant lives in per_para/item-width constants,
+        # so guard it live: emphasis-wrap the token (emphasis content
+        # survives extraction exactly, and "*12.*" matches no marker).
+        if re.match(r"\d+\.(\s|$)", line):
+            first, _, rest = line.partition(" ")
+            line = f"*{first}*" + (f" {rest}" if rest else "")
+        return line
+
     out = [f"# Doc {doc_id}", ""]
     per_para = 30
     for p0 in range(0, len(styled), per_para):
@@ -136,7 +152,7 @@ def render_markdown(doc_id: int, text: str) -> str:
         elif para_no % 3 == 1:
             out.append("> " + " ".join(chunk))
         else:
-            out.append(" ".join(chunk))
+            out.append(para_safe(" ".join(chunk)))
         out.append("")
         if para_no == 0:
             out += ["```", f"junk = fake(*md*) [not](a-link) {doc_id}",

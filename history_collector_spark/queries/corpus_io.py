@@ -1093,10 +1093,27 @@ def _write_snappy_fixture(spark: SparkSession, sf_dir: str) -> str:
                 }
             )
         )
+    from history_collector_spark.functions.snappy import (
+        SnappyDecodeError,
+        decode_snappy_frame,
+    )
+
     for k, lines in shards.items():
         blob = compress_frame(("\n".join(lines) + "\n").encode("utf-8"))
         if k == 0:
-            blob = blob[: len(blob) // 2]  # the torn shard
+            # The torn shard. Snappy framing has no end-of-stream
+            # marker, so a cut landing exactly on a chunk boundary
+            # decodes cleanly as a short prefix and the oracle's
+            # __error__ row never appears — nudge the cut until the
+            # truncation provably lands mid-chunk and decode raises.
+            cut = len(blob) // 2
+            while cut > 1:
+                try:
+                    decode_snappy_frame(blob[:cut])
+                except SnappyDecodeError:
+                    break
+                cut -= 1
+            blob = blob[:cut]
         with open(os.path.join(out, f"docs{k:03d}.jsonl.snappy"), "wb") as f:
             f.write(blob)
     with open(done, "w") as f:
