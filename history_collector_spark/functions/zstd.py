@@ -1,0 +1,817 @@
+"""From-scratch Zstandard (RFC 8878) frame decoder.
+
+Completes the compression matrix next to gzip/zlib, LZ4, and Snappy —
+zstd is the codec public web corpora actually ship (Common-Crawl
+derived corpora distribute ``.jsonl.zst`` shards), so a corpus stack
+that cannot decode it in-kernel cannot ingest the dominant public
+format. Everything here is implemented off the public RFC 8878
+specification:
+
+- Frame format: magic, frame-header descriptor (single-segment /
+  window descriptor / dictionary id / frame content size), raw / RLE /
+  compressed blocks, optional xxHash64-low32 content checksum,
+  skippable frames, multi-frame concatenation.
+- FSE (tANS): normalized-count header (variable-bit forward stream
+  with zero-repeat flags and the threshold short-read trick), spec
+  table spread (step = 5/8·size + 3, "less than 1" cells from the
+  high end), and the alternating two-state weight decoder.
+- Huffman: direct (>=128 header) and FSE-compressed weight
+  descriptions, implied last weight (power-of-two completion),
+  canonical table fill by ascending weight, single-stream and
+  4-stream (jump table) literal decoding.
+- Sequences: predefined / RLE / FSE-compressed / repeat table modes
+  for literal-length, offset, and match-length codes, the backward
+  bitstream with interleaved state reads (init LL->OF->ML, extra bits
+  OF->ML->LL, updates LL->ML->OF), baseline+extra-bits code tables,
+  and the 3-slot repeat-offset history with the litLength==0 shift.
+- xxHash64 (for the content checksum), pinned against public vectors
+  and cross-checked against Spark's JVM ``xxhash64`` in tests.
+
+Decoding is the from-scratch deliverable; tests feed it REAL libzstd
+frames (via pyarrow's bundled codec) at several compression levels so
+FSE/Huffman paths are exercised against the reference encoder, not a
+round-trip of our own making. ``compress_store`` emits valid
+store-mode (raw-block) frames with content size + checksum so frame
+plumbing is testable without pyarrow.
+
+Totality: ``decompress`` raises ``ZstdDecodeError`` on any malformed
+input — never IndexError/KeyError/struct.error (fuzz-swept).
+"""
+
+from __future__ import annotations
+
+from history_collector_spark.functions.codec_errors import MediaDecodeError
+
+
+class ZstdDecodeError(MediaDecodeError):
+    """Malformed Zstandard frame."""
+
+
+_MAGIC = 0xFD2FB528
+_SKIP_MAGIC_LO = 0x184D2A50
+_SKIP_MAGIC_HI = 0x184D2A5F
+
+# --------------------------------------------------------------------------
+# xxHash64 (public algorithm; checksum field is its low 32 bits)
+# --------------------------------------------------------------------------
+
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _xxh_round(acc: int, lane: int) -> int:
+    acc = (acc + lane * _P2) & _M64
+    return (_rotl64(acc, 31) * _P1) & _M64
+
+
+def _xxh_merge(acc: int, val: int) -> int:
+    acc ^= _xxh_round(0, val)
+    return (acc * _P1 + _P4) & _M64
+
+
+def xxh64(data: bytes, seed: int = 0) -> int:
+    """xxHash64 of ``data`` (the zstd content-checksum hash)."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M64
+        v2 = (seed + _P2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _P1) & _M64
+        while i + 32 <= n:
+            v1 = _xxh_round(v1, int.from_bytes(data[i:i + 8], "little"))
+            v2 = _xxh_round(v2, int.from_bytes(data[i + 8:i + 16], "little"))
+            v3 = _xxh_round(v3, int.from_bytes(data[i + 16:i + 24], "little"))
+            v4 = _xxh_round(v4, int.from_bytes(data[i + 24:i + 32], "little"))
+            i += 32
+        h = (_rotl64(v1, 1) + _rotl64(v2, 7) + _rotl64(v3, 12)
+             + _rotl64(v4, 18)) & _M64
+        h = _xxh_merge(h, v1)
+        h = _xxh_merge(h, v2)
+        h = _xxh_merge(h, v3)
+        h = _xxh_merge(h, v4)
+    else:
+        h = (seed + _P5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        h ^= _xxh_round(0, int.from_bytes(data[i:i + 8], "little"))
+        h = (_rotl64(h, 27) * _P1 + _P4) & _M64
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i:i + 4], "little") * _P1) & _M64
+        h = (_rotl64(h, 23) * _P2 + _P3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _P5) & _M64
+        h = (_rotl64(h, 11) * _P1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    return h
+
+
+# --------------------------------------------------------------------------
+# Bit readers
+# --------------------------------------------------------------------------
+
+
+class _BackBits:
+    """Backward bitstream (zstd entropy payloads are written forward
+    and read backward). The last byte carries 0-7 padding zeros above
+    a mandatory sentinel 1 bit. Reads past the start return zero bits
+    and flip ``pos`` negative — the overflow signal the alternating
+    FSE weight decoder terminates on, matching the reference's
+    reload-status contract."""
+
+    __slots__ = ("val", "pos")
+
+    def __init__(self, data: bytes):
+        if not data or data[-1] == 0:
+            raise ZstdDecodeError("bitstream missing initialization bit")
+        self.val = int.from_bytes(data, "little")
+        pad = 8 - data[-1].bit_length()
+        self.pos = len(data) * 8 - pad - 1  # drop sentinel too
+
+    def read(self, n: int) -> int:
+        p = self.pos - n
+        self.pos = p
+        if p >= 0:
+            return (self.val >> p) & ((1 << n) - 1)
+        old = p + n  # previous position
+        if old <= 0:
+            return 0
+        return (self.val & ((1 << old) - 1)) << (-p)
+
+    def peek(self, n: int) -> int:
+        p = self.pos - n
+        if p >= 0:
+            return (self.val >> p) & ((1 << n) - 1)
+        if self.pos <= 0:
+            return 0
+        return (self.val & ((1 << self.pos) - 1)) << (-p)
+
+    def consume(self, n: int) -> None:
+        self.pos -= n
+
+
+# --------------------------------------------------------------------------
+# FSE
+# --------------------------------------------------------------------------
+
+
+def _read_ncount(
+    data: bytes, max_symbol: int, max_alog: int
+) -> tuple[int, list[int], int]:
+    """Parse an FSE normalized-count header (forward, LSB-first).
+
+    Returns (accuracy_log, counts incl. -1 "less than 1" entries,
+    bytes consumed). Mirrors the spec's threshold short-read and
+    zero-repeat-flag constructions."""
+    if not data:
+        raise ZstdDecodeError("empty FSE header")
+    limit = len(data) * 8
+
+    def peek(pos: int, n: int) -> int:
+        b0 = pos >> 3
+        chunk = int.from_bytes(data[b0:b0 + 7], "little")
+        return (chunk >> (pos & 7)) & ((1 << n) - 1)
+
+    bitpos = 0
+    alog = peek(0, 4) + 5
+    bitpos = 4
+    if alog > max_alog:
+        raise ZstdDecodeError(f"FSE accuracy log {alog} > {max_alog}")
+    remaining = (1 << alog) + 1
+    threshold = 1 << alog
+    nbits = alog + 1
+    counts: list[int] = []
+    prev_zero = False
+    while remaining > 1:
+        if len(counts) > max_symbol:
+            raise ZstdDecodeError("FSE counts exceed max symbol")
+        if bitpos > limit:
+            raise ZstdDecodeError("FSE header overruns its data")
+        if prev_zero:
+            while peek(bitpos, 16) == 0xFFFF:
+                counts.extend([0] * 24)
+                bitpos += 16
+                if len(counts) > max_symbol + 1 or bitpos > limit:
+                    raise ZstdDecodeError("runaway FSE zero repeat")
+            while peek(bitpos, 2) == 3:
+                counts.extend([0] * 3)
+                bitpos += 2
+                if len(counts) > max_symbol + 1 or bitpos > limit:
+                    raise ZstdDecodeError("runaway FSE zero repeat")
+            counts.extend([0] * peek(bitpos, 2))
+            bitpos += 2
+            if len(counts) > max_symbol:
+                raise ZstdDecodeError("FSE zero run exceeds max symbol")
+        cap = 2 * threshold - 1 - remaining
+        if peek(bitpos, nbits) & (threshold - 1) < cap:
+            count = peek(bitpos, nbits) & (threshold - 1)
+            bitpos += nbits - 1
+        else:
+            count = peek(bitpos, nbits)
+            if count >= threshold:
+                count -= cap
+            bitpos += nbits
+        count -= 1  # stored with +1 so -1 encodes "less than 1"
+        remaining -= -count if count < 0 else count
+        counts.append(count)
+        prev_zero = count == 0
+        while remaining < threshold:
+            nbits -= 1
+            threshold >>= 1
+    if remaining != 1:
+        raise ZstdDecodeError("FSE counts do not sum to table size")
+    if bitpos > limit:
+        raise ZstdDecodeError("FSE header overruns its data")
+    return alog, counts, (bitpos + 7) // 8
+
+
+def _fse_table(
+    counts: list[int], alog: int
+) -> tuple[int, list[tuple[int, int, int]]]:
+    """Spec table construction -> (alog, [(symbol, nbits, base)] of
+    size 2**alog). ``base`` is the next-state baseline; next state =
+    base + read(nbits)."""
+    size = 1 << alog
+    spread = [0] * size
+    high = size - 1
+    for s, c in enumerate(counts):
+        if c == -1:
+            spread[high] = s
+            high -= 1
+    step = (size >> 1) + (size >> 3) + 3
+    mask = size - 1
+    pos = 0
+    for s, c in enumerate(counts):
+        for _ in range(max(c, 0)):
+            spread[pos] = s
+            pos = (pos + step) & mask
+            while pos > high:
+                pos = (pos + step) & mask
+    if pos != 0:
+        raise ZstdDecodeError("corrupt FSE table spread")
+    nxt = [c if c > 0 else 1 for c in counts]
+    entries: list[tuple[int, int, int]] = []
+    for i in range(size):
+        s = spread[i]
+        state = nxt[s]
+        nxt[s] += 1
+        nbits = alog - (state.bit_length() - 1)
+        entries.append((s, nbits, (state << nbits) - size))
+    return alog, entries
+
+
+def _fse_decode_alternating(
+    data: bytes, table: tuple[int, list[tuple[int, int, int]]], limit: int
+) -> list[int]:
+    """The two-state interleaved FSE stream (Huffman weights): emit
+    from state1 then state2 alternately; when a state update overruns
+    the stream, emit one symbol from the other state and stop."""
+    alog, entries = table
+    br = _BackBits(data)
+    s1 = br.read(alog)
+    s2 = br.read(alog)
+    if br.pos < 0:
+        raise ZstdDecodeError("FSE stream shorter than its two states")
+    out: list[int] = []
+    while len(out) < limit:
+        sym, nb, base = entries[s1]
+        out.append(sym)
+        s1 = base + br.read(nb)
+        if br.pos < 0:
+            out.append(entries[s2][0])
+            return out
+        sym, nb, base = entries[s2]
+        out.append(sym)
+        s2 = base + br.read(nb)
+        if br.pos < 0:
+            out.append(entries[s1][0])
+            return out
+    raise ZstdDecodeError("FSE weight stream does not terminate")
+
+
+# --------------------------------------------------------------------------
+# Huffman
+# --------------------------------------------------------------------------
+
+_HUF_MAX_LOG = 11
+
+
+def _read_huffman(data: bytes) -> tuple[int, list[tuple[int, int]], int]:
+    """Huffman tree description -> (table_log, table of size
+    2**table_log mapping peeked value -> (symbol, nbits), bytes
+    consumed)."""
+    if not data:
+        raise ZstdDecodeError("missing Huffman description")
+    hb = data[0]
+    if hb >= 128:  # direct: 4-bit weights, two per byte, forward
+        nsym = hb - 127
+        nbytes = (nsym + 1) // 2
+        if len(data) < 1 + nbytes:
+            raise ZstdDecodeError("truncated Huffman weights")
+        weights = []
+        for i in range(nsym):
+            b = data[1 + (i >> 1)]
+            weights.append((b >> 4) if i % 2 == 0 else (b & 15))
+        consumed = 1 + nbytes
+    else:  # FSE-compressed weights
+        csize = hb
+        sub = data[1:1 + csize]
+        if len(sub) < csize:
+            raise ZstdDecodeError("truncated Huffman weight stream")
+        alog, counts, used = _read_ncount(sub, 255, 6)
+        table = _fse_table(counts, alog)
+        weights = _fse_decode_alternating(sub[used:], table, 255)
+        consumed = 1 + csize
+    # implied last weight: completes the weight sum to a power of two
+    total = 0
+    for w in weights:
+        if w > _HUF_MAX_LOG:
+            raise ZstdDecodeError("Huffman weight too large")
+        if w:
+            total += 1 << (w - 1)
+    if total == 0:
+        raise ZstdDecodeError("empty Huffman tree")
+    tlog = total.bit_length()
+    if tlog > _HUF_MAX_LOG:
+        raise ZstdDecodeError("Huffman table log too large")
+    rest = (1 << tlog) - total
+    if rest & (rest - 1):
+        raise ZstdDecodeError("Huffman weights not power-of-two complete")
+    weights.append(rest.bit_length())
+    if len(weights) > 256:
+        raise ZstdDecodeError("too many Huffman symbols")
+    # canonical fill: ascending weight, natural symbol order inside
+    rank_count = [0] * (tlog + 2)
+    for w in weights:
+        rank_count[w] += 1
+    rank_start = [0] * (tlog + 2)
+    nxt = 0
+    for w in range(1, tlog + 1):
+        rank_start[w] = nxt
+        nxt += rank_count[w] << (w - 1)
+    if nxt != (1 << tlog):
+        raise ZstdDecodeError("corrupt Huffman rank layout")
+    table_out: list[tuple[int, int]] = [(0, 0)] * (1 << tlog)
+    for s, w in enumerate(weights):
+        if w == 0:
+            continue
+        length = 1 << (w - 1)
+        at = rank_start[w]
+        entry = (s, tlog + 1 - w)
+        for i in range(at, at + length):
+            table_out[i] = entry
+        rank_start[w] += length
+    return tlog, table_out, consumed
+
+
+def _huf_decode_stream(
+    stream: bytes, tlog: int, table: list[tuple[int, int]], n: int
+) -> bytearray:
+    br = _BackBits(stream)
+    out = bytearray()
+    for _ in range(n):
+        sym, nb = table[br.peek(tlog)]
+        br.consume(nb)
+        out.append(sym)
+    if br.pos != 0:
+        raise ZstdDecodeError("Huffman stream not fully consumed")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Literals section
+# --------------------------------------------------------------------------
+
+_MAX_BLOCK = 1 << 17  # Block_Maximum_Size upper bound (128 KB)
+
+
+def _decode_literals(block: bytes, entropy: dict) -> tuple[bytes, int]:
+    if not block:
+        raise ZstdDecodeError("empty compressed block")
+    b0 = block[0]
+    ltype = b0 & 3
+    size_fmt = (b0 >> 2) & 3
+    if ltype <= 1:  # raw / RLE
+        if size_fmt in (0, 2):
+            regen, hlen = b0 >> 3, 1
+        elif size_fmt == 1:
+            if len(block) < 2:
+                raise ZstdDecodeError("truncated literals header")
+            regen, hlen = (b0 >> 4) | (block[1] << 4), 2
+        else:
+            if len(block) < 3:
+                raise ZstdDecodeError("truncated literals header")
+            regen = (b0 >> 4) | (block[1] << 4) | (block[2] << 12)
+            hlen = 3
+        if regen > _MAX_BLOCK:
+            raise ZstdDecodeError("literals exceed block maximum")
+        if ltype == 0:
+            lit = block[hlen:hlen + regen]
+            if len(lit) < regen:
+                raise ZstdDecodeError("truncated raw literals")
+            return bytes(lit), hlen + regen
+        if len(block) < hlen + 1:
+            raise ZstdDecodeError("truncated RLE literal")
+        return bytes([block[hlen]]) * regen, hlen + 1
+    # compressed (2) / treeless (3)
+    if size_fmt == 0:
+        streams, hlen, rbits = 1, 3, 10
+    elif size_fmt == 1:
+        streams, hlen, rbits = 4, 3, 10
+    elif size_fmt == 2:
+        streams, hlen, rbits = 4, 4, 14
+    else:
+        streams, hlen, rbits = 4, 5, 18
+    if len(block) < hlen:
+        raise ZstdDecodeError("truncated literals header")
+    combined = int.from_bytes(block[:hlen], "little")
+    regen = (combined >> 4) & ((1 << rbits) - 1)
+    comp = (combined >> (4 + rbits)) & ((1 << rbits) - 1)
+    if regen > _MAX_BLOCK:
+        raise ZstdDecodeError("literals exceed block maximum")
+    payload = block[hlen:hlen + comp]
+    if len(payload) < comp:
+        raise ZstdDecodeError("truncated literals payload")
+    if ltype == 2:
+        tlog, table, used = _read_huffman(payload)
+        entropy["huf"] = (tlog, table)
+        payload = payload[used:]
+    else:
+        if entropy.get("huf") is None:
+            raise ZstdDecodeError("treeless literals without prior tree")
+        tlog, table = entropy["huf"]
+    if streams == 1:
+        lit = _huf_decode_stream(payload, tlog, table, regen)
+        return bytes(lit), hlen + comp
+    if len(payload) < 6:
+        raise ZstdDecodeError("truncated literals jump table")
+    s1 = int.from_bytes(payload[0:2], "little")
+    s2 = int.from_bytes(payload[2:4], "little")
+    s3 = int.from_bytes(payload[4:6], "little")
+    rest = payload[6:]
+    if s1 + s2 + s3 > len(rest):
+        raise ZstdDecodeError("literal stream sizes overrun payload")
+    n123 = (regen + 3) >> 2
+    n4 = regen - 3 * n123
+    if n4 < 0:
+        raise ZstdDecodeError("negative fourth literal stream")
+    out = bytearray()
+    offs = (0, s1, s1 + s2, s1 + s2 + s3)
+    ends = (s1, s1 + s2, s1 + s2 + s3, len(rest))
+    for k in range(4):
+        out += _huf_decode_stream(
+            rest[offs[k]:ends[k]], tlog, table, n123 if k < 3 else n4
+        )
+    return bytes(out), hlen + comp
+
+
+# --------------------------------------------------------------------------
+# Sequences section
+# --------------------------------------------------------------------------
+
+_LL_BITS = [0] * 16 + [1, 1, 1, 1, 2, 2, 3, 3, 4, 6, 7, 8, 9, 10, 11, 12,
+                       13, 14, 15, 16]
+_LL_BASE = list(range(16)) + [16, 18, 20, 22, 24, 28, 32, 40, 48, 64, 128,
+                              256, 512, 1024, 2048, 4096, 8192, 16384,
+                              32768, 65536]
+_ML_BITS = [0] * 32 + [1, 1, 1, 1, 2, 2, 3, 3, 4, 4, 5, 7, 8, 9, 10, 11,
+                       12, 13, 14, 15, 16]
+_ML_BASE = list(range(3, 35)) + [35, 37, 39, 41, 43, 47, 51, 59, 67, 83,
+                                 99, 131, 259, 515, 1027, 2051, 4099, 8195,
+                                 16387, 32771, 65539]
+
+# RFC 8878 predefined distributions
+_LL_DEFAULT = ([4, 3] + [2] * 11 + [1] * 3 + [2] * 9 + [3, 2] + [1] * 5
+               + [-1] * 4)
+_ML_DEFAULT = [1, 4, 3, 2, 2, 2, 2, 2, 2] + [1] * 37 + [-1] * 7
+_OF_DEFAULT = [1] * 6 + [2] * 3 + [1] * 15 + [-1] * 5
+
+_PREDEFINED = {
+    "ll": _fse_table(_LL_DEFAULT, 6),
+    "ml": _fse_table(_ML_DEFAULT, 6),
+    "of": _fse_table(_OF_DEFAULT, 5),
+}
+_MAX_ALOG = {"ll": 9, "ml": 9, "of": 8}
+_MAX_SYM = {"ll": 35, "ml": 52, "of": 31}
+
+
+def _seq_table(
+    data: bytes, mode: int, kind: str, entropy: dict
+) -> tuple[tuple[int, list[tuple[int, int, int]]], int]:
+    """Resolve one symbol-compression mode -> (FSE table, bytes used)."""
+    if mode == 0:
+        table = _PREDEFINED[kind]
+    elif mode == 1:  # RLE: single symbol, zero-bit state machine
+        if not data:
+            raise ZstdDecodeError("truncated RLE sequence table")
+        sym = data[0]
+        if sym > _MAX_SYM[kind]:
+            raise ZstdDecodeError(f"RLE {kind} symbol out of range")
+        entropy[kind] = table = (0, [(sym, 0, 0)])
+        return table, 1
+    elif mode == 2:
+        alog, counts, used = _read_ncount(
+            data, _MAX_SYM[kind], _MAX_ALOG[kind]
+        )
+        entropy[kind] = table = _fse_table(counts, alog)
+        return table, used
+    else:  # repeat
+        table = entropy.get(kind)
+        if table is None:
+            raise ZstdDecodeError(f"repeat {kind} table with no previous")
+        return table, 0
+    entropy[kind] = table
+    return table, 0
+
+
+def _decode_sequences(
+    data: bytes, entropy: dict
+) -> list[tuple[int, int, int]]:
+    """Sequences section -> [(literal_length, offset_value,
+    match_length)] with offset_value still in pre-repeat form."""
+    if not data:
+        raise ZstdDecodeError("missing sequences section")
+    b0 = data[0]
+    if b0 == 0:
+        if len(data) != 1:
+            raise ZstdDecodeError("trailing bytes after empty sequences")
+        return []
+    if b0 < 128:
+        nseq, pos = b0, 1
+    elif b0 < 255:
+        if len(data) < 2:
+            raise ZstdDecodeError("truncated sequence count")
+        nseq, pos = ((b0 - 128) << 8) + data[1], 2
+    else:
+        if len(data) < 3:
+            raise ZstdDecodeError("truncated sequence count")
+        nseq, pos = data[1] + (data[2] << 8) + 0x7F00, 3
+    if len(data) < pos + 1:
+        raise ZstdDecodeError("missing compression modes byte")
+    modes = data[pos]
+    if modes & 3:
+        raise ZstdDecodeError("reserved sequence mode bits set")
+    pos += 1
+    ll_t, used = _seq_table(data[pos:], (modes >> 6) & 3, "ll", entropy)
+    pos += used
+    of_t, used = _seq_table(data[pos:], (modes >> 4) & 3, "of", entropy)
+    pos += used
+    ml_t, used = _seq_table(data[pos:], (modes >> 2) & 3, "ml", entropy)
+    pos += used
+    br = _BackBits(data[pos:])
+    ll_s = br.read(ll_t[0])
+    of_s = br.read(of_t[0])
+    ml_s = br.read(ml_t[0])
+    if br.pos < 0:
+        raise ZstdDecodeError("sequence bitstream shorter than states")
+    seqs: list[tuple[int, int, int]] = []
+    for i in range(nseq):
+        of_code = of_t[1][of_s][0]
+        ml_code = ml_t[1][ml_s][0]
+        ll_code = ll_t[1][ll_s][0]
+        if of_code > 31 or ml_code > 52 or ll_code > 35:
+            raise ZstdDecodeError("sequence code out of range")
+        offset_value = (1 << of_code) + br.read(of_code)
+        ml = _ML_BASE[ml_code] + br.read(_ML_BITS[ml_code])
+        ll = _LL_BASE[ll_code] + br.read(_LL_BITS[ll_code])
+        seqs.append((ll, offset_value, ml))
+        if i + 1 < nseq:
+            sym, nb, base = ll_t[1][ll_s]
+            ll_s = base + br.read(nb)
+            sym, nb, base = ml_t[1][ml_s]
+            ml_s = base + br.read(nb)
+            sym, nb, base = of_t[1][of_s]
+            of_s = base + br.read(nb)
+        if br.pos < 0:
+            raise ZstdDecodeError("sequence bitstream exhausted early")
+    if br.pos != 0:
+        raise ZstdDecodeError("sequence bitstream not fully consumed")
+    return seqs
+
+
+def _execute(
+    out: bytearray,
+    literals: bytes,
+    seqs: list[tuple[int, int, int]],
+    reps: list[int],
+    max_out: int,
+) -> None:
+    lpos = 0
+    for ll, offset_value, ml in seqs:
+        if lpos + ll > len(literals):
+            raise ZstdDecodeError("sequence overruns literal buffer")
+        out += literals[lpos:lpos + ll]
+        lpos += ll
+        if offset_value > 3:
+            offset = offset_value - 3
+            reps[2] = reps[1]
+            reps[1] = reps[0]
+            reps[0] = offset
+        else:
+            idx = offset_value + (1 if ll == 0 else 0)
+            if idx == 1:
+                offset = reps[0]
+            elif idx == 2:
+                offset = reps[1]
+                reps[1] = reps[0]
+                reps[0] = offset
+            elif idx == 3:
+                offset = reps[2]
+                reps[2] = reps[1]
+                reps[1] = reps[0]
+                reps[0] = offset
+            else:  # idx == 4: rep1 - 1
+                offset = reps[0] - 1
+                if offset <= 0:
+                    raise ZstdDecodeError("zero repeat offset")
+                reps[2] = reps[1]
+                reps[1] = reps[0]
+                reps[0] = offset
+        if offset > len(out) or offset <= 0:
+            raise ZstdDecodeError("match offset beyond decoded window")
+        if len(out) + ml > max_out:
+            raise ZstdDecodeError("output exceeds size guard")
+        if offset >= ml:  # non-overlapping fast path
+            start = len(out) - offset
+            out += out[start:start + ml]
+        else:
+            for _ in range(ml):
+                out.append(out[-offset])
+    out += literals[lpos:]
+
+
+# --------------------------------------------------------------------------
+# Frame / block loop
+# --------------------------------------------------------------------------
+
+
+def _decode_block(block: bytes, out: bytearray, entropy: dict,
+                  reps: list[int], max_out: int) -> None:
+    literals, used = _decode_literals(block, entropy)
+    seqs = _decode_sequences(block[used:], entropy)
+    if len(out) + len(literals) > max_out:
+        raise ZstdDecodeError("output exceeds size guard")
+    _execute(out, literals, seqs, reps, max_out)
+
+
+def decompress(blob: bytes, max_out: int = 1 << 26) -> bytes:
+    """Decode one or more concatenated zstd frames (skippable frames
+    skipped), verifying frame content size and content checksum when
+    present. Raises :class:`ZstdDecodeError` on malformed input."""
+    out_all = bytearray()
+    i = 0
+    n = len(blob)
+    if n == 0:
+        raise ZstdDecodeError("empty input")
+    while i < n:
+        if n - i < 4:
+            raise ZstdDecodeError("truncated frame magic")
+        magic = int.from_bytes(blob[i:i + 4], "little")
+        i += 4
+        if _SKIP_MAGIC_LO <= magic <= _SKIP_MAGIC_HI:
+            if n - i < 4:
+                raise ZstdDecodeError("truncated skippable frame")
+            size = int.from_bytes(blob[i:i + 4], "little")
+            i += 4
+            if n - i < size:
+                raise ZstdDecodeError("skippable frame overruns input")
+            i += size
+            continue
+        if magic != _MAGIC:
+            raise ZstdDecodeError(f"bad magic 0x{magic:08X}")
+        if i >= n:
+            raise ZstdDecodeError("missing frame header")
+        fhd = blob[i]
+        i += 1
+        if (fhd >> 3) & 1:
+            raise ZstdDecodeError("reserved frame header bit set")
+        single = (fhd >> 5) & 1
+        has_checksum = (fhd >> 2) & 1
+        did_flag = fhd & 3
+        fcs_flag = fhd >> 6
+        if not single:
+            if i >= n:
+                raise ZstdDecodeError("missing window descriptor")
+            wd = blob[i]
+            i += 1
+            base = 1 << (10 + (wd >> 3))
+            window = base + (base >> 3) * (wd & 7)
+        did_size = (0, 1, 2, 4)[did_flag]
+        if n - i < did_size:
+            raise ZstdDecodeError("truncated dictionary id")
+        if did_size and int.from_bytes(blob[i:i + did_size], "little"):
+            raise ZstdDecodeError("dictionaries not supported")
+        i += did_size
+        fcs_size = (1 if single else 0, 2, 4, 8)[fcs_flag]
+        fcs = None
+        if fcs_size:
+            if n - i < fcs_size:
+                raise ZstdDecodeError("truncated frame content size")
+            fcs = int.from_bytes(blob[i:i + fcs_size], "little")
+            if fcs_size == 2:
+                fcs += 256
+            i += fcs_size
+        if single:
+            window = fcs if fcs is not None else 0
+        if window > max_out:
+            raise ZstdDecodeError("window exceeds size guard")
+        out = bytearray()
+        entropy: dict = {"huf": None, "ll": None, "of": None, "ml": None}
+        reps = [1, 4, 8]
+        budget = max_out - len(out_all)
+        while True:
+            if n - i < 3:
+                raise ZstdDecodeError("truncated block header")
+            bh = int.from_bytes(blob[i:i + 3], "little")
+            i += 3
+            last = bh & 1
+            btype = (bh >> 1) & 3
+            bsize = bh >> 3
+            if btype == 0:
+                if n - i < bsize:
+                    raise ZstdDecodeError("truncated raw block")
+                if len(out) + bsize > budget:
+                    raise ZstdDecodeError("output exceeds size guard")
+                out += blob[i:i + bsize]
+                i += bsize
+            elif btype == 1:
+                if i >= n:
+                    raise ZstdDecodeError("truncated RLE block")
+                if bsize > _MAX_BLOCK or len(out) + bsize > budget:
+                    raise ZstdDecodeError("output exceeds size guard")
+                out += bytes([blob[i]]) * bsize
+                i += 1
+            elif btype == 2:
+                if n - i < bsize:
+                    raise ZstdDecodeError("truncated compressed block")
+                _decode_block(
+                    blob[i:i + bsize], out, entropy, reps, budget
+                )
+                i += bsize
+            else:
+                raise ZstdDecodeError("reserved block type")
+            if last:
+                break
+        if fcs is not None and len(out) != fcs:
+            raise ZstdDecodeError(
+                f"content size mismatch: {len(out)} != {fcs}"
+            )
+        if has_checksum:
+            if n - i < 4:
+                raise ZstdDecodeError("truncated content checksum")
+            want = int.from_bytes(blob[i:i + 4], "little")
+            i += 4
+            if xxh64(bytes(out)) & 0xFFFFFFFF != want:
+                raise ZstdDecodeError("content checksum mismatch")
+        out_all += out
+    return bytes(out_all)
+
+
+# --------------------------------------------------------------------------
+# Store-mode encoder (valid frames, raw blocks only)
+# --------------------------------------------------------------------------
+
+
+def compress_store(data: bytes, checksum: bool = True) -> bytes:
+    """Emit ``data`` as a valid single-segment zstd frame of raw
+    blocks, with frame content size and (by default) an xxHash64-low32
+    content checksum. Not a compressor — a spec-exact store mode so
+    frame plumbing round-trips without any third-party encoder."""
+    n = len(data)
+    if n < 256:
+        fcs_flag, fcs_bytes = 0, n.to_bytes(1, "little")
+    elif n < 65536 + 256:
+        fcs_flag, fcs_bytes = 1, (n - 256).to_bytes(2, "little")
+    else:
+        fcs_flag, fcs_bytes = 2, n.to_bytes(4, "little")
+    fhd = (fcs_flag << 6) | (1 << 5) | ((4 if checksum else 0))
+    out = bytearray(_MAGIC.to_bytes(4, "little"))
+    out.append(fhd)
+    out += fcs_bytes
+    chunk = 1 << 16
+    if n == 0:
+        out += (1).to_bytes(3, "little")  # empty raw block, last=1
+    else:
+        for p in range(0, n, chunk):
+            piece = data[p:p + chunk]
+            last = 1 if p + chunk >= n else 0
+            out += ((len(piece) << 3) | last).to_bytes(3, "little")
+            out += piece
+    if checksum:
+        out += (xxh64(data) & 0xFFFFFFFF).to_bytes(4, "little")
+    return bytes(out)

@@ -929,47 +929,95 @@ _LZ4_DOCS_PER_SHARD = 2500
 _LZ4_MIN_SHARDS = 4
 
 
-def _write_lz4_fixture(spark: SparkSession, sf_dir: str) -> str:
-    import json as _json
+def _write_codec_shards(
+    spark: SparkSession,
+    sf_dir: str,
+    kind: str,
+    ext: str,
+    encode,
+    tear,
+) -> str:
+    """Distributed JSONL-shard fixture writer shared by the LZ4 /
+    Snappy / zstd ingest queries: each task compresses and writes its
+    own shard file; only tiny (shard, n_bytes) rows return to the
+    driver. Replaces the former driver-side ``collect()`` of the whole
+    documents table (round-11 verdict: at sf10-probe scale the
+    materialization, not the operator, dominated) with ONE Spark job —
+    the ``streaming/replay.py`` idiom applied to binary shards.
 
-    from history_collector_spark.functions.lz4 import compress_frame
-
-    out = _fixture_dir(sf_dir, "lz4jsonl")
+    Shard membership (doc_id % n_shards, ascending doc_id within a
+    shard) and the torn-shard contract (``tear`` mangles shard 0) are
+    byte-identical to the old writers, so every oracle is unchanged.
+    Shard COUNT scales with the corpus (the html-fixture lesson:
+    pinned shard counts hide a 10x-work-per-task cliff at 10x data).
+    """
+    out = _fixture_dir(sf_dir, kind)
     done = os.path.join(out, "_FIXTURE_DONE")
     if os.path.exists(done):
         return out
     os.makedirs(out, exist_ok=True)
-    # fixture-builder collect: bounded, writes test INPUT files
-    rows = (
-        table(spark, sf_dir, "documents")
-        .select("doc_id", "source", "text")
-        .collect()
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
     )
-    # shard COUNT scales with the corpus (the html-fixture lesson:
-    # pinned shard counts hide a 10x-work-per-task cliff at 10x data)
     n_shards = max(
-        _LZ4_MIN_SHARDS, -(-len(rows) // _LZ4_DOCS_PER_SHARD)
+        _LZ4_MIN_SHARDS, -(-docs.count() // _LZ4_DOCS_PER_SHARD)
     )
-    shards: dict[int, list] = {k: [] for k in range(n_shards)}
-    for r in sorted(rows, key=lambda r: r["doc_id"]):
-        shards[r["doc_id"] % n_shards].append(
+
+    def _emit(key, pdf):
+        import json as _json
+
+        import pandas as pd
+
+        shard = int(key[0])
+        pdf = pdf.sort_values("doc_id")
+        lines = [
             _json.dumps(
                 {
-                    "doc_id": r["doc_id"],
-                    "source": r["source"],
-                    "text": r["text"],
+                    "doc_id": int(r.doc_id),
+                    "source": r.source,
+                    "text": r.text,
                 }
             )
-        )
-    for k, lines in shards.items():
-        blob = compress_frame(("\n".join(lines) + "\n").encode("utf-8"))
-        if k == 0:
-            blob = blob[: len(blob) // 2]  # the torn shard
-        with open(os.path.join(out, f"docs{k:03d}.jsonl.lz4"), "wb") as f:
+            for r in pdf.itertuples()
+        ]
+        blob = encode(("\n".join(lines) + "\n").encode("utf-8"))
+        if shard == 0:
+            blob = tear(blob)
+        path = os.path.join(out, f"docs{shard:03d}.jsonl.{ext}")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
             f.write(blob)
+        os.replace(tmp, path)
+        return pd.DataFrame([(shard, len(blob))], columns=["shard", "n"])
+
+    (
+        docs.withColumn("shard", F.col("doc_id") % n_shards)
+        .repartition(n_shards, "shard")
+        .groupBy("shard")
+        .applyInPandas(_emit, "shard bigint, n bigint")
+        .collect()  # tiny: one row per shard
+    )
     with open(done, "w") as f:
         f.write("ok")
     return out
+
+
+def _lz4_encode(raw: bytes) -> bytes:
+    from history_collector_spark.functions.lz4 import compress_frame
+
+    return compress_frame(raw)
+
+
+def _half_cut(blob: bytes) -> bytes:
+    # safe for LZ4: the frame ends with an end mark + content
+    # checksum, so ANY proper prefix fails to decode
+    return blob[: len(blob) // 2]
+
+
+def _write_lz4_fixture(spark: SparkSession, sf_dir: str) -> str:
+    return _write_codec_shards(
+        spark, sf_dir, "lz4jsonl", "lz4", _lz4_encode, _half_cut
+    )
 
 
 def _lz4_ingest_batches(batches):
@@ -1064,61 +1112,36 @@ def corpus_lz4_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _write_snappy_fixture(spark: SparkSession, sf_dir: str) -> str:
-    import json as _json
-
+def _snappy_encode(raw: bytes) -> bytes:
     from history_collector_spark.functions.snappy import compress_frame
 
-    out = _fixture_dir(sf_dir, "snappyjsonl")
-    done = os.path.join(out, "_FIXTURE_DONE")
-    if os.path.exists(done):
-        return out
-    os.makedirs(out, exist_ok=True)
-    rows = (
-        table(spark, sf_dir, "documents")
-        .select("doc_id", "source", "text")
-        .collect()
-    )
-    n_shards = max(
-        _LZ4_MIN_SHARDS, -(-len(rows) // _LZ4_DOCS_PER_SHARD)
-    )
-    shards: dict[int, list] = {k: [] for k in range(n_shards)}
-    for r in sorted(rows, key=lambda r: r["doc_id"]):
-        shards[r["doc_id"] % n_shards].append(
-            _json.dumps(
-                {
-                    "doc_id": r["doc_id"],
-                    "source": r["source"],
-                    "text": r["text"],
-                }
-            )
-        )
+    return compress_frame(raw)
+
+
+def _snappy_tear(blob: bytes) -> bytes:
+    # Snappy framing has no end-of-stream marker, so a cut landing
+    # exactly on a chunk boundary decodes cleanly as a short prefix
+    # and the oracle's __error__ row never appears — nudge the cut
+    # until the truncation provably lands mid-chunk and decode raises.
     from history_collector_spark.functions.snappy import (
         SnappyDecodeError,
         decode_snappy_frame,
     )
 
-    for k, lines in shards.items():
-        blob = compress_frame(("\n".join(lines) + "\n").encode("utf-8"))
-        if k == 0:
-            # The torn shard. Snappy framing has no end-of-stream
-            # marker, so a cut landing exactly on a chunk boundary
-            # decodes cleanly as a short prefix and the oracle's
-            # __error__ row never appears — nudge the cut until the
-            # truncation provably lands mid-chunk and decode raises.
-            cut = len(blob) // 2
-            while cut > 1:
-                try:
-                    decode_snappy_frame(blob[:cut])
-                except SnappyDecodeError:
-                    break
-                cut -= 1
-            blob = blob[:cut]
-        with open(os.path.join(out, f"docs{k:03d}.jsonl.snappy"), "wb") as f:
-            f.write(blob)
-    with open(done, "w") as f:
-        f.write("ok")
-    return out
+    cut = len(blob) // 2
+    while cut > 1:
+        try:
+            decode_snappy_frame(blob[:cut])
+        except SnappyDecodeError:
+            break
+        cut -= 1
+    return blob[:cut]
+
+
+def _write_snappy_fixture(spark: SparkSession, sf_dir: str) -> str:
+    return _write_codec_shards(
+        spark, sf_dir, "snappyjsonl", "snappy", _snappy_encode, _snappy_tear
+    )
 
 
 def _snappy_ingest_batches(batches):
@@ -1192,6 +1215,131 @@ def corpus_snappy_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     partials = blobs.mapInPandas(
         _snappy_ingest_batches,
+        schema="source string, n_docs bigint, total_chars bigint",
+    )
+    return partials.groupBy("source").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("total_chars").alias("total_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zstd JSONL ingest (round 12): the codec public web corpora actually
+# ship (Common-Crawl-derived corpora distribute .jsonl.zst shards),
+# through the from-scratch RFC 8878 decoder (functions/zstd.py: FSE,
+# Huffman, sequences, xxh64 checksum). Fixtures are compressed with
+# the REAL libzstd (pyarrow's bundled codec, level 3), so the ingest
+# exercises our decoder against reference-encoder output — not a
+# round-trip of our own store mode. Same shard layout / torn-shard
+# contract / closed-form oracle as the LZ4 and Snappy twins above.
+# ---------------------------------------------------------------------------
+
+
+def _zstd_encode(raw: bytes) -> bytes:
+    from pyarrow import Codec
+
+    return Codec("zstd", compression_level=3).compress(raw, asbytes=True)
+
+
+def _zstd_tear(blob: bytes) -> bytes:
+    # zstd frames carry a content size and a last-block flag, so a
+    # truncation essentially always raises — but nudge like the
+    # Snappy twin so the property is checked, not assumed.
+    from history_collector_spark.functions.zstd import (
+        ZstdDecodeError,
+        decompress,
+    )
+
+    cut = len(blob) // 2
+    while cut > 1:
+        try:
+            decompress(blob[:cut])
+        except ZstdDecodeError:
+            break
+        cut -= 1
+    return blob[:cut]
+
+
+def _write_zstd_fixture(spark: SparkSession, sf_dir: str) -> str:
+    return _write_codec_shards(
+        spark, sf_dir, "zstdjsonl", "zst", _zstd_encode, _zstd_tear
+    )
+
+
+def _zstd_ingest_batches(batches):
+    import json as _json
+
+    import pandas as pd
+
+    from history_collector_spark.functions.zstd import (
+        ZstdDecodeError,
+        decompress,
+    )
+
+    for pdf in batches:
+        agg: dict[str, list] = {}
+        for blob in pdf["content"]:
+            try:
+                raw = decompress(bytes(blob))
+            except ZstdDecodeError:
+                a = agg.setdefault("__error__", [0, 0])
+                a[0] += 1
+                continue
+            for line in raw.decode("utf-8").splitlines():
+                d = _json.loads(line)
+                a = agg.setdefault(d["source"], [0, 0])
+                a[0] += 1
+                a[1] += len(d["text"])
+        yield pd.DataFrame(
+            [(s, v[0], v[1]) for s, v in agg.items()],
+            columns=["source", "n_docs", "total_chars"],
+        )
+
+
+@register(
+    "corpus_zstd_ingest",
+    oracle=f"""
+    WITH meta AS (
+      SELECT doc_id, source, length(text) AS n_chars FROM documents
+    ),
+    nn AS (
+      SELECT greatest({_LZ4_MIN_SHARDS},
+                      CAST(ceil(count(*) / {_LZ4_DOCS_PER_SHARD}.0)
+                           AS BIGINT)) AS k
+      FROM meta
+    )
+    SELECT m.source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(m.n_chars) AS BIGINT) AS total_chars
+    FROM meta m, nn WHERE m.doc_id % nn.k <> 0
+    GROUP BY m.source
+    UNION ALL
+    SELECT '__error__', 1, 0
+    """,
+)
+def corpus_zstd_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile scan of .jsonl.zst shards -> in-kernel RFC 8878
+    zstd frame decode (FSE + Huffman + sequence execution, frame
+    content size verified) + JSON-lines parse, pre-aggregated per
+    shard so only (source, count, chars) partials leave each task.
+    The shards are REAL libzstd output, so this is a
+    reference-encoder interop check on every run, not a self
+    round-trip. One torn shard degrades to a single '__error__' row;
+    its document loss is closed-form from doc_id arithmetic. This
+    completes the compression matrix — gzip, LZ4, Snappy, zstd — with
+    identical contracts, directly comparable in the bench.
+
+    Scale shape: shard count grows with the corpus (one task per
+    shard), decode+parse is map-only, the only exchange is the tiny
+    per-source aggregate."""
+    src = _write_zstd_fixture(spark, sf_dir)
+    blobs = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "docs*.jsonl.zst")
+        .load(src)
+        .select("content")
+    )
+    partials = blobs.mapInPandas(
+        _zstd_ingest_batches,
         schema="source string, n_docs bigint, total_chars bigint",
     )
     return partials.groupBy("source").agg(

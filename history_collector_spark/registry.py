@@ -289,7 +289,11 @@ PRIORITY_QUERIES = (
     # the skew-demo seat (salted_two_phase_agg keeps the salting
     # family locally verified; skew_salted_enrich likewise)
     "corpus_sitemap_ingest",
-    "streaming_neardup_e2e",
+    # round-12 build: the zstd shard ingest (from-scratch RFC 8878
+    # decoder fed by REAL libzstd shards) takes the neardup-e2e seat —
+    # streaming keeps 6 e2e seats in-window; streaming_neardup_e2e was
+    # driver-green r10+r11 and stays locally oracle-verified every run
+    "corpus_zstd_ingest",
     "streaming_gapless_e2e",
     "streaming_jdbc_e2e",
     "eval_win_rate_matrix",

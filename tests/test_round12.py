@@ -141,3 +141,207 @@ def test_parse_blocks_mixed_case_script_close():
     _, text, _, _ = extract_main_text(page)
     assert "before" in text and "survives" in text
     assert "color" not in text
+
+
+# ---------------------------------------------------------------------------
+# Round-12 build: from-scratch zstd (RFC 8878) decoder
+# ---------------------------------------------------------------------------
+
+# Real libzstd output (pyarrow's bundled codec, level 19), pinned so
+# the interop contract holds without pyarrow at test time.
+_ZSTD_PIN_PLAIN = b"history collector spark: zstd pin. " * 12 + b"tail-of-frame"
+_ZSTD_PIN_FRAME = bytes.fromhex(
+    "28b52ffd60b100bd010002430b12b0b901777287d26ca7975a63e490bac94204"
+    "25dd1a6014245e3f285c27cded02ed2dfe6a8f92a9e36cb5194f0100f333aa7a"
+    "02"
+)
+
+
+def test_zstd_pinned_libzstd_frame():
+    from history_collector_spark.functions.zstd import decompress
+
+    assert decompress(_ZSTD_PIN_FRAME) == _ZSTD_PIN_PLAIN
+
+
+def test_xxh64_public_vectors():
+    from history_collector_spark.functions.zstd import xxh64
+
+    assert xxh64(b"") == 0xEF46DB3751D8E999
+    assert xxh64(b"a") == 0xD24EC4F1A98C6E5B
+
+
+def test_xxh64_matches_spark_jvm(spark):
+    """Cross-check against an independent implementation: Spark's
+    xxhash64 hashes BINARY values as raw bytes with seed 42."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from history_collector_spark.functions.zstd import xxh64
+
+    random.seed(3)
+    payloads = [b"", b"x", b"hello world", bytes(range(256)),
+                bytes(random.randrange(256) for _ in range(1000))]
+    for p in payloads:
+        got = spark.range(1).select(
+            F.xxhash64(F.lit(p)).alias("h")
+        ).collect()[0]["h"]
+        want = xxh64(p, seed=42)
+        # Spark returns a signed 64-bit long
+        assert (got & 0xFFFFFFFFFFFFFFFF) == want, p[:16]
+
+
+def test_zstd_store_mode_roundtrip():
+    from history_collector_spark.functions.zstd import (
+        compress_store,
+        decompress,
+    )
+
+    for payload in (b"", b"q", b"corpus " * 999, bytes(range(256)) * 300):
+        assert decompress(compress_store(payload)) == payload
+        assert decompress(compress_store(payload, checksum=False)) == payload
+
+
+def test_zstd_store_checksum_detects_corruption():
+    from history_collector_spark.functions.zstd import (
+        ZstdDecodeError,
+        compress_store,
+        decompress,
+    )
+
+    blob = bytearray(compress_store(b"all the corpus bytes live here"))
+    blob[10] ^= 0x40  # flip a payload bit; frame structure stays valid
+    with pytest.raises(ZstdDecodeError):
+        decompress(bytes(blob))
+
+
+def test_zstd_roundtrip_real_encoder_matrix():
+    """Decode REAL libzstd frames across compression levels and
+    payload shapes — FSE tables, Huffman literals (single and
+    4-stream), RLE, repeat modes, multi-block frames."""
+    import random
+
+    pytest.importorskip("pyarrow")
+    from pyarrow import Codec
+
+    from history_collector_spark.functions.zstd import decompress
+
+    if not Codec.is_available("zstd"):
+        pytest.skip("pyarrow built without zstd")
+    random.seed(7)
+    payloads = [
+        b"hello hello hello hello world world world" * 50,
+        b"the quick brown fox jumps over the lazy dog. " * 1000,
+        bytes(random.randrange(256) for _ in range(5000)),
+        b"a" * 100000,
+        b"ab" * 70000,
+        ("".join(random.choice("abcdefg ")
+                 for _ in range(200000))).encode(),
+        b"z",
+        b"",
+    ]
+    for lvl in (1, 3, 9, 19):
+        c = Codec("zstd", compression_level=lvl)
+        for t in payloads:
+            assert decompress(c.compress(t, asbytes=True)) == t, (
+                lvl, len(t))
+
+
+def test_zstd_multiblock_window_descriptor():
+    """>128 KB inputs span multiple blocks and use the non-single-
+    segment header (window descriptor path)."""
+    import random
+
+    pytest.importorskip("pyarrow")
+    from pyarrow import Codec
+
+    from history_collector_spark.functions.zstd import decompress
+
+    random.seed(11)
+    words = ["alpha", "beta", "gamma", "delta", "data", "spark"]
+    big = (" ".join(random.choice(words) for _ in range(150000))).encode()
+    for lvl in (1, 19):
+        blob = Codec("zstd", compression_level=lvl).compress(
+            big, asbytes=True)
+        assert decompress(blob, max_out=1 << 24) == big
+
+
+def test_zstd_multiframe_and_skippable():
+    pytest.importorskip("pyarrow")
+    from pyarrow import Codec
+
+    from history_collector_spark.functions.zstd import decompress
+
+    f1 = Codec("zstd").compress(b"first frame ", asbytes=True)
+    f2 = Codec("zstd").compress(b"second frame", asbytes=True)
+    skip = ((0x184D2A53).to_bytes(4, "little")
+            + (5).to_bytes(4, "little") + b"JUNK!")
+    assert decompress(f1 + skip + f2) == b"first frame second frame"
+
+
+def test_zstd_fuzz_total():
+    """Truncations and byte flips raise ZstdDecodeError or decode to
+    something — never IndexError/KeyError/struct.error."""
+    import random
+
+    pytest.importorskip("pyarrow")
+    from pyarrow import Codec
+
+    from history_collector_spark.functions.zstd import (
+        ZstdDecodeError,
+        decompress,
+    )
+
+    random.seed(5)
+    base = (b"zstd fuzz target payload " * 2000)
+    blob = Codec("zstd", compression_level=3).compress(base, asbytes=True)
+    for cut in range(0, len(blob), 53):
+        try:
+            decompress(blob[:cut])
+        except ZstdDecodeError:
+            pass
+    for _ in range(300):
+        b = bytearray(blob)
+        pos = random.randrange(len(b))
+        b[pos] ^= 1 << random.randrange(8)
+        try:
+            decompress(bytes(b), max_out=1 << 24)
+        except ZstdDecodeError:
+            pass
+
+
+def test_zstd_guards():
+    from history_collector_spark.functions.zstd import (
+        ZstdDecodeError,
+        compress_store,
+        decompress,
+    )
+
+    with pytest.raises(ZstdDecodeError):
+        decompress(b"")
+    with pytest.raises(ZstdDecodeError):
+        decompress(b"\x00\x01\x02\x03junkjunk")
+    # decompression-bomb guard: output larger than max_out refuses
+    blob = compress_store(b"y" * 100000)
+    with pytest.raises(ZstdDecodeError):
+        decompress(blob, max_out=1000)
+
+
+def test_zstd_fixture_torn_shard_always_raises(spark):
+    import shutil
+
+    from history_collector_spark.functions.zstd import (
+        ZstdDecodeError,
+        decompress,
+    )
+    from history_collector_spark.queries.corpus_io import (
+        _fixture_dir,
+        _write_zstd_fixture,
+    )
+
+    stale = _fixture_dir("/root/testdata/sf0.001", "zstdjsonl")
+    shutil.rmtree(stale, ignore_errors=True)
+    out = _write_zstd_fixture(spark, "/root/testdata/sf0.001")
+    blob = open(os.path.join(out, "docs000.jsonl.zst"), "rb").read()
+    with pytest.raises(ZstdDecodeError):
+        decompress(blob)
