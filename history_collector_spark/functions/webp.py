@@ -776,9 +776,15 @@ def parse_webp_info(data: bytes) -> dict:
 
 
 def decode_webp(data: bytes):
-    """RIFF-framed WebP -> (h, w, 4) uint8 RGBA (VP8L lossless only;
-    lossy VP8 and extended VP8X raise NotImplementedError — use
-    :func:`parse_webp_info` for their metadata-grade arm)."""
+    """RIFF-framed WebP -> (h, w, 4) uint8 RGBA.
+
+    VP8L lossless decodes exactly; lossy 'VP8 ' key frames decode
+    through the from-scratch RFC 6386 decoder in functions/vp8.py
+    (YUV planes bit-exact with libwebp, then BT.601 + nearest chroma
+    upsample to RGB, alpha 255). Extended VP8X containers raise
+    NotImplementedError (alpha-chunk and animation compositing are
+    the remaining plug points — :func:`parse_webp_info` is their
+    metadata-grade arm)."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ImageDecodeError("not a WebP payload")
     riff_len = int.from_bytes(data[4:8], "little")
@@ -793,13 +799,28 @@ def decode_webp(data: bytes):
             raise ImageDecodeError("truncated WebP chunk")
         if tag == b"VP8L":
             return decode_vp8l(body)
-        if tag in (b"VP8 ", b"VP8X"):
+        if tag == b"VP8 ":
+            from history_collector_spark.functions.vp8 import (
+                decode_vp8_frame,
+                vp8_yuv_to_rgb,
+            )
+
+            import numpy as np
+
+            y, u, v = decode_vp8_frame(body)
+            rgb = vp8_yuv_to_rgb(y, u, v)
+            out = np.empty(rgb.shape[:2] + (4,), dtype=np.uint8)
+            out[:, :, :3] = rgb
+            out[:, :, 3] = 255
+            return out
+        if tag == b"VP8X":
             raise NotImplementedError(
-                "lossy VP8 / extended VP8X WebP not implemented; "
-                "VP8L lossless is built in"
+                "extended VP8X WebP not implemented (alpha chunk / "
+                "animation compositing); VP8L lossless and lossy VP8 "
+                "key frames are built in"
             )
         pos += 8 + clen + (clen & 1)
-    raise ImageDecodeError("WebP payload has no VP8L chunk")
+    raise ImageDecodeError("WebP payload has no image chunk")
 
 
 # ---------------------------------------------------------------------------

@@ -812,8 +812,8 @@ def decode_image(data: bytes):
         return decode_webp(data)[:, :, :3].copy()  # RGBA -> drop alpha
     raise NotImplementedError(
         f"no codec for magic {data[:4]!r}; BMP (24-bit), PPM, PNG "
-        "(8-bit), GIF, WebP (VP8L), and baseline JPEG are built in, "
-        "other formats plug in here"
+        "(8-bit), GIF, WebP (VP8L lossless + VP8 lossy key frames), "
+        "and baseline JPEG are built in, other formats plug in here"
     )
 
 
@@ -825,11 +825,12 @@ def decode_blob(data: bytes, fake: bool = False) -> dict:
     8/16-bit + palette + Adam7; GIF first-frame; JPEG baseline,
     progressive, and Adobe CMYK/YCCK); formats without a built-in
     codec raise NotImplementedError at the documented plug point —
-    EXCEPT WebP lossy-VP8/VP8X, whose container+frame headers parse to
+    EXCEPT extended WebP (VP8X), whose container headers parse to
     real dimensions/flags via functions/webp.py:parse_webp_info and
-    come back as decode_status='ok-meta' (metadata-grade: a crawl
-    pipeline can classify, size, and dedup-key the dominant real-crawl
-    WebP share without the pixel plug point). ``fake=True`` is the
+    come back as decode_status='ok-meta' (metadata-grade; alpha-chunk
+    and animation compositing are the remaining plug points). Lossy
+    VP8 key frames decode to real pixels through the from-scratch
+    RFC 6386 decoder (functions/vp8.py). ``fake=True`` is the
     fixture mode: metadata derived from the payload's sha256, so the
     DuckDB oracles verify the full distributed path over synthetic
     text blobs.
@@ -1349,9 +1350,22 @@ _YIELD_FORMATS = (
 
 
 def _vp8_lossy_blob(w: int, h: int) -> bytes:
-    """Minimal real lossy-WebP container: keyframe tag, RFC 6386 start
-    code, 14-bit dims — enough for the metadata-grade arm to size it
-    (pixel data itself stays the documented plug point)."""
+    """Real lossy-WebP bytes (pinned libwebp encoder output) for the
+    scorecard's tiny dimensions — decoded to pixels by the
+    from-scratch RFC 6386 key-frame decoder (functions/vp8.py), so
+    the lossy arm now lands in the 'ok' column with true dims."""
+    from history_collector_spark.functions.vp8_fixtures import (
+        yield_lossy_blob,
+    )
+
+    return yield_lossy_blob(w, h)
+
+
+def _vp8_header_only_blob(w: int, h: int) -> bytes:
+    """Bare keyframe tag + RFC 6386 start code + 14-bit dims with no
+    coefficient partitions — used by the VP8X arm, whose sub-stream
+    stays metadata-grade (parse_webp_info never reads past the
+    header)."""
     body = (
         b"\x10\x00\x00"  # frame tag: keyframe, version 0, show_frame
         + b"\x9d\x01\x2a"
@@ -1371,7 +1385,7 @@ def _vp8x_blob(w: int, h: int, alpha: bool) -> bytes:
         + flags + b"\x00\x00\x00"
         + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")
     )
-    sub = _vp8_lossy_blob(w, h)[12:]  # reuse the VP8 chunk
+    sub = _vp8_header_only_blob(w, h)[12:]  # reuse the VP8 chunk
     return (
         b"RIFF" + (4 + len(vp8x) + len(sub)).to_bytes(4, "little")
         + b"WEBP" + vp8x + sub
@@ -1419,8 +1433,8 @@ def _yield_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
                 blob = encode_webp_vp8l(px, subtract_green=bool(d % 2))
             elif fmt == "webp_lossy":
-                # real keyframe header: the metadata-grade arm sizes
-                # it (ok-meta); pixel decode stays the plug point
+                # pinned real libwebp output: full pixel decode via
+                # the from-scratch RFC 6386 key-frame decoder
                 blob = _vp8_lossy_blob(w, h)
             elif fmt == "webp_vp8x":
                 blob = _vp8x_blob(w, h, alpha=bool(d % 2))
@@ -1457,7 +1471,7 @@ def _yield_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                   WHEN 7 THEN 'jpeg_cmyk' WHEN 8 THEN 'webp_lossy'
                   ELSE 'webp_vp8x' END AS format,
            CASE WHEN v = 4 THEN 'error: ImageDecodeError'
-                WHEN v IN (8, 9) THEN 'ok-meta'
+                WHEN v = 9 THEN 'ok-meta'
                 ELSE 'ok' END AS decode_status,
            CAST(count(*) AS BIGINT) AS n_assets,
            CAST(sum(CASE WHEN v = 4 THEN 0 ELSE w * h END)
@@ -1468,10 +1482,10 @@ def _yield_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def multimodal_decode_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-format decode yield over a ten-format synthetic asset
     mix (BMP/PPM/PNG/JPEG/GIF/Adobe-CMYK/VP8L-WebP ok-paths, a
-    truncated PNG, and the two metadata-grade WebP arms — a real
-    lossy-VP8 keyframe header and a VP8X extended container, both
-    classified and SIZED as 'ok-meta' via the container/frame-header
-    parser rather than charged as errors):
+    truncated PNG, pinned REAL lossy-VP8 WebP decoded to pixels by
+    the from-scratch RFC 6386 key-frame decoder, and a VP8X extended
+    container classified and SIZED as 'ok-meta' via the container
+    parser rather than charged as an error):
     REAL decodes through the magic dispatcher, aggregated to (format,
     status, count, decoded pixels). The oracle predicts each cell
     closed-form from the generator arithmetic — a wrong-way failure
@@ -1493,6 +1507,115 @@ def multimodal_decode_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_assets"),
         F.sum("pixels").alias("total_pixels"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Lossy VP8 key-frame decode: pinned REAL libwebp encoder output pushed
+# through the from-scratch RFC 6386 decoder (bool decoder, intra
+# prediction, IDCT/WHT, loop filter). The oracle carries the decoded-
+# plane ground truth (sums + Y-plane sha prefix) captured under a
+# libwebp WebPDecodeYUV bit-equality assert, so any decoder drift —
+# probability table, predictor formula, filter arithmetic — flips a
+# hash here.
+# ---------------------------------------------------------------------------
+
+
+def _vp8_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import hashlib
+
+    import numpy as np
+
+    from history_collector_spark.functions.vp8 import decode_vp8_frame
+    from history_collector_spark.functions.vp8_fixtures import (
+        FLAGSHIP_NAMES,
+        flagship_blob,
+    )
+
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            name = FLAGSHIP_NAMES[(d // 149) % len(FLAGSHIP_NAMES)]
+            blob = flagship_blob(name)
+            # strip the RIFF container to the VP8 chunk body
+            body = blob[20 : 20 + int.from_bytes(blob[16:20], "little")]
+            y, u, v = decode_vp8_frame(body)
+            rows.append(
+                (
+                    name,
+                    int(y.shape[1]),
+                    int(y.shape[0]),
+                    int(y.astype(np.int64).sum()),
+                    int(u.astype(np.int64).sum()),
+                    int(v.astype(np.int64).sum()),
+                    hashlib.sha256(y.tobytes()).hexdigest()[:8],
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "img", "width", "height", "y_sum", "u_sum", "v_sum",
+                "y_sha8",
+            ],
+        )
+
+
+@register(
+    "multimodal_decode_vp8",
+    oracle="""
+    WITH s AS (
+      SELECT (doc_id // 149) % 4 AS v
+      FROM documents WHERE doc_id % 149 = 0
+    ),
+    p(v, img, width, height, y_sum, u_sum, v_sum, y_sha8) AS (
+      VALUES
+        (0, 'gradient', 48, 32, 187680, 43864, 50015, '68b83152'),
+        (1, 'mixed',    48, 32, 185305, 49138, 49133, '6a8e57a4'),
+        (2, 'noise',    48, 32, 191288, 48775, 49224, 'ccd98041'),
+        (3, 'smooth',   48, 32, 193077, 49259, 47922, 'e70843d9')
+    )
+    SELECT p.img, CAST(p.width AS INT) AS width,
+           CAST(p.height AS INT) AS height,
+           CAST(p.y_sum AS BIGINT) AS y_sum,
+           CAST(p.u_sum AS BIGINT) AS u_sum,
+           CAST(p.v_sum AS BIGINT) AS v_sum,
+           p.y_sha8,
+           CAST(count(*) AS BIGINT) AS n_assets
+    FROM s JOIN p ON s.v = p.v
+    GROUP BY 1, 2, 3, 4, 5, 6, 7
+    """,
+)
+def multimodal_decode_vp8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossy-WebP (VP8 key-frame) pixel decode over a sampled asset
+    stream: four pinned REAL libwebp-encoded 48x32 vectors (gradient /
+    mixed / dense-noise / smooth at qualities 30-90, together
+    exercising every coefficient band, whole-block and B_PRED
+    prediction, and the normal loop filter) are decoded per row by the
+    from-scratch RFC 6386 decoder (functions/vp8.py) and reduced to
+    per-image plane sums + a Y-plane sha prefix. The oracle holds the
+    decoded ground truth captured under a libwebp bit-equality assert
+    — this is a real-encoder interop gate on every run, like the
+    libzstd arm of corpus_zstd_ingest.
+
+    Scale shape: map-only Arrow decode kernel, one ~7-wide aggregate;
+    per-asset cost is the honest unit (pure-Python bit loop, so the
+    intended corpus grain is thumbnails — a JVM/SIMD kernel slots in
+    behind the same contract at 100 TB)."""
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 149 == 0)
+        .select("doc_id")
+    )
+    per_doc = docs.mapInPandas(
+        _vp8_decode_batches,
+        schema=(
+            "img string, width int, height int, y_sum bigint, "
+            "u_sum bigint, v_sum bigint, y_sha8 string"
+        ),
+    )
+    return per_doc.groupBy(
+        "img", "width", "height", "y_sum", "u_sum", "v_sum", "y_sha8"
+    ).agg(F.count("*").alias("n_assets"))
 
 
 # ---------------------------------------------------------------------------

@@ -324,10 +324,13 @@ PRIORITY_QUERIES = (
     # streaming neardup e2e; containment was driver-green r11 and
     # stays locally oracle-verified every run
     "dedup_semantic",
-    # round-10 build: the from-scratch VP8L WebP roundtrip takes the
-    # VAD seat (audio keeps the mel-energies seat; vad stays locally
-    # oracle-verified every run)
-    "multimodal_decode_webp",
+    # round-12 build: the from-scratch RFC 6386 lossy-VP8 key-frame
+    # pixel decoder (pinned real libwebp vectors, YUV-plane interop
+    # ground truth in the oracle) takes the VP8L-roundtrip seat —
+    # multimodal keeps yield/vp8/wav/shots in-window;
+    # multimodal_decode_webp was driver-green r10+r11 and stays
+    # locally oracle-verified every run
+    "multimodal_decode_vp8",
     "tokenizer_wordpiece_greedy",
     # round-10 build, eval tier: McNemar's paired-system test takes
     # the streaming-ANN-probe seat (streaming keeps 7 e2e seats and

@@ -345,3 +345,224 @@ def test_zstd_fixture_torn_shard_always_raises(spark):
     blob = open(os.path.join(out, "docs000.jsonl.zst"), "rb").read()
     with pytest.raises(ZstdDecodeError):
         decompress(blob)
+
+
+# ---------------------------------------------------------------------------
+# From-scratch VP8 key-frame decoder (RFC 6386) — functions/vp8.py
+# ---------------------------------------------------------------------------
+
+
+def _vp8_body(webp: bytes) -> bytes:
+    assert webp[:4] == b"RIFF" and webp[8:12] == b"WEBP"
+    pos = 12
+    while pos + 8 <= len(webp):
+        tag = webp[pos : pos + 4]
+        clen = int.from_bytes(webp[pos + 4 : pos + 8], "little")
+        if tag == b"VP8 ":
+            return webp[pos + 8 : pos + 8 + clen]
+        pos += 8 + clen + (clen & 1)
+    raise AssertionError("no VP8 chunk")
+
+
+def test_vp8_pinned_vectors_bit_exact():
+    """The four pinned flagship blobs decode to the captured plane
+    ground truth (sums + Y sha prefix). These were asserted bit-equal
+    to libwebp's WebPDecodeYUV at capture time, so this pins the whole
+    pipeline — bool decoder, probs, prediction, IDCT/WHT, loop filter
+    — without needing libwebp in the test environment."""
+    import hashlib
+
+    import numpy as np
+
+    from history_collector_spark.functions.vp8 import decode_vp8_frame
+    from history_collector_spark.functions.vp8_fixtures import (
+        FLAGSHIP_NAMES,
+        PINNED_STATS,
+        flagship_blob,
+    )
+
+    assert FLAGSHIP_NAMES == ("gradient", "mixed", "noise", "smooth")
+    for name in FLAGSHIP_NAMES:
+        y, u, v = decode_vp8_frame(_vp8_body(flagship_blob(name)))
+        st = PINNED_STATS[name]
+        assert (y.shape[1], y.shape[0]) == (st["width"], st["height"])
+        assert int(y.astype(np.int64).sum()) == st["y_sum"], name
+        assert int(u.astype(np.int64).sum()) == st["u_sum"], name
+        assert int(v.astype(np.int64).sum()) == st["v_sum"], name
+        assert (
+            hashlib.sha256(y.tobytes()).hexdigest()[:8] == st["y_sha8"]
+        ), name
+
+
+def test_vp8_yield_blobs_decode_to_declared_dims():
+    import numpy as np
+
+    from history_collector_spark.functions.vp8 import decode_vp8_frame
+    from history_collector_spark.functions.vp8_fixtures import (
+        yield_lossy_blob,
+    )
+
+    for w in range(2, 8):
+        for h in range(1, 5):
+            y, u, v = decode_vp8_frame(_vp8_body(yield_lossy_blob(w, h)))
+            assert y.shape == (h, w)
+            assert u.shape == ((h + 1) // 2, (w + 1) // 2)
+            assert y.dtype == np.uint8
+
+
+def test_decode_webp_lossy_arm_returns_rgba():
+    from history_collector_spark.functions.vp8_fixtures import flagship_blob
+    from history_collector_spark.functions.webp import decode_webp
+
+    px = decode_webp(flagship_blob("gradient"))
+    assert px.shape == (32, 48, 4)
+    assert (px[:, :, 3] == 255).all()
+
+
+def _load_libwebp():
+    import ctypes
+
+    try:
+        lw = ctypes.CDLL("libwebp.so.7")
+    except OSError:
+        return None
+    lw.WebPEncodeRGB.restype = ctypes.c_size_t
+    lw.WebPEncodeRGB.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+    ]
+    lw.WebPDecodeYUV.restype = ctypes.POINTER(ctypes.c_uint8)
+    lw.WebPDecodeYUV.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    return lw
+
+
+@pytest.mark.skipif(_load_libwebp() is None, reason="libwebp unavailable")
+def test_vp8_libwebp_interop_bit_exact():
+    """Fresh libwebp encodes (not the pinned blobs) across content
+    classes, qualities, and non-multiple-of-16 dims decode bit-exactly
+    at the YUV plane level — the same contract the pinned vectors were
+    captured under, re-proven against the live encoder."""
+    import ctypes
+
+    import numpy as np
+
+    from history_collector_spark.functions.vp8 import decode_vp8_frame
+
+    lw = _load_libwebp()
+    rng = np.random.default_rng(1205)
+
+    def encode(px, q):
+        h, w = px.shape[:2]
+        out = ctypes.POINTER(ctypes.c_uint8)()
+        n = lw.WebPEncodeRGB(
+            px.tobytes(), w, h, w * 3, q, ctypes.byref(out)
+        )
+        assert n > 0
+        data = ctypes.string_at(out, n)
+        lw.WebPFree(out)
+        return data
+
+    def ref_yuv(webp):
+        w = ctypes.c_int()
+        h = ctypes.c_int()
+        up = ctypes.POINTER(ctypes.c_uint8)()
+        vp = ctypes.POINTER(ctypes.c_uint8)()
+        stride = ctypes.c_int()
+        uvs = ctypes.c_int()
+        yp = lw.WebPDecodeYUV(
+            webp, len(webp), ctypes.byref(w), ctypes.byref(h),
+            ctypes.byref(up), ctypes.byref(vp), ctypes.byref(stride),
+            ctypes.byref(uvs),
+        )
+        assert yp
+        cw, ch = (w.value + 1) // 2, (h.value + 1) // 2
+        y = np.ctypeslib.as_array(yp, (h.value, stride.value))[
+            :, : w.value
+        ].copy()
+        u = np.ctypeslib.as_array(up, (ch, uvs.value))[:, :cw].copy()
+        v = np.ctypeslib.as_array(vp, (ch, uvs.value))[:, :cw].copy()
+        lw.WebPFree(yp)
+        return y, u, v
+
+    cases = []
+    for h, w in ((16, 16), (13, 21), (33, 17), (64, 48), (1, 40)):
+        cases.append((rng.integers(0, 256, (h, w, 3), dtype=np.uint8), 45.0))
+        g = np.zeros((h, w, 3), np.uint8)
+        g[..., 0] = (np.arange(w, dtype=np.int64)[None, :] * 255
+                     // max(w - 1, 1)).astype(np.uint8)
+        g[..., 1] = (np.arange(h, dtype=np.int64)[:, None] * 255
+                     // max(h - 1, 1)).astype(np.uint8)
+        g[..., 2] = 77
+        cases.append((g, 88.0))
+    for px, q in cases:
+        webp = encode(px, q)
+        ry, ru, rv = ref_yuv(webp)
+        my, mu, mv = decode_vp8_frame(_vp8_body(webp))
+        assert np.array_equal(my, ry)
+        assert np.array_equal(mu, ru)
+        assert np.array_equal(mv, rv)
+
+
+def test_vp8_malformed_total():
+    """Truncations, bit flips, and garbage never escape as anything
+    but ImageDecodeError — the graceful-degradation contract the
+    Arrow decode kernels rely on (a poisoned blob must not kill the
+    task)."""
+    import numpy as np
+
+    from history_collector_spark.functions.codec_errors import (
+        ImageDecodeError,
+    )
+    from history_collector_spark.functions.vp8 import decode_vp8_frame
+    from history_collector_spark.functions.vp8_fixtures import flagship_blob
+
+    body = _vp8_body(flagship_blob("noise"))
+    rng = np.random.default_rng(9)
+    # every prefix truncation of the header region + sampled ones after
+    cuts = list(range(0, 24)) + sorted(
+        int(x) for x in rng.integers(24, len(body), 40)
+    )
+    for n in cuts:
+        try:
+            decode_vp8_frame(body[:n])
+        except ImageDecodeError:
+            pass
+    # single-bit flips across the stream: decode must either succeed
+    # (garbage pixels are fine) or raise ImageDecodeError — nothing else
+    for _ in range(80):
+        i = int(rng.integers(0, len(body)))
+        b = bytearray(body)
+        b[i] ^= 1 << int(rng.integers(0, 8))
+        try:
+            decode_vp8_frame(bytes(b))
+        except ImageDecodeError:
+            pass
+    # interframe and bad start code
+    with pytest.raises(ImageDecodeError):
+        decode_vp8_frame(b"\x01\x00\x00" + body[3:])
+    with pytest.raises(ImageDecodeError):
+        decode_vp8_frame(body[:3] + b"\x9d\x01\x2b" + body[6:])
+
+
+def test_vp8_tables_match_rfc_anchors():
+    """Spot-pin the embedded RFC 6386 tables against values printed in
+    the RFC text (13.5 default probs, 14.1 quant lookups, 11.4 kf
+    bmode probs)."""
+    from history_collector_spark.functions.vp8_tables import (
+        AC_QLOOKUP,
+        COEFF_PROBS,
+        DC_QLOOKUP,
+        KF_BMODE_PROBS,
+    )
+
+    assert COEFF_PROBS[0][0][0] == [128] * 11  # never-read band-0 rows
+    assert COEFF_PROBS[0][1][0][:6] == [253, 136, 254, 255, 228, 219]
+    assert KF_BMODE_PROBS[0][0] == [231, 120, 48, 89, 115, 113, 120, 152, 112]
+    assert DC_QLOOKUP[0] == 4 and DC_QLOOKUP[127] == 157
+    assert AC_QLOOKUP[0] == 4 and AC_QLOOKUP[127] == 284
