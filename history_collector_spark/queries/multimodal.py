@@ -2862,31 +2862,38 @@ def _shot_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     import numpy as np
 
     side = _SHOT_SIDE
+    # the (yy*7 + xx*3 + cc) lattice is frame- and doc-invariant:
+    # hoist it once per task (the probe measured the per-frame
+    # meshgrid rebuild at ~2/3 of this kernel's whole constant)
+    yy, xx, cc = np.meshgrid(
+        np.arange(side), np.arange(side), np.arange(3), indexing="ij"
+    )
+    base = (yy * 7 + xx * 3 + cc).astype(np.int64)
+    fidx = np.arange(_SHOT_MAX_FRAMES, dtype=np.int64)
     for pdf in batches:
         out = []
         for doc_id, n_frames in zip(pdf["doc_id"], pdf["n_frames"]):
             d, nf = int(doc_id), min(int(n_frames), _SHOT_MAX_FRAMES)
-            prev_bits = None
-            n_bound, max_h, first_b = 0, 0, -1
+            # synthesize all sampled frames in one vectorized shot
+            pxs = (
+                (d * 31 + 17 * fidx[:nf, None, None, None] + base) % 256
+            ).astype(np.uint8)
+            grays = np.empty((nf, side, side), dtype=np.int64)
             for f in range(nf):
-                yy, xx, cc = np.meshgrid(
-                    np.arange(side), np.arange(side), np.arange(3),
-                    indexing="ij",
-                )
-                px = ((d * 31 + f * 17 + yy * 7 + xx * 3 + cc) % 256).astype(
-                    np.uint8
-                )
-                img = decode_image(encode_bmp(px)).astype(np.int64)  # REAL
-                gray = img.sum(axis=2) // 3
-                bits = (16 * gray >= gray.sum()).astype(np.int64)
-                if prev_bits is not None:
-                    h = int(np.abs(bits - prev_bits).sum())
-                    if h >= _SHOT_THRESHOLD:
-                        n_bound += 1
-                        if first_b < 0:
-                            first_b = f
-                    max_h = max(max_h, h)
-                prev_bits = bits
+                img = decode_image(encode_bmp(pxs[f])).astype(np.int64)
+                grays[f] = img.sum(axis=2) // 3  # REAL roundtrip
+            n_bound, max_h, first_b = 0, 0, -1
+            if nf > 0:
+                bits = (
+                    16 * grays >= grays.sum(axis=(1, 2), keepdims=True)
+                ).astype(np.int64)
+                if nf > 1:
+                    hams = np.abs(bits[1:] - bits[:-1]).sum(axis=(1, 2))
+                    max_h = int(hams.max())
+                    cuts = np.flatnonzero(hams >= _SHOT_THRESHOLD)
+                    n_bound = int(cuts.size)
+                    if cuts.size:
+                        first_b = int(cuts[0]) + 1
             out.append((d, nf, n_bound, max_h, first_b))
         yield pd.DataFrame(
             out,
