@@ -1,4 +1,5 @@
-"""From-scratch RIFF/WAVE reader + writers (PCM16 / IEEE float / extensible / mono IMA ADPCM).
+"""From-scratch RIFF/WAVE reader + writers (PCM16 / IEEE float /
+extensible / mono IMA + MS ADPCM / G.711 mu-law + A-law).
 
 The crawl-audio analogue of the image codecs: a real corpus's audio
 arrives as WAV/RIFF containers, and the ingest kernel must frame the
@@ -6,17 +7,21 @@ container, validate the format chunk, and expose samples — degrading
 gracefully (``AudioDecodeError``) on the torn blobs a crawl always
 contains, never killing a task.
 
-Supported format arms (round 11 widened the round-10 PCM16-only
+Supported format arms (rounds 11-12 widened the round-10 PCM16-only
 subset): integer PCM16 (tag 1), IEEE float 32/64-bit (tag 3, decoded
 to int16 via clip+round scaling), WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE,
-real format dispatched from the SubFormat GUID), and mono IMA ADPCM
+real format dispatched from the SubFormat GUID), mono IMA ADPCM
 (tag 0x11, the block-based 4-bit codec, decoded with the public
-step/index tables). Remaining compressed formats (MS ADPCM, mu-law,
-MP3-in-WAV) raise ``NotImplementedError`` at the plug point, the same
-posture as lossy-WebP pixels in ``functions/webp.py``. The chunk
-walker itself is total: it skips unknown chunks (LIST/INFO and
-anything else) by their declared size like a real RIFF reader, so
-metadata-bearing files parse fine.
+step/index tables), mono MS ADPCM (tag 0x02, predictor-coefficient
+blocks with the fmt-chunk coef table honored), and G.711 mu-law /
+A-law (tags 0x07/0x06, formula-derived companding pinned bit-exact
+against the stdlib audioop reference over the full int16 range).
+Remaining compressed formats (multichannel ADPCM, MP3-in-WAV) raise
+``NotImplementedError`` at the plug point, the same posture as
+VP8X WebP in ``functions/webp.py``. The chunk walker itself is
+total: it skips unknown chunks (LIST/INFO and anything else) by
+their declared size like a real RIFF reader, so metadata-bearing
+files parse fine.
 
 No third-party or stdlib wave module is used anywhere (the stdlib
 ``wave`` module exists but would hide exactly the framing logic this
@@ -59,7 +64,10 @@ def encode_wav(samples, sample_rate: int, n_channels: int = 1) -> bytes:
 
 # WAVE format tags (public Microsoft registry constants)
 _FMT_PCM = 0x0001
+_FMT_MS_ADPCM = 0x0002
 _FMT_FLOAT = 0x0003
+_FMT_ALAW = 0x0006
+_FMT_MULAW = 0x0007
 _FMT_IMA_ADPCM = 0x0011
 _FMT_EXTENSIBLE = 0xFFFE
 
@@ -226,6 +234,38 @@ def parse_wav(blob: bytes) -> dict:
             _decode_ima_adpcm(data, block_align), dtype=np.int16
         )
         codec = "ima_adpcm"
+    elif tag in (_FMT_MULAW, _FMT_ALAW):
+        if bits != 8:
+            raise AudioDecodeError(f"G.711 with {bits} bits/sample")
+        if block_align != n_channels:
+            raise AudioDecodeError(
+                f"block align {block_align} != {n_channels}"
+            )
+        dec = ulaw_to_lin if tag == _FMT_MULAW else alaw_to_lin
+        lut = np.array([dec(b) for b in range(256)], dtype=np.int16)
+        samples = lut[np.frombuffer(data, dtype=np.uint8)]
+        codec = "ulaw" if tag == _FMT_MULAW else "alaw"
+    elif tag == _FMT_MS_ADPCM:
+        if n_channels != 1:
+            raise NotImplementedError(
+                "multichannel MS ADPCM not implemented (mono built in)"
+            )
+        if bits != 4:
+            raise AudioDecodeError(f"MS ADPCM with {bits} bits/sample")
+        coefs = _MS_DEFAULT_COEFS
+        if len(fmt_body) >= 22:
+            (n_coefs,) = struct.unpack("<H", fmt_body[20:22])
+            if n_coefs:
+                if len(fmt_body) < 22 + 4 * n_coefs:
+                    raise AudioDecodeError("MS ADPCM coef table truncated")
+                coefs = tuple(
+                    struct.unpack_from("<hh", fmt_body, 22 + 4 * i)
+                    for i in range(n_coefs)
+                )
+        samples = np.array(
+            _decode_ms_adpcm(data, block_align, coefs), dtype=np.int16
+        )
+        codec = "ms_adpcm"
     else:
         raise NotImplementedError(f"WAVE format tag {tag} not implemented")
     return {
@@ -343,6 +383,208 @@ def encode_wav_ima_adpcm(samples, sample_rate: int,
         2,  # cbSize
         block_frames,  # samples per block
     )
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, n_frames)
+        + b"data" + struct.pack("<I", len(body)) + bytes(body)
+        + (b"\x00" if len(body) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+# ---------------------------------------------------------------------------
+# G.711 mu-law / A-law (ITU-T G.711): format tags 0x0007 / 0x0006.
+# Formula-derived segment/mantissa companding — every one of the 4
+# converter directions is pinned bit-exact against the stdlib audioop
+# reference over the FULL int16 range in tests/test_round12.py.
+# ---------------------------------------------------------------------------
+
+_ULAW_SEG_END = (0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF, 0x1FFF)
+_ALAW_SEG_END = (0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF)
+
+
+def ulaw_to_lin(b: int) -> int:
+    """One mu-law byte -> int16 sample (G.711 expand, 14-bit domain
+    left-justified to 16)."""
+    b2 = ~b & 0xFF
+    exp = (b2 >> 4) & 7
+    mant = b2 & 0x0F
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    return -mag if b2 & 0x80 else mag
+
+
+def lin_to_ulaw(s: int) -> int:
+    """int16 sample -> mu-law byte (G.711 compress in the 14-bit
+    domain, bias 33, clip 8159 — the reference algorithm)."""
+    p = int(s) >> 2
+    if p < 0:
+        p = -p
+        mask = 0x7F
+    else:
+        mask = 0xFF
+    if p > 8159:
+        p = 8159
+    p += 33
+    for seg, end in enumerate(_ULAW_SEG_END):
+        if p <= end:
+            return ((seg << 4) | ((p >> (seg + 1)) & 0xF)) ^ mask
+    return 0x7F ^ mask
+
+
+def alaw_to_lin(b: int) -> int:
+    """One A-law byte -> int16 sample (G.711 expand, 13-bit domain
+    left-justified to 16)."""
+    b2 = b ^ 0x55
+    exp = (b2 >> 4) & 7
+    mant = b2 & 0x0F
+    mag = (mant << 4) + 8 if exp == 0 else ((mant << 4) + 0x108) << (exp - 1)
+    return mag if b2 & 0x80 else -mag
+
+
+def lin_to_alaw(s: int) -> int:
+    """int16 sample -> A-law byte (G.711 compress in the 13-bit
+    domain — the reference algorithm, negative values offset by 1)."""
+    p = int(s) >> 3
+    if p >= 0:
+        mask = 0xD5
+    else:
+        mask = 0x55
+        p = -p - 1
+    for seg, end in enumerate(_ALAW_SEG_END):
+        if p <= end:
+            aval = seg << 4
+            aval |= (p >> 1) & 0xF if seg < 2 else (p >> seg) & 0xF
+            return aval ^ mask
+    return 0x7F ^ mask
+
+
+def encode_wav_g711(samples, sample_rate: int, n_channels: int = 1,
+                    law: str = "u") -> bytes:
+    """Interleaved int16 samples -> mu-law ('u') or A-law ('a') WAV
+    blob (tags 0x0007 / 0x0006, 8 bits per companded sample)."""
+    enc = lin_to_ulaw if law == "u" else lin_to_alaw
+    tag = _FMT_MULAW if law == "u" else _FMT_ALAW
+    body = bytes(enc(int(s)) for s in samples)
+    n_frames = len(body) // n_channels
+    fmt = struct.pack(
+        "<HHIIHHH", tag, n_channels, sample_rate,
+        sample_rate * n_channels, n_channels, 8, 0
+    )
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<II", 4, n_frames)
+        + b"data" + struct.pack("<I", len(body)) + body
+        + (b"\x00" if len(body) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+# ---------------------------------------------------------------------------
+# MS ADPCM (format tag 0x0002): block-based 4-bit codec with a
+# 7-entry predictor-coefficient table carried in the fmt chunk and a
+# 16-entry delta adaptation table. Mono arm (the multichannel state
+# interleave stays a plug point, same posture as IMA).
+# ---------------------------------------------------------------------------
+
+_MS_DEFAULT_COEFS = (
+    (256, 0), (512, -256), (0, 0), (192, 64),
+    (240, 0), (460, -208), (392, -232),
+)
+_MS_ADAPT = (
+    230, 230, 230, 230, 307, 409, 512, 614,
+    768, 614, 512, 409, 307, 230, 230, 230,
+)
+
+
+def _div256_trunc(v: int) -> int:
+    """C-style integer division by 256 (truncate toward zero) — the
+    predictor arithmetic the format specifies."""
+    return v // 256 if v >= 0 else -((-v) // 256)
+
+
+def _clamp16(v: int) -> int:
+    return -32768 if v < -32768 else 32767 if v > 32767 else v
+
+
+def _decode_ms_adpcm(data: bytes, block_align: int, coefs) -> list[int]:
+    """Mono MS ADPCM data chunk -> int16 samples. Block: predictor
+    index byte, int16 initial delta, int16 sample1 (newer seed),
+    int16 sample2 (older seed), then nibble pairs HIGH-first."""
+    if block_align < 7:
+        raise AudioDecodeError(f"bad MS ADPCM block align {block_align}")
+    if len(data) % block_align:
+        raise AudioDecodeError("MS ADPCM data not block-aligned")
+    out: list[int] = []
+    for b0 in range(0, len(data), block_align):
+        blk = data[b0 : b0 + block_align]
+        pred_idx = blk[0]
+        if pred_idx >= len(coefs):
+            raise AudioDecodeError(
+                f"MS ADPCM predictor {pred_idx} >= {len(coefs)} coefs"
+            )
+        delta, s1, s2 = struct.unpack_from("<hhh", blk, 1)
+        c1, c2 = coefs[pred_idx]
+        out.append(s2)
+        out.append(s1)
+        for byte in blk[7:]:
+            for n in (byte >> 4, byte & 0xF):
+                signed = n - 16 if n >= 8 else n
+                pred = _div256_trunc(s1 * c1 + s2 * c2) + signed * delta
+                pred = _clamp16(pred)
+                out.append(pred)
+                s2, s1 = s1, pred
+                delta = (_MS_ADAPT[n] * delta) >> 8
+                if delta < 16:
+                    delta = 16
+    return out
+
+
+def encode_wav_ms_adpcm(samples, sample_rate: int,
+                        block_frames: int = 500) -> bytes:
+    """Mono int16 samples -> MS ADPCM WAV blob (fmt tag 0x0002,
+    standard 7-coefficient table, predictor 0, initial delta 16).
+
+    block_frames must be even (2 seed samples + nibble pairs); input
+    truncates to whole blocks. The nibble chooser mirrors the decoder
+    state exactly, so decode(encode(x)) is deterministic and
+    bit-reproducible (and exact for signals the 4-bit delta can
+    track, e.g. constants)."""
+    if block_frames < 2 or block_frames % 2:
+        raise ValueError("block_frames must be even and >= 2")
+    samples = [int(s) for s in samples]
+    block_align = 7 + (block_frames - 2) // 2
+    n_blocks = len(samples) // block_frames
+    c1, c2 = _MS_DEFAULT_COEFS[0]
+    body = bytearray()
+    for b in range(n_blocks):
+        chunk = samples[b * block_frames : (b + 1) * block_frames]
+        s2, s1 = chunk[0], chunk[1]
+        delta = 16
+        body += struct.pack("<Bhhh", 0, delta, s1, s2)
+        nibbles: list[int] = []
+        for s in chunk[2:]:
+            base = _div256_trunc(s1 * c1 + s2 * c2)
+            want = s - base
+            n_signed = want // delta if delta else 0
+            n_signed = -8 if n_signed < -8 else 7 if n_signed > 7 else n_signed
+            n = n_signed & 0xF
+            pred = _clamp16(base + n_signed * delta)
+            nibbles.append(n)
+            s2, s1 = s1, pred
+            delta = (_MS_ADAPT[n] * delta) >> 8
+            if delta < 16:
+                delta = 16
+        for hi, lo in zip(nibbles[0::2], nibbles[1::2]):
+            body.append((hi << 4) | lo)
+    n_frames = n_blocks * block_frames
+    extra = struct.pack("<HH", block_frames, len(_MS_DEFAULT_COEFS))
+    for a, bcoef in _MS_DEFAULT_COEFS:
+        extra += struct.pack("<hh", a, bcoef)
+    fmt = struct.pack(
+        "<HHIIHHH", _FMT_MS_ADPCM, 1, sample_rate,
+        (sample_rate * block_align + block_frames - 1) // block_frames,
+        block_align, 4, len(extra)
+    ) + extra
     chunks = (
         b"fmt " + struct.pack("<I", len(fmt)) + fmt
         + b"fact" + struct.pack("<II", 4, n_frames)

@@ -39,13 +39,20 @@ def _wav_batches(batches):
         MediaDecodeError,
     )
     from history_collector_spark.functions.wav import (
+        alaw_to_lin,
         encode_wav,
         encode_wav_extensible,
         encode_wav_float,
+        encode_wav_g711,
         encode_wav_ima_adpcm,
+        encode_wav_ms_adpcm,
         parse_wav,
+        ulaw_to_lin,
     )
 
+    # G.711 expand LUTs built once per task, lazily (only the 2-in-7
+    # G.711 arms need them)
+    _G711_LUTS = None
     for pdf in batches:
         out = {
             "doc_id": [], "status": [], "codec": [], "sample_rate": [],
@@ -54,9 +61,10 @@ def _wav_batches(batches):
         }
         for doc_id in pdf["doc_id"]:
             d = int(doc_id)
-            v = d % 4  # container arm: pcm/float/extensible/adpcm
+            # container arm: pcm/float/extensible/ima/ulaw/alaw/ms
+            v = d % 7
             n_frames = 64 + d % 64
-            channels = 1 if v == 3 else 1 + d % 2
+            channels = 1 if v in (3, 6) else 1 + d % 2
             rate = _WAV_RATES[d % 3]
             if v == 3:
                 # mono IMA ADPCM, one whole block (block frames must
@@ -70,6 +78,38 @@ def _wav_batches(batches):
                     np.full(bf, c, dtype=np.int64), rate,
                     block_frames=bf,
                 )
+            elif v == 6:
+                # mono MS ADPCM (predictor 0), one even-length block
+                # of a constant signal: base prediction equals the
+                # seed, every nibble is 0, reconstruction is exact
+                bf = n_frames - (n_frames % 2)
+                c = (d * 37) % 4096 - 2048
+                blob = encode_wav_ms_adpcm(
+                    np.full(bf, c, dtype=np.int64), rate,
+                    block_frames=bf,
+                )
+            elif v in (4, 5):
+                # G.711: samples drawn from the codec's own decode
+                # image, so compress(expand(byte)) == byte and the
+                # payload bytes — hence the decoded sum — are
+                # closed-form. mu-law sticks to the positive half
+                # (byte 0x7F, negative zero, is the one
+                # non-idempotent code)
+                n = n_frames * channels
+                i = np.arange(n, dtype=np.int64)
+                if _G711_LUTS is None:
+                    _G711_LUTS = (
+                        np.array([ulaw_to_lin(b) for b in range(256)],
+                                 dtype=np.int64),
+                        np.array([alaw_to_lin(b) for b in range(256)],
+                                 dtype=np.int64),
+                    )
+                if v == 4:
+                    ints = _G711_LUTS[0][128 + (d * 13 + i * 7) % 128]
+                    blob = encode_wav_g711(ints, rate, channels, "u")
+                else:
+                    ints = _G711_LUTS[1][(d * 11 + i * 5) % 256]
+                    blob = encode_wav_g711(ints, rate, channels, "a")
             else:
                 n = n_frames * channels
                 ints = (
@@ -124,9 +164,9 @@ def _wav_batches(batches):
     oracle=f"""
     WITH g AS (
       SELECT doc_id,
-             CAST(doc_id % 4 AS INT) AS v,
+             CAST(doc_id % 7 AS INT) AS v,
              64 + doc_id % 64 AS nf,
-             CASE WHEN doc_id % 4 = 3 THEN 1
+             CASE WHEN doc_id % 7 IN (3, 6) THEN 1
                   ELSE 1 + doc_id % 2 END AS n_channels,
              [8000, 16000, 44100][CAST(doc_id % 3 AS INT) + 1] AS rate,
              (doc_id * 37) % 4096 - 2048 AS c
@@ -134,18 +174,48 @@ def _wav_batches(batches):
     ),
     g2 AS (
       SELECT doc_id, v, n_channels, rate, c,
-             CASE WHEN v = 3 THEN ((nf - 1) // 8) * 8 + 1 ELSE nf END
-               AS out_frames,
              CASE WHEN v = 3 THEN ((nf - 1) // 8) * 8 + 1
+                  WHEN v = 6 THEN nf - (nf % 2)
+                  ELSE nf END AS out_frames,
+             CASE WHEN v = 3 THEN ((nf - 1) // 8) * 8 + 1
+                  WHEN v = 6 THEN nf - (nf % 2)
                   ELSE nf * n_channels END AS n,
              doc_id % {_WAV_ERR_MOD} = 0 AS err
       FROM g
+    ),
+    -- decoded int16 value lists for the arms whose samples are not
+    -- the raw generator integers: G.711 expand, stated closed-form
+    -- from the segment/mantissa formulas (ITU-T G.711)
+    vals AS (
+      SELECT doc_id,
+        CASE WHEN v = 4 THEN list_transform(range(0, n), i ->
+               (((127 - (doc_id * 13 + i * 7) % 128) % 16) * 8 + 132)
+                 * (1 << CAST((127 - (doc_id * 13 + i * 7) % 128) // 16
+                              AS INT)) - 132)
+             WHEN v = 5 THEN list_transform(range(0, n), i ->
+               CASE WHEN xor((doc_id * 11 + i * 5) % 256, 85) >= 128
+                    THEN 1 ELSE -1 END
+               * CASE WHEN (xor((doc_id * 11 + i * 5) % 256, 85) // 16)
+                           % 8 = 0
+                      THEN (xor((doc_id * 11 + i * 5) % 256, 85) % 16)
+                           * 16 + 8
+                      ELSE ((xor((doc_id * 11 + i * 5) % 256, 85) % 16)
+                            * 16 + 264)
+                        * (1 << CAST((xor((doc_id * 11 + i * 5) % 256, 85)
+                                      // 16) % 8 - 1 AS INT))
+                 END)
+             WHEN v IN (0, 1, 2) THEN list_transform(range(0, n), i ->
+               (doc_id * 37 + i * 11) % 4096 - 2048)
+             ELSE NULL END AS dv
+      FROM g2
     )
-    SELECT doc_id,
+    SELECT g2.doc_id,
       CASE WHEN err THEN 'error' ELSE 'ok' END AS status,
       CASE WHEN err THEN NULL
            WHEN v = 0 THEN 'pcm16' WHEN v = 1 THEN 'float32'
-           WHEN v = 2 THEN 'pcm16' ELSE 'ima_adpcm' END AS codec,
+           WHEN v = 2 THEN 'pcm16' WHEN v = 3 THEN 'ima_adpcm'
+           WHEN v = 4 THEN 'ulaw' WHEN v = 5 THEN 'alaw'
+           ELSE 'ms_adpcm' END AS codec,
       CASE WHEN err THEN NULL ELSE CAST(rate AS BIGINT) END
         AS sample_rate,
       CASE WHEN err THEN NULL ELSE CAST(n_channels AS BIGINT) END
@@ -156,28 +226,32 @@ def _wav_batches(batches):
            ELSE CAST(out_frames AS BIGINT) * 1000000 // rate END
         AS duration_us,
       CASE WHEN err THEN NULL
-           WHEN v = 3 THEN CAST(c * out_frames AS BIGINT)
-           ELSE CAST(list_sum(list_transform(range(0, n),
-                i -> (doc_id * 37 + i * 11) % 4096 - 2048)) AS BIGINT)
+           WHEN v IN (3, 6) THEN CAST(c * out_frames AS BIGINT)
+           ELSE CAST(list_sum(dv) AS BIGINT)
         END AS sum_samples,
       CASE WHEN err THEN NULL
-           WHEN v = 3 THEN CAST(c AS BIGINT)
-           ELSE CAST(list_max(list_transform(range(0, n),
-                i -> (doc_id * 37 + i * 11) % 4096 - 2048)) AS BIGINT)
+           WHEN v IN (3, 6) THEN CAST(c AS BIGINT)
+           ELSE CAST(list_max(dv) AS BIGINT)
         END AS peak
-    FROM g2
+    FROM g2 JOIN vals ON g2.doc_id = vals.doc_id
     """,
 )
 def multimodal_audio_wav_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RIFF/WAVE ingest through the real from-scratch codec both
-    directions, now across FOUR container arms (round 11; was
-    PCM16-only): integer PCM16, IEEE float32 (samples generated as
-    integer/32767 so the clip+round normalization round-trips the
-    exact integers), WAVE_FORMAT_EXTENSIBLE (real format dispatched
-    from the SubFormat GUID), and mono IMA ADPCM (a constant-signal
-    block whose zero nibbles reconstruct bit-exactly at step index 0,
-    keeping the oracle closed-form while the block walker, seed
-    header, and step tables all execute for real). Per asset: the
+    directions, now across SEVEN container arms (round 12 added
+    G.711 and MS ADPCM to round 11's four): integer PCM16, IEEE
+    float32 (samples generated as integer/32767 so the clip+round
+    normalization round-trips the exact integers),
+    WAVE_FORMAT_EXTENSIBLE (real format dispatched from the SubFormat
+    GUID), mono IMA ADPCM and mono MS ADPCM (constant-signal blocks
+    that reconstruct bit-exactly — zero nibbles at step index 0 /
+    predictor 0 — keeping the oracle closed-form while the block
+    walkers, seed headers, and coefficient/step tables all execute
+    for real), and G.711 mu-law + A-law (payload bytes drawn from the
+    codec's own decode image so compand(expand(b)) == b and the
+    decoded sums are stated closed-form from the ITU-T segment
+    formulas — the expand tables themselves are audioop-pinned over
+    the full int16 range in tests). Per asset: the
     container facts an audio curation pass filters on — codec, rate,
     channels, frames, exact duration, an exact integer content
     checksum (sum) and peak. A deterministic 1/17 of blobs arrive

@@ -483,24 +483,76 @@ def bloom_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Quantile sketch error audit: approx_percentile's rank-error contract,
-# measured against the exact quantiles on the same data.
+# Quantile sketch error audit: a deterministic hash-sample quantile
+# sketch (percentile_disc over an md5-gated 1/8 row sample — the
+# classic uniform-sampling sketch, here made cross-engine reproducible
+# by deriving the sample from md5(event_id)), measured against the
+# exact discrete quantiles on the same data. Spark's engine-side GK
+# sketch (percentile_approx) keeps its own contract pin in
+# tests/test_properties.py::test_gk_sketch_rank_error_bound — this
+# query's sketch was switched to the sampling form in round 12 so the
+# audit itself is DuckDB-oracle-verifiable end to end (it was one of
+# the last rows-only queries).
 # ---------------------------------------------------------------------------
 
-_QS_ACCURACY = 100  # GK sketch accuracy: rank error <= n / accuracy
+_QS_ACCURACY = 100  # GK accuracy knob (used by the property-test pin)
 _QS_QUANTILES = (0.5, 0.9, 0.99)
+# md5 first hex chars selecting the sample: 2/16 of rows
+_QS_SAMPLE_HEX = ("0", "1")
 
 
-# rows-only: the sketch value is engine-specific; the GK rank-error
-# bound |rank(approx) - q| <= 1/accuracy is pinned in
-# tests/test_properties.py::test_quantile_sketch_rank_error_bound.
-@register("quantile_sketch_error_audit")
+@register(
+    "quantile_sketch_error_audit",
+    oracle=f"""
+    WITH s AS (
+      SELECT value FROM events
+      WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 1)
+            IN ('{_QS_SAMPLE_HEX[0]}', '{_QS_SAMPLE_HEX[1]}')
+    ),
+    a AS (
+      SELECT percentile_disc(0.50) WITHIN GROUP (ORDER BY value) AS a0,
+             percentile_disc(0.90) WITHIN GROUP (ORDER BY value) AS a1,
+             percentile_disc(0.99) WITHIN GROUP (ORDER BY value) AS a2,
+             count(*) AS m
+      FROM s
+    ),
+    e AS (
+      SELECT percentile_disc(0.50) WITHIN GROUP (ORDER BY value) AS e0,
+             percentile_disc(0.90) WITHIN GROUP (ORDER BY value) AS e1,
+             percentile_disc(0.99) WITHIN GROUP (ORDER BY value) AS e2,
+             count(*) AS n
+      FROM events
+    ),
+    per_q(q, approx_value, exact_value, n, m) AS (
+      SELECT 0.50, a0, e0, n, m FROM a, e UNION ALL
+      SELECT 0.90, a1, e1, n, m FROM a, e UNION ALL
+      SELECT 0.99, a2, e2, n, m FROM a, e
+    )
+    SELECT p.q,
+           p.approx_value, p.exact_value,
+           CAST(sum(CASE WHEN ev.value <= p.approx_value
+                         THEN 1 ELSE 0 END) AS DOUBLE) / any_value(p.n)
+             AS achieved_rank,
+           abs(CAST(sum(CASE WHEN ev.value <= p.approx_value
+                             THEN 1 ELSE 0 END) AS DOUBLE)
+               / any_value(p.n) - p.q) AS rank_error,
+           CAST(any_value(p.n) AS BIGINT) AS n,
+           CAST(any_value(p.m) AS BIGINT) AS m
+    FROM per_q p, events ev
+    GROUP BY p.q, p.approx_value, p.exact_value
+    """,
+)
 def quantile_sketch_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For each target quantile of events.value: the sketched estimate
-    (percentile_approx, accuracy 100), the exact percentile, and the
-    ACHIEVED rank of the estimate — the audit that tells an operator
-    whether the accuracy knob is sized for their SLA before they trust
-    sketched p99s on 100 TB.
+    (discrete percentile over a deterministic md5-keyed 1/8 sample —
+    the uniform-sampling quantile sketch, rank error O(1/sqrt(m))),
+    the exact discrete percentile, and the ACHIEVED rank of the
+    estimate — the audit that tells an operator whether the sketch is
+    sized for their SLA before they trust sketched p99s on 100 TB.
+    percentile_disc (not interpolating percentile) on both sides keeps
+    every output value an actual data point, so the audit is
+    bit-stable across engines; Spark's own GK sketch keeps a direct
+    contract pin in tests/test_properties.py.
 
     One pass builds the sketch AND the exact percentiles (both are
     aggregates); the rank-of-estimate check is a second bounded
@@ -508,35 +560,43 @@ def quantile_sketch_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile is the only O(n log n)-ish member — at production scale
     it runs on a sampled audit slice while the sketch runs on
     everything; here both run in full so the audit is exact."""
-    ev = table(spark, sf_dir, "events").select("value")
-    qs = list(_QS_QUANTILES)
-    agg = ev.agg(
-        F.percentile_approx("value", qs, _QS_ACCURACY).alias("approx"),
+    ev = table(spark, sf_dir, "events").select("event_id", "value")
+    in_sample = F.substring(
+        F.md5(F.col("event_id").cast("string")), 1, 1
+    ).isin(*_QS_SAMPLE_HEX)
+
+    def discs(prefix):
+        return [
+            F.expr(
+                f"percentile_disc({q}) WITHIN GROUP (ORDER BY value)"
+            ).alias(f"{prefix}{i}")
+            for i, q in enumerate(_QS_QUANTILES)
+        ]
+
+    approx = ev.filter(in_sample).agg(
+        *discs("a"), F.count("*").alias("m")
+    )
+    exact = ev.agg(*discs("e"), F.count("*").alias("n"))
+    per_q = approx.crossJoin(exact).select(
         F.expr(
-            f"percentile(value, array({', '.join(map(str, qs))}))"
-        ).alias("exact"),
-        F.count("*").alias("n"),
-    )
-    per_q = agg.select(
-        F.posexplode(
-            F.arrays_zip(
-                F.array(*[F.lit(q) for q in qs]).alias("q"),
-                F.col("approx"),
-                F.col("exact"),
-            )
-        ).alias("i", "z"),
+            "stack(3, 0.50D, a0, e0, 0.90D, a1, e1, 0.99D, a2, e2)"
+            " AS (q, approx_value, exact_value)"
+        ),
         "n",
-    ).select(
-        F.col("z.q").alias("q"),
-        F.col("z.approx").alias("approx_value"),
-        F.col("z.exact").alias("exact_value"),
-        "n",
+        "m",
     )
-    ranked = ev.crossJoin(F.broadcast(per_q)).groupBy(
-        "q", "approx_value", "exact_value", "n"
-    ).agg(
-        (F.sum((F.col("value") <= F.col("approx_value")).cast("long")) / F.first("n"))
-        .alias("achieved_rank")
+    ranked = (
+        ev.select("value")
+        .crossJoin(F.broadcast(per_q))
+        .groupBy("q", "approx_value", "exact_value")
+        .agg(
+            (
+                F.sum((F.col("value") <= F.col("approx_value")).cast("long"))
+                / F.first("n")
+            ).alias("achieved_rank"),
+            F.first("n").alias("n"),
+            F.first("m").alias("m"),
+        )
     )
     return ranked.select(
         "q",
@@ -545,6 +605,7 @@ def quantile_sketch_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "achieved_rank",
         F.abs(F.col("achieved_rank") - F.col("q")).alias("rank_error"),
         "n",
+        "m",
     )
 
 

@@ -274,7 +274,9 @@ def test_wav_parser_fuzz():
         encode_wav,
         encode_wav_extensible,
         encode_wav_float,
+        encode_wav_g711,
         encode_wav_ima_adpcm,
+        encode_wav_ms_adpcm,
         parse_wav,
     )
 
@@ -286,6 +288,10 @@ def test_wav_parser_fuzz():
         "wav_ext": encode_wav_extensible(ints, 44100, 2),
         "wav_adpcm": encode_wav_ima_adpcm(ints[:185], 8000,
                                           block_frames=185),
+        "wav_ulaw": encode_wav_g711(ints, 8000, 2, "u"),
+        "wav_alaw": encode_wav_g711(ints, 44100, 2, "a"),
+        "wav_ms_adpcm": encode_wav_ms_adpcm(ints[:190], 16000,
+                                            block_frames=190),
     }
     for name, blob in fixtures.items():
         rng = np.random.default_rng(hash(name) % (2**32))
@@ -347,12 +353,12 @@ def test_webp_info_parser_fuzz():
     struct.error / OverflowError."""
     from history_collector_spark.functions.webp import parse_webp_info
     from history_collector_spark.queries.multimodal import (
-        _vp8_lossy_blob,
+        _vp8_header_only_blob,
         _vp8x_blob,
     )
 
     for name, blob in (
-        ("vp8", _vp8_lossy_blob(640, 480)),
+        ("vp8", _vp8_header_only_blob(640, 480)),
         ("vp8x", _vp8x_blob(1920, 1080, alpha=True)),
         ("vp8l", _encode_webp(_RGB)),
     ):

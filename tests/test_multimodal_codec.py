@@ -127,16 +127,16 @@ def test_decode_blob_real_mode_metadata():
     assert wm == {
         "width": 3, "height": 2, "n_frames": 1, "decode_status": "ok"
     }
-    # lossy VP8: pixels stay a plug point, but the container/frame
-    # headers parse to metadata-grade 'ok-meta' (round 11); a VP8 body
-    # without the keyframe start code is a decode ERROR, not a plug
-    # point (it is malformed, not merely unsupported)
+    # lossy VP8 decodes to real pixels since round 12 (the from-
+    # scratch RFC 6386 key-frame decoder); a VP8 body without the
+    # keyframe start code is a decode ERROR, not a plug point (it is
+    # malformed, not merely unsupported)
     from history_collector_spark.queries.multimodal import _vp8_lossy_blob
 
-    lm = decode_blob(_vp8_lossy_blob(16, 8))
+    lm = decode_blob(_vp8_lossy_blob(7, 4))
     assert lm == {
-        "width": 16, "height": 8, "n_frames": 1,
-        "decode_status": "ok-meta",
+        "width": 7, "height": 4, "n_frames": 1,
+        "decode_status": "ok",
     }
     with pytest.raises(ImageDecodeError):
         decode_blob(

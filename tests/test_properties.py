@@ -562,12 +562,41 @@ def test_countmin_one_sided_error_bound(spark):
         assert r["cms_estimate"] - r["exact_cnt"] <= 2 * n / _CMS_WIDTH, r
 
 
-def test_quantile_sketch_rank_error_bound(spark):
-    """GK-sketch contract behind quantile_sketch_error_audit: the
-    achieved rank of every approx percentile is within 1/accuracy of
-    the target quantile (plus discretization slack of 1/n)."""
+def test_gk_sketch_rank_error_bound(spark):
+    """Spark's engine-side GK sketch contract (formerly exercised
+    through quantile_sketch_error_audit, which switched to the
+    oracle-verifiable sampling sketch in round 12): the achieved rank
+    of every percentile_approx estimate is within 1/accuracy of the
+    target quantile (plus discretization slack of 1/n)."""
+    from pyspark.sql import functions as F
+
+    from history_collector_spark.catalog import table
+    from history_collector_spark.queries.sketches import (
+        _QS_ACCURACY,
+        _QS_QUANTILES,
+    )
+    from tests.conftest import TEST_SF_DIR
+
+    ev = table(spark, TEST_SF_DIR, "events").select("value")
+    row = ev.agg(
+        F.percentile_approx(
+            "value", list(_QS_QUANTILES), _QS_ACCURACY
+        ).alias("approx"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    n = row["n"]
+    for q, est in zip(_QS_QUANTILES, row["approx"]):
+        rank = ev.filter(F.col("value") <= est).count() / n
+        assert abs(rank - q) <= 1.0 / _QS_ACCURACY + 1.0 / n, (q, est, rank)
+
+
+def test_sampling_sketch_audit_self_consistent(spark):
+    """The md5-sample quantile sketch behind the (now oracle-bearing)
+    quantile_sketch_error_audit: every approx value is an actual data
+    point, the achieved rank equals the recount, and the rank error
+    stays inside the calibrated 3/sqrt(m) envelope for the 1/8
+    deterministic sample."""
     from history_collector_spark import registry
-    from history_collector_spark.queries.sketches import _QS_ACCURACY
     from tests.conftest import TEST_SF_DIR
 
     registry.load_all()
@@ -576,7 +605,11 @@ def test_quantile_sketch_rank_error_bound(spark):
     ).collect()
     assert len(rows) == 3
     for r in rows:
-        assert r["rank_error"] <= 1.0 / _QS_ACCURACY + 1.0 / r["n"], dict(r.asDict())
+        assert abs(r["achieved_rank"] - r["q"]) == r["rank_error"]
+        assert r["m"] > 0 and r["m"] < r["n"]
+        assert r["rank_error"] <= 3.0 / (r["m"] ** 0.5) + 1.0 / r["n"], (
+            dict(r.asDict())
+        )
 
 
 # ---------------------------------------------------------------------------

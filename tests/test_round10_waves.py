@@ -541,18 +541,28 @@ def test_webp_roundtrip_property():
     check()
 
 
-def test_webp_lossy_and_extended_are_plug_points():
+def test_webp_vp8x_is_plug_point_and_torn_vp8_is_error():
+    # round 12: lossy VP8 has a real decoder, so a garbage VP8 body is
+    # a malformed-input ERROR; extended VP8X remains the plug point
     import pytest
 
+    from history_collector_spark.functions.codec_errors import (
+        ImageDecodeError,
+    )
     from history_collector_spark.functions.webp import decode_webp
 
-    for tag in (b"VP8 ", b"VP8X"):
-        blob = (
-            b"RIFF\x1c\x00\x00\x00WEBP" + tag
-            + (16).to_bytes(4, "little") + bytes(16)
-        )
-        with pytest.raises(NotImplementedError):
-            decode_webp(blob)
+    blob = (
+        b"RIFF\x1c\x00\x00\x00WEBPVP8 "
+        + (16).to_bytes(4, "little") + bytes(16)
+    )
+    with pytest.raises(ImageDecodeError):
+        decode_webp(blob)
+    blob = (
+        b"RIFF\x1c\x00\x00\x00WEBPVP8X"
+        + (16).to_bytes(4, "little") + bytes(16)
+    )
+    with pytest.raises(NotImplementedError):
+        decode_webp(blob)
 
 
 def test_curation_web_end_to_end_brute_force(spark):
@@ -1047,14 +1057,19 @@ def test_wav_error_and_plug_points():
     with pytest.raises(AudioDecodeError):
         parse_wav(good[:40])
     # still-unplugged compressed tags and 8-bit PCM are plug points
-    # (round 11 plugged float/extensible/IMA-ADPCM: a PCM16 blob
-    # re-tagged as float is now a decode ERROR — 16-bit floats don't
-    # exist — not a plug point)
+    # (round 11 plugged float/extensible/IMA-ADPCM, round 12 plugged
+    # MS-ADPCM and G.711: a PCM16 blob re-tagged as float or MS-ADPCM
+    # is now a decode ERROR — those bit widths don't exist there —
+    # not a plug point)
     nonpcm = bytearray(good)
     fmt_at = good.index(b"fmt ") + 8
-    struct.pack_into("<H", nonpcm, fmt_at, 2)  # MS ADPCM tag
+    struct.pack_into("<H", nonpcm, fmt_at, 0x55)  # MP3 tag: unplugged
     with pytest.raises(NotImplementedError):
         parse_wav(bytes(nonpcm))
+    retagged_ms = bytearray(good)
+    struct.pack_into("<H", retagged_ms, fmt_at, 2)
+    with pytest.raises(AudioDecodeError):
+        parse_wav(bytes(retagged_ms))  # MS ADPCM with 16 bits/sample
     retagged_float = bytearray(good)
     struct.pack_into("<H", retagged_float, fmt_at, 3)
     with pytest.raises(AudioDecodeError):

@@ -307,12 +307,12 @@ def test_parse_webp_info_fields():
         parse_webp_info,
     )
     from history_collector_spark.queries.multimodal import (
-        _vp8_lossy_blob,
+        _vp8_header_only_blob,
         _vp8x_blob,
     )
     import numpy as np
 
-    i = parse_webp_info(_vp8_lossy_blob(640, 480))
+    i = parse_webp_info(_vp8_header_only_blob(640, 480))
     assert (i["kind"], i["width"], i["height"]) == ("vp8", 640, 480)
     assert not i["has_alpha"] and not i["has_anim"] and i["n_frames"] == 1
 
@@ -326,15 +326,23 @@ def test_parse_webp_info_fields():
     assert (i["kind"], i["width"], i["height"]) == ("vp8l", 5, 3)
 
 
-def test_decode_blob_ok_meta_for_lossy_webp():
+def test_decode_blob_lossy_webp_and_vp8x():
+    # round 12: lossy VP8 decodes to real pixels ('ok'); extended
+    # VP8X keeps the metadata-grade arm ('ok-meta')
     from history_collector_spark.queries.multimodal import (
         _vp8_lossy_blob,
+        _vp8x_blob,
         decode_blob,
     )
 
-    meta = decode_blob(_vp8_lossy_blob(12, 7))
+    meta = decode_blob(_vp8_lossy_blob(5, 3))
     assert meta == {
-        "width": 12, "height": 7, "n_frames": 1,
+        "width": 5, "height": 3, "n_frames": 1,
+        "decode_status": "ok",
+    }
+    meta = decode_blob(_vp8x_blob(40, 30, alpha=True))
+    assert meta == {
+        "width": 40, "height": 30, "n_frames": 1,
         "decode_status": "ok-meta",
     }
 

@@ -566,3 +566,145 @@ def test_vp8_tables_match_rfc_anchors():
     assert KF_BMODE_PROBS[0][0] == [231, 120, 48, 89, 115, 113, 120, 152, 112]
     assert DC_QLOOKUP[0] == 4 and DC_QLOOKUP[127] == 157
     assert AC_QLOOKUP[0] == 4 and AC_QLOOKUP[127] == 284
+
+
+# ---------------------------------------------------------------------------
+# WAV round-12 arms: G.711 mu-law / A-law + mono MS ADPCM
+# ---------------------------------------------------------------------------
+
+
+def test_g711_matches_audioop_reference_full_range():
+    """All four converter directions bit-exact against the stdlib
+    audioop G.711 reference: both expand tables over all 256 bytes,
+    both compress functions over the full int16 range."""
+    audioop = pytest.importorskip("audioop")
+    import struct
+
+    from history_collector_spark.functions.wav import (
+        alaw_to_lin,
+        lin_to_alaw,
+        lin_to_ulaw,
+        ulaw_to_lin,
+    )
+
+    for b in range(256):
+        assert ulaw_to_lin(b) == struct.unpack(
+            "<h", audioop.ulaw2lin(bytes([b]), 2)
+        )[0], b
+        assert alaw_to_lin(b) == struct.unpack(
+            "<h", audioop.alaw2lin(bytes([b]), 2)
+        )[0], b
+    for s in range(-32768, 32768):
+        sb = struct.pack("<h", s)
+        assert lin_to_ulaw(s) == audioop.lin2ulaw(sb, 2)[0], s
+        assert lin_to_alaw(s) == audioop.lin2alaw(sb, 2)[0], s
+
+
+def test_g711_wav_roundtrip_exact_on_decode_image():
+    """Samples drawn from the codec's decode image survive the full
+    encode->container->parse path bit-exactly (compand o expand is
+    the identity there); mu-law byte 0x7F (negative zero) is the
+    documented single non-idempotent code."""
+    import numpy as np
+
+    from history_collector_spark.functions.wav import (
+        alaw_to_lin,
+        encode_wav_g711,
+        lin_to_ulaw,
+        parse_wav,
+        ulaw_to_lin,
+    )
+
+    uvals = np.array([ulaw_to_lin(b) for b in range(256) if b != 0x7F],
+                     dtype=np.int64)
+    w = parse_wav(encode_wav_g711(uvals, 8000, 1, "u"))
+    assert w["codec"] == "ulaw" and w["bits"] == 8
+    assert np.array_equal(w["samples"].astype(np.int64), uvals)
+    assert lin_to_ulaw(ulaw_to_lin(0x7F)) == 0xFF  # -0 canonicalizes
+
+    avals = np.array([alaw_to_lin(b) for b in range(256)], dtype=np.int64)
+    w = parse_wav(encode_wav_g711(avals, 16000, 2, "a"))
+    assert w["codec"] == "alaw" and w["n_channels"] == 2
+    assert np.array_equal(w["samples"].astype(np.int64), avals)
+
+
+def test_ms_adpcm_constant_block_exact_and_deterministic():
+    import numpy as np
+
+    from history_collector_spark.functions.wav import (
+        encode_wav_ms_adpcm,
+        parse_wav,
+    )
+
+    for c in (-2048, -1, 0, 777, 2047, 32767, -32768):
+        sig = np.full(84, c, dtype=np.int64)
+        w = parse_wav(encode_wav_ms_adpcm(sig, 8000, block_frames=42))
+        assert w["codec"] == "ms_adpcm" and w["n_frames"] == 84
+        assert (w["samples"].astype(np.int64) == c).all(), c
+    ramp = (np.arange(200, dtype=np.int64) * 23 % 4096) - 2048
+    a = parse_wav(encode_wav_ms_adpcm(ramp, 8000, block_frames=100))
+    b = parse_wav(encode_wav_ms_adpcm(ramp, 8000, block_frames=100))
+    assert np.array_equal(a["samples"], b["samples"])
+
+
+def test_ms_adpcm_hand_built_block_all_predictors():
+    """Hand-built single blocks exercise every one of the 7 standard
+    predictors, the signed-nibble arithmetic, the int16 clamp, and
+    the delta floor — values computed by hand from the format's
+    update equations."""
+    import struct
+
+    from history_collector_spark.functions.wav import (
+        _MS_DEFAULT_COEFS,
+        _decode_ms_adpcm,
+    )
+
+    # predictor 1 (coeffs 512, -256): s1=100, s2=40 ->
+    # base = (100*512 - 40*256) / 256 = (51200 - 10240) / 256 = 160
+    # nibble 0x3 (+3), delta 20 -> sample = 160 + 60 = 220
+    # next delta = (230 * 20) >> 8 = 17
+    # nibble 0xD (-3): base = (220*512 - 100*256)/256 = 340
+    #   sample = 340 - 3*17 = 289; delta -> (230*17)>>8 = 15 -> floor 16
+    blk = struct.pack("<Bhhh", 1, 20, 100, 40) + bytes([0x3D])
+    out = _decode_ms_adpcm(blk, len(blk), _MS_DEFAULT_COEFS)
+    assert out == [40, 100, 220, 289]
+
+    # clamp: predictor 0, huge positive delta forces +32767 then the
+    # negative nibble walks back down with the adapted delta
+    # base=32000; n=7 -> 32000+7*6000=74000 -> clamp 32767
+    # delta -> (614*6000)>>8 = 14390
+    # base = trunc(32767*256/256)=32767; n=8 (-8) ->
+    #   32767 - 8*14390 = -82353 -> clamp -32768
+    blk = struct.pack("<Bhhh", 0, 6000, 32000, 0) + bytes([0x78])
+    out = _decode_ms_adpcm(blk, len(blk), _MS_DEFAULT_COEFS)
+    assert out == [0, 32000, 32767, -32768]
+
+    # negative-base truncation toward zero, predictor 5 (460, -208):
+    # nibble 0: base = trunc(-460/256) = -1 -> sample -1
+    # nibble 0: base = trunc((-1*460 + -1*-208)/256) = trunc(-0.98)
+    #   = 0 under C division — floor division would give -1, so the
+    #   final 0 pins the truncate-toward-zero semantics
+    blk = struct.pack("<Bhhh", 5, 16, -1, 0) + bytes([0x00])
+    out = _decode_ms_adpcm(blk, len(blk), _MS_DEFAULT_COEFS)
+    assert out == [0, -1, -1, 0]
+
+
+def test_ms_adpcm_malformed_total():
+    import pytest as _p
+
+    from history_collector_spark.functions.codec_errors import (
+        AudioDecodeError,
+    )
+    from history_collector_spark.functions.wav import (
+        _MS_DEFAULT_COEFS,
+        _decode_ms_adpcm,
+    )
+    import struct
+
+    with _p.raises(AudioDecodeError):
+        _decode_ms_adpcm(b"\x00" * 6, 6, _MS_DEFAULT_COEFS)  # align < 7
+    with _p.raises(AudioDecodeError):
+        _decode_ms_adpcm(b"\x00" * 15, 8, _MS_DEFAULT_COEFS)  # misaligned
+    blk = struct.pack("<Bhhh", 9, 16, 0, 0) + b"\x00"
+    with _p.raises(AudioDecodeError):
+        _decode_ms_adpcm(blk, len(blk), _MS_DEFAULT_COEFS)  # predictor 9
