@@ -1,12 +1,14 @@
-"""Pinned lossy-WebP (VP8 key-frame) fixture blobs.
+"""Pinned lossy-WebP (VP8 key-frame / VP8X+ALPH) fixture blobs.
 
-Every blob here is REAL libwebp encoder output (WebPEncodeRGB over
+Every blob here is REAL libwebp encoder output (WebPEncodeRGB(A) over
 deterministic synthetic images), captured once and embedded so the query
-path needs no encoder at runtime. The from-scratch decoder in
-functions/vp8.py decodes each one to YUV planes bit-exact with libwebp's
-WebPDecodeYUV (asserted at capture time and re-asserted by the interop tests
-when libwebp is present). PINNED_STATS holds the decoded-plane ground truth
-used by the multimodal_decode_vp8 oracle: any decoder drift flips a hash.
+path needs no encoder at runtime. The from-scratch decoders in
+functions/vp8.py and functions/webp.py decode each one bit-exactly against
+libwebp (YUV planes vs WebPDecodeYUV; the ALPH alpha plane vs
+WebPDecodeRGBA's A channel — asserted at capture time and re-asserted by the
+interop tests when libwebp is present). PINNED_STATS holds the decoded-plane
+ground truth used by the multimodal_decode_vp8 oracle: any decoder drift
+flips a hash.
 """
 
 from __future__ import annotations
@@ -112,8 +114,143 @@ _YIELD_B64 = {
     ),
 }
 
-# named 48x32 vectors at different qualities / content classes
+# (width, height) -> VP8X + compressed-ALPH + VP8 (gradient alpha)
+_YIELD_ALPHA_B64 = {
+    (2, 1): (
+        "UklGRkgAAABXRUJQVlA4WAoAAAAQAAAAAQAAAAAAQUxQSAMAAAAAIiUAVlA4IB4A"
+        "AABwAQCdASoCAAEAAgA0JZwCdAFAAAD++eV6elgAAAA="
+    ),
+    (2, 2): (
+        "UklGRkgAAABXRUJQVlA4WAoAAAAQAAAAAQAAAQAAQUxQSAUAAAAAIiUpLABWUDgg"
+        "HAAAAHABAJ0BKgIAAgACADQlnAJ0AUAAAP75TVIJ8AA="
+    ),
+    (2, 3): (
+        "UklGRlAAAABXRUJQVlA4WAoAAAAQAAAAAQAAAgAAQUxQSAcAAAAAIiUpLDAzAFZQ"
+        "OCAiAAAAcAEAnQEqAgADAAIANCWcAnQBQAAA/vidxx3mCFEVE1QAAA=="
+    ),
+    (2, 4): (
+        "UklGRlAAAABXRUJQVlA4WAoAAAAQAAAAAQAAAwAAQUxQSAkAAAAAIiUpLDAzNzoA"
+        "VlA4ICAAAACwAQCdASoCAAQAAgA0JZwCdAEO/gLsAP78V84RHTvgAA=="
+    ),
+    (3, 1): (
+        "UklGRkwAAABXRUJQVlA4WAoAAAAQAAAAAgAAAAAAQUxQSAQAAAAAIiUoVlA4ICIA"
+        "AADQAQCdASoDAAEAAgA0JZwCdAEPDemoAAD+/VRsgPEwAAAA"
+    ),
+    (3, 2): (
+        "UklGRkwAAABXRUJQVlA4WAoAAAAQAAAAAgAAAQAAQUxQSAcAAAAAIiUoKSwvAFZQ"
+        "OCAeAAAAcAEAnQEqAwACAAIANCWcAnQBQAAA/vjxsKDro8AA"
+    ),
+    (3, 3): (
+        "UklGRlIAAABXRUJQVlA4WAoAAAAQAAAAAgAAAgAAQUxQSAoAAAAAIiUoKSwvMDM2"
+        "VlA4ICIAAABwAQCdASoDAAMAAgA0JZwCdAFAAAD++Czzn18YIURUTVAA"
+    ),
+    (3, 4): (
+        "UklGRlYAAABXRUJQVlA4WAoAAAAQAAAAAgAAAwAAQUxQSA0AAAAAIiUoKSwvMDM2"
+        "Nzo9AFZQOCAiAAAAsAEAnQEqAwAEAAIANCWcAnQBDvaeQAD+/FfXIVcj1wAAAA=="
+    ),
+    (4, 1): (
+        "UklGRk4AAABXRUJQVlA4WAoAAAAQAAAAAwAAAAAAQUxQSAUAAAAAIiUoKwBWUDgg"
+        "IgAAAHABAJ0BKgQAAQACADQlnAJ0AUAAAP75VePhoIBIeJgAAAA="
+    ),
+    (4, 2): (
+        "UklGRlIAAABXRUJQVlA4WAoAAAAQAAAAAwAAAQAAQUxQSAkAAAAAIiUoKyksLzIA"
+        "VlA4ICIAAABwAQCdASoEAAIAAgA0JZwCdAFAAAD++KE7T6CASHjLgAAA"
+    ),
+    (4, 3): (
+        "UklGRlQAAABXRUJQVlA4WAoAAAAQAAAAAwAAAgAAQUxQSA0AAAAAIiUoKyksLzIw"
+        "MzY5AFZQOCAgAAAAsAEAnQEqBAADAAIANCWcAnQBDv4C7AD+/Gm0yssKAAA="
+    ),
+    (4, 4): (
+        "UklGRloAAABXRUJQVlA4WAoAAAAQAAAAAwAAAwAAQUxQSBEAAAAAIiUoKyksLzIw"
+        "MzY5Nzo9QABWUDggIgAAALABAJ0BKgQABAACADQlnAJ0AQ72nkAA/vwDYx9MrLCg"
+        "AAA="
+    ),
+    (5, 1): (
+        "UklGRk4AAABXRUJQVlA4WAoAAAAQAAAABAAAAAAAQUxQSAYAAAAAIiUoKy5WUDgg"
+        "IgAAAHABAJ0BKgUAAQACADQlnAJ0AUAAAP75JlHbp6CASHjLgAA="
+    ),
+    (5, 2): (
+        "UklGRlQAAABXRUJQVlA4WAoAAAAQAAAABAAAAQAAQUxQSAsAAAAAIiUoKy4pLC8y"
+        "NQBWUDggIgAAAHABAJ0BKgUAAgACADQlnAJ0AUAAAP74aWrYF6CASHjLgAA="
+    ),
+    (5, 3): (
+        "UklGRlYAAABXRUJQVlA4WAoAAAAQAAAABAAAAgAAQUxQSBAAAAAAIiUoKy4pLC8y"
+        "NTAzNjk8VlA4ICAAAACwAQCdASoFAAMAAgA0JZwCdAEO/gLsAP78abTKynAAAA=="
+    ),
+    (5, 4): (
+        "UklGRl4AAABXRUJQVlA4WAoAAAAQAAAABAAAAwAAQUxQSBUAAAAAIiUoKy4pLC8y"
+        "NTAzNjk8Nzo9QEMAVlA4ICIAAACwAQCdASoFAAQAAgA0JZwCdAEO9p5AAP78A14a"
+        "zWjcAAAA"
+    ),
+    (6, 1): (
+        "UklGRk4AAABXRUJQVlA4WAoAAAAQAAAABQAAAAAAQUxQSAcAAAAAIiUoKy4xAFZQ"
+        "OCAgAAAAsAEAnQEqBgABAAIANCWcAnQBDv4C7AD+/Rr0UgnlQAA="
+    ),
+    (6, 2): (
+        "UklGRlgAAABXRUJQVlA4WAoAAAAQAAAABQAAAQAAQUxQSA0AAAAAIiUoKy4xKSwv"
+        "MjU4AFZQOCAkAAAAcAEAnQEqBgACAAIANCWcAnQBQAAA/vgPlVxz3oIBIeMuAAAA"
+    ),
+    (6, 3): (
+        "UklGRloAAABXRUJQVlA4WAoAAAAQAAAABQAAAgAAQUxQSBMAAAAAIiUoKy4xKSwv"
+        "MjU4MDM2OTw/AFZQOCAgAAAAsAEAnQEqBgADAAIANCWcAnQBDv4C7AD+/Gogj6eZ"
+        "AAA="
+    ),
+    (6, 4): (
+        "UklGRmIAAABXRUJQVlA4WAoAAAAQAAAABQAAAwAAQUxQSBkAAAABmYzof0BB2zZM"
+        "93mMP8sPIWICJiCLGh4AAFZQOCAiAAAAsAEAnQEqBgAEAAIANCWcAnQBDvpgYAD+"
+        "/ANhq0yssKAAAA=="
+    ),
+    (7, 1): (
+        "UklGRlIAAABXRUJQVlA4WAoAAAAQAAAABgAAAAAAQUxQSAgAAAAAIiUoKy4xNFZQ"
+        "OCAkAAAAcAEAnQEqBwABAAIANCWcAnQBQAAA/vi/G4bjr4JBghyVAAAA"
+    ),
+    (7, 2): (
+        "UklGRlgAAABXRUJQVlA4WAoAAAAQAAAABgAAAQAAQUxQSA8AAAAAIiUoKy4xNCks"
+        "LzI1ODsAVlA4ICIAAACwAQCdASoHAAIAAgA0JZwCdAEO/EhAAP78w+F6cTy5gAAA"
+    ),
+    (7, 3): (
+        "UklGRl4AAABXRUJQVlA4WAoAAAAQAAAABgAAAgAAQUxQSBYAAAAAIiUoKy4xNCks"
+        "LzI1ODswMzY5PD9CVlA4ICIAAACwAQCdASoHAAMAAgA0JZwCdAEO/gLsAP78aisx"
+        "PQH5AAAA"
+    ),
+    (7, 4): (
+        "UklGRmQAAABXRUJQVlA4WAoAAAAQAAAABgAAAwAAQUxQSBkAAAABmYzof0BB2zZM"
+        "u8tj/GFeCBETMAFVtekHAFZQOCAkAAAA0AEAnQEqBwAEAAIANCWcAnQBDvshtAAA"
+        "/vwDYfmJIuLtQAAA"
+    ),
+}
+
+# named 48x32 vectors at different qualities / content classes;
+# 'alpha' is a VP8X still with a compressed ALPH plane
 _FLAG_B64 = {
+    "alpha": (
+        "UklGRrgEAABXRUJQVlA4WAoAAAAQAAAALwAAHwAAQUxQSBkAAAABmYzof0Bt2zaM"
+        "W8r/Z2fOEDEBE4Bxfb1zAFZQOCB4BAAA8BMAnQEqMAAgAAJAOCWwAnTKEEBGhXgc"
+        "ADlivUB+um8A8470RP9J7AH9L9QDytPYL/bj92PgH/af//4II0EzF/Eb4SIFWA5A"
+        "jgZNXiA+rvPZ3g3zn+xec/1Mv3r/p/3b+3egj8i/qf/j/u3wBfyz+pf871VfW1+l"
+        "/sO/queeF8dayK+5kYsZo7kfIeMZpfg9VH9XY2d8zSNxldN/fDsmuKF3Qn6kRkWA"
+        "AOE+f+Ut+MHDy6YYlbjw5KKXoeEHZlLCVR/UQXpob9E+slu/BQtn9zM4aF1s8l13"
+        "doWWO9TBCC+VwimEy5j74pnk2oa9eY/BO038/Tc75ZMrdkfte9E0NOegVxi2ZioQ"
+        "/bd3KLkkhxoj4eHTv5OvioOtku7f+JaGOptKi5Qc6Dz5P4CoZOtu6WCARZDXe5wy"
+        "L/QeMQ9/J0WXI+sVH27Yl7ZZrY/vWOmmjQgP/VI+vJZ+SBdysKNnWAq9dlC5zV84"
+        "/KeHvg4zdVTrM2WE0LHfy9XHlCMbAj/PrMwTasoXurm/+mirgjwaSRoo10UyJJrt"
+        "/a3PdrgaxC7hAx58UTBbGvobiDEb1wmLhnett1fCryuo4Pfb07wKVKAbltTVaNpq"
+        "D1I+nYB409V2qRZ37JqwYSojZ9zxzw96Vrmr9nHfk06YUzVlYt1WhUWgomUv5Trl"
+        "WYl4krHfTGGH6IKBFaTd5K6S8ufT3HYpyApBWsKb/Jje4uM7klnseArHtMo8brax"
+        "vKK7xJwtVDBSz9ALjRK8aQi42ewHz8xvmlrtBy+/7g2d3HSf/poi7CfGmfFb8URn"
+        "z4xB/Yn+tVNUuDqPfLUz0rwq6x+VZl+cZvCRbwtk+G8G89Gt7BrnZ0/eRMwhhQaB"
+        "jzWM2eHTYCxXDhFacPWGb3QD6EZVPhMj0HvP3Jvh/cuN7PB9Yt40Q/h37vYNLPh6"
+        "QyEBPMoF3Hm7TZdXR6PDqW/TvA3h4owMYgzdz5ZQWCY3F56hgZsMq7Q2gBh3cwsD"
+        "XoGet2MAkdUh7aYUggcC/bIHfp18oT73GuGz+Nn/b8qu5s1OCKfMceiPeB/cBmC5"
+        "XaEfogtQlQtdnkfaZsFPBBW+dvuAv9LX9mnd7lekAkax7i2oyP2JtcAFjaeOepzc"
+        "kGX887By9s5rh0ckw5EjDjzE3Za6zwKGeQZXw8mfZZSpxX5oF/yLaIBU2h/9YeJF"
+        "m5X9/RWVGVtKv6KhT/c138xZbuExEwuDAk1Drj9KmrcuV5Y9ro8YrlHrAT6ydghu"
+        "HROQ2OeIEyrE834s0PhNa6Qvy9oQWzfUoPG8s4KnpbokrXJ5sFxTBDeHoKT+e3CA"
+        "29WvNni2tof+37O7W+umj07HTnTe7xo4ZE4elgkXhCCAhNq4eNUjow28aGl50SVT"
+        "sx+ghwbmp4lKnztCG7NyY2zYVZiP6KBp2KuWCjUpPCIsscXLZnk5UvN6dEUoPlxb"
+        "BBR/Ku++vPVyqL2BE3i2In1kiW/6UFxRvA628nOodvL/2ZeghCaDxRB8im0/Xrfm"
+        "OYvH2xn4aVzVQr3c2QAAAA=="
+    ),
     "gradient": (
         "UklGRpAAAABXRUJQVlA4IIQAAABQBACdASowACAALmlIpFI0JaWllABoS2AEFRjU"
         "+IptQJuD55g4JJ5iHv6AAP6O+Ke0YFHnOk3G/P/4d5KU7QX//2u+h9HGL98Gpns7"
@@ -169,25 +306,28 @@ _FLAG_B64 = {
     ),
 }
 
-# decoded-plane ground truth (captured with the libwebp cross-check)
+# decoded-plane ground truth (captured with the libwebp cross-check);
+# a_sum is the decoded ALPH plane sum (opaque 255*48*32 when absent)
 PINNED_STATS = {
-    "gradient": {"width": 48, "height": 32, "y_sum": 187680, "u_sum": 43864, "v_sum": 50015, "y_sha8": "68b83152"},
-    "mixed": {"width": 48, "height": 32, "y_sum": 185305, "u_sum": 49138, "v_sum": 49133, "y_sha8": "6a8e57a4"},
-    "noise": {"width": 48, "height": 32, "y_sum": 191288, "u_sum": 48775, "v_sum": 49224, "y_sha8": "ccd98041"},
-    "smooth": {"width": 48, "height": 32, "y_sum": 193077, "u_sum": 49259, "v_sum": 47922, "y_sha8": "e70843d9"},
+    "alpha": {"width": 48, "height": 32, "y_sum": 192446, "u_sum": 48210, "v_sum": 48662, "y_sha8": "4a1b88e5", "a_sum": 193536},
+    "gradient": {"width": 48, "height": 32, "y_sum": 187680, "u_sum": 43864, "v_sum": 50015, "y_sha8": "68b83152", "a_sum": 391680},
+    "mixed": {"width": 48, "height": 32, "y_sum": 185305, "u_sum": 49138, "v_sum": 49133, "y_sha8": "6a8e57a4", "a_sum": 391680},
+    "noise": {"width": 48, "height": 32, "y_sum": 191288, "u_sum": 48775, "v_sum": 49224, "y_sha8": "ccd98041", "a_sum": 391680},
+    "smooth": {"width": 48, "height": 32, "y_sum": 193077, "u_sum": 49259, "v_sum": 47922, "y_sha8": "e70843d9", "a_sum": 391680},
 }
 
 
-
-def yield_lossy_blob(w: int, h: int) -> bytes:
+def yield_lossy_blob(w: int, h: int, alpha: bool = False) -> bytes:
     """Real lossy-WebP bytes for the given tiny dimensions (w 2..7,
-    h 1..4 — the yield scorecard's generator range)."""
-    return base64.b64decode(_YIELD_B64[(w, h)])
+    h 1..4 — the yield scorecard's generator range); ``alpha=True``
+    returns the VP8X + compressed-ALPH variant of the same dims."""
+    table = _YIELD_ALPHA_B64 if alpha else _YIELD_B64
+    return base64.b64decode(table[(w, h)])
 
 
 def flagship_blob(name: str) -> bytes:
-    """One of the named 48x32 pinned vectors ('gradient', 'mixed',
-    'noise', 'smooth')."""
+    """One of the named 48x32 pinned vectors ('alpha', 'gradient',
+    'mixed', 'noise', 'smooth')."""
     return base64.b64decode(_FLAG_B64[name])
 
 

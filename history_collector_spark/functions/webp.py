@@ -648,7 +648,23 @@ def decode_vp8l(payload: bytes):
     version = br.read(3)
     if version != 0:
         raise ImageDecodeError(f"unsupported VP8L version {version}")
+    px = _decode_vp8l_pixels(br, xsize, ysize)
 
+    arr = np.array(px, dtype=np.uint32).reshape(ysize, xsize)
+    out = np.empty((ysize, xsize, 4), dtype=np.uint8)
+    out[:, :, 0] = (arr >> 16) & 0xFF  # R
+    out[:, :, 1] = (arr >> 8) & 0xFF  # G
+    out[:, :, 2] = arr & 0xFF  # B
+    out[:, :, 3] = (arr >> 24) & 0xFF  # A
+    return out
+
+
+def _decode_vp8l_pixels(br: "_BitReader", xsize: int, ysize: int):
+    """Shared VP8L image-stream decode (transform loop + entropy image
+    + inverse transforms) -> flat ARGB pixel list. Entered after the
+    signature/dimension header by :func:`decode_vp8l`, and directly
+    (headerless, dims known from the container) by the ALPH-chunk
+    alpha decoder."""
     transforms: list[tuple] = []
     seen: set[int] = set()
     cur_x = xsize
@@ -694,12 +710,76 @@ def decode_vp8l(payload: bytes):
         else:
             _inverse_color_transform(px, cur_x, ysize, tr[1], tr[2])
 
-    arr = np.array(px, dtype=np.uint32).reshape(ysize, xsize)
-    out = np.empty((ysize, xsize, 4), dtype=np.uint8)
-    out[:, :, 0] = (arr >> 16) & 0xFF  # R
-    out[:, :, 1] = (arr >> 8) & 0xFF  # G
-    out[:, :, 2] = arr & 0xFF  # B
-    out[:, :, 3] = (arr >> 24) & 0xFF  # A
+    return px
+
+
+def decode_alpha_chunk(body: bytes, w: int, h: int):
+    """ALPH chunk body -> (h, w) uint8 alpha plane.
+
+    Header byte (low to high): 2-bit compression (0 raw, 1 headerless
+    VP8L whose green channel carries alpha), 2-bit per-row filter
+    (none / horizontal / vertical / gradient, inverted here exactly as
+    libwebp's unfilters), 2-bit preprocessing (1 = lossy level
+    quantization, whose decoder-side smoothing is a plug point), 2
+    reserved bits."""
+    import numpy as np
+
+    if len(body) < 1:
+        raise ImageDecodeError("empty ALPH chunk")
+    method = body[0] & 3
+    filt = (body[0] >> 2) & 3
+    pre = (body[0] >> 4) & 3
+    if pre == 1:
+        raise NotImplementedError(
+            "ALPH preprocessed-levels smoothing not implemented"
+        )
+    if pre > 1:
+        raise ImageDecodeError(f"bad ALPH preprocessing {pre}")
+    data = body[1:]
+    if method == 0:
+        if len(data) < w * h:
+            raise ImageDecodeError("raw ALPH data truncated")
+        plane = np.frombuffer(data[: w * h], dtype=np.uint8).reshape(h, w)
+    elif method == 1:
+        br = _BitReader(data)
+        px = _decode_vp8l_pixels(br, w, h)
+        arr = np.array(px, dtype=np.uint32).reshape(h, w)
+        plane = ((arr >> 8) & 0xFF).astype(np.uint8)  # green channel
+    else:
+        raise ImageDecodeError(f"bad ALPH compression method {method}")
+    if filt == 0:
+        return plane.copy()
+    out = np.empty_like(plane)
+    resid = plane.astype(np.int32)
+    if filt == 1:  # horizontal
+        for y in range(h):
+            pred = 0 if y == 0 else int(out[y - 1, 0])
+            for x in range(w):
+                pred = (pred + int(resid[y, x])) & 0xFF
+                out[y, x] = pred
+    elif filt == 2:  # vertical (row 0 falls back to horizontal)
+        pred = 0
+        for x in range(w):
+            pred = (pred + int(resid[0, x])) & 0xFF
+            out[0, x] = pred
+        for y in range(1, h):
+            out[y] = ((out[y - 1].astype(np.int32) + resid[y]) & 0xFF
+                      ).astype(np.uint8)
+    else:  # gradient (row 0 falls back to horizontal)
+        pred = 0
+        for x in range(w):
+            pred = (pred + int(resid[0, x])) & 0xFF
+            out[0, x] = pred
+        for y in range(1, h):
+            top_left = int(out[y - 1, 0])
+            left = top_left
+            for x in range(w):
+                top = int(out[y - 1, x])
+                g = left + top - top_left
+                g = 0 if g < 0 else 255 if g > 255 else g
+                left = (g + int(resid[y, x])) & 0xFF
+                out[y, x] = left
+                top_left = top
     return out
 
 
@@ -781,10 +861,12 @@ def decode_webp(data: bytes):
     VP8L lossless decodes exactly; lossy 'VP8 ' key frames decode
     through the from-scratch RFC 6386 decoder in functions/vp8.py
     (YUV planes bit-exact with libwebp, then BT.601 + nearest chroma
-    upsample to RGB, alpha 255). Extended VP8X containers raise
-    NotImplementedError (alpha-chunk and animation compositing are
-    the remaining plug points — :func:`parse_webp_info` is their
-    metadata-grade arm)."""
+    upsample to RGB, alpha 255); extended VP8X stills decode too,
+    with the ALPH alpha plane (raw or headerless-VP8L compressed,
+    all four per-row filters inverted) bit-exact with libwebp's A
+    channel. Animated VP8X raises NotImplementedError (frame
+    compositing is the remaining plug point — :func:`parse_webp_info`
+    is its metadata-grade arm)."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ImageDecodeError("not a WebP payload")
     riff_len = int.from_bytes(data[4:8], "little")
@@ -814,13 +896,58 @@ def decode_webp(data: bytes):
             out[:, :, 3] = 255
             return out
         if tag == b"VP8X":
-            raise NotImplementedError(
-                "extended VP8X WebP not implemented (alpha chunk / "
-                "animation compositing); VP8L lossless and lossy VP8 "
-                "key frames are built in"
-            )
+            return _decode_webp_extended(data, pos)
         pos += 8 + clen + (clen & 1)
     raise ImageDecodeError("WebP payload has no image chunk")
+
+
+def _decode_webp_extended(data: bytes, vp8x_pos: int):
+    """Extended (VP8X) still decode: optional ALPH alpha plane over a
+    lossy VP8 frame, or a VP8L sub-stream (which carries its own
+    alpha). Animated containers (ANIM/ANMF) raise NotImplementedError
+    — frame compositing is the remaining plug point; use
+    :func:`parse_webp_info` for their metadata-grade arm."""
+    import numpy as np
+
+    pos = vp8x_pos
+    alph = vp8_body = vp8l_body = None
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        clen = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        body = data[pos + 8 : pos + 8 + clen]
+        if len(body) != clen:
+            raise ImageDecodeError("truncated WebP chunk")
+        if tag in (b"ANIM", b"ANMF"):
+            raise NotImplementedError(
+                "animated WebP not implemented (frame compositing); "
+                "still VP8X with ALPH alpha is built in"
+            )
+        if tag == b"ALPH" and alph is None:
+            alph = body
+        elif tag == b"VP8 " and vp8_body is None:
+            vp8_body = body
+        elif tag == b"VP8L" and vp8l_body is None:
+            vp8l_body = body
+        pos += 8 + clen + (clen & 1)
+    if vp8l_body is not None:
+        return decode_vp8l(vp8l_body)  # VP8L carries its own alpha
+    if vp8_body is None:
+        raise ImageDecodeError("VP8X container has no image sub-stream")
+    from history_collector_spark.functions.vp8 import (
+        decode_vp8_frame,
+        vp8_yuv_to_rgb,
+    )
+
+    y, u, v = decode_vp8_frame(vp8_body)
+    rgb = vp8_yuv_to_rgb(y, u, v)
+    h, w = rgb.shape[:2]
+    out = np.empty((h, w, 4), dtype=np.uint8)
+    out[:, :, :3] = rgb
+    if alph is not None:
+        out[:, :, 3] = decode_alpha_chunk(alph, w, h)
+    else:
+        out[:, :, 3] = 255
+    return out
 
 
 # ---------------------------------------------------------------------------

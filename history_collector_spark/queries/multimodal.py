@@ -1349,16 +1349,18 @@ _YIELD_FORMATS = (
 )
 
 
-def _vp8_lossy_blob(w: int, h: int) -> bytes:
+def _vp8_lossy_blob(w: int, h: int, alpha: bool = False) -> bytes:
     """Real lossy-WebP bytes (pinned libwebp encoder output) for the
     scorecard's tiny dimensions — decoded to pixels by the
     from-scratch RFC 6386 key-frame decoder (functions/vp8.py), so
-    the lossy arm now lands in the 'ok' column with true dims."""
+    the lossy arm now lands in the 'ok' column with true dims.
+    ``alpha=True`` returns the VP8X + compressed-ALPH still of the
+    same dims (also a full pixel decode since round 12)."""
     from history_collector_spark.functions.vp8_fixtures import (
         yield_lossy_blob,
     )
 
-    return yield_lossy_blob(w, h)
+    return yield_lossy_blob(w, h, alpha)
 
 
 def _vp8_header_only_blob(w: int, h: int) -> bytes:
@@ -1377,18 +1379,31 @@ def _vp8_header_only_blob(w: int, h: int) -> bytes:
 
 
 def _vp8x_blob(w: int, h: int, alpha: bool) -> bytes:
-    """Minimal extended-WebP container: VP8X flags + 24-bit canvas
-    dims (static; no ANIM), carrying a lossy sub-stream."""
-    flags = (0x10 if alpha else 0x00).to_bytes(1, "big")
+    """ANIMATED extended-WebP container: VP8X flags + 24-bit canvas
+    dims + ANIM/ANMF chunks (two frames). Static VP8X stills decode
+    to pixels since round 12; animation frame COMPOSITING is the
+    remaining plug point, so this is the scorecard's honest 'ok-meta'
+    arm — classified and sized from the container headers."""
+    flags = (0x12 if alpha else 0x02).to_bytes(1, "big")  # alpha|anim
     vp8x = (
         b"VP8X" + (10).to_bytes(4, "little")
         + flags + b"\x00\x00\x00"
         + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")
     )
-    sub = _vp8_header_only_blob(w, h)[12:]  # reuse the VP8 chunk
+    anim = b"ANIM" + (6).to_bytes(4, "little") + b"\x00" * 6
+    frame = _vp8_header_only_blob(w, h)[12:]  # VP8 chunk as frame data
+    anmf_body = (
+        b"\x00\x00\x00" * 2  # frame x/2, y/2
+        + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")
+        + (40).to_bytes(3, "little") + b"\x00"  # duration ms, flags
+        + frame
+    )
+    anmf = b"ANMF" + len(anmf_body).to_bytes(4, "little") + anmf_body
+    if len(anmf_body) & 1:
+        anmf += b"\x00"
+    body = vp8x + anim + anmf + anmf
     return (
-        b"RIFF" + (4 + len(vp8x) + len(sub)).to_bytes(4, "little")
-        + b"WEBP" + vp8x + sub
+        b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WEBP" + body
     )
 
 
@@ -1434,8 +1449,10 @@ def _yield_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 blob = encode_webp_vp8l(px, subtract_green=bool(d % 2))
             elif fmt == "webp_lossy":
                 # pinned real libwebp output: full pixel decode via
-                # the from-scratch RFC 6386 key-frame decoder
-                blob = _vp8_lossy_blob(w, h)
+                # the from-scratch RFC 6386 key-frame decoder; odd
+                # docs take the VP8X+ALPH still of the same dims, so
+                # the alpha path rides the same oracle cell
+                blob = _vp8_lossy_blob(w, h, alpha=bool(d % 2))
             elif fmt == "webp_vp8x":
                 blob = _vp8x_blob(w, h, alpha=bool(d % 2))
             elif fmt == "gif":
@@ -1530,6 +1547,7 @@ def _vp8_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
         FLAGSHIP_NAMES,
         flagship_blob,
     )
+    from history_collector_spark.functions.webp import decode_alpha_chunk
 
     for pdf in batches:
         rows = []
@@ -1537,25 +1555,41 @@ def _vp8_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
             d = int(doc_id)
             name = FLAGSHIP_NAMES[(d // 149) % len(FLAGSHIP_NAMES)]
             blob = flagship_blob(name)
-            # strip the RIFF container to the VP8 chunk body
-            body = blob[20 : 20 + int.from_bytes(blob[16:20], "little")]
+            # RIFF walk: the VP8 frame body + optional ALPH plane
+            # (the 'alpha' vector is a VP8X still)
+            pos, body, alph = 12, None, None
+            while pos + 8 <= len(blob):
+                tag = blob[pos : pos + 4]
+                clen = int.from_bytes(blob[pos + 4 : pos + 8], "little")
+                if tag == b"VP8 " and body is None:
+                    body = blob[pos + 8 : pos + 8 + clen]
+                elif tag == b"ALPH" and alph is None:
+                    alph = blob[pos + 8 : pos + 8 + clen]
+                pos += 8 + clen + (clen & 1)
             y, u, v = decode_vp8_frame(body)
+            h, w = y.shape
+            a_sum = (
+                int(decode_alpha_chunk(alph, w, h).astype(np.int64).sum())
+                if alph is not None
+                else 255 * w * h
+            )
             rows.append(
                 (
                     name,
-                    int(y.shape[1]),
-                    int(y.shape[0]),
+                    int(w),
+                    int(h),
                     int(y.astype(np.int64).sum()),
                     int(u.astype(np.int64).sum()),
                     int(v.astype(np.int64).sum()),
                     hashlib.sha256(y.tobytes()).hexdigest()[:8],
+                    a_sum,
                 )
             )
         yield pd.DataFrame(
             rows,
             columns=[
                 "img", "width", "height", "y_sum", "u_sum", "v_sum",
-                "y_sha8",
+                "y_sha8", "a_sum",
             ],
         )
 
@@ -1564,15 +1598,16 @@ def _vp8_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
     "multimodal_decode_vp8",
     oracle="""
     WITH s AS (
-      SELECT (doc_id // 149) % 4 AS v
+      SELECT (doc_id // 149) % 5 AS v
       FROM documents WHERE doc_id % 149 = 0
     ),
-    p(v, img, width, height, y_sum, u_sum, v_sum, y_sha8) AS (
+    p(v, img, width, height, y_sum, u_sum, v_sum, y_sha8, a_sum) AS (
       VALUES
-        (0, 'gradient', 48, 32, 187680, 43864, 50015, '68b83152'),
-        (1, 'mixed',    48, 32, 185305, 49138, 49133, '6a8e57a4'),
-        (2, 'noise',    48, 32, 191288, 48775, 49224, 'ccd98041'),
-        (3, 'smooth',   48, 32, 193077, 49259, 47922, 'e70843d9')
+        (0, 'alpha',    48, 32, 192446, 48210, 48662, '4a1b88e5', 193536),
+        (1, 'gradient', 48, 32, 187680, 43864, 50015, '68b83152', 391680),
+        (2, 'mixed',    48, 32, 185305, 49138, 49133, '6a8e57a4', 391680),
+        (3, 'noise',    48, 32, 191288, 48775, 49224, 'ccd98041', 391680),
+        (4, 'smooth',   48, 32, 193077, 49259, 47922, 'e70843d9', 391680)
     )
     SELECT p.img, CAST(p.width AS INT) AS width,
            CAST(p.height AS INT) AS height,
@@ -1580,22 +1615,25 @@ def _vp8_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
            CAST(p.u_sum AS BIGINT) AS u_sum,
            CAST(p.v_sum AS BIGINT) AS v_sum,
            p.y_sha8,
+           CAST(p.a_sum AS BIGINT) AS a_sum,
            CAST(count(*) AS BIGINT) AS n_assets
     FROM s JOIN p ON s.v = p.v
-    GROUP BY 1, 2, 3, 4, 5, 6, 7
+    GROUP BY 1, 2, 3, 4, 5, 6, 7, 8
     """,
 )
 def multimodal_decode_vp8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lossy-WebP (VP8 key-frame) pixel decode over a sampled asset
-    stream: four pinned REAL libwebp-encoded 48x32 vectors (gradient /
+    stream: five pinned REAL libwebp-encoded 48x32 vectors (gradient /
     mixed / dense-noise / smooth at qualities 30-90, together
     exercising every coefficient band, whole-block and B_PRED
-    prediction, and the normal loop filter) are decoded per row by the
-    from-scratch RFC 6386 decoder (functions/vp8.py) and reduced to
-    per-image plane sums + a Y-plane sha prefix. The oracle holds the
-    decoded ground truth captured under a libwebp bit-equality assert
-    — this is a real-encoder interop gate on every run, like the
-    libzstd arm of corpus_zstd_ingest.
+    prediction, and the normal loop filter — plus a VP8X still whose
+    compressed ALPH plane drives the headerless-VP8L alpha decoder)
+    are decoded per row by the from-scratch RFC 6386 decoder
+    (functions/vp8.py) and reduced to per-image plane sums (incl. the
+    alpha plane) + a Y-plane sha prefix. The oracle holds the decoded
+    ground truth captured under a libwebp bit-equality assert — this
+    is a real-encoder interop gate on every run, like the libzstd arm
+    of corpus_zstd_ingest.
 
     Scale shape: map-only Arrow decode kernel, one ~7-wide aggregate;
     per-asset cost is the honest unit (pure-Python bit loop, so the
@@ -1610,11 +1648,12 @@ def multimodal_decode_vp8(spark: SparkSession, sf_dir: str) -> DataFrame:
         _vp8_decode_batches,
         schema=(
             "img string, width int, height int, y_sum bigint, "
-            "u_sum bigint, v_sum bigint, y_sha8 string"
+            "u_sum bigint, v_sum bigint, y_sha8 string, a_sum bigint"
         ),
     )
     return per_doc.groupBy(
-        "img", "width", "height", "y_sum", "u_sum", "v_sum", "y_sha8"
+        "img", "width", "height", "y_sum", "u_sum", "v_sum", "y_sha8",
+        "a_sum",
     ).agg(F.count("*").alias("n_assets"))
 
 

@@ -541,9 +541,10 @@ def test_webp_roundtrip_property():
     check()
 
 
-def test_webp_vp8x_is_plug_point_and_torn_vp8_is_error():
-    # round 12: lossy VP8 has a real decoder, so a garbage VP8 body is
-    # a malformed-input ERROR; extended VP8X remains the plug point
+def test_webp_animation_is_plug_point_and_torn_bodies_are_errors():
+    # round 12: lossy VP8 and static VP8X have real decoders, so
+    # garbage bodies are malformed-input ERRORS; only ANIMATED
+    # containers remain a (frame-compositing) plug point
     import pytest
 
     from history_collector_spark.functions.codec_errors import (
@@ -551,18 +552,17 @@ def test_webp_vp8x_is_plug_point_and_torn_vp8_is_error():
     )
     from history_collector_spark.functions.webp import decode_webp
 
-    blob = (
-        b"RIFF\x1c\x00\x00\x00WEBPVP8 "
-        + (16).to_bytes(4, "little") + bytes(16)
-    )
-    with pytest.raises(ImageDecodeError):
-        decode_webp(blob)
-    blob = (
-        b"RIFF\x1c\x00\x00\x00WEBPVP8X"
-        + (16).to_bytes(4, "little") + bytes(16)
-    )
+    for tag in (b"VP8 ", b"VP8X"):
+        blob = (
+            b"RIFF\x1c\x00\x00\x00WEBP" + tag
+            + (16).to_bytes(4, "little") + bytes(16)
+        )
+        with pytest.raises(ImageDecodeError):
+            decode_webp(blob)
+    from history_collector_spark.queries.multimodal import _vp8x_blob
+
     with pytest.raises(NotImplementedError):
-        decode_webp(blob)
+        decode_webp(_vp8x_blob(8, 8, alpha=False))  # animated
 
 
 def test_curation_web_end_to_end_brute_force(spark):

@@ -318,7 +318,7 @@ def test_parse_webp_info_fields():
 
     i = parse_webp_info(_vp8x_blob(1920, 1080, alpha=True))
     assert (i["kind"], i["width"], i["height"]) == ("vp8x", 1920, 1080)
-    assert i["has_alpha"] and not i["has_anim"]
+    assert i["has_alpha"] and i["has_anim"] and i["n_frames"] == 2
 
     px = np.zeros((3, 5, 4), dtype=np.uint8)
     px[:, :, 3] = 200  # non-opaque alpha
@@ -342,7 +342,7 @@ def test_decode_blob_lossy_webp_and_vp8x():
     }
     meta = decode_blob(_vp8x_blob(40, 30, alpha=True))
     assert meta == {
-        "width": 40, "height": 30, "n_frames": 1,
+        "width": 40, "height": 30, "n_frames": 2,
         "decode_status": "ok-meta",
     }
 

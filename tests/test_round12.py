@@ -381,7 +381,9 @@ def test_vp8_pinned_vectors_bit_exact():
         flagship_blob,
     )
 
-    assert FLAGSHIP_NAMES == ("gradient", "mixed", "noise", "smooth")
+    assert FLAGSHIP_NAMES == (
+        "alpha", "gradient", "mixed", "noise", "smooth"
+    )
     for name in FLAGSHIP_NAMES:
         y, u, v = decode_vp8_frame(_vp8_body(flagship_blob(name)))
         st = PINNED_STATS[name]
@@ -708,3 +710,172 @@ def test_ms_adpcm_malformed_total():
     blk = struct.pack("<Bhhh", 9, 16, 0, 0) + b"\x00"
     with _p.raises(AudioDecodeError):
         _decode_ms_adpcm(blk, len(blk), _MS_DEFAULT_COEFS)  # predictor 9
+
+
+# ---------------------------------------------------------------------------
+# VP8X still decode: ALPH alpha plane (raw / headerless-VP8L, 4 filters)
+# ---------------------------------------------------------------------------
+
+
+def _alph_forward_filter(plane, filt):
+    """Encoder-side companion of decode_alpha_chunk's unfilters:
+    residual = value - predictor (mod 256), libwebp prediction
+    geometry (first row horizontal fallback, gradient clip)."""
+    import numpy as np
+
+    h, w = plane.shape
+    out = np.empty_like(plane)
+    p = plane.astype(np.int32)
+    if filt == 1 or filt in (2, 3):
+        pred = 0
+        for x in range(w):
+            out[0, x] = (p[0, x] - pred) & 0xFF
+            pred = p[0, x]
+    if filt == 1:
+        for y in range(1, h):
+            pred = int(p[y - 1, 0])
+            for x in range(w):
+                out[y, x] = (p[y, x] - pred) & 0xFF
+                pred = p[y, x]
+    elif filt == 2:
+        for y in range(1, h):
+            out[y] = ((p[y] - p[y - 1]) & 0xFF).astype(plane.dtype)
+    elif filt == 3:
+        for y in range(1, h):
+            top_left = int(p[y - 1, 0])
+            left = top_left
+            for x in range(w):
+                top = int(p[y - 1, x])
+                g = left + top - top_left
+                g = 0 if g < 0 else 255 if g > 255 else g
+                out[y, x] = (p[y, x] - g) & 0xFF
+                left = int(p[y, x])
+                top_left = top
+    return out
+
+
+def test_alpha_chunk_raw_method_all_filters_roundtrip():
+    import numpy as np
+
+    from history_collector_spark.functions.webp import decode_alpha_chunk
+
+    rng = np.random.default_rng(121)
+    for h, w in ((1, 1), (3, 9), (8, 8), (11, 5)):
+        plane = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        for filt in range(4):
+            resid = (
+                plane if filt == 0 else _alph_forward_filter(plane, filt)
+            )
+            body = bytes([filt << 2]) + resid.tobytes()
+            back = decode_alpha_chunk(body, w, h)
+            assert np.array_equal(back, plane), (h, w, filt)
+
+
+def test_alpha_chunk_malformed():
+    from history_collector_spark.functions.codec_errors import (
+        ImageDecodeError,
+    )
+    from history_collector_spark.functions.webp import decode_alpha_chunk
+
+    with pytest.raises(ImageDecodeError):
+        decode_alpha_chunk(b"", 4, 4)
+    with pytest.raises(ImageDecodeError):
+        decode_alpha_chunk(b"\x00" + b"x" * 10, 4, 4)  # raw truncated
+    with pytest.raises(ImageDecodeError):
+        decode_alpha_chunk(b"\x02" + b"x" * 16, 4, 4)  # bad method
+    with pytest.raises(NotImplementedError):
+        decode_alpha_chunk(b"\x10" + b"x" * 16, 4, 4)  # preprocessed
+    with pytest.raises(ImageDecodeError):
+        decode_alpha_chunk(b"\x01\xff", 4, 4)  # torn VP8L alpha stream
+
+
+@pytest.mark.skipif(_load_libwebp() is None, reason="libwebp unavailable")
+def test_vp8x_alpha_interop_bit_exact():
+    """Fresh lossy-with-alpha encodes (VP8X + compressed ALPH + VP8):
+    our alpha plane must equal libwebp's RGBA alpha channel exactly,
+    and the luma/chroma planes must equal WebPDecodeYUV — proving the
+    lossy sub-stream decode is unaffected by the container."""
+    import ctypes
+
+    import numpy as np
+
+    from history_collector_spark.functions.vp8 import decode_vp8_frame
+    from history_collector_spark.functions.webp import decode_webp
+
+    lw = _load_libwebp()
+    lw.WebPEncodeRGBA.restype = ctypes.c_size_t
+    lw.WebPEncodeRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+    ]
+    lw.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_uint8)
+    lw.WebPDecodeRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    rng = np.random.default_rng(77)
+    for (h, w), q in (((24, 36), 75.0), ((13, 21), 40.0), ((17, 33), 95.0)):
+        px = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+        px[..., 3] = (
+            (np.arange(h)[:, None] * 9 + np.arange(w)[None, :] * 5) % 256
+        ).astype(np.uint8)
+        out = ctypes.POINTER(ctypes.c_uint8)()
+        n = lw.WebPEncodeRGBA(px.tobytes(), w, h, w * 4, q,
+                              ctypes.byref(out))
+        assert n > 0
+        data = ctypes.string_at(out, n)
+        lw.WebPFree(out)
+        W = ctypes.c_int()
+        H = ctypes.c_int()
+        rp = lw.WebPDecodeRGBA(data, len(data), ctypes.byref(W),
+                               ctypes.byref(H))
+        ref = np.ctypeslib.as_array(rp, (H.value, W.value, 4)).copy()
+        lw.WebPFree(rp)
+        mine = decode_webp(data)
+        assert mine.shape == ref.shape
+        assert np.array_equal(mine[:, :, 3], ref[:, :, 3])
+        # sub-stream parity at the YUV level
+        pos = 12
+        while pos + 8 <= len(data):
+            tag = data[pos : pos + 4]
+            clen = int.from_bytes(data[pos + 4 : pos + 8], "little")
+            if tag == b"VP8 ":
+                body = data[pos + 8 : pos + 8 + clen]
+                break
+            pos += 8 + clen + (clen & 1)
+        my_y, my_u, my_v = decode_vp8_frame(body)
+        ry, ru, rv = _ref_yuv(lw, data)
+        assert np.array_equal(my_y, ry)
+        assert np.array_equal(my_u, ru)
+        assert np.array_equal(my_v, rv)
+
+
+def _ref_yuv(lw, webp):
+    import ctypes
+
+    import numpy as np
+
+    lw.WebPDecodeYUV.restype = ctypes.POINTER(ctypes.c_uint8)
+    lw.WebPDecodeYUV.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    up = ctypes.POINTER(ctypes.c_uint8)()
+    vp = ctypes.POINTER(ctypes.c_uint8)()
+    stride = ctypes.c_int()
+    uvs = ctypes.c_int()
+    yp = lw.WebPDecodeYUV(webp, len(webp), ctypes.byref(w), ctypes.byref(h),
+                          ctypes.byref(up), ctypes.byref(vp),
+                          ctypes.byref(stride), ctypes.byref(uvs))
+    assert yp
+    cw, ch = (w.value + 1) // 2, (h.value + 1) // 2
+    y = np.ctypeslib.as_array(yp, (h.value, stride.value))[:, : w.value].copy()
+    u = np.ctypeslib.as_array(up, (ch, uvs.value))[:, :cw].copy()
+    v = np.ctypeslib.as_array(vp, (ch, uvs.value))[:, :cw].copy()
+    lw.WebPFree(yp)
+    return y, u, v
