@@ -1,0 +1,170 @@
+"""MPEG audio (MP3) frame-header metadata parser — metadata-grade arm.
+
+Real crawls carry MP3 payloads whose FULL decode (hybrid filterbank,
+Huffman spectral data) is out of scope, but whose container facts a
+curation pipeline filters on — duration, bitrate profile, sample
+rate, channel mode, CBR/VBR — are all recoverable from the 4-byte
+frame headers alone (ISO/IEC 11172-3 §2.4.1; the public header layout
+and bitrate/sample-rate tables below). Same posture as
+``parse_webp_info`` for animated WebP: classify and size the asset
+honestly instead of charging it as an error, while sample decode
+stays a documented plug point.
+
+Parsing walks physical frames: optional ID3v2 tag skip (syncsafe
+size), then per-frame sync validation and the exact frame-length
+arithmetic (slot size and samples-per-frame by version x layer).
+Malformed payloads raise AudioDecodeError; trailing garbage after the
+last whole frame is tolerated up to one frame-length (real files end
+with ID3v1 tags or padding).
+"""
+
+from __future__ import annotations
+
+from history_collector_spark.functions.codec_errors import AudioDecodeError
+
+# bitrate tables in kbps, index 1..14 (0 = free-format, 15 = invalid)
+_BITRATES = {
+    # (mpeg1?, layer): tuple of 14 rates
+    (True, 1): (32, 64, 96, 128, 160, 192, 224, 256,
+                288, 320, 352, 384, 416, 448),
+    (True, 2): (32, 48, 56, 64, 80, 96, 112, 128,
+                160, 192, 224, 256, 320, 384),
+    (True, 3): (32, 40, 48, 56, 64, 80, 96, 112,
+                128, 160, 192, 224, 256, 320),
+    (False, 1): (32, 48, 56, 64, 80, 96, 112, 128,
+                 144, 160, 176, 192, 224, 256),
+    (False, 2): (8, 16, 24, 32, 40, 48, 56, 64,
+                 80, 96, 112, 128, 144, 160),
+    (False, 3): (8, 16, 24, 32, 40, 48, 56, 64,
+                 80, 96, 112, 128, 144, 160),
+}
+# sample rates by (version_bits, sr_index)
+_SAMPLE_RATES = {
+    3: (44100, 48000, 32000),   # MPEG-1
+    2: (22050, 24000, 16000),   # MPEG-2
+    0: (11025, 12000, 8000),    # MPEG-2.5
+}
+_CHANNEL_MODES = ("stereo", "joint_stereo", "dual_channel", "mono")
+
+
+def _id3v2_size(data: bytes) -> int:
+    """Bytes to skip for a leading ID3v2 tag (0 if none)."""
+    if len(data) < 10 or data[:3] != b"ID3":
+        return 0
+    if any(b & 0x80 for b in data[6:10]):
+        raise AudioDecodeError("ID3v2 size is not syncsafe")
+    size = (
+        (data[6] << 21) | (data[7] << 14) | (data[8] << 7) | data[9]
+    )
+    footer = 10 if data[5] & 0x10 else 0
+    return 10 + size + footer
+
+
+def parse_mp3_frame_header(b: bytes):
+    """One 4-byte header -> (version_bits, layer, bitrate_kbps,
+    sample_rate, padding, channel_mode, frame_bytes, samples)."""
+    if len(b) < 4:
+        raise AudioDecodeError("MP3 frame header truncated")
+    if b[0] != 0xFF or (b[1] & 0xE0) != 0xE0:
+        raise AudioDecodeError("bad MP3 frame sync")
+    ver = (b[1] >> 3) & 3
+    if ver == 1:
+        raise AudioDecodeError("reserved MPEG version")
+    layer = 4 - ((b[1] >> 1) & 3)  # bits 3/2/1 -> layer I/II/III
+    if layer == 4:
+        raise AudioDecodeError("reserved MPEG layer")
+    br_idx = (b[2] >> 4) & 0xF
+    if br_idx == 0:
+        raise AudioDecodeError("free-format bitrate not supported")
+    if br_idx == 15:
+        raise AudioDecodeError("invalid bitrate index")
+    sr_idx = (b[2] >> 2) & 3
+    if sr_idx == 3:
+        raise AudioDecodeError("invalid sample-rate index")
+    mpeg1 = ver == 3
+    bitrate = _BITRATES[(mpeg1, layer)][br_idx - 1]
+    rate = _SAMPLE_RATES[ver][sr_idx]
+    padding = (b[2] >> 1) & 1
+    mode = _CHANNEL_MODES[(b[3] >> 6) & 3]
+    if layer == 1:
+        samples = 384
+        frame = (12 * bitrate * 1000 // rate + padding) * 4
+    elif layer == 2:
+        samples = 1152
+        frame = 144 * bitrate * 1000 // rate + padding
+    else:  # layer III
+        samples = 1152 if mpeg1 else 576
+        per = 144 if mpeg1 else 72
+        frame = per * bitrate * 1000 // rate + padding
+    return ver, layer, bitrate, rate, padding, mode, frame, samples
+
+
+def parse_mp3_info(data: bytes) -> dict:
+    """MP3 payload -> {n_frames, sample_rate, channel_mode, layer,
+    mpeg1, bitrate_kbps (max seen), vbr, duration_us, id3v2_bytes}.
+
+    Every frame's header is validated and stepped exactly; mixed
+    sample rates / layers across frames are malformed (real encoders
+    never change them mid-stream)."""
+    skip = _id3v2_size(data)
+    pos = skip
+    if pos >= len(data):
+        raise AudioDecodeError("no MP3 frames after ID3v2 tag")
+    n_frames = 0
+    total_samples = 0
+    rate = layer = ver = mode = None
+    bitrates = set()
+    while pos + 4 <= len(data):
+        b = data[pos : pos + 4]
+        if b[0] != 0xFF or (b[1] & 0xE0) != 0xE0:
+            break  # trailing tag / junk after the last whole frame
+        v, lay, br, r, _pad, m, frame, samples = parse_mp3_frame_header(b)
+        if rate is None:
+            ver, layer, rate, mode = v, lay, r, m
+        elif (v, lay, r) != (ver, layer, rate):
+            raise AudioDecodeError("MP3 stream parameters change mid-file")
+        if pos + frame > len(data):
+            raise AudioDecodeError("MP3 final frame truncated")
+        bitrates.add(br)
+        n_frames += 1
+        total_samples += samples
+        pos += frame
+    if n_frames == 0:
+        raise AudioDecodeError("no valid MP3 frames")
+    tail = len(data) - pos
+    if tail > 1445:  # longest possible frame: junk, not a tag
+        raise AudioDecodeError(f"{tail} bytes of non-frame data")
+    return {
+        "n_frames": n_frames,
+        "sample_rate": rate,
+        "channel_mode": mode,
+        "layer": layer,
+        "mpeg1": ver == 3,
+        "bitrate_kbps": max(bitrates),
+        "vbr": len(bitrates) > 1,
+        "duration_us": total_samples * 1_000_000 // rate,
+        "id3v2_bytes": skip,
+    }
+
+
+def build_mp3(n_frames: int, bitrate_kbps: int = 128,
+              sample_rate: int = 44100, mono: bool = False,
+              id3_payload: bytes = b"") -> bytes:
+    """Assemble a structurally valid MPEG-1 Layer III stream (zeroed
+    side-info/spectral payload — a metadata fixture, not playable
+    audio) with an optional ID3v2 tag. Exact inverse of
+    :func:`parse_mp3_info` for fixture arithmetic."""
+    idx = _BITRATES[(True, 3)].index(bitrate_kbps) + 1
+    sr_idx = _SAMPLE_RATES[3].index(sample_rate)
+    b1 = 0xE0 | (3 << 3) | (1 << 1) | 1  # MPEG-1, layer III, no CRC
+    b2 = (idx << 4) | (sr_idx << 2)
+    b3 = (3 << 6) if mono else 0
+    frame_len = 144 * bitrate_kbps * 1000 // sample_rate
+    frame = bytes([0xFF, b1, b2, b3]) + bytes(frame_len - 4)
+    out = b""
+    if id3_payload:
+        size = len(id3_payload)
+        ss = bytes([(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+                    (size >> 7) & 0x7F, size & 0x7F])
+        out += b"ID3\x04\x00\x00" + ss + id3_payload
+    return out + frame * n_frames

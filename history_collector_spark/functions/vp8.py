@@ -158,8 +158,8 @@ class _FrameHeader:
         "seg_enabled", "seg_update_map", "seg_abs", "seg_quant",
         "seg_lf", "seg_tree_probs", "filter_simple", "filter_level",
         "sharpness", "lf_delta_enabled", "ref_lf_deltas",
-        "mode_lf_deltas", "n_parts", "quant", "skip_enabled",
-        "prob_skip_false", "coeff_probs",
+        "mode_lf_deltas", "n_parts", "quant", "quant_indices",
+        "skip_enabled", "prob_skip_false", "coeff_probs",
     )
 
 
@@ -249,6 +249,10 @@ def _parse_headers(body: bytes):
     y2ac_d = bd.signed_literal(4) if bd.get(128) else 0
     uvdc_d = bd.signed_literal(4) if bd.get(128) else 0
     uvac_d = bd.signed_literal(4) if bd.get(128) else 0
+    # raw indices kept for the re-packer (functions/vp8_repack.py)
+    hdr.quant_indices = (
+        y_ac_qi, (y1dc_d, y2dc_d, y2ac_d, uvdc_d, uvac_d)
+    )
 
     quants = []
     for seg in range(4):

@@ -377,3 +377,130 @@ def multimodal_exif_tiff_metadata(
         F.sum("width").alias("sum_width"),
         F.max("height").alias("max_height"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MP3 frame-header metadata ingest: the metadata-grade audio arm
+# (functions/mp3.py) — duration/bitrate/channel facts from physical
+# frame walking, full sample decode stays the documented plug point.
+# ---------------------------------------------------------------------------
+
+_MP3_BITRATES = (64, 128, 192, 320)
+_MP3_RATES = (44100, 48000, 32000)
+_MP3_ERR_MOD = 19
+
+
+def _mp3_batches(batches):
+    import pandas as pd
+
+    from history_collector_spark.functions.codec_errors import (
+        MediaDecodeError,
+    )
+    from history_collector_spark.functions.mp3 import (
+        build_mp3,
+        parse_mp3_info,
+    )
+
+    for pdf in batches:
+        out = {
+            "doc_id": [], "status": [], "channel_mode": [],
+            "n_frames": [], "sample_rate": [], "bitrate_kbps": [],
+            "duration_us": [], "id3v2_bytes": [],
+        }
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            nf = 8 + d % 24
+            br = _MP3_BITRATES[d % 4]
+            sr = _MP3_RATES[d % 3]
+            id3 = b"t" * (40 + d % 50) if d % 3 == 0 else b""
+            blob = build_mp3(nf, br, sr, mono=bool(d % 2),
+                             id3_payload=id3)
+            if d % _MP3_ERR_MOD == 0:
+                blob = b"\x00" + blob[1:]  # torn sync / torn ID3 magic
+            out["doc_id"].append(d)
+            try:
+                info = parse_mp3_info(blob)
+                out["status"].append("ok")
+                out["channel_mode"].append(info["channel_mode"])
+                out["n_frames"].append(info["n_frames"])
+                out["sample_rate"].append(info["sample_rate"])
+                out["bitrate_kbps"].append(info["bitrate_kbps"])
+                out["duration_us"].append(info["duration_us"])
+                out["id3v2_bytes"].append(info["id3v2_bytes"])
+            except MediaDecodeError:
+                out["status"].append("error")
+                out["channel_mode"].append(None)
+                for k in ("n_frames", "sample_rate", "bitrate_kbps",
+                          "duration_us", "id3v2_bytes"):
+                    out[k].append(None)
+        yield pd.DataFrame(
+            {
+                "doc_id": out["doc_id"],
+                "status": out["status"],
+                "channel_mode": out["channel_mode"],
+                **{
+                    k: pd.array(out[k], dtype="Int64")
+                    for k in ("n_frames", "sample_rate", "bitrate_kbps",
+                              "duration_us", "id3v2_bytes")
+                },
+            }
+        )
+
+
+@register(
+    "multimodal_mp3_meta",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id,
+             8 + doc_id % 24 AS nf,
+             [64, 128, 192, 320][CAST(doc_id % 4 AS INT) + 1] AS br,
+             [44100, 48000, 32000][CAST(doc_id % 3 AS INT) + 1] AS sr,
+             CASE WHEN doc_id % 3 = 0
+                  THEN 10 + 40 + doc_id % 50 ELSE 0 END AS id3,
+             doc_id % 2 = 1 AS mono,
+             doc_id % {_MP3_ERR_MOD} = 0 AS err
+      FROM documents
+    )
+    SELECT doc_id,
+      CASE WHEN err THEN 'error' ELSE 'ok' END AS status,
+      CASE WHEN err THEN NULL
+           WHEN mono THEN 'mono' ELSE 'stereo' END AS channel_mode,
+      CASE WHEN err THEN NULL ELSE CAST(nf AS BIGINT) END AS n_frames,
+      CASE WHEN err THEN NULL ELSE CAST(sr AS BIGINT) END
+        AS sample_rate,
+      CASE WHEN err THEN NULL ELSE CAST(br AS BIGINT) END
+        AS bitrate_kbps,
+      CASE WHEN err THEN NULL
+           ELSE CAST(nf AS BIGINT) * 1152 * 1000000 // sr END
+        AS duration_us,
+      CASE WHEN err THEN NULL ELSE CAST(id3 AS BIGINT) END
+        AS id3v2_bytes
+    FROM g
+    """,
+)
+def multimodal_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 metadata-grade ingest through the from-scratch frame-header
+    walker (functions/mp3.py, ISO/IEC 11172-3 header layout + the
+    published bitrate/sample-rate tables): per asset, the facts an
+    audio curation pass filters on — physical frame count, sample
+    rate, channel mode, bitrate, EXACT duration from
+    samples-per-frame arithmetic, and the skipped ID3v2 tag size. A
+    deterministic 1/19 of blobs arrive with torn sync bytes and must
+    land as status='error' rows (graceful-degradation contract);
+    streams rotate MPEG-1 Layer III bitrates/rates/channel modes and
+    every third asset carries a syncsafe-sized ID3v2 tag the walker
+    must skip exactly. The oracle restates every field closed-form
+    from the generator arithmetic — frame-length or ID3-skip drift of
+    a single byte flips a row.
+
+    Scale shape: map-only Arrow kernel, zero exchange; per-asset work
+    is linear in frame count (header hops, no payload reads)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        _mp3_batches,
+        schema=(
+            "doc_id bigint, status string, channel_mode string,"
+            " n_frames bigint, sample_rate bigint, bitrate_kbps bigint,"
+            " duration_us bigint, id3v2_bytes bigint"
+        ),
+    )

@@ -296,7 +296,12 @@ PRIORITY_QUERIES = (
     "corpus_zstd_ingest",
     "streaming_gapless_e2e",
     "streaming_jdbc_e2e",
-    "eval_win_rate_matrix",
+    # round-12 build: MP3 frame-header metadata ingest (ID3v2 skip +
+    # exact frame-length arithmetic, torn-sync error rows) takes the
+    # win-rate seat — eval keeps mcnemar/fleiss/mrr in-window;
+    # eval_win_rate_matrix was driver-green r10+r11 and stays locally
+    # oracle-verified every run
+    "multimodal_mp3_meta",
     # round-10 build, crawl tier: RFC 9309 robots evaluation takes the
     # cluster-representative seat (dedup keeps minhash_lsh in-window;
     # cluster_representative stays locally oracle-verified every run)

@@ -879,3 +879,240 @@ def _ref_yuv(lw, webp):
     v = np.ctypeslib.as_array(vp, (ch, uvs.value))[:, :cw].copy()
     lw.WebPFree(yp)
     return y, u, v
+
+
+# ---------------------------------------------------------------------------
+# VP8 stream re-packer (functions/vp8_repack.py): writer-side coverage
+# for decoder paths the reference encoder's simple API never emits
+# (multi-partition token streams, added segmentation maps, zero-delta
+# loop-filter adjustment headers)
+# ---------------------------------------------------------------------------
+
+
+def test_bool_encoder_roundtrip_property():
+    import numpy as np
+
+    from history_collector_spark.functions.vp8 import BoolDecoder
+    from history_collector_spark.functions.vp8_repack import BoolEncoder
+
+    rng = np.random.default_rng(3)
+    for _ in range(120):
+        n = int(rng.integers(1, 500))
+        seq = [
+            (int(rng.integers(1, 255)), int(rng.integers(0, 2)))
+            for _ in range(n)
+        ]
+        be = BoolEncoder()
+        for p, b in seq:
+            be.put(p, b)
+        bd = BoolDecoder(be.flush())
+        for p, b in seq:
+            assert bd.get(p) == b
+
+
+def test_repack_pixel_identity_matrix():
+    """Every packaging variant of the pinned vectors decodes to
+    byte-identical planes: 1/2/4/8 token partitions, an added
+    round-robin segmentation map (all segments on the base
+    quantizer), and an added zero-delta loop-filter header."""
+    import numpy as np
+
+    from history_collector_spark.functions.vp8 import decode_vp8_frame
+    from history_collector_spark.functions.vp8_fixtures import flagship_blob
+    from history_collector_spark.functions.vp8_repack import repack_vp8
+
+    from history_collector_spark.functions.vp8 import parse_frame_header
+
+    for name in ("noise", "gradient", "mixed"):
+        body = _vp8_body(flagship_blob(name))
+        orig = decode_vp8_frame(body)
+        segmented = bool(parse_frame_header(body).seg_enabled)
+        for nparts in (1, 2, 4, 8):
+            for seg in ((False,) if segmented else (False, True)):
+                for lfd in (False, True):
+                    rb = repack_vp8(body, nparts=nparts,
+                                    add_segmentation=seg,
+                                    add_lf_deltas=lfd)
+                    out = decode_vp8_frame(rb)
+                    for a, b in zip(orig, out):
+                        assert np.array_equal(a, b), (name, nparts, seg,
+                                                      lfd)
+
+
+def test_repack_partition_structure():
+    """The emitted stream really has N token partitions (size trailer
+    present and consistent) and a parseable header."""
+    from history_collector_spark.functions.vp8 import parse_frame_header
+    from history_collector_spark.functions.vp8_fixtures import flagship_blob
+    from history_collector_spark.functions.vp8_repack import repack_vp8
+
+    body = _vp8_body(flagship_blob("noise"))
+    for nparts in (2, 4, 8):
+        rb = repack_vp8(body, nparts=nparts)
+        hdr = parse_frame_header(rb)
+        assert hdr.n_parts == nparts
+        rest = rb[10 + hdr.first_part_size :]
+        offs = 3 * (nparts - 1)
+        for i in range(nparts - 1):
+            sz = int.from_bytes(rest[3 * i : 3 * i + 3], "little")
+            assert sz > 0
+            offs += sz
+        assert offs < len(rest)  # last partition is non-empty
+
+
+def test_repack_segmented_input_reemits():
+    """An input that already carries segmentation re-emits it
+    verbatim (pixel-identical); adding a second map is refused."""
+    import numpy as np
+
+    from history_collector_spark.functions.vp8 import (
+        decode_vp8_frame,
+        parse_frame_header,
+    )
+    from history_collector_spark.functions.vp8_fixtures import flagship_blob
+    from history_collector_spark.functions.vp8_repack import repack_vp8
+
+    body = _vp8_body(flagship_blob("noise"))
+    seg_stream = repack_vp8(body, nparts=2, add_segmentation=True)
+    assert parse_frame_header(seg_stream).seg_enabled
+    orig = decode_vp8_frame(body)
+    re2 = repack_vp8(seg_stream, nparts=4)  # re-pack the segmented one
+    out = decode_vp8_frame(re2)
+    for a, b in zip(orig, out):
+        assert np.array_equal(a, b)
+    with pytest.raises(ValueError):
+        repack_vp8(seg_stream, add_segmentation=True)
+
+
+@pytest.mark.skipif(_load_libwebp() is None, reason="libwebp unavailable")
+def test_repack_streams_decode_in_libwebp():
+    """The REAL libwebp must decode our re-emitted bytes to the same
+    planes — the writer-side half of the interop proof (the reader
+    half is the fresh-encode tests above)."""
+    import numpy as np
+
+    from history_collector_spark.functions.vp8 import decode_vp8_frame
+    from history_collector_spark.functions.vp8_fixtures import flagship_blob
+    from history_collector_spark.functions.vp8_repack import repack_vp8
+
+    lw = _load_libwebp()
+
+    def wrap(b):
+        chunk = (b"VP8 " + len(b).to_bytes(4, "little") + b
+                 + (b"\x00" if len(b) & 1 else b""))
+        return (b"RIFF" + (4 + len(chunk)).to_bytes(4, "little")
+                + b"WEBP" + chunk)
+
+    from history_collector_spark.functions.vp8 import parse_frame_header
+
+    for name in ("noise", "smooth"):
+        body = _vp8_body(flagship_blob(name))
+        orig = decode_vp8_frame(body)
+        segmented = bool(parse_frame_header(body).seg_enabled)
+        for nparts in (2, 8):
+            for seg in ((False,) if segmented else (False, True)):
+                rb = repack_vp8(body, nparts=nparts,
+                                add_segmentation=seg,
+                                add_lf_deltas=True)
+                ry, ru, rv = _ref_yuv(lw, wrap(rb))
+                assert np.array_equal(ry, orig[0]), (name, nparts, seg)
+                assert np.array_equal(ru, orig[1])
+                assert np.array_equal(rv, orig[2])
+
+
+# ---------------------------------------------------------------------------
+# MP3 frame-header metadata walker (functions/mp3.py)
+# ---------------------------------------------------------------------------
+
+
+def test_mp3_classic_header_constants():
+    """The famous 0xFFFB9000 header: MPEG-1 Layer III, 128 kbps,
+    44100 Hz, stereo, 417-byte frames, 1152 samples — textbook
+    values; the padded twin is 418."""
+    from history_collector_spark.functions.mp3 import (
+        parse_mp3_frame_header,
+    )
+
+    v = parse_mp3_frame_header(bytes([0xFF, 0xFB, 0x90, 0x00]))
+    assert v == (3, 3, 128, 44100, 0, "stereo", 417, 1152)
+    v = parse_mp3_frame_header(bytes([0xFF, 0xFB, 0x92, 0x00]))
+    assert v[6] == 418
+    # MPEG-2 Layer III halves the samples per frame
+    v = parse_mp3_frame_header(bytes([0xFF, 0xF3, 0x90, 0x00]))
+    assert v[0] == 2 and v[7] == 576 and v[3] == 22050
+
+
+def test_mp3_build_parse_roundtrip():
+    from history_collector_spark.functions.mp3 import (
+        build_mp3,
+        parse_mp3_info,
+    )
+
+    for nf, br, sr, mono, id3 in (
+        (10, 128, 44100, False, b""),
+        (3, 320, 48000, True, b"x" * 300),
+        (57, 64, 32000, False, b"tag" * 100),
+        (1, 32, 44100, True, b""),
+    ):
+        info = parse_mp3_info(build_mp3(nf, br, sr, mono, id3))
+        assert info["n_frames"] == nf
+        assert info["bitrate_kbps"] == br and not info["vbr"]
+        assert info["sample_rate"] == sr
+        assert info["channel_mode"] == ("mono" if mono else "stereo")
+        assert info["duration_us"] == nf * 1152 * 1_000_000 // sr
+        assert info["id3v2_bytes"] == (10 + len(id3) if id3 else 0)
+
+
+def test_mp3_vbr_and_param_change():
+    from history_collector_spark.functions.codec_errors import (
+        AudioDecodeError,
+    )
+    from history_collector_spark.functions.mp3 import (
+        build_mp3,
+        parse_mp3_info,
+    )
+
+    vbr = build_mp3(2, 128, 44100) + build_mp3(2, 64, 44100)
+    info = parse_mp3_info(vbr)
+    assert info["vbr"] and info["bitrate_kbps"] == 128
+    assert info["n_frames"] == 4
+    with pytest.raises(AudioDecodeError):
+        parse_mp3_info(build_mp3(2, 128, 44100)
+                       + build_mp3(2, 128, 48000))  # rate change
+
+
+def test_mp3_malformed_total():
+    import numpy as np
+
+    from history_collector_spark.functions.codec_errors import (
+        AudioDecodeError,
+    )
+    from history_collector_spark.functions.mp3 import (
+        build_mp3,
+        parse_mp3_info,
+    )
+
+    good = build_mp3(6, 192, 48000, id3_payload=b"meta" * 20)
+    rng = np.random.default_rng(17)
+    ok = err = 0
+    for _ in range(300):
+        b = bytearray(good)
+        k = int(rng.integers(0, 3))
+        if k == 0:
+            b = b[: int(rng.integers(0, len(b)))]
+        elif k == 1:
+            i = int(rng.integers(0, len(b)))
+            b[i] ^= 1 << int(rng.integers(0, 8))
+        else:
+            i = int(rng.integers(0, len(b)))
+            del b[i : i + int(rng.integers(1, 64))]
+        try:
+            info = parse_mp3_info(bytes(b))
+            assert info["n_frames"] >= 1
+            ok += 1
+        except AudioDecodeError:
+            err += 1
+    assert ok + err == 300
+    # ID3-only payload has no frames
+    with pytest.raises(AudioDecodeError):
+        parse_mp3_info(b"ID3\x04\x00\x00\x00\x00\x00\x05abcde")
