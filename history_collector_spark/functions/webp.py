@@ -8,8 +8,11 @@ crawls, and its lossless half is tractable in pure Python.
 Implemented per the public WebP Lossless Bitstream Specification
 (RFC 9649). Decoder coverage:
 
-- RIFF container framing ('VP8L' chunk; lossy 'VP8 ' and extended
-  'VP8X' remain NotImplementedError plug points),
+- RIFF container framing: 'VP8L' lossless here; lossy 'VP8 ' key
+  frames decode via the from-scratch RFC 6386 decoder in
+  functions/vp8.py, and extended 'VP8X' stills (incl. the ALPH alpha
+  plane, raw or headerless-VP8L) decode below — only ANIMATED
+  containers remain a NotImplementedError plug point,
 - LSB-first bitstream, canonical prefix codes (simple 1/2-symbol and
   normal code-length-coded forms, incl. 16/17/18 repeat codes and the
   optional max_symbol short-circuit),
@@ -789,11 +792,12 @@ def parse_webp_info(data: bytes) -> dict:
     n_frames. Dimensions come from the real headers — VP8L's 14-bit
     packed dims, the VP8 keyframe start code + 14-bit dims (RFC 6386
     §9.1), VP8X's 24-bit canvas dims — and animation frames are
-    counted from ANMF chunks. This is the metadata-grade arm for the
-    formats whose pixel decode is a plug point (lossy VP8 pixels,
-    VP8X sub-streams): a crawl yield scorecard can classify and size
-    the dominant real-crawl WebP share honestly instead of charging
-    it as an error. Raises ImageDecodeError on malformed containers."""
+    counted from ANMF chunks. Since round 12 the pixel decoders cover
+    everything except animation, so this metadata-grade arm's
+    remaining pixel-less customer is the ANIMATED container (classify
+    and size it honestly instead of charging it as an error); it also
+    stays the cheap classify-before-decode pass for the rest.
+    Raises ImageDecodeError on malformed containers."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ImageDecodeError("not a WebP payload")
     riff_len = int.from_bytes(data[4:8], "little")
