@@ -271,13 +271,19 @@ def _write_block(be, probs, first_coeff, ctx, levels):
 
 def repack_vp8(body: bytes, nparts: int = 1,
                add_segmentation: bool = False,
-               add_lf_deltas: bool = False) -> bytes:
+               add_lf_deltas: bool = False,
+               force_simple_filter: bool = False) -> bytes:
     """Parse a key-frame payload and re-emit it with ``nparts`` token
     partitions (1/2/4/8), optionally adding a round-robin
     segmentation map whose four segments all carry the base quantizer
     (decode-identical pixels, real segment-tree bits) and a zero-delta
-    loop-filter adjustment header. The input must itself decode
-    cleanly."""
+    loop-filter adjustment header. ``force_simple_filter`` flips the
+    header's filter-type bit to the SIMPLE loop filter — the one
+    packaging change that is NOT pixel-identical to the input (the
+    simple filter smooths differently); its value is that libwebp and
+    functions/vp8.py must still agree on the result bit-for-bit,
+    covering the simple-filter path no reference encoder emits. The
+    input must itself decode cleanly."""
     if nparts not in (1, 2, 4, 8):
         raise ValueError("nparts must be 1, 2, 4 or 8")
     hdr, bd, (mb_w, mb_h) = _parse_headers(body)
@@ -351,7 +357,7 @@ def repack_vp8(body: bytes, nparts: int = 1,
                         be.literal(pval, 8)
                     else:
                         be.put(128, 0)
-    be.put(128, hdr.filter_simple)
+    be.put(128, 1 if force_simple_filter else hdr.filter_simple)
     be.literal(hdr.filter_level, 6)
     be.literal(hdr.sharpness, 3)
     if add_lf_deltas and not hdr.lf_delta_enabled:

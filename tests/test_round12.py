@@ -1116,3 +1116,57 @@ def test_mp3_malformed_total():
     # ID3-only payload has no frames
     with pytest.raises(AudioDecodeError):
         parse_mp3_info(b"ID3\x04\x00\x00\x00\x00\x00\x05abcde")
+
+
+def test_repack_simple_filter_pinned():
+    """force_simple_filter flips the header to the SIMPLE loop filter
+    — the path no reference encoder emits. The decoded planes of the
+    repacked 'noise' vector are pinned (captured under a libwebp
+    bit-equality assert) and must differ from the normal-filter
+    original, proving the path really ran."""
+    import hashlib
+
+    import numpy as np
+
+    from history_collector_spark.functions.vp8 import (
+        decode_vp8_frame,
+        parse_frame_header,
+    )
+    from history_collector_spark.functions.vp8_fixtures import flagship_blob
+    from history_collector_spark.functions.vp8_repack import repack_vp8
+
+    body = _vp8_body(flagship_blob("noise"))
+    rb = repack_vp8(body, nparts=4, force_simple_filter=True)
+    assert parse_frame_header(rb).filter_simple == 1
+    y, u, v = decode_vp8_frame(rb)
+    assert int(y.astype(np.int64).sum()) == 191279
+    assert int(u.astype(np.int64).sum()) == 48775
+    assert int(v.astype(np.int64).sum()) == 49224
+    assert hashlib.sha256(y.tobytes()).hexdigest()[:8] == "0700e3cc"
+    oy, _, _ = decode_vp8_frame(body)
+    assert not np.array_equal(y, oy)
+
+
+@pytest.mark.skipif(_load_libwebp() is None, reason="libwebp unavailable")
+def test_repack_simple_filter_matches_libwebp():
+    import numpy as np
+
+    from history_collector_spark.functions.vp8 import decode_vp8_frame
+    from history_collector_spark.functions.vp8_fixtures import flagship_blob
+    from history_collector_spark.functions.vp8_repack import repack_vp8
+
+    lw = _load_libwebp()
+
+    def wrap(b):
+        chunk = (b"VP8 " + len(b).to_bytes(4, "little") + b
+                 + (b"\x00" if len(b) & 1 else b""))
+        return (b"RIFF" + (4 + len(chunk)).to_bytes(4, "little")
+                + b"WEBP" + chunk)
+
+    for name in ("noise", "smooth", "gradient"):
+        body = _vp8_body(flagship_blob(name))
+        rb = repack_vp8(body, nparts=2, force_simple_filter=True)
+        mine = decode_vp8_frame(rb)
+        ref = _ref_yuv(lw, wrap(rb))
+        for a, b in zip(mine, ref):
+            assert np.array_equal(a, b), name
