@@ -193,188 +193,112 @@ _LOADED = False
 # oracle-verified on every pytest/driver-sim run.
 PRIORITY_QUERIES = (
     "account_history",
-    # round-12 rotation (VERDICT r11 item 1: 155/359 queries had never
-    # appeared in ANY r1-r11 driver window; the tripwire demands >=10
-    # fresh names): 14 never-driver-sampled rows rotate in — TPC-H
-    # Q17 (correlated avg) and Q18 (having-in) built in r11, the
-    # Snappy shard ingest, the DP count release, the salted skew-join
-    # enrich, the Pareto frontier, semantic (embedding-cosine) dedup,
-    # the n-gram language identifier, exact triangle counting,
-    # proportional stratified sampling, the Markov stationary
-    # distribution (oracle-ized in r11), binary-segmentation
-    # changepoints (oracle-ized in r11), the video shot-boundary
-    # detector (the last slope-watch row — sampled deliberately), and
-    # the EXACT-vs-sketch aggregate panel. Retired seats all keep
+    # Round-13 rotation (VERDICT r12 item 1: 141/362 queries had never
+    # appeared in ANY r1-r12 driver window; the tripwire demands >=10
+    # fresh names): 13 never-driver-sampled rows rotate in — TPC-H Q3
+    # (shipping priority, the classic 3-table join-agg-top10), the
+    # JSONL shard ingest, image patch statistics, the dedup threshold
+    # sweep (precision/recall vs Jaccard cutoff), int8 embedding
+    # quantization, calibration reliability bins, the Zipf rank-
+    # frequency fit, tokenizer vocab coverage, the event-type pivot,
+    # the MERGE upsert roundtrip, the streaming z-score e2e, the
+    # session-window agg, and the quantile-sketch error audit
+    # (oracle-ized in r12, never sampled). Retired seats all keep
     # family representation (noted per-seat below) and stay locally
     # oracle-verified on every pytest/driver-sim run.
-    # round-12 rotation: the Pareto frontier takes the CUBE seat
-    # (grouping-sets agg stays locally oracle-verified every run;
-    # orders analytics keeps q17/q18/pareto in-window)
-    "orders_pareto_frontier",
-    # round-12 rotation: proportional stratified sampling takes the
-    # cohort-retention seat (retention stays locally oracle-verified;
-    # sampling joins bottomk to keep the sampling family at 2 seats)
-    "stratified_sample",
-    # round-12 rotation: Q17 correlated-avg + Q18 having-in (both
-    # r11 builds, never externally sampled) take the Q13 seat —
-    # TPC-H swaps one fresh shape for two fresher ones
+    # round-13 rotation: TPC-H Q3 takes the Pareto-frontier seat —
+    # orders analytics keeps q17/q18/q3 in-window; pareto was
+    # driver-green r12 and stays locally oracle-verified every run
+    "shipping_priority_q3",
+    # round-13 rotation: per-group session-window aggregation takes
+    # the stratified-sampling seat (sampling keeps bottomk in-window;
+    # stratified_sample was driver-green r12, stays locally verified)
+    "session_window_agg",
     "tpch_q17_small_quantity",
     "tpch_q18_large_orders",
-    # round-12 rotation: the Snappy shard ingest (r11 build, never
-    # sampled) takes the LZ4 seat — the compression matrix keeps a
-    # from-scratch-codec seat in-window, LZ4 stays locally verified
     "corpus_snappy_ingest",
-    "corpus_multiformat_digest",
-    # round-11 build: outlink + anchor-text extraction (the missing
-    # link between the HTML stage and the crawl frontier) takes the
-    # boilerplate-templates seat (html_extract + the web funnel keep
-    # the extraction family in-window; boilerplate_prefix_templates
-    # stays locally oracle-verified every run)
+    # round-13 rotation: the JSONL shard ingest takes the multiformat-
+    # digest seat — containers keep jsonl/zstd/snappy/sitemap
+    # in-window; multiformat_digest was driver-green r12 and stays
+    # locally oracle-verified every run
+    "corpus_jsonl_ingest",
     "corpus_html_outlinks",
     "ann_pq_codebook_assign",
     "streaming_sessionize_e2e",
     "streaming_interval_join_e2e",
-    # round-12 rotation: binary-segmentation changepoints (gained its
-    # DuckDB oracle in r11, never sampled) takes the CDC seat — CDC
-    # keeps scd2 + last-write-wins locally oracle-verified every run
-    "event_changepoints_binseg",
-    # round-12 rotation: the salted skew-join enrich takes the PII
-    # seat (curation keeps chat-pack/end_to_end/web/bottomk in-window;
-    # pii_redact was driver-green r11 and stays locally verified)
-    "skew_salted_enrich",
-    # round-12 rotation: the EXACT sketch-aggregate panel takes the
-    # CountMin seat (sketch family keeps one window seat; countmin
-    # was driver-green r11 and stays locally oracle-verified)
-    "sketch_aggregates",
-    # round-12 rotation: the Markov stationary distribution (power
-    # iteration on the empirical transition matrix, oracle-ized in
-    # r11) takes the Shapley seat — attribution keeps a window seat;
-    # shapley was driver-green r10+r11 and stays locally verified
+    # round-13 rotation: the event-type pivot takes the changepoint
+    # seat — events keep markov/pivot in-window; changepoints_binseg
+    # was driver-green r12 and stays locally oracle-verified every run
+    "pivot_event_counts",
+    # round-13 rotation: the MERGE upsert roundtrip takes the salted-
+    # skew-join seat (sinks/maintenance gains a window seat; the skew
+    # demo was driver-green r12 and stays locally verified)
+    "merge_upsert_roundtrip",
+    # round-13 rotation: the quantile-sketch error audit (redesigned +
+    # oracle-ized in r12, never sampled) takes the EXACT-panel seat —
+    # the sketch family keeps one window seat; sketch_aggregates was
+    # driver-green r12 and stays locally oracle-verified every run
+    "quantile_sketch_error_audit",
     "events_markov_stationary",
     "xdr_triplet_parity",
     "pipeline_parity",
-    # round-12 rotation: the n-gram language identifier takes the
-    # syllable-complexity seat (text keeps bm25 + langid in-window;
-    # syllable panel was driver-green r11 and stays locally verified)
-    "text_language_id",
-    # round-10 build: the acquisition-funnel capstone takes the
-    # conformal seat (eval keeps ndcg/mcnemar/bootstrap-CI in-window;
-    # conformal stays locally oracle-verified every run)
+    # round-13 rotation: the Zipf rank-frequency fit takes the langid
+    # seat (text keeps bm25/zipf in-window; text_language_id was
+    # driver-green r12 and stays locally oracle-verified every run)
+    "text_zipf_fit",
     "crawl_discovery_end_to_end",
-    # round-10 build: the WARC->HTML->funnel web twin takes the DSIR
-    # seat (curation keeps domain_reweight/quota/end_to_end plus this;
-    # dsir stays locally oracle-verified every run)
     "curation_web_end_to_end",
     "multimodal_decode_yield",
-    # round-12 rotation: the video shot-boundary detector — the one
-    # remaining slope-watch row at the second decade — takes the
-    # EXIF/TIFF seat so the driver measures it directly (multimodal
-    # keeps yield/webp/wav/shots in-window; exif_tiff was driver-green
-    # r11 and stays locally oracle-verified every run)
-    "multimodal_video_shot_boundaries",
+    # round-13 rotation: image patch statistics take the shot-boundary
+    # seat — the slope-watch row was root-caused + driver-measured in
+    # r12 (x6.5/x7.3 over two decades); multimodal keeps
+    # yield/vp8/wav/mp3/patch in-window, shots stays locally verified
+    "multimodal_patch_stats",
     "text_bm25_retrieval",
-    # round-11 build: the Markdown cleaning kernel takes the
-    # html-extract seat (extraction keeps outlinks + anchor index +
-    # the web funnel in-window; corpus_html_extract was driver-green
-    # in r10 and stays locally oracle-verified every run)
     "corpus_markdown_extract",
-    # round-11 build: the anchor-text inverted index (extract ->
-    # canonicalize -> target-keyed aggregate) takes the PLD seat
-    # (crawl keeps robots/frontier/sitemap/canonicalize/discovery
-    # in-window; corpus_pld_extract was driver-green in r10 and stays
-    # locally oracle-verified every run)
     "crawl_anchor_text_index",
     "streaming_ingest_e2e",
-    # round-10 build, crawl tier: sitemap URL-discovery ingest takes
-    # the skew-demo seat (salted_two_phase_agg keeps the salting
-    # family locally verified; skew_salted_enrich likewise)
     "corpus_sitemap_ingest",
-    # round-12 build: the zstd shard ingest (from-scratch RFC 8878
-    # decoder fed by REAL libzstd shards) takes the neardup-e2e seat —
-    # streaming keeps 6 e2e seats in-window; streaming_neardup_e2e was
-    # driver-green r10+r11 and stays locally oracle-verified every run
     "corpus_zstd_ingest",
     "streaming_gapless_e2e",
     "streaming_jdbc_e2e",
-    # round-12 build: MP3 frame-header metadata ingest (ID3v2 skip +
-    # exact frame-length arithmetic, torn-sync error rows) takes the
-    # win-rate seat — eval keeps mcnemar/fleiss/mrr in-window;
-    # eval_win_rate_matrix was driver-green r10+r11 and stays locally
-    # oracle-verified every run
     "multimodal_mp3_meta",
-    # round-10 build, crawl tier: RFC 9309 robots evaluation takes the
-    # cluster-representative seat (dedup keeps minhash_lsh in-window;
-    # cluster_representative stays locally oracle-verified every run)
     "corpus_robots_rules",
-    # round-10 build, eval tier: Fleiss-kappa agreement takes the
-    # covariance seat (embedding keeps matryoshka_audit in-window;
-    # covariance stays locally oracle-verified every run)
     "label_fleiss_kappa",
-    # round-10 build, crawl tier: the streaming frontier (per-host
-    # budget state carried across micro-batches) takes the SCD2-CDC
-    # seat (CDC keeps cdc_last_write_wins + scd2_customer_history
-    # locally oracle-verified; the e2e likewise)
     "streaming_frontier_e2e",
-    # round-10 build, media tier: RIFF/WAVE ingest through the real
-    # from-scratch codec takes the BLEU seat (text metrics keep bm25 +
-    # kneser-ney in-window; bleu stays locally oracle-verified)
     "multimodal_audio_wav_ingest",
-    # round-12 rotation: exact triangle counting (oriented-edge join)
-    # takes the bootstrap-mean-CI seat (eval/stats keep win-rate,
-    # mcnemar, fleiss, preference in-window; bootstrap_mean_ci was
-    # driver-green r11 and stays locally oracle-verified every run)
-    "graph_triangle_count",
-    # round-12 rotation: semantic (embedding-cosine) near-dup takes
-    # the containment seat — dedup keeps a window seat plus the
-    # streaming neardup e2e; containment was driver-green r11 and
-    # stays locally oracle-verified every run
-    "dedup_semantic",
-    # round-12 build: the from-scratch RFC 6386 lossy-VP8 key-frame
-    # pixel decoder (pinned real libwebp vectors, YUV-plane interop
-    # ground truth in the oracle) takes the VP8L-roundtrip seat —
-    # multimodal keeps yield/vp8/wav/shots in-window;
-    # multimodal_decode_webp was driver-green r10+r11 and stays
-    # locally oracle-verified every run
+    # round-13 rotation: the dedup threshold sweep (precision/recall
+    # over the Jaccard cutoff grid) takes the triangle-count seat —
+    # dedup keeps a window seat; graph_triangle_count was driver-green
+    # r12 and stays locally oracle-verified every run
+    "dedup_threshold_sweep",
+    # round-13 rotation: the streaming z-score anomaly e2e takes the
+    # semantic-dedup seat — streaming keeps 8 e2e seats in-window;
+    # dedup_semantic was driver-green r12, stays locally verified
+    "streaming_zscore_e2e",
     "multimodal_decode_vp8",
     "tokenizer_wordpiece_greedy",
-    # round-10 build, eval tier: McNemar's paired-system test takes
-    # the streaming-ANN-probe seat (streaming keeps 7 e2e seats and
-    # ANN keeps nprobe_sweep; the probe stays locally oracle-verified)
-    "eval_mcnemar_paired",
-    # round-10 build, monitoring tier: per-dim PSI drift takes the
-    # PQ-ADC seat (ANN keeps nprobe_sweep + streaming probe in-window;
-    # pq_adc stays locally oracle-verified every run)
-    "embedding_drift_psi",
-    # round-12 rotation: the differential-privacy count release audit
-    # (r11 build, never sampled) takes the k-anonymity seat — privacy
-    # keeps one window seat; k_anonymity was driver-green r11 and
-    # stays locally oracle-verified every run
+    # round-13 rotation: calibration reliability bins take the McNemar
+    # seat (eval keeps fleiss/preference/calibration in-window;
+    # eval_mcnemar_paired was driver-green r10-r12, stays verified)
+    "eval_calibration_bins",
+    # round-13 rotation: int8 embedding quantization takes the PSI
+    # seat (embeddings keep matryoshka/quantize in-window;
+    # embedding_drift_psi was driver-green r12, stays locally verified)
+    "embedding_quantize",
     "dp_count_release_audit",
-    # round-10 build, crawl tier: frontier politeness scheduling takes
-    # the pagerank-dups seat (graph family keeps triangle_count +
-    # pointer-jumping locally verified; pagerank_dups likewise)
     "crawl_frontier_assign",
-    # round-10 build: SFT chat-template packing takes the quota seat
-    # (curation keeps end_to_end + the web twin + epoch shuffle
-    # in-window; quota_water_filling stays locally oracle-verified)
     "curation_chat_template_pack",
     "ann_ivf_nprobe_sweep",
     "curation_end_to_end",
-    # round-10 build, eval tier: preference-pair QA takes the HLL
-    # seat (sketch family keeps sketch_aggregates locally EXACT and
-    # the streaming family keeps 8 other e2e seats in-window)
     "preference_pair_stats",
     "embedding_matryoshka_audit",
-    # round-11 rotation: per-group deterministic bottom-k sampling
-    # takes the epoch-shuffle seat (curation keeps chat-pack/
-    # end_to_end/web/pii in-window; epoch_shuffle stays locally
-    # oracle-verified every run)
     "curation_group_sample_bottomk",
-    # round-10 build, crawl tier: charset sniffing (the decode decision
-    # between container framing and HTML parse) takes the decode_real
-    # seat — multimodal keeps yield/webp/wav/tiff/mel in-window and
-    # decode_real stays locally oracle-verified every run
-    "corpus_charset_sniff",
+    # round-13 rotation: tokenizer vocab coverage takes the charset-
+    # sniff seat (the crawl tier keeps robots/frontier/sitemap/
+    # outlinks/anchor/discovery in-window; corpus_charset_sniff was
+    # driver-green r12 and stays locally oracle-verified every run)
+    "tokenizer_vocab_coverage",
 )
 
 
