@@ -1243,70 +1243,140 @@ def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Compression-ratio quality signal: zlib as a universal repetition
-# detector — boilerplate, templated spam, and token-loop junk compress
-# far better than natural prose, so deflate ratio is one of the
-# cheapest high-recall corpus filters (used alongside the Gopher
-# heuristics in real pretraining pipelines).
+# Compression-ratio quality signal: a dictionary coder as a universal
+# repetition detector — boilerplate, templated spam, and token-loop
+# junk compress far better than natural prose, so compression ratio is
+# one of the cheapest high-recall corpus filters (used alongside the
+# Gopher heuristics in real pretraining pipelines).
+#
+# Round-13 redesign (VERDICT r12 item 3, oracle-izing the last text
+# rows-only row): the coder is a FULLY SPECIFIED greedy-LZ cost bound
+# instead of zlib, so the compressed size is exactly computable by any
+# engine and the query gains a DuckDB value-hash oracle. Model: slide
+# a 16-char window over the document (one shingle per char position).
+# A position whose shingle content has occurred earlier in the
+# document is coverable by a back-reference, so repeated positions are
+# charged one 24-bit match token per 16 chars; each FIRST occurrence
+# of a shingle content is a literal char (8 bits); the trailing 15
+# chars (no full window) are literals; 32 bits of header. Overlapping
+# shingles make the detector phase-invariant — repetition at ANY
+# period is caught, unlike block-aligned dedup which misses periods
+# coprime to the block size. Every arithmetic step is integer-exact
+# in both Spark and DuckDB; only the final ratios involve floats,
+# each produced by a SINGLE division of exact integers —
+# IEEE-identical cross-engine.
 # ---------------------------------------------------------------------------
 
-
-def _compress_batches(batches):
-    import zlib
-
-    import pandas as pd
-
-    for pdf in batches:
-        raw_len, comp_len = [], []
-        for t in pdf["text"]:
-            b = (t or "").encode("utf-8")
-            raw_len.append(len(b))
-            comp_len.append(len(zlib.compress(b, 6)))
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "source": pdf["source"],
-                "raw_bytes": raw_len,
-                "compressed_bytes": comp_len,
-            }
-        )
+_CQ_K = 16  # shingle width (chars)
+_CQ_LIT_BITS = 8  # literal char cost
+_CQ_REF_BITS = 24  # back-reference token cost (covers up to 16 chars)
+_CQ_HDR_BITS = 32  # per-document header
 
 
-@register("text_compression_quality")  # rows-only: zlib is not SQL
-def text_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source deflate-compressibility profile: mean compression
-    ratio, the extremes, and how many docs fall under the
-    "suspiciously compressible" 0.4 threshold (a ratio that low on
-    prose-length text almost always means templated/repeated
-    content). The kernel is Arrow-batched zlib over the text bytes —
-    map-only, one bounded per-source reduce.
-
-    Verified by tests/test_round6.py::test_compression_quality_signal:
-    a 50x-repeated document must compress dramatically better than
-    its single copy, and every ratio is positive with the stored
-    byte counts consistent.
-    """
-    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    per = docs.mapInPandas(
-        _compress_batches,
-        schema=(
-            "doc_id bigint, source string, raw_bytes bigint, "
-            "compressed_bytes bigint"
-        ),
+@register(
+    "text_compression_quality",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source, text, length(text) AS L
+      FROM documents WHERE length(text) > 0
+    ),
+    s AS (
+      SELECT doc_id,
+             count(DISTINCT substr(text, CAST(p AS INT), {_CQ_K})) AS dd,
+             count(*) AS n
+      FROM d,
+           LATERAL (SELECT unnest(generate_series(
+                      1, L - {_CQ_K - 1})) AS p) ps
+      WHERE L >= {_CQ_K}
+      GROUP BY doc_id
+    ),
+    pd AS (
+      SELECT d.doc_id, d.source, d.L,
+             ({_CQ_HDR_BITS}
+              + {_CQ_LIT_BITS} * (coalesce(s.dd, 0)
+                                  + least(d.L, {_CQ_K - 1}))
+              + {_CQ_REF_BITS}
+                * ((coalesce(s.n, 0) - coalesce(s.dd, 0) + 15) // 16)
+              + 7) // 8 AS cc
+      FROM d LEFT JOIN s ON d.doc_id = s.doc_id
     )
-    ratio = F.col("compressed_bytes").cast("double") / F.col("raw_bytes")
-    return (
-        per.filter(F.col("raw_bytes") > 0)
-        .groupBy("source")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.avg(ratio).alias("avg_ratio"),
-            F.min(ratio).alias("min_ratio"),
-            F.max(ratio).alias("max_ratio"),
-            F.sum(F.when(ratio < 0.4, 1).otherwise(0)).alias(
-                "n_suspicious"
-            ),
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(L) AS BIGINT) AS raw_chars,
+           CAST(sum(cc) AS BIGINT) AS compressed_chars,
+           CAST(sum(cc) AS DOUBLE) / sum(L) AS corpus_ratio,
+           min(CAST(cc AS DOUBLE) / L) AS min_ratio,
+           max(CAST(cc AS DOUBLE) / L) AS max_ratio,
+           CAST(sum(CASE WHEN CAST(cc AS DOUBLE) / L < 0.4
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_suspicious
+    FROM pd GROUP BY source
+    """,
+)
+def text_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source compressibility profile under the greedy-LZ cost
+    bound (see module comment): corpus-level ratio, per-doc extremes,
+    and how many docs fall under the "suspiciously compressible" 0.4
+    threshold (a ratio that low on prose-length text almost always
+    means templated/repeated content).
+
+    Plan shape: one scan -> explode to (doc, shingle) -> per-doc
+    distinct-count aggregate (partial map-side dedup folds repeated
+    shingles within each task before any shuffle; a shingle never
+    leaves its document's task group) -> tiny per-source reduce.
+    Pure built-ins end to end — no Python kernel. The 16x fan-out of
+    the explode is the honest cost of phase-invariant repetition
+    detection, same class as the Gopher n-gram panel.
+
+    Verified by tests/test_round6.py::test_compression_quality_signal
+    (a 50x-repeated document must land far below its single copy and
+    below the 0.4 threshold, vs a pinned pure-Python third opinion)
+    plus the DuckDB oracle at driver hash discipline.
+    """
+    K = _CQ_K
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .filter(F.length("text") > 0)
+        .withColumn("L", F.length("text"))
+    )
+    shingles = d.filter(F.col("L") >= K).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, L - {K - 1}),"
+                f" p -> substring(text, p, {K}))"
+            )
+        ).alias("sh"),
+    )
+    per_doc_sh = shingles.groupBy("doc_id").agg(
+        F.countDistinct("sh").alias("dd"), F.count("*").alias("n")
+    )
+    per_doc = (
+        d.join(per_doc_sh, "doc_id", "left")
+        .select(
+            "source",
+            "L",
+            (
+                F.lit(_CQ_HDR_BITS)
+                + F.lit(_CQ_LIT_BITS)
+                * (F.coalesce(F.col("dd"), F.lit(0)) + F.least(F.col("L"), F.lit(K - 1)))
+                + F.lit(_CQ_REF_BITS)
+                * F.expr("(coalesce(n, 0) - coalesce(dd, 0) + 15) div 16")
+                + F.lit(7)
+            ).alias("bits"),
         )
+        # integer division keeps the byte count exact at any magnitude
+        .select("source", "L", F.expr("bits div 8").alias("cc"))
+    )
+    ratio = F.col("cc").cast("double") / F.col("L")
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("L").alias("raw_chars"),
+        F.sum("cc").alias("compressed_chars"),
+        (F.sum("cc").cast("double") / F.sum("L")).alias("corpus_ratio"),
+        F.min(ratio).alias("min_ratio"),
+        F.max(ratio).alias("max_ratio"),
+        F.sum(F.when(ratio < 0.4, 1).otherwise(0)).alias("n_suspicious"),
     )
 
 
