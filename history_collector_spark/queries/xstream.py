@@ -41,6 +41,7 @@ from history_collector_spark.streaming.conf import (
 )
 from history_collector_spark.streaming.replay import write_replay_files
 from history_collector_spark.streaming.stateful import (
+    MG_CAPACITY,
     track_ewma,
     track_gapless,
     track_heavy_hitters,
@@ -386,10 +387,84 @@ def streaming_late_drop_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# rows-only: a sequential Misra-Gries summary is not SQL-expressible;
-# tests/test_round5.py replays the same feed through a pure-Python MG
-# and asserts the snapshots match EXACTLY, plus the classical bounds.
-@register("streaming_topk_e2e")
+# Oracle (round 13, rows-only -> hash-gated): the Misra-Gries fold is
+# sequential but fully deterministic — per batch the tracker sorts by
+# (ts, event_id), batches are the arrival buckets of the shared late-
+# replay fixture — so DuckDB can replay it in LOCKSTEP with a
+# recursive CTE that carries the counter set as a LIST(STRUCT(uid,
+# cnt)), one recursion step per arrival. list_transform/list_append/
+# list_filter preserve list order exactly like the tracker's
+# insertion-ordered dict (increment in place, insert at end, drop on
+# decrement-to-zero), so the final snapshot is value-identical, not
+# just set-identical. The emitted row set is the max-n_seen non-empty
+# snapshot per key, i.e. the state at the last arrival-bucket
+# boundary where the key had rows and counters survived — stated by
+# joining the recursion against the per-bucket boundary positions.
+# tests/test_round5.py keeps the pure-Python third opinion + the
+# classical MG guarantees.
+@register(
+    "streaming_topk_e2e",
+    oracle=f"""
+    WITH RECURSIVE bounds AS (
+      SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx FROM events
+    ),
+    feed AS (
+      SELECT event_id, ts, event_type, event_id % 50 AS user_id,
+             ({_LATE_FILES} * (epoch_us(ts) - mn)) // (mx - mn + 1) AS orig
+      FROM events, bounds
+    ),
+    seq AS (
+      SELECT event_type, user_id,
+             CASE WHEN event_id % 13 = 0 AND orig <= 1
+                  THEN orig + 4 ELSE orig END AS arrival,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY (CASE WHEN event_id % 13 = 0 AND orig <= 1
+                              THEN orig + 4 ELSE orig END), ts, event_id
+             ) AS k
+      FROM feed
+    ),
+    mg AS (
+      SELECT event_type, CAST(0 AS BIGINT) AS k,
+             CAST([] AS STRUCT(uid BIGINT, cnt BIGINT)[]) AS pairs
+      FROM (SELECT DISTINCT event_type FROM seq)
+      UNION ALL
+      SELECT s.event_type, s.k,
+        CASE
+          WHEN list_contains(list_transform(m.pairs, p -> p.uid),
+                             s.user_id)
+            THEN list_transform(m.pairs, p ->
+                   CASE WHEN p.uid = s.user_id
+                        THEN struct_pack(uid := p.uid, cnt := p.cnt + 1)
+                        ELSE p END)
+          WHEN len(m.pairs) < {MG_CAPACITY}
+            THEN list_append(m.pairs,
+                   struct_pack(uid := s.user_id,
+                               cnt := CAST(1 AS BIGINT)))
+          ELSE list_filter(
+                 list_transform(m.pairs,
+                   p -> struct_pack(uid := p.uid, cnt := p.cnt - 1)),
+                 p -> p.cnt > 0)
+        END AS pairs
+      FROM mg m JOIN seq s ON s.event_type = m.event_type
+                          AND s.k = m.k + 1
+    ),
+    bdry AS (
+      SELECT event_type, max(k) AS k FROM seq GROUP BY event_type, arrival
+    ),
+    last_ne AS (
+      SELECT b.event_type, max(b.k) AS k
+      FROM bdry b JOIN mg m ON m.event_type = b.event_type AND m.k = b.k
+      WHERE len(m.pairs) > 0
+      GROUP BY b.event_type
+    )
+    SELECT m.event_type,
+           unnest(list_transform(m.pairs, p -> p.uid)) AS user_id,
+           unnest(list_transform(m.pairs, p -> p.cnt)) AS est_count,
+           l.k AS n_seen
+    FROM last_ne l JOIN mg m ON m.event_type = l.event_type AND m.k = l.k
+    """,
+)
 def streaming_topk_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming heavy hitters: a Misra-Gries counter set (capacity 8)
     per event_type rides the state store across the 6-batch replay

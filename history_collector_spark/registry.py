@@ -195,7 +195,9 @@ PRIORITY_QUERIES = (
     "account_history",
     # Round-13 rotation (VERDICT r12 item 1: 141/362 queries had never
     # appeared in ANY r1-r12 driver window; the tripwire demands >=10
-    # fresh names): 13 never-driver-sampled rows rotate in — TPC-H Q3
+    # fresh names): 15 never-driver-sampled rows rotate in (the two
+    # rows-only conversions of this round, text_compression_quality
+    # and streaming_topk_e2e, join once oracle-ized) — TPC-H Q3
     # (shipping priority, the classic 3-table join-agg-top10), the
     # JSONL shard ingest, image patch statistics, the dedup threshold
     # sweep (precision/recall vs Jaccard cutoff), int8 embedding
@@ -239,7 +241,11 @@ PRIORITY_QUERIES = (
     # the sketch family keeps one window seat; sketch_aggregates was
     # driver-green r12 and stays locally oracle-verified every run
     "quantile_sketch_error_audit",
-    "events_markov_stationary",
+    # round-13 rotation: the compression-quality signal (oracle-ized
+    # this round via the greedy-LZ cost bound, never sampled) takes
+    # the Markov-stationary seat — events keep the pivot in-window;
+    # events_markov_stationary was driver-green r12, stays verified
+    "text_compression_quality",
     "xdr_triplet_parity",
     "pipeline_parity",
     # round-13 rotation: the Zipf rank-frequency fit takes the langid
@@ -262,7 +268,12 @@ PRIORITY_QUERIES = (
     "corpus_zstd_ingest",
     "streaming_gapless_e2e",
     "streaming_jdbc_e2e",
-    "multimodal_mp3_meta",
+    # round-13 rotation: the streaming Misra-Gries top-k e2e
+    # (oracle-ized this round via a lockstep recursive-CTE replay,
+    # never sampled) takes the MP3-metadata seat — multimodal keeps
+    # yield/vp8/wav/patch in-window; multimodal_mp3_meta was
+    # driver-green r12 and stays locally oracle-verified every run
+    "streaming_topk_e2e",
     "corpus_robots_rules",
     "label_fleiss_kappa",
     "streaming_frontier_e2e",
