@@ -10,9 +10,10 @@ Implemented per the public WebP Lossless Bitstream Specification
 
 - RIFF container framing: 'VP8L' lossless here; lossy 'VP8 ' key
   frames decode via the from-scratch RFC 6386 decoder in
-  functions/vp8.py, and extended 'VP8X' stills (incl. the ALPH alpha
-  plane, raw or headerless-VP8L) decode below — only ANIMATED
-  containers remain a NotImplementedError plug point,
+  functions/vp8.py, extended 'VP8X' stills (incl. the ALPH alpha
+  plane, raw or headerless-VP8L) decode below, and since round 13
+  ANIMATED containers (ANIM/ANMF) composite to per-frame canvases
+  via decode_webp_anim (blend/no-blend, dispose-to-background),
 - LSB-first bitstream, canonical prefix codes (simple 1/2-symbol and
   normal code-length-coded forms, incl. 16/17/18 repeat codes and the
   optional max_symbol short-circuit),
@@ -868,9 +869,9 @@ def decode_webp(data: bytes):
     upsample to RGB, alpha 255); extended VP8X stills decode too,
     with the ALPH alpha plane (raw or headerless-VP8L compressed,
     all four per-row filters inverted) bit-exact with libwebp's A
-    channel. Animated VP8X raises NotImplementedError (frame
-    compositing is the remaining plug point — :func:`parse_webp_info`
-    is its metadata-grade arm)."""
+    channel. Animated VP8X composites and returns the FIRST canvas
+    frame (decode_webp_anim yields every frame;
+    :func:`parse_webp_info` stays the cheap metadata-only pass)."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ImageDecodeError("not a WebP payload")
     riff_len = int.from_bytes(data[4:8], "little")
@@ -908,9 +909,10 @@ def decode_webp(data: bytes):
 def _decode_webp_extended(data: bytes, vp8x_pos: int):
     """Extended (VP8X) still decode: optional ALPH alpha plane over a
     lossy VP8 frame, or a VP8L sub-stream (which carries its own
-    alpha). Animated containers (ANIM/ANMF) raise NotImplementedError
-    — frame compositing is the remaining plug point; use
-    :func:`parse_webp_info` for their metadata-grade arm."""
+    alpha). Animated containers (ANIM/ANMF) route to
+    :func:`decode_webp_anim` and return the FIRST composited canvas
+    frame — the single-image convention; callers wanting every frame
+    use decode_webp_anim directly."""
     import numpy as np
 
     pos = vp8x_pos
@@ -922,10 +924,7 @@ def _decode_webp_extended(data: bytes, vp8x_pos: int):
         if len(body) != clen:
             raise ImageDecodeError("truncated WebP chunk")
         if tag in (b"ANIM", b"ANMF"):
-            raise NotImplementedError(
-                "animated WebP not implemented (frame compositing); "
-                "still VP8X with ALPH alpha is built in"
-            )
+            return decode_webp_anim(data, max_frames=1)[0][1]
         if tag == b"ALPH" and alph is None:
             alph = body
         elif tag == b"VP8 " and vp8_body is None:
@@ -952,6 +951,166 @@ def _decode_webp_extended(data: bytes, vp8x_pos: int):
     else:
         out[:, :, 3] = 255
     return out
+
+
+# ---------------------------------------------------------------------------
+# Animated WebP (round 13): ANIM/ANMF frame decode + canvas
+# compositing per the public WebP container spec. Frame payloads ride
+# the SAME still decoders proven bit-exact against libwebp (VP8L /
+# VP8 / ALPH); the new code is only the 16-byte ANMF header walk and
+# the canvas arithmetic, both pinned by hand-computed fixtures in
+# tests/test_round13.py.
+# ---------------------------------------------------------------------------
+
+
+def _decode_frame_payload(data: bytes):
+    """Chunk list (optional ALPH + VP8/VP8L) -> (h, w, 4) RGBA, the
+    shared sub-stream decode for ANMF frame data."""
+    import numpy as np
+
+    pos, alph, vp8_body, vp8l_body = 0, None, None, None
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        clen = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        body = data[pos + 8 : pos + 8 + clen]
+        if len(body) != clen:
+            raise ImageDecodeError("truncated ANMF sub-chunk")
+        if tag == b"ALPH" and alph is None:
+            alph = body
+        elif tag == b"VP8 " and vp8_body is None:
+            vp8_body = body
+        elif tag == b"VP8L" and vp8l_body is None:
+            vp8l_body = body
+        pos += 8 + clen + (clen & 1)
+    if vp8l_body is not None:
+        return decode_vp8l(vp8l_body)
+    if vp8_body is None:
+        raise ImageDecodeError("ANMF frame has no image sub-stream")
+    from history_collector_spark.functions.vp8 import (
+        decode_vp8_frame,
+        vp8_yuv_to_rgb,
+    )
+
+    y, u, v = decode_vp8_frame(vp8_body)
+    rgb = vp8_yuv_to_rgb(y, u, v)
+    h, w = rgb.shape[:2]
+    out = np.empty((h, w, 4), dtype=np.uint8)
+    out[:, :, :3] = rgb
+    out[:, :, 3] = (
+        decode_alpha_chunk(alph, w, h) if alph is not None else 255
+    )
+    return out
+
+
+def _blend_over(dst, src):
+    """Non-premultiplied 'source over' per the container spec's
+    blending formulas, in exact integer arithmetic (round half up).
+    With sa = Sa/255, da = Da/255 the spec states
+
+        A   = sa + da * (1 - sa)
+        RGB = (Sc * sa + Dc * da * (1 - sa)) / A
+
+    multiplying numerator and denominator by 255^2 gives the integer
+    forms below; A == 0 pixels come out fully transparent black."""
+    import numpy as np
+
+    sa = src[:, :, 3].astype(np.int64)
+    da = dst[:, :, 3].astype(np.int64)
+    den = sa * 255 + da * (255 - sa)  # = A * 255^2 / 255
+    a_out = (den + 127) // 255
+    out = np.zeros_like(dst)
+    num = (
+        src[:, :, :3].astype(np.int64) * sa[:, :, None] * 255
+        + dst[:, :, :3].astype(np.int64) * (da * (255 - sa))[:, :, None]
+    )
+    nz = den > 0
+    d3 = den[:, :, None]
+    rgb = np.zeros_like(num)
+    np.divide(2 * num + d3, 2 * d3, out=rgb, where=d3 > 0, casting="unsafe")
+    out[:, :, :3] = np.where(nz[:, :, None], rgb, 0).astype(np.uint8)
+    out[:, :, 3] = a_out.astype(np.uint8)
+    return out
+
+
+def decode_webp_anim(data: bytes, max_frames: int | None = None):
+    """Animated WebP (VP8X + ANIM/ANMF) -> list of
+    ``(duration_ms, canvas)`` with each canvas an (H, W, 4) uint8
+    RGBA snapshot AFTER that frame is composited.
+
+    Container walk per the public WebP container spec: VP8X carries
+    the canvas dims, ANIM the (advisory) background color and loop
+    count, and each ANMF a 16-byte header — 24-bit frame x/2 and y/2,
+    24-bit width-1 / height-1, 24-bit duration, one flags byte with
+    blending method (bit 1: 0 = alpha-blend over the canvas, 1 =
+    overwrite) and disposal method (bit 0: 1 = restore the frame
+    rectangle to transparent black afterwards) — followed by the
+    frame's still sub-stream (optional ALPH + VP8/VP8L), decoded by
+    the existing libwebp-bit-exact still paths. The canvas starts
+    fully transparent, matching libwebp's WebPAnimDecoder (the ANIM
+    background color is advisory for players). ``max_frames`` bounds
+    the decode for sampled scans; structural damage raises
+    ImageDecodeError."""
+    import numpy as np
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ImageDecodeError("not a WebP payload")
+    pos = 12
+    canvas = None
+    frames: list[tuple[int, "np.ndarray"]] = []
+    saw_anim = False
+    while pos + 8 <= len(data):
+        tag = data[pos : pos + 4]
+        clen = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        body = data[pos + 8 : pos + 8 + clen]
+        if len(body) != clen:
+            raise ImageDecodeError("truncated WebP chunk")
+        if tag == b"VP8X":
+            if len(body) < 10:
+                raise ImageDecodeError("VP8X header truncated")
+            if not (body[0] >> 1) & 1:
+                raise ImageDecodeError("VP8X animation flag not set")
+            cw = 1 + int.from_bytes(body[4:7], "little")
+            ch = 1 + int.from_bytes(body[7:10], "little")
+            canvas = np.zeros((ch, cw, 4), dtype=np.uint8)
+        elif tag == b"ANIM":
+            if len(body) < 6:
+                raise ImageDecodeError("ANIM chunk truncated")
+            saw_anim = True
+        elif tag == b"ANMF":
+            if canvas is None or not saw_anim:
+                raise ImageDecodeError("ANMF before VP8X/ANIM")
+            if max_frames is not None and len(frames) >= max_frames:
+                break
+            if len(body) < 16:
+                raise ImageDecodeError("ANMF header truncated")
+            fx = 2 * int.from_bytes(body[0:3], "little")
+            fy = 2 * int.from_bytes(body[3:6], "little")
+            fw = 1 + int.from_bytes(body[6:9], "little")
+            fh = 1 + int.from_bytes(body[9:12], "little")
+            dur = int.from_bytes(body[12:15], "little")
+            flags = body[15]
+            ch_, cw_ = canvas.shape[:2]
+            if fx + fw > cw_ or fy + fh > ch_:
+                raise ImageDecodeError("ANMF frame exceeds canvas")
+            tile = _decode_frame_payload(body[16:])
+            if tile.shape[:2] != (fh, fw):
+                raise ImageDecodeError(
+                    "ANMF dims disagree with frame sub-stream"
+                )
+            rect = canvas[fy : fy + fh, fx : fx + fw]
+            if flags & 2:  # no-blend: overwrite the rectangle
+                canvas[fy : fy + fh, fx : fx + fw] = tile
+            else:
+                canvas[fy : fy + fh, fx : fx + fw] = _blend_over(
+                    rect, tile
+                )
+            frames.append((dur, canvas.copy()))
+            if flags & 1:  # dispose to background (transparent black)
+                canvas[fy : fy + fh, fx : fx + fw] = 0
+        pos += 8 + clen + (clen & 1)
+    if canvas is None or not frames:
+        raise ImageDecodeError("no animation frames decoded")
+    return frames
 
 
 # ---------------------------------------------------------------------------

@@ -825,21 +825,23 @@ def decode_blob(data: bytes, fake: bool = False) -> dict:
     8/16-bit + palette + Adam7; GIF first-frame; JPEG baseline,
     progressive, and Adobe CMYK/YCCK); formats without a built-in
     codec raise NotImplementedError at the documented plug point —
-    EXCEPT extended WebP (VP8X), whose container headers parse to
-    real dimensions/flags via functions/webp.py:parse_webp_info and
-    come back as decode_status='ok-meta' (metadata-grade; alpha-chunk
-    and animation compositing are the remaining plug points). Lossy
-    VP8 key frames decode to real pixels through the from-scratch
-    RFC 6386 decoder (functions/vp8.py). ``fake=True`` is the
-    fixture mode: metadata derived from the payload's sha256, so the
-    DuckDB oracles verify the full distributed path over synthetic
-    text blobs.
+    WebP variants that reach only metadata grade (e.g. an extended
+    container whose sub-stream is header-only) come back as
+    decode_status='ok-meta' with real dimensions/flags via
+    functions/webp.py:parse_webp_info. Lossy VP8 key frames decode to
+    real pixels through the from-scratch RFC 6386 decoder
+    (functions/vp8.py), and animated VP8X containers composite to
+    the first canvas frame (round 13) with n_frames reporting the
+    true ANMF count. ``fake=True`` is the fixture mode: metadata
+    derived from the payload's sha256, so the DuckDB oracles verify
+    the full distributed path over synthetic text blobs.
     """
     if not fake:
+        is_webp = data[:4] == b"RIFF" and data[8:12] == b"WEBP"
         try:
             px = decode_image(data)  # NotImplementedError: unknown magic
         except NotImplementedError:
-            if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+            if is_webp:
                 from history_collector_spark.functions.webp import (
                     parse_webp_info,
                 )
@@ -852,10 +854,17 @@ def decode_blob(data: bytes, fake: bool = False) -> dict:
                     "decode_status": "ok-meta",
                 }
             raise
+        n_frames = 1
+        if is_webp:
+            from history_collector_spark.functions.webp import (
+                parse_webp_info,
+            )
+
+            n_frames = parse_webp_info(data)["n_frames"]
         return {
             "width": int(px.shape[1]),
             "height": int(px.shape[0]),
-            "n_frames": 1,
+            "n_frames": n_frames,
             "decode_status": "ok",
         }
     h = hashlib.sha256(data).hexdigest()
@@ -1378,12 +1387,31 @@ def _vp8_header_only_blob(w: int, h: int) -> bytes:
     return b"RIFF" + (4 + len(chunk)).to_bytes(4, "little") + b"WEBP" + chunk
 
 
-def _vp8x_blob(w: int, h: int, alpha: bool) -> bytes:
+def _still_frame_chunks(blob: bytes) -> bytes:
+    """Still WebP -> its ALPH/VP8/VP8L chunk bytes (padded), i.e. the
+    payload an ANMF frame carries; VP8X headers are dropped."""
+    pos, out = 12, b""
+    while pos + 8 <= len(blob):
+        tag = blob[pos : pos + 4]
+        clen = int.from_bytes(blob[pos + 4 : pos + 8], "little")
+        step = 8 + clen + (clen & 1)
+        if tag in (b"ALPH", b"VP8 ", b"VP8L"):
+            out += blob[pos : pos + 8 + clen]
+            if clen & 1:
+                out += b"\x00"
+        pos += step
+    return out
+
+
+def _vp8x_blob(w: int, h: int, alpha: bool, real: bool = False) -> bytes:
     """ANIMATED extended-WebP container: VP8X flags + 24-bit canvas
-    dims + ANIM/ANMF chunks (two frames). Static VP8X stills decode
-    to pixels since round 12; animation frame COMPOSITING is the
-    remaining plug point, so this is the scorecard's honest 'ok-meta'
-    arm — classified and sized from the container headers."""
+    dims + ANIM/ANMF chunks (two full-canvas frames — the first
+    no-blend, the second alpha-blended over it, so both compositing
+    branches run). ``real=True`` carries REAL pinned libwebp frame
+    payloads (yield_lossy_blob dims only) and decodes to pixels via
+    decode_webp_anim (round 13); the default keeps the header-only
+    VP8 sub-stream — the metadata-grade fixture parse_webp_info and
+    the fuzz sweeps classify without pixel decode."""
     flags = (0x12 if alpha else 0x02).to_bytes(1, "big")  # alpha|anim
     vp8x = (
         b"VP8X" + (10).to_bytes(4, "little")
@@ -1391,17 +1419,22 @@ def _vp8x_blob(w: int, h: int, alpha: bool) -> bytes:
         + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")
     )
     anim = b"ANIM" + (6).to_bytes(4, "little") + b"\x00" * 6
-    frame = _vp8_header_only_blob(w, h)[12:]  # VP8 chunk as frame data
-    anmf_body = (
-        b"\x00\x00\x00" * 2  # frame x/2, y/2
-        + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")
-        + (40).to_bytes(3, "little") + b"\x00"  # duration ms, flags
-        + frame
-    )
-    anmf = b"ANMF" + len(anmf_body).to_bytes(4, "little") + anmf_body
-    if len(anmf_body) & 1:
-        anmf += b"\x00"
-    body = vp8x + anim + anmf + anmf
+    if real:
+        frame = _still_frame_chunks(_vp8_lossy_blob(w, h, alpha))
+    else:
+        frame = _vp8_header_only_blob(w, h)[12:]  # VP8 chunk
+    body = vp8x + anim
+    for dur, fflags in ((40, 0x02), (60, 0x00)):  # no-blend, blend
+        anmf_body = (
+            b"\x00\x00\x00" * 2  # frame x/2, y/2
+            + (w - 1).to_bytes(3, "little")
+            + (h - 1).to_bytes(3, "little")
+            + dur.to_bytes(3, "little") + bytes([fflags])
+            + frame
+        )
+        body += b"ANMF" + len(anmf_body).to_bytes(4, "little") + anmf_body
+        if len(anmf_body) & 1:
+            body += b"\x00"
     return (
         b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WEBP" + body
     )
@@ -1454,7 +1487,9 @@ def _yield_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 # the alpha path rides the same oracle cell
                 blob = _vp8_lossy_blob(w, h, alpha=bool(d % 2))
             elif fmt == "webp_vp8x":
-                blob = _vp8x_blob(w, h, alpha=bool(d % 2))
+                # real two-frame animation since round 13: composites
+                # to first-canvas pixels through decode_webp_anim
+                blob = _vp8x_blob(w, h, alpha=bool(d % 2), real=True)
             elif fmt == "gif":
                 blob = encode_gif(px)
             else:  # jpeg_cmyk: Adobe 4-component, transform 0
@@ -1488,7 +1523,6 @@ def _yield_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                   WHEN 7 THEN 'jpeg_cmyk' WHEN 8 THEN 'webp_lossy'
                   ELSE 'webp_vp8x' END AS format,
            CASE WHEN v = 4 THEN 'error: ImageDecodeError'
-                WHEN v = 9 THEN 'ok-meta'
                 ELSE 'ok' END AS decode_status,
            CAST(count(*) AS BIGINT) AS n_assets,
            CAST(sum(CASE WHEN v = 4 THEN 0 ELSE w * h END)
@@ -1500,9 +1534,10 @@ def multimodal_decode_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-format decode yield over a ten-format synthetic asset
     mix (BMP/PPM/PNG/JPEG/GIF/Adobe-CMYK/VP8L-WebP ok-paths, a
     truncated PNG, pinned REAL lossy-VP8 WebP decoded to pixels by
-    the from-scratch RFC 6386 key-frame decoder, and a VP8X extended
-    container classified and SIZED as 'ok-meta' via the container
-    parser rather than charged as an error):
+    the from-scratch RFC 6386 key-frame decoder, and — since round 13
+    — a two-frame ANIMATED VP8X container carrying real libwebp
+    frame payloads, composited to first-canvas pixels by
+    decode_webp_anim):
     REAL decodes through the magic dispatcher, aggregated to (format,
     status, count, decoded pixels). The oracle predicts each cell
     closed-form from the generator arithmetic — a wrong-way failure
@@ -1654,6 +1689,189 @@ def multimodal_decode_vp8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_doc.groupBy(
         "img", "width", "height", "y_sum", "u_sum", "v_sum", "y_sha8",
         "a_sum",
+    ).agg(F.count("*").alias("n_assets"))
+
+
+# ---------------------------------------------------------------------------
+# Animated WebP (round 13): ANIM/ANMF containers built from the SAME
+# pinned real-libwebp flagship payloads plus VP8L-encoded RGBA tiles,
+# composited frame by frame via functions/webp.py:decode_webp_anim.
+# The four variants cover every compositing branch: full-canvas
+# overwrite sequences, alpha-BLENDED sub-rectangle placement,
+# dispose-to-background, and fractional-alpha self-blend through the
+# compressed ALPH plane. The oracle carries pinned per-variant canvas
+# ground truth (final-canvas sha prefix + all-frame RGBA sums);
+# tests/test_round13.py recomputes every canvas INDEPENDENTLY from
+# still decodes + a numpy reference composer.
+# ---------------------------------------------------------------------------
+
+_ANIM_VARIANTS = ("overwrite2", "blend_tile", "dispose", "alpha_blend")
+
+
+def _anim_tile_px(w: int, h: int, opaque: bool):
+    """Deterministic RGBA tile for the VP8L-encoded animation frames."""
+    import numpy as np
+
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    px = np.empty((h, w, 4), dtype=np.uint8)
+    px[:, :, 0] = (xx * 7 + yy * 3) % 256
+    px[:, :, 1] = (xx * 5 + yy * 11 + 40) % 256
+    px[:, :, 2] = (xx * 13 + yy * 2 + 80) % 256
+    px[:, :, 3] = 255 if opaque else (64 + xx * 16 + yy * 8) % 256
+    return px
+
+
+def _anim_fixture_blob(variant: str) -> bytes:
+    """One pinned 48x32 animated container per variant (see module
+    comment). Frame payloads are real pinned libwebp output
+    (flagship_blob) or exact VP8L tiles; the container framing is the
+    spec's VP8X + ANIM + ANMF layout."""
+    from history_collector_spark.functions.vp8_fixtures import (
+        flagship_blob,
+    )
+    from history_collector_spark.functions.webp import encode_webp_vp8l
+
+    W, H = 48, 32
+
+    def anmf(x2, y2, fw, fh, dur, fflags, payload):
+        body = (
+            x2.to_bytes(3, "little") + y2.to_bytes(3, "little")
+            + (fw - 1).to_bytes(3, "little")
+            + (fh - 1).to_bytes(3, "little")
+            + dur.to_bytes(3, "little") + bytes([fflags]) + payload
+        )
+        out = b"ANMF" + len(body).to_bytes(4, "little") + body
+        return out + (b"\x00" if len(body) & 1 else b"")
+
+    still = lambda name: _still_frame_chunks(flagship_blob(name))  # noqa: E731
+    tile = lambda px: _still_frame_chunks(encode_webp_vp8l(px))  # noqa: E731
+
+    if variant == "overwrite2":
+        frames = [
+            anmf(0, 0, W, H, 40, 0x02, still("gradient")),
+            anmf(0, 0, W, H, 60, 0x02, still("mixed")),
+        ]
+    elif variant == "blend_tile":
+        frames = [
+            anmf(0, 0, W, H, 40, 0x02, still("smooth")),
+            anmf(4, 3, 16, 8, 50, 0x00,
+                 tile(_anim_tile_px(16, 8, opaque=False))),
+        ]
+    elif variant == "dispose":
+        frames = [
+            anmf(0, 0, W, H, 40, 0x02 | 0x01, still("noise")),
+            anmf(1, 1, 8, 4, 70, 0x02,
+                 tile(_anim_tile_px(8, 4, opaque=True))),
+        ]
+    else:  # alpha_blend: fractional-alpha still blended over itself
+        frames = [
+            anmf(0, 0, W, H, 40, 0x02, still("alpha")),
+            anmf(0, 0, W, H, 80, 0x00, still("alpha")),
+        ]
+    vp8x = (
+        b"VP8X" + (10).to_bytes(4, "little")
+        + bytes([0x12]) + b"\x00\x00\x00"
+        + (W - 1).to_bytes(3, "little") + (H - 1).to_bytes(3, "little")
+    )
+    anim = b"ANIM" + (6).to_bytes(4, "little") + b"\x00" * 6
+    body = vp8x + anim + b"".join(frames)
+    return b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WEBP" + body
+
+
+def _anim_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import hashlib
+
+    import numpy as np
+
+    from history_collector_spark.functions.webp import decode_webp_anim
+
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            variant = _ANIM_VARIANTS[(d // 151) % len(_ANIM_VARIANTS)]
+            frames = decode_webp_anim(_anim_fixture_blob(variant))
+            h, w = frames[0][1].shape[:2]
+            rows.append(
+                (
+                    variant,
+                    len(frames),
+                    int(w),
+                    int(h),
+                    int(sum(dur for dur, _ in frames)),
+                    hashlib.sha256(frames[-1][1].tobytes()).hexdigest()[:8],
+                    int(
+                        sum(
+                            c.astype(np.int64).sum() for _, c in frames
+                        )
+                    ),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "variant", "n_frames", "width", "height", "dur_ms",
+                "last_sha8", "rgba_sum",
+            ],
+        )
+
+
+@register(
+    "multimodal_decode_anim",
+    oracle="""
+    WITH s AS (
+      SELECT (doc_id // 151) % 4 AS v
+      FROM documents WHERE doc_id % 151 = 0
+    ),
+    p(v, variant, n_frames, width, height, dur_ms, last_sha8,
+      rgba_sum) AS (
+      VALUES
+        (0, 'overwrite2',  2, 48, 32, 100, '6c514ec1', 1882430),
+        (1, 'blend_tile',  2, 48, 32,  90, 'a425ac39', 1948197),
+        (2, 'dispose',     2, 48, 32, 110, '7348179a',  987622),
+        (3, 'alpha_blend', 2, 48, 32, 120, 'f5d7d12b', 1600854)
+    )
+    SELECT p.variant, CAST(p.n_frames AS INT) AS n_frames,
+           CAST(p.width AS INT) AS width,
+           CAST(p.height AS INT) AS height,
+           CAST(p.dur_ms AS BIGINT) AS dur_ms,
+           p.last_sha8,
+           CAST(p.rgba_sum AS BIGINT) AS rgba_sum,
+           CAST(count(*) AS BIGINT) AS n_assets
+    FROM s JOIN p ON s.v = p.v
+    GROUP BY 1, 2, 3, 4, 5, 6, 7
+    """,
+)
+def multimodal_decode_anim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated-WebP frame decode + compositing over a sampled asset
+    stream: four pinned two-frame 48x32 containers (full-canvas
+    overwrite, alpha-blended sub-rect tile, dispose-to-background,
+    fractional-ALPH self-blend) walk ANIM/ANMF framing and the canvas
+    arithmetic of decode_webp_anim, reducing to per-variant frame
+    counts, duration sums, all-frame RGBA sums and a final-canvas sha
+    prefix. Frame payloads are the SAME real-libwebp pinned vectors
+    the still decoder is interop-gated on; the compositing ground
+    truth is pinned against an independent numpy reference composer
+    (tests/test_round13.py).
+
+    Scale shape: map-only Arrow decode kernel over the sampled ids,
+    one bounded (4-variant) aggregate — zero wide exchange; per-asset
+    cost is the honest unit, as with multimodal_decode_vp8."""
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 151 == 0)
+        .select("doc_id")
+    )
+    per_doc = docs.mapInPandas(
+        _anim_decode_batches,
+        schema=(
+            "variant string, n_frames int, width int, height int, "
+            "dur_ms bigint, last_sha8 string, rgba_sum bigint"
+        ),
+    )
+    return per_doc.groupBy(
+        "variant", "n_frames", "width", "height", "dur_ms",
+        "last_sha8", "rgba_sum",
     ).agg(F.count("*").alias("n_assets"))
 
 

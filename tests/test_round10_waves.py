@@ -561,8 +561,14 @@ def test_webp_animation_is_plug_point_and_torn_bodies_are_errors():
             decode_webp(blob)
     from history_collector_spark.queries.multimodal import _vp8x_blob
 
-    with pytest.raises(NotImplementedError):
-        decode_webp(_vp8x_blob(8, 8, alpha=False))  # animated
+    # round 13: animated containers DECODE to the first composited
+    # canvas — real pinned libwebp frame payloads and header-only
+    # sub-streams alike (empty partitions decode as all-default
+    # frames per the RFC 6386 bool-decoder past-end rule)
+    first = decode_webp(_vp8x_blob(5, 3, alpha=False, real=True))
+    assert first.shape == (3, 5, 4)
+    first = decode_webp(_vp8x_blob(8, 8, alpha=False))
+    assert first.shape == (8, 8, 4)
 
 
 def test_curation_web_end_to_end_brute_force(spark):

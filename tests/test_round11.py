@@ -327,8 +327,11 @@ def test_parse_webp_info_fields():
 
 
 def test_decode_blob_lossy_webp_and_vp8x():
-    # round 12: lossy VP8 decodes to real pixels ('ok'); extended
-    # VP8X keeps the metadata-grade arm ('ok-meta')
+    # round 12: lossy VP8 decodes to real pixels ('ok'); round 13:
+    # animated containers decode to first-canvas pixels with the true
+    # ANMF frame count — both with real pinned libwebp payloads and
+    # with header-only sub-streams (whose empty partitions decode as
+    # all-default frames per the RFC 6386 bool-decoder past-end rule)
     from history_collector_spark.queries.multimodal import (
         _vp8_lossy_blob,
         _vp8x_blob,
@@ -340,10 +343,15 @@ def test_decode_blob_lossy_webp_and_vp8x():
         "width": 5, "height": 3, "n_frames": 1,
         "decode_status": "ok",
     }
+    meta = decode_blob(_vp8x_blob(5, 3, alpha=True, real=True))
+    assert meta == {
+        "width": 5, "height": 3, "n_frames": 2,
+        "decode_status": "ok",
+    }
     meta = decode_blob(_vp8x_blob(40, 30, alpha=True))
     assert meta == {
         "width": 40, "height": 30, "n_frames": 2,
-        "decode_status": "ok-meta",
+        "decode_status": "ok",
     }
 
 
