@@ -97,37 +97,53 @@ def _write_html_warc_fixture(spark: SparkSession, sf_dir: str) -> str:
     if os.path.exists(done):
         return out
     os.makedirs(out, exist_ok=True)
-    # fixture-builder collect: bounded sample, writes test INPUT files
-    # (the crawler side, not the engine under test)
-    rows = (
-        table(spark, sf_dir, "documents")
-        .select("doc_id", "source", "text")
-        .collect()
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
     )
     # Real crawls shard at a fixed SIZE, so shard COUNT grows with the
     # corpus — that is where scan parallelism comes from. The round-10
     # probe measured the cost of getting this wrong: a pinned 8-shard
     # fixture read x13.5 sf0.1->sf1 (10x work on the same 8 tasks);
     # ~2500 pages/shard re-measured x3.5 with the identical oracle.
-    n_shards = max(8, -(-len(rows) // 2500))
-    shards: dict[int, list] = {k: [] for k in range(n_shards)}
-    for r in sorted(rows, key=lambda r: r["doc_id"]):
-        shards[r["doc_id"] % n_shards].append(
+    n_shards = max(8, -(-docs.count() // 2500))
+
+    # distributed crawler-side archiver (round 13): each shard group
+    # renders and writes its own WARC inside its task — the corpus
+    # never lands on the driver, so sf10 probes of the HTML/crawl tier
+    # measure extraction, not fixture scaffolding
+    def _emit(key, pdf):
+        import pandas as pd
+
+        k = int(key[0])
+        pdf = pdf.sort_values("doc_id")
+        recs = [
             {
                 "warc_type": "response",
-                "uri": f"http://crawl.example/{r['source']}/{r['doc_id']}",
+                "uri": f"http://crawl.example/{r.source}/{r.doc_id}",
                 "date": "2024-01-01T00:00:00Z",
                 "payload": render_page(
-                    r["doc_id"], r["source"], r["text"]
+                    int(r.doc_id), r.source, r.text
                 ).encode("utf-8"),
             }
-        )
-    for k, recs in shards.items():
+            for r in pdf.itertuples()
+        ]
         gz = k % 2 == 1
         blob = write_warc(recs, gzip_members=gz)
         name = f"pages{k}.warc" + (".gz" if gz else "")
-        with open(os.path.join(out, name), "wb") as f:
+        path = os.path.join(out, name)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
             f.write(blob)
+        os.replace(tmp, path)
+        return pd.DataFrame([(k, len(recs))], columns=["shard", "n"])
+
+    (
+        docs.withColumn("shard", F.col("doc_id") % n_shards)
+        .repartition(n_shards, "shard")
+        .groupBy("shard")
+        .applyInPandas(_emit, "shard bigint, n bigint")
+        .collect()  # tiny: one row per shard
+    )
     with open(done, "w") as f:
         f.write("ok")
     return out

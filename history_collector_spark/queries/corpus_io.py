@@ -634,36 +634,51 @@ def _write_warc_fixture(spark: SparkSession, sf_dir: str) -> str:
     if os.path.exists(done):
         return out
     os.makedirs(out, exist_ok=True)
-    # fixture-builder collect: bounded sample, writes test INPUT files
-    # (the archiver side, not the engine under test)
-    rows = (
-        table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 2 == 0)
-        .select("doc_id", "source", "text")
-        .collect()
-    )
-    shards: dict[int, list] = {k: [] for k in range(4)}
-    for r in sorted(rows, key=lambda r: r["doc_id"]):
-        shards[r["doc_id"] % 4].append(
-            {
-                "warc_type": "response",
-                "uri": f"http://corpus.example/{r['source']}/{r['doc_id']}",
-                "date": "2024-01-01T00:00:00Z",
-                "payload": r["text"].encode("utf-8"),
-            }
-        )
-    for k, recs in shards.items():
-        gz = k % 2 == 1
-        info = [{
+
+    # distributed archiver (round 13): each shard group builds and
+    # writes its own .warc(.gz) inside its task — `documents` never
+    # lands on the driver, so sf10 probes of the ingest measure the
+    # parser, not this scaffolding
+    def _emit(key, pdf):
+        import pandas as pd
+
+        k = int(key[0])
+        pdf = pdf.sort_values("doc_id")
+        recs = [{
             "warc_type": "warcinfo",
             "uri": f"file://shard{k}",
             "date": "2024-01-01T00:00:00Z",
             "payload": b"software: hc-fixture\r\n",
         }]
-        blob = write_warc(info + recs, gzip_members=gz)
+        recs += [
+            {
+                "warc_type": "response",
+                "uri": f"http://corpus.example/{r.source}/{r.doc_id}",
+                "date": "2024-01-01T00:00:00Z",
+                "payload": r.text.encode("utf-8"),
+            }
+            for r in pdf.itertuples()
+        ]
+        gz = k % 2 == 1
+        blob = write_warc(recs, gzip_members=gz)
         name = f"shard{k}.warc" + (".gz" if gz else "")
-        with open(os.path.join(out, name), "wb") as f:
+        path = os.path.join(out, name)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
             f.write(blob)
+        os.replace(tmp, path)
+        return pd.DataFrame([(k, len(blob))], columns=["shard", "n"])
+
+    (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id", "source", "text")
+        .withColumn("shard", F.col("doc_id") % 4)
+        .repartition(4, "shard")
+        .groupBy("shard")
+        .applyInPandas(_emit, "shard bigint, n bigint")
+        .collect()  # tiny: one row per shard
+    )
     with open(done, "w") as f:
         f.write("ok")
     return out
@@ -759,23 +774,35 @@ def _write_tar_fixture(spark: SparkSession, sf_dir: str) -> str:
     if os.path.exists(done):
         return out
     os.makedirs(out, exist_ok=True)
-    rows = (
+
+    # distributed archiver (round 13) — same per-shard task emit as
+    # the WARC/codec writers; no driver materialization
+    def _emit(key, pdf):
+        import pandas as pd
+
+        k = int(key[0])
+        pdf = pdf.sort_values("doc_id")
+        files = [
+            (f"{r.source}/{r.doc_id}.txt", r.text.encode("utf-8"))
+            for r in pdf.itertuples()
+        ]
+        path = os.path.join(out, f"shard{k}.tar")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(write_tar(files))
+        os.replace(tmp, path)
+        return pd.DataFrame([(k, len(files))], columns=["shard", "n"])
+
+    (
         table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 2 == 1)
         .select("doc_id", "source", "text")
-        .collect()
+        .withColumn("shard", F.col("doc_id") % 3)
+        .repartition(3, "shard")
+        .groupBy("shard")
+        .applyInPandas(_emit, "shard bigint, n bigint")
+        .collect()  # tiny: one row per shard
     )
-    shards: dict[int, list] = {k: [] for k in range(3)}
-    for r in sorted(rows, key=lambda r: r["doc_id"]):
-        shards[r["doc_id"] % 3].append(
-            (
-                f"{r['source']}/{r['doc_id']}.txt",
-                r["text"].encode("utf-8"),
-            )
-        )
-    for k, files in shards.items():
-        with open(os.path.join(out, f"shard{k}.tar"), "wb") as f:
-            f.write(write_tar(files))
     with open(done, "w") as f:
         f.write("ok")
     return out
