@@ -1,5 +1,5 @@
 """From-scratch RIFF/WAVE reader + writers (PCM16 / IEEE float /
-extensible / mono IMA + MS ADPCM / G.711 mu-law + A-law).
+extensible / mono + stereo IMA + MS ADPCM / G.711 mu-law + A-law).
 
 The crawl-audio analogue of the image codecs: a real corpus's audio
 arrives as WAV/RIFF containers, and the ingest kernel must frame the
@@ -7,18 +7,19 @@ container, validate the format chunk, and expose samples — degrading
 gracefully (``AudioDecodeError``) on the torn blobs a crawl always
 contains, never killing a task.
 
-Supported format arms (rounds 11-12 widened the round-10 PCM16-only
+Supported format arms (rounds 11-13 widened the round-10 PCM16-only
 subset): integer PCM16 (tag 1), IEEE float 32/64-bit (tag 3, decoded
 to int16 via clip+round scaling), WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE,
-real format dispatched from the SubFormat GUID), mono IMA ADPCM
-(tag 0x11, the block-based 4-bit codec, decoded with the public
-step/index tables), mono MS ADPCM (tag 0x02, predictor-coefficient
-blocks with the fmt-chunk coef table honored), and G.711 mu-law /
-A-law (tags 0x07/0x06, formula-derived companding pinned bit-exact
-against the stdlib audioop reference over the full int16 range).
-Remaining compressed formats (multichannel ADPCM, MP3-in-WAV) raise
-``NotImplementedError`` at the plug point, the same posture as
-VP8X WebP in ``functions/webp.py``. The chunk walker itself is
+real format dispatched from the SubFormat GUID), IMA ADPCM (tag 0x11,
+the block-based 4-bit codec, decoded with the public step/index
+tables; mono and, since round 13, interleaved stereo via per-channel
+headers + 4-byte nibble groups), MS ADPCM (tag 0x02,
+predictor-coefficient blocks with the fmt-chunk coef table honored;
+mono and stereo via by-field headers + round-robin nibbles), and
+G.711 mu-law / A-law (tags 0x07/0x06, formula-derived companding
+pinned bit-exact against the stdlib audioop reference over the full
+int16 range). Remaining compressed formats (>2-channel ADPCM,
+MP3-in-WAV) raise ``NotImplementedError`` at the plug point. The chunk walker itself is
 total: it skips unknown chunks (LIST/INFO and anything else) by
 their declared size like a real RIFF reader, so metadata-bearing
 files parse fine.
@@ -109,26 +110,45 @@ def _ima_decode_nibble(n: int, pred: int, index: int) -> tuple[int, int]:
     return pred, index
 
 
-def _decode_ima_adpcm(data: bytes, block_align: int) -> list[int]:
-    """Mono IMA ADPCM data chunk -> int16 samples. Each block: 4-byte
-    header (int16 seed predictor, uint8 step index, reserved), then
-    nibble pairs low-first; the seed is the block's first sample."""
-    if block_align < 4 or block_align % 4:
+def _decode_ima_adpcm(
+    data: bytes, block_align: int, n_channels: int = 1
+) -> list[int]:
+    """IMA ADPCM data chunk -> interleaved int16 samples. Each block:
+    one 4-byte header PER CHANNEL (int16 seed predictor, uint8 step
+    index, reserved) — the seed is the channel's first sample — then
+    the nibble stream in 4-byte GROUPS round-robin across channels
+    (the standard WAV stereo layout), nibbles low-first within each
+    byte."""
+    if block_align < 4 * n_channels or block_align % (4 * n_channels):
         raise AudioDecodeError(f"bad ADPCM block align {block_align}")
     if len(data) % block_align:
         raise AudioDecodeError("ADPCM data not block-aligned")
     out: list[int] = []
+    groups_per_ch = (block_align - 4 * n_channels) // (4 * n_channels)
     for b0 in range(0, len(data), block_align):
         block = data[b0 : b0 + block_align]
-        pred = struct.unpack("<h", block[0:2])[0]
-        index = block[2]
-        if index > 88:
-            raise AudioDecodeError(f"ADPCM step index {index} > 88")
-        out.append(pred)
-        for byte in block[4:]:
-            for n in (byte & 0xF, byte >> 4):
-                pred, index = _ima_decode_nibble(n, pred, index)
-                out.append(pred)
+        preds, idxs = [], []
+        for c in range(n_channels):
+            pred = struct.unpack_from("<h", block, 4 * c)[0]
+            index = block[4 * c + 2]
+            if index > 88:
+                raise AudioDecodeError(f"ADPCM step index {index} > 88")
+            preds.append(pred)
+            idxs.append(index)
+        chans: list[list[int]] = [[p] for p in preds]
+        pos = 4 * n_channels
+        for _ in range(groups_per_ch):
+            for c in range(n_channels):
+                for byte in block[pos : pos + 4]:
+                    for n in (byte & 0xF, byte >> 4):
+                        preds[c], idxs[c] = _ima_decode_nibble(
+                            n, preds[c], idxs[c]
+                        )
+                        chans[c].append(preds[c])
+                pos += 4
+        for f in range(len(chans[0])):
+            for c in range(n_channels):
+                out.append(chans[c][f])
     return out
 
 
@@ -224,14 +244,16 @@ def parse_wav(blob: bytes) -> dict:
         samples = samples.astype(np.int16)
         codec = f"float{bits}"
     elif tag == _FMT_IMA_ADPCM:
-        if n_channels != 1:
+        if n_channels > 2:
             raise NotImplementedError(
-                "multichannel IMA ADPCM not implemented (mono built in)"
+                f"{n_channels}-channel IMA ADPCM not implemented "
+                "(mono + stereo built in)"
             )
         if bits != 4:
             raise AudioDecodeError(f"IMA ADPCM with {bits} bits/sample")
         samples = np.array(
-            _decode_ima_adpcm(data, block_align), dtype=np.int16
+            _decode_ima_adpcm(data, block_align, n_channels),
+            dtype=np.int16,
         )
         codec = "ima_adpcm"
     elif tag in (_FMT_MULAW, _FMT_ALAW):
@@ -246,9 +268,10 @@ def parse_wav(blob: bytes) -> dict:
         samples = lut[np.frombuffer(data, dtype=np.uint8)]
         codec = "ulaw" if tag == _FMT_MULAW else "alaw"
     elif tag == _FMT_MS_ADPCM:
-        if n_channels != 1:
+        if n_channels > 2:
             raise NotImplementedError(
-                "multichannel MS ADPCM not implemented (mono built in)"
+                f"{n_channels}-channel MS ADPCM not implemented "
+                "(mono + stereo built in)"
             )
         if bits != 4:
             raise AudioDecodeError(f"MS ADPCM with {bits} bits/sample")
@@ -263,7 +286,8 @@ def parse_wav(blob: bytes) -> dict:
                     for i in range(n_coefs)
                 )
         samples = np.array(
-            _decode_ms_adpcm(data, block_align, coefs), dtype=np.int16
+            _decode_ms_adpcm(data, block_align, coefs, n_channels),
+            dtype=np.int16,
         )
         codec = "ms_adpcm"
     else:
@@ -350,38 +374,53 @@ def _ima_encode_nibble(sample: int, pred: int, index: int
 
 
 def encode_wav_ima_adpcm(samples, sample_rate: int,
-                         block_frames: int = 505) -> bytes:
-    """Mono int16 samples -> IMA ADPCM WAV blob (fmt tag 0x11).
+                         block_frames: int = 505,
+                         n_channels: int = 1) -> bytes:
+    """Interleaved int16 samples -> IMA ADPCM WAV blob (fmt tag 0x11),
+    mono or stereo.
 
-    Each block stores 1 seed sample + 2*(block_align-4) nibbles;
-    block_frames must be 1 mod 8 so the block align lands on the
-    4-byte boundary the format requires. The input is truncated to
-    whole blocks (standard encoder behavior for a fixed block
-    size)."""
+    Each block stores, PER CHANNEL, 1 seed sample + nibbles for the
+    remaining block_frames-1 samples, the nibble stream laid out in
+    4-byte groups round-robin across channels (the standard WAV
+    stereo layout, matching _decode_ima_adpcm). block_frames must be
+    1 mod 8 so groups land on the 4-byte boundary. The input is
+    truncated to whole blocks (standard encoder behavior)."""
     if (block_frames - 1) % 8:
         raise ValueError("block_frames must be 1 mod 8")
     samples = [int(s) for s in samples]
-    block_align = 4 + (block_frames - 1) // 2
-    n_blocks = len(samples) // block_frames
+    block_align = (4 + (block_frames - 1) // 2) * n_channels
+    frames_per_block = block_frames
+    n_blocks = len(samples) // (frames_per_block * n_channels)
     body = bytearray()
-    index = 0
+    idxs = [0] * n_channels
     for b in range(n_blocks):
-        chunk = samples[b * block_frames : (b + 1) * block_frames]
-        pred = chunk[0]
-        body += struct.pack("<hBB", pred, index, 0)
-        nibbles: list[int] = []
-        for s in chunk[1:]:
-            n, pred, index = _ima_encode_nibble(s, pred, index)
-            nibbles.append(n)
-        for lo, hi in zip(nibbles[0::2], nibbles[1::2]):
-            body.append(lo | (hi << 4))
-    n_frames = n_blocks * block_frames
+        base = b * frames_per_block * n_channels
+        chans = [
+            samples[base + c : base + frames_per_block * n_channels : n_channels]
+            for c in range(n_channels)
+        ]
+        nibbles: list[list[int]] = []
+        for c in range(n_channels):
+            pred = chans[c][0]
+            body += struct.pack("<hBB", pred, idxs[c], 0)
+            ns: list[int] = []
+            for s in chans[c][1:]:
+                n, pred, idxs[c] = _ima_encode_nibble(s, pred, idxs[c])
+                ns.append(n)
+            nibbles.append(ns)
+        # 8 nibbles (4 bytes) per channel, alternating channels
+        for g in range(0, len(nibbles[0]), 8):
+            for c in range(n_channels):
+                grp = nibbles[c][g : g + 8]
+                for lo, hi in zip(grp[0::2], grp[1::2]):
+                    body.append(lo | (hi << 4))
+    n_frames = n_blocks * frames_per_block
     fmt = struct.pack(
-        "<HHIIHHHH", _FMT_IMA_ADPCM, 1, sample_rate,
+        "<HHIIHHHH", _FMT_IMA_ADPCM, n_channels, sample_rate,
         (sample_rate * block_align + block_frames - 1) // block_frames,
         block_align, 4,
         2,  # cbSize
-        block_frames,  # samples per block
+        block_frames,  # samples per block (per channel)
     )
     chunks = (
         b"fmt " + struct.pack("<I", len(fmt)) + fmt
@@ -506,74 +545,121 @@ def _clamp16(v: int) -> int:
     return -32768 if v < -32768 else 32767 if v > 32767 else v
 
 
-def _decode_ms_adpcm(data: bytes, block_align: int, coefs) -> list[int]:
-    """Mono MS ADPCM data chunk -> int16 samples. Block: predictor
-    index byte, int16 initial delta, int16 sample1 (newer seed),
-    int16 sample2 (older seed), then nibble pairs HIGH-first."""
-    if block_align < 7:
+def _decode_ms_adpcm(
+    data: bytes, block_align: int, coefs, n_channels: int = 1
+) -> list[int]:
+    """MS ADPCM data chunk -> interleaved int16 samples. Block header
+    (fields grouped BY FIELD, each field one entry per channel, the
+    standard WAV layout): predictor index bytes, int16 initial
+    deltas, int16 sample1 seeds (newer), int16 sample2 seeds (older);
+    then the nibble stream HIGH-first within each byte, nibbles
+    round-robin across channels."""
+    hdr = 7 * n_channels
+    if block_align < hdr:
         raise AudioDecodeError(f"bad MS ADPCM block align {block_align}")
     if len(data) % block_align:
         raise AudioDecodeError("MS ADPCM data not block-aligned")
     out: list[int] = []
     for b0 in range(0, len(data), block_align):
         blk = data[b0 : b0 + block_align]
-        pred_idx = blk[0]
-        if pred_idx >= len(coefs):
-            raise AudioDecodeError(
-                f"MS ADPCM predictor {pred_idx} >= {len(coefs)} coefs"
+        c1s, c2s, deltas, s1s, s2s = [], [], [], [], []
+        for c in range(n_channels):
+            pred_idx = blk[c]
+            if pred_idx >= len(coefs):
+                raise AudioDecodeError(
+                    f"MS ADPCM predictor {pred_idx} >= {len(coefs)} coefs"
+                )
+            c1s.append(coefs[pred_idx][0])
+            c2s.append(coefs[pred_idx][1])
+            deltas.append(
+                struct.unpack_from("<h", blk, n_channels + 2 * c)[0]
             )
-        delta, s1, s2 = struct.unpack_from("<hhh", blk, 1)
-        c1, c2 = coefs[pred_idx]
-        out.append(s2)
-        out.append(s1)
-        for byte in blk[7:]:
+            s1s.append(
+                struct.unpack_from("<h", blk, 3 * n_channels + 2 * c)[0]
+            )
+            s2s.append(
+                struct.unpack_from("<h", blk, 5 * n_channels + 2 * c)[0]
+            )
+        out.extend(s2s)
+        out.extend(s1s)
+        chans: list[list[int]] = [[] for _ in range(n_channels)]
+        c = 0
+        for byte in blk[hdr:]:
             for n in (byte >> 4, byte & 0xF):
                 signed = n - 16 if n >= 8 else n
-                pred = _div256_trunc(s1 * c1 + s2 * c2) + signed * delta
+                pred = (
+                    _div256_trunc(s1s[c] * c1s[c] + s2s[c] * c2s[c])
+                    + signed * deltas[c]
+                )
                 pred = _clamp16(pred)
-                out.append(pred)
-                s2, s1 = s1, pred
-                delta = (_MS_ADAPT[n] * delta) >> 8
-                if delta < 16:
-                    delta = 16
+                chans[c].append(pred)
+                s2s[c], s1s[c] = s1s[c], pred
+                deltas[c] = (_MS_ADAPT[n] * deltas[c]) >> 8
+                if deltas[c] < 16:
+                    deltas[c] = 16
+                c = (c + 1) % n_channels
+        # the nibble count is a channel multiple by block_align
+        # construction; interleave decoded frames after the seeds
+        for f in range(len(chans[0])):
+            for ch in range(n_channels):
+                out.append(chans[ch][f])
     return out
 
 
 def encode_wav_ms_adpcm(samples, sample_rate: int,
-                        block_frames: int = 500) -> bytes:
-    """Mono int16 samples -> MS ADPCM WAV blob (fmt tag 0x0002,
-    standard 7-coefficient table, predictor 0, initial delta 16).
+                        block_frames: int = 500,
+                        n_channels: int = 1) -> bytes:
+    """Interleaved int16 samples -> MS ADPCM WAV blob (fmt tag
+    0x0002, standard 7-coefficient table, predictor 0, initial delta
+    16), mono or stereo.
 
-    block_frames must be even (2 seed samples + nibble pairs); input
-    truncates to whole blocks. The nibble chooser mirrors the decoder
-    state exactly, so decode(encode(x)) is deterministic and
-    bit-reproducible (and exact for signals the 4-bit delta can
-    track, e.g. constants)."""
+    block_frames (per channel) must be even (2 seed samples + nibble
+    pairs); input truncates to whole blocks. The block header groups
+    fields BY FIELD across channels and the nibble stream goes
+    round-robin (matching _decode_ms_adpcm). The nibble chooser
+    mirrors the decoder state exactly, so decode(encode(x)) is
+    deterministic and bit-reproducible (and exact for signals the
+    4-bit delta can track, e.g. constants)."""
     if block_frames < 2 or block_frames % 2:
         raise ValueError("block_frames must be even and >= 2")
     samples = [int(s) for s in samples]
-    block_align = 7 + (block_frames - 2) // 2
-    n_blocks = len(samples) // block_frames
+    block_align = (7 + (block_frames - 2) // 2) * n_channels
+    n_blocks = len(samples) // (block_frames * n_channels)
     c1, c2 = _MS_DEFAULT_COEFS[0]
     body = bytearray()
     for b in range(n_blocks):
-        chunk = samples[b * block_frames : (b + 1) * block_frames]
-        s2, s1 = chunk[0], chunk[1]
-        delta = 16
-        body += struct.pack("<Bhhh", 0, delta, s1, s2)
+        base_i = b * block_frames * n_channels
+        chans = [
+            samples[base_i + c : base_i + block_frames * n_channels : n_channels]
+            for c in range(n_channels)
+        ]
+        s2s = [ch[0] for ch in chans]
+        s1s = [ch[1] for ch in chans]
+        deltas = [16] * n_channels
+        body += bytes(n_channels)  # predictor 0 per channel
+        for d in deltas:
+            body += struct.pack("<h", d)
+        for s in s1s:
+            body += struct.pack("<h", s)
+        for s in s2s:
+            body += struct.pack("<h", s)
         nibbles: list[int] = []
-        for s in chunk[2:]:
-            base = _div256_trunc(s1 * c1 + s2 * c2)
-            want = s - base
-            n_signed = want // delta if delta else 0
-            n_signed = -8 if n_signed < -8 else 7 if n_signed > 7 else n_signed
-            n = n_signed & 0xF
-            pred = _clamp16(base + n_signed * delta)
-            nibbles.append(n)
-            s2, s1 = s1, pred
-            delta = (_MS_ADAPT[n] * delta) >> 8
-            if delta < 16:
-                delta = 16
+        for f in range(2, block_frames):
+            for c in range(n_channels):
+                s = chans[c][f]
+                base = _div256_trunc(s1s[c] * c1 + s2s[c] * c2)
+                want = s - base
+                n_signed = want // deltas[c] if deltas[c] else 0
+                n_signed = (
+                    -8 if n_signed < -8 else 7 if n_signed > 7 else n_signed
+                )
+                n = n_signed & 0xF
+                pred = _clamp16(base + n_signed * deltas[c])
+                nibbles.append(n)
+                s2s[c], s1s[c] = s1s[c], pred
+                deltas[c] = (_MS_ADAPT[n] * deltas[c]) >> 8
+                if deltas[c] < 16:
+                    deltas[c] = 16
         for hi, lo in zip(nibbles[0::2], nibbles[1::2]):
             body.append((hi << 4) | lo)
     n_frames = n_blocks * block_frames
@@ -581,7 +667,7 @@ def encode_wav_ms_adpcm(samples, sample_rate: int,
     for a, bcoef in _MS_DEFAULT_COEFS:
         extra += struct.pack("<hh", a, bcoef)
     fmt = struct.pack(
-        "<HHIIHHH", _FMT_MS_ADPCM, 1, sample_rate,
+        "<HHIIHHH", _FMT_MS_ADPCM, n_channels, sample_rate,
         (sample_rate * block_align + block_frames - 1) // block_frames,
         block_align, 4, len(extra)
     ) + extra

@@ -64,29 +64,32 @@ def _wav_batches(batches):
             # container arm: pcm/float/extensible/ima/ulaw/alaw/ms
             v = d % 7
             n_frames = 64 + d % 64
-            channels = 1 if v in (3, 6) else 1 + d % 2
+            channels = 1 + d % 2
             rate = _WAV_RATES[d % 3]
-            if v == 3:
-                # mono IMA ADPCM, one whole block (block frames must
-                # be 1 mod 8 so the align is 4-byte) of a constant
-                # signal: at step index 0 a zero nibble reconstructs
-                # exactly (step 7 >> 3 == 0), so the decode is
-                # bit-exact and the oracle closed-form
-                bf = ((n_frames - 1) // 8) * 8 + 1
+            if v in (3, 6):
+                # IMA / MS ADPCM, mono or stereo (round 13 added the
+                # interleaved stereo arms), one whole block of
+                # per-channel CONSTANT signals: at step index 0 /
+                # predictor 0 a zero nibble reconstructs exactly, so
+                # the decode is bit-exact and the oracle closed-form;
+                # distinct per-channel constants prove the channel
+                # de-interleave does not bleed
+                if v == 3:
+                    # block frames must be 1 mod 8 (4-byte groups)
+                    bf = ((n_frames - 1) // 8) * 8 + 1
+                else:
+                    bf = n_frames - (n_frames % 2)
                 c = (d * 37) % 4096 - 2048
-                blob = encode_wav_ima_adpcm(
-                    np.full(bf, c, dtype=np.int64), rate,
-                    block_frames=bf,
-                )
-            elif v == 6:
-                # mono MS ADPCM (predictor 0), one even-length block
-                # of a constant signal: base prediction equals the
-                # seed, every nibble is 0, reconstruction is exact
-                bf = n_frames - (n_frames % 2)
-                c = (d * 37) % 4096 - 2048
-                blob = encode_wav_ms_adpcm(
-                    np.full(bf, c, dtype=np.int64), rate,
-                    block_frames=bf,
+                if channels == 2:
+                    c2 = (d * 53) % 4096 - 2048
+                    sig = np.empty(bf * 2, dtype=np.int64)
+                    sig[0::2] = c
+                    sig[1::2] = c2
+                else:
+                    sig = np.full(bf, c, dtype=np.int64)
+                enc = encode_wav_ima_adpcm if v == 3 else encode_wav_ms_adpcm
+                blob = enc(
+                    sig, rate, block_frames=bf, n_channels=channels
                 )
             elif v in (4, 5):
                 # G.711: samples drawn from the codec's own decode
@@ -166,19 +169,18 @@ def _wav_batches(batches):
       SELECT doc_id,
              CAST(doc_id % 7 AS INT) AS v,
              64 + doc_id % 64 AS nf,
-             CASE WHEN doc_id % 7 IN (3, 6) THEN 1
-                  ELSE 1 + doc_id % 2 END AS n_channels,
+             1 + doc_id % 2 AS n_channels,
              [8000, 16000, 44100][CAST(doc_id % 3 AS INT) + 1] AS rate,
-             (doc_id * 37) % 4096 - 2048 AS c
+             (doc_id * 37) % 4096 - 2048 AS c,
+             (doc_id * 53) % 4096 - 2048 AS c2
       FROM documents
     ),
     g2 AS (
-      SELECT doc_id, v, n_channels, rate, c,
+      SELECT doc_id, v, n_channels, rate, c, c2,
              CASE WHEN v = 3 THEN ((nf - 1) // 8) * 8 + 1
                   WHEN v = 6 THEN nf - (nf % 2)
                   ELSE nf END AS out_frames,
-             CASE WHEN v = 3 THEN ((nf - 1) // 8) * 8 + 1
-                  WHEN v = 6 THEN nf - (nf % 2)
+             CASE WHEN v IN (3, 6) THEN 0
                   ELSE nf * n_channels END AS n,
              doc_id % {_WAV_ERR_MOD} = 0 AS err
       FROM g
@@ -226,11 +228,15 @@ def _wav_batches(batches):
            ELSE CAST(out_frames AS BIGINT) * 1000000 // rate END
         AS duration_us,
       CASE WHEN err THEN NULL
-           WHEN v IN (3, 6) THEN CAST(c * out_frames AS BIGINT)
+           WHEN v IN (3, 6) THEN CAST(out_frames
+                * (c + CASE WHEN n_channels = 2 THEN c2 ELSE 0 END)
+                AS BIGINT)
            ELSE CAST(list_sum(dv) AS BIGINT)
         END AS sum_samples,
       CASE WHEN err THEN NULL
-           WHEN v IN (3, 6) THEN CAST(c AS BIGINT)
+           WHEN v IN (3, 6) THEN CAST(
+                CASE WHEN n_channels = 2 THEN greatest(c, c2)
+                     ELSE c END AS BIGINT)
            ELSE CAST(list_max(dv) AS BIGINT)
         END AS peak
     FROM g2 JOIN vals ON g2.doc_id = vals.doc_id
@@ -243,11 +249,13 @@ def multimodal_audio_wav_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     float32 (samples generated as integer/32767 so the clip+round
     normalization round-trips the exact integers),
     WAVE_FORMAT_EXTENSIBLE (real format dispatched from the SubFormat
-    GUID), mono IMA ADPCM and mono MS ADPCM (constant-signal blocks
-    that reconstruct bit-exactly — zero nibbles at step index 0 /
-    predictor 0 — keeping the oracle closed-form while the block
-    walkers, seed headers, and coefficient/step tables all execute
-    for real), and G.711 mu-law + A-law (payload bytes drawn from the
+    GUID), IMA ADPCM and MS ADPCM in BOTH mono and interleaved stereo
+    (round 13 added the stereo arms: per-channel headers, 4-byte
+    nibble groups / round-robin nibbles; distinct per-channel
+    constant signals reconstruct bit-exactly — zero nibbles at step
+    index 0 / predictor 0 — keeping the oracle closed-form while
+    proving the channel de-interleave does not bleed), and G.711
+    mu-law + A-law (payload bytes drawn from the
     codec's own decode image so compand(expand(b)) == b and the
     decoded sums are stated closed-form from the ITU-T segment
     formulas — the expand tables themselves are audioop-pinned over

@@ -292,6 +292,13 @@ def test_wav_parser_fuzz():
         "wav_alaw": encode_wav_g711(ints, 44100, 2, "a"),
         "wav_ms_adpcm": encode_wav_ms_adpcm(ints[:190], 16000,
                                             block_frames=190),
+        # round-13 stereo ADPCM arms
+        "wav_adpcm_st": encode_wav_ima_adpcm(ints[:178], 8000,
+                                             block_frames=89,
+                                             n_channels=2),
+        "wav_ms_adpcm_st": encode_wav_ms_adpcm(ints[:188], 16000,
+                                               block_frames=94,
+                                               n_channels=2),
     }
     for name, blob in fixtures.items():
         rng = np.random.default_rng(hash(name) % (2**32))

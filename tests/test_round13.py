@@ -179,3 +179,135 @@ def test_anim_mutation_fuzz():
         except (ImageDecodeError, NotImplementedError):
             err += 1
     assert ok + err == 150
+
+
+# ---------------------------------------------------------------------------
+# Round-13 stereo ADPCM arms: the stereo decode must equal the PINNED
+# mono decoder run per channel — the stereo block is de-interleaved
+# into two mono-layout blocks (header + that channel's nibble bytes)
+# and each is pushed through the mono path, so the only new code under
+# test (channel routing) is verified against the old code exactly.
+# ---------------------------------------------------------------------------
+
+
+def _ima_stereo_to_mono_blocks(data: bytes, block_align: int):
+    """Stereo IMA block stream -> per-channel mono block streams."""
+    mono_align = block_align // 2
+    chans = [bytearray(), bytearray()]
+    for b0 in range(0, len(data), block_align):
+        blk = data[b0 : b0 + block_align]
+        for c in (0, 1):
+            chans[c] += blk[4 * c : 4 * c + 4]
+        pos = 8
+        while pos < block_align:
+            for c in (0, 1):
+                chans[c] += blk[pos : pos + 4]
+                pos += 4
+    return bytes(chans[0]), bytes(chans[1]), mono_align
+
+
+def _ms_stereo_to_mono_blocks(data: bytes, block_align: int):
+    """Stereo MS block stream -> per-channel mono block streams."""
+    mono_align = block_align // 2
+    chans = [bytearray(), bytearray()]
+    for b0 in range(0, len(data), block_align):
+        blk = data[b0 : b0 + block_align]
+        for c in (0, 1):
+            hdr = (
+                blk[c : c + 1]
+                + blk[2 + 2 * c : 4 + 2 * c]      # delta
+                + blk[6 + 2 * c : 8 + 2 * c]      # sample1
+                + blk[10 + 2 * c : 12 + 2 * c]    # sample2
+            )
+            chans[c] += hdr
+        nibbles: list[list[int]] = [[], []]
+        i = 0
+        for byte in blk[14:]:
+            for n in (byte >> 4, byte & 0xF):
+                nibbles[i % 2].append(n)
+                i += 1
+        for c in (0, 1):
+            ns = nibbles[c]
+            for hi, lo in zip(ns[0::2], ns[1::2]):
+                chans[c].append((hi << 4) | lo)
+    return bytes(chans[0]), bytes(chans[1]), mono_align
+
+
+def test_stereo_ima_adpcm_matches_per_channel_mono():
+    from history_collector_spark.functions.wav import (
+        _decode_ima_adpcm,
+        encode_wav_ima_adpcm,
+        parse_wav,
+    )
+
+    rng = np.random.default_rng(131)
+    bf = 89  # 1 mod 8
+    left = np.cumsum(rng.integers(-40, 41, bf * 2)).astype(int)
+    right = np.cumsum(rng.integers(-90, 91, bf * 2)).astype(int)
+    inter = np.empty(bf * 4, dtype=int)
+    inter[0::2], inter[1::2] = left, right
+    blob = encode_wav_ima_adpcm(inter, 8000, block_frames=bf,
+                                n_channels=2)
+    w = parse_wav(blob)
+    assert w["n_channels"] == 2 and w["n_frames"] == bf * 2
+    got = np.asarray(w["samples"]).reshape(-1, 2)
+
+    # locate the data chunk and de-interleave
+    pos = blob.index(b"data")
+    data = blob[pos + 8 : pos + 8 + int.from_bytes(
+        blob[pos + 4 : pos + 8], "little")]
+    align = (4 + (bf - 1) // 2) * 2
+    ch0, ch1, mono_align = _ima_stereo_to_mono_blocks(data, align)
+    np.testing.assert_array_equal(
+        got[:, 0], _decode_ima_adpcm(ch0, mono_align))
+    np.testing.assert_array_equal(
+        got[:, 1], _decode_ima_adpcm(ch1, mono_align))
+
+
+def test_stereo_ms_adpcm_matches_per_channel_mono():
+    from history_collector_spark.functions.wav import (
+        _MS_DEFAULT_COEFS,
+        _decode_ms_adpcm,
+        encode_wav_ms_adpcm,
+        parse_wav,
+    )
+
+    rng = np.random.default_rng(137)
+    bf = 94  # even
+    left = np.cumsum(rng.integers(-60, 61, bf * 2)).astype(int)
+    right = np.cumsum(rng.integers(-25, 26, bf * 2)).astype(int)
+    inter = np.empty(bf * 4, dtype=int)
+    inter[0::2], inter[1::2] = left, right
+    blob = encode_wav_ms_adpcm(inter, 16000, block_frames=bf,
+                               n_channels=2)
+    w = parse_wav(blob)
+    assert w["n_channels"] == 2 and w["n_frames"] == bf * 2
+    got = np.asarray(w["samples"]).reshape(-1, 2)
+
+    pos = blob.index(b"data")
+    data = blob[pos + 8 : pos + 8 + int.from_bytes(
+        blob[pos + 4 : pos + 8], "little")]
+    align = (7 + (bf - 2) // 2) * 2
+    ch0, ch1, mono_align = _ms_stereo_to_mono_blocks(data, align)
+    np.testing.assert_array_equal(
+        got[:, 0], _decode_ms_adpcm(ch0, mono_align, _MS_DEFAULT_COEFS))
+    np.testing.assert_array_equal(
+        got[:, 1], _decode_ms_adpcm(ch1, mono_align, _MS_DEFAULT_COEFS))
+
+
+def test_stereo_adpcm_channel_isolation():
+    """Distinct per-channel constants reconstruct exactly with zero
+    bleed — the property the ingest oracle's closed-form relies on."""
+    from history_collector_spark.functions.wav import (
+        encode_wav_ima_adpcm,
+        encode_wav_ms_adpcm,
+        parse_wav,
+    )
+
+    for enc, bf in ((encode_wav_ima_adpcm, 105), (encode_wav_ms_adpcm, 100)):
+        inter = np.empty(bf * 2, dtype=int)
+        inter[0::2], inter[1::2] = 1234, -567
+        w = parse_wav(enc(inter, 8000, block_frames=bf, n_channels=2))
+        s = np.asarray(w["samples"]).reshape(-1, 2)
+        assert set(s[:, 0].tolist()) == {1234}
+        assert set(s[:, 1].tolist()) == {-567}
