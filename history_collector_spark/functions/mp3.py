@@ -99,13 +99,62 @@ def parse_mp3_frame_header(b: bytes):
     return ver, layer, bitrate, rate, padding, mode, frame, samples
 
 
+def _xing_side_info_bytes(mpeg1: bool, mono: bool) -> int:
+    """Layer III side-info size — the published offset at which a
+    Xing/Info tag sits inside the first frame's payload."""
+    if mpeg1:
+        return 17 if mono else 32
+    return 9 if mono else 17
+
+
+def _parse_vbr_headers(frame: bytes, mpeg1: bool, mono: bool):
+    """First physical frame -> (vbr_source, vbr_frames, vbr_bytes).
+
+    Xing ('Xing' tag, VBR) / Info (same layout, CBR) sit after the
+    Layer III side info; their big-endian flag word gates optional
+    frames / bytes / 100-byte TOC / quality fields in that order.
+    VBRI (Fraunhofer) sits at the fixed offset 32 after the 4-byte
+    header: version, delay, quality (u16 each), then bytes and
+    frames (u32 BE). Absent or truncated headers -> ('none', None,
+    None) — a damaged VBR tag is not a framing error."""
+    off = 4 + _xing_side_info_bytes(mpeg1, mono)
+    tag = frame[off : off + 4]
+    if tag in (b"Xing", b"Info") and len(frame) >= off + 8:
+        flags = int.from_bytes(frame[off + 4 : off + 8], "big")
+        pos = off + 8
+        frames = nbytes = None
+        if flags & 1:
+            if len(frame) < pos + 4:
+                return "none", None, None
+            frames = int.from_bytes(frame[pos : pos + 4], "big")
+            pos += 4
+        if flags & 2:
+            if len(frame) < pos + 4:
+                return "none", None, None
+            nbytes = int.from_bytes(frame[pos : pos + 4], "big")
+            pos += 4
+        return ("xing" if tag == b"Xing" else "info"), frames, nbytes
+    if frame[36:40] == b"VBRI" and len(frame) >= 36 + 18:
+        nbytes = int.from_bytes(frame[46:50], "big")
+        frames = int.from_bytes(frame[50:54], "big")
+        return "vbri", frames, nbytes
+    return "none", None, None
+
+
 def parse_mp3_info(data: bytes) -> dict:
     """MP3 payload -> {n_frames, sample_rate, channel_mode, layer,
-    mpeg1, bitrate_kbps (max seen), vbr, duration_us, id3v2_bytes}.
+    mpeg1, bitrate_kbps (max seen), vbr, duration_us, id3v2_bytes,
+    vbr_source, vbr_frames, vbr_bytes}.
 
     Every frame's header is validated and stepped exactly; mixed
     sample rates / layers across frames are malformed (real encoders
-    never change them mid-stream)."""
+    never change them mid-stream). The first frame is additionally
+    probed for the standard VBR duration headers (Xing/Info at the
+    side-info offset, Fraunhofer VBRI at offset 36): real players
+    take duration from these without walking the file, so the walker
+    doubles as their cross-check — vbr_frames counts the frames
+    AFTER the header frame itself (the Xing frame is not audio),
+    which the round-13 fixtures pin against the walk."""
     skip = _id3v2_size(data)
     pos = skip
     if pos >= len(data):
@@ -114,6 +163,7 @@ def parse_mp3_info(data: bytes) -> dict:
     total_samples = 0
     rate = layer = ver = mode = None
     bitrates = set()
+    vbr_source, vbr_frames, vbr_bytes = "none", None, None
     while pos + 4 <= len(data):
         b = data[pos : pos + 4]
         if b[0] != 0xFF or (b[1] & 0xE0) != 0xE0:
@@ -121,6 +171,10 @@ def parse_mp3_info(data: bytes) -> dict:
         v, lay, br, r, _pad, m, frame, samples = parse_mp3_frame_header(b)
         if rate is None:
             ver, layer, rate, mode = v, lay, r, m
+            if lay == 3 and pos + frame <= len(data):
+                vbr_source, vbr_frames, vbr_bytes = _parse_vbr_headers(
+                    data[pos : pos + frame], v == 3, m == "mono"
+                )
         elif (v, lay, r) != (ver, layer, rate):
             raise AudioDecodeError("MP3 stream parameters change mid-file")
         if pos + frame > len(data):
@@ -141,30 +195,60 @@ def parse_mp3_info(data: bytes) -> dict:
         "layer": layer,
         "mpeg1": ver == 3,
         "bitrate_kbps": max(bitrates),
-        "vbr": len(bitrates) > 1,
+        "vbr": len(bitrates) > 1 or vbr_source in ("xing", "vbri"),
         "duration_us": total_samples * 1_000_000 // rate,
         "id3v2_bytes": skip,
+        "vbr_source": vbr_source,
+        "vbr_frames": vbr_frames,
+        "vbr_bytes": vbr_bytes,
     }
 
 
 def build_mp3(n_frames: int, bitrate_kbps: int = 128,
               sample_rate: int = 44100, mono: bool = False,
-              id3_payload: bytes = b"") -> bytes:
+              id3_payload: bytes = b"",
+              vbr_header: str | None = None) -> bytes:
     """Assemble a structurally valid MPEG-1 Layer III stream (zeroed
     side-info/spectral payload — a metadata fixture, not playable
     audio) with an optional ID3v2 tag. Exact inverse of
-    :func:`parse_mp3_info` for fixture arithmetic."""
+    :func:`parse_mp3_info` for fixture arithmetic.
+
+    ``vbr_header`` ('xing' | 'info' | 'vbri') prepends one extra
+    header frame carrying the named VBR tag at its real offset, with
+    the frames field = n_frames (the audio frames that follow, per
+    the Xing convention) and the bytes field = their total size."""
     idx = _BITRATES[(True, 3)].index(bitrate_kbps) + 1
     sr_idx = _SAMPLE_RATES[3].index(sample_rate)
     b1 = 0xE0 | (3 << 3) | (1 << 1) | 1  # MPEG-1, layer III, no CRC
     b2 = (idx << 4) | (sr_idx << 2)
     b3 = (3 << 6) if mono else 0
     frame_len = 144 * bitrate_kbps * 1000 // sample_rate
-    frame = bytes([0xFF, b1, b2, b3]) + bytes(frame_len - 4)
+    hdr4 = bytes([0xFF, b1, b2, b3])
+    frame = hdr4 + bytes(frame_len - 4)
     out = b""
     if id3_payload:
         size = len(id3_payload)
         ss = bytes([(size >> 21) & 0x7F, (size >> 14) & 0x7F,
                     (size >> 7) & 0x7F, size & 0x7F])
         out += b"ID3\x04\x00\x00" + ss + id3_payload
-    return out + frame * n_frames
+    lead = b""
+    if vbr_header is not None:
+        stream_bytes = n_frames * frame_len
+        body = bytearray(frame_len - 4)
+        if vbr_header in ("xing", "info"):
+            off = _xing_side_info_bytes(True, mono)
+            tag = b"Xing" if vbr_header == "xing" else b"Info"
+            blob = (tag + (3).to_bytes(4, "big")  # frames + bytes
+                    + n_frames.to_bytes(4, "big")
+                    + stream_bytes.to_bytes(4, "big"))
+            body[off : off + len(blob)] = blob
+        elif vbr_header == "vbri":
+            blob = (b"VBRI" + (1).to_bytes(2, "big")  # version
+                    + bytes(4)  # delay, quality
+                    + stream_bytes.to_bytes(4, "big")
+                    + n_frames.to_bytes(4, "big"))
+            body[32 : 32 + len(blob)] = blob
+        else:
+            raise ValueError(f"unknown vbr_header {vbr_header!r}")
+        lead = hdr4 + bytes(body)
+    return out + lead + frame * n_frames

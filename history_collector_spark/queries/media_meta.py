@@ -412,6 +412,7 @@ def _mp3_batches(batches):
     for pdf in batches:
         out = {
             "doc_id": [], "status": [], "channel_mode": [],
+            "vbr_source": [],
             "n_frames": [], "sample_rate": [], "bitrate_kbps": [],
             "duration_us": [], "id3v2_bytes": [],
         }
@@ -421,15 +422,26 @@ def _mp3_batches(batches):
             br = _MP3_BITRATES[d % 4]
             sr = _MP3_RATES[d % 3]
             id3 = b"t" * (40 + d % 50) if d % 3 == 0 else b""
+            # round 13: 3 in 5 assets carry a real VBR duration
+            # header (Xing / Info / Fraunhofer VBRI) in a leading
+            # header frame, the layout real encoders emit
+            vh = ("xing", "info", "vbri", None, None)[d % 5]
             blob = build_mp3(nf, br, sr, mono=bool(d % 2),
-                             id3_payload=id3)
+                             id3_payload=id3, vbr_header=vh)
             if d % _MP3_ERR_MOD == 0:
                 blob = b"\x00" + blob[1:]  # torn sync / torn ID3 magic
             out["doc_id"].append(d)
             try:
                 info = parse_mp3_info(blob)
-                out["status"].append("ok")
+                # the header's frame count must equal the walked
+                # audio frames (walk minus the header frame itself) —
+                # a drifting Xing offset or field parse flips status
+                consistent = info["vbr_frames"] is None or (
+                    info["vbr_frames"] == info["n_frames"] - 1
+                )
+                out["status"].append("ok" if consistent else "mismatch")
                 out["channel_mode"].append(info["channel_mode"])
+                out["vbr_source"].append(info["vbr_source"])
                 out["n_frames"].append(info["n_frames"])
                 out["sample_rate"].append(info["sample_rate"])
                 out["bitrate_kbps"].append(info["bitrate_kbps"])
@@ -438,6 +450,7 @@ def _mp3_batches(batches):
             except MediaDecodeError:
                 out["status"].append("error")
                 out["channel_mode"].append(None)
+                out["vbr_source"].append(None)
                 for k in ("n_frames", "sample_rate", "bitrate_kbps",
                           "duration_us", "id3v2_bytes"):
                     out[k].append(None)
@@ -446,6 +459,7 @@ def _mp3_batches(batches):
                 "doc_id": out["doc_id"],
                 "status": out["status"],
                 "channel_mode": out["channel_mode"],
+                "vbr_source": out["vbr_source"],
                 **{
                     k: pd.array(out[k], dtype="Int64")
                     for k in ("n_frames", "sample_rate", "bitrate_kbps",
@@ -466,6 +480,9 @@ def _mp3_batches(batches):
              CASE WHEN doc_id % 3 = 0
                   THEN 10 + 40 + doc_id % 50 ELSE 0 END AS id3,
              doc_id % 2 = 1 AS mono,
+             ['xing', 'info', 'vbri', 'none', 'none']
+               [CAST(doc_id % 5 AS INT) + 1] AS vsrc,
+             CASE WHEN doc_id % 5 <= 2 THEN 1 ELSE 0 END AS lead,
              doc_id % {_MP3_ERR_MOD} = 0 AS err
       FROM documents
     )
@@ -473,13 +490,15 @@ def _mp3_batches(batches):
       CASE WHEN err THEN 'error' ELSE 'ok' END AS status,
       CASE WHEN err THEN NULL
            WHEN mono THEN 'mono' ELSE 'stereo' END AS channel_mode,
-      CASE WHEN err THEN NULL ELSE CAST(nf AS BIGINT) END AS n_frames,
+      CASE WHEN err THEN NULL ELSE vsrc END AS vbr_source,
+      CASE WHEN err THEN NULL ELSE CAST(nf + lead AS BIGINT) END
+        AS n_frames,
       CASE WHEN err THEN NULL ELSE CAST(sr AS BIGINT) END
         AS sample_rate,
       CASE WHEN err THEN NULL ELSE CAST(br AS BIGINT) END
         AS bitrate_kbps,
       CASE WHEN err THEN NULL
-           ELSE CAST(nf AS BIGINT) * 1152 * 1000000 // sr END
+           ELSE CAST(nf + lead AS BIGINT) * 1152 * 1000000 // sr END
         AS duration_us,
       CASE WHEN err THEN NULL ELSE CAST(id3 AS BIGINT) END
         AS id3v2_bytes
@@ -492,14 +511,20 @@ def multimodal_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     published bitrate/sample-rate tables): per asset, the facts an
     audio curation pass filters on — physical frame count, sample
     rate, channel mode, bitrate, EXACT duration from
-    samples-per-frame arithmetic, and the skipped ID3v2 tag size. A
-    deterministic 1/19 of blobs arrive with torn sync bytes and must
-    land as status='error' rows (graceful-degradation contract);
-    streams rotate MPEG-1 Layer III bitrates/rates/channel modes and
-    every third asset carries a syncsafe-sized ID3v2 tag the walker
-    must skip exactly. The oracle restates every field closed-form
-    from the generator arithmetic — frame-length or ID3-skip drift of
-    a single byte flips a row.
+    samples-per-frame arithmetic, the skipped ID3v2 tag size, and —
+    round 13 — the VBR duration header source (Xing / Info /
+    Fraunhofer VBRI, parsed at their real offsets inside the leading
+    header frame; 3 in 5 assets carry one). The kernel cross-checks
+    the header's frame count against the physical walk (they must
+    agree exactly — any Xing-offset or field-parse drift lands as
+    status='mismatch', which the oracle never emits). A deterministic
+    1/19 of blobs arrive with torn sync bytes and must land as
+    status='error' rows (graceful-degradation contract); streams
+    rotate MPEG-1 Layer III bitrates/rates/channel modes and every
+    third asset carries a syncsafe-sized ID3v2 tag the walker must
+    skip exactly. The oracle restates every field closed-form from
+    the generator arithmetic — frame-length or ID3-skip drift of a
+    single byte flips a row.
 
     Scale shape: map-only Arrow kernel, zero exchange; per-asset work
     is linear in frame count (header hops, no payload reads)."""
@@ -508,6 +533,7 @@ def multimodal_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         _mp3_batches,
         schema=(
             "doc_id bigint, status string, channel_mode string,"
+            " vbr_source string,"
             " n_frames bigint, sample_rate bigint, bitrate_kbps bigint,"
             " duration_us bigint, id3v2_bytes bigint"
         ),

@@ -311,3 +311,75 @@ def test_stereo_adpcm_channel_isolation():
         s = np.asarray(w["samples"]).reshape(-1, 2)
         assert set(s[:, 0].tolist()) == {1234}
         assert set(s[:, 1].tolist()) == {-567}
+
+
+# ---------------------------------------------------------------------------
+# Round-13 MP3 VBR headers: Xing/Info at the side-info offset, VBRI at
+# offset 36 — the standard duration sources real players read without
+# walking the file; the walker is their cross-check.
+# ---------------------------------------------------------------------------
+
+
+def test_mp3_vbr_headers_match_walk():
+    from history_collector_spark.functions.mp3 import (
+        build_mp3,
+        parse_mp3_info,
+    )
+
+    for src in ("xing", "info", "vbri"):
+        for mono in (False, True):
+            blob = build_mp3(17, 192, 48000, mono=mono, vbr_header=src)
+            i = parse_mp3_info(blob)
+            assert i["vbr_source"] == src
+            # header frame count == audio frames == walk minus the
+            # header frame itself
+            assert i["vbr_frames"] == 17 == i["n_frames"] - 1
+            # bytes field == the audio frames' total size
+            assert i["vbr_bytes"] == 17 * (144 * 192000 // 48000)
+            # Xing (not Info/CBR) and VBRI mark the stream VBR
+            assert i["vbr"] == (src != "info")
+    # no header -> 'none', walker authority unchanged
+    i = parse_mp3_info(build_mp3(9, 128, 44100))
+    assert (i["vbr_source"], i["vbr_frames"], i["n_frames"]) == (
+        "none", None, 9)
+
+
+def test_mp3_vbr_header_offset_is_mode_dependent():
+    """The Xing tag offset depends on the side-info size (mono 17 vs
+    stereo 32 for MPEG-1): a tag written at the stereo offset must
+    NOT be found in a mono stream — guards against the classic
+    fixed-offset shortcut."""
+    from history_collector_spark.functions.mp3 import (
+        build_mp3,
+        parse_mp3_info,
+    )
+
+    stereo = build_mp3(5, 128, 44100, mono=False, vbr_header="xing")
+    # flip the channel-mode bits of every frame header to mono: the
+    # tag now sits at the wrong offset for the declared mode
+    mut = bytearray(stereo)
+    pos, flen = 0, 144 * 128000 // 44100
+    while pos + 4 <= len(mut):
+        mut[pos + 3] |= 0xC0
+        pos += flen
+    i = parse_mp3_info(bytes(mut))
+    assert i["vbr_source"] == "none" and i["vbr_frames"] is None
+
+
+def test_mp3_truncated_vbr_tag_degrades_to_none():
+    """A torn Xing flag/field area must yield vbr_source='none', not
+    an exception — damaged duration tags are common in real crawls
+    and are not framing errors."""
+    from history_collector_spark.functions.mp3 import (
+        build_mp3,
+        parse_mp3_info,
+    )
+
+    blob = bytearray(build_mp3(6, 128, 44100, vbr_header="xing"))
+    off = blob.index(b"Xing")
+    blob[off + 4 : off + 8] = (0).to_bytes(4, "big")  # no fields
+    i = parse_mp3_info(bytes(blob))
+    assert i["vbr_source"] == "xing" and i["vbr_frames"] is None
+    blob[off : off + 4] = b"Zing"  # torn tag magic
+    i = parse_mp3_info(bytes(blob))
+    assert i["vbr_source"] == "none"
