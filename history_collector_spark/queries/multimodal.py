@@ -712,6 +712,223 @@ def decode_gif(data: bytes):
     raise ImageDecodeError("GIF has no image descriptor")
 
 
+def decode_gif_anim(data: bytes, max_frames: int | None = None):
+    """Decode EVERY frame of an animated GIF89a with compositing:
+    returns a list of ``(delay_cs, canvas)`` where each canvas is an
+    (screen_h, screen_w, 4) uint8 RGBA snapshot AFTER that frame is
+    drawn. The Graphic Control Extension drives per-frame delay,
+    transparency (transparent-index pixels leave the canvas
+    untouched) and disposal: 0/1 none, 2 restore-to-background
+    (the frame rect clears to transparent — the browser convention),
+    3 restore-to-previous. The canvas starts fully transparent.
+    Same LZW / color-table / interlace machinery as
+    :func:`decode_gif`; structural damage raises ImageDecodeError."""
+    import struct
+
+    import numpy as np
+
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ImageDecodeError("not a GIF payload")
+    if len(data) < 13:
+        raise ImageDecodeError("truncated GIF header")
+    lw, lh = struct.unpack_from("<HH", data, 6)
+    flags = data[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        if pos + 3 * n > len(data):
+            raise ImageDecodeError("truncated GIF global color table")
+        gct = np.frombuffer(data, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+    canvas = np.zeros((lh, lw, 4), dtype=np.uint8)
+    frames: list[tuple[int, np.ndarray]] = []
+    # pending Graphic Control Extension state (applies to next image)
+    delay_cs, disposal, trans_idx = 0, 0, None
+    while pos < len(data):
+        b0 = data[pos]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension
+            if pos + 2 > len(data):
+                raise ImageDecodeError("truncated GIF extension")
+            label = data[pos + 1]
+            pos += 2
+            if label == 0xF9:  # Graphic Control Extension
+                if pos >= len(data) or data[pos] != 4 or pos + 5 > len(data):
+                    raise ImageDecodeError("bad GIF graphic control")
+                packed = data[pos + 1]
+                disposal = (packed >> 2) & 7
+                delay_cs = struct.unpack_from("<H", data, pos + 2)[0]
+                trans_idx = data[pos + 4] if packed & 1 else None
+                pos += 5
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ImageDecodeError(f"unexpected GIF block 0x{b0:02x}")
+        if max_frames is not None and len(frames) >= max_frames:
+            break
+        if pos + 10 > len(data):
+            raise ImageDecodeError("truncated GIF image descriptor")
+        ileft, itop, iw, ih = struct.unpack_from("<HHHH", data, pos + 1)
+        iflags = data[pos + 9]
+        pos += 10
+        pal = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            if pos + 3 * n > len(data):
+                raise ImageDecodeError("truncated GIF local color table")
+            pal = np.frombuffer(data, np.uint8, 3 * n, pos).reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ImageDecodeError("GIF image has no color table")
+        if iw == 0 or ih == 0:
+            raise ImageDecodeError(f"degenerate dimensions {iw}x{ih}")
+        if ileft + iw > lw or itop + ih > lh:
+            raise ImageDecodeError(
+                f"GIF frame {iw}x{ih}+{ileft}+{itop} exceeds "
+                f"logical screen {lw}x{lh}"
+            )
+        if pos >= len(data):
+            raise ImageDecodeError("truncated before GIF LZW stream")
+        min_code = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while pos < len(data) and data[pos] != 0:
+            ln = data[pos]
+            lzw += data[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1  # block terminator
+        idx = _gif_lzw_decode(min_code, bytes(lzw))
+        if len(idx) < iw * ih:
+            raise ImageDecodeError(
+                f"GIF pixel stream {len(idx)} < expected {iw * ih}"
+            )
+        rows = np.frombuffer(bytes(idx[: iw * ih]), np.uint8).reshape(
+            ih, iw
+        )
+        if iflags & 0x40:
+            order = (
+                list(range(0, ih, 8))
+                + list(range(4, ih, 8))
+                + list(range(2, ih, 4))
+                + list(range(1, ih, 2))
+            )
+            deinter = np.zeros_like(rows)
+            deinter[order] = rows
+            rows = deinter
+        if int(rows.max(initial=0)) >= len(pal):
+            raise ImageDecodeError("GIF pixel index outside color table")
+        rect = canvas[itop : itop + ih, ileft : ileft + iw]
+        saved = rect.copy() if disposal == 3 else None
+        opaque = (
+            np.ones((ih, iw), dtype=bool)
+            if trans_idx is None
+            else rows != trans_idx
+        )
+        rect[opaque, :3] = pal[rows][opaque]
+        rect[opaque, 3] = 255
+        frames.append((delay_cs, canvas.copy()))
+        if disposal == 2:  # restore to background -> transparent
+            rect[:] = 0
+        elif disposal == 3:  # restore to previous
+            rect[:] = saved
+        delay_cs, disposal, trans_idx = 0, 0, None
+    if not frames:
+        raise ImageDecodeError("GIF has no image descriptor")
+    return frames
+
+
+def _gif_palettize(px, mask):
+    """(h, w, 3) + opaque mask -> (palette rows, index array,
+    transparent index or None); the transparent slot is appended
+    after the real colors."""
+    import numpy as np
+
+    flat = px.reshape(-1, 3)
+    pal, inv = np.unique(flat, axis=0, return_inverse=True)
+    idx = inv.reshape(px.shape[:2]).astype(np.uint8)
+    trans = None
+    if mask is not None and not mask.all():
+        trans = len(pal)
+        pal = np.concatenate([pal, [[0, 0, 0]]], axis=0)
+        idx = idx.copy()
+        idx[~mask] = trans
+    if len(pal) > 256:
+        raise ImageDecodeError("encode_gif needs <= 256 distinct colors")
+    return pal, idx, trans
+
+
+def _gif_literal_lzw(idx, bits: int) -> bytes:
+    """Index array -> sub-blocked always-CLEAR literal LZW stream."""
+    clear, end = 1 << bits, (1 << bits) + 1
+    width = bits + 1
+    stream = bytearray()
+    acc = nbits = 0
+
+    def put(code: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    for v in idx.ravel():
+        put(clear)
+        put(int(v))
+    put(end)
+    if nbits:
+        stream.append(acc & 0xFF)
+    blocks = bytearray()
+    for i in range(0, len(stream), 255):
+        chunk = stream[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)
+    return bytes([bits]) + bytes(blocks)
+
+
+def encode_gif_anim(frames, screen_w: int, screen_h: int) -> bytes:
+    """Animated-GIF writer for fixtures: GIF89a, one Graphic Control
+    Extension + image descriptor per frame. ``frames`` is a list of
+    dicts with keys px ((h, w, 3) uint8), left, top, delay_cs,
+    disposal (0-3), and optional mask ((h, w) bool, True = opaque —
+    masked-out pixels become the frame's transparent index). Each
+    frame carries a LOCAL color table; there is no global one, so
+    decoders must honor per-frame palettes."""
+    import struct
+
+    out = bytearray(
+        b"GIF89a" + struct.pack("<HHBBB", screen_w, screen_h, 0, 0, 0)
+    )
+    for f in frames:
+        pal, idx, trans = _gif_palettize(f["px"], f.get("mask"))
+        bits = max(2, int(len(pal) - 1).bit_length())
+        import numpy as np
+
+        table = np.zeros((1 << bits, 3), np.uint8)
+        table[: len(pal)] = pal
+        packed = (f.get("disposal", 0) & 7) << 2
+        if trans is not None:
+            packed |= 1
+        out += bytes([0x21, 0xF9, 4, packed])
+        out += struct.pack("<H", f.get("delay_cs", 0))
+        out += bytes([trans or 0, 0])
+        h, w = idx.shape
+        out += b"\x2C" + struct.pack(
+            "<HHHH", f.get("left", 0), f.get("top", 0), w, h
+        )
+        out += bytes([0x80 | ((bits - 1) & 7)])  # local color table
+        out += table.tobytes()
+        out += _gif_literal_lzw(idx, bits)
+    out += b"\x3B"
+    return bytes(out)
+
+
 def encode_gif(pixels, interlaced: bool = False) -> bytes:
     """Inverse for tests: palette-ize the (h, w, 3) array (<=256 distinct
     colors) and emit a GIF87a with an always-CLEAR LZW stream (each
@@ -1873,6 +2090,135 @@ def multimodal_decode_anim(spark: SparkSession, sf_dir: str) -> DataFrame:
         "variant", "n_frames", "width", "height", "dur_ms",
         "last_sha8", "rgba_sum",
     ).agg(F.count("*").alias("n_assets"))
+
+
+# ---------------------------------------------------------------------------
+# Animated GIF (round 13): the second animated container, through the
+# same roundtrip discipline as multimodal_decode_real — deterministic
+# three-frame GIF89a animations are BUILT per doc (solid-color frames,
+# a transparency-masked tile, disposal none / restore-to-background)
+# and decoded back through decode_gif_anim; because the frames are
+# solid colors, every composited canvas RGBA sum is stated CLOSED-FORM
+# by the oracle, so the GCE parse, transparency masking, disposal
+# arithmetic and LZW/palette machinery are all under the driver's
+# hash gate, not just pytest.
+# ---------------------------------------------------------------------------
+
+
+def _gif_anim_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            W, H = 8 + d % 8, 5 + d % 5
+            cA = ((d * 11) % 256, (d * 7) % 256, (d * 3) % 256)
+            cB = ((d * 13 + 1) % 256, (d * 5 + 2) % 256,
+                  (d * 17 + 3) % 256)
+            cC = ((d * 19 + 4) % 256, (d * 23 + 5) % 256,
+                  (d * 29 + 6) % 256)
+            f1 = np.empty((H, W, 3), np.uint8)
+            f1[:] = cA
+            t2 = np.empty((3, 4, 3), np.uint8)
+            t2[:] = cB
+            mask = np.ones((3, 4), bool)
+            mask[:, 0] = False  # column 0 transparent
+            t3 = np.empty((1, 2, 3), np.uint8)
+            t3[:] = cC
+            blob = encode_gif_anim(
+                [
+                    dict(px=f1, delay_cs=d % 10, disposal=1),
+                    dict(px=t2, left=2, top=1, delay_cs=d % 7,
+                         disposal=2, mask=mask),
+                    dict(px=t3, left=6, top=4, delay_cs=d % 5,
+                         disposal=1),
+                ],
+                W, H,
+            )
+            frames = decode_gif_anim(blob)
+            sums = [int(c.astype(np.int64).sum()) for _, c in frames]
+            rows.append(
+                (
+                    d,
+                    len(frames),
+                    W,
+                    H,
+                    int(sum(dc for dc, _ in frames)),
+                    sums[0],
+                    sums[1],
+                    sums[2],
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "n_frames", "width", "height", "total_delay_cs",
+                "sum1", "sum2", "sum3",
+            ],
+        )
+
+
+@register(
+    "multimodal_decode_gif_anim",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             8 + doc_id % 8 AS W, 5 + doc_id % 5 AS H,
+             (doc_id * 11) % 256 + (doc_id * 7) % 256
+               + (doc_id * 3) % 256 AS sA,
+             (doc_id * 13 + 1) % 256 + (doc_id * 5 + 2) % 256
+               + (doc_id * 17 + 3) % 256 AS sB,
+             (doc_id * 19 + 4) % 256 + (doc_id * 23 + 5) % 256
+               + (doc_id * 29 + 6) % 256 AS sC
+      FROM documents WHERE doc_id % 11 = 0
+    )
+    SELECT doc_id,
+           CAST(3 AS INT) AS n_frames,
+           CAST(W AS INT) AS width, CAST(H AS INT) AS height,
+           CAST(doc_id % 10 + doc_id % 7 + doc_id % 5 AS BIGINT)
+             AS total_delay_cs,
+           -- frame 1: full-screen solid A, fully opaque
+           CAST(W * H * (sA + 255) AS BIGINT) AS sum1,
+           -- frame 2: 4x3 tile of B at (2,1), column 0 transparent:
+           -- 9 opaque pixels replace A
+           CAST(W * H * (sA + 255) + 9 * (sB - sA) AS BIGINT) AS sum2,
+           -- frame 3: frame 2's rect cleared to transparent
+           -- (disposal 2: 9 B-pixels + 3 still-A pixels vanish), then
+           -- a 2x1 C tile overwrites A-ground at disjoint (6,4)
+           CAST(W * H * (sA + 255) + 9 * (sB - sA)
+                - 9 * (sB + 255) - 3 * (sA + 255)
+                + 2 * (sC - sA) AS BIGINT) AS sum3
+    FROM g
+    """,
+)
+def multimodal_decode_gif_anim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated-GIF decode + compositing over a sampled doc set:
+    per doc, a deterministic three-frame GIF89a (full-screen ground,
+    a transparency-masked tile with restore-to-background disposal,
+    a disjoint second tile) is encoded and decoded back through
+    decode_gif_anim, emitting per-frame composited canvas RGBA sums.
+    The oracle states every sum closed-form from the generator
+    colors, so a single mis-masked pixel, wrong disposal rectangle,
+    or off-by-one frame delay flips a row under the driver's hash
+    gate. The WebP twin (multimodal_decode_anim) pins real-encoder
+    payloads; this one pins the compositing ARITHMETIC exactly.
+
+    Scale shape: pure map over sampled ids through the Arrow path,
+    no exchange until the driver collects the tiny result."""
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 11 == 0)
+        .select("doc_id")
+    )
+    return docs.mapInPandas(
+        _gif_anim_batches,
+        schema=(
+            "doc_id bigint, n_frames int, width int, height int, "
+            "total_delay_cs bigint, sum1 bigint, sum2 bigint, "
+            "sum3 bigint"
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------

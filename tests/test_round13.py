@@ -383,3 +383,100 @@ def test_mp3_truncated_vbr_tag_degrades_to_none():
     blob[off : off + 4] = b"Zing"  # torn tag magic
     i = parse_mp3_info(bytes(blob))
     assert i["vbr_source"] == "none"
+
+
+# ---------------------------------------------------------------------------
+# Round-13 animated GIF: compositing semantics pinned by hand-built
+# containers (the query's oracle states the sums closed-form; these
+# tests pin the per-pixel behavior the arithmetic relies on).
+# ---------------------------------------------------------------------------
+
+
+def test_gif_anim_compositing_semantics():
+    from history_collector_spark.queries.multimodal import (
+        decode_gif,
+        decode_gif_anim,
+        encode_gif_anim,
+    )
+
+    W, H = 10, 6
+    f1 = np.zeros((H, W, 3), np.uint8)
+    f1[:, :, 0] = 200
+    t = np.zeros((3, 4, 3), np.uint8)
+    t[:, :, 2] = 250
+    mask = np.ones((3, 4), bool)
+    mask[0, 0] = False
+    blob = encode_gif_anim(
+        [
+            dict(px=f1, delay_cs=5, disposal=1),
+            dict(px=t, left=2, top=1, delay_cs=8, disposal=3, mask=mask),
+            dict(px=t, left=6, top=2, delay_cs=3, disposal=2),
+        ],
+        W, H,
+    )
+    frames = decode_gif_anim(blob)
+    assert [d for d, _ in frames] == [5, 8, 3]
+    c1, c2, c3 = (c for _, c in frames)
+    assert (c1[:, :, :3] == f1).all() and (c1[:, :, 3] == 255).all()
+    # transparent pixel shows the underlying ground, opaque draws
+    assert tuple(c2[1, 2, :3]) == (200, 0, 0)
+    assert tuple(c2[1, 3, :3]) == (0, 0, 250)
+    # disposal=3 restored the ground under frame 2's rect
+    assert tuple(c3[1, 3, :3]) == (200, 0, 0)
+    assert tuple(c3[2, 6, :3]) == (0, 0, 250)
+    # disposal=2 clears AFTER the snapshot: visible in a 4th frame
+    blob4 = encode_gif_anim(
+        [
+            dict(px=f1, delay_cs=1, disposal=1),
+            dict(px=t, left=6, top=2, delay_cs=1, disposal=2),
+            dict(px=t[:1, :2], left=0, top=0, delay_cs=1, disposal=1),
+        ],
+        W, H,
+    )
+    c_last = decode_gif_anim(blob4)[-1][1]
+    assert (c_last[2:5, 6:10, 3] == 0).all()  # cleared to transparent
+    # max_frames bound + first-frame convention
+    assert len(decode_gif_anim(blob, max_frames=2)) == 2
+    np.testing.assert_array_equal(decode_gif(blob), f1)
+
+
+def test_gif_anim_structural_errors():
+    from history_collector_spark.queries.multimodal import (
+        ImageDecodeError,
+        decode_gif_anim,
+        encode_gif_anim,
+    )
+
+    px = np.zeros((2, 2, 3), np.uint8)
+    blob = encode_gif_anim([dict(px=px, delay_cs=1)], 4, 4)
+    # frame escaping the logical screen
+    bad = encode_gif_anim([dict(px=px, left=3, top=3, delay_cs=1)], 4, 4)
+    with pytest.raises(ImageDecodeError):
+        decode_gif_anim(bad)
+    # no frames
+    with pytest.raises(ImageDecodeError):
+        decode_gif_anim(blob[:13] + b"\x3B")
+    # fuzz: corruption degrades to ImageDecodeError, never IndexError
+    rng = np.random.default_rng(4242)
+    big = encode_gif_anim(
+        [
+            dict(px=np.arange(48, dtype=np.uint8).reshape(4, 4, 3),
+                 delay_cs=2, disposal=2),
+            dict(px=px, left=1, top=1, delay_cs=2),
+        ],
+        6, 6,
+    )
+    ok = err = 0
+    for _ in range(200):
+        mutant = bytearray(big)
+        for _ in range(int(rng.integers(1, 5))):
+            mutant[int(rng.integers(6, len(mutant)))] = int(
+                rng.integers(0, 256)
+            )
+        try:
+            frames = decode_gif_anim(bytes(mutant))
+            assert frames
+            ok += 1
+        except (ImageDecodeError, NotImplementedError):
+            err += 1
+    assert ok + err == 200
