@@ -47,6 +47,43 @@ _SAMPLE_RATES = {
 _CHANNEL_MODES = ("stereo", "joint_stereo", "dual_channel", "mono")
 
 
+_RIFF_MP3_TAGS = (0x0055, 0x0050)  # MPEG Layer III / Layer I-II
+
+
+def _unwrap_riff_mp3(data: bytes) -> bytes:
+    """RIFF/WAVE-wrapped MPEG audio (fmt tag 0x0055, the common
+    'MP3-in-WAV' container; 0x0050 for Layer I/II) -> the raw MPEG
+    stream from its data chunk. Non-RIFF payloads pass through
+    untouched; a RIFF wrapper holding anything other than an MPEG
+    stream is the caller's error (AudioDecodeError), since this
+    entry point is the MPEG parser."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return data
+    import struct
+
+    pos, end = 12, min(len(data), 8 + struct.unpack("<I", data[4:8])[0])
+    tag = None
+    stream = None
+    while pos + 8 <= end:
+        cid = data[pos : pos + 4]
+        (csize,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + csize]
+        if len(body) != csize:
+            raise AudioDecodeError("truncated RIFF chunk")
+        if cid == b"fmt " and len(body) >= 2:
+            (tag,) = struct.unpack("<H", body[:2])
+        elif cid == b"data":
+            stream = body
+        pos += 8 + csize + (csize & 1)
+    if tag not in _RIFF_MP3_TAGS:
+        raise AudioDecodeError(
+            f"RIFF wrapper carries format tag {tag}, not an MPEG stream"
+        )
+    if stream is None:
+        raise AudioDecodeError("RIFF/MP3 wrapper has no data chunk")
+    return stream
+
+
 def _id3v2_size(data: bytes) -> int:
     """Bytes to skip for a leading ID3v2 tag (0 if none)."""
     if len(data) < 10 or data[:3] != b"ID3":
@@ -154,7 +191,14 @@ def parse_mp3_info(data: bytes) -> dict:
     take duration from these without walking the file, so the walker
     doubles as their cross-check — vbr_frames counts the frames
     AFTER the header frame itself (the Xing frame is not audio),
-    which the round-13 fixtures pin against the walk."""
+    which the round-13 fixtures pin against the walk.
+
+    RIFF/WAVE-wrapped MPEG (the 'MP3-in-WAV' container, fmt tag
+    0x0055) unwraps transparently — the walk runs on the data
+    chunk's stream. The wav module's parse_wav deliberately leaves
+    tag 0x0055 to this parser (sample decode is out of scope
+    there)."""
+    data = _unwrap_riff_mp3(data)
     skip = _id3v2_size(data)
     pos = skip
     if pos >= len(data):
@@ -202,6 +246,30 @@ def parse_mp3_info(data: bytes) -> dict:
         "vbr_frames": vbr_frames,
         "vbr_bytes": vbr_bytes,
     }
+
+
+def wrap_mp3_in_wav(stream: bytes, sample_rate: int = 44100,
+                    bitrate_kbps: int = 128) -> bytes:
+    """MPEG stream -> RIFF/WAVE 'MP3-in-WAV' container (fmt tag
+    0x0055 with the MPEGLAYER3WAVEFORMAT extension real muxers
+    write, fact chunk omitted). Inverse of :func:`_unwrap_riff_mp3`
+    for fixture arithmetic."""
+    import struct
+
+    # nBlockSize = frame length; wID=1 (MPEGLAYER3_ID_MPEG),
+    # fdwFlags=0 (padding off), nFramesPerBlock=1, nCodecDelay=0
+    block = 144 * bitrate_kbps * 1000 // sample_rate
+    extra = struct.pack("<HIHHH", 1, 0, block, 1, 0)
+    fmt = struct.pack(
+        "<HHIIHHH", 0x0055, 2, sample_rate,
+        bitrate_kbps * 1000 // 8, 1, 0, len(extra),
+    ) + extra
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(stream)) + stream
+        + (b"\x00" if len(stream) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
 def build_mp3(n_frames: int, bitrate_kbps: int = 128,

@@ -18,8 +18,10 @@ predictor-coefficient blocks with the fmt-chunk coef table honored;
 mono and stereo via by-field headers + round-robin nibbles), and
 G.711 mu-law / A-law (tags 0x07/0x06, formula-derived companding
 pinned bit-exact against the stdlib audioop reference over the full
-int16 range). Remaining compressed formats (>2-channel ADPCM,
-MP3-in-WAV) raise ``NotImplementedError`` at the plug point. The chunk walker itself is
+int16 range). MP3-in-WAV (tag 0x0055) is handled by the MPEG parser
+(functions/mp3.py unwraps the RIFF container transparently — sample
+decode is out of scope here); >2-channel ADPCM raises
+``NotImplementedError`` at the plug point. The chunk walker itself is
 total: it skips unknown chunks (LIST/INFO and anything else) by
 their declared size like a real RIFF reader, so metadata-bearing
 files parse fine.

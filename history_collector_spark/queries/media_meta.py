@@ -407,12 +407,13 @@ def _mp3_batches(batches):
     from history_collector_spark.functions.mp3 import (
         build_mp3,
         parse_mp3_info,
+        wrap_mp3_in_wav,
     )
 
     for pdf in batches:
         out = {
-            "doc_id": [], "status": [], "channel_mode": [],
-            "vbr_source": [],
+            "doc_id": [], "status": [], "container": [],
+            "channel_mode": [], "vbr_source": [],
             "n_frames": [], "sample_rate": [], "bitrate_kbps": [],
             "duration_us": [], "id3v2_bytes": [],
         }
@@ -428,9 +429,16 @@ def _mp3_batches(batches):
             vh = ("xing", "info", "vbri", None, None)[d % 5]
             blob = build_mp3(nf, br, sr, mono=bool(d % 2),
                              id3_payload=id3, vbr_header=vh)
+            # round 13: every fourth asset arrives RIFF/WAVE-wrapped
+            # (the 'MP3-in-WAV' container, fmt tag 0x0055) — the
+            # parser unwraps it transparently
+            wrapped = d % 4 == 1
+            if wrapped:
+                blob = wrap_mp3_in_wav(blob, sr, br)
             if d % _MP3_ERR_MOD == 0:
-                blob = b"\x00" + blob[1:]  # torn sync / torn ID3 magic
+                blob = b"\x00" + blob[1:]  # torn sync / torn magic
             out["doc_id"].append(d)
+            out["container"].append("wav" if wrapped else "raw")
             try:
                 info = parse_mp3_info(blob)
                 # the header's frame count must equal the walked
@@ -458,6 +466,7 @@ def _mp3_batches(batches):
             {
                 "doc_id": out["doc_id"],
                 "status": out["status"],
+                "container": out["container"],
                 "channel_mode": out["channel_mode"],
                 "vbr_source": out["vbr_source"],
                 **{
@@ -488,6 +497,7 @@ def _mp3_batches(batches):
     )
     SELECT doc_id,
       CASE WHEN err THEN 'error' ELSE 'ok' END AS status,
+      CASE WHEN doc_id % 4 = 1 THEN 'wav' ELSE 'raw' END AS container,
       CASE WHEN err THEN NULL
            WHEN mono THEN 'mono' ELSE 'stereo' END AS channel_mode,
       CASE WHEN err THEN NULL ELSE vsrc END AS vbr_source,
@@ -514,7 +524,10 @@ def multimodal_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     samples-per-frame arithmetic, the skipped ID3v2 tag size, and —
     round 13 — the VBR duration header source (Xing / Info /
     Fraunhofer VBRI, parsed at their real offsets inside the leading
-    header frame; 3 in 5 assets carry one). The kernel cross-checks
+    header frame; 3 in 5 assets carry one) plus the container: every
+    fourth asset arrives RIFF/WAVE-wrapped (fmt tag 0x0055, the
+    'MP3-in-WAV' layout real muxers emit) and must unwrap
+    transparently. The kernel cross-checks
     the header's frame count against the physical walk (they must
     agree exactly — any Xing-offset or field-parse drift lands as
     status='mismatch', which the oracle never emits). A deterministic
@@ -532,8 +545,8 @@ def multimodal_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         _mp3_batches,
         schema=(
-            "doc_id bigint, status string, channel_mode string,"
-            " vbr_source string,"
+            "doc_id bigint, status string, container string,"
+            " channel_mode string, vbr_source string,"
             " n_frames bigint, sample_rate bigint, bitrate_kbps bigint,"
             " duration_us bigint, id3v2_bytes bigint"
         ),

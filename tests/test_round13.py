@@ -480,3 +480,31 @@ def test_gif_anim_structural_errors():
         except (ImageDecodeError, NotImplementedError):
             err += 1
     assert ok + err == 200
+
+
+def test_mp3_in_wav_unwraps_transparently():
+    from history_collector_spark.functions.codec_errors import (
+        AudioDecodeError,
+    )
+    from history_collector_spark.functions.mp3 import (
+        build_mp3,
+        parse_mp3_info,
+        wrap_mp3_in_wav,
+    )
+    from history_collector_spark.functions.wav import (
+        encode_wav,
+        parse_wav,
+    )
+
+    raw = build_mp3(11, 128, 44100, vbr_header="xing",
+                    id3_payload=b"x" * 30)
+    wrapped = wrap_mp3_in_wav(raw, 44100, 128)
+    a, b = parse_mp3_info(raw), parse_mp3_info(wrapped)
+    assert a == b and a["n_frames"] == 12 and a["vbr_frames"] == 11
+    # a RIFF wrapper holding PCM is NOT an MPEG stream
+    pcm = encode_wav([0, 1, 2, 3], 8000)
+    with pytest.raises(AudioDecodeError):
+        parse_mp3_info(pcm)
+    # ...and the WAV reader deliberately leaves tag 0x0055 alone
+    with pytest.raises(NotImplementedError):
+        parse_wav(wrapped)
