@@ -669,10 +669,67 @@ def _decode_block(block: bytes, out: bytearray, entropy: dict,
     _execute(out, literals, seqs, reps, max_out)
 
 
-def decompress(blob: bytes, max_out: int = 1 << 26) -> bytes:
+_DICT_MAGIC = 0xEC30A437
+
+
+def parse_zstd_dict(blob: bytes) -> dict:
+    """RFC 8878 §5 dictionary -> {dict_id, entropy, reps, content}.
+
+    Structured dictionaries (magic 0xEC30A437) carry a dictionary id,
+    pre-shared entropy tables in the order Huffman-literals / FSE
+    offsets / FSE match-lengths / FSE literals-lengths, three 4-byte
+    little-endian initial repeat offsets, and the raw CONTENT that
+    pre-fills the match window. A blob without the magic is a
+    raw-content dictionary (window prefix only, id 0, default tables
+    and offsets) — both forms exactly as libzstd loads them."""
+    if len(blob) < 8 or int.from_bytes(blob[:4], "little") != _DICT_MAGIC:
+        return {
+            "dict_id": 0, "entropy": None, "reps": None,
+            "content": bytes(blob),
+        }
+    dict_id = int.from_bytes(blob[4:8], "little")
+    if dict_id == 0:
+        raise ZstdDecodeError("structured dictionary with id 0")
+    pos = 8
+    tlog, table, used = _read_huffman(blob[pos:])
+    entropy: dict = {"huf": (tlog, table)}
+    pos += used
+    for kind in ("of", "ml", "ll"):
+        alog, counts, used = _read_ncount(
+            blob[pos:], _MAX_SYM[kind], _MAX_ALOG[kind]
+        )
+        entropy[kind] = _fse_table(counts, alog)
+        pos += used
+    if len(blob) < pos + 12:
+        raise ZstdDecodeError("truncated dictionary repeat offsets")
+    reps = [
+        int.from_bytes(blob[pos + 4 * k : pos + 4 * k + 4], "little")
+        for k in range(3)
+    ]
+    pos += 12
+    content = bytes(blob[pos:])
+    for r in reps:
+        if r == 0 or r > len(content):
+            raise ZstdDecodeError(
+                f"dictionary repeat offset {r} outside content"
+            )
+    return {
+        "dict_id": dict_id, "entropy": entropy, "reps": reps,
+        "content": content,
+    }
+
+
+def decompress(
+    blob: bytes, max_out: int = 1 << 26, dictionary: bytes | None = None
+) -> bytes:
     """Decode one or more concatenated zstd frames (skippable frames
     skipped), verifying frame content size and content checksum when
-    present. Raises :class:`ZstdDecodeError` on malformed input."""
+    present. ``dictionary`` (structured or raw-content, see
+    :func:`parse_zstd_dict`) pre-fills the match window, seeds the
+    entropy tables and the initial repeat offsets, and must carry the
+    id a frame header demands. Raises :class:`ZstdDecodeError` on
+    malformed input."""
+    dict_info = parse_zstd_dict(dictionary) if dictionary is not None else None
     out_all = bytearray()
     i = 0
     n = len(blob)
@@ -714,8 +771,20 @@ def decompress(blob: bytes, max_out: int = 1 << 26) -> bytes:
         did_size = (0, 1, 2, 4)[did_flag]
         if n - i < did_size:
             raise ZstdDecodeError("truncated dictionary id")
-        if did_size and int.from_bytes(blob[i:i + did_size], "little"):
-            raise ZstdDecodeError("dictionaries not supported")
+        did = (
+            int.from_bytes(blob[i:i + did_size], "little")
+            if did_size else 0
+        )
+        if did:
+            if dict_info is None:
+                raise ZstdDecodeError(
+                    f"frame demands dictionary id {did}; none supplied"
+                )
+            if dict_info["dict_id"] not in (0, did):
+                raise ZstdDecodeError(
+                    f"dictionary id mismatch: frame wants {did}, "
+                    f"got {dict_info['dict_id']}"
+                )
         i += did_size
         fcs_size = (1 if single else 0, 2, 4, 8)[fcs_flag]
         fcs = None
@@ -730,10 +799,20 @@ def decompress(blob: bytes, max_out: int = 1 << 26) -> bytes:
             window = fcs if fcs is not None else 0
         if window > max_out:
             raise ZstdDecodeError("window exceeds size guard")
-        out = bytearray()
+        # dictionary: pre-fill the window, seed entropy + rep offsets
+        prefix = 0
         entropy: dict = {"huf": None, "ll": None, "of": None, "ml": None}
         reps = [1, 4, 8]
-        budget = max_out - len(out_all)
+        if dict_info is not None:
+            out = bytearray(dict_info["content"])
+            prefix = len(out)
+            if dict_info["entropy"] is not None:
+                entropy.update(dict_info["entropy"])
+            if dict_info["reps"] is not None:
+                reps = list(dict_info["reps"])
+        else:
+            out = bytearray()
+        budget = max_out - len(out_all) + prefix
         while True:
             if n - i < 3:
                 raise ZstdDecodeError("truncated block header")
@@ -767,18 +846,19 @@ def decompress(blob: bytes, max_out: int = 1 << 26) -> bytes:
                 raise ZstdDecodeError("reserved block type")
             if last:
                 break
-        if fcs is not None and len(out) != fcs:
+        produced = bytes(out[prefix:])
+        if fcs is not None and len(produced) != fcs:
             raise ZstdDecodeError(
-                f"content size mismatch: {len(out)} != {fcs}"
+                f"content size mismatch: {len(produced)} != {fcs}"
             )
         if has_checksum:
             if n - i < 4:
                 raise ZstdDecodeError("truncated content checksum")
             want = int.from_bytes(blob[i:i + 4], "little")
             i += 4
-            if xxh64(bytes(out)) & 0xFFFFFFFF != want:
+            if xxh64(produced) & 0xFFFFFFFF != want:
                 raise ZstdDecodeError("content checksum mismatch")
-        out_all += out
+        out_all += produced
     return bytes(out_all)
 
 

@@ -1373,3 +1373,248 @@ def corpus_zstd_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_docs").alias("n_docs"),
         F.sum("total_chars").alias("total_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DICTIONARY-compressed zstd ingest (round 13): the small-document
+# regime real corpora hit — per-doc frames are tiny, so production
+# pipelines train a shared dictionary (ZDICT) and compress each doc
+# against it. The fixture trains a REAL dictionary with libzstd's
+# ZDICT_trainFromBuffer (ctypes) over a bounded deterministic sample,
+# compresses every document INDIVIDUALLY with ZSTD_compress_usingDict,
+# and the ingest decodes each frame through the from-scratch RFC 8878
+# decoder's dictionary path (parse_zstd_dict: pre-shared Huffman/FSE
+# tables, initial repeat offsets, window-prefix content) — a
+# reference-encoder interop gate on the one zstd feature the plain
+# ingest cannot reach.
+# ---------------------------------------------------------------------------
+
+_ZDICT_SAMPLE_DOCS = 200  # bounded training sample (first docs by id)
+_ZDICT_CAPACITY = 4096
+
+
+def _libzstd_dict_api():
+    """ctypes bindings for the encoder-side dictionary API (fixture
+    writer only — decode is the from-scratch functions/zstd.py)."""
+    import ctypes
+
+    lib = ctypes.CDLL("libzstd.so.1")
+    sz = ctypes.c_size_t
+    lib.ZDICT_trainFromBuffer.restype = sz
+    lib.ZDICT_trainFromBuffer.argtypes = [
+        ctypes.c_void_p, sz, ctypes.c_char_p, ctypes.POINTER(sz),
+        ctypes.c_uint,
+    ]
+    lib.ZDICT_isError.restype = ctypes.c_uint
+    lib.ZDICT_isError.argtypes = [sz]
+    lib.ZSTD_compress_usingDict.restype = sz
+    lib.ZSTD_compress_usingDict.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, sz, ctypes.c_char_p, sz,
+        ctypes.c_char_p, sz, ctypes.c_int,
+    ]
+    lib.ZSTD_isError.restype = ctypes.c_uint
+    lib.ZSTD_isError.argtypes = [sz]
+    lib.ZSTD_createCCtx.restype = ctypes.c_void_p
+    lib.ZSTD_freeCCtx.restype = sz
+    lib.ZSTD_freeCCtx.argtypes = [ctypes.c_void_p]
+    lib.ZSTD_compressBound.restype = sz
+    lib.ZSTD_compressBound.argtypes = [sz]
+    return lib, ctypes
+
+
+def _train_zstd_dict(samples: list) -> bytes:
+    """Train a structured dictionary with real ZDICT; tiny or
+    low-diversity corpora (training can refuse) fall back to a
+    raw-content dictionary — both forms decode through
+    parse_zstd_dict."""
+    lib, ctypes = _libzstd_dict_api()
+    buf = b"".join(samples)
+    sizes = (ctypes.c_size_t * len(samples))(*[len(s) for s in samples])
+    dbuf = ctypes.create_string_buffer(_ZDICT_CAPACITY)
+    r = lib.ZDICT_trainFromBuffer(
+        dbuf, _ZDICT_CAPACITY, buf, sizes, len(samples)
+    )
+    if lib.ZDICT_isError(r):
+        return buf[:_ZDICT_CAPACITY]  # raw-content fallback
+    return dbuf.raw[:r]
+
+
+def _zstd_compress_with_dict(data: bytes, dict_bytes: bytes) -> bytes:
+    lib, ctypes = _libzstd_dict_api()
+    cctx = lib.ZSTD_createCCtx()
+    try:
+        cap = lib.ZSTD_compressBound(len(data))
+        dst = ctypes.create_string_buffer(cap)
+        w = lib.ZSTD_compress_usingDict(
+            cctx, dst, cap, data, len(data), dict_bytes,
+            len(dict_bytes), 3,
+        )
+        if lib.ZSTD_isError(w):
+            raise RuntimeError("libzstd dictionary compression failed")
+        return dst.raw[:w]
+    finally:
+        lib.ZSTD_freeCCtx(cctx)
+
+
+def _write_zstd_dict_fixture(spark: SparkSession, sf_dir: str) -> str:
+    out = _fixture_dir(sf_dir, "zstddict")
+    done = os.path.join(out, "_FIXTURE_DONE")
+    if os.path.exists(done):
+        return out
+    os.makedirs(out, exist_ok=True)
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    n_shards = max(
+        _LZ4_MIN_SHARDS, -(-docs.count() // _LZ4_DOCS_PER_SHARD)
+    )
+    # BOUNDED training sample: the first docs by id, the deterministic
+    # stand-in for the held-out sample a real pipeline trains on
+    sample = [
+        _json_doc_line(r).encode("utf-8")
+        for r in docs.orderBy("doc_id").limit(_ZDICT_SAMPLE_DOCS).collect()
+    ]
+    dict_bytes = _train_zstd_dict(sample)
+    with open(os.path.join(out, "shared.dict"), "wb") as f:
+        f.write(dict_bytes)
+
+    def _emit(key, pdf):
+        import pandas as pd
+
+        from history_collector_spark.functions.zstd import (
+            ZstdDecodeError,
+            decompress,
+        )
+
+        shard = int(key[0])
+        pdf = pdf.sort_values("doc_id")
+        frames = [
+            _zstd_compress_with_dict(
+                (_json_doc_line(r) + "\n").encode("utf-8"), dict_bytes
+            )
+            for r in pdf.itertuples()
+        ]
+        blob = b"".join(frames)
+        if shard == 0:
+            # torn shard: nudge the cut until decode provably fails
+            cut = len(blob) // 2
+            while cut > 1:
+                try:
+                    decompress(blob[:cut], dictionary=dict_bytes)
+                except ZstdDecodeError:
+                    break
+                cut -= 1
+            blob = blob[:cut]
+        path = os.path.join(out, f"docs{shard:03d}.jsonl.dzst")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)
+        return pd.DataFrame([(shard, len(blob))], columns=["shard", "n"])
+
+    (
+        docs.withColumn("shard", F.col("doc_id") % n_shards)
+        .repartition(n_shards, "shard")
+        .groupBy("shard")
+        .applyInPandas(_emit, "shard bigint, n bigint")
+        .collect()  # tiny: one row per shard
+    )
+    with open(done, "w") as f:
+        f.write("ok")
+    return out
+
+
+def _json_doc_line(r) -> str:
+    import json as _json
+
+    return _json.dumps(
+        {"doc_id": int(r.doc_id), "source": r.source, "text": r.text}
+    )
+
+
+def _make_zstd_dict_batches(dict_bytes: bytes):
+    def _batches(batches):
+        import json as _json
+
+        import pandas as pd
+
+        from history_collector_spark.functions.zstd import (
+            ZstdDecodeError,
+            decompress,
+        )
+
+        for pdf in batches:
+            agg: dict[str, list] = {}
+            for blob in pdf["content"]:
+                try:
+                    raw = decompress(bytes(blob), dictionary=dict_bytes)
+                except ZstdDecodeError:
+                    a = agg.setdefault("__error__", [0, 0])
+                    a[0] += 1
+                    continue
+                for line in raw.decode("utf-8").splitlines():
+                    d = _json.loads(line)
+                    a = agg.setdefault(d["source"], [0, 0])
+                    a[0] += 1
+                    a[1] += len(d["text"])
+            yield pd.DataFrame(
+                [(s, v[0], v[1]) for s, v in agg.items()],
+                columns=["source", "n_docs", "total_chars"],
+            )
+
+    return _batches
+
+
+@register(
+    "corpus_zstd_dict_ingest",
+    oracle=f"""
+    WITH meta AS (
+      SELECT doc_id, source, length(text) AS n_chars FROM documents
+    ),
+    nn AS (
+      SELECT greatest({_LZ4_MIN_SHARDS},
+                      CAST(ceil(count(*) / {_LZ4_DOCS_PER_SHARD}.0)
+                           AS BIGINT)) AS k
+      FROM meta
+    )
+    SELECT m.source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(m.n_chars) AS BIGINT) AS total_chars
+    FROM meta m, nn WHERE m.doc_id % nn.k <> 0
+    GROUP BY m.source
+    UNION ALL
+    SELECT '__error__', 1, 0
+    """,
+)
+def corpus_zstd_dict_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile scan of dictionary-compressed zstd shards (one tiny
+    frame PER DOCUMENT, all sharing a ZDICT-trained dictionary — the
+    small-document layout real corpora use) -> in-kernel RFC 8878
+    decode through the from-scratch dictionary path: parse_zstd_dict
+    loads the pre-shared Huffman/FSE tables, the initial repeat
+    offsets, and the window-prefix content; every frame's header
+    demands the dictionary id, so a wrong or missing dictionary fails
+    loudly. Frames are REAL ZSTD_compress_usingDict output — a
+    reference-encoder interop gate on the dictionary feature. One
+    torn shard degrades to a single '__error__' row, closed-form in
+    the oracle like its plain-zstd twin.
+
+    Scale shape: the dictionary is read once on the driver (a few KB)
+    and broadcast; shards decode map-only; the only exchange is the
+    tiny per-source aggregate."""
+    src = _write_zstd_dict_fixture(spark, sf_dir)
+    with open(os.path.join(src, "shared.dict"), "rb") as f:
+        dict_bytes = f.read()
+    blobs = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "docs*.jsonl.dzst")
+        .load(src)
+        .select("content")
+    )
+    partials = blobs.mapInPandas(
+        _make_zstd_dict_batches(dict_bytes),
+        schema="source string, n_docs bigint, total_chars bigint",
+    )
+    return partials.groupBy("source").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("total_chars").alias("total_chars"),
+    )

@@ -508,3 +508,92 @@ def test_mp3_in_wav_unwraps_transparently():
     # ...and the WAV reader deliberately leaves tag 0x0055 alone
     with pytest.raises(NotImplementedError):
         parse_wav(wrapped)
+
+
+# ---------------------------------------------------------------------------
+# Round-13 zstd dictionaries: the from-scratch RFC 8878 dictionary
+# path (parse_zstd_dict + decompress(dictionary=...)) against REAL
+# libzstd: a ZDICT-trained dictionary, per-sample frames compressed
+# with ZSTD_compress_usingDict, decoded bit-exact.
+# ---------------------------------------------------------------------------
+
+
+def _zdict_fixture():
+    from history_collector_spark.queries.corpus_io import (
+        _train_zstd_dict,
+        _zstd_compress_with_dict,
+    )
+
+    rng = np.random.default_rng(777)
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota "
+             "kappa lambda mu").split()
+    samples = [
+        (" ".join(words[int(i)] for i in rng.integers(0, 12, 30))
+         + f" tail{k}\n").encode()
+        for k in range(120)
+    ]
+    return samples, _train_zstd_dict(samples), _zstd_compress_with_dict
+
+
+def test_zstd_trained_dictionary_interop():
+    from history_collector_spark.functions.zstd import (
+        ZstdDecodeError,
+        decompress,
+        parse_zstd_dict,
+    )
+
+    samples, dict_bytes, compress = _zdict_fixture()
+    info = parse_zstd_dict(dict_bytes)
+    assert info["dict_id"] != 0 and info["entropy"] is not None
+    assert all(r > 0 for r in info["reps"])
+    assert len(info["content"]) > 0
+    for s in samples[:60]:
+        frame = compress(s, dict_bytes)
+        assert decompress(frame, dictionary=dict_bytes) == s
+    # the frame header demands the dictionary id
+    frame = compress(samples[0], dict_bytes)
+    with pytest.raises(ZstdDecodeError):
+        decompress(frame)
+    # ...and a different structured dictionary is rejected by id
+    other = bytearray(dict_bytes)
+    other[4] ^= 0xFF
+    with pytest.raises(ZstdDecodeError):
+        decompress(frame, dictionary=bytes(other))
+
+
+def test_zstd_raw_content_dictionary_interop():
+    from history_collector_spark.functions.zstd import (
+        decompress,
+        parse_zstd_dict,
+    )
+    from history_collector_spark.queries.corpus_io import (
+        _zstd_compress_with_dict,
+    )
+
+    raw = b"alpha beta gamma delta epsilon zeta eta theta " * 3
+    info = parse_zstd_dict(raw)
+    assert info == {
+        "dict_id": 0, "entropy": None, "reps": None, "content": raw
+    }
+    msg = b"epsilon zeta eta theta alpha beta gamma delta end."
+    frame = _zstd_compress_with_dict(msg, raw)
+    assert decompress(frame, dictionary=raw) == msg
+
+
+def test_zstd_dict_parse_errors_and_plain_frames_unaffected():
+    from history_collector_spark.functions.zstd import (
+        ZstdDecodeError,
+        compress_store,
+        decompress,
+        parse_zstd_dict,
+    )
+
+    samples, dict_bytes, _ = _zdict_fixture()
+    # truncated structured dictionary -> clean error
+    with pytest.raises(ZstdDecodeError):
+        parse_zstd_dict(dict_bytes[:16])
+    # a dictionary supplied to a dict-less frame still decodes (the
+    # window prefix is benign when no sequence reaches into it)
+    plain = compress_store(b"plain frame payload")
+    assert decompress(plain, dictionary=dict_bytes) == b"plain frame payload"
+    assert decompress(plain) == b"plain frame payload"
