@@ -218,7 +218,13 @@ PRIORITY_QUERIES = (
     "session_window_agg",
     "tpch_q17_small_quantity",
     "tpch_q18_large_orders",
-    "corpus_snappy_ingest",
+    # round-13 build: the DICTIONARY-compressed zstd ingest (real
+    # ZDICT dictionary + per-doc ZSTD_compress_usingDict frames
+    # through the from-scratch RFC 8878 dictionary path) takes the
+    # Snappy seat — the compression matrix keeps zstd + zstd-dict
+    # in-window; corpus_snappy_ingest was driver-green r12 and stays
+    # locally oracle-verified every run
+    "corpus_zstd_dict_ingest",
     # round-13 rotation: the JSONL shard ingest takes the multiformat-
     # digest seat — containers keep jsonl/zstd/snappy/sitemap
     # in-window; multiformat_digest was driver-green r12 and stays
@@ -275,7 +281,12 @@ PRIORITY_QUERIES = (
     # driver-green r12 and stays locally oracle-verified every run
     "streaming_topk_e2e",
     "corpus_robots_rules",
-    "label_fleiss_kappa",
+    # round-13 build: animated GIF decode + compositing (GCE parse,
+    # transparency masking, disposal arithmetic, CLOSED-FORM canvas-
+    # sum oracle) takes the Fleiss-kappa seat — eval keeps
+    # calibration/preference/dp in-window; label_fleiss_kappa was
+    # driver-green r10-r12 and stays locally oracle-verified
+    "multimodal_decode_gif_anim",
     "streaming_frontier_e2e",
     "multimodal_audio_wav_ingest",
     # round-13 rotation: the dedup threshold sweep (precision/recall
@@ -287,7 +298,12 @@ PRIORITY_QUERIES = (
     # semantic-dedup seat — streaming keeps 8 e2e seats in-window;
     # dedup_semantic was driver-green r12, stays locally verified
     "streaming_zscore_e2e",
-    "multimodal_decode_vp8",
+    # round-13 build: animated WebP (ANIM/ANMF) decode takes the VP8
+    # flagship seat — the anim variants carry the SAME pinned real-
+    # libwebp payloads through the same RFC 6386 decoder, plus the
+    # compositing layer; multimodal_decode_vp8 was driver-green r12
+    # and stays locally oracle-verified every run
+    "multimodal_decode_anim",
     "tokenizer_wordpiece_greedy",
     # round-13 rotation: calibration reliability bins take the McNemar
     # seat (eval keeps fleiss/preference/calibration in-window;
