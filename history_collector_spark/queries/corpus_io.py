@@ -1376,6 +1376,130 @@ def corpus_zstd_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# bzip2 JSONL ingest (round 13): the public-data-dump codec —
+# Wikipedia dumps, academic corpora and older crawl slices ship as
+# .bz2 — through the from-scratch decoder in functions/bzip2.py
+# (Huffman groups + selectors, MTF, RLE2 zero runs, inverse BWT,
+# RLE1, both CRC layers). Shards are REAL stdlib-bz2 (libbz2) output,
+# so every run is a reference-encoder interop check. Same shard
+# layout / torn-shard contract / closed-form oracle as the other
+# compression-matrix twins.
+# ---------------------------------------------------------------------------
+
+
+def _bzip2_encode(raw: bytes) -> bytes:
+    import bz2
+
+    return bz2.compress(raw, 9)
+
+
+def _bzip2_tear(blob: bytes) -> bytes:
+    # both CRC layers make a mid-stream cut essentially always fail,
+    # but nudge like the other twins so the property is checked
+    from history_collector_spark.functions.bzip2 import (
+        Bzip2DecodeError,
+        decompress_bz2,
+    )
+
+    cut = len(blob) // 2
+    while cut > 1:
+        try:
+            decompress_bz2(blob[:cut])
+        except Bzip2DecodeError:
+            break
+        cut -= 1
+    return blob[:cut]
+
+
+def _write_bzip2_fixture(spark: SparkSession, sf_dir: str) -> str:
+    return _write_codec_shards(
+        spark, sf_dir, "bz2jsonl", "bz2", _bzip2_encode, _bzip2_tear
+    )
+
+
+def _bzip2_ingest_batches(batches):
+    import json as _json
+
+    import pandas as pd
+
+    from history_collector_spark.functions.bzip2 import (
+        Bzip2DecodeError,
+        decompress_bz2,
+    )
+
+    for pdf in batches:
+        agg: dict[str, list] = {}
+        for blob in pdf["content"]:
+            try:
+                raw = decompress_bz2(bytes(blob))
+            except Bzip2DecodeError:
+                a = agg.setdefault("__error__", [0, 0])
+                a[0] += 1
+                continue
+            for line in raw.decode("utf-8").splitlines():
+                d = _json.loads(line)
+                a = agg.setdefault(d["source"], [0, 0])
+                a[0] += 1
+                a[1] += len(d["text"])
+        yield pd.DataFrame(
+            [(s, v[0], v[1]) for s, v in agg.items()],
+            columns=["source", "n_docs", "total_chars"],
+        )
+
+
+@register(
+    "corpus_bzip2_ingest",
+    oracle=f"""
+    WITH meta AS (
+      SELECT doc_id, source, length(text) AS n_chars FROM documents
+    ),
+    nn AS (
+      SELECT greatest({_LZ4_MIN_SHARDS},
+                      CAST(ceil(count(*) / {_LZ4_DOCS_PER_SHARD}.0)
+                           AS BIGINT)) AS k
+      FROM meta
+    )
+    SELECT m.source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(m.n_chars) AS BIGINT) AS total_chars
+    FROM meta m, nn WHERE m.doc_id % nn.k <> 0
+    GROUP BY m.source
+    UNION ALL
+    SELECT '__error__', 1, 0
+    """,
+)
+def corpus_bzip2_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile scan of .jsonl.bz2 shards -> in-kernel from-scratch
+    bzip2 decode (Huffman group switching, MTF, RLE2, inverse BWT,
+    RLE1, block + stream CRCs verified) + JSON-lines parse,
+    pre-aggregated per shard so only (source, count, chars) partials
+    leave each task. Shards are REAL libbz2 output (stdlib bz2), so
+    this is a reference-encoder interop gate on every run. One torn
+    shard degrades to a single '__error__' row, closed-form in the
+    oracle. Completes the compression matrix: gzip, LZ4, Snappy,
+    zstd (+dictionary), bzip2 — identical contracts, directly
+    comparable in the bench.
+
+    Scale shape: shard count grows with the corpus (one task per
+    shard), decode+parse is map-only, the only exchange is the tiny
+    per-source aggregate."""
+    src = _write_bzip2_fixture(spark, sf_dir)
+    blobs = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "docs*.jsonl.bz2")
+        .load(src)
+        .select("content")
+    )
+    partials = blobs.mapInPandas(
+        _bzip2_ingest_batches,
+        schema="source string, n_docs bigint, total_chars bigint",
+    )
+    return partials.groupBy("source").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("total_chars").alias("total_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # DICTIONARY-compressed zstd ingest (round 13): the small-document
 # regime real corpora hit — per-doc frames are tiny, so production
 # pipelines train a shared dictionary (ZDICT) and compress each doc

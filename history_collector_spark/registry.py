@@ -270,7 +270,12 @@ PRIORITY_QUERIES = (
     "corpus_markdown_extract",
     "crawl_anchor_text_index",
     "streaming_ingest_e2e",
-    "corpus_sitemap_ingest",
+    # round-13 build: the bzip2 ingest (from-scratch BWT/MTF/Huffman
+    # decoder, REAL libbz2 shards — the public-data-dump codec) takes
+    # the sitemap seat; the crawl tier keeps robots/outlinks/anchor/
+    # discovery/frontier-e2e in-window and corpus_sitemap_ingest was
+    # driver-green r10+r12, staying locally oracle-verified every run
+    "corpus_bzip2_ingest",
     "corpus_zstd_ingest",
     "streaming_gapless_e2e",
     "streaming_jdbc_e2e",
