@@ -1742,3 +1742,121 @@ def corpus_zstd_dict_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_docs").alias("n_docs"),
         F.sum("total_chars").alias("total_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PDF text extraction (round 13): the single largest non-HTML text
+# source in real training pipelines. Deterministic, viewer-openable
+# PDFs are BUILT per sampled doc (60-char lines, 40-line pages, 2/3
+# FlateDecode-compressed streams) and the text is extracted back
+# through the from-scratch structure parser in functions/pdf.py —
+# xref table, trailer, page tree walk, content streams, Tj/TJ string
+# operators with full literal-string unescaping. Extraction must
+# reproduce the document text BYTE-EXACTLY (the oracle compares
+# md5(text)), and a deterministic slice of torn files must degrade to
+# error rows.
+# ---------------------------------------------------------------------------
+
+_PDF_LINE = 60
+_PDF_PAGE_LINES = 40
+
+
+def _pdf_extract_batches(batches):
+    import hashlib
+
+    import pandas as pd
+
+    from history_collector_spark.functions.pdf import (
+        PdfDecodeError,
+        extract_pdf_text,
+        write_pdf,
+    )
+
+    for pdf_batch in batches:
+        rows = []
+        for doc_id, text in zip(pdf_batch["doc_id"], pdf_batch["text"]):
+            d, t = int(doc_id), str(text)
+            lines = [
+                t[i : i + _PDF_LINE] for i in range(0, len(t), _PDF_LINE)
+            ] or [""]
+            pages = [
+                lines[i : i + _PDF_PAGE_LINES]
+                for i in range(0, len(lines), _PDF_PAGE_LINES)
+            ]
+            blob = write_pdf(pages, compress=bool(d % 3))
+            if d % 65 == 0:  # torn file: truncated past the header
+                blob = blob[: max(16, len(blob) // 2)]
+            try:
+                texts = extract_pdf_text(blob)
+                joined = "".join(texts)
+                rows.append(
+                    (
+                        d,
+                        "ok",
+                        len(texts),
+                        len(joined),
+                        hashlib.md5(joined.encode("utf-8")).hexdigest(),
+                    )
+                )
+            except PdfDecodeError:
+                rows.append((d, "error", None, None, None))
+        yield pd.DataFrame(
+            {
+                "doc_id": [r[0] for r in rows],
+                "status": [r[1] for r in rows],
+                "n_pages": pd.array(
+                    [r[2] for r in rows], dtype="Int64"
+                ),
+                "n_chars": pd.array(
+                    [r[3] for r in rows], dtype="Int64"
+                ),
+                "digest": [r[4] for r in rows],
+            }
+        )
+
+
+@register(
+    "corpus_pdf_extract",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, text, length(text) AS L,
+             doc_id % 65 = 0 AS err
+      FROM documents WHERE doc_id % 13 = 0
+    )
+    SELECT doc_id,
+      CASE WHEN err THEN 'error' ELSE 'ok' END AS status,
+      CASE WHEN err THEN NULL
+           ELSE CAST(ceil(greatest(1, CAST(ceil(L / {_PDF_LINE}.0)
+                                    AS BIGINT)) / {_PDF_PAGE_LINES}.0)
+                AS BIGINT) END AS n_pages,
+      CASE WHEN err THEN NULL ELSE CAST(L AS BIGINT) END AS n_chars,
+      CASE WHEN err THEN NULL ELSE md5(text) END AS digest
+    FROM s
+    """,
+)
+def corpus_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per sampled doc: build a real PDF (multi-page, FlateDecode on
+    two thirds of the files), extract the text back through the
+    from-scratch structure parser (xref -> catalog -> page tree ->
+    content streams -> Tj/TJ with full unescaping), and emit page
+    count, char count and an md5 digest of the EXTRACTED text — the
+    oracle compares against md5 of the source text, so a single
+    mis-unescaped byte, lost line, or page-order swap flips a row.
+    Every 5th sampled file is torn mid-body and must land as an
+    error row (the xref discovery fails loudly).
+
+    Scale shape: pure map over sampled ids through the Arrow path,
+    zero exchange — the shape of a real PDF-extraction stage, where
+    per-file parse cost dominates and nothing shuffles."""
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 13 == 0)
+        .select("doc_id", "text")
+    )
+    return docs.mapInPandas(
+        _pdf_extract_batches,
+        schema=(
+            "doc_id bigint, status string, n_pages bigint,"
+            " n_chars bigint, digest string"
+        ),
+    )

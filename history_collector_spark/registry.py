@@ -267,7 +267,13 @@ PRIORITY_QUERIES = (
     # yield/vp8/wav/mp3/patch in-window, shots stays locally verified
     "multimodal_patch_stats",
     "text_bm25_retrieval",
-    "corpus_markdown_extract",
+    # round-13 build: PDF text extraction (from-scratch xref/page-
+    # tree/content-stream parser over real viewer-openable fixtures,
+    # md5-exact against the source text) takes the Markdown seat —
+    # extraction keeps outlinks/anchor/web-funnel/pdf in-window;
+    # corpus_markdown_extract was driver-green r12 and stays locally
+    # oracle-verified every run
+    "corpus_pdf_extract",
     "crawl_anchor_text_index",
     "streaming_ingest_e2e",
     # round-13 build: the bzip2 ingest (from-scratch BWT/MTF/Huffman

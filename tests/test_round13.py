@@ -660,3 +660,77 @@ def test_bzip2_fuzz_and_crc_gate():
         except Bzip2DecodeError:
             err += 1
     assert ok + err == 250 and err > 200
+
+
+# ---------------------------------------------------------------------------
+# Round-13 PDF extraction: the structure parser against its own real
+# (viewer-openable) writer, plus hand-built operator/escape cases the
+# writer never emits.
+# ---------------------------------------------------------------------------
+
+
+def test_pdf_roundtrip_and_escapes():
+    from history_collector_spark.functions.pdf import (
+        extract_pdf_text,
+        write_pdf,
+    )
+
+    pages = [
+        ["Hello (world) \\ backslash", "tab\there", "newline\nkept"],
+        ["héllo — unicode ✓", ""],
+        ["parens ))(( nested (a(b)c)", "100% literal %PDF"],
+    ]
+    for compress in (True, False):
+        got = extract_pdf_text(write_pdf(pages, compress=compress))
+        assert got == ["".join(p) for p in pages]
+
+
+def test_pdf_operator_and_string_forms():
+    """Hand-built content streams: TJ arrays with kerning numbers,
+    hex strings, octal escapes, line continuations — forms the
+    fixture writer never emits."""
+    from history_collector_spark.functions.pdf import (
+        _extract_content_text,
+    )
+
+    content = (
+        b"BT /F1 12 Tf 72 720 Td "
+        b"[(A) -120 (B) 33.5 (C)] TJ "
+        b"<48656C6C6F> Tj "
+        b"(oct\\101l and \\( paren) Tj "
+        b"(line\\\ncontinued) Tj "
+        b"ET"
+    )
+    assert (
+        _extract_content_text(content)
+        == "ABC" + "Hello" + "octAl and ( paren" + "linecontinued"
+    )
+
+
+def test_pdf_structure_errors_and_fuzz():
+    from history_collector_spark.functions.pdf import (
+        PdfDecodeError,
+        extract_pdf_text,
+        write_pdf,
+    )
+
+    blob = write_pdf([["some text on a page"] * 5] * 2)
+    with pytest.raises(PdfDecodeError):
+        extract_pdf_text(b"not a pdf at all")
+    with pytest.raises(PdfDecodeError):
+        extract_pdf_text(blob[: len(blob) // 2])
+    rng = np.random.default_rng(2718)
+    ok = err = 0
+    for _ in range(200):
+        mutant = bytearray(blob)
+        for _ in range(int(rng.integers(1, 5))):
+            mutant[int(rng.integers(5, len(mutant)))] = int(
+                rng.integers(0, 256)
+            )
+        try:
+            texts = extract_pdf_text(bytes(mutant))
+            assert isinstance(texts, list)
+            ok += 1
+        except PdfDecodeError:
+            err += 1
+    assert ok + err == 200
