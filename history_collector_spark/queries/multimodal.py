@@ -841,6 +841,45 @@ def decode_gif_anim(data: bytes, max_frames: int | None = None):
     return frames
 
 
+def _gif_count_frames(data: bytes) -> int:
+    """Cheap image-descriptor count (no LZW decode) — the GIF
+    equivalent of parse_webp_info's ANMF count, used by decode_blob
+    to report true n_frames for animations."""
+    import struct
+
+    if len(data) < 13:
+        return 0
+    flags = data[10]
+    pos = 13
+    if flags & 0x80:
+        pos += 3 * (2 << (flags & 0x07))
+    n = 0
+    while pos < len(data):
+        b0 = data[pos]
+        if b0 == 0x3B:
+            break
+        if b0 == 0x21:
+            pos += 2
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C or pos + 10 > len(data):
+            break
+        n += 1
+        iflags = data[pos + 9]
+        pos += 10
+        if iflags & 0x80:
+            pos += 3 * (2 << (iflags & 0x07))
+        if pos >= len(data):
+            break
+        pos += 1  # LZW min code size
+        while pos < len(data) and data[pos] != 0:
+            pos += 1 + data[pos]
+        pos += 1
+    return n
+
+
 def _gif_palettize(px, mask):
     """(h, w, 3) + opaque mask -> (palette rows, index array,
     transparent index or None); the transparent slot is appended
@@ -1078,6 +1117,8 @@ def decode_blob(data: bytes, fake: bool = False) -> dict:
             )
 
             n_frames = parse_webp_info(data)["n_frames"]
+        elif data[:6] in (b"GIF87a", b"GIF89a"):
+            n_frames = max(1, _gif_count_frames(data))
         return {
             "width": int(px.shape[1]),
             "height": int(px.shape[0]),

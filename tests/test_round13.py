@@ -734,3 +734,25 @@ def test_pdf_structure_errors_and_fuzz():
         except PdfDecodeError:
             err += 1
     assert ok + err == 200
+
+
+def test_decode_blob_reports_gif_frame_count():
+    from history_collector_spark.queries.multimodal import (
+        decode_blob,
+        encode_gif,
+        encode_gif_anim,
+    )
+
+    px = np.zeros((3, 4, 3), np.uint8)
+    px[:, :, 1] = 77
+    meta = decode_blob(encode_gif(px))
+    assert meta["n_frames"] == 1 and meta["decode_status"] == "ok"
+    anim = encode_gif_anim(
+        [dict(px=px, delay_cs=2), dict(px=px, delay_cs=2),
+         dict(px=px, delay_cs=2)],
+        4, 3,
+    )
+    meta = decode_blob(anim)
+    assert meta == {
+        "width": 4, "height": 3, "n_frames": 3, "decode_status": "ok",
+    }
