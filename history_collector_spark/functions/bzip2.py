@@ -135,8 +135,10 @@ def _huff_decode(br: _MsbBits, grp) -> int:
     return perm[idx]
 
 
-def _decode_block(br: _MsbBits, block_size: int) -> bytes:
-    """One block (after its magic): CRC-verified plain bytes."""
+def _decode_block(br: _MsbBits, block_size: int):
+    """One block (after its magic) -> (plain bytes, block CRC), the
+    CRC already verified (returned so the stream-combined checksum
+    does not recompute it)."""
     want_crc = br.read(32)
     if br.read(1):
         raise Bzip2DecodeError("deprecated randomized blocks unsupported")
@@ -201,7 +203,7 @@ def _decode_block(br: _MsbBits, block_size: int) -> bytes:
             run = 0
             run_bit = 0
         if sym == eob:
-            break
+            break  # any pending zero-run was flushed just above
         # MTF symbol: index sym-1 into the current list
         j = sym - 1
         if j >= len(mtf):
@@ -211,10 +213,6 @@ def _decode_block(br: _MsbBits, block_size: int) -> bytes:
         if len(bwt) >= block_size:
             raise Bzip2DecodeError("block overruns declared size")
         bwt.append(v)
-    if run:
-        if len(bwt) + run > block_size:
-            raise Bzip2DecodeError("zero run overruns block size")
-        bwt += bytes([mtf[0]]) * run
     n = len(bwt)
     if orig_ptr >= n:
         raise Bzip2DecodeError("BWT origin pointer outside block")
@@ -259,7 +257,7 @@ def _decode_block(br: _MsbBits, block_size: int) -> bytes:
         raise Bzip2DecodeError(
             f"block CRC mismatch: 0x{got:08X} != 0x{want_crc:08X}"
         )
-    return bytes(plain)
+    return bytes(plain), got
 
 
 def decompress_bz2(blob: bytes, max_out: int = 1 << 26) -> bytes:
@@ -281,13 +279,13 @@ def decompress_bz2(blob: bytes, max_out: int = 1 << 26) -> bytes:
         while True:
             magic = br.read(48)
             if magic == _BLOCK_MAGIC:
-                block = _decode_block(br, block_size)
+                block, block_crc = _decode_block(br, block_size)
                 if len(out_all) + len(block) > max_out:
                     raise Bzip2DecodeError("output exceeds size guard")
                 out_all += block
                 combined = (
                     ((combined << 1) | (combined >> 31)) & 0xFFFFFFFF
-                ) ^ (_crc32_bz(block) ^ 0xFFFFFFFF)
+                ) ^ block_crc
             elif magic == _EOS_MAGIC:
                 want = br.read(32)
                 if want != combined:
@@ -302,8 +300,4 @@ def decompress_bz2(blob: bytes, max_out: int = 1 << 26) -> bytes:
         br.pos = (br.pos + 7) & ~7
         if br.pos >= br.total:
             break
-    if not out_all and blob:
-        # a valid empty stream decodes to b"" — only reachable via
-        # the header+EOS form, which the loop above already accepts
-        pass
     return bytes(out_all)

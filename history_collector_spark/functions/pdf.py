@@ -345,6 +345,10 @@ def _parse_xref(data: bytes):
         if lex.token() != b"xref":
             raise PdfDecodeError("xref keyword missing (object streams "
                                  "unsupported)")
+        # THIS section's Prev, not the merged view: trailer keys merge
+        # newest-wins, but the /Prev chain must step per section or a
+        # 3+-section incremental-update file stops one hop short
+        section_prev = None
         while True:
             lex._skip_ws()
             if lex.peek_raw(7) == b"trailer":
@@ -352,6 +356,7 @@ def _parse_xref(data: bytes):
                 t = lex.parse_object()
                 if not isinstance(t, dict):
                     raise PdfDecodeError("trailer is not a dictionary")
+                section_prev = t.get("Prev")
                 for k, v in t.items():
                     trailer.setdefault(k, v)
                 break
@@ -375,9 +380,10 @@ def _parse_xref(data: bytes):
                         raise PdfDecodeError("corrupt xref offset digits")
                 elif kind != b"f":
                     raise PdfDecodeError("bad xref entry type")
-        prev = trailer.get("Prev")
-        if isinstance(prev, (int, float)) and int(prev) not in seen:
-            xref_at = int(prev)
+        if isinstance(section_prev, (int, float)) and int(
+            section_prev
+        ) not in seen:
+            xref_at = int(section_prev)
             continue
         return offsets, trailer
 

@@ -673,7 +673,10 @@ def _write_warc_fixture(spark: SparkSession, sf_dir: str) -> str:
         table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 2 == 0)
         .select("doc_id", "source", "text")
-        .withColumn("shard", F.col("doc_id") % 4)
+        # even ids mod 4 would only ever hit shards {0, 2} and the
+        # two .warc.gz shards (odd k) would never materialize —
+        # (doc_id/2) % 4 populates all four
+        .withColumn("shard", F.expr("(doc_id div 2) % 4"))
         .repartition(4, "shard")
         .groupBy("shard")
         .applyInPandas(_emit, "shard bigint, n bigint")
@@ -1517,10 +1520,18 @@ _ZDICT_SAMPLE_DOCS = 200  # bounded training sample (first docs by id)
 _ZDICT_CAPACITY = 4096
 
 
+_LIBZSTD_CACHE: list = []  # one CDLL binding per process
+
+
 def _libzstd_dict_api():
     """ctypes bindings for the encoder-side dictionary API (fixture
-    writer only — decode is the from-scratch functions/zstd.py)."""
+    writer only — decode is the from-scratch functions/zstd.py).
+    Bound once per process: per-frame rebinding would re-run CDLL +
+    eight signature declarations for every compressed document."""
     import ctypes
+
+    if _LIBZSTD_CACHE:
+        return _LIBZSTD_CACHE[0]
 
     lib = ctypes.CDLL("libzstd.so.1")
     sz = ctypes.c_size_t
@@ -1543,6 +1554,7 @@ def _libzstd_dict_api():
     lib.ZSTD_freeCCtx.argtypes = [ctypes.c_void_p]
     lib.ZSTD_compressBound.restype = sz
     lib.ZSTD_compressBound.argtypes = [sz]
+    _LIBZSTD_CACHE.append((lib, ctypes))
     return lib, ctypes
 
 

@@ -756,3 +756,43 @@ def test_decode_blob_reports_gif_frame_count():
     assert meta == {
         "width": 4, "height": 3, "n_frames": 3, "decode_status": "ok",
     }
+
+
+def test_pdf_incremental_update_prev_chain():
+    """3+-section xref chains (two incremental updates) must follow
+    /Prev per SECTION — the newest trailer's own Prev only reaches
+    one hop, and a merged-trailer walk stops short (review finding,
+    round 13). Built by appending real incremental updates: each adds
+    a replacement object + an xref section chaining to the previous
+    one."""
+    from history_collector_spark.functions.pdf import (
+        _parse_xref,
+        extract_pdf_text,
+        write_pdf,
+    )
+
+    base = write_pdf([["original page text"]])
+    m = base.rindex(b"startxref")
+    prev1 = int(base[m:].split()[1])
+
+    def update(doc: bytes, prev: int, obj_num: int, body: bytes):
+        off = len(doc)
+        doc += str(obj_num).encode() + b" 0 obj\n" + body + b"\nendobj\n"
+        xref_at = len(doc)
+        doc += (
+            b"xref\n0 1\n0000000000 65535 f \n"
+            + str(obj_num).encode() + b" 1\n"
+            + f"{off:010d} 00000 n \n".encode()
+            + b"trailer\n<< /Size 99 /Prev " + str(prev).encode()
+            + b" >>\nstartxref\n" + str(xref_at).encode() + b"\n%%EOF\n"
+        )
+        return doc, xref_at
+
+    # two incremental updates -> three chained xref sections; the
+    # replaced object is an unused scratch dict, so the text and the
+    # catalog live ONLY in the base section
+    doc, prev2 = update(base, prev1, 90, b"<< /Scratch 1 >>")
+    doc, _ = update(doc, prev2, 91, b"<< /Scratch 2 >>")
+    offsets, trailer = _parse_xref(doc)
+    assert "Root" in trailer and 90 in offsets and 91 in offsets
+    assert extract_pdf_text(doc) == ["original page text"]
