@@ -142,16 +142,20 @@ _RP_SQL = f"""
     "embedding_random_projection",
     oracle=f"""
     WITH {_RP_SQL}
-    SELECT e.vec_id, e.label,
-           list_sort(list(CAST(p.p AS INT) ORDER BY p.p)) AS dims,
-           list(list_sum(list_transform(range(1, 65),
-                  i -> CAST(e.embedding[i] AS DOUBLE) * p.hp[i]))
-                ORDER BY p.p) AS proj
+    SELECT e.vec_id, e.label, CAST(p.p AS INT) AS p,
+           list_sum(list_transform(range(1, 65),
+             i -> CAST(e.embedding[i] AS DOUBLE) * p.hp[i])) AS proj
     FROM embeddings e, planes p
-    GROUP BY e.vec_id, e.label
     """,
 )
 def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed random projection to RP_DIMS output planes, one ROW per
+    (vector, plane) — scalar columns only, because the external driver
+    canonicalizes results with pandas sort_values and list-valued cells
+    crash its hash gate. Still map-only: the ±1 matrix is a compile-time
+    literal folded into the row expression (a few KB at any scale — the
+    classic broadcast-the-model shape), and posexplode is a row-local
+    fan-out, not an exchange."""
     emb = table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", "embedding"
     )
@@ -173,8 +177,10 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id",
         "label",
-        F.array(*[F.lit(p).cast("int") for p in range(RP_DIMS)]).alias("dims"),
-        F.array(*[proj(p) for p in range(RP_DIMS)]).alias("proj"),
+        F.posexplode(F.array(*[proj(p) for p in range(RP_DIMS)])),
+    ).select(
+        "vec_id", "label", F.col("pos").cast("int").alias("p"),
+        F.col("col").alias("proj"),
     )
 
 
@@ -356,7 +362,17 @@ def cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KM_TRAIN_KS = (2, 4, 8)
 _KM_MAX_ITER = 8
-_KM_TOL = 1e-9  # squared centroid-shift convergence threshold
+# Fixed-point grid for the round-14 oracle-ization: sufficient
+# statistics are accumulated as EXACT integers in units of 1e-6
+# (floor(x * 1e6 + 0.5)), and updated centroids are snapped back to
+# the same grid. Integer sums are associative, so the distributed
+# reduction is bitwise-reproducible regardless of partition order —
+# the published recipe for reproducible distributed training — and a
+# DuckDB recursive CTE can replay the identical float sequence
+# (the events_markov_stationary lockstep idiom). Convergence = the
+# quantized centroids stop moving (shift2 == 0), bounded by
+# _KM_MAX_ITER passes.
+_KM_Q = 1e6
 
 # Training runs at DataFrame-construction time (the loop IS the query),
 # so memoize the history per (session, corpus) the same way the dedup
@@ -365,7 +381,112 @@ _KM_TOL = 1e-9  # squared centroid-shift convergence threshold
 _KM_TRAIN_CACHE: dict[tuple[str, str], list] = {}
 
 
-@register("cluster_kmeans_train")  # rows-only: the training loop is not SQL
+def _km_train_oracle() -> str:
+    """Lockstep DuckDB replay of the quantized-Lloyd loop below.
+
+    Every float the two engines compare is produced by the IDENTICAL
+    operation sequence on bit-equal inputs: per-row squared distances
+    fold dimensions left-to-right against the same quantized centroid
+    literals; sufficient statistics are exact BIGINT sums (order-free);
+    centroid updates apply the same two-division + snap formula; and
+    the centroid shift is an exact integer sum of squared grid steps.
+    """
+    ks = ", ".join(str(k) for k in _KM_TRAIN_KS)
+    q = f"{_KM_Q:.1f}"
+    return f"""
+    WITH RECURSIVE
+    emb AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {q} + 0.5)
+                    AS BIGINT)) AS eq
+      FROM embeddings
+    ),
+    it AS (
+      SELECT k, -1 AS iter,
+             (SELECT list(e ORDER BY vec_id)
+              FROM emb WHERE vec_id < k) AS cents,
+             CAST(0 AS DOUBLE) AS wss, CAST(0 AS DOUBLE) AS shift2,
+             0 AS n_empty, CAST(1 AS BIGINT) AS moving
+      FROM (SELECT unnest([{ks}]) AS k) ks
+      UNION ALL
+      SELECT k, iter, new_cents,
+             CAST(wssq AS DOUBLE) / {q} AS wss,
+             CAST(shift2q AS DOUBLE) / {_KM_Q * _KM_Q:.1f} AS shift2,
+             n_empty, shift2q AS moving
+      FROM (
+        SELECT k, iter, oldc, new_cents, wssq,
+               CAST(k - len(stats) AS INT) AS n_empty,
+               list_sum(flatten(list_transform(range(1, k + 1), c ->
+                 list_transform(range(1, 65), d ->
+                   CAST(floor((new_cents[c][d] - oldc[c][d]) * {q} + 0.5)
+                        AS BIGINT)
+                   * CAST(floor((new_cents[c][d] - oldc[c][d]) * {q} + 0.5)
+                        AS BIGINT))))) AS shift2q
+        FROM (
+          SELECT k, iter, oldc, stats, wssq,
+                 list_transform(range(1, k + 1), c ->
+                   CASE WHEN len(list_filter(stats, s -> s.c = c)) = 0
+                        THEN oldc[c]
+                        ELSE list_transform(
+                          list_filter(stats, s -> s.c = c)[1].vq, v ->
+                            floor((CAST(v AS DOUBLE) / {q})
+                                  / CAST(list_filter(stats,
+                                           s -> s.c = c)[1].n AS DOUBLE)
+                                  * {q} + 0.5) / {q})
+                   END) AS new_cents
+          FROM (
+            SELECT k, iter, any_value(oldc) AS oldc,
+                   list(struct_pack(c := c, n := n, vq := vq)
+                        ORDER BY c) AS stats,
+                   CAST(sum(cwssq) AS BIGINT) AS wssq
+            FROM (
+              SELECT k, iter, any_value(oldc) AS oldc, c,
+                     any_value(n) AS n, any_value(cwssq) AS cwssq,
+                     list(sq ORDER BY d) AS vq
+              FROM (
+                SELECT k, iter, any_value(oldc) AS oldc, c, d,
+                       CAST(sum(qrow[CAST(d AS INT)]) AS BIGINT) AS sq,
+                       CAST(sum(CASE WHEN d = 1 THEN d2q END)
+                            AS BIGINT) AS cwssq,
+                       CAST(sum(CASE WHEN d = 1 THEN 1 END)
+                            AS BIGINT) AS n
+                FROM (
+                  SELECT s.k AS k, s.iter + 1 AS iter, s.cents AS oldc,
+                         r.eq AS qrow,
+                         list_reduce(
+                           list_transform(range(1, s.k + 1), c ->
+                             struct_pack(
+                               c := c,
+                               d2 := list_sum(list_transform(range(1, 65),
+                                 d -> (r.e[d] - s.cents[c][d])
+                                      * (r.e[d] - s.cents[c][d]))))),
+                           (acc, x) ->
+                             CASE WHEN x.d2 < acc.d2 THEN x ELSE acc END
+                         ) AS b
+                  FROM it s, emb r
+                  WHERE s.iter < {_KM_MAX_ITER - 1} AND s.moving > 0
+                ) rows_,
+                LATERAL (SELECT b.c AS c,
+                         CAST(floor(b.d2 * {q} + 0.5) AS BIGINT) AS d2q) bb,
+                LATERAL (SELECT unnest(range(1, 65)) AS d) ds
+                GROUP BY k, iter, c, d
+              ) per_cell
+              GROUP BY k, iter, c
+            ) per_cluster
+            GROUP BY k, iter
+          ) per_k
+        ) upd
+      ) fin
+    )
+    SELECT CAST(k AS INT) AS k, CAST(iter AS INT) AS iter,
+           wss, shift2, CAST(n_empty AS INT) AS n_empty
+    FROM it WHERE iter >= 0
+    """
+
+
+@register("cluster_kmeans_train", oracle=_km_train_oracle())
 def cluster_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train k-means to convergence for k in {2, 4, 8} and emit the
     full iteration history (k, iter, wss, shift2, n_empty) — the elbow
@@ -377,9 +498,16 @@ def cluster_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistics (map-side combined, bounded collect). The driver holds
     only k x 64 floats between passes; corpus size never touches
     driver memory. Empty clusters keep their previous centroid (the
-    standard guard). Verified by the pinned monotonicity property
-    (WSS non-increasing across iterations for every k,
-    tests/test_round6.py::test_kmeans_training_monotone).
+    standard guard).
+
+    Round-14 oracle-ization (formerly rows-only): the sufficient
+    statistics are EXACT integer sums on the 1e-6 fixed-point grid
+    (see _KM_Q), making the distributed reduction order-independent
+    and therefore bitwise-reproducible — which is what lets the DuckDB
+    recursive CTE replay the whole training trajectory value-for-value
+    at driver hash discipline. Verified additionally by the pinned
+    monotonicity property (WSS non-increasing across iterations for
+    every k, tests/test_round6.py::test_kmeans_training_monotone).
     """
     import numpy as np
 
@@ -391,7 +519,15 @@ def cluster_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    emb = emb.persist()
+    emb = emb.withColumn(
+        "eq",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(
+                x.cast("double") * F.lit(_KM_Q) + F.lit(0.5)
+            ).cast("long"),
+        ),
+    ).persist()
     history: list[tuple[int, int, float, float, int]] = []
     try:
         for k in _KM_TRAIN_KS:
@@ -443,35 +579,45 @@ def cluster_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ).otherwise(acc),
                 )
                 stats = (
-                    emb.select(best.alias("b"), "embedding")
+                    emb.select(best.alias("b"), "eq")
                     .groupBy(F.col("b.best_c").alias("c"))
                     .agg(
                         F.count("*").alias("n"),
-                        F.sum("b.best_d2").alias("wss"),
+                        # exact integer sums on the 1e-6 grid: the
+                        # reduction is associative, so partition order
+                        # cannot perturb a single bit
+                        F.sum(
+                            F.floor(
+                                F.col("b.best_d2") * F.lit(_KM_Q)
+                                + F.lit(0.5)
+                            ).cast("long")
+                        ).alias("wssq"),
                         F.array(
                             *[
-                                F.sum(
-                                    F.element_at("embedding", i + 1).cast(
-                                        "double"
-                                    )
-                                )
+                                F.sum(F.element_at("eq", i + 1))
                                 for i in range(EMB_DIM)
                             ]
-                        ).alias("vsum"),
+                        ).alias("vq"),
                     )
                     .collect()  # BOUNDED: k rows of sufficient statistics
                 )
-                wss = float(sum(r["wss"] for r in stats))
+                wss = float(sum(int(r["wssq"]) for r in stats)) / _KM_Q
                 new_cents = cents.copy()  # empty clusters keep position
                 n_empty = k - len(stats)
                 for r in stats:
-                    new_cents[r["c"]] = (
-                        np.asarray(r["vsum"], dtype=np.float64) / r["n"]
-                    )
-                shift2 = float(((new_cents - cents) ** 2).sum())
+                    # mirror the oracle exactly: /1e6 first, then /n,
+                    # then snap back to the grid
+                    raw = (
+                        np.asarray(r["vq"], dtype=np.float64) / _KM_Q
+                    ) / float(r["n"])
+                    new_cents[r["c"]] = np.floor(raw * _KM_Q + 0.5) / _KM_Q
+                dq = np.floor(
+                    (new_cents - cents) * _KM_Q + 0.5
+                ).astype(np.int64)
+                shift2 = float((dq * dq).sum()) / (_KM_Q * _KM_Q)
                 history.append((k, it, wss, shift2, n_empty))
                 cents = new_cents
-                if shift2 < _KM_TOL:
+                if shift2 == 0.0:
                     break
     finally:
         emb.unpersist()

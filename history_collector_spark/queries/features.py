@@ -184,12 +184,17 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), stats AS (
       SELECT label, list(m ORDER BY dim) AS means, list(s ORDER BY dim) AS stds
       FROM dims GROUP BY label
+    ), z AS (
+      SELECT e.vec_id, e.label,
+             list_transform(range(1, 65),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - st.means[i])
+                    / st.stds[i]) AS zemb
+      FROM embeddings e JOIN stats st ON e.label = st.label
     )
-    SELECT e.vec_id, e.label,
-           list_transform(range(1, 65),
-             i -> (CAST(e.embedding[i] AS DOUBLE) - st.means[i]) / st.stds[i])
-             AS zemb
-    FROM embeddings e JOIN stats st ON e.label = st.label
+    SELECT vec_id, label,
+           list_min(zemb) AS z_min, list_max(zemb) AS z_max,
+           CAST(len(list_filter(zemb, v -> abs(v) > 2.0)) AS INT) AS z_tail2
+    FROM z
     """,
 )
 def feature_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -202,7 +207,13 @@ def feature_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scaling itself is a zip_with over the row. No window functions,
     no per-feature passes — the stats table IS the model state, same
     shape a production scaler persists. Width-guarded via
-    checked_embedding (the oracle pins 64 dims)."""
+    checked_embedding (the oracle pins 64 dims).
+
+    Output is one scalar-only row per vector (per-row z extremes plus
+    the |z|>2 tail count), NOT the raw z array: the external driver
+    canonicalizes results with pandas sort_values over every column
+    and list-valued cells crash its hash gate (the round-13
+    embedding_quantize driver-red class)."""
     from history_collector_spark.catalog import checked_embedding
 
     emb = table(spark, sf_dir, "embeddings")
@@ -235,6 +246,15 @@ def feature_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         emb.join(F.broadcast(stats), "label")
         .select("vec_id", "label", zemb.alias("zemb"))
+        .select(
+            "vec_id",
+            "label",
+            F.array_min("zemb").alias("z_min"),
+            F.array_max("zemb").alias("z_max"),
+            F.size(
+                F.filter("zemb", lambda v: F.abs(v) > F.lit(2.0))
+            ).cast("int").alias("z_tail2"),
+        )
     )
 
 
@@ -426,9 +446,19 @@ def embedding_whitening_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     audits close to lambda/(lambda+eps) rather than exploding — the
     property test pins both the identity error and this guard.
 
-    No DuckDB oracle (eigendecomposition is not SQL-expressible);
-    verified by the pinned property test
-    tests/test_round6.py::test_whitening_audit_identity.
+    No DuckDB oracle — considered and rejected round 14: the output
+    depends on np.linalg.eigh, and LAPACK's dsyevr trajectory (Householder
+    tridiagonalization + RRR) is not replayable in SQL, so a value-hash
+    twin would require replacing eigh on BOTH sides with a hand-rolled
+    fixed-sweep cyclic-Jacobi solver on a quantized grid (the
+    cluster_kmeans_train lockstep recipe). That is ~2016 rotations/sweep
+    x ~6 sweeps of 64x64 state through a recursive CTE — measured-class
+    cost far beyond the kmeans oracle's 0.9 s, and the substituted solver
+    would no longer be the production eigh path, weakening what the
+    oracle certifies. Stays rows-only; the math is pinned instead by
+    tests/test_round6.py::test_whitening_audit_identity (identity error
+    bound + the lambda/(lambda+eps) floor behavior on near-singular
+    directions).
     """
     import numpy as np
 

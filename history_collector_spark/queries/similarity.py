@@ -437,15 +437,23 @@ def ann_index_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
              greatest(list_max(list_transform(embedding,
                   x -> abs(CAST(x AS DOUBLE)))), 1e-30) / 127.0 AS scale
       FROM embeddings
+    ), coded AS (
+      SELECT vec_id, scale,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) / scale) AS INT)) AS q,
+             list_max(list_transform(range(1, {EMB_DIM + 1}),
+               i -> abs(CAST(embedding[i] AS DOUBLE)
+                        - round(CAST(embedding[i] AS DOUBLE) / scale)
+                          * scale)))
+               AS max_err
+      FROM m
     )
     SELECT vec_id, scale,
-           list_transform(embedding,
-             x -> CAST(round(CAST(x AS DOUBLE) / scale) AS INT)) AS q,
-           list_max(list_transform(range(1, {EMB_DIM + 1}),
-             i -> abs(CAST(embedding[i] AS DOUBLE)
-                      - round(CAST(embedding[i] AS DOUBLE) / scale) * scale)))
-             AS max_err
-    FROM m
+           md5(array_to_string(list_transform(q,
+             c -> CAST(c AS VARCHAR)), ',')) AS q_digest,
+           CAST(list_sum(q) AS BIGINT) AS q_sum,
+           max_err
+    FROM coded
     """,
 )
 def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -454,6 +462,14 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     abs-max scaling bounds max_err by scale/2. All arithmetic is the
     same double-promoted form in both engines, so codes match the
     oracle bit-for-bit.
+
+    The 64 int8 codes are emitted as a canonical comma-joined md5
+    digest plus their exact BIGINT sum, NOT as a raw array column: the
+    external driver canonicalizes results with pandas sort_values over
+    every column, and list-valued cells crash its hash gate (the
+    round-13 driver-red). Integer-to-string rendering is identical in
+    Spark and DuckDB, so the digest is engine-portable; q_sum guards
+    against any (astronomically unlikely) digest collision.
     """
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     dbl = F.transform("embedding", lambda x: x.cast("double"))
@@ -474,8 +490,19 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    return with_scale.select(
+    coded = with_scale.select(
         "vec_id", "scale", q.alias("q"), err.alias("max_err")
+    )
+    return coded.select(
+        "vec_id",
+        "scale",
+        F.md5(
+            F.concat_ws(",", F.transform("q", lambda c: c.cast("string")))
+        ).alias("q_digest"),
+        F.aggregate(
+            "q", F.lit(0).cast("long"), lambda acc, c: acc + c
+        ).alias("q_sum"),
+        "max_err",
     )
 
 

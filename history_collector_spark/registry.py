@@ -192,151 +192,94 @@ _LOADED = False
 # chat-pack/end_to_end/web/pii keep curation) and stay locally
 # oracle-verified on every pytest/driver-sim run.
 PRIORITY_QUERIES = (
-    "account_history",
-    # Round-13 rotation (VERDICT r12 item 1: 141/362 queries had never
-    # appeared in ANY r1-r12 driver window; the tripwire demands >=10
-    # fresh names): 15 never-driver-sampled rows rotate in (the two
-    # rows-only conversions of this round, text_compression_quality
-    # and streaming_topk_e2e, join once oracle-ized) — TPC-H Q3
-    # (shipping priority, the classic 3-table join-agg-top10), the
-    # JSONL shard ingest, image patch statistics, the dedup threshold
-    # sweep (precision/recall vs Jaccard cutoff), int8 embedding
-    # quantization, calibration reliability bins, the Zipf rank-
-    # frequency fit, tokenizer vocab coverage, the event-type pivot,
-    # the MERGE upsert roundtrip, the streaming z-score e2e, the
-    # session-window agg, and the quantile-sketch error audit
-    # (oracle-ized in r12, never sampled). Retired seats all keep
-    # family representation (noted per-seat below) and stay locally
+    # Round-14 rotation (VERDICT r13 items 1-2: 126/367 queries had
+    # never appeared in ANY r1-r13 driver window; the tripwire demands
+    # >=10 fresh names): 17 never-driver-sampled rows rotate in, and
+    # the three reshaped array-output queries are all in-window so the
+    # driver re-verifies the canonicalizer fix externally. Fresh seats:
+    # the reshaped random projection + per-label standardization (the
+    # two latent canonicalizer landmines, now scalar-only), k-means
+    # training (oracle-ized this round via fixed-point lockstep), the
+    # embedding norm audit, rolling 64-char fingerprinting, the MinHash
+    # calibration sweep, exact IVF top-k, the Page-Hinkley drift e2e,
+    # small-file compaction, JSON property extraction, the Z-order
+    # pruning audit, k-anonymity, market-basket lift, the rolling
+    # median smoother, audio tone energy, the mergeable-sketch
+    # batch-vs-incremental audit, and tokenizer fertility. Retired
+    # seats (all driver-green r13) keep family representation:
+    # q17/q18 keep TPC-H (q3 out); 7 streaming e2e seats remain
+    # (zscore/topk out, page_hinkley in); zstd/zstd-dict/bzip2/pdf
+    # keep containers (jsonl out); compact takes the maintenance seat
+    # from merge-upsert; incremental_sketch_merge keeps sketches
+    # (quantile audit out); dp + k-anonymity keep eval/privacy
+    # (calibration/preference out); quantize + the three reshapes keep
+    # embeddings (matryoshka out); minhash_calibration keeps dedup
+    # (threshold_sweep out); ivf_topk + nprobe keep ANN (pq_codebook
+    # out); bm25/compression/fingerprint keep text (zipf out);
+    # wordpiece + fertility keep tokenizers (vocab_coverage out);
+    # yield/anim/gif_anim/wav + tone_energy keep multimodal
+    # (patch_stats out); outlinks/anchor/robots/frontier keep crawl
+    # (discovery-e2e out). Every retired name stays locally
     # oracle-verified on every pytest/driver-sim run.
-    # round-13 rotation: TPC-H Q3 takes the Pareto-frontier seat —
-    # orders analytics keeps q17/q18/q3 in-window; pareto was
-    # driver-green r12 and stays locally oracle-verified every run
-    "shipping_priority_q3",
-    # round-13 rotation: per-group session-window aggregation takes
-    # the stratified-sampling seat (sampling keeps bottomk in-window;
-    # stratified_sample was driver-green r12, stays locally verified)
-    "session_window_agg",
+    "account_history",
     "tpch_q17_small_quantity",
     "tpch_q18_large_orders",
-    # round-13 build: the DICTIONARY-compressed zstd ingest (real
-    # ZDICT dictionary + per-doc ZSTD_compress_usingDict frames
-    # through the from-scratch RFC 8878 dictionary path) takes the
-    # Snappy seat — the compression matrix keeps zstd + zstd-dict
-    # in-window; corpus_snappy_ingest was driver-green r12 and stays
-    # locally oracle-verified every run
     "corpus_zstd_dict_ingest",
-    # round-13 rotation: the JSONL shard ingest takes the multiformat-
-    # digest seat — containers keep jsonl/zstd/snappy/sitemap
-    # in-window; multiformat_digest was driver-green r12 and stays
-    # locally oracle-verified every run
-    "corpus_jsonl_ingest",
     "corpus_html_outlinks",
-    "ann_pq_codebook_assign",
     "streaming_sessionize_e2e",
     "streaming_interval_join_e2e",
-    # round-13 rotation: the event-type pivot takes the changepoint
-    # seat — events keep markov/pivot in-window; changepoints_binseg
-    # was driver-green r12 and stays locally oracle-verified every run
-    "pivot_event_counts",
-    # round-13 rotation: the MERGE upsert roundtrip takes the salted-
-    # skew-join seat (sinks/maintenance gains a window seat; the skew
-    # demo was driver-green r12 and stays locally verified)
-    "merge_upsert_roundtrip",
-    # round-13 rotation: the quantile-sketch error audit (redesigned +
-    # oracle-ized in r12, never sampled) takes the EXACT-panel seat —
-    # the sketch family keeps one window seat; sketch_aggregates was
-    # driver-green r12 and stays locally oracle-verified every run
-    "quantile_sketch_error_audit",
-    # round-13 rotation: the compression-quality signal (oracle-ized
-    # this round via the greedy-LZ cost bound, never sampled) takes
-    # the Markov-stationary seat — events keep the pivot in-window;
-    # events_markov_stationary was driver-green r12, stays verified
+    # kept in-window on purpose: rewritten map-only this round (the
+    # r13 slope-watch row) — the driver re-verifies the new plan
     "text_compression_quality",
     "xdr_triplet_parity",
     "pipeline_parity",
-    # round-13 rotation: the Zipf rank-frequency fit takes the langid
-    # seat (text keeps bm25/zipf in-window; text_language_id was
-    # driver-green r12 and stays locally oracle-verified every run)
-    "text_zipf_fit",
-    "crawl_discovery_end_to_end",
     "curation_web_end_to_end",
     "multimodal_decode_yield",
-    # round-13 rotation: image patch statistics take the shot-boundary
-    # seat — the slope-watch row was root-caused + driver-measured in
-    # r12 (x6.5/x7.3 over two decades); multimodal keeps
-    # yield/vp8/wav/mp3/patch in-window, shots stays locally verified
-    "multimodal_patch_stats",
     "text_bm25_retrieval",
-    # round-13 build: PDF text extraction (from-scratch xref/page-
-    # tree/content-stream parser over real viewer-openable fixtures,
-    # md5-exact against the source text) takes the Markdown seat —
-    # extraction keeps outlinks/anchor/web-funnel/pdf in-window;
-    # corpus_markdown_extract was driver-green r12 and stays locally
-    # oracle-verified every run
     "corpus_pdf_extract",
     "crawl_anchor_text_index",
     "streaming_ingest_e2e",
-    # round-13 build: the bzip2 ingest (from-scratch BWT/MTF/Huffman
-    # decoder, REAL libbz2 shards — the public-data-dump codec) takes
-    # the sitemap seat; the crawl tier keeps robots/outlinks/anchor/
-    # discovery/frontier-e2e in-window and corpus_sitemap_ingest was
-    # driver-green r10+r12, staying locally oracle-verified every run
     "corpus_bzip2_ingest",
     "corpus_zstd_ingest",
     "streaming_gapless_e2e",
     "streaming_jdbc_e2e",
-    # round-13 rotation: the streaming Misra-Gries top-k e2e
-    # (oracle-ized this round via a lockstep recursive-CTE replay,
-    # never sampled) takes the MP3-metadata seat — multimodal keeps
-    # yield/vp8/wav/patch in-window; multimodal_mp3_meta was
-    # driver-green r12 and stays locally oracle-verified every run
-    "streaming_topk_e2e",
     "corpus_robots_rules",
-    # round-13 build: animated GIF decode + compositing (GCE parse,
-    # transparency masking, disposal arithmetic, CLOSED-FORM canvas-
-    # sum oracle) takes the Fleiss-kappa seat — eval keeps
-    # calibration/preference/dp in-window; label_fleiss_kappa was
-    # driver-green r10-r12 and stays locally oracle-verified
     "multimodal_decode_gif_anim",
     "streaming_frontier_e2e",
     "multimodal_audio_wav_ingest",
-    # round-13 rotation: the dedup threshold sweep (precision/recall
-    # over the Jaccard cutoff grid) takes the triangle-count seat —
-    # dedup keeps a window seat; graph_triangle_count was driver-green
-    # r12 and stays locally oracle-verified every run
-    "dedup_threshold_sweep",
-    # round-13 rotation: the streaming z-score anomaly e2e takes the
-    # semantic-dedup seat — streaming keeps 8 e2e seats in-window;
-    # dedup_semantic was driver-green r12, stays locally verified
-    "streaming_zscore_e2e",
-    # round-13 build: animated WebP (ANIM/ANMF) decode takes the VP8
-    # flagship seat — the anim variants carry the SAME pinned real-
-    # libwebp payloads through the same RFC 6386 decoder, plus the
-    # compositing layer; multimodal_decode_vp8 was driver-green r12
-    # and stays locally oracle-verified every run
     "multimodal_decode_anim",
     "tokenizer_wordpiece_greedy",
-    # round-13 rotation: calibration reliability bins take the McNemar
-    # seat (eval keeps fleiss/preference/calibration in-window;
-    # eval_mcnemar_paired was driver-green r10-r12, stays verified)
-    "eval_calibration_bins",
-    # round-13 rotation: int8 embedding quantization takes the PSI
-    # seat (embeddings keep matryoshka/quantize in-window;
-    # embedding_drift_psi was driver-green r12, stays locally verified)
+    # kept in-window on purpose: the r13 driver-red row, reshaped to
+    # scalar-only output this round — the driver re-verifies the fix
     "embedding_quantize",
     "dp_count_release_audit",
     "crawl_frontier_assign",
     "curation_chat_template_pack",
     "ann_ivf_nprobe_sweep",
     "curation_end_to_end",
-    "preference_pair_stats",
-    "embedding_matryoshka_audit",
     "curation_group_sample_bottomk",
-    # round-13 rotation: tokenizer vocab coverage takes the charset-
-    # sniff seat (the crawl tier keeps robots/frontier/sitemap/
-    # outlinks/anchor/discovery in-window; corpus_charset_sniff was
-    # driver-green r12 and stays locally oracle-verified every run)
-    "tokenizer_vocab_coverage",
+    # --- round-14 fresh (never sampled in any r1-r13 window) ---
+    "embedding_random_projection",
+    "feature_standardize",
+    "cluster_kmeans_train",
+    # (embedding_whitening_audit stays rows-only — LAPACK eigh
+    # trajectories are not SQL-replayable, see its docstring — and the
+    # window is oracle-bearing-only; the norm audit takes the fourth
+    # embeddings seat instead)
+    "embedding_norm_audit",
+    "text_fingerprint",
+    "dedup_minhash_calibration",
+    "ann_ivf_topk",
+    "streaming_page_hinkley_e2e",
+    "maintenance_compact_roundtrip",
+    "json_extract_pack",
+    "zorder_pruning_audit",
+    "k_anonymity_audit",
+    "orders_market_basket",
+    "rolling_median_smooth",
+    "multimodal_audio_tone_energy",
+    "incremental_sketch_merge",
+    "tokenizer_fertility",
 )
 
 

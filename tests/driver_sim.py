@@ -54,9 +54,11 @@ def main() -> int:
         try:
             sdf = qs[name](spark, sf_dir).toPandas()
             if name in oracles:
-                # parity = the driver's hash contract (round-6 then exact),
-                # strictly harder than the suite's 1e-6 tolerance — local
-                # green here implies driver green (round-5 lesson)
+                # parity = the driver's hash contract (round-6 then exact,
+                # complex-typed columns rejected), strictly harder than the
+                # suite's 1e-6 tolerance. Round-13 lesson: parity must also
+                # match the driver's CANONICALIZER, not just its hash — list
+                # columns were locally green (tuple-ized) yet driver-red.
                 assert_frames_match(
                     sdf, con.sql(oracles[name]).df(), name=name, mode="parity"
                 )

@@ -63,8 +63,25 @@ def assert_frames_match(
     class: sub-5e-7 drift passes unless it straddles a boundary. Queries
     that fail this mode need their arithmetic made order-independent (prefer
     bit-stable endpoints like min/max over avg/sum) or matched quantization
-    on both sides.
+    on both sides. Parity mode also REJECTS list/dict-valued columns
+    outright: the driver's canonicalizer (pandas sort_values over every
+    column) crashes on unhashable cells (the round-13 embedding_quantize
+    driver-red), so tuple-izing them here would hide a guaranteed external
+    failure. Tolerance mode keeps the tuple conversion for diagnostics.
     """
+    if mode == "parity":
+        for frame, side in ((spark_df, "spark"), (oracle_df, "oracle")):
+            for c in frame.columns:
+                s = frame[c]
+                if s.dtype == object and s.map(
+                    lambda v: isinstance(v, (list, tuple, dict, np.ndarray))
+                ).any():
+                    raise AssertionError(
+                        f"{name}: {side} column {c!r} is list/dict-valued — "
+                        "the driver canonicalizer crashes on unhashable "
+                        "cells; reshape the query output to scalars "
+                        "(digest / posexplode / summaries)"
+                    )
     assert sorted(spark_df.columns) == sorted(oracle_df.columns), (
         f"{name}: column mismatch {sorted(spark_df.columns)} vs {sorted(oracle_df.columns)}"
     )

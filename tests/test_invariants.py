@@ -475,9 +475,14 @@ def test_random_projection_preserves_scaled_dot_sign_structure(spark):
             for p in range(RP_DIMS)
         ]
     )
-    for _, row in pdf.head(50).iterrows():
+    # scalar-only shape: one row per (vec_id, plane p)
+    assert sorted(pdf.columns) == ["label", "p", "proj", "vec_id"]
+    assert set(pdf["p"].unique()) == set(range(RP_DIMS))
+    for _, row in pdf.head(50 * RP_DIMS).iterrows():
         v = np.asarray(emb.loc[row["vec_id"], "embedding"], dtype=np.float64)
-        np.testing.assert_allclose(np.asarray(row["proj"]), mat @ v, rtol=1e-9)
+        np.testing.assert_allclose(
+            row["proj"], mat[int(row["p"])] @ v, rtol=1e-9
+        )
 
 
 def test_bpe_merge_step_counts_match_bruteforce(spark):

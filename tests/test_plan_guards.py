@@ -37,7 +37,7 @@ def _qe(spark, name: str):
         qe = df._jdf.queryExecution()
         plan_obj = qe.executedPlan()
         _PLAN_CACHE[name] = (plan_obj.toString(), qe.optimizedPlan(),
-                             plan_obj)
+                             plan_obj, df.schema)
     return _PLAN_CACHE[name]
 
 
@@ -83,6 +83,30 @@ def test_no_unbounded_single_partition_exchange(spark, name):
             "a global window/sort of the full data; use orderBy+limit "
             "(TakeOrderedAndProject) or partition the window"
         )
+
+
+@pytest.mark.parametrize("name", ALL_NAMES)
+def test_output_schema_is_driver_sortable(spark, name):
+    """The external driver canonicalizes every result with pandas
+    sort_values over ALL columns before hashing; ArrayType / MapType /
+    StructType cells arrive as Python lists/dicts and crash pandas
+    factorize with `unhashable type` (the round-13 embedding_quantize
+    driver-red). Scalar-only output columns, registry-wide — arrays
+    belong INSIDE a query's plan, its OUTPUT must be digests, explodes,
+    or summaries."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    schema = _qe(spark, name)[3]
+    complex_cols = [
+        f.name for f in schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not complex_cols, (
+        f"{name}: complex-typed output columns {complex_cols} would "
+        "crash the driver canonicalizer — emit a digest "
+        "(md5 of a canonical join), posexplode to rows, or scalar "
+        "summaries instead"
+    )
 
 
 def test_partitioned_roundtrip_prunes_partitions(spark):
