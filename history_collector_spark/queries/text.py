@@ -1319,13 +1319,17 @@ def text_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold (a ratio that low on prose-length text almost always
     means templated/repeated content).
 
-    Plan shape: one scan -> explode to (doc, shingle) -> per-doc
-    distinct-count aggregate (partial map-side dedup folds repeated
-    shingles within each task before any shuffle; a shingle never
-    leaves its document's task group) -> tiny per-source reduce.
-    Pure built-ins end to end — no Python kernel. The 16x fan-out of
-    the explode is the honest cost of phase-invariant repetition
-    detection, same class as the Gopher n-gram panel.
+    Plan shape (round-14 rewrite of the r13 slope-watch row): the
+    per-doc distinct-shingle count is ROW-LOCAL, so it is computed
+    inside the row with size(array_distinct(transform(...))) — the
+    document's shingles never leave the row, let alone the task. The
+    only shuffle left is the tiny per-source reduce (one partial row
+    per task). The previous explode + countDistinct plan shipped ~16x
+    the corpus bytes through an exchange (at 100 TB: a ~1.6 PB
+    shuffle) for the same integers; its sf1->sf10 slope was x8.6, the
+    repo's worst live row. Transient per-row cost is O(16L) bytes for
+    the shingle array — bounded by the longest single document, not
+    the corpus, and freed within the codegen stage.
 
     Verified by tests/test_round6.py::test_compression_quality_signal
     (a 50x-repeated document must land far below its single copy and
@@ -1339,29 +1343,28 @@ def text_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.length("text") > 0)
         .withColumn("L", F.length("text"))
     )
-    shingles = d.filter(F.col("L") >= K).select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, L - {K - 1}),"
-                f" p -> substring(text, p, {K}))"
-            )
-        ).alias("sh"),
-    )
-    per_doc_sh = shingles.groupBy("doc_id").agg(
-        F.countDistinct("sh").alias("dd"), F.count("*").alias("n")
-    )
+    long_enough = F.col("L") >= K
+    dd = F.when(
+        long_enough,
+        F.expr(
+            f"size(array_distinct(transform(sequence(1, L - {K - 1}),"
+            f" p -> substring(text, p, {K}))))"
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    n = F.when(
+        long_enough, (F.col("L") - F.lit(K - 1)).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
     per_doc = (
-        d.join(per_doc_sh, "doc_id", "left")
+        d.select("source", "L", dd.alias("dd"), n.alias("n"))
         .select(
             "source",
             "L",
             (
                 F.lit(_CQ_HDR_BITS)
                 + F.lit(_CQ_LIT_BITS)
-                * (F.coalesce(F.col("dd"), F.lit(0)) + F.least(F.col("L"), F.lit(K - 1)))
+                * (F.col("dd") + F.least(F.col("L"), F.lit(K - 1)))
                 + F.lit(_CQ_REF_BITS)
-                * F.expr("(coalesce(n, 0) - coalesce(dd, 0) + 15) div 16")
+                * F.expr("(n - dd + 15) div 16")
                 + F.lit(7)
             ).alias("bits"),
         )
