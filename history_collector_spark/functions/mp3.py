@@ -67,7 +67,10 @@ def _unwrap_riff_mp3(data: bytes) -> bytes:
     while pos + 8 <= end:
         cid = data[pos : pos + 4]
         (csize,) = struct.unpack("<I", data[pos + 4 : pos + 8])
-        body = data[pos + 8 : pos + 8 + csize]
+        # clamp to the DECLARED container end: a chunk whose payload
+        # runs past the RIFF size field is truncated, even when the
+        # file carries trailing bytes beyond the declared container
+        body = data[pos + 8 : min(pos + 8 + csize, end)]
         if len(body) != csize:
             raise AudioDecodeError("truncated RIFF chunk")
         if cid == b"fmt " and len(body) >= 2:
@@ -150,11 +153,16 @@ def _parse_vbr_headers(frame: bytes, mpeg1: bool, mono: bool):
     Xing ('Xing' tag, VBR) / Info (same layout, CBR) sit after the
     Layer III side info; their big-endian flag word gates optional
     frames / bytes / 100-byte TOC / quality fields in that order.
+    When the frame is CRC-protected (protection_bit = 0, i.e. header
+    byte 1 bit 0 CLEAR), a 16-bit CRC sits between the header and the
+    side info, pushing the tag 2 bytes later — real-world
+    CRC-protected VBR files misdetect as 'none' without this.
     VBRI (Fraunhofer) sits at the fixed offset 32 after the 4-byte
     header: version, delay, quality (u16 each), then bytes and
     frames (u32 BE). Absent or truncated headers -> ('none', None,
     None) — a damaged VBR tag is not a framing error."""
-    off = 4 + _xing_side_info_bytes(mpeg1, mono)
+    crc = 2 if len(frame) >= 2 and (frame[1] & 0x01) == 0 else 0
+    off = 4 + crc + _xing_side_info_bytes(mpeg1, mono)
     tag = frame[off : off + 4]
     if tag in (b"Xing", b"Info") and len(frame) >= off + 8:
         flags = int.from_bytes(frame[off + 4 : off + 8], "big")
@@ -275,7 +283,8 @@ def wrap_mp3_in_wav(stream: bytes, sample_rate: int = 44100,
 def build_mp3(n_frames: int, bitrate_kbps: int = 128,
               sample_rate: int = 44100, mono: bool = False,
               id3_payload: bytes = b"",
-              vbr_header: str | None = None) -> bytes:
+              vbr_header: str | None = None,
+              crc_protect: bool = False) -> bytes:
     """Assemble a structurally valid MPEG-1 Layer III stream (zeroed
     side-info/spectral payload — a metadata fixture, not playable
     audio) with an optional ID3v2 tag. Exact inverse of
@@ -284,10 +293,16 @@ def build_mp3(n_frames: int, bitrate_kbps: int = 128,
     ``vbr_header`` ('xing' | 'info' | 'vbri') prepends one extra
     header frame carrying the named VBR tag at its real offset, with
     the frames field = n_frames (the audio frames that follow, per
-    the Xing convention) and the bytes field = their total size."""
+    the Xing convention) and the bytes field = their total size.
+
+    ``crc_protect`` clears the protection bit (header bit 0), placing
+    a 16-bit CRC between header and side info — which pushes the
+    Xing/Info tag 2 bytes later, exactly the real-world layout the
+    round-14 CRC-offset fix targets."""
     idx = _BITRATES[(True, 3)].index(bitrate_kbps) + 1
     sr_idx = _SAMPLE_RATES[3].index(sample_rate)
-    b1 = 0xE0 | (3 << 3) | (1 << 1) | 1  # MPEG-1, layer III, no CRC
+    # MPEG-1, layer III; protection bit CLEAR means a CRC follows
+    b1 = 0xE0 | (3 << 3) | (1 << 1) | (0 if crc_protect else 1)
     b2 = (idx << 4) | (sr_idx << 2)
     b3 = (3 << 6) if mono else 0
     frame_len = 144 * bitrate_kbps * 1000 // sample_rate
@@ -304,7 +319,8 @@ def build_mp3(n_frames: int, bitrate_kbps: int = 128,
         stream_bytes = n_frames * frame_len
         body = bytearray(frame_len - 4)
         if vbr_header in ("xing", "info"):
-            off = _xing_side_info_bytes(True, mono)
+            off = (2 if crc_protect else 0) + _xing_side_info_bytes(
+                True, mono)
             tag = b"Xing" if vbr_header == "xing" else b"Info"
             blob = (tag + (3).to_bytes(4, "big")  # frames + bytes
                     + n_frames.to_bytes(4, "big")

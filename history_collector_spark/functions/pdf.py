@@ -109,7 +109,11 @@ def write_pdf(pages: list, compress: bool = True) -> bytes:
         b"<< /Type /Pages /Kids [" + kids + b"] /Count "
         + str(len(page_ids)).encode() + b" >>"
     )
-    assert real_pages_id == pages_id
+    if real_pages_id != pages_id:  # never an assert: survives python -O
+        raise ValueError(
+            f"/Pages id drifted: forward-computed {pages_id}, "
+            f"assigned {real_pages_id} - page tree would dangle"
+        )
     catalog = add(
         b"<< /Type /Catalog /Pages " + str(pages_id).encode() + b" 0 R >>"
     )

@@ -723,9 +723,19 @@ def decode_alpha_chunk(body: bytes, w: int, h: int):
     Header byte (low to high): 2-bit compression (0 raw, 1 headerless
     VP8L whose green channel carries alpha), 2-bit per-row filter
     (none / horizontal / vertical / gradient, inverted here exactly as
-    libwebp's unfilters), 2-bit preprocessing (1 = lossy level
-    quantization, whose decoder-side smoothing is a plug point), 2
-    reserved bits."""
+    libwebp's unfilters), 2-bit preprocessing (0 none, 1 = the encoder
+    quantized the alpha levels), 2 reserved bits.
+
+    Preprocessing = 1 closed round 14: the flag only RECORDS that the
+    encoder reduced the level count — the decoded plane IS the alpha
+    data. libwebp's optional level re-smoothing (WebPDequantizeLevels)
+    is gated on the decoder-side WebPDecoderOptions.alpha_dithering_
+    strength option, default 0, and is NOT applied by the default
+    decode path; verified empirically against WebPDecodeRGBA on
+    crafted pre=1 containers (bit-equal to the stored plane; see
+    tests/test_round14.py::test_alph_preprocessed_levels_interop).
+    Matching the reference decoder's default path means decoding the
+    plane as stored."""
     import numpy as np
 
     if len(body) < 1:
@@ -733,10 +743,6 @@ def decode_alpha_chunk(body: bytes, w: int, h: int):
     method = body[0] & 3
     filt = (body[0] >> 2) & 3
     pre = (body[0] >> 4) & 3
-    if pre == 1:
-        raise NotImplementedError(
-            "ALPH preprocessed-levels smoothing not implemented"
-        )
     if pre > 1:
         raise ImageDecodeError(f"bad ALPH preprocessing {pre}")
     data = body[1:]

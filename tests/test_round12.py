@@ -783,8 +783,11 @@ def test_alpha_chunk_malformed():
         decode_alpha_chunk(b"\x00" + b"x" * 10, 4, 4)  # raw truncated
     with pytest.raises(ImageDecodeError):
         decode_alpha_chunk(b"\x02" + b"x" * 16, 4, 4)  # bad method
-    with pytest.raises(NotImplementedError):
-        decode_alpha_chunk(b"\x10" + b"x" * 16, 4, 4)  # preprocessed
+    # preprocessed-levels (pre=1) decodes as stored since round 14
+    # (libwebp's default path applies no re-smoothing); pre>1 is bad
+    assert decode_alpha_chunk(b"\x10" + b"x" * 16, 4, 4).shape == (4, 4)
+    with pytest.raises(ImageDecodeError):
+        decode_alpha_chunk(b"\x20" + b"x" * 16, 4, 4)  # reserved pre
     with pytest.raises(ImageDecodeError):
         decode_alpha_chunk(b"\x01\xff", 4, 4)  # torn VP8L alpha stream
 
