@@ -105,7 +105,11 @@ def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 N_MERGES = 50
-VOCAB_CAP = 1_000_000  # refuse driver-side merge training beyond this
+# Above this vocabulary size, merge training switches from the
+# driver-side loop to the distributed trainer (round 14; formerly a
+# hard refusal). Below it the driver loop is cheaper: one collect and
+# zero extra Spark jobs.
+VOCAB_CAP = 1_000_000
 
 
 def _learn_merges(
@@ -167,16 +171,105 @@ def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     return sym
 
 
+def _adjacent_pair_structs(sym_col: str) -> F.Column:
+    """array<string> symbols -> array of adjacent (a, b) structs
+    (empty for 1-symbol words) — the map-only pair fan-out both the
+    merge-step query and the distributed trainer share."""
+    return F.when(
+        F.size(sym_col) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(sym_col) - 1),
+            lambda i: F.struct(
+                F.element_at(sym_col, i).alias("a"),
+                F.element_at(sym_col, i + 1).alias("b"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+
+
+def _learn_merges_distributed(
+    words: DataFrame, n_merges: int = N_MERGES
+) -> list[tuple[str, str]]:
+    """Distributed BPE training (Sennrich et al. 2016 at corpus scale):
+    the vocabulary table never leaves the cluster. Each iteration is
+
+      1. one vocab-keyed pair-count aggregation (map-side combined;
+         shuffle keys are symbol PAIRS, alphabet-squared-ish small) and
+         a 1-ROW collect of the winner — the only data that ever
+         reaches the driver is the winning pair per iteration;
+      2. one map-only fold over every word's symbol array applying the
+         merge left-to-right non-overlapping (a CASE-gated
+         F.aggregate — provably equivalent to the driver loop's
+         scan, pinned by tests/test_round14.py's equivalence test).
+
+    localCheckpoint() truncates the 50-fold lineage each iteration so
+    the plan stays constant-size. Tie-break matches _learn_merges
+    exactly: among equal counts the lexicographically LAST pair wins
+    (ORDER BY count DESC, a DESC, b DESC), and Spark's UTF8 ordering
+    agrees with Python's code-point string comparison."""
+    vocab = (
+        words.filter(F.col("w") != "")
+        .select(F.split("w", "").alias("sym"), F.col("wc").cast("long"))
+        .localCheckpoint()
+    )
+    merges: list[tuple[str, str]] = []
+    try:
+        for _ in range(n_merges):
+            top = (
+                vocab.select("wc", F.explode(
+                    _adjacent_pair_structs("sym")).alias("p"))
+                .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+                .agg(F.sum("wc").alias("c"))
+                .orderBy(F.desc("c"), F.desc("a"), F.desc("b"))
+                .limit(1)
+                .collect()  # BOUNDED: exactly one winner row
+            )
+            if not top:
+                break
+            a, b = top[0]["a"], top[0]["b"]
+            merges.append((a, b))
+            merged = a + b
+            # left-to-right non-overlapping merge, JVM-side: append s,
+            # unless the previous output symbol is `a` and s is `b` —
+            # then replace that tail element with the merged token.
+            # CASE branches evaluate lazily, so element_at never sees
+            # an empty array.
+            new_sym = F.aggregate(
+                "sym",
+                F.array().cast("array<string>"),
+                lambda acc, s: F.when(
+                    F.size(acc) == 0, F.array(s)
+                )
+                .when(
+                    (F.element_at(acc, -1) == F.lit(a)) & (s == F.lit(b)),
+                    F.concat(
+                        F.slice(acc, F.lit(1), F.size(acc) - 1),
+                        F.array(F.lit(merged)),
+                    ),
+                )
+                .otherwise(F.concat(acc, F.array(s))),
+            )
+            old = vocab
+            vocab = old.select(new_sym.alias("sym"), "wc").localCheckpoint()
+            old.unpersist()
+    finally:
+        vocab.unpersist()
+    return merges
+
+
 @register("bpe_encode_corpus")  # rows-only: the merge loop is not SQL
 def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus tokenization with a trained BPE table.
 
     Plan: (1) word counts — one vocab-keyed map-side-combined agg;
-    (2) merge training on the driver over the vocab (bounded, capped);
-    (3) vocab ENCODE via Arrow-batched mapInPandas — Python cost is
-    O(vocab), not O(corpus); (4) per-doc subword totals by exploding
-    words and broadcast-joining the vocab encode table. At 100 TB the
-    corpus is touched twice by scans and never by Python.
+    (2) merge training: driver-side over the collected vocab while it
+    fits (<= VOCAB_CAP), else the DISTRIBUTED trainer (round 14) whose
+    per-iteration driver traffic is ONE winning-pair row — no vocab
+    size refuses any more; (3) vocab ENCODE via Arrow-batched
+    mapInPandas — Python cost is O(vocab), not O(corpus); (4) per-doc
+    subword totals by exploding words and broadcast-joining the vocab
+    encode table. At 100 TB the corpus is touched twice by scans and
+    never by Python.
     """
     import pandas as pd
 
@@ -189,13 +282,10 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_vocab = words.count()
     if n_vocab > VOCAB_CAP:
-        raise ValueError(
-            f"bpe_encode_corpus trains merges driver-side over the "
-            f"vocabulary; {n_vocab} distinct words exceeds the "
-            f"{VOCAB_CAP} cap — shard training or raise the cap."
-        )
-    wc = [(r["w"], r["wc"]) for r in words.collect()]
-    merges = _learn_merges(wc)
+        merges = _learn_merges_distributed(words)
+    else:
+        wc = [(r["w"], r["wc"]) for r in words.collect()]
+        merges = _learn_merges(wc)
     ranks = {pair: i for i, pair in enumerate(merges)}
     bc = spark.sparkContext.broadcast(ranks)
 
