@@ -137,9 +137,6 @@ class _RangeDecoder:
             res = (res << 1) + t + 1
         return res
 
-    def finished_clean(self) -> bool:
-        return self.code == 0
-
 
 class _LenDecoder:
     __slots__ = ("choice", "choice2", "low", "mid", "high")
@@ -556,4 +553,14 @@ def decompress_xz(data: bytes) -> bytes:
     real_back = (pos - index_start) // 4 - 1
     if back_size != real_back:
         raise XzDecodeError("footer backward-size mismatch")
+    # single-stream contract: nothing may follow the footer except
+    # stream padding (4-byte groups of nulls, per the spec). A second
+    # concatenated stream is rejected explicitly rather than silently
+    # ignored — the shard writers never produce one.
+    tail = data[pos + 12 :]
+    if tail.strip(b"\x00") or len(tail) % 4:
+        raise XzDecodeError(
+            f"{len(tail)} trailing bytes after the stream footer "
+            "(concatenated streams are not supported)"
+        )
     return bytes(out)

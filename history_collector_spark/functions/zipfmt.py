@@ -49,7 +49,6 @@ class ZipDecodeError(MediaDecodeError):
 _EOCD_SIG = b"PK\x05\x06"
 _CEN_SIG = b"PK\x01\x02"
 _LOC_SIG = b"PK\x03\x04"
-_ZIP64_EOCD_SIG = b"PK\x06\x06"
 _ZIP64_LOC_SIG = b"PK\x06\x07"
 
 _METHOD_STORED = 0
@@ -89,12 +88,15 @@ def parse_zip(data: bytes) -> list[dict]:
     )
     if disk != 0 or cd_disk != 0 or n_disk != n_total:
         raise ZipDecodeError("multi-disk archives not supported")
+    # ZIP64 detection: the sentinel values in the EOCD, or the ZIP64
+    # EOCD locator that sits in the 20 bytes immediately before the
+    # EOCD. Never scan the whole file for the signatures — compressed
+    # member payloads can legitimately contain those 4 bytes.
     if (
         n_total == 0xFFFF
         or cd_size == 0xFFFFFFFF
         or cd_off == 0xFFFFFFFF
-        or data.find(_ZIP64_EOCD_SIG) != -1
-        or data.find(_ZIP64_LOC_SIG) != -1
+        or (eocd >= 20 and data[eocd - 20 : eocd - 16] == _ZIP64_LOC_SIG)
     ):
         raise ZipDecodeError("ZIP64 archives not supported")
     if cd_off + cd_size > eocd:

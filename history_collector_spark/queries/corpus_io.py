@@ -2161,6 +2161,12 @@ def _write_warc_http_fixture(spark: SparkSession, sf_dir: str) -> str:
     if os.path.exists(done):
         return out
     os.makedirs(out, exist_ok=True)
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    # shard count scales with the corpus (the html-fixture lesson:
+    # a pinned count hides a 10x-work-per-task cliff at 10x data)
+    n_shards = max(4, -(-docs.count() // _LZ4_DOCS_PER_SHARD))
 
     def _emit(key, pdf):
         import pandas as pd
@@ -2198,10 +2204,8 @@ def _write_warc_http_fixture(spark: SparkSession, sf_dir: str) -> str:
         return pd.DataFrame([(k, len(blob))], columns=["shard", "n"])
 
     (
-        table(spark, sf_dir, "documents")
-        .select("doc_id", "source", "text")
-        .withColumn("shard", F.col("doc_id") % 4)
-        .repartition(4, "shard")
+        docs.withColumn("shard", F.col("doc_id") % n_shards)
+        .repartition(n_shards, "shard")
         .groupBy("shard")
         .applyInPandas(_emit, "shard bigint, n bigint")
         .collect()  # tiny: one row per shard

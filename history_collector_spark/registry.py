@@ -237,10 +237,19 @@ PRIORITY_QUERIES = (
     "multimodal_decode_yield",
     "text_bm25_retrieval",
     "corpus_pdf_extract",
-    "crawl_anchor_text_index",
+    # round-14 build: the XZ ingest (from-scratch LZMA2/LZMA decoder
+    # over real liblzma shards) takes the anchor-text seat — crawl
+    # keeps outlinks/robots/frontier-assign/frontier-e2e in-window;
+    # crawl_anchor_text_index was driver-green r13 and stays locally
+    # oracle-verified every run
+    "corpus_xz_ingest",
     "streaming_ingest_e2e",
     "corpus_bzip2_ingest",
-    "corpus_zstd_ingest",
+    # round-14 build: the ZIP ingest (from-scratch APPNOTE reader over
+    # real stdlib-zipfile shards) takes the plain-zstd seat — the
+    # matrix keeps zstd-dict/bzip2/zip/xz in-window; corpus_zstd_ingest
+    # was driver-green r12+r13 and stays locally oracle-verified
+    "corpus_zip_ingest",
     "streaming_gapless_e2e",
     "streaming_jdbc_e2e",
     "corpus_robots_rules",
@@ -256,7 +265,12 @@ PRIORITY_QUERIES = (
     "crawl_frontier_assign",
     "curation_chat_template_pack",
     "ann_ivf_nprobe_sweep",
-    "curation_end_to_end",
+    # round-14 build: the WARC+raw-HTTP ingest (chunked transfer +
+    # content-coding decode pinned on http.client) takes one of the
+    # two curation-funnel seats — curation keeps web-end-to-end,
+    # chat-pack and bottom-k in-window; curation_end_to_end was
+    # driver-green r13 and stays locally oracle-verified every run
+    "corpus_warc_http_ingest",
     "curation_group_sample_bottomk",
     # --- round-14 fresh (never sampled in any r1-r13 window) ---
     "embedding_random_projection",

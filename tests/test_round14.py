@@ -687,3 +687,17 @@ def test_http_response_edge_cases():
     ):
         with pytest.raises(HttpParseError):
             parse_http_response(bad)
+
+
+def test_zip_member_payload_containing_zip64_sigs_still_parses():
+    """Compressed/stored member DATA may legitimately contain the
+    ZIP64 signature bytes — only the EOCD-adjacent locator position
+    may trigger the ZIP64 rejection (round-14 fix: the first version
+    scanned the whole file)."""
+    import zipfile
+
+    from history_collector_spark.functions.zipfmt import iter_zip
+
+    payload = b"xx" + b"PK\x06\x06" + b"mid" + b"PK\x06\x07" + b"yy"
+    data = _mkzip([("sig.bin", payload * 3, zipfile.ZIP_STORED)])
+    assert dict(iter_zip(data))["sig.bin"] == payload * 3
