@@ -92,3 +92,217 @@ def maintenance_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.createDataFrame(
         rows, "stage string, n_files long, n_rows long"
     ).select("stage", "n_files", "n_rows")
+
+
+# ---------------------------------------------------------------------------
+# Row-group pruning audit (round 14): the min/max-statistics layer that
+# makes sorted layouts prunable. The fixture writes orders sharded by
+# key and SORTED within each shard, with a pinned parquet row-group
+# size, so the footer statistics are closed-form recomputable; the
+# query then reads the REAL parquet footers (pyarrow) and evaluates a
+# probe-range grid the way a stats-pruning scan planner would —
+# reporting, per probe, how many row groups (and rows) a min/max prune
+# admits vs the rows that actually match. At 100 TB this ratio IS the
+# difference between reading a partition and reading the corpus; the
+# audit quantifies it from the file format's own metadata.
+# ---------------------------------------------------------------------------
+
+_RG_ROWS = 1000    # parquet row_group_size in the fixture
+_RG_SHARDS = 4     # key-sharded files (sorted within each)
+_RG_PROBES = 8     # key-range probes evaluated against the stats
+
+
+def _write_rowgroup_fixture(spark: SparkSession, sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"hc_rgprune_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    done = os.path.join(out, "_FIXTURE_DONE")
+    if os.path.exists(done):
+        return out
+    os.makedirs(out, exist_ok=True)
+
+    def _emit(key, pdf):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        k = int(key[0])
+        pdf = pdf.sort_values("o_orderkey")
+        path = os.path.join(out, f"orders{k:02d}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False),
+            tmp,
+            row_group_size=_RG_ROWS,
+        )
+        os.replace(tmp, path)
+        return pd.DataFrame([(k, len(pdf))], columns=["shard", "n"])
+
+    (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .withColumn("shard", F.col("o_orderkey") % _RG_SHARDS)
+        .repartition(_RG_SHARDS, "shard")
+        .groupBy("shard")
+        .applyInPandas(_emit, "shard bigint, n bigint")
+        .collect()  # tiny: one row per shard
+    )
+    with open(done, "w") as f:
+        f.write("ok")
+    return out
+
+
+def _rowgroup_stats_batches(batches):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for pdf in batches:
+        rows = []
+        for blob in pdf["content"]:
+            pf = pq.ParquetFile(pa.BufferReader(bytes(blob)))
+            key_idx = pf.schema_arrow.get_field_index("o_orderkey")
+            for g in range(pf.metadata.num_row_groups):
+                col = pf.metadata.row_group(g).column(key_idx)
+                st = col.statistics
+                rows.append((int(st.min), int(st.max), int(col.num_values)))
+        yield pd.DataFrame(rows, columns=["gmin", "gmax", "n_rows"])
+
+
+@register(
+    "maintenance_rowgroup_pruning_audit",
+    oracle=f"""
+    WITH grp AS (
+      SELECT o_orderkey AS k,
+             CAST((row_number() OVER (
+                     PARTITION BY o_orderkey % {_RG_SHARDS}
+                     ORDER BY o_orderkey) - 1) // {_RG_ROWS} AS BIGINT)
+               AS g,
+             o_orderkey % {_RG_SHARDS} AS shard
+      FROM orders
+    ),
+    gstats AS (
+      SELECT shard, g, min(k) AS gmin, max(k) AS gmax,
+             CAST(count(*) AS BIGINT) AS nr
+      FROM grp GROUP BY shard, g
+    ),
+    kk AS (SELECT max(o_orderkey) AS kmax FROM orders),
+    probes AS (
+      SELECT i,
+             1 + i * ((kmax + {_RG_PROBES - 1}) // {_RG_PROBES}) AS lo,
+             i * ((kmax + {_RG_PROBES - 1}) // {_RG_PROBES})
+               + greatest(((kmax + {_RG_PROBES - 1})
+                           // {_RG_PROBES}) // 8, 1) AS hi
+      FROM (SELECT unnest(range({_RG_PROBES})) AS i), kk
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_groups_total FROM gstats)
+    SELECT CAST(p.i AS INT) AS probe,
+           CAST(p.lo AS BIGINT) AS lo, CAST(p.hi AS BIGINT) AS hi,
+           tot.n_groups_total,
+           CAST(coalesce(sum(CASE WHEN s.gmin <= p.hi AND s.gmax >= p.lo
+                             THEN 1 END), 0) AS BIGINT) AS n_groups_scanned,
+           CAST(coalesce(sum(CASE WHEN s.gmin <= p.hi AND s.gmax >= p.lo
+                             THEN s.nr END), 0) AS BIGINT) AS n_rows_scanned,
+           (SELECT CAST(count(*) AS BIGINT) FROM orders
+            WHERE o_orderkey BETWEEN p.lo AND p.hi) AS n_rows_matching
+    FROM probes p, tot LEFT JOIN gstats s ON true
+    GROUP BY p.i, p.lo, p.hi, tot.n_groups_total
+    """,
+)
+def maintenance_rowgroup_pruning_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Read the REAL parquet row-group statistics (pyarrow footer
+    parse, one task per file) of a key-sorted layout and evaluate
+    {_RG_PROBES} key-range probes the way a stats-pruning planner
+    does: a row group is scanned iff [gmin, gmax] intersects the
+    probe. Emits per probe the admitted group/row counts next to the
+    exact matching rows — the IO-amplification ratio a layout audit
+    tracks. The fixture pins rows-per-group and within-shard sort
+    order, so the oracle recomputes every footer statistic closed-form
+    from `orders` (a footer-parse or slicing bug flips a value).
+
+    Scale shape: footer reads are map-only over files (a footer is KBs
+    regardless of file size); the probe evaluation joins the
+    groups-stats table against a broadcast {_RG_PROBES}-row probe
+    grid; the matching counts are one broadcast range-join over
+    orders. Nothing corpus-sized ever converges."""
+    src = _write_rowgroup_fixture(spark, sf_dir)
+    blobs = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "orders*.parquet")
+        .load(src)
+        .select("content")
+    )
+    groups = blobs.mapInPandas(
+        _rowgroup_stats_batches,
+        schema="gmin bigint, gmax bigint, n_rows bigint",
+    )
+    span = F.floor(
+        (F.col("kmax") + F.lit(_RG_PROBES - 1)) / F.lit(_RG_PROBES)
+    ).cast("long")
+    probes = (
+        spark.range(_RG_PROBES).withColumnRenamed("id", "i")
+        .crossJoin(
+            F.broadcast(groups.agg(F.max("gmax").alias("kmax")))
+        )
+        .select(
+            F.col("i").cast("int").alias("probe"),
+            (F.lit(1) + F.col("i") * span).cast("long").alias("lo"),
+            (
+                F.col("i") * span
+                + F.greatest(
+                    F.floor(span / F.lit(8)).cast("long"), F.lit(1)
+                )
+            ).cast("long").alias("hi"),
+        )
+    )
+    tot = groups.agg(F.count("*").cast("long").alias("n_groups_total"))
+    scanned = (
+        groups.crossJoin(F.broadcast(probes))
+        .groupBy("probe", "lo", "hi")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("gmin") <= F.col("hi"))
+                    & (F.col("gmax") >= F.col("lo")),
+                    1,
+                )
+            ).cast("long").alias("n_groups_scanned_raw"),
+            F.sum(
+                F.when(
+                    (F.col("gmin") <= F.col("hi"))
+                    & (F.col("gmax") >= F.col("lo")),
+                    F.col("n_rows"),
+                )
+            ).cast("long").alias("n_rows_scanned_raw"),
+        )
+    )
+    orders = table(spark, sf_dir, "orders").select("o_orderkey")
+    matching = (
+        orders.join(
+            F.broadcast(probes),
+            (F.col("o_orderkey") >= F.col("lo"))
+            & (F.col("o_orderkey") <= F.col("hi")),
+        )
+        .groupBy("probe")
+        .agg(F.count("*").cast("long").alias("n_rows_matching_raw"))
+    )
+    return (
+        probes.crossJoin(F.broadcast(tot))
+        .join(scanned, ["probe", "lo", "hi"], "left")
+        .join(matching, "probe", "left")
+        .select(
+            "probe", "lo", "hi", "n_groups_total",
+            F.coalesce("n_groups_scanned_raw", F.lit(0))
+            .cast("long").alias("n_groups_scanned"),
+            F.coalesce("n_rows_scanned_raw", F.lit(0))
+            .cast("long").alias("n_rows_scanned"),
+            F.coalesce("n_rows_matching_raw", F.lit(0))
+            .cast("long").alias("n_rows_matching"),
+        )
+    )

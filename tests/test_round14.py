@@ -701,3 +701,27 @@ def test_zip_member_payload_containing_zip64_sigs_still_parses():
     payload = b"xx" + b"PK\x06\x06" + b"mid" + b"PK\x06\x07" + b"yy"
     data = _mkzip([("sig.bin", payload * 3, zipfile.ZIP_STORED)])
     assert dict(iter_zip(data))["sig.bin"] == payload * 3
+
+
+# ---------------------------------------------------------------------------
+# Row-group pruning audit (round 14): real parquet footer statistics
+# against the closed-form recomputation, plus the planner invariants.
+# ---------------------------------------------------------------------------
+
+
+def test_rowgroup_pruning_audit_invariants(spark):
+    pdf = registry.QUERIES["maintenance_rowgroup_pruning_audit"](
+        spark, TEST_SF_DIR
+    ).toPandas()
+    from history_collector_spark.queries.maintenance import _RG_PROBES
+
+    assert len(pdf) == _RG_PROBES
+    # a min/max prune is SOUND: it never admits fewer rows than match
+    assert (pdf["n_rows_scanned"] >= pdf["n_rows_matching"]).all()
+    assert (pdf["n_groups_scanned"] <= pdf["n_groups_total"]).all()
+    # the sorted-within-shard layout must actually prune: narrow probes
+    # admit at most one group per shard (+1 for a boundary straddle)
+    from history_collector_spark.queries.maintenance import _RG_SHARDS
+
+    assert (pdf["n_groups_scanned"] <= 2 * _RG_SHARDS).all()
+    assert (pdf["lo"] <= pdf["hi"]).all()
