@@ -725,3 +725,42 @@ def test_rowgroup_pruning_audit_invariants(spark):
 
     assert (pdf["n_groups_scanned"] <= 2 * _RG_SHARDS).all()
     assert (pdf["lo"] <= pdf["hi"]).all()
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution (round 14): planted-duplicate recovery through the
+# blocked match pipeline.
+# ---------------------------------------------------------------------------
+
+
+def test_er_audit_recovers_planted_duplicates(spark):
+    pdf = registry.QUERIES["er_blocked_match_audit"](
+        spark, TEST_SF_DIR
+    ).toPandas()
+    assert len(pdf) == 5  # one row per market segment
+    # the planted duplicate shares its original's block and sits at
+    # edit distance exactly 1 <= 2, so recall is 1.0 BY CONSTRUCTION
+    assert (pdf["recall_"] == 1.0).all()
+    assert (pdf["tp"] <= pdf["n_matched"]).all()
+    assert (pdf["n_matched"] <= pdf["n_candidates"]).all()
+    assert (pdf["precision_"] <= 1.0).all() and (pdf["precision_"] > 0).all()
+
+
+def test_er_census_accounts_for_every_record(spark):
+    import pyspark.sql.functions as F
+
+    from history_collector_spark.queries.entity_resolution import _ER_EVERY
+
+    pdf = registry.QUERIES["er_entity_cluster_census"](
+        spark, TEST_SF_DIR
+    ).toPandas()
+    n_cust = spark.read.parquet(f"{TEST_SF_DIR}/customer.parquet").count()
+    n_dups = (
+        spark.read.parquet(f"{TEST_SF_DIR}/customer.parquet")
+        .filter(F.col("c_custkey") % _ER_EVERY == 0)
+        .count()
+    )
+    total = int((pdf["cluster_size"] * pdf["n_clusters"]).sum())
+    assert total == n_cust + n_dups  # every record in exactly one cluster
+    # at least the planted pairs form non-singleton clusters
+    assert int(pdf.loc[pdf["cluster_size"] >= 2, "n_clusters"].sum()) > 0
