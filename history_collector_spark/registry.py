@@ -255,7 +255,12 @@ PRIORITY_QUERIES = (
     "corpus_robots_rules",
     "multimodal_decode_gif_anim",
     "streaming_frontier_e2e",
-    "multimodal_audio_wav_ingest",
+    # round-14 build: the blocked entity-resolution audit (planted-
+    # duplicate recovery, a NEW operator family) takes the WAV-ingest
+    # seat — multimodal keeps yield/anim/gif-anim/tone-energy
+    # in-window; multimodal_audio_wav_ingest was driver-green r13 and
+    # stays locally oracle-verified every run
+    "er_blocked_match_audit",
     "multimodal_decode_anim",
     "tokenizer_wordpiece_greedy",
     # kept in-window on purpose: the r13 driver-red row, reshaped to
