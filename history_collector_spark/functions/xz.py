@@ -417,10 +417,12 @@ def _varint(data: bytes, pos: int) -> tuple[int, int]:
     raise XzDecodeError("varint too long")
 
 
-def decompress_xz(data: bytes) -> bytes:
-    """One .xz stream -> decompressed bytes, verifying every CRC the
+def _decompress_stream(data: bytes, start: int) -> tuple[bytes, int]:
+    """One .xz stream beginning at ``start`` -> (decompressed bytes,
+    position after the stream footer), verifying every CRC the
     container carries (header/block-header/index/footer CRC32s plus
     the per-block integrity check)."""
+    data = data[start:] if start else data
     if len(data) < 12 + 12:
         raise XzDecodeError("too short for an XZ stream")
     if data[:6] != _XZ_MAGIC:
@@ -553,14 +555,30 @@ def decompress_xz(data: bytes) -> bytes:
     real_back = (pos - index_start) // 4 - 1
     if back_size != real_back:
         raise XzDecodeError("footer backward-size mismatch")
-    # single-stream contract: nothing may follow the footer except
-    # stream padding (4-byte groups of nulls, per the spec). A second
-    # concatenated stream is rejected explicitly rather than silently
-    # ignored — the shard writers never produce one.
-    tail = data[pos + 12 :]
-    if tail.strip(b"\x00") or len(tail) % 4:
-        raise XzDecodeError(
-            f"{len(tail)} trailing bytes after the stream footer "
-            "(concatenated streams are not supported)"
-        )
-    return bytes(out)
+    return bytes(out), start + pos + 12
+
+
+def decompress_xz(data: bytes) -> bytes:
+    """Full .xz payload -> decompressed bytes. CONCATENATED streams
+    are supported exactly as the reference decoders accept them
+    (stdlib lzma / `xz -d`): streams separated by optional stream
+    padding (4-byte groups of null bytes), decoded in order and their
+    outputs joined. Anything after a footer that is neither padding
+    nor another stream header raises."""
+    out = bytearray()
+    pos = 0
+    n = len(data)
+    first = True
+    while True:
+        # stream padding between (or after) streams: 4-byte null groups
+        while pos + 4 <= n and data[pos : pos + 4] == b"\x00\x00\x00\x00":
+            pos += 4
+        if pos == n and not first:
+            return bytes(out)
+        if n - pos < 4 and not first:
+            raise XzDecodeError(
+                f"{n - pos} trailing bytes after the last stream"
+            )
+        chunk, pos = _decompress_stream(data, pos)
+        out += chunk
+        first = False

@@ -764,3 +764,33 @@ def test_er_census_accounts_for_every_record(spark):
     assert total == n_cust + n_dups  # every record in exactly one cluster
     # at least the planted pairs form non-singleton clusters
     assert int(pdf.loc[pdf["cluster_size"] >= 2, "n_clusters"].sum()) > 0
+
+
+def test_xz_concatenated_streams():
+    """Concatenated .xz streams decode in order and join — the
+    reference CLI behavior (`xz -d`). Plain concatenation matches
+    stdlib lzma.decompress byte-for-byte; with stream PADDING between
+    streams (4-byte null groups, legal per the spec) stdlib
+    lzma.decompress silently stops at the padding, while this decoder
+    (like the xz tool) continues — asserted against the known
+    plaintext, not the stdlib quirk."""
+    import lzma
+
+    from history_collector_spark.functions.xz import (
+        XzDecodeError,
+        decompress_xz,
+    )
+
+    a, b = b"first stream " * 100, b"second one " * 77
+    plain = lzma.compress(a) + lzma.compress(b, check=lzma.CHECK_CRC32)
+    assert decompress_xz(plain) == a + b == lzma.decompress(plain)
+    padded = lzma.compress(a) + b"\x00" * 8 + lzma.compress(b)
+    assert decompress_xz(padded) == a + b
+    # stdlib stops at the padding — document the divergence honestly
+    assert lzma.decompress(padded) == a
+    # trailing padding fine; trailing junk raises
+    assert decompress_xz(lzma.compress(a) + b"\x00" * 4) == a
+    with pytest.raises(XzDecodeError):
+        decompress_xz(lzma.compress(a) + b"junkjun")
+    with pytest.raises(XzDecodeError):
+        decompress_xz(lzma.compress(a) + b"\x00" * 4 + b"garbage!")
