@@ -192,113 +192,84 @@ _LOADED = False
 # chat-pack/end_to_end/web/pii keep curation) and stay locally
 # oracle-verified on every pytest/driver-sim run.
 PRIORITY_QUERIES = (
-    # Round-14 rotation (VERDICT r13 items 1-2: 126/367 queries had
-    # never appeared in ANY r1-r13 driver window; the tripwire demands
-    # >=10 fresh names): 17 never-driver-sampled rows rotate in, and
-    # the three reshaped array-output queries are all in-window so the
-    # driver re-verifies the canonicalizer fix externally. Fresh seats:
-    # the reshaped random projection + per-label standardization (the
-    # two latent canonicalizer landmines, now scalar-only), k-means
-    # training (oracle-ized this round via fixed-point lockstep), the
-    # embedding norm audit, rolling 64-char fingerprinting, the MinHash
-    # calibration sweep, exact IVF top-k, the Page-Hinkley drift e2e,
-    # small-file compaction, JSON property extraction, the Z-order
-    # pruning audit, k-anonymity, market-basket lift, the rolling
-    # median smoother, audio tone energy, the mergeable-sketch
-    # batch-vs-incremental audit, and tokenizer fertility. Retired
-    # seats (all driver-green r13) keep family representation:
-    # q17/q18 keep TPC-H (q3 out); 7 streaming e2e seats remain
-    # (zscore/topk out, page_hinkley in); zstd/zstd-dict/bzip2/pdf
-    # keep containers (jsonl out); compact takes the maintenance seat
-    # from merge-upsert; incremental_sketch_merge keeps sketches
-    # (quantile audit out); dp + k-anonymity keep eval/privacy
-    # (calibration/preference out); quantize + the three reshapes keep
-    # embeddings (matryoshka out); minhash_calibration keeps dedup
-    # (threshold_sweep out); ivf_topk + nprobe keep ANN (pq_codebook
-    # out); bm25/compression/fingerprint keep text (zipf out);
-    # wordpiece + fertility keep tokenizers (vocab_coverage out);
-    # yield/anim/gif_anim/wav + tone_energy keep multimodal
-    # (patch_stats out); outlinks/anchor/robots/frontier keep crawl
-    # (discovery-e2e out). Every retired name stays locally
-    # oracle-verified on every pytest/driver-sim run.
+    # Round-15 rotation (VERDICT r14 item 1: 111/373 queries had never
+    # appeared in ANY r1-r14 driver window; clearing the backlog by
+    # round 20 needs >=19 fresh names per round): 22 never-driver-
+    # sampled rows rotate in. Retired seats (all driver-green r14)
+    # keep family representation: tpch_q18 keeps TPC-H (q17 out);
+    # ingest/jdbc/gapless/interval-join + the new static-join e2e keep
+    # streaming (sessionize/page-hinkley/frontier-e2e out); zstd-dict/
+    # bzip2/zip/xz/warc-http keep containers (pdf out); robots +
+    # frontier-assign keep crawl (outlinks out); yield + tone-energy
+    # keep multimodal (anim/gif-anim out); chat-pack + web-end-to-end
+    # + the new filter-funnel/DSIR seats keep curation (bottom-k out);
+    # kmeans-train + the new silhouette seat keep clustering;
+    # dim-health/feature-hash keep embeddings (quantize/random-
+    # projection/standardize/norm-audit out, all driver-verified r14);
+    # ivf-topk + the new hard-negative seat keep ANN (nprobe out);
+    # minhash-calibration + the new split-leakage seat keep dedup
+    # (fingerprint out); bm25 + char-entropy keep text (compression-
+    # quality out, fixed+verified r14); wordpiece keeps tokenizers
+    # (fertility out); rowgroup-pruning + snapshot-diff keep
+    # maintenance (compact/zorder out); er_entity_cluster_census takes
+    # the entity-resolution seat from er_blocked_match_audit;
+    # incremental_agg_merge takes the sketch seat from
+    # incremental_sketch_merge; k-anonymity + dp-count + the new
+    # average-precision seat keep eval/privacy. Every retired name
+    # stays locally oracle-verified on every pytest/driver-sim run.
+    #
+    # --- kept anchors (28) ---
     "account_history",
-    "tpch_q17_small_quantity",
     "tpch_q18_large_orders",
-    "corpus_zstd_dict_ingest",
-    "corpus_html_outlinks",
-    "streaming_sessionize_e2e",
-    "streaming_interval_join_e2e",
-    # kept in-window on purpose: rewritten map-only this round (the
-    # r13 slope-watch row) — the driver re-verifies the new plan
-    "text_compression_quality",
     "xdr_triplet_parity",
     "pipeline_parity",
-    "curation_web_end_to_end",
-    "multimodal_decode_yield",
-    "text_bm25_retrieval",
-    "corpus_pdf_extract",
-    # round-14 build: the XZ ingest (from-scratch LZMA2/LZMA decoder
-    # over real liblzma shards) takes the anchor-text seat — crawl
-    # keeps outlinks/robots/frontier-assign/frontier-e2e in-window;
-    # crawl_anchor_text_index was driver-green r13 and stays locally
-    # oracle-verified every run
-    "corpus_xz_ingest",
     "streaming_ingest_e2e",
-    "corpus_bzip2_ingest",
-    # round-14 build: the ZIP ingest (from-scratch APPNOTE reader over
-    # real stdlib-zipfile shards) takes the plain-zstd seat — the
-    # matrix keeps zstd-dict/bzip2/zip/xz in-window; corpus_zstd_ingest
-    # was driver-green r12+r13 and stays locally oracle-verified
-    "corpus_zip_ingest",
-    "streaming_gapless_e2e",
     "streaming_jdbc_e2e",
-    "corpus_robots_rules",
-    "multimodal_decode_gif_anim",
-    "streaming_frontier_e2e",
-    # round-14 build: the blocked entity-resolution audit (planted-
-    # duplicate recovery, a NEW operator family) takes the WAV-ingest
-    # seat — multimodal keeps yield/anim/gif-anim/tone-energy
-    # in-window; multimodal_audio_wav_ingest was driver-green r13 and
-    # stays locally oracle-verified every run
-    "er_blocked_match_audit",
-    "multimodal_decode_anim",
-    "tokenizer_wordpiece_greedy",
-    # kept in-window on purpose: the r13 driver-red row, reshaped to
-    # scalar-only output this round — the driver re-verifies the fix
-    "embedding_quantize",
-    "dp_count_release_audit",
-    "crawl_frontier_assign",
-    "curation_chat_template_pack",
-    "ann_ivf_nprobe_sweep",
-    # round-14 build: the WARC+raw-HTTP ingest (chunked transfer +
-    # content-coding decode pinned on http.client) takes one of the
-    # two curation-funnel seats — curation keeps web-end-to-end,
-    # chat-pack and bottom-k in-window; curation_end_to_end was
-    # driver-green r13 and stays locally oracle-verified every run
+    "streaming_gapless_e2e",
+    "streaming_interval_join_e2e",
+    "corpus_xz_ingest",
+    "corpus_zip_ingest",
+    "corpus_bzip2_ingest",
     "corpus_warc_http_ingest",
-    "curation_group_sample_bottomk",
-    # --- round-14 fresh (never sampled in any r1-r13 window) ---
-    "embedding_random_projection",
-    "feature_standardize",
-    "cluster_kmeans_train",
-    # (embedding_whitening_audit stays rows-only — LAPACK eigh
-    # trajectories are not SQL-replayable, see its docstring — and the
-    # window is oracle-bearing-only; the norm audit takes the fourth
-    # embeddings seat instead)
-    "embedding_norm_audit",
-    "text_fingerprint",
-    "dedup_minhash_calibration",
-    "ann_ivf_topk",
-    "streaming_page_hinkley_e2e",
-    "maintenance_compact_roundtrip",
-    "json_extract_pack",
-    "zorder_pruning_audit",
-    "k_anonymity_audit",
-    "orders_market_basket",
-    "rolling_median_smooth",
+    "corpus_zstd_dict_ingest",
+    "corpus_robots_rules",
+    "crawl_frontier_assign",
+    "multimodal_decode_yield",
     "multimodal_audio_tone_energy",
+    "curation_chat_template_pack",
+    "curation_web_end_to_end",
+    "ann_ivf_topk",
+    "cluster_kmeans_train",
+    "k_anonymity_audit",
+    "dp_count_release_audit",
+    "dedup_minhash_calibration",
+    "text_bm25_retrieval",
+    "tokenizer_wordpiece_greedy",
+    "json_extract_pack",
     "incremental_sketch_merge",
-    "tokenizer_fertility",
+    # --- round-15 fresh (22, never sampled in any r1-r14 window) ---
+    "table_profile",
+    "customer_rfm_segments",
+    "key_skew_report",
+    "robust_stats_winsorized",
+    "event_anomaly_mad",
+    "out_of_order_audit",
+    "hard_negative_mining",
+    "bucketed_join_roundtrip",
+    "snapshot_diff_report",
+    "cluster_silhouette",
+    "split_leakage_near_dup",
+    "embedding_dim_health",
+    "text_char_entropy",
+    "curation_filter_funnel",
+    "curation_dsir_selection",
+    "eval_average_precision",
+    "feature_hash_vectors",
+    "maintenance_rowgroup_pruning_audit",
+    "er_entity_cluster_census",
+    "streaming_static_join_e2e",
+    "analytic_window_funcs",
+    "sql_surface",
 )
 
 
