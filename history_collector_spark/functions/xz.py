@@ -422,7 +422,9 @@ def _decompress_stream(data: bytes, start: int) -> tuple[bytes, int]:
     position after the stream footer), verifying every CRC the
     container carries (header/block-header/index/footer CRC32s plus
     the per-block integrity check)."""
-    data = data[start:] if start else data
+    # memoryview slice is O(1) — a bytes slice here would copy the whole
+    # remaining buffer per stream, O(total^2) for many-stream files
+    data = memoryview(data)[start:]
     if len(data) < 12 + 12:
         raise XzDecodeError("too short for an XZ stream")
     if data[:6] != _XZ_MAGIC:
@@ -501,6 +503,8 @@ def _decompress_stream(data: bytes, start: int) -> tuple[bytes, int]:
         if unc_size is not None and len(out) - before != unc_size:
             raise XzDecodeError("block uncompressed-size mismatch")
         while (bpos - pos) % 4:
+            if bpos >= len(data):
+                raise XzDecodeError("block padding truncated")
             if data[bpos] != 0:
                 raise XzDecodeError("nonzero block padding")
             bpos += 1
@@ -533,9 +537,13 @@ def _decompress_stream(data: bytes, start: int) -> tuple[bytes, int]:
         if (got_unpadded, got_unc) != (want_unpadded, want_unc):
             raise XzDecodeError("index record mismatch")
     while (pos - index_start) % 4:
+        if pos >= len(data):
+            raise XzDecodeError("index padding truncated")
         if data[pos] != 0:
             raise XzDecodeError("nonzero index padding")
         pos += 1
+    if pos + 4 > len(data):
+        raise XzDecodeError("index CRC truncated")
     if struct.unpack("<I", data[pos : pos + 4])[0] != zlib.crc32(
         data[index_start:pos]
     ):
@@ -568,17 +576,24 @@ def decompress_xz(data: bytes) -> bytes:
     out = bytearray()
     pos = 0
     n = len(data)
+    data = memoryview(data)
     first = True
     while True:
-        # stream padding between (or after) streams: 4-byte null groups
-        while pos + 4 <= n and data[pos : pos + 4] == b"\x00\x00\x00\x00":
-            pos += 4
-        if pos == n and not first:
-            return bytes(out)
-        if n - pos < 4 and not first:
-            raise XzDecodeError(
-                f"{n - pos} trailing bytes after the last stream"
-            )
+        if not first:
+            # stream padding between (or after) streams: 4-byte null
+            # groups. Padding BEFORE the first stream is rejected by
+            # both stdlib lzma and `xz -d`, so only consume it once at
+            # least one stream has been decoded.
+            while (
+                pos + 4 <= n and data[pos : pos + 4] == b"\x00\x00\x00\x00"
+            ):
+                pos += 4
+            if pos == n:
+                return bytes(out)
+            if n - pos < 4:
+                raise XzDecodeError(
+                    f"{n - pos} trailing bytes after the last stream"
+                )
         chunk, pos = _decompress_stream(data, pos)
         out += chunk
         first = False
