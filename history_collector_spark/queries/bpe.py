@@ -257,7 +257,123 @@ def _learn_merges_distributed(
     return merges
 
 
-@register("bpe_encode_corpus")  # rows-only: the merge loop is not SQL
+def _bpe_fold(symstr: str, a: str, b: str) -> str:
+    """DuckDB expression: apply merge pair (``a``, ``b``) to a
+    chr(31)-joined symbol string, globally, left-to-right,
+    non-overlapping — the exact scan the Spark-side F.aggregate fold
+    and the driver loop perform. The accumulator is the joined-so-far
+    string; the previous symbol is ``a`` iff the accumulator IS ``a``
+    or ends with separator+``a`` (symbols never contain the
+    separator), in which case appending ``b`` bare fuses the pair."""
+    return f"""list_reduce(
+        list_prepend('', string_split({symstr}, chr(31))),
+        (acc, x) -> CASE
+          WHEN acc = '' THEN x
+          WHEN (acc = {a} OR ends_with(acc, chr(31) || {a})) AND x = {b}
+            THEN acc || {b}
+          ELSE acc || chr(31) || x END)"""
+
+
+def _bpe_encode_oracle() -> str:
+    """Lockstep DuckDB replay of the full train-then-encode pipeline.
+
+    Every step is exact integer/string arithmetic, so the two engines
+    agree bit-for-bit (the kmeans-train recipe, minus the floats):
+
+    1. TRAIN — a recursive CTE whose state is ONE row per iteration
+       carrying the whole vocabulary as a list of (symstr, wc)
+       structs. Each step unnests the vocab, counts adjacent symbol
+       pairs weighted by word count, picks the argmax with the
+       trainer's exact tie-break (count DESC, a DESC, b DESC — the
+       lexicographically LAST pair wins among ties), and applies the
+       winner to every word with the shared fold. Recursion ends
+       early, like the driver loop, when no pair remains.
+    2. ENCODE — encode_word repeatedly merges the lowest-ranked pair
+       present; that is EQUIVALENT to applying the learned merges in
+       rank order, each globally left-to-right non-overlapping,
+       because a merge can only create pairs of strictly higher rank
+       than itself (any learned pair containing the merged symbol was
+       learned after it) and can never resurrect a lower-ranked one
+       (pinned by tests/test_round15.py's randomized equivalence
+       test). So the second recursive CTE folds merges 1..N over the
+       distinct-word frame.
+    3. JOIN — per-doc word and subword totals, identical to the Spark
+       side's explode + broadcast join.
+
+    chr(31) (US, the unit separator) is the symbol delimiter; no
+    document in the corpus contains it (asserted in tests).
+    """
+    charsplit = (
+        "array_to_string(list_transform("
+        "range(1, len(w) + 1), i -> w[i]), chr(31))"
+    )
+    argmax = """list_reduce(
+      list(struct_pack(c := c, a := a, b := b)),
+      (acc, x) -> CASE WHEN x.c > acc.c
+                       OR (x.c = acc.c AND (x.a > acc.a
+                           OR (x.a = acc.a AND x.b > acc.b)))
+                  THEN x ELSE acc END)"""
+    return f"""
+    WITH RECURSIVE
+    words AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS wc
+      FROM documents, UNNEST(string_split_regex(text, '\\s+')) AS u(w)
+      WHERE w != ''
+      GROUP BY w
+    ),
+    train AS (
+      SELECT 0 AS it,
+             list(struct_pack(s := {charsplit}, wc := wc)) AS vocab,
+             CAST(NULL AS VARCHAR) AS ma, CAST(NULL AS VARCHAR) AS mb
+      FROM words
+      UNION ALL
+      SELECT it + 1,
+             list_transform(vocab, v -> struct_pack(
+               s := {_bpe_fold('v.s', 'best.a', 'best.b')}, wc := v.wc)),
+             best.a, best.b
+      FROM (
+        SELECT it, any_value(vocab) AS vocab, {argmax} AS best
+        FROM (
+          SELECT t.it AS it, any_value(t.vocab) AS vocab,
+                 p.a AS a, p.b AS b, CAST(sum(p.wc) AS BIGINT) AS c
+          FROM train t,
+               LATERAL (
+                 SELECT sym[i] AS a, sym[i+1] AS b, wc
+                 FROM (SELECT unnest(t.vocab) AS v),
+                      LATERAL (SELECT string_split(v.s, chr(31)) AS sym,
+                                      v.wc AS wc),
+                      LATERAL (SELECT unnest(range(1, len(sym))) AS i)
+               ) p
+          WHERE t.it < {N_MERGES}
+          GROUP BY t.it, p.a, p.b
+        ) pc
+        GROUP BY it
+      ) agg
+    ),
+    merges AS (SELECT it AS rnk, ma, mb FROM train WHERE it >= 1),
+    n_m AS (SELECT count(*) AS n FROM merges),
+    enc AS (
+      SELECT 0 AS r, w, {charsplit} AS symstr FROM words
+      UNION ALL
+      SELECT e.r + 1, e.w, {_bpe_fold('e.symstr', 'm.ma', 'm.mb')}
+      FROM enc e JOIN merges m ON m.rnk = e.r + 1
+    ),
+    encoded AS (
+      SELECT w, len(string_split(symstr, chr(31))) AS n_subwords
+      FROM enc WHERE r = (SELECT n FROM n_m)
+    )
+    SELECT d.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(e.n_subwords) AS BIGINT) AS n_subwords
+    FROM (SELECT doc_id, w
+          FROM documents, UNNEST(string_split_regex(text, '\\s+')) AS u(w)
+          WHERE w != '') d
+    JOIN encoded e USING (w)
+    GROUP BY d.doc_id
+    """
+
+
+@register("bpe_encode_corpus", oracle=_bpe_encode_oracle())
 def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus tokenization with a trained BPE table.
 

@@ -20,7 +20,10 @@ def test_cli_oracle_prints_sql(capsys):
 
 
 def test_cli_oracle_missing_is_error(capsys):
-    assert main(["oracle", "bpe_encode_corpus"]) == 1  # rows-only query
+    # embedding_whitening_audit is the one permanent rows-only query
+    # (LAPACK eigh trajectories are not SQL-replayable); round 15
+    # oracle-ized bpe_encode_corpus so it no longer fits here
+    assert main(["oracle", "embedding_whitening_audit"]) == 1
     assert main(["oracle", "does_not_exist"]) == 1
 
 
@@ -28,7 +31,7 @@ def test_cli_parity_green_and_rows_only_error(capsys, monkeypatch):
     from tests.conftest import TEST_SF_DIR
 
     # rows-only query has no oracle -> error before any Spark work
-    assert main(["parity", "bpe_encode_corpus"]) == 1
+    assert main(["parity", "embedding_whitening_audit"]) == 1
     # oracle-bearing query runs the round-6-then-exact gate end to end
     assert main(["parity", "scalar_pack", "--sf-dir", TEST_SF_DIR]) == 0
     assert "PARITY OK: scalar_pack" in capsys.readouterr().out
