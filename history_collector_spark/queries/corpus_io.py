@@ -2296,3 +2296,169 @@ def corpus_warc_http_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("encoded").cast("long").alias("n_encoded"),
         F.sum("status").cast("long").alias("status_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Raw-Parquet ingest (round 15): the engine's own storage format,
+# decoded WITHOUT pyarrow — functions/parquet_raw.py implements the
+# thrift compact footer, RLE/bit-packed levels, PLAIN + RLE_DICTIONARY
+# pages and v1/v2 data pages from the public spec, composing the
+# package's own from-scratch Snappy and zstd decoders for page
+# decompression. The fixture shards are REAL parquet-cpp output
+# (pyarrow writer) cycling codec and data-page version per shard, so
+# every run is a writer-interop conformance gate — the same posture as
+# stdlib-lzma for XZ and stdlib-zipfile for ZIP.
+# ---------------------------------------------------------------------------
+
+_PQRAW_CODECS = ("SNAPPY", "ZSTD", "GZIP", "NONE")
+
+
+def _write_parquet_raw_fixture(spark: SparkSession, sf_dir: str) -> str:
+    out = _fixture_dir(sf_dir, "pqraw")
+    done = os.path.join(out, "_FIXTURE_DONE")
+    if os.path.exists(done):
+        return out
+    os.makedirs(out, exist_ok=True)
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    n_shards = max(
+        _LZ4_MIN_SHARDS, -(-docs.count() // _LZ4_DOCS_PER_SHARD)
+    )
+
+    def _emit(key, pdf):
+        import io
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        shard = int(key[0])
+        pdf = pdf.sort_values("doc_id")
+        t = pa.table(
+            {
+                "doc_id": pa.array(pdf["doc_id"], pa.int64()),
+                "source": pa.array(pdf["source"], pa.string()),
+                "text": pa.array(pdf["text"], pa.string()),
+            }
+        )
+        buf = io.BytesIO()
+        pq.write_table(
+            t,
+            buf,
+            compression=_PQRAW_CODECS[shard % len(_PQRAW_CODECS)],
+            # alternate v1/v2 data pages and row-group splits so the
+            # shard population exercises every decoder arm
+            data_page_version="2.0" if shard % 2 else "1.0",
+            row_group_size=1000,
+        )
+        blob = buf.getvalue()
+        if shard == 0:
+            # losing the footer (and trailing magic) must degrade to
+            # the single '__error__' row, never kill the task
+            blob = blob[: len(blob) // 2]
+        path = os.path.join(out, f"docs{shard:03d}.parquet")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)
+        return pd.DataFrame([(shard, len(blob))], columns=["shard", "n"])
+
+    (
+        docs.withColumn("shard", F.col("doc_id") % n_shards)
+        .repartition(n_shards, "shard")
+        .groupBy("shard")
+        .applyInPandas(_emit, "shard bigint, n bigint")
+        .collect()  # tiny: one row per shard
+    )
+    with open(done, "w") as f:
+        f.write("ok")
+    return out
+
+
+def _parquet_raw_ingest_batches(batches):
+    import pandas as pd
+
+    from history_collector_spark.functions.parquet_raw import (
+        ParquetDecodeError,
+        read_parquet_raw,
+    )
+
+    for pdf in batches:
+        agg: dict[str, list] = {}
+        for blob in pdf["content"]:
+            try:
+                dec = read_parquet_raw(bytes(blob))
+            except ParquetDecodeError:
+                a = agg.setdefault("__error__", [0, 0])
+                a[0] += 1
+                continue
+            for src, txt in zip(
+                dec["columns"]["source"], dec["columns"]["text"]
+            ):
+                a = agg.setdefault(src, [0, 0])
+                a[0] += 1
+                a[1] += len(txt)
+        yield pd.DataFrame(
+            [(s, v[0], v[1]) for s, v in agg.items()],
+            columns=["source", "n_docs", "total_chars"],
+        )
+
+
+@register(
+    "corpus_parquet_raw_ingest",
+    oracle=f"""
+    WITH meta AS (
+      SELECT doc_id, source, length(text) AS n_chars FROM documents
+    ),
+    nn AS (
+      SELECT greatest({_LZ4_MIN_SHARDS},
+                      CAST(ceil(count(*) / {_LZ4_DOCS_PER_SHARD}.0)
+                           AS BIGINT)) AS k
+      FROM meta
+    )
+    SELECT m.source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(m.n_chars) AS BIGINT) AS total_chars
+    FROM meta m, nn WHERE m.doc_id % nn.k <> 0
+    GROUP BY m.source
+    UNION ALL
+    SELECT '__error__', 1, 0
+    """,
+)
+def corpus_parquet_raw_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile scan of .parquet shards -> in-kernel FROM-SCRATCH
+    parquet decode (thrift compact footer + page headers, RLE/
+    bit-packed definition levels, PLAIN and RLE_DICTIONARY value
+    pages, v1 AND v2 data pages — the shard population cycles both —
+    with Snappy/zstd page decompression through this package's own
+    decoders and gzip through stdlib inflate), pre-aggregated per
+    shard so only (source, count, chars) partials leave each task.
+
+    Shards are REAL parquet-cpp (pyarrow) output cycling all four
+    codecs, so every run is a writer-interop conformance check of the
+    exact format the engine's 100 TB lake is stored in — byte-level
+    auditability of the storage layer, one level below the pyarrow
+    footer-statistics audit (maintenance_rowgroup_pruning_audit). One
+    torn shard (footer cut off) degrades to a single '__error__' row,
+    closed-form in the oracle.
+
+    Scale shape: shard count grows with the corpus (one task per
+    shard), decode is map-only, the only exchange is the tiny
+    per-source aggregate. Pure-Python page walks price per-byte cost
+    honestly (SCALING.md codec-throughput table); a JVM kernel slots
+    behind the same contract at 100 TB."""
+    src = _write_parquet_raw_fixture(spark, sf_dir)
+    blobs = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "docs*.parquet")
+        .load(src)
+        .select("content")
+    )
+    partials = blobs.mapInPandas(
+        _parquet_raw_ingest_batches,
+        schema="source string, n_docs bigint, total_chars bigint",
+    )
+    return partials.groupBy("source").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("total_chars").alias("total_chars"),
+    )

@@ -161,3 +161,177 @@ def test_bpe_oracle_separator_absent_from_corpus():
             "WHERE contains(text, chr(31))"
         ).fetchone()
         assert bad == 0, f"sf{sf}: {bad} documents contain chr(31)"
+
+
+# ---------------------------------------------------------------------------
+# From-scratch Parquet reader (round 15): pinned against the real
+# parquet-cpp writer (pyarrow) across the full codec / data-page /
+# dictionary / row-group matrix, plus exhaustive truncation and
+# corruption sweeps under the same exception contract as every other
+# container codec in the package.
+# ---------------------------------------------------------------------------
+
+
+def _pq_table(n=600, seed=15):
+    import random
+
+    import pyarrow as pa
+
+    rng = random.Random(seed)
+    return pa.table(
+        {
+            "i32": pa.array(
+                [rng.randint(-(2**31), 2**31 - 1)
+                 if rng.random() > 0.1 else None for _ in range(n)],
+                pa.int32(),
+            ),
+            "i64": pa.array(
+                [rng.randint(-(2**62), 2**62)
+                 if rng.random() > 0.1 else None for _ in range(n)],
+                pa.int64(),
+            ),
+            "f64": pa.array(
+                [rng.random() * 1e6
+                 if rng.random() > 0.1 else None for _ in range(n)],
+                pa.float64(),
+            ),
+            "f32": pa.array(
+                [float(rng.randint(0, 100))
+                 if rng.random() > 0.1 else None for _ in range(n)],
+                pa.float32(),
+            ),
+            "s": pa.array(
+                [f"w{rng.randint(0, 30)}"
+                 if rng.random() > 0.1 else None for _ in range(n)]
+            ),
+            "b": pa.array(
+                [rng.random() > 0.5
+                 if rng.random() > 0.1 else None for _ in range(n)]
+            ),
+            "bin": pa.array(
+                [bytes(rng.randint(0, 255)
+                       for _ in range(rng.randint(0, 20)))
+                 if rng.random() > 0.1 else None for _ in range(n)],
+                pa.binary(),
+            ),
+            # high-cardinality column forces the dictionary-page
+            # fallback to PLAIN mid-chunk
+            "hi": pa.array(
+                [f"unique-{i}-" + "x" * rng.randint(0, 50)
+                 for i in range(n)]
+            ),
+        }
+    )
+
+
+def _pq_write(table, **kw):
+    import io
+
+    import pyarrow.parquet as pq
+
+    buf = io.BytesIO()
+    pq.write_table(table, buf, **kw)
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("codec", ["NONE", "SNAPPY", "GZIP", "ZSTD"])
+@pytest.mark.parametrize("dpv", ["1.0", "2.0"])
+def test_parquet_raw_matches_pyarrow_matrix(codec, dpv):
+    from history_collector_spark.functions.parquet_raw import (
+        read_parquet_raw,
+    )
+
+    t = _pq_table()
+    exp = t.to_pydict()
+    for use_dict in (True, False):
+        for rgs in (None, 100):
+            kw = dict(
+                compression=codec,
+                data_page_version=dpv,
+                use_dictionary=use_dict,
+            )
+            if rgs:
+                kw["row_group_size"] = rgs
+            out = read_parquet_raw(_pq_write(t, **kw))
+            assert out["num_rows"] == t.num_rows
+            for name in exp:
+                assert out["columns"][name] == exp[name], (name, kw)
+
+
+def test_parquet_raw_required_columns_and_page_splits():
+    import pyarrow as pa
+
+    from history_collector_spark.functions.parquet_raw import (
+        read_parquet_raw,
+    )
+
+    t = pa.table(
+        {"a": pa.array(range(500), pa.int64()),
+         "s": pa.array(["q"] * 500)}
+    ).cast(
+        pa.schema(
+            [pa.field("a", pa.int64(), nullable=False),
+             pa.field("s", pa.string(), nullable=False)]
+        )
+    )
+    out = read_parquet_raw(_pq_write(t))
+    assert out["columns"]["a"] == list(range(500))
+    # tiny page size forces many pages per chunk on both versions
+    big = _pq_table(n=400)
+    for dpv in ("1.0", "2.0"):
+        out = read_parquet_raw(
+            _pq_write(big, compression="ZSTD", data_page_version=dpv,
+                      data_page_size=1024)
+        )
+        assert out["columns"]["hi"] == big.to_pydict()["hi"]
+
+
+def test_parquet_raw_exception_contract_exhaustive():
+    """Every truncation prefix and every single-byte corruption either
+    decodes or raises ParquetDecodeError — never any other type (the
+    ingest kernel's per-shard degrade depends on it)."""
+    from history_collector_spark.functions.parquet_raw import (
+        ParquetDecodeError,
+        read_parquet_raw,
+    )
+
+    import pyarrow as pa
+
+    t = pa.table(
+        {"a": pa.array(range(200), pa.int64()),
+         "s": pa.array([f"v{i%9}" for i in range(200)])}
+    )
+    blob = _pq_write(t, compression="SNAPPY")
+    for i in range(len(blob)):
+        try:
+            read_parquet_raw(blob[:i])
+        except ParquetDecodeError:
+            pass
+    for i in range(len(blob)):
+        mut = bytearray(blob)
+        mut[i] ^= 0xFF
+        try:
+            read_parquet_raw(bytes(mut))
+        except ParquetDecodeError:
+            pass
+
+
+def test_parquet_raw_rejects_nested_and_unknown():
+    import pyarrow as pa
+
+    from history_collector_spark.functions.parquet_raw import (
+        ParquetDecodeError,
+        read_parquet_raw,
+    )
+
+    nested = pa.table(
+        {"m": pa.array([{"x": 1}, {"x": 2}],
+                       pa.struct([("x", pa.int64())]))}
+    )
+    with pytest.raises(ParquetDecodeError):
+        read_parquet_raw(_pq_write(nested))
+    lists = pa.table({"v": pa.array([[1, 2], [3]], pa.list_(pa.int64()))})
+    with pytest.raises(ParquetDecodeError):
+        read_parquet_raw(_pq_write(lists))
+    with pytest.raises(ParquetDecodeError):
+        read_parquet_raw(b"PAR1garbagePAR1")
