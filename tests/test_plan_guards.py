@@ -260,6 +260,11 @@ BOUNDED_INPUT_WINDOWS = {
     ("text_zipf_fit", ()): "token-frequency aggregate (vocab-bounded)",
     ("tokenizer_vocab_coverage", ()): "term-frequency agg (vocab-bounded)",
     ("user_retention_kaplan_meier", ()): "distinct-duration aggregate",
+    ("events_mann_whitney_u", ("pair",)):
+        "rank window over the DISTINCT-QUANTIZED-VALUE aggregate — "
+        "input is bounded by the 1e-6 metric grid (value-range x 1e6 "
+        "cells), not by corpus size; the (pair, qv) groupBy collapses "
+        "the scan map-side first",
     ("revenue_contribution", ()): "nation-level aggregate (~25 rows)",
     ("revenue_contribution", ("r_name",)): "nation-level aggregate",
     ("orders_pareto_frontier", ("priority",)):

@@ -335,3 +335,414 @@ def test_parquet_raw_rejects_nested_and_unknown():
         read_parquet_raw(_pq_write(lists))
     with pytest.raises(ParquetDecodeError):
         read_parquet_raw(b"PAR1garbagePAR1")
+
+
+# ---------------------------------------------------------------------------
+# Geo family (round 15): geohash cell encoding + bucketed 3x3
+# neighbor join. Beyond the DuckDB oracle parity (test_correctness),
+# pin the SEMANTICS: base32 roundtrip, prefix containment, and the
+# neighbor join finding the true nearest whenever it lies within the
+# 3x3 neighborhood.
+# ---------------------------------------------------------------------------
+
+
+def _gh_decode(gh: str) -> tuple[int, int]:
+    from history_collector_spark.queries.geo import _BITS, _GH32
+
+    code = 0
+    for ch in gh:
+        code = (code << 5) | _GH32.index(ch)
+    lon = lat = 0
+    for i in range(_BITS):
+        lon |= ((code >> (2 * i + 1)) & 1) << i
+        lat |= ((code >> (2 * i)) & 1) << i
+    return lon, lat
+
+
+def test_geo_geohash_roundtrip_and_prefix_containment(spark):
+    from tests.conftest import TEST_SF_DIR
+
+    from history_collector_spark.queries.geo import (
+        _BITS,
+        _COARSE_SHIFT,
+        _LAT_MULT,
+        _LON_MULT,
+    )
+    from history_collector_spark.registry import QUERIES
+
+    from history_collector_spark import registry
+
+    registry.load_all()
+    pdf = QUERIES["geo_geohash_cells"](spark, TEST_SF_DIR).toPandas()
+    assert (pdf["n_points"] >= pdf["n_cells"]).all()
+    # prefix space is 32^3 at ANY scale — the aggregate's bound
+    assert len(pdf) <= 32**3
+    # roundtrip: rebuild some customers' cells from their keys and
+    # confirm the emitted prefixes are the enclosing coarse cells
+    import duckdb
+
+    con = duckdb.connect()
+    keys = con.sql(
+        f"SELECT c_custkey FROM '{TEST_SF_DIR}/customer.parquet' "
+        "ORDER BY c_custkey LIMIT 50"
+    ).fetchall()
+    prefixes = set(pdf["gh3"])
+    for (k,) in keys:
+        lon = (k * _LON_MULT) % (1 << _BITS)
+        lat = (k * _LAT_MULT) % (1 << _BITS)
+        code = 0
+        for i in range(_BITS):
+            code |= ((lon >> i) & 1) << (2 * i + 1)
+            code |= ((lat >> i) & 1) << (2 * i)
+        from history_collector_spark.queries.geo import _GH32
+
+        gh6 = "".join(
+            _GH32[(code >> (5 * (5 - j))) & 31] for j in range(6)
+        )
+        assert gh6[:3] in prefixes
+        # decode inverts encode exactly
+        assert _gh_decode(gh6) == (lon, lat)
+    assert _COARSE_SHIFT < _BITS
+
+
+def test_geo_knn_matches_bruteforce_within_neighborhood(spark):
+    """On the small SF: for every supplier whose GLOBAL nearest
+    customer lies inside its 3x3 coarse neighborhood, the bucketed
+    join must report exactly that customer (squared distance AND
+    tie-break)."""
+    import duckdb
+
+    from tests.conftest import TEST_SF_DIR
+
+    from history_collector_spark.queries.geo import (
+        _BITS,
+        _COARSE_SHIFT,
+        _LAT_MULT,
+        _LON_MULT,
+    )
+    from history_collector_spark.registry import QUERIES
+
+    from history_collector_spark import registry
+
+    registry.load_all()
+    con = duckdb.connect()
+    custs = con.sql(
+        f"SELECT c_custkey FROM '{TEST_SF_DIR}/customer.parquet'"
+    ).fetchall()
+    supps = con.sql(
+        f"SELECT s_suppkey, s_nationkey FROM "
+        f"'{TEST_SF_DIR}/supplier.parquet'"
+    ).fetchall()
+    m = (1 << _BITS) - 1
+
+    def place(k, ml, mlat):
+        return (k * ml) % (m + 1), (k * mlat) % (m + 1)
+
+    cpts = [(k, *place(k, _LON_MULT, _LAT_MULT)) for (k,) in custs]
+    per_nation: dict[int, list] = {}
+    for sk, nat in supps:
+        slon, slat = place(sk, _LAT_MULT, _LON_MULT)  # swapped axes
+        best = None
+        for ck, clon, clat in cpts:
+            d2 = (slon - clon) ** 2 + (slat - clat) ** 2
+            cand = (d2, ck)
+            if best is None or cand < best:
+                best = cand
+        # inside the 3x3 neighborhood?
+        bd2, bck = best
+        bclon, bclat = place(bck, _LON_MULT, _LAT_MULT)
+        if (
+            abs((bclon >> _COARSE_SHIFT) - (slon >> _COARSE_SHIFT)) <= 1
+            and abs((bclat >> _COARSE_SHIFT) - (slat >> _COARSE_SHIFT)) <= 1
+        ):
+            per_nation.setdefault(nat, []).append((bd2, bck))
+
+    pdf = QUERIES["geo_bucket_knn_join"](spark, TEST_SF_DIR).toPandas()
+    got = {int(r.s_nationkey): r for r in pdf.itertuples()}
+    for nat, hits in per_nation.items():
+        assert nat in got
+        # every global-nearest-in-neighborhood supplier is matched,
+        # so per-nation minimum distance can never exceed the
+        # brute-force minimum over that subset
+        assert got[nat].min_d2 <= min(h[0] for h in hits)
+
+
+# ---------------------------------------------------------------------------
+# Rank statistics (round 15): Mann-Whitney U and Kendall tau-b pinned
+# against direct NumPy/pandas recomputation on the same quantized
+# values (no scipy in this container — the reference formulas are
+# standard).
+# ---------------------------------------------------------------------------
+
+
+def test_mann_whitney_matches_numpy_reference(spark):
+    import math
+
+    import duckdb
+    import numpy as np
+
+    from tests.conftest import TEST_SF_DIR
+
+    from history_collector_spark.registry import QUERIES
+
+    from history_collector_spark import registry
+
+    registry.load_all()
+    con = duckdb.connect()
+    rows = con.sql(
+        f"SELECT event_type, CAST(floor(value * 1000000.0 + 0.5) AS "
+        f"BIGINT) qv FROM '{TEST_SF_DIR}/events.parquet'"
+    ).fetchall()
+    by_type: dict[str, list[int]] = {}
+    for t, qv in rows:
+        by_type.setdefault(t, []).append(qv)
+
+    pdf = QUERIES["events_mann_whitney_u"](spark, TEST_SF_DIR).toPandas()
+    for r in pdf.itertuples():
+        g1 = np.array(sorted(by_type[r.pair]))
+        g0 = np.array(sorted(by_type["click"]))
+        combined = np.concatenate([g1, g0])
+        order = np.argsort(combined, kind="stable")
+        ranks = np.empty(len(combined))
+        # average ranks with ties
+        sorted_vals = combined[order]
+        i = 0
+        while i < len(sorted_vals):
+            j = i
+            while j < len(sorted_vals) and sorted_vals[j] == sorted_vals[i]:
+                j += 1
+            ranks[order[i:j]] = (i + j + 1) / 2.0  # 1-based average
+            i = j
+        r1 = ranks[: len(g1)].sum()
+        n1, n2 = len(g1), len(g0)
+        u1 = n1 * n2 + n1 * (n1 + 1) / 2.0 - r1
+        assert r.n1 == n1 and r.n2 == n2
+        assert math.isclose(r.r1_x2, 2 * r1)
+        assert math.isclose(r.u1_x2, 2 * u1)
+
+
+def test_kendall_counts_match_bruteforce(spark):
+    import duckdb
+
+    from tests.conftest import TEST_SF_DIR
+
+    from history_collector_spark.registry import QUERIES
+
+    from history_collector_spark import registry
+
+    registry.load_all()
+    con = duckdb.connect()
+    daily = con.sql(
+        "SELECT event_type, CAST(ts AS DATE) d, count(*) nx, "
+        "sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) sy "
+        f"FROM '{TEST_SF_DIR}/events.parquet' GROUP BY 1, 2"
+    ).fetchall()
+    series: dict[str, list] = {}
+    for t, d, nx, sy in daily:
+        series.setdefault(t, []).append((d, nx, sy))
+    pdf = QUERIES["events_kendall_tau_daily"](spark, TEST_SF_DIR).toPandas()
+    for r in pdf.itertuples():
+        pts = sorted(series[r.event_type])
+        nc = nd = tx = ty = txy = 0
+        for i in range(len(pts)):
+            for j in range(i + 1, len(pts)):
+                dx = pts[i][1] - pts[j][1]
+                dy = pts[i][2] - pts[j][2]
+                if dx == 0 and dy == 0:
+                    txy += 1
+                elif dx == 0:
+                    tx += 1
+                elif dy == 0:
+                    ty += 1
+                elif dx * dy > 0:
+                    nc += 1
+                else:
+                    nd += 1
+        assert r.n_days == len(pts)
+        assert (r.n_conc, r.n_disc, r.n_tie_x, r.n_tie_y, r.n_tie_xy) == (
+            nc, nd, tx, ty, txy,
+        )
+
+
+# ---------------------------------------------------------------------------
+# From-scratch ORC reader (round 15): pinned against the real liborc
+# writer (pyarrow.orc) across codec x string-encoding, the RLEv2
+# stress shapes (patched-base outliers, negative bases, descending
+# deltas, dates), multi-stripe files, and the exhaustive
+# truncation/corruption exception contract.
+# ---------------------------------------------------------------------------
+
+
+def _orc_write(table, **kw):
+    import io
+
+    from pyarrow import orc
+
+    buf = io.BytesIO()
+    orc.write_table(table, buf, **kw)
+    return buf.getvalue()
+
+
+def _orc_table(n=1500, seed=31):
+    import random
+
+    import pyarrow as pa
+
+    rng = random.Random(seed)
+    return pa.table(
+        {
+            "i64": pa.array(
+                [rng.randint(-(2**60), 2**60)
+                 if rng.random() > 0.1 else None for _ in range(n)],
+                pa.int64(),
+            ),
+            "i32": pa.array(
+                [rng.randint(-(2**31), 2**31 - 1)
+                 if rng.random() > 0.1 else None for _ in range(n)],
+                pa.int32(),
+            ),
+            "seq": pa.array(range(n), pa.int64()),
+            "f64": pa.array(
+                [rng.random() * 1e6
+                 if rng.random() > 0.1 else None for _ in range(n)]
+            ),
+            "f32": pa.array(
+                [float(rng.randint(0, 50))
+                 if rng.random() > 0.1 else None for _ in range(n)],
+                pa.float32(),
+            ),
+            "s": pa.array(
+                [f"w{rng.randint(0, 30)}"
+                 if rng.random() > 0.1 else None for _ in range(n)]
+            ),
+            "hi": pa.array([f"u-{i}" for i in range(n)]),
+            "b": pa.array(
+                [rng.random() > 0.5
+                 if rng.random() > 0.1 else None for _ in range(n)]
+            ),
+            "bin": pa.array(
+                [bytes(rng.randint(0, 255)
+                       for _ in range(rng.randint(0, 15)))
+                 if rng.random() > 0.1 else None for _ in range(n)],
+                pa.binary(),
+            ),
+        }
+    )
+
+
+@pytest.mark.parametrize(
+    "comp", ["uncompressed", "zlib", "snappy", "zstd", "lz4"]
+)
+def test_orc_raw_matches_pyarrow_matrix(comp):
+    from history_collector_spark.functions.orc_raw import read_orc_raw
+
+    t = _orc_table()
+    exp = t.to_pydict()
+    for dkt in (0.0, 1.0):  # direct vs dictionary string encodings
+        out = read_orc_raw(
+            _orc_write(t, compression=comp,
+                       dictionary_key_size_threshold=dkt)
+        )
+        assert out["num_rows"] == t.num_rows
+        for name in exp:
+            assert out["columns"][name] == exp[name], (name, comp, dkt)
+
+
+def test_orc_raw_rlev2_stress_and_dates():
+    """Sparse huge outliers force PATCHED_BASE; shifted-negative
+    copies force a signed base; a descending ramp forces DELTA with a
+    negative delta base; DATE columns decode as epoch days."""
+    import datetime
+    import random
+
+    import pyarrow as pa
+
+    from history_collector_spark.functions.orc_raw import read_orc_raw
+
+    rng = random.Random(99)
+    pb = [rng.randint(0, 255) for _ in range(5000)]
+    for i in range(0, 5000, 400):
+        pb[i] = rng.randint(2**40, 2**45)
+    t = pa.table(
+        {
+            "pb": pa.array(pb, pa.int64()),
+            "nb": pa.array([v - 500000 for v in pb], pa.int64()),
+            "descending": pa.array(range(5000, 0, -1), pa.int64()),
+            "d": pa.array(
+                [datetime.date(2020, 1, 1)
+                 + datetime.timedelta(days=i % 3000)
+                 for i in range(5000)]
+            ),
+        }
+    )
+    exp = t.to_pydict()
+    epoch = datetime.date(1970, 1, 1)
+    for comp in ("uncompressed", "zlib"):
+        out = read_orc_raw(_orc_write(t, compression=comp))
+        assert out["columns"]["pb"] == exp["pb"]
+        assert out["columns"]["nb"] == exp["nb"]
+        assert out["columns"]["descending"] == exp["descending"]
+        assert out["columns"]["d"] == [
+            (v - epoch).days for v in exp["d"]
+        ]
+
+
+def test_orc_raw_multi_stripe():
+    import pyarrow as pa
+
+    from history_collector_spark.functions.orc_raw import read_orc_raw
+
+    big = pa.table(
+        {"x": pa.array(range(300000), pa.int64()),
+         "s": pa.array([f"v{i % 13}" for i in range(300000)])}
+    )
+    out = read_orc_raw(
+        _orc_write(big, stripe_size=1024, compression="snappy")
+    )
+    assert out["n_stripes"] > 1
+    assert out["columns"]["x"] == list(range(300000))
+    assert out["columns"]["s"] == big.to_pydict()["s"]
+
+
+def test_orc_raw_exception_contract_exhaustive():
+    import pyarrow as pa
+
+    from history_collector_spark.functions.orc_raw import (
+        OrcDecodeError,
+        read_orc_raw,
+    )
+
+    t = pa.table(
+        {"a": pa.array(range(300), pa.int64()),
+         "s": pa.array([f"q{i % 7}" for i in range(300)])}
+    )
+    blob = _orc_write(t, compression="zlib")
+    for i in range(len(blob)):
+        try:
+            read_orc_raw(blob[:i])
+        except OrcDecodeError:
+            pass
+    for i in range(len(blob)):
+        mut = bytearray(blob)
+        mut[i] ^= 0xFF
+        try:
+            read_orc_raw(bytes(mut))
+        except OrcDecodeError:
+            pass
+
+
+def test_orc_raw_rejects_nested_and_unknown():
+    import pyarrow as pa
+
+    from history_collector_spark.functions.orc_raw import (
+        OrcDecodeError,
+        read_orc_raw,
+    )
+
+    nested = pa.table(
+        {"v": pa.array([[1, 2], [3]], pa.list_(pa.int64()))}
+    )
+    with pytest.raises(OrcDecodeError):
+        read_orc_raw(_orc_write(nested))
+    with pytest.raises(OrcDecodeError):
+        read_orc_raw(b"ORC\nnot really an orc file\x05")
