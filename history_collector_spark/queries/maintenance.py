@@ -306,3 +306,92 @@ def maintenance_rowgroup_pruning_audit(
             .cast("long").alias("n_rows_matching"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Raw-reader self-audit (round 15): the from-scratch Parquet reader
+# (functions/parquet_raw.py) decodes the engine's OWN input file —
+# the real supplier.parquet the driver generated, not a fixture this
+# repo wrote — and the oracle recomputes the same aggregate straight
+# from the table. Any disagreement between the byte-level decode and
+# the relational content every other query sees fails the hash gate:
+# the strongest conformance statement the format tier can make.
+# ---------------------------------------------------------------------------
+
+
+def _pq_self_audit_batches(batches):
+    import math
+
+    import pandas as pd
+
+    from history_collector_spark.functions.parquet_raw import (
+        read_parquet_raw,
+    )
+
+    for pdf in batches:
+        for blob in pdf["content"]:
+            dec = read_parquet_raw(bytes(blob))
+            cols = dec["columns"]
+            agg: dict[int, list] = {}
+            for sk, nat, bal in zip(
+                cols["s_suppkey"], cols["s_nationkey"], cols["s_acctbal"]
+            ):
+                a = agg.setdefault(int(nat), [0, 0, 0])
+                a[0] += 1
+                a[1] += int(sk)
+                a[2] += int(math.floor(bal * 1000000.0 + 0.5))
+            yield pd.DataFrame(
+                [(n, v[0], v[1], v[2]) for n, v in agg.items()],
+                columns=[
+                    "s_nationkey", "n_suppliers", "sum_suppkey", "sum_bal_q"
+                ],
+            )
+
+
+@register(
+    "maintenance_parquet_self_audit",
+    oracle="""
+    SELECT CAST(s_nationkey AS INT) AS s_nationkey,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           CAST(sum(s_suppkey) AS BIGINT) AS sum_suppkey,
+           CAST(sum(CAST(floor(s_acctbal * 1000000.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_bal_q
+    FROM supplier
+    GROUP BY s_nationkey
+    """,
+)
+def maintenance_parquet_self_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """binaryFile scan of the REAL supplier.parquet -> from-scratch
+    parquet decode in the kernel (thrift footer, RLE_DICTIONARY /
+    PLAIN pages, snappy decompression through the package's own
+    decoder) -> per-nation supplier count, key sum, and
+    1e-6-quantized balance sum. The oracle computes the identical
+    aggregate through DuckDB's own parquet scan of the same file, so
+    the hash gate certifies the from-scratch decode is byte-for-byte
+    relationally faithful ON PRODUCTION INPUT, not just on
+    self-written fixtures (those are covered by
+    corpus_parquet_raw_ingest).
+
+    Scale shape: parallelism is file-granular (one decode task per
+    lake file; the dimension file here is one task). PLAIN doubles
+    decode bit-exactly, so the quantization arithmetic matches the
+    SQL side's floor exactly."""
+    blobs = (
+        spark.read.format("binaryFile")
+        .load(os.path.join(sf_dir, "supplier.parquet"))
+        .select("content")
+    )
+    partials = blobs.mapInPandas(
+        _pq_self_audit_batches,
+        schema=(
+            "s_nationkey int, n_suppliers bigint, "
+            "sum_suppkey bigint, sum_bal_q bigint"
+        ),
+    )
+    return partials.groupBy("s_nationkey").agg(
+        F.sum("n_suppliers").cast("long").alias("n_suppliers"),
+        F.sum("sum_suppkey").cast("long").alias("sum_suppkey"),
+        F.sum("sum_bal_q").cast("long").alias("sum_bal_q"),
+    )

@@ -173,6 +173,21 @@ def main(mb: float = 2.0) -> None:
               reps=3, out_len=logical))
     )
 
+    # --- raw ORC reader vs pyarrow ---
+    from pyarrow import orc as pa_orc
+
+    from history_collector_spark.functions.orc_raw import read_orc_raw
+
+    obuf = io.BytesIO()
+    pa_orc.write_table(tbl, obuf, compression="snappy")
+    oenc = obuf.getvalue()
+    rows.append(
+        ("ORC (snappy, RLEv2)", logical,
+         _mbs(read_orc_raw, oenc, out_len=logical),
+         _mbs(lambda b: pa_orc.read_table(io.BytesIO(b)), oenc,
+              reps=3, out_len=logical))
+    )
+
     print(f"| codec | payload MB | from-scratch MB/s | native MB/s | gap |")
     print("|---|---|---|---|---|")
     for name, n, ours, native in rows:
