@@ -246,11 +246,6 @@ def parse_wav(blob: bytes) -> dict:
         samples = samples.astype(np.int16)
         codec = f"float{bits}"
     elif tag == _FMT_IMA_ADPCM:
-        if n_channels > 2:
-            raise NotImplementedError(
-                f"{n_channels}-channel IMA ADPCM not implemented "
-                "(mono + stereo built in)"
-            )
         if bits != 4:
             raise AudioDecodeError(f"IMA ADPCM with {bits} bits/sample")
         samples = np.array(
@@ -270,11 +265,6 @@ def parse_wav(blob: bytes) -> dict:
         samples = lut[np.frombuffer(data, dtype=np.uint8)]
         codec = "ulaw" if tag == _FMT_MULAW else "alaw"
     elif tag == _FMT_MS_ADPCM:
-        if n_channels > 2:
-            raise NotImplementedError(
-                f"{n_channels}-channel MS ADPCM not implemented "
-                "(mono + stereo built in)"
-            )
         if bits != 4:
             raise AudioDecodeError(f"MS ADPCM with {bits} bits/sample")
         coefs = _MS_DEFAULT_COEFS
