@@ -15,6 +15,10 @@ flat (non-nested) Parquet file written by a real-world writer needs:
   FIXED_LEN_BYTE_ARRAY;
 - **RLE_DICTIONARY / PLAIN_DICTIONARY** data pages with their
   PLAIN-encoded dictionary page;
+- the **v2 value encodings**: DELTA_BINARY_PACKED (zigzag header,
+  per-miniblock bit widths, LSB-first packed delta offsets,
+  padding-aware final block), DELTA_LENGTH_BYTE_ARRAY,
+  DELTA_BYTE_ARRAY (incremental front coding) and BYTE_STREAM_SPLIT;
 - **data pages v1 and v2** (v2 keeps its levels uncompressed outside
   the compressed values section, lengths taken from the header);
 - per-chunk **compression**: UNCOMPRESSED, SNAPPY and ZSTD through
@@ -97,7 +101,11 @@ _PG_DATA_V2 = 3
 _ENC_PLAIN = 0
 _ENC_PLAIN_DICT = 2
 _ENC_RLE = 3
+_ENC_DELTA_BP = 5
+_ENC_DELTA_LEN_BA = 6
+_ENC_DELTA_BA = 7
 _ENC_RLE_DICT = 8
+_ENC_BYTE_STREAM_SPLIT = 9
 
 
 # ---------------------------------------------------------------------------
@@ -278,6 +286,101 @@ def _plain_values(buf, pos: int, end: int, ptype: int, n: int,
             for i in range(n)
         ]
     raise ParquetDecodeError(f"unsupported physical type {ptype}")
+
+
+def _delta_binary_packed(buf, pos: int, end: int) -> tuple[list[int], int]:
+    """DELTA_BINARY_PACKED (parquet v2 integer encoding) -> (values,
+    position after the stream). Header: block size / miniblocks per
+    block / total count / zigzag first value; each block carries a
+    zigzag min-delta, per-miniblock bit widths, then LSB-first-packed
+    delta offsets. The final block may pack padding values — dropped
+    here by the total count."""
+    block_size, pos = _uvarint(buf, pos)
+    n_mini, pos = _uvarint(buf, pos)
+    total, pos = _uvarint(buf, pos)
+    if (
+        n_mini == 0
+        or block_size == 0
+        or block_size % n_mini
+        or (block_size // n_mini) % 8
+    ):
+        # a zero block size would make every miniblock empty and the
+        # fill loop endless on crafted input
+        raise ParquetDecodeError("bad DELTA_BINARY_PACKED geometry")
+    per_mini = block_size // n_mini
+    first, pos = _uvarint(buf, pos)
+    first = _zigzag(first)
+    out = [first]
+    while len(out) < total:
+        md, pos = _uvarint(buf, pos)
+        min_delta = _zigzag(md)
+        if pos + n_mini > end:
+            raise ParquetDecodeError("truncated DELTA bit widths")
+        widths = list(buf[pos : pos + n_mini])
+        pos += n_mini
+        for bw in widths:
+            nbytes = per_mini * bw // 8
+            if pos + nbytes > end:
+                raise ParquetDecodeError("truncated DELTA miniblock")
+            if len(out) >= total:
+                # trailing miniblocks of the last block still occupy
+                # their packed bytes even when fully padding
+                pos += nbytes
+                continue
+            acc = int.from_bytes(buf[pos : pos + nbytes], "little")
+            pos += nbytes
+            mask = (1 << bw) - 1
+            for i in range(per_mini):
+                if len(out) >= total:
+                    break
+                d = (acc >> (i * bw)) & mask if bw else 0
+                out.append(out[-1] + min_delta + d)
+    return out[:total], pos
+
+
+def _delta_length_byte_array(buf, pos: int, end: int,
+                             n: int) -> tuple[list[bytes], int]:
+    lens, pos = _delta_binary_packed(buf, pos, end)
+    if len(lens) != n:
+        raise ParquetDecodeError("DELTA_LENGTH count disagrees with page")
+    out = []
+    for ln in lens:
+        if ln < 0 or pos + ln > end:
+            raise ParquetDecodeError("truncated DELTA_LENGTH data")
+        out.append(bytes(buf[pos : pos + ln]))
+        pos += ln
+    return out, pos
+
+
+def _delta_byte_array(buf, pos: int, end: int, n: int) -> list[bytes]:
+    prefixes, pos = _delta_binary_packed(buf, pos, end)
+    if len(prefixes) != n:
+        raise ParquetDecodeError("DELTA_BYTE_ARRAY count disagrees")
+    suffixes, _ = _delta_length_byte_array(buf, pos, end, n)
+    out: list[bytes] = []
+    prev = b""
+    for pl, suf in zip(prefixes, suffixes):
+        if pl < 0 or pl > len(prev):
+            raise ParquetDecodeError("DELTA_BYTE_ARRAY prefix overrun")
+        prev = prev[:pl] + suf
+        out.append(prev)
+    return out
+
+
+def _byte_stream_split(buf, pos: int, end: int, ptype: int,
+                       n: int) -> list:
+    width = {_T_FLOAT: 4, _T_DOUBLE: 8, _T_INT32: 4, _T_INT64: 8}.get(ptype)
+    if width is None:
+        raise ParquetDecodeError("BYTE_STREAM_SPLIT on unsupported type")
+    if pos + n * width > end:
+        raise ParquetDecodeError("truncated BYTE_STREAM_SPLIT data")
+    streams = [buf[pos + k * n : pos + (k + 1) * n] for k in range(width)]
+    fmt = {_T_FLOAT: "<f", _T_DOUBLE: "<d",
+           _T_INT32: "<i", _T_INT64: "<q"}[ptype]
+    return [
+        struct.unpack(fmt, bytes(bytearray(s[i] for s in streams)))[0]
+        for i in range(n)
+    ]
 
 
 # ---------------------------------------------------------------------------
@@ -471,6 +574,24 @@ def _decode_values(buf, pos, end, enc, ptype, n, type_length, dictionary):
         if pos + ln > end:
             raise ParquetDecodeError("truncated RLE boolean values")
         return [bool(v) for v in _rle_bp_hybrid(buf, pos, pos + ln, 1, n)]
+    if enc == _ENC_DELTA_BP:
+        if ptype not in (_T_INT32, _T_INT64):
+            raise ParquetDecodeError("DELTA_BINARY_PACKED is int-only")
+        vals, _ = _delta_binary_packed(buf, pos, end)
+        if len(vals) != n:
+            raise ParquetDecodeError("DELTA count disagrees with page")
+        return vals
+    if enc == _ENC_DELTA_LEN_BA:
+        if ptype != _T_BYTE_ARRAY:
+            raise ParquetDecodeError("DELTA_LENGTH needs BYTE_ARRAY")
+        vals, _ = _delta_length_byte_array(buf, pos, end, n)
+        return vals
+    if enc == _ENC_DELTA_BA:
+        if ptype not in (_T_BYTE_ARRAY, _T_FIXED):
+            raise ParquetDecodeError("DELTA_BYTE_ARRAY needs BYTE_ARRAY")
+        return _delta_byte_array(buf, pos, end, n)
+    if enc == _ENC_BYTE_STREAM_SPLIT:
+        return _byte_stream_split(buf, pos, end, ptype, n)
     if enc in (_ENC_PLAIN_DICT, _ENC_RLE_DICT):
         if dictionary is None:
             raise ParquetDecodeError("dictionary-encoded page before dict")

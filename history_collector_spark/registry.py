@@ -229,9 +229,18 @@ PRIORITY_QUERIES = (
     "streaming_interval_join_e2e",
     "corpus_xz_ingest",
     "corpus_zip_ingest",
-    "corpus_bzip2_ingest",
+    # round-15 build: the raw-ORC ingest (from-scratch protobuf/
+    # RLEv2 reader over real liborc shards) takes the bzip2 seat —
+    # corpus_bzip2_ingest was driver-green r14 and stays locally
+    # oracle-verified every run
+    "corpus_orc_raw_ingest",
     "corpus_warc_http_ingest",
-    "corpus_zstd_dict_ingest",
+    # round-15 build: the raw-Parquet ingest (from-scratch thrift/
+    # RLE/dictionary-page reader over real parquet-cpp shards) takes
+    # the zstd-dict seat — the matrix keeps bzip2/zip/xz in-window;
+    # corpus_zstd_dict_ingest was driver-green r14 and stays locally
+    # oracle-verified every run
+    "corpus_parquet_raw_ingest",
     "corpus_robots_rules",
     "crawl_frontier_assign",
     "multimodal_decode_yield",
@@ -242,11 +251,22 @@ PRIORITY_QUERIES = (
     "cluster_kmeans_train",
     "k_anonymity_audit",
     "dp_count_release_audit",
-    "dedup_minhash_calibration",
+    # round-15 build: the production-input parquet self-audit takes
+    # the minhash-calibration seat — split_leakage_near_dup keeps
+    # dedup/LSH in-window; dedup_minhash_calibration was
+    # driver-green r14 and stays locally oracle-verified
+    "maintenance_parquet_self_audit",
     "text_bm25_retrieval",
     "tokenizer_wordpiece_greedy",
-    "json_extract_pack",
-    "incremental_sketch_merge",
+    # round-15 build: the bucketed spatial nearest-neighbor join
+    # (NEW geo family) takes the JSON-pack seat — json_extract_pack
+    # was driver-green r14 and stays locally oracle-verified
+    "geo_bucket_knn_join",
+    # round-15 build: Mann-Whitney U (NEW rank-statistics family)
+    # takes the sketch seat — incremental_agg_merge keeps the
+    # incremental family in-window; incremental_sketch_merge was
+    # driver-green r14 and stays locally oracle-verified
+    "events_mann_whitney_u",
     # --- round-15 fresh (22, never sampled in any r1-r14 window) ---
     "table_profile",
     "customer_rfm_segments",

@@ -812,3 +812,124 @@ def test_wav_ms_adpcm_multichannel_layout(nch):
     for c in range(nch):
         own = np.corrcoef(dec[c::nch][:frames], sig[c::nch][:frames])[0, 1]
         assert own > 0.99, (nch, c, own)
+
+
+# ---------------------------------------------------------------------------
+# Parquet v2 value encodings (round 15, second wave): the encodings a
+# modern writer emits beyond PLAIN/dictionary — DELTA_BINARY_PACKED,
+# DELTA_LENGTH_BYTE_ARRAY, DELTA_BYTE_ARRAY (incremental front
+# coding), BYTE_STREAM_SPLIT — pinned against pyarrow with
+# column_encoding forced, across codecs, page versions and page
+# splits.
+# ---------------------------------------------------------------------------
+
+
+def test_parquet_raw_v2_value_encodings():
+    import io
+    import random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from history_collector_spark.functions.parquet_raw import (
+        read_parquet_raw,
+    )
+
+    rng = random.Random(42)
+    n = 3000
+    t = pa.table(
+        {
+            "a": pa.array(
+                [rng.randint(-(2**40), 2**40)
+                 if rng.random() > 0.1 else None for _ in range(n)],
+                pa.int64(),
+            ),
+            "i": pa.array(
+                [rng.randint(-(2**30), 2**30)
+                 if rng.random() > 0.1 else None for _ in range(n)],
+                pa.int32(),
+            ),
+            "mono": pa.array(range(n), pa.int64()),
+            "s": pa.array(
+                [f"prefix-{i:05d}-" + "x" * rng.randint(0, 10)
+                 if rng.random() > 0.1 else None for i in range(n)]
+            ),
+            "f": pa.array(
+                [rng.random() * 1e6
+                 if rng.random() > 0.1 else None for _ in range(n)],
+                pa.float64(),
+            ),
+            "f32": pa.array(
+                [float(rng.randint(0, 9999))
+                 if rng.random() > 0.1 else None for _ in range(n)],
+                pa.float32(),
+            ),
+        }
+    )
+    exp = t.to_pydict()
+    enc_all = {
+        "a": "DELTA_BINARY_PACKED",
+        "i": "DELTA_BINARY_PACKED",
+        "mono": "DELTA_BINARY_PACKED",
+        "s": "DELTA_LENGTH_BYTE_ARRAY",
+        "f": "BYTE_STREAM_SPLIT",
+        "f32": "BYTE_STREAM_SPLIT",
+    }
+    for enc in (enc_all, {"s": "DELTA_BYTE_ARRAY",
+                          "a": "DELTA_BINARY_PACKED"}):
+        for comp in ("NONE", "SNAPPY", "ZSTD"):
+            for dpv in ("1.0", "2.0"):
+                buf = io.BytesIO()
+                pq.write_table(
+                    t, buf, use_dictionary=False, column_encoding=enc,
+                    compression=comp, data_page_version=dpv,
+                )
+                out = read_parquet_raw(buf.getvalue())
+                for k in exp:
+                    assert out["columns"][k] == exp[k], (k, comp, dpv)
+    # small pages force per-page delta stream restarts
+    buf = io.BytesIO()
+    pq.write_table(
+        t, buf, use_dictionary=False, column_encoding=enc_all,
+        compression="SNAPPY", data_page_size=2048,
+    )
+    out = read_parquet_raw(buf.getvalue())
+    for k in exp:
+        assert out["columns"][k] == exp[k], k
+
+
+def test_parquet_raw_delta_exception_contract():
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from history_collector_spark.functions.parquet_raw import (
+        ParquetDecodeError,
+        read_parquet_raw,
+    )
+
+    t = pa.table(
+        {"a": pa.array(range(300), pa.int64()),
+         "s": pa.array([f"pp-{i:04d}" for i in range(300)])}
+    )
+    buf = io.BytesIO()
+    pq.write_table(
+        t, buf, use_dictionary=False,
+        column_encoding={"a": "DELTA_BINARY_PACKED",
+                         "s": "DELTA_BYTE_ARRAY"},
+        compression="NONE",
+    )
+    blob = buf.getvalue()
+    for i in range(len(blob)):
+        try:
+            read_parquet_raw(blob[:i])
+        except ParquetDecodeError:
+            pass
+    for i in range(len(blob)):
+        mut = bytearray(blob)
+        mut[i] ^= 0xFF
+        try:
+            read_parquet_raw(bytes(mut))
+        except ParquetDecodeError:
+            pass
