@@ -2310,11 +2310,11 @@ def corpus_warc_http_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stdlib-lzma for XZ and stdlib-zipfile for ZIP.
 # ---------------------------------------------------------------------------
 
-_PQRAW_CODECS = ("SNAPPY", "ZSTD", "GZIP", "NONE")
+_PQRAW_CODECS = ("SNAPPY", "ZSTD", "GZIP", "NONE", "SELF")
 
 
 def _write_parquet_raw_fixture(spark: SparkSession, sf_dir: str) -> str:
-    out = _fixture_dir(sf_dir, "pqraw")
+    out = _fixture_dir(sf_dir, "pqraw2")
     done = os.path.join(out, "_FIXTURE_DONE")
     if os.path.exists(done):
         return out
@@ -2335,24 +2335,44 @@ def _write_parquet_raw_fixture(spark: SparkSession, sf_dir: str) -> str:
 
         shard = int(key[0])
         pdf = pdf.sort_values("doc_id")
-        t = pa.table(
-            {
-                "doc_id": pa.array(pdf["doc_id"], pa.int64()),
-                "source": pa.array(pdf["source"], pa.string()),
-                "text": pa.array(pdf["text"], pa.string()),
-            }
-        )
-        buf = io.BytesIO()
-        pq.write_table(
-            t,
-            buf,
-            compression=_PQRAW_CODECS[shard % len(_PQRAW_CODECS)],
-            # alternate v1/v2 data pages and row-group splits so the
-            # shard population exercises every decoder arm
-            data_page_version="2.0" if shard % 2 else "1.0",
-            row_group_size=1000,
-        )
-        blob = buf.getvalue()
+        arm = _PQRAW_CODECS[shard % len(_PQRAW_CODECS)]
+        if arm == "SELF":
+            # one arm is written by THIS PACKAGE's from-scratch writer
+            # (functions/parquet_raw.py) — the dual conformance
+            # direction runs under the driver gate too: files this
+            # engine assembles must decode to the same closed-form
+            # totals (and pyarrow/DuckDB read them, pinned in tests)
+            from history_collector_spark.functions.parquet_raw import (
+                write_parquet_raw,
+            )
+
+            blob = write_parquet_raw(
+                [
+                    ("doc_id", "int64",
+                     [int(v) for v in pdf["doc_id"]]),
+                    ("source", "string", list(pdf["source"])),
+                    ("text", "string", list(pdf["text"])),
+                ]
+            )
+        else:
+            t = pa.table(
+                {
+                    "doc_id": pa.array(pdf["doc_id"], pa.int64()),
+                    "source": pa.array(pdf["source"], pa.string()),
+                    "text": pa.array(pdf["text"], pa.string()),
+                }
+            )
+            buf = io.BytesIO()
+            pq.write_table(
+                t,
+                buf,
+                compression=arm,
+                # alternate v1/v2 data pages and row-group splits so
+                # the shard population exercises every decoder arm
+                data_page_version="2.0" if shard % 2 else "1.0",
+                row_group_size=1000,
+            )
+            blob = buf.getvalue()
         if shard == 0:
             # losing the footer (and trailing magic) must degrade to
             # the single '__error__' row, never kill the task
@@ -2434,9 +2454,12 @@ def corpus_parquet_raw_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoders and gzip through stdlib inflate), pre-aggregated per
     shard so only (source, count, chars) partials leave each task.
 
-    Shards are REAL parquet-cpp (pyarrow) output cycling all four
-    codecs, so every run is a writer-interop conformance check of the
-    exact format the engine's 100 TB lake is stored in — byte-level
+    Four shard arms are REAL parquet-cpp (pyarrow) output cycling the
+    codecs; the FIFTH arm is written by this package's own
+    from-scratch writer, so BOTH conformance directions run under the
+    driver gate — files real writers produce decode correctly, and
+    files this engine assembles carry the same relational content
+    (pyarrow/DuckDB/Spark read them, pinned in tests). Byte-level
     auditability of the storage layer, one level below the pyarrow
     footer-statistics audit (maintenance_rowgroup_pruning_audit). One
     torn shard (footer cut off) degrades to a single '__error__' row,

@@ -933,3 +933,87 @@ def test_parquet_raw_delta_exception_contract():
             read_parquet_raw(bytes(mut))
         except ParquetDecodeError:
             pass
+
+
+# ---------------------------------------------------------------------------
+# From-scratch parquet WRITER (round 15, second wave): the dual
+# conformance direction — three independent real readers (our own,
+# pyarrow/parquet-cpp, DuckDB) must agree byte-faithfully on files
+# this engine assembles from the spec. (Spark's reader accepts them
+# too; not exercised here to keep the test session-free.)
+# ---------------------------------------------------------------------------
+
+
+def _writer_cols(n=500, seed=7):
+    import random
+
+    rng = random.Random(seed)
+
+    def opt(gen):
+        return [gen(i) if rng.random() > 0.15 else None for i in range(n)]
+
+    return [
+        ("a", "int64", opt(lambda i: rng.randint(-(2**62), 2**62))),
+        ("b", "int32", opt(lambda i: rng.randint(-(2**31), 2**31 - 1))),
+        ("s", "string", opt(lambda i: f"v{i % 13}" * rng.randint(0, 3))),
+        ("d", "double", opt(lambda i: rng.random() * 1e9)),
+        ("f", "float", opt(lambda i: float(rng.randint(0, 999)))),
+        ("bl", "boolean", opt(lambda i: rng.random() > 0.5)),
+        ("bin", "binary",
+         opt(lambda i: bytes(rng.randint(0, 255)
+                             for _ in range(rng.randint(0, 9))))),
+    ]
+
+
+def test_parquet_writer_three_reader_agreement(tmp_path):
+    import io
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from history_collector_spark.functions.parquet_raw import (
+        read_parquet_raw,
+        write_parquet_raw,
+    )
+
+    cols = _writer_cols()
+    blob = write_parquet_raw(cols)
+    # 1. our own reader
+    out = read_parquet_raw(blob)
+    for name, _, vals in cols:
+        assert out["columns"][name] == vals, name
+    # 2. pyarrow (parquet-cpp)
+    t = pq.read_table(io.BytesIO(blob))
+    for name, _, vals in cols:
+        assert t.column(name).to_pylist() == vals, name
+    # 3. duckdb
+    p = tmp_path / "w.parquet"
+    p.write_bytes(blob)
+    con = duckdb.connect()
+    got = con.sql(f"SELECT a, s, bl FROM '{p}'").fetchall()
+    exp = list(zip(cols[0][2], cols[2][2], cols[5][2]))
+    assert got == exp
+
+
+def test_parquet_writer_required_all_null_and_empty_strings(tmp_path):
+    import io
+
+    import pyarrow.parquet as pq
+
+    from history_collector_spark.functions.parquet_raw import (
+        read_parquet_raw,
+        write_parquet_raw,
+    )
+
+    cols = [
+        ("k", "int64", list(range(64))),          # no nulls
+        ("gone", "string", [None] * 64),          # all nulls
+        ("empty", "string", [""] * 64),           # empty strings
+    ]
+    blob = write_parquet_raw(cols)
+    out = read_parquet_raw(blob)
+    for name, _, vals in cols:
+        assert out["columns"][name] == vals, name
+    t = pq.read_table(io.BytesIO(blob))
+    for name, _, vals in cols:
+        assert t.column(name).to_pylist() == vals, name
