@@ -586,3 +586,196 @@ def _read_orc_raw(blob: bytes) -> dict:
                         4: "LZ4", 5: "ZSTD"}.get(codec, str(codec)),
         "n_stripes": len(stripes),
     }
+
+
+# ---------------------------------------------------------------------------
+# From-scratch writer (round 15): the dual conformance direction for
+# ORC, sibling of parquet_raw.write_parquet_raw. Emits NONE
+# compression, RLEv2 DIRECT runs (a legal subset any reader must
+# take), byte-RLE boolean PRESENT streams, and hand-assembled
+# protobuf metadata. liborc (pyarrow.orc) and this module's own
+# reader are pinned in tests to read the output byte-faithfully.
+# ---------------------------------------------------------------------------
+
+
+def _w_uvarint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        out.append(b | 0x80 if v else b)
+        if not v:
+            return bytes(out)
+
+
+def _w_zigzag(v: int) -> bytes:
+    return _w_uvarint((v << 1) if v >= 0 else ((-v) << 1) - 1)
+
+
+def _pb_varint(fid: int, v: int) -> bytes:
+    return _w_uvarint((fid << 3) | 0) + _w_uvarint(v)
+
+
+def _pb_bytes(fid: int, b: bytes) -> bytes:
+    return _w_uvarint((fid << 3) | 2) + _w_uvarint(len(b)) + b
+
+
+def _w_rle_v2_direct(vals: list[int], signed: bool) -> bytes:
+    """RLEv2 DIRECT runs of <=512 values, MSB-first packing at the
+    smallest legal table width per run."""
+    out = bytearray()
+    i = 0
+    while i < len(vals):
+        run = vals[i : i + 512]
+        if signed:
+            zz = [(v << 1) if v >= 0 else ((-v) << 1) - 1 for v in run]
+        else:
+            zz = list(run)
+            if any(v < 0 for v in zz):
+                raise OrcDecodeError("writer: negative unsigned value")
+        need = max(max(v.bit_length() for v in zz), 1)
+        width = next(w for w in _WIDTHS if w >= need)
+        wcode = _WIDTHS.index(width)
+        ln = len(run) - 1
+        out.append(0x40 | (wcode << 1) | (ln >> 8))
+        out.append(ln & 0xFF)
+        acc = nb = 0
+        for v in zz:
+            acc = (acc << width) | v
+            nb += width
+            while nb >= 8:
+                nb -= 8
+                out.append((acc >> nb) & 0xFF)
+                acc &= (1 << nb) - 1
+        if nb:
+            out.append((acc << (8 - nb)) & 0xFF)
+        i += 512
+    return bytes(out)
+
+
+def _w_byte_rle(data: bytes) -> bytes:
+    """Byte-RLE as literal groups of <=128 (always legal)."""
+    out = bytearray()
+    for i in range(0, len(data), 128):
+        grp = data[i : i + 128]
+        out.append(256 - len(grp))
+        out += grp
+    return bytes(out)
+
+
+def _w_bool_rle(bits: list[bool]) -> bytes:
+    by = bytearray()
+    for i in range(0, len(bits), 8):
+        b = 0
+        for j, v in enumerate(bits[i : i + 8]):
+            if v:
+                b |= 1 << (7 - j)  # MSB-first
+        by.append(b)
+    return _w_byte_rle(bytes(by))
+
+
+_WK_LONG = "long"
+_WK_STRING = "string"
+_WK_DOUBLE = "double"
+_WK_BOOLEAN = "boolean"
+_W_KINDS = {
+    _WK_LONG: _K_LONG,
+    _WK_STRING: _K_STRING,
+    _WK_DOUBLE: _K_DOUBLE,
+    _WK_BOOLEAN: _K_BOOLEAN,
+}
+
+
+def write_orc_raw(columns: list[tuple[str, str, list]]) -> bytes:
+    """``[(name, type, values), ...]`` -> a complete .orc payload
+    (one stripe, NONE compression, RLEv2 DIRECT / byte-RLE streams).
+    ``type`` is long/string/double/boolean; ``None`` entries become
+    nulls via a PRESENT stream. liborc (pyarrow.orc) and this
+    module's reader are — and in tests must stay — byte-faithful on
+    the output."""
+    if not columns:
+        raise OrcDecodeError("writer: at least one column required")
+    n_rows = len(columns[0][2])
+    stream_msgs: list[bytes] = []
+    data_region = bytearray()
+    enc_msgs: list[bytes] = [_pb_bytes(2, _pb_varint(1, _E_DIRECT))]  # root
+
+    def emit(col_id: int, skind: int, payload: bytes):
+        stream_msgs.append(
+            _pb_bytes(
+                1,
+                _pb_varint(1, skind)
+                + _pb_varint(2, col_id)
+                + _pb_varint(3, len(payload)),
+            )
+        )
+        data_region.extend(payload)
+
+    for ci, (name, tname, vals) in enumerate(columns, start=1):
+        if len(vals) != n_rows:
+            raise OrcDecodeError("writer: ragged columns")
+        if tname not in _W_KINDS:
+            raise OrcDecodeError(f"writer: unknown type {tname!r}")
+        nonnull = [v for v in vals if v is not None]
+        if len(nonnull) < n_rows:
+            emit(ci, _S_PRESENT,
+                 _w_bool_rle([v is not None for v in vals]))
+        if tname == _WK_LONG:
+            emit(ci, _S_DATA,
+                 _w_rle_v2_direct([int(v) for v in nonnull], signed=True))
+            enc = _E_DIRECT_V2
+        elif tname == _WK_STRING:
+            bs = [v.encode("utf-8") for v in nonnull]
+            emit(ci, _S_DATA, b"".join(bs))
+            emit(ci, _S_LENGTH,
+                 _w_rle_v2_direct([len(b) for b in bs], signed=False))
+            enc = _E_DIRECT_V2
+        elif tname == _WK_DOUBLE:
+            emit(ci, _S_DATA,
+                 struct.pack(f"<{len(nonnull)}d", *map(float, nonnull)))
+            enc = _E_DIRECT
+        else:  # boolean
+            emit(ci, _S_DATA, _w_bool_rle([bool(v) for v in nonnull]))
+            enc = _E_DIRECT
+        enc_msgs.append(_pb_bytes(2, _pb_varint(1, enc)))
+
+    stripe_footer = b"".join(stream_msgs) + b"".join(enc_msgs)
+    body = bytearray(_MAGIC)
+    stripe_off = len(body)
+    body += data_region
+    body += stripe_footer
+    stripe_info = (
+        _pb_varint(1, stripe_off)
+        + _pb_varint(2, 0)
+        + _pb_varint(3, len(data_region))
+        + _pb_varint(4, len(stripe_footer))
+        + _pb_varint(5, n_rows)
+    )
+    subtypes = b"".join(_w_uvarint(i) for i in range(1, len(columns) + 1))
+    t_root = _pb_varint(1, _K_STRUCT) + _pb_bytes(2, subtypes)
+    for name, _, _ in columns:
+        t_root += _pb_bytes(3, name.encode("utf-8"))
+    type_msgs = [_pb_bytes(4, t_root)] + [
+        _pb_bytes(4, _pb_varint(1, _W_KINDS[tname]))
+        for _, tname, _ in columns
+    ]
+    footer = (
+        _pb_varint(1, 3)  # headerLength (the magic)
+        + _pb_varint(2, len(body))  # contentLength
+        + _pb_bytes(3, stripe_info)
+        + b"".join(type_msgs)
+        + _pb_varint(6, n_rows)
+    )
+    body += footer
+    ps = (
+        _pb_varint(1, len(footer))
+        + _pb_varint(2, 0)  # compression NONE
+        + _pb_varint(3, 65536)
+        + _pb_bytes(4, _w_uvarint(0) + _w_uvarint(12))
+        + _pb_varint(5, 0)
+        + _pb_varint(6, 1)
+        + _pb_bytes(8000, _MAGIC)
+    )
+    body += ps
+    body.append(len(ps))
+    return bytes(body)

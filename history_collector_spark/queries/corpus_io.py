@@ -2499,11 +2499,11 @@ def corpus_parquet_raw_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus_parquet_raw_ingest.
 # ---------------------------------------------------------------------------
 
-_ORC_CODECS = ("snappy", "zstd", "zlib", "lz4", "uncompressed")
+_ORC_CODECS = ("snappy", "zstd", "zlib", "lz4", "uncompressed", "SELF")
 
 
 def _write_orc_raw_fixture(spark: SparkSession, sf_dir: str) -> str:
-    out = _fixture_dir(sf_dir, "orcraw")
+    out = _fixture_dir(sf_dir, "orcraw2")
     done = os.path.join(out, "_FIXTURE_DONE")
     if os.path.exists(done):
         return out
@@ -2524,23 +2524,41 @@ def _write_orc_raw_fixture(spark: SparkSession, sf_dir: str) -> str:
 
         shard = int(key[0])
         pdf = pdf.sort_values("doc_id")
-        t = pa.table(
-            {
-                "doc_id": pa.array(pdf["doc_id"], pa.int64()),
-                "source": pa.array(pdf["source"], pa.string()),
-                "text": pa.array(pdf["text"], pa.string()),
-            }
-        )
-        buf = io.BytesIO()
-        pa_orc.write_table(
-            t,
-            buf,
-            compression=_ORC_CODECS[shard % len(_ORC_CODECS)],
-            # alternate direct vs dictionary string encodings so the
-            # population exercises both decoder arms
-            dictionary_key_size_threshold=1.0 if shard % 2 else 0.0,
-        )
-        blob = buf.getvalue()
+        arm = _ORC_CODECS[shard % len(_ORC_CODECS)]
+        if arm == "SELF":
+            # one arm is written by THIS PACKAGE's from-scratch ORC
+            # writer — the dual conformance direction under the driver
+            # gate (liborc reads these files too, pinned in tests)
+            from history_collector_spark.functions.orc_raw import (
+                write_orc_raw,
+            )
+
+            blob = write_orc_raw(
+                [
+                    ("doc_id", "long",
+                     [int(v) for v in pdf["doc_id"]]),
+                    ("source", "string", list(pdf["source"])),
+                    ("text", "string", list(pdf["text"])),
+                ]
+            )
+        else:
+            t = pa.table(
+                {
+                    "doc_id": pa.array(pdf["doc_id"], pa.int64()),
+                    "source": pa.array(pdf["source"], pa.string()),
+                    "text": pa.array(pdf["text"], pa.string()),
+                }
+            )
+            buf = io.BytesIO()
+            pa_orc.write_table(
+                t,
+                buf,
+                compression=arm,
+                # alternate direct vs dictionary string encodings so
+                # the population exercises both decoder arms
+                dictionary_key_size_threshold=1.0 if shard % 2 else 0.0,
+            )
+            blob = buf.getvalue()
         if shard == 0:
             # losing the postscript/footer must degrade to the single
             # '__error__' row, never kill the task
@@ -2623,11 +2641,13 @@ def corpus_orc_raw_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoding), pre-aggregated per shard so only (source, count,
     chars) partials leave each task.
 
-    Shards are REAL liborc (pyarrow.orc) output, so every run is a
-    writer-interop conformance check of the second open columnar
-    format next to corpus_parquet_raw_ingest — together they give the
-    engine byte-level auditability of both lake formats it would read
-    at 100 TB. One torn shard (postscript cut off) degrades to the
+    Five shard arms are REAL liborc (pyarrow.orc) output cycling the
+    codecs; the SIXTH arm is written by this package's own
+    from-scratch ORC writer (liborc reads those files too, pinned in
+    tests), so BOTH conformance directions run under the driver gate
+    — next to corpus_parquet_raw_ingest this gives the engine
+    byte-level auditability of both lake formats it would read at
+    100 TB. One torn shard (postscript cut off) degrades to the
     closed-form '__error__' row.
 
     Scale shape: shard count grows with the corpus (one task per
