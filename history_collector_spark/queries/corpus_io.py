@@ -2670,3 +2670,86 @@ def corpus_orc_raw_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_docs").alias("n_docs"),
         F.sum("total_chars").alias("total_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming raw-Parquet ingest (round 15): lake files LAND over time;
+# each micro-batch decodes only its new files with the from-scratch
+# reader. Same kernel, same closed-form oracle as the batch query —
+# equality proves the incremental ingest loses/duplicates nothing vs.
+# the batch read (the streaming_warc_ingest_e2e discipline applied to
+# the engine's own storage format).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_parquet_ingest_e2e",
+    oracle=f"""
+    WITH meta AS (
+      SELECT doc_id, source, length(text) AS n_chars FROM documents
+    ),
+    nn AS (
+      SELECT greatest({_LZ4_MIN_SHARDS},
+                      CAST(ceil(count(*) / {_LZ4_DOCS_PER_SHARD}.0)
+                           AS BIGINT)) AS k
+      FROM meta
+    )
+    SELECT m.source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(m.n_chars) AS BIGINT) AS total_chars
+    FROM meta m, nn WHERE m.doc_id % nn.k <> 0
+    GROUP BY m.source
+    UNION ALL
+    SELECT '__error__', 1, 0
+    """,
+)
+def streaming_parquet_ingest_e2e(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The raw-parquet shard population consumed as a binaryFile
+    STREAM (one file per micro-batch), decoded in flight by the
+    from-scratch reader (torn shard included — it degrades to its
+    error partial inside its own micro-batch, never killing the
+    stream), landed append-only; the post-stream per-source aggregate
+    must equal the batch closed-form truth. Scale: this is the lake
+    compaction/ingest loop — per-batch work is one file's decode,
+    checkpointing is the file-source offset log, nothing rescans old
+    files."""
+    import uuid as _uuid
+
+    from history_collector_spark.streaming.conf import (
+        scoped_state_partitions,
+    )
+
+    src = _write_parquet_raw_fixture(spark, sf_dir)
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("pathGlobFilter", "docs*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+        .select("content")
+    )
+    partials = stream.mapInPandas(
+        _parquet_raw_ingest_batches,
+        schema="source string, n_docs bigint, total_chars bigint",
+    )
+    name = f"pqrawstream_{_uuid.uuid4().hex[:8]}"
+    with scoped_state_partitions(spark):
+        q = (
+            partials.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    return spark.table(name).groupBy("source").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("total_chars").alias("total_chars"),
+    )
