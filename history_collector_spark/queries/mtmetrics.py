@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from history_collector_spark.catalog import table
+from history_collector_spark.catalog import spread, table
 from history_collector_spark.registry import register
 
 _CHRF_BETA2 = 4  # beta = 2: recall weighted 2x, per the chrF paper
@@ -44,7 +44,13 @@ _PAIRS_SQL = """
 
 
 def _pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    # spread() the single-row-group scan (r15 optimization): the pair
+    # join broadcasts one side, so without it the join AND all per-pair
+    # gram/clip work Catalyst fuses downstream run inside the one-task
+    # scan stage.
+    docs = spread(
+        table(spark, sf_dir, "documents").select("doc_id", "text"), spark
+    )
     c = docs.filter(F.col("doc_id") % 2 == 0).select(
         (F.col("doc_id") / 2).cast("long").alias("pair_id"),
         F.lower(F.col("text")).alias("cand"),
