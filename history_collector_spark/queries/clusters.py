@@ -93,6 +93,39 @@ def _dup_pairs_with_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = cc_labels_table(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return docs.join(labels, docs.doc_id == labels.node, "left").select(
+        "doc_id",
+        F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster_id"),
+        (F.coalesce(F.col("label"), F.col("doc_id")) == F.col("doc_id")).alias(
+            "is_canonical"
+        ),
+    )
+
+
+# CC-labels memo: six registered queries (dedup_clusters itself, the
+# representative/histogram pickers, and the cluster-census consumers)
+# all need the SAME min-label fixpoint over the SAME session-pinned
+# verified pair table — re-running the iterative loop (2-4 rounds x
+# ~3 blocking jobs each) per consumer was ~1.5-3 s of pure fixed cost
+# per query at sf0.1 (r15 measurement). Keyed by applicationId so a
+# fresh session recomputes from parquet; the cached frame is the
+# localCheckpoint the loop already produced (lineage truncated, a few
+# bytes per dup-subgraph node) — the same session-materialization
+# discipline as dedup.verified_pair_table, which this derives from.
+_CC_LABELS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def cc_labels_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, label) min-label fixpoint over the near-dup edge set —
+    edge-participating nodes only (isolated docs re-join as singleton
+    clusters at the consumer)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _CC_LABELS_CACHE.get(key)
+    if cached is not None:
+        return cached
+
     dup = _dup_pairs(spark, sf_dir)
     # both directions of every edge in ONE pass over the (persisted)
     # pair table
@@ -154,14 +187,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 break
         edges.unpersist()
 
-    docs = table(spark, sf_dir, "documents").select("doc_id")
-    return docs.join(labels, docs.doc_id == labels.node, "left").select(
-        "doc_id",
-        F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster_id"),
-        (F.coalesce(F.col("label"), F.col("doc_id")) == F.col("doc_id")).alias(
-            "is_canonical"
-        ),
-    )
+    _CC_LABELS_CACHE[key] = labels
+    return labels
 
 
 # ---------------------------------------------------------------------------

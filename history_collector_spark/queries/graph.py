@@ -121,21 +121,28 @@ def graph_pagerank_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         deg = edges.groupBy("u").agg(F.count("*").alias("deg")).persist()
         n_nodes = deg.count()  # bounded driver scalar: node count only
 
+        # r15: the rank frame CARRIES deg through the loop, removing
+        # one deg-join per iteration and the final deg-join (4 joins
+        # total at _N_ITER=3). The contribution addends are the same
+        # r_u/deg_u multiset per destination, so the float sums are
+        # unchanged.
         ranks = deg.select(
-            F.col("u").alias("node"), F.lit(1.0 / n_nodes).alias("r")
+            F.col("u").alias("node"),
+            "deg",
+            F.lit(1.0 / n_nodes).alias("r"),
         ).localCheckpoint(eager=True)
         for _ in range(_N_ITER):
             contrib = (
                 edges.join(ranks, edges.u == ranks.node)
-                .join(deg, "u")
                 .groupBy(F.col("v").alias("node"))
                 .agg(F.sum(F.col("r") / F.col("deg")).alias("contrib"))
             )
             ranks = (
-                deg.select(F.col("u").alias("node"))
+                deg.select(F.col("u").alias("node"), "deg")
                 .join(contrib, "node", "left")
                 .select(
                     "node",
+                    "deg",
                     (
                         F.lit((1.0 - _DAMPING) / n_nodes)
                         + F.lit(_DAMPING) * F.coalesce("contrib", F.lit(0.0))
@@ -144,7 +151,7 @@ def graph_pagerank_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .localCheckpoint(eager=True)
             )
         edges.unpersist()
-        result = ranks.join(deg, ranks.node == deg.u).select(
+        result = ranks.select(
             F.col("node").alias("doc_id"),
             F.col("r").alias("rank"),
             F.col("deg").cast("long").alias("degree"),

@@ -87,8 +87,19 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     classes = cls.groupBy("lang", "h").agg(
         F.min("doc_id").alias("cls_id"), F.count("*").alias("n")
     )
-    members = cls.join(classes, ["lang", "h"]).select(
-        "cls_id", "doc_id", "lang"
+    # members/sets are each consumed by 3+ downstream joins; Spark
+    # plans every consumer as its own subtree (0 ReusedExchange in the
+    # r15 before-plan: 64 documents scans, 118 exchanges), so without a
+    # pin the scan -> md5 -> shingle-explode -> df-join -> collect_list
+    # chain executes once PER consumer. Pin both with the same persist
+    # discipline as dedup._candidate_pairs: members is (cls_id, doc_id,
+    # lang) — id-width rows; sets is one (id, lang, shingle-array) row
+    # per DISTINCT text — the exact frame a production prefix-filter
+    # index materializes anyway, a fraction of corpus bytes.
+    members = (
+        cls.join(classes, ["lang", "h"])
+        .select("cls_id", "doc_id", "lang")
+        .persist()
     )
     reps = classes.select(F.col("cls_id").alias("doc_id"))
 
@@ -107,7 +118,7 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.transform(F.col("sorted"), lambda x: x["g"]).alias("s"),
         F.size("sorted").alias("n"),
-    )
+    ).persist()
     prefix_len = F.col("n") - F.ceil(F.lit(_TAU) * F.col("n")) + 1
     pre = sets.select(
         "doc_id",
