@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from history_collector_spark.catalog import table
+from history_collector_spark.catalog import spread, table
 from history_collector_spark.registry import register
 
 # per-doc ordered-fold mean NLL under the corpus trigram LM; pos keeps
@@ -116,7 +116,16 @@ def curation_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast back — no per-source total-order window (the shape the
     round-8 window plan guard enforces). Docs with < 3 tokens have no
     trigrams and are absent, matching the oracle."""
-    docs = table(spark, sf_dir, "documents")
+    # spread() the single-row-group scan (r15, guide §2.5): the
+    # trigram struct-transform + explode fuse into the scan stage and
+    # the frame is consumed twice (LM counts and the scoring join), so
+    # one-task scans paid the explode twice serially.
+    docs = spread(
+        table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text"
+        ),
+        spark,
+    )
     t = docs.select(
         "doc_id",
         "source",

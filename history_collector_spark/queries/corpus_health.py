@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from history_collector_spark.catalog import (
     EXPECTED_EMBEDDING_DIMS,
     checked_embedding,
+    spread,
     table,
 )
 from history_collector_spark.registry import register
@@ -335,7 +336,11 @@ def cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_ngram_jaccard's cap) doesn't arise: the set bounds every
     posting list at the source count.
     """
-    docs = table(spark, sf_dir, "documents")
+    # spread() the single-row-group scan (r15, guide §2.5): the
+    # split + gram transform + xxhash all fuse into the scan stage.
+    docs = spread(
+        table(spark, sf_dir, "documents").select("source", "text"), spark
+    )
     # Bind the token array in a projection FIRST: a lambda that
     # references the raw split(lower(text)) expression re-splits the
     # whole document for every gram position — O(len²) per doc, and

@@ -369,13 +369,16 @@ def curation_web_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(src)
         .select("content")
     )
+    # r15: pin meta — three consumer subtrees (quality/exact chain,
+    # budget prefix sum, fate assembly) would otherwise each re-run
+    # the WARC parse + HTML extraction Arrow kernel.
     meta = blobs.mapInPandas(
         _funnel_meta_batches,
         schema=(
             "doc_id bigint, source string, nt bigint, h string,"
             " n_boiler bigint"
         ),
-    )
+    ).persist()
     from pyspark.sql import Window
 
     q = meta.filter(F.col("nt") >= _WEB_MIN_TOKENS)

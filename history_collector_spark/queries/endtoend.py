@@ -43,7 +43,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from history_collector_spark.catalog import table
+from history_collector_spark.catalog import spread, table
 from history_collector_spark.functions.ranking import (
     grouped_range_prefix_sum,
 )
@@ -157,7 +157,16 @@ def curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     every doc charged to the first stage that drops it."""
     from history_collector_spark.queries.dedup import _doc_shingles
 
-    docs = table(spark, sf_dir, "documents")
+    # r15: spread() the single-row-group scan (guide §2.5) and pin
+    # meta — it anchors FIVE consumer subtrees (quality chain, both
+    # near-dup broadcast id-sets, the fate assembly), each of which
+    # would re-run the scan + split + md5 on one task otherwise.
+    docs = spread(
+        table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text"
+        ),
+        spark,
+    )
     meta = (
         docs.filter(F.col("doc_id") % _BENCH_MOD != 0)
         .select(
@@ -165,6 +174,7 @@ def curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.split("text", r"\s+")).cast("long").alias("nt"),
             F.md5("text").alias("h"),
         )
+        .persist()
     )
     q = meta.filter(F.col("nt") >= _MIN_TOKENS)
     wex = Window.partitionBy("h").orderBy("doc_id")
@@ -191,8 +201,15 @@ def curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = b.join(nd_drop, "doc_id", "left_anti")
 
-    # decontamination: broadcast benchmark gram set, semi-join probe
-    sh = _doc_shingles(spark, sf_dir).select("doc_id", "g")
+    # decontamination: broadcast benchmark gram set, semi-join probe.
+    # The shingle explode is rebuilt over the SAME spread scan (r15):
+    # _doc_shingles would fuse the explode into a fresh one-task scan,
+    # and the frame is consumed twice (benchmark set + probe side).
+    from history_collector_spark.functions.nlp import shingle_rows
+
+    sh = shingle_rows(
+        docs.withColumn("lang", F.lit(""))
+    ).select("doc_id", "g")
     bench = (
         sh.filter(F.col("doc_id") % _BENCH_MOD == 0)
         .select("g").distinct()

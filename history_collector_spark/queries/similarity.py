@@ -21,7 +21,7 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from history_collector_spark.catalog import table
+from history_collector_spark.catalog import spread, table
 from history_collector_spark.functions.nlp import cosine, l2_norm
 from history_collector_spark.registry import register
 
@@ -740,7 +740,11 @@ def ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     never all-pairs. The plan's index side stays the label-keyed join
     of ann_ivf_topk.
     """
-    emb = _emb_with_norm(spark, sf_dir)
+    # r15: spread() the single-row-group scan (guide §2.5) — emb
+    # anchors six consumer subtrees here (query/centroid quantization,
+    # candidate fetch, rescoring, ground truth x2), each re-running
+    # the scan + norm fold on one task otherwise.
+    emb = spread(_emb_with_norm(spark, sf_dir), spark)
     sc = F.lit(float(_SWEEP_SCALE))
 
     def quant(df, idcol):
@@ -1135,22 +1139,27 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def best_code(m: int) -> F.Column:
-        return F.aggregate(
-            F.col("cents"),
-            F.struct(
-                F.lit(float("inf")).alias("best_d2"),
-                F.lit(-1).cast("long").alias("best_c"),
-            ),
-            lambda acc, c: F.when(
-                sub_d2(F.col("embedding"), c.c_emb, m) < acc.best_d2,
-                F.struct(
-                    sub_d2(F.col("embedding"), c.c_emb, m).alias("best_d2"),
-                    c.c_id.alias("best_c"),
+        # r15: array_min over (d2, c_id) structs replaces the running-
+        # min fold, which evaluated sub_d2 TWICE per centroid (once in
+        # the when-condition, once in the kept struct — HOF lambdas get
+        # no CSE). Lexicographic struct min = smallest d2, tie to the
+        # smallest c_id — exactly the fold's strict-< keep-first rule
+        # over the c_id-ascending cents array, and the oracle's
+        # ORDER BY d2, c_id.
+        return F.array_min(
+            F.transform(
+                F.col("cents"),
+                lambda c: F.struct(
+                    sub_d2(F.col("embedding"), c.c_emb, m).alias("d2"),
+                    c.c_id.alias("c_id"),
                 ),
-            ).otherwise(acc),
-        ).best_c
+            )
+        )["c_id"]
 
-    codes = emb.crossJoin(F.broadcast(cents)).select(
+    # spread() the single-row-group scan (r15, guide §2.5): the 4
+    # best-code folds over the broadcast codebook AND the downstream
+    # ADC scoring cross-join all fuse into this scan stage.
+    codes = spread(emb, spark).crossJoin(F.broadcast(cents)).select(
         "vec_id",
         *[best_code(m).cast("int").alias(f"code_{m}") for m in range(PQ_M)],
     )

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from history_collector_spark.catalog import table
+from history_collector_spark.catalog import spread, table
 from history_collector_spark.registry import register
 
 # Tiny marker wordlists for the n-gram/stopword language heuristic.
@@ -207,7 +207,11 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    # spread() the single-row-group scan (r15, guide §2.5): this query
+    # is pure map-only — len(text) md5s per row fused into the scan
+    # stage — so its entire cost sat on one task; the round-robin
+    # exchange ships only (doc_id, text) rows.
+    docs = spread(table(spark, sf_dir, "documents"), spark)
     normalized = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
     # rolling 5-char-shingle min-hash as an in-place array transform:
     # the lambda's only outer reference is the raw text column (nothing
@@ -1337,9 +1341,18 @@ def text_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus the DuckDB oracle at driver hash discipline.
     """
     K = _CQ_K
+    # spread() the single-row-group scan (r15, guide §2.5): the whole
+    # per-doc distinct-shingle transform is row-local and fuses into
+    # the scan stage, so without it every document is costed on ONE
+    # task; the only downstream exchange is the tiny per-source reduce,
+    # which is indifferent to the upstream partitioning.
     d = (
-        table(spark, sf_dir, "documents")
-        .select("doc_id", "source", "text")
+        spread(
+            table(spark, sf_dir, "documents").select(
+                "doc_id", "source", "text"
+            ),
+            spark,
+        )
         .filter(F.length("text") > 0)
         .withColumn("L", F.length("text"))
     )
