@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from history_collector_spark.catalog import table
+from history_collector_spark.catalog import spread, table
 from history_collector_spark.functions.nlp import md5_hash32
 from history_collector_spark.registry import register
 
@@ -1865,7 +1865,7 @@ def corpus_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") % 13 == 0)
         .select("doc_id", "text")
     )
-    return docs.mapInPandas(
+    return spread(docs, spark).mapInPandas(
         _pdf_extract_batches,
         schema=(
             "doc_id bigint, status string, n_pages bigint,"

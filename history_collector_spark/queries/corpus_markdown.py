@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from history_collector_spark.catalog import table
+from history_collector_spark.catalog import spread, table
 from history_collector_spark.registry import register
 
 
@@ -100,7 +100,7 @@ def corpus_markdown_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
-    return docs.mapInPandas(
+    return spread(docs, spark).mapInPandas(
         _md_batches,
         schema=(
             "doc_id bigint, source string, title string, n_links bigint,"

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from history_collector_spark.catalog import table
+from history_collector_spark.catalog import spread, table
 from history_collector_spark.registry import register
 
 # Mini public-suffix list (structure of the real PSL: plain TLDs,
@@ -674,7 +674,7 @@ def crawl_discovery_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     from history_collector_spark.queries.urls import canonicalize_url
 
     docs = table(spark, sf_dir, "documents").select("doc_id")
-    links = docs.mapInPandas(
+    links = spread(docs, spark).mapInPandas(
         _discovery_link_batches, schema="doc_id bigint, url string"
     )
     canon = links.select(

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from history_collector_spark.catalog import table
+from history_collector_spark.catalog import spread, table
 from history_collector_spark.functions.nlp import md5_hash32
 from history_collector_spark.registry import register
 
@@ -145,7 +145,7 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst expressions (64 dims x 64 dims of expression columns
     would explode codegen; one matmul per batch doesn't)."""
     emb = table(spark, sf_dir, "embeddings").select("embedding")
-    cells = emb.mapInPandas(
+    cells = spread(emb, spark).mapInPandas(
         _gram_batches,
         schema="di int, dj int, g double, si double, sj double, nn long",
     )

@@ -609,7 +609,7 @@ def text_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    lcs = d.mapInPandas(
+    lcs = spread(d, spark).mapInPandas(
         lcs_batches, schema="pair_id long, clen long, rlen long, lcs_len long"
     )
     return lcs.select(

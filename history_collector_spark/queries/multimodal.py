@@ -37,7 +37,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from history_collector_spark.catalog import table
+from history_collector_spark.catalog import spread, table
 from history_collector_spark.registry import register
 
 
@@ -1589,7 +1589,7 @@ def multimodal_decode_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") % 13 == 0)
         .select("doc_id")
     )
-    return docs.mapInPandas(
+    return spread(docs, spark).mapInPandas(
         _webp_roundtrip_batches,
         schema=(
             "doc_id bigint, width int, height int, "
@@ -1809,7 +1809,7 @@ def multimodal_decode_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") % 3 == 0)
         .select("doc_id")
     )
-    per_doc = docs.mapInPandas(
+    per_doc = spread(docs, spark).mapInPandas(
         _yield_batches,
         schema="format string, decode_status string, pixels bigint",
     )
@@ -1937,7 +1937,7 @@ def multimodal_decode_vp8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") % 149 == 0)
         .select("doc_id")
     )
-    per_doc = docs.mapInPandas(
+    per_doc = spread(docs, spark).mapInPandas(
         _vp8_decode_batches,
         schema=(
             "img string, width int, height int, y_sum bigint, "
@@ -2120,7 +2120,7 @@ def multimodal_decode_anim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") % 151 == 0)
         .select("doc_id")
     )
-    per_doc = docs.mapInPandas(
+    per_doc = spread(docs, spark).mapInPandas(
         _anim_decode_batches,
         schema=(
             "variant string, n_frames int, width int, height int, "
@@ -2252,7 +2252,7 @@ def multimodal_decode_gif_anim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") % 11 == 0)
         .select("doc_id")
     )
-    return docs.mapInPandas(
+    return spread(docs, spark).mapInPandas(
         _gif_anim_batches,
         schema=(
             "doc_id bigint, n_frames int, width int, height int, "
@@ -3622,7 +3622,7 @@ def multimodal_video_shot_boundaries(
         % 300
     )
     meta = docs.select("doc_id", n_frames.alias("n_frames"))
-    return meta.mapInPandas(
+    return spread(meta, spark).mapInPandas(
         _shot_batches,
         schema=(
             "doc_id long, n_frames_scanned long, n_boundaries long,"

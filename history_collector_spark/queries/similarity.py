@@ -1469,7 +1469,9 @@ def label_noise_knn(
         matches += (sel_eq & lab_eq).sum(axis=1, dtype=np.int64)
         return pd.DataFrame({"label": q_labs, "matches": matches})
 
-    scored = emb.mapInPandas(score, schema="label long, matches long")
+    scored = spread(emb, spark).mapInPandas(
+        score, schema="label long, matches long"
+    )
     return scored.groupBy(F.col("label").cast("int").alias("label")).agg(
         F.count("*").alias("n_vecs"),
         F.sum("matches").alias("total_matches"),

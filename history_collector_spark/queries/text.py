@@ -1520,7 +1520,7 @@ def text_gopher_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id", "text").mapInPandas(
+    return spread(docs.select("doc_id", "text"), spark).mapInPandas(
         batches,
         schema=(
             "doc_id bigint, top2_char_frac double, top3_char_frac double,"
