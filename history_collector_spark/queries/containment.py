@@ -69,7 +69,12 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "g")
     )
     sh = sh.join(F.broadcast(hot), ["lang", "g"], "left_anti")
-    ex = sh.withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
+    # r15: pin ex before the self-join — each side would otherwise
+    # re-run the shingle explode + hot-gram anti-join + count window
+    # (and sh itself is consumed twice more inside that subtree).
+    ex = sh.withColumn(
+        "n", F.count("*").over(Window.partitionBy("doc_id"))
+    ).persist()
     a = ex.alias("a")
     b = ex.alias("b")
     inter = (

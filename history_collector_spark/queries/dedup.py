@@ -492,10 +492,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "g")
     )
     sh = sh.join(F.broadcast(hot), ["lang", "g"], "left_anti")
-    # per-doc shingle-set size, windowed so it rides the existing rows
+    # per-doc shingle-set size, windowed so it rides the existing rows.
+    # r15: pinned before the self-join — each side would otherwise
+    # re-run the shingle explode + anti-join + count window (the
+    # _candidate_pairs persist discipline; rows are (doc_id, lang, g, n)).
     ex = sh.withColumn(
         "n", F.count("*").over(Window.partitionBy("doc_id"))
-    )
+    ).persist()
     a = ex.alias("a")
     b = ex.alias("b")
     inter = (

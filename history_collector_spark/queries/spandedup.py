@@ -99,9 +99,15 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gh"),
         ),
     )
-    grams = t.select(
-        "doc_id", F.explode(gram_structs).alias("s")
-    ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.gh").alias("gh"))
+    # r15: pin grams — it anchors two consumer subtrees (the dup-gram
+    # aggregate and the coverage join), each of which would re-run the
+    # tokenize + K-gram md5 explode otherwise (same persist discipline
+    # as dedup._candidate_pairs). Rows are (doc_id, pos, gh) — id-width.
+    grams = (
+        t.select("doc_id", F.explode(gram_structs).alias("s"))
+        .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.gh").alias("gh"))
+        .persist()
+    )
 
     # Corpus-wide duplicated grams: one gh-keyed agg with map-side
     # combine; the join back is co-partitioned on gh.
