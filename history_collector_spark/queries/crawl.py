@@ -695,7 +695,11 @@ def crawl_discovery_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         host.alias("host"),
         path.alias("path"),
         priority.alias("priority"),
-    )
+        # r15 batch 6: g feeds the robots verdict AND the staged fate
+        # join — without the pin the Arrow link-extraction kernel and
+        # the canonical agg ran twice. One row per distinct canonical
+        # URL.
+    ).persist()
     rules = spark.range(5).select(
         F.concat(
             F.lit("site"), F.col("id").cast("string"),

@@ -198,6 +198,9 @@ def curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
+        # r15 batch 6: consumed twice (c and the fate assembly) — each
+        # consumer re-ran the pair-table joins otherwise. Tiny id-set.
+        .persist()
     )
     c = b.join(nd_drop, "doc_id", "left_anti")
 
@@ -218,6 +221,11 @@ def curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh.filter(F.col("doc_id") % _BENCH_MOD != 0)
         .join(F.broadcast(bench), "g")
         .select("doc_id").distinct()
+        # r15 batch 6: consumed by d AND the fate assembly, and d's
+        # range-prefix-sum repartitionByRange adds a boundary-sampling
+        # pass — without the pin the full corpus shingle explode ran
+        # up to three times. Tiny id-set (contaminated docs only).
+        .persist()
     )
     d = c.join(contam, "doc_id", "left_anti")
 

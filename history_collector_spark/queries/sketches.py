@@ -195,7 +195,10 @@ def sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = (h + F.lit(1)) / F.lit(4294967297.0)
     samp = events.filter(u < F.lit(_SKA_SAMPLE)).select(
         "event_type", "value", "event_id"
-    )
+        # r15 batch 6: samp feeds the range-prefix-sum (sampling pass +
+        # local + totals consumers) AND n_per — the md5-filtered scan
+        # ran up to four times. Fixed-fraction sample, narrow columns.
+    ).persist()
     # nearest-rank needs a per-group row_number over the sample; the
     # sample is a fixed FRACTION, so a plain window would sort a
     # partition that grows with the corpus (the round-10 full plan
