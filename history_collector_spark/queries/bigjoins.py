@@ -816,6 +816,15 @@ def customer_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("o_custkey", "half")
         .agg(F.sum("cents").alias("spend_cents"))
+        # r15 optimization (the multiply-consumed-frame persist
+        # discipline, guide §3.6/§5): `halves` anchors THREE consumer
+        # subtrees — the percentile cutoffs plus both sides of the
+        # half-1/half-2 self-join — so the orders scan + (customer,
+        # half) aggregate executed three times. Pinned, the consumers
+        # read InMemoryTableScan; the frame is bounded (customers x 2
+        # narrow rows — exactly what a production cohort job would
+        # materialize).
+        .persist()
     )
     cuts = halves.groupBy("half").agg(
         F.expr(

@@ -530,81 +530,112 @@ def cluster_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
     history: list[tuple[int, int, float, float, int]] = []
     try:
-        for k in _KM_TRAIN_KS:
-            cents = np.stack(
-                [
-                    np.asarray(r["embedding"], dtype=np.float64)
-                    for r in emb.filter(F.col("vec_id") < k)
-                    .orderBy("vec_id")
-                    .collect()
-                ]
+        # r15 optimization (guide §1.2 "the distributed algorithm" +
+        # §1.1 measured first): at 24 sequential iterations x ~0.8 s of
+        # per-job fixed cost (analysis + codegen + schedule + collect),
+        # the old one-job-per-(k, iteration) loop was driver-bound, not
+        # data-bound. All three ks now train in LOCKSTEP: one pass per
+        # iteration round computes the sufficient statistics of every
+        # still-moving k (8 jobs instead of 24). Per k the arithmetic
+        # is unchanged — the same d2 fold per centroid, the same
+        # integer sufficient statistics, the same update — so the
+        # trajectory is bit-identical (oracle-verified). Centroids ride
+        # in as DATA (one broadcast row of array<struct<k, cents>>)
+        # rather than a k x 64-literal tree, so every round re-uses the
+        # same codegen'd plan shape, and argmin is array_min over
+        # (d2, c_id) structs instead of the running-min fold that
+        # evaluated d2 TWICE per centroid (HOF lambdas get no CSE —
+        # the ann_pq_adc_topk fix, r15 item 10; lexicographic struct
+        # min keeps the smallest c_id on equal d2, exactly the fold's
+        # keep-first rule).
+        seeds = (
+            emb.filter(F.col("vec_id") < max(_KM_TRAIN_KS))
+            .orderBy("vec_id")
+            .collect()
+        )
+        seed_mat = np.stack(
+            [np.asarray(r["embedding"], dtype=np.float64) for r in seeds]
+        )
+        cents_by_k = {k: seed_mat[:k].copy() for k in _KM_TRAIN_KS}
+        moving = list(_KM_TRAIN_KS)
+        hist_by_k: dict[int, list] = {k: [] for k in _KM_TRAIN_KS}
+
+        def d2(c_emb: F.Column) -> F.Column:
+            return F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    c_emb,
+                    lambda x, y: (x.cast("double") - y)
+                    * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
             )
-            for it in range(_KM_MAX_ITER):
-                carr = F.array(
-                    *[
-                        F.struct(
-                            F.lit(c).cast("long").alias("c_id"),
-                            F.array(
-                                *[F.lit(float(v)) for v in cents[c]]
-                            ).alias("c_emb"),
+
+        for it in range(_KM_MAX_ITER):
+            if not moving:
+                break
+            cents_df = spark.createDataFrame(
+                [(
+                    [
+                        (k, [(c, [float(v) for v in cents_by_k[k][c]])
+                             for c in range(k)])
+                        for k in moving
+                    ],
+                )],
+                "karr array<struct<k:bigint,"
+                "cents:array<struct<c_id:bigint,c_emb:array<double>>>>>",
+            )
+            bests = F.transform(
+                F.col("karr"),
+                lambda g: F.struct(
+                    g.k.alias("k"),
+                    F.array_min(
+                        F.transform(
+                            g.cents,
+                            lambda c: F.struct(
+                                d2(c.c_emb).alias("best_d2"),
+                                c.c_id.alias("best_c"),
+                            ),
                         )
-                        for c in range(k)
-                    ]
+                    ).alias("b"),
+                ),
+            )
+            stats = (
+                emb.crossJoin(F.broadcast(cents_df))
+                .select(F.explode(bests).alias("kb"), "eq")
+                .groupBy(
+                    F.col("kb.k").alias("k"),
+                    F.col("kb.b.best_c").alias("c"),
                 )
-
-                def d2(c_emb: F.Column) -> F.Column:
-                    return F.aggregate(
-                        F.zip_with(
-                            F.col("embedding"),
-                            c_emb,
-                            lambda x, y: (x.cast("double") - y)
-                            * (x.cast("double") - y),
-                        ),
-                        F.lit(0.0),
-                        lambda acc, v: acc + v,
-                    )
-
-                best = F.aggregate(
-                    carr,
-                    F.struct(
-                        F.lit(float("inf")).alias("best_d2"),
-                        F.lit(-1).cast("long").alias("best_c"),
-                    ),
-                    lambda acc, c: F.when(
-                        d2(c.c_emb) < acc.best_d2,
-                        F.struct(
-                            d2(c.c_emb).alias("best_d2"),
-                            c.c_id.alias("best_c"),
-                        ),
-                    ).otherwise(acc),
+                .agg(
+                    F.count("*").alias("n"),
+                    # exact integer sums on the 1e-6 grid: the
+                    # reduction is associative, so partition order
+                    # cannot perturb a single bit
+                    F.sum(
+                        F.floor(
+                            F.col("kb.b.best_d2") * F.lit(_KM_Q)
+                            + F.lit(0.5)
+                        ).cast("long")
+                    ).alias("wssq"),
+                    F.array(
+                        *[
+                            F.sum(F.element_at("eq", i + 1))
+                            for i in range(EMB_DIM)
+                        ]
+                    ).alias("vq"),
                 )
-                stats = (
-                    emb.select(best.alias("b"), "eq")
-                    .groupBy(F.col("b.best_c").alias("c"))
-                    .agg(
-                        F.count("*").alias("n"),
-                        # exact integer sums on the 1e-6 grid: the
-                        # reduction is associative, so partition order
-                        # cannot perturb a single bit
-                        F.sum(
-                            F.floor(
-                                F.col("b.best_d2") * F.lit(_KM_Q)
-                                + F.lit(0.5)
-                            ).cast("long")
-                        ).alias("wssq"),
-                        F.array(
-                            *[
-                                F.sum(F.element_at("eq", i + 1))
-                                for i in range(EMB_DIM)
-                            ]
-                        ).alias("vq"),
-                    )
-                    .collect()  # BOUNDED: k rows of sufficient statistics
-                )
-                wss = float(sum(int(r["wssq"]) for r in stats)) / _KM_Q
+                .collect()  # BOUNDED: sum(moving ks) stat rows
+            )
+            still_moving = []
+            for k in moving:
+                cents = cents_by_k[k]
+                krows = [r for r in stats if int(r["k"]) == k]
+                wss = float(sum(int(r["wssq"]) for r in krows)) / _KM_Q
                 new_cents = cents.copy()  # empty clusters keep position
-                n_empty = k - len(stats)
-                for r in stats:
+                n_empty = k - len(krows)
+                for r in krows:
                     # mirror the oracle exactly: /1e6 first, then /n,
                     # then snap back to the grid
                     raw = (
@@ -615,10 +646,13 @@ def cluster_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (new_cents - cents) * _KM_Q + 0.5
                 ).astype(np.int64)
                 shift2 = float((dq * dq).sum()) / (_KM_Q * _KM_Q)
-                history.append((k, it, wss, shift2, n_empty))
-                cents = new_cents
-                if shift2 == 0.0:
-                    break
+                hist_by_k[k].append((k, it, wss, shift2, n_empty))
+                cents_by_k[k] = new_cents
+                if shift2 != 0.0:
+                    still_moving.append(k)
+            moving = still_moving
+        for k in _KM_TRAIN_KS:
+            history.extend(hist_by_k[k])
     finally:
         emb.unpersist()
     _KM_TRAIN_CACHE[key] = history

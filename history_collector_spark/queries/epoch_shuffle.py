@@ -23,7 +23,7 @@ trusting the construction.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from history_collector_spark.catalog import table
@@ -184,6 +184,15 @@ def eval_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows over the same partitioning), one per-query agg, one scalar
     fold. Comparing two systems over a billion queries costs one pass
     and returns six numbers."""
+    # r15 optimization (guide §2.4 remove shuffles / §4.1 built-ins):
+    # the former plan ran TWO full row_number window sorts over the
+    # l_orderkey exchange plus a second hash aggregate. Orders are tiny
+    # groups (<= 7 lineitems), so the hit flags are computed
+    # ROW-LOCALLY: one collect_list aggregate per order, array_sort
+    # with the SAME (key DESC, l_linenumber ASC) comparator per
+    # ranker, top-K prefix scan — row_number <= K over a deterministic
+    # total order selects exactly the first K sorted elements, so the
+    # integer hit flags are bit-identical (oracle-verified).
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey",
         "l_linenumber",
@@ -191,26 +200,39 @@ def eval_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_extendedprice",
         "l_discount",
     )
-    wa = Window.partitionBy("l_orderkey").orderBy(
-        F.col("l_extendedprice").desc(), F.col("l_linenumber")
+    keys = [
+        lambda x: x["l_extendedprice"],
+        lambda x: x["l_extendedprice"] * (1 - x["l_discount"]),
+    ]
+
+    def cmp(keyf):
+        def c(left, right):
+            kl, kr = keyf(left), keyf(right)
+            return (
+                F.when(kl > kr, F.lit(-1))
+                .when(kl < kr, F.lit(1))
+                .when(
+                    left["l_linenumber"] < right["l_linenumber"], F.lit(-1)
+                )
+                .otherwise(F.lit(1))
+            )
+
+        return c
+
+    grouped = li.groupBy("l_orderkey").agg(
+        F.collect_list(
+            F.struct("l_linenumber", "rel", "l_extendedprice", "l_discount")
+        ).alias("xs")
     )
-    wb = Window.partitionBy("l_orderkey").orderBy(
-        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).desc(),
-        F.col("l_linenumber"),
-    )
-    ranked = li.select(
-        "l_orderkey",
-        "rel",
-        F.row_number().over(wa).alias("ra"),
-        F.row_number().over(wb).alias("rb"),
-    )
-    per_q = ranked.groupBy("l_orderkey").agg(
-        F.max(
-            ((F.col("ra") <= _MCN_K) & (F.col("rel") == 1)).cast("int")
-        ).alias("hit_a"),
-        F.max(
-            ((F.col("rb") <= _MCN_K) & (F.col("rel") == 1)).cast("int")
-        ).alias("hit_b"),
+    hits = [
+        F.exists(
+            F.slice(F.array_sort("xs", cmp(keys[i])), 1, _MCN_K),
+            lambda x: x["rel"] == 1,
+        ).cast("int")
+        for i in range(2)
+    ]
+    per_q = grouped.select(
+        hits[0].alias("hit_a"), hits[1].alias("hit_b")
     )
     a1, b1 = F.col("hit_a") == 1, F.col("hit_b") == 1
     only_a = F.sum((a1 & ~b1).cast("int")).cast("long")

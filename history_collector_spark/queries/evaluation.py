@@ -88,31 +88,52 @@ def centroid_classifier_confusion(spark: SparkSession, sf_dir: str) -> DataFrame
             * F.aggregate("centroid", F.lit(0.0), lambda a, x: a + x * x),
         )
     )
-    dot = F.aggregate(
-        F.zip_with(
-            "embedding", "centroid", lambda e, c: e.cast("double") * c
-        ),
-        F.lit(0.0),
-        lambda a, x: a + x,
+    # r15 optimization (guide §2.4 remove shuffles / §4.1 built-ins):
+    # the former plan crossJoined every vector with the broadcast
+    # centroid table (N x labels rows) and ran a row_number window
+    # partitioned by vec_id — a full exchange + sort of the fanned-out
+    # rows just to take a per-vector argmax. The centroids ride along
+    # as ONE array row instead, and the argmax is a row-local
+    # array_min over (-score, pred_candidate) structs: lexicographic
+    # struct min == highest score, ties to the SMALLEST candidate id —
+    # exactly the window's (score DESC, pred_candidate ASC) row_number
+    # = 1 rule. Scores are the same IEEE-754 dot - half||c||^2
+    # sequence per (vector, centroid), so the confusion matrix is
+    # bit-identical (oracle-verified). No fan-out exchange, no sort.
+    cents_one = cent.agg(
+        F.collect_list(
+            F.struct("pred_candidate", "centroid", "half_cnorm2")
+        ).alias("cs")
     )
-    w = F.row_number().over(
-        Window.partitionBy("vec_id").orderBy(F.desc("score"), "pred_candidate")
-    )
+
+    def score(c):
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("embedding"), c["centroid"],
+                lambda e, cc: e.cast("double") * cc,
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        return dot - c["half_cnorm2"]
+
+    pred = F.array_min(
+        F.transform(
+            F.col("cs"),
+            lambda c: F.struct(
+                (-score(c)).alias("nscore"),
+                c["pred_candidate"].alias("pred_label"),
+            ),
+        )
+    )["pred_label"]
     scored = (
         emb.select("vec_id", F.col("label").alias("true_label"), "embedding")
-        .crossJoin(F.broadcast(cent))
-        .select(
-            "vec_id",
-            "true_label",
-            "pred_candidate",
-            (dot - F.col("half_cnorm2")).alias("score"),
-        )
-        .withColumn("rk", w)
-        .filter(F.col("rk") == 1)
+        .crossJoin(F.broadcast(cents_one))
+        .select("true_label", pred.alias("pred_label"))
     )
-    return scored.groupBy(
-        "true_label", F.col("pred_candidate").alias("pred_label")
-    ).agg(F.count("*").alias("n"))
+    return scored.groupBy("true_label", "pred_label").agg(
+        F.count("*").alias("n")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -126,11 +126,24 @@ def graph_pagerank_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         # total at _N_ITER=3). The contribution addends are the same
         # r_u/deg_u multiset per destination, so the float sums are
         # unchanged.
+        #
+        # r15 optimization round (guide §1.2 driver-side job count):
+        # each rank frame is consumed exactly ONCE by the next
+        # iteration, so the per-iteration eager localCheckpoint bought
+        # no recompute protection — it only paid 3 extra
+        # materialization jobs. At the FIXED _N_ITER=3 horizon the
+        # iterations compose lazily into one 3-join plan executed by a
+        # single job (edges/deg stay persisted, so each unrolled level
+        # reads InMemoryTableScan); ONE final eager checkpoint
+        # materializes the chain so edges/deg can be unpersisted before
+        # returning. A convergence-driven loop (tens of iterations,
+        # growing lineage) is where the per-iteration checkpoint
+        # discipline belongs — clusters.py keeps it.
         ranks = deg.select(
             F.col("u").alias("node"),
             "deg",
             F.lit(1.0 / n_nodes).alias("r"),
-        ).localCheckpoint(eager=True)
+        )
         for _ in range(_N_ITER):
             contrib = (
                 edges.join(ranks, edges.u == ranks.node)
@@ -148,8 +161,8 @@ def graph_pagerank_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
                         + F.lit(_DAMPING) * F.coalesce("contrib", F.lit(0.0))
                     ).alias("r"),
                 )
-                .localCheckpoint(eager=True)
             )
+        ranks = ranks.localCheckpoint(eager=True)
         edges.unpersist()
         result = ranks.select(
             F.col("node").alias("doc_id"),

@@ -19,7 +19,7 @@ pipeline publishes before promoting a system.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from history_collector_spark.catalog import table
@@ -221,6 +221,18 @@ def eval_win_rate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg, then the 3x3 matrix is literal-grid arithmetic on the tiny
     per-query hit table — comparing k systems over a billion queries
     is one pass plus k^2 bounded aggregates."""
+    # r15 optimization (guide §2.4 remove shuffles / §4.1 built-ins):
+    # the former plan ran THREE full row_number window sorts over one
+    # l_orderkey exchange, then re-shuffled a 6x crossJoin fan-out into
+    # a second aggregate. Orders are tiny groups (<= 7 lineitems), so
+    # the per-query hit flags are computed ROW-LOCALLY instead: one
+    # collect_list aggregate per order, array_sort with the SAME
+    # (key DESC, l_linenumber ASC) comparator per ranker, top-K prefix
+    # scan. row_number <= K over a deterministic total order selects
+    # exactly the first K array elements, so the hit flags are
+    # bit-identical (integer flags; oracle-verified). The 6-cell matrix
+    # collapses to ONE single-pass aggregate (18 integer sums) exploded
+    # from a literal grid — no fan-out exchange.
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey",
         "l_linenumber",
@@ -229,71 +241,80 @@ def eval_win_rate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_discount",
         "l_quantity",
     )
-    orders_w = [
-        [F.col("l_extendedprice").desc(), F.col("l_linenumber")],
-        [
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).desc(),
-            F.col("l_linenumber"),
-        ],
-        [
-            (F.col("l_quantity") * F.col("l_extendedprice")).desc(),
-            F.col("l_linenumber"),
-        ],
+    keys = [
+        lambda x: x["l_extendedprice"],
+        lambda x: x["l_extendedprice"] * (1 - x["l_discount"]),
+        lambda x: x["l_quantity"] * x["l_extendedprice"],
     ]
-    ranked = li.select(
-        "l_orderkey",
-        "rel",
-        *[
-            F.row_number()
-            .over(Window.partitionBy("l_orderkey").orderBy(*ob))
-            .alias(f"r{i}")
-            for i, ob in enumerate(orders_w)
-        ],
-    )
-    per_q = ranked.groupBy("l_orderkey").agg(
-        *[
-            F.max(
-                ((F.col(f"r{i}") <= _WRM_K) & (F.col("rel") == 1)).cast(
-                    "int"
+
+    def cmp(keyf):
+        def c(left, right):
+            kl, kr = keyf(left), keyf(right)
+            return (
+                F.when(kl > kr, F.lit(-1))
+                .when(kl < kr, F.lit(1))
+                .when(
+                    left["l_linenumber"] < right["l_linenumber"], F.lit(-1)
                 )
-            ).alias(f"h{i}")
+                .otherwise(F.lit(1))
+            )
+
+        return c
+
+    grouped = li.groupBy("l_orderkey").agg(
+        F.collect_list(
+            F.struct(
+                "l_linenumber", "rel", "l_extendedprice", "l_discount",
+                "l_quantity",
+            )
+        ).alias("xs")
+    )
+    per_q = grouped.select(
+        *[
+            F.exists(
+                F.slice(F.array_sort("xs", cmp(keys[i])), 1, _WRM_K),
+                lambda x: x["rel"] == 1,
+            )
+            .cast("int")
+            .alias(f"h{i}")
             for i in range(3)
         ]
     )
-    pairs = spark.createDataFrame(
-        [(a, b) for a in range(3) for b in range(3) if a != b],
-        "ia int, ib int",
-    )
-    hits = F.array(*[F.col(f"h{i}") for i in range(3)])
-    cells = (
-        per_q.select(hits.alias("h"))
-        .crossJoin(F.broadcast(pairs))
-        .select(
-            "ia",
-            "ib",
-            F.element_at(F.col("h"), F.col("ia") + 1).alias("ha"),
-            F.element_at(F.col("h"), F.col("ib") + 1).alias("hb"),
+    pair_ids = [(a, b) for a in range(3) for b in range(3) if a != b]
+    aggs = []
+    for a, b in pair_ids:
+        ha, hb = F.col(f"h{a}"), F.col(f"h{b}")
+        aggs.extend(
+            [
+                F.sum(((ha == 1) & (hb == 0)).cast("int"))
+                .cast("long").alias(f"w_{a}_{b}"),
+                F.sum(((ha == 0) & (hb == 1)).cast("int"))
+                .cast("long").alias(f"l_{a}_{b}"),
+                F.sum((ha == hb).cast("int"))
+                .cast("long").alias(f"t_{a}_{b}"),
+            ]
         )
-        .groupBy("ia", "ib")
-        .agg(
-            F.sum(((F.col("ha") == 1) & (F.col("hb") == 0)).cast("int"))
-            .cast("long").alias("wins"),
-            F.sum(((F.col("ha") == 0) & (F.col("hb") == 1)).cast("int"))
-            .cast("long").alias("losses"),
-            F.sum((F.col("ha") == F.col("hb")).cast("int"))
-            .cast("long").alias("ties"),
-        )
-    )
-    sysname = F.element_at(
-        F.array(*[F.lit(s) for s in _WRM_SYSTEMS]), F.col("ia") + 1
-    )
-    sysname_b = F.element_at(
-        F.array(*[F.lit(s) for s in _WRM_SYSTEMS]), F.col("ib") + 1
-    )
+    one = per_q.agg(*aggs)
+    cells = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(_WRM_SYSTEMS[a]).alias("system_a"),
+                        F.lit(_WRM_SYSTEMS[b]).alias("system_b"),
+                        F.col(f"w_{a}_{b}").alias("wins"),
+                        F.col(f"l_{a}_{b}").alias("losses"),
+                        F.col(f"t_{a}_{b}").alias("ties"),
+                    )
+                    for a, b in pair_ids
+                ]
+            )
+        ).alias("cell")
+    ).select("cell.*")
     decided = F.col("wins") + F.col("losses")
     return cells.select(
-        sysname.alias("system_a"),
-        sysname_b.alias("system_b"),
+        "system_a",
+        "system_b",
         "wins",
         "losses",
         "ties",

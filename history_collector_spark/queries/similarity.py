@@ -744,7 +744,13 @@ def ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # anchors six consumer subtrees here (query/centroid quantization,
     # candidate fetch, rescoring, ground truth x2), each re-running
     # the scan + norm fold on one task otherwise.
-    emb = spread(_emb_with_norm(spark, sf_dir), spark)
+    # r15 optimization round: ALSO persist it (the multiply-consumed-
+    # frame pin, guide §3.6/§5) — spreading alone still re-executed the
+    # scan + spread exchange + norm fold once PER consumer subtree;
+    # pinned, all six read InMemoryTableScan. The frame is the
+    # vector table itself (id, label, vec, norm — what an ANN index
+    # build materializes anyway).
+    emb = spread(_emb_with_norm(spark, sf_dir), spark).persist()
     sc = F.lit(float(_SWEEP_SCALE))
 
     def quant(df, idcol):

@@ -440,28 +440,47 @@ def bloom_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(False).alias("is_member"),
         )
     )
-    ppos = probes.select(
-        "key", "is_member", F.explode(positions(F.col("key"))).alias("p")
-    )
-    checks = ppos.join(
-        F.broadcast(bitmap),
-        (F.col("p") / 32).cast("long") == F.col("word"),
-        "left",
+    # r15 optimization (guide §2.4 remove shuffles): the former probe
+    # exploded k=7 positions per key (2N x 7 rows), word-joined the
+    # bitmap, then re-grouped by key — two exchanges of exploded rows.
+    # The bitmap is KB-sized, so it rides along as ONE dense
+    # array<long> row (broadcast nested-loop of a single row) and each
+    # probe key tests all 7 positions ROW-LOCALLY; the per-key verdict
+    # is exactly sum(hit) == k as before (integer flags, oracle-
+    # verified). No exploded exchange, no regroup.
+    dense = bitmap.agg(
+        F.collect_list(F.struct("word", "bits")).alias("wb")
     ).select(
-        "key",
-        "is_member",
-        F.when(
-            F.expr(
-                "(coalesce(bits, 0L) & shiftleft(1L, cast(p % 32 as int)))"
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_BLOOM_BITS // 32 - 1)),
+            lambda w: F.coalesce(
+                F.element_at(
+                    F.map_from_entries(F.col("wb")), w.cast("long")
+                ),
+                F.lit(0).cast("long"),
+            ),
+        ).alias("words")
+    )
+    hitn = F.aggregate(
+        positions(F.col("key")),
+        F.lit(0),
+        lambda acc, p: acc
+        + F.when(
+            F.element_at(
+                F.col("words"), (p / 32).cast("long").cast("int") + 1
+            ).bitwiseAND(
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), (p % 32).cast("int")
+                )
             )
             != 0,
             1,
-        )
-        .otherwise(0)
-        .alias("hit"),
+        ).otherwise(0),
     )
-    verdicts = checks.groupBy("key", "is_member").agg(
-        F.when(F.sum("hit") == _BLOOM_K, 1).otherwise(0).alias("positive")
+    verdicts = probes.crossJoin(F.broadcast(dense)).select(
+        "key",
+        "is_member",
+        F.when(hitn == _BLOOM_K, 1).otherwise(0).alias("positive"),
     )
     mem = F.col("is_member")
     return verdicts.agg(

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from history_collector_spark.catalog import register_views
+from history_collector_spark.catalog import table
 from history_collector_spark.registry import register
 
 _SQL = """
@@ -27,5 +27,12 @@ GROUP BY o_orderpriority
 
 @register("sql_surface", oracle=_SQL)
 def sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
+    # r15 optimization (guide §1.2 "don't compute things you throw
+    # away"): the statement references ONE view, so only that view is
+    # registered — the former catalog-wide register_views() paid ten
+    # spark.read.parquet footer/schema round-trips per invocation to
+    # register nine views the query never touches. The demonstrated
+    # surface is unchanged: parse -> analyze over a temp view ->
+    # Catalyst -> codegen, same result, same oracle.
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_SQL)
