@@ -52,6 +52,31 @@ def checked_embedding(width: int = EXPECTED_EMBEDDING_DIMS):
     )
 
 
+# r15 optimization (guide §6 file listing / §1.2 driver-side cost):
+# every `spark.read.parquet(path)` pays a DRIVER-side file listing +
+# footer schema read (~87 ms measured warm on the test tables), and the
+# suite issues well over a thousand table() calls per bench run — the
+# dominant share of the flat ~0.5-1 s tail on ~300 cheap queries. Spark
+# itself caches listings for CATALOG tables
+# (spark.sql.hive.filesourcePartitionFileCacheSize); path-based reads
+# get no such cache, so we memoize the analyzed DataFrame per
+# (applicationId, sf_dir, table). This caches plan METADATA only —
+# every execution still scans the parquet bytes (no result or data
+# caching; the no-precompute rule is untouched). Keyed exactly like the
+# session pair-table memos; `refresh_tables()` evicts (e.g. if a test
+# rewrites a corpus dir in place).
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def refresh_tables(sf_dir: str | None = None) -> None:
+    """Evict memoized table frames (all, or one corpus dir's)."""
+    if sf_dir is None:
+        _TABLE_CACHE.clear()
+        return
+    for key in [k for k in _TABLE_CACHE if k[1] == sf_dir]:
+        del _TABLE_CACHE[key]
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one parquet table. Column pruning + predicate pushdown are
     Catalyst's job — callers select/filter declaratively and the parquet
@@ -73,6 +98,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         # harmless when the column is a real timestamp; required to even
@@ -86,8 +115,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif isinstance(ts_type, T.TimestampNTZType):
             df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
-        return df
-    return spark.read.parquet(path)
+    else:
+        df = spark.read.parquet(path)
+    _TABLE_CACHE[key] = df
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -880,6 +880,13 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.2 * F.greatest("len_a", "len_b")
         )
         .select("doc_a", "doc_b")
+        # r15 optimization (the multiply-consumed-frame persist
+        # discipline): the length-gated pair frame anchors THREE
+        # consumers (both legs of the cand_ids union plus the final
+        # text join), so the two length-attach joins executed three
+        # times. Pinned: id pairs only, bounded by the collision
+        # sample.
+        .persist()
     )
     cand_ids = (
         cand.selectExpr("doc_a AS doc_id")
@@ -979,7 +986,13 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for s in range(N_HASHES)
             ]
         ).alias("sig")
-    )
+        # r15 optimization (the multiply-consumed-frame persist
+        # discipline): `sigs` feeds BOTH sides of the pair join, so the
+        # shingle explode + 32 affine-min aggregate executed twice.
+        # Pinned, both sides read InMemoryTableScan; the frame is the
+        # signature table itself (doc_id + 32 ints — what the LSH index
+        # materializes anyway).
+    ).persist()
     pairs = verified_pair_table(spark, sf_dir)  # doc_a, doc_b, jaccard
     x = sigs.selectExpr("doc_id AS doc_a", "sig AS sig_a")
     y = sigs.selectExpr("doc_id AS doc_b", "sig AS sig_b")
