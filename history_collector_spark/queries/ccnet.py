@@ -146,6 +146,10 @@ def curation_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat = t.select(
         "doc_id", "source", F.explode(tri_arr).alias("g")
     ).select("doc_id", "source", "g.pos", "g.w1", "g.w2", "g.w3")
+    # r15 optimization (the multiply-consumed-frame persist
+    # discipline): `flat` feeds the LM counts AND the scoring join, so
+    # the tokenize + trigram explode ran twice even after spread().
+    flat = flat.persist()
     lm3 = flat.groupBy("w1", "w2", "w3").agg(F.count("*").alias("c3"))
     prefix_w = Window.partitionBy("w1", "w2")
     p = lm3.select(
@@ -179,7 +183,10 @@ def curation_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("n_trigrams").cast("double")
             ).alias("mean_nll"),
         )
-    )
+        # same discipline: `scored` feeds the cutoff aggregate AND the
+        # bucket assignment join — pinned, the LM join + per-doc NLL
+        # fold runs once (doc-cardinality rows, bounded).
+    ).persist()
     cuts = scored.groupBy("source").agg(
         F.expr(
             "percentile_disc(1.0/3) WITHIN GROUP (ORDER BY mean_nll)"

@@ -294,7 +294,12 @@ def text_chrf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ref",
         F.length("cand").alias("lc"),
         F.length("ref").alias("lr"),
-    )
+        # r15 optimization (the multiply-consumed-frame persist
+        # discipline): this frame anchors THREE consumers — the cand
+        # and ref legs of the char-code overlap union plus the length
+        # join — so the docs scan + pair self-join executed three
+        # times. Pinned, all three read InMemoryTableScan.
+    ).persist()
     orders = (1, 2, 3)
     ov = _char_code_overlap(pairs, orders)
     base = pairs.select("pair_id", "lc", "lr").join(ov, "pair_id", "left")

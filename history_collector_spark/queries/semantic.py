@@ -30,7 +30,7 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from history_collector_spark.catalog import table
+from history_collector_spark.catalog import spread, table
 from history_collector_spark.functions.nlp import cosine, l2_norm
 from history_collector_spark.registry import register
 
@@ -115,7 +115,15 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         bucket = term if bucket is None else bucket + term
 
-    sigs = emb.withColumn("bucket", bucket)
+    # r15 optimization (guide §2.5 + the multiply-consumed-frame persist
+    # discipline): the signature frame anchors THREE consumers (both
+    # sides of the intra-bucket self-join plus the final left join), so
+    # the 8 plane-dot folds re-ran three times — fused into a ONE-task
+    # scan (single-row-group input). spread() parallelizes the signature
+    # pass; persist() makes all three consumers read InMemoryTableScan.
+    # The frame is the signature table a SemDeDup run materializes
+    # anyway (id, vec, norm, bucket).
+    sigs = spread(emb, spark).withColumn("bucket", bucket).persist()
     a = sigs.alias("a")
     c = sigs.alias("c")
     cos = cosine(

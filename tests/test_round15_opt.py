@@ -100,3 +100,68 @@ def test_spread_preserves_rows_and_only_adds_partitions(spark):
 def test_spread_noop_when_scan_already_parallel(spark):
     df = spark.range(0, 1000, 1, spark.sparkContext.defaultParallelism + 3)
     assert spread(df, spark) is df
+
+
+# ---------------------------------------------------------------------------
+# Session table-metadata memo (catalog.table): the analyzed frame is
+# reused within a session, refresh_tables() evicts, and distinct corpus
+# dirs never share an entry.
+# ---------------------------------------------------------------------------
+
+
+def test_table_memo_reuses_frame_and_refresh_evicts(spark):
+    from history_collector_spark import catalog
+
+    catalog.refresh_tables(TEST_SF_DIR)
+    a = table(spark, TEST_SF_DIR, "orders")
+    b = table(spark, TEST_SF_DIR, "orders")
+    assert a is b  # plan metadata cached, not rebuilt
+    key = (spark.sparkContext.applicationId, TEST_SF_DIR, "orders")
+    assert key in catalog._TABLE_CACHE
+    catalog.refresh_tables(TEST_SF_DIR)
+    assert key not in catalog._TABLE_CACHE
+    c = table(spark, TEST_SF_DIR, "orders")
+    assert c is not a  # rebuilt after evict
+    assert c.schema == a.schema
+
+
+def test_table_memo_keys_by_corpus_dir(spark, tmp_path):
+    from history_collector_spark import catalog
+
+    d = str(tmp_path / "corpus2")
+    table(spark, TEST_SF_DIR, "nation").write.parquet(
+        os.path.join(d, "nation.parquet")
+    )
+    first = table(spark, TEST_SF_DIR, "nation")
+    second = table(spark, d, "nation")
+    assert first is not second
+    assert second.count() == first.count()
+    catalog.refresh_tables(d)
+
+
+# ---------------------------------------------------------------------------
+# Window-free rewrites of the paired-eval family: the row-local
+# array_sort top-k must keep the physical plan free of Window/Sort
+# operators (the point of the rewrite) while the oracle parity tests
+# pin the values.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "eval_win_rate_matrix",
+        "eval_mcnemar_paired",
+        "centroid_classifier_confusion",
+        "bloom_membership_audit",
+    ],
+)
+def test_rewritten_evals_have_no_window_operator(spark, name):
+    from history_collector_spark import registry
+
+    registry.load_all()
+    df = registry.QUERIES[name](spark, TEST_SF_DIR)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert " Window " not in plan and "WindowExec" not in plan
