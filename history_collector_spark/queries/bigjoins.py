@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from history_collector_spark.catalog import table
 from history_collector_spark.registry import register
+from history_collector_spark.pinning import pin_local
 
 
 @register(
@@ -824,7 +825,7 @@ def customer_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         # read InMemoryTableScan; the frame is bounded (customers x 2
         # narrow rows — exactly what a production cohort job would
         # materialize).
-        .persist()
+        .transform(pin_local)
     )
     cuts = halves.groupBy("half").agg(
         F.expr(

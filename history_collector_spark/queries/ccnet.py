@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from history_collector_spark.catalog import spread, table
 from history_collector_spark.registry import register
+from history_collector_spark.pinning import pin_local
 
 # per-doc ordered-fold mean NLL under the corpus trigram LM; pos keeps
 # document order so list_sum replays the Spark fold sequence
@@ -149,7 +150,7 @@ def curation_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r15 optimization (the multiply-consumed-frame persist
     # discipline): `flat` feeds the LM counts AND the scoring join, so
     # the tokenize + trigram explode ran twice even after spread().
-    flat = flat.persist()
+    flat = pin_local(flat)
     lm3 = flat.groupBy("w1", "w2", "w3").agg(F.count("*").alias("c3"))
     prefix_w = Window.partitionBy("w1", "w2")
     p = lm3.select(
@@ -186,7 +187,7 @@ def curation_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         # same discipline: `scored` feeds the cutoff aggregate AND the
         # bucket assignment join — pinned, the LM join + per-doc NLL
         # fold runs once (doc-cardinality rows, bounded).
-    ).persist()
+    ).transform(pin_local)
     cuts = scored.groupBy("source").agg(
         F.expr(
             "percentile_disc(1.0/3) WITHIN GROUP (ORDER BY mean_nll)"

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from history_collector_spark.catalog import table
 from history_collector_spark.queries.dedup import NGRAM_DF_CAP, _doc_shingles
 from history_collector_spark.registry import register
+from history_collector_spark.pinning import pin_local
 
 _THRESHOLD = 0.5
 
@@ -74,7 +75,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (and sh itself is consumed twice more inside that subtree).
     ex = sh.withColumn(
         "n", F.count("*").over(Window.partitionBy("doc_id"))
-    ).persist()
+    ).transform(pin_local)
     a = ex.alias("a")
     b = ex.alias("b")
     inter = (

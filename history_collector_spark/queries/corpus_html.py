@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from history_collector_spark.catalog import table
 from history_collector_spark.queries.corpus_io import _fixture_dir
 from history_collector_spark.registry import register
+from history_collector_spark.pinning import pin_local
 
 _WORDS_PER_PARA = 40
 _MAX_LINK_DENSITY = 0.35
@@ -378,7 +379,7 @@ def curation_web_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id bigint, source string, nt bigint, h string,"
             " n_boiler bigint"
         ),
-    ).persist()
+    ).transform(pin_local)
     from pyspark.sql import Window
 
     q = meta.filter(F.col("nt") >= _WEB_MIN_TOKENS)

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from history_collector_spark.catalog import spread, table
 from history_collector_spark.registry import register
+from history_collector_spark.pinning import pin_local
 
 # Mini public-suffix list (structure of the real PSL: plain TLDs,
 # second-level country registries, and a private-domain entry that
@@ -699,7 +700,7 @@ def crawl_discovery_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         # join — without the pin the Arrow link-extraction kernel and
         # the canonical agg ran twice. One row per distinct canonical
         # URL.
-    ).persist()
+    ).transform(pin_local)
     rules = spark.range(5).select(
         F.concat(
             F.lit("site"), F.col("id").cast("string"),

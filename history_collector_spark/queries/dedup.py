@@ -49,6 +49,7 @@ from history_collector_spark.functions.nlp import (
     shingle_rows,
 )
 from history_collector_spark.registry import register
+from history_collector_spark.pinning import pin_local
 
 N_HASHES = 32
 N_BANDS = 16  # r=2 rows per band
@@ -498,7 +499,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _candidate_pairs persist discipline; rows are (doc_id, lang, g, n)).
     ex = sh.withColumn(
         "n", F.count("*").over(Window.partitionBy("doc_id"))
-    ).persist()
+    ).transform(pin_local)
     a = ex.alias("a")
     b = ex.alias("b")
     inter = (
@@ -765,7 +766,7 @@ def dedup_lsh_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") != _ANCHOR_DOC)
         .select("doc_id")
         .distinct()
-        .persist()
+        .transform(pin_local)
     )
     cand_ids.count()
     docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
@@ -886,7 +887,7 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         # text join), so the two length-attach joins executed three
         # times. Pinned: id pairs only, bounded by the collision
         # sample.
-        .persist()
+        .transform(pin_local)
     )
     cand_ids = (
         cand.selectExpr("doc_a AS doc_id")
@@ -992,7 +993,7 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Pinned, both sides read InMemoryTableScan; the frame is the
         # signature table itself (doc_id + 32 ints — what the LSH index
         # materializes anyway).
-    ).persist()
+    ).transform(pin_local)
     pairs = verified_pair_table(spark, sf_dir)  # doc_a, doc_b, jaccard
     x = sigs.selectExpr("doc_id AS doc_a", "sig AS sig_a")
     y = sigs.selectExpr("doc_id AS doc_b", "sig AS sig_b")

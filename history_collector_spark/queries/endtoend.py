@@ -52,6 +52,7 @@ from history_collector_spark.queries.dedup import (
     verified_pair_table,
 )
 from history_collector_spark.registry import register
+from history_collector_spark.pinning import pin_local
 
 _MIN_TOKENS = 45
 _NEARDUP_J = 0.5
@@ -174,7 +175,7 @@ def curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.split("text", r"\s+")).cast("long").alias("nt"),
             F.md5("text").alias("h"),
         )
-        .persist()
+        .transform(pin_local)
     )
     q = meta.filter(F.col("nt") >= _MIN_TOKENS)
     wex = Window.partitionBy("h").orderBy("doc_id")
@@ -200,7 +201,7 @@ def curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         # r15 batch 6: consumed twice (c and the fate assembly) — each
         # consumer re-ran the pair-table joins otherwise. Tiny id-set.
-        .persist()
+        .transform(pin_local)
     )
     c = b.join(nd_drop, "doc_id", "left_anti")
 
@@ -225,7 +226,7 @@ def curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         # range-prefix-sum repartitionByRange adds a boundary-sampling
         # pass — without the pin the full corpus shingle explode ran
         # up to three times. Tiny id-set (contaminated docs only).
-        .persist()
+        .transform(pin_local)
     )
     d = c.join(contam, "doc_id", "left_anti")
 

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from history_collector_spark.catalog import table
 from history_collector_spark.registry import register
+from history_collector_spark.pinning import pin_local
 
 _ER_OFFSET = 1_000_000_000  # duplicate-record key offset
 _ER_EVERY = 5               # every 5th customer gets a duplicate
@@ -280,7 +281,7 @@ def er_entity_cluster_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein(F.col("a.nm"), F.col("b.nm")) <= _ER_MAX_DIST
         )
         .select(F.col("a.k").alias("lo"), F.col("b.k").alias("hi"))
-        .persist()
+        .transform(pin_local)
     )
     # undirected neighbor map: for each node, the min neighbor key
     nbr_min = (

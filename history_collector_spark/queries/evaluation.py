@@ -131,8 +131,15 @@ def centroid_classifier_confusion(spark: SparkSession, sf_dir: str) -> DataFrame
         .crossJoin(F.broadcast(cents_one))
         .select("true_label", pred.alias("pred_label"))
     )
-    return scored.groupBy("true_label", "pred_label").agg(
-        F.count("*").alias("n")
+    # Degenerate-input guard: with an EMPTY centroid table, array_min
+    # over the empty cs array yields NULL pred_label, whereas the old
+    # crossJoin fan-out produced zero rows — filter those out so both
+    # shapes agree. (Scores are assumed finite: a NaN score would order
+    # differently under min(-score) than the old score-DESC window.)
+    return (
+        scored.filter(F.col("pred_label").isNotNull())
+        .groupBy("true_label", "pred_label")
+        .agg(F.count("*").alias("n"))
     )
 
 

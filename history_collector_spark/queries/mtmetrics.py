@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from history_collector_spark.catalog import spread, table
 from history_collector_spark.registry import register
+from history_collector_spark.pinning import pin_local
 
 _CHRF_BETA2 = 4  # beta = 2: recall weighted 2x, per the chrF paper
 
@@ -299,7 +300,7 @@ def text_chrf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         # and ref legs of the char-code overlap union plus the length
         # join — so the docs scan + pair self-join executed three
         # times. Pinned, all three read InMemoryTableScan.
-    ).persist()
+    ).transform(pin_local)
     orders = (1, 2, 3)
     ov = _char_code_overlap(pairs, orders)
     base = pairs.select("pair_id", "lc", "lr").join(ov, "pair_id", "left")

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from history_collector_spark.catalog import table
 from history_collector_spark.queries.dedup import _doc_shingles
 from history_collector_spark.registry import register
+from history_collector_spark.pinning import pin_local
 
 _TAU = 0.6
 
@@ -99,7 +100,7 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     members = (
         cls.join(classes, ["lang", "h"])
         .select("cls_id", "doc_id", "lang")
-        .persist()
+        .transform(pin_local)
     )
     reps = classes.select(F.col("cls_id").alias("doc_id"))
 
@@ -118,7 +119,7 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.transform(F.col("sorted"), lambda x: x["g"]).alias("s"),
         F.size("sorted").alias("n"),
-    ).persist()
+    ).transform(pin_local)
     prefix_len = F.col("n") - F.ceil(F.lit(_TAU) * F.col("n")) + 1
     pre = sets.select(
         "doc_id",

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from history_collector_spark.catalog import spread, table
 from history_collector_spark.functions.nlp import cosine, l2_norm
 from history_collector_spark.registry import register
+from history_collector_spark.pinning import pin_local
 
 _EMB_DIM = 64
 _N_PLANES = 8
@@ -123,7 +124,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pass; persist() makes all three consumers read InMemoryTableScan.
     # The frame is the signature table a SemDeDup run materializes
     # anyway (id, vec, norm, bucket).
-    sigs = spread(emb, spark).withColumn("bucket", bucket).persist()
+    sigs = pin_local(spread(emb, spark).withColumn("bucket", bucket))
     a = sigs.alias("a")
     c = sigs.alias("c")
     cos = cosine(

@@ -256,7 +256,15 @@ def eval_win_rate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .when(
                     left["l_linenumber"] < right["l_linenumber"], F.lit(-1)
                 )
-                .otherwise(F.lit(1))
+                # final equality branch: equal key AND equal linenumber
+                # compare as 0 so the comparator is a valid total order
+                # (TimSort may reject an ordering where a>b and b>a) —
+                # unreachable today because l_linenumber is unique
+                # within an order, but required by the contract.
+                .when(
+                    left["l_linenumber"] > right["l_linenumber"], F.lit(1)
+                )
+                .otherwise(F.lit(0))
             )
 
         return c

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from history_collector_spark.catalog import spread, table
 from history_collector_spark.functions.nlp import cosine, l2_norm
 from history_collector_spark.registry import register
+from history_collector_spark.pinning import pin_local
 
 EMB_DIM = 64
 
@@ -750,7 +751,7 @@ def ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pinned, all six read InMemoryTableScan. The frame is the
     # vector table itself (id, label, vec, norm — what an ANN index
     # build materializes anyway).
-    emb = spread(_emb_with_norm(spark, sf_dir), spark).persist()
+    emb = spread(_emb_with_norm(spark, sf_dir), spark).transform(pin_local)
     sc = F.lit(float(_SWEEP_SCALE))
 
     def quant(df, idcol):

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from history_collector_spark.catalog import table
 from history_collector_spark.functions.nlp import md5_hash32
 from history_collector_spark.registry import register
+from history_collector_spark.pinning import pin_local
 
 # per-group register count: 1024 buckets puts the test-scale group
 # cardinalities (~10^2-10^4 distinct users) in the well-conditioned
@@ -198,7 +199,7 @@ def sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         # r15 batch 6: samp feeds the range-prefix-sum (sampling pass +
         # local + totals consumers) AND n_per — the md5-filtered scan
         # ran up to four times. Fixed-fraction sample, narrow columns.
-    ).persist()
+    ).transform(pin_local)
     # nearest-rank needs a per-group row_number over the sample; the
     # sample is a fixed FRACTION, so a plain window would sort a
     # partition that grows with the corpus (the round-10 full plan
@@ -453,8 +454,14 @@ def bloom_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.transform(
             F.sequence(F.lit(0), F.lit(_BLOOM_BITS // 32 - 1)),
+            # try_element_at, not element_at: under ANSI mode (Spark 4
+            # default) element_at on a map THROWS for an absent key, and
+            # a 32-bit word with no set bits is absent from `wb` at
+            # smaller key counts — try_element_at yields NULL so the
+            # coalesce restores the old left-join + coalesce(bits, 0)
+            # semantics.
             lambda w: F.coalesce(
-                F.element_at(
+                F.try_element_at(
                     F.map_from_entries(F.col("wb")), w.cast("long")
                 ),
                 F.lit(0).cast("long"),

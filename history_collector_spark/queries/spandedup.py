@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from history_collector_spark.catalog import table
 from history_collector_spark.functions.nlp import md5_hash32, tokens
 from history_collector_spark.registry import register
+from history_collector_spark.pinning import pin_local
 
 # K-token window for substring dedup; SEG-token cells for segment dedup.
 K = 8
@@ -106,7 +107,7 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = (
         t.select("doc_id", F.explode(gram_structs).alias("s"))
         .select("doc_id", F.col("s.pos").alias("pos"), F.col("s.gh").alias("gh"))
-        .persist()
+        .transform(pin_local)
     )
 
     # Corpus-wide duplicated grams: one gh-keyed agg with map-side

@@ -7,9 +7,12 @@ The driver contract (__spark_entry__.py) reads QUERIES/ORACLES from here.
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+from . import pinning
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -28,10 +31,23 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query name {name!r}")
-        QUERIES[name] = fn
+
+        # Evict the previous query's QUERY-LOCAL persist pins at every
+        # top-level invocation (see pinning.py): session cache memory
+        # stays bounded to one query's pins, and re-invoking the same
+        # query recomputes from parquet instead of reading a warm cache.
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            pinning.enter_query()
+            try:
+                return fn(spark, sf_dir)
+            finally:
+                pinning.leave_query()
+
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
-        return fn
+        return wrapped
 
     return deco
 
