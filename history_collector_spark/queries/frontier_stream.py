@@ -171,7 +171,9 @@ def streaming_frontier_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     name = f"frontier_{uuid.uuid4().hex[:8]}"
-    with scoped_state_partitions(spark, python_state_partitions(spark)):
+    # key_bound: politeness state is keyed by host; the discovery feed
+    # constructs hosts as doc_id % 17
+    with scoped_state_partitions(spark, python_state_partitions(spark, key_bound=17)):
         q = (
             admitted.writeStream.format("memory")
             .queryName(name)

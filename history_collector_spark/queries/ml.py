@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from history_collector_spark.catalog import checked_embedding, table
+from history_collector_spark.catalog import spread, checked_embedding, table
 from history_collector_spark.queries.text import text_language_id, with_quality
 from history_collector_spark.registry import register
 
@@ -76,7 +76,12 @@ def ml_ridge_probe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     size. The solve itself is (XᵀX + λI)⁻¹ Xᵀy on those 20 numbers —
     see tests/test_invariants.py for the numpy twin."""
     docs = table(spark, sf_dir, "documents")
-    f = _features(docs)
+    # r16 optimization (guide §2.5): with_quality tokenizes every
+    # document (split + stopword filters) and the global agg's map
+    # side fuses it all into the ONE-task scan; spread the (text,
+    # lang) projection so feature extraction runs at cluster
+    # parallelism. The agg output is a single row either way.
+    f = _features(spread(docs.select("text", "lang"), spark))
     aggs = []
     for i, xi in enumerate(_FEATS):
         aggs.append(

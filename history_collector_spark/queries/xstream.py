@@ -118,7 +118,9 @@ def streaming_gapless_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     released = track_gapless(stream, start_seq=0, step=_STEP)
     name = f"gapless_{uuid.uuid4().hex[:8]}"
-    with scoped_state_partitions(spark, python_state_partitions(spark)):
+    # key_bound=2: the feed constructs exactly two stream_ids (r16 —
+    # 32 state partitions cost 2-7 s of Python round-trips PER BATCH)
+    with scoped_state_partitions(spark, python_state_partitions(spark, key_bound=2)):
         q = (
             released.writeStream.format("memory")
             .queryName(name)
@@ -487,7 +489,9 @@ def streaming_topk_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = stream.withColumn("user_id", F.col("event_id") % 50)
     out = track_heavy_hitters(stream)
     name = f"topk_{uuid.uuid4().hex[:8]}"
-    with scoped_state_partitions(spark, python_state_partitions(spark)):
+    # key_bound: the tracker is keyed by event_type — a small, fixed
+    # domain (5 types in the fixture; event taxonomies are O(10))
+    with scoped_state_partitions(spark, python_state_partitions(spark, key_bound=5)):
         q = (
             out.writeStream.format("memory")
             .queryName(name)
@@ -897,7 +901,8 @@ def streaming_hll_merge_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = track_hll(enriched, m=_SHLL_M)
     name = f"shll_{uuid.uuid4().hex[:8]}"
-    with scoped_state_partitions(spark, python_state_partitions(spark)):
+    # key_bound: state is keyed by shard = user_id % _SHLL_SHARDS
+    with scoped_state_partitions(spark, python_state_partitions(spark, key_bound=_SHLL_SHARDS)):
         q = (
             out.writeStream.format("memory")
             .queryName(name)

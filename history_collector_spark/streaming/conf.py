@@ -35,15 +35,32 @@ def scoped_state_partitions(
         yield
 
 
-def python_state_partitions(spark: SparkSession) -> int:
+def python_state_partitions(spark: SparkSession, key_bound: int | None = None) -> int:
     """State-partition count for PYTHON stateful operators
-    (applyInPandasWithState). Unlike JVM state stores — where extra
-    partitions only multiply per-task init cost — every Python state
-    partition is a concurrent Arrow round-trip through a worker
-    process, so the binding constraint is Python-side parallelism,
-    not store count. Measured on the near-dup bucket tracker at
-    sf0.1/local[32] (queries/neardup_stream.py): 4 partitions 11.8 s,
-    8 partitions 7.4 s, 32 partitions 4.9 s. Sizing to
-    defaultParallelism saturates the executor cores on any cluster
-    shape; JVM-stateful streams keep the small default above."""
-    return spark.sparkContext.defaultParallelism
+    (applyInPandasWithState).
+
+    Two opposing costs (both measured at sf0.1/local[32], r15+r16):
+
+    - every Python state partition is one Arrow round-trip through a
+      worker process PER MICRO-BATCH (~60-200 ms each even for an
+      empty partition), so partitions beyond the stream's key
+      cardinality are pure per-trigger overhead — the r16 profile of
+      streaming_gapless_e2e (2 stream keys) showed 32 partitions
+      costing 2-7 s per batch vs ~1 s at 4;
+    - for MANY-key, work-heavy trackers the round-trips run
+      concurrently and parallelism wins — the near-dup bucket tracker
+      (thousands of (band, bucket) keys) measured 4 partitions 11.8 s,
+      8 partitions 7.4 s, 32 partitions 4.9 s in r15, and the
+      user-keyed trackers (1500 keys) showed no change 32 -> 4.
+
+    So the caller passes ``key_bound`` — the stream's known key-domain
+    cardinality (a property of the feed, not of the local core count)
+    — and the partition count is min(defaultParallelism, key_bound):
+    scale-adaptive on any cluster shape, never more state tasks than
+    keys. Callers with unbounded/large key domains omit it and get
+    full parallelism; JVM-stateful streams keep the small module
+    default above."""
+    n = spark.sparkContext.defaultParallelism
+    if key_bound is not None:
+        n = max(1, min(n, key_bound))
+    return n

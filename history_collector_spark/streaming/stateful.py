@@ -114,45 +114,86 @@ EWMA_OUT_SCHEMA = StructType(
     ]
 )
 
-# state = the recursion's entire memory: one double per key.
-EWMA_STATE_SCHEMA = StructType([StructField("last_ewma", DoubleType())])
+# r16: state is held per SHARD (shard = user_id % n_shards, computed
+# JVM-side), not per user. applyInPandasWithState dispatches one Python
+# call — with its own pandas concat/sort/frame-build — PER KEY PER
+# BATCH; at 1500 user keys that per-group overhead (~1.5 ms each) was
+# ~2.5 s of every micro-batch's addBatch (measured r16, sf0.1). With a
+# few hundred shards the dispatch count drops two orders of magnitude
+# while every per-user float sequence stays IDENTICAL: rows are
+# processed in (ts, event_id) order within the shard, so each user's
+# subsequence is exactly the order the per-user keying produced, and
+# the recursion state lives in a per-shard dict. State volume is
+# unchanged (one double per user, now packed into shard arrays).
+EWMA_STATE_SCHEMA = StructType(
+    [
+        StructField("users", ArrayType(LongType())),
+        StructField("ys", ArrayType(DoubleType())),
+    ]
+)
 
 
 def make_ewma_tracker(alpha: float):
-    """Per-key streaming EWMA: y_i = alpha*x_i + (1-alpha)*y_{i-1},
-    seeded from state (or the first observation). Requires event-time-
-    ordered arrival ACROSS batches (the feed must be time-partitioned,
-    as a watermarked upstream ensures); within a batch rows are sorted
-    by (ts, event_id) before folding."""
+    """Shard-keyed streaming EWMA: y_i = alpha*x_i + (1-alpha)*y_{i-1}
+    per user, seeded from shard state (or the user's first
+    observation). Requires event-time-ordered arrival ACROSS batches
+    (the feed must be time-partitioned, as a watermarked upstream
+    ensures); within a batch rows are sorted by (ts, event_id) before
+    folding, which preserves every user's per-row order."""
 
     def track(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        y = state.get[0] if state.exists else None
+        if state.exists:
+            users, ys = state.get
+            mem = dict(zip(users, ys))
+        else:
+            mem = {}
         # a group's batch rows can arrive as MULTIPLE Arrow chunks with
-        # no cross-chunk ordering — materialize the (bounded per-key
+        # no cross-chunk ordering — materialize the (bounded per-shard
         # per-batch) rows and sort once
         pdf = pd.concat(list(pdfs), ignore_index=True)
         pdf = pdf.sort_values(["ts", "event_id"])
-        out_ids, out_y = [], []
-        for eid, x in zip(pdf["event_id"], pdf["value"]):
+        out_ids, out_us, out_y = [], [], []
+        for eid, u, x in zip(pdf["event_id"], pdf["user_id"], pdf["value"]):
+            u = int(u)
+            y = mem.get(u)
             y = float(x) if y is None else alpha * float(x) + (1 - alpha) * y
+            mem[u] = y
             out_ids.append(int(eid))
+            out_us.append(u)
             out_y.append(y)
         if out_ids:
             yield pd.DataFrame(
-                {"event_id": out_ids, "user_id": key[0], "ewma": out_y}
+                {"event_id": out_ids, "user_id": out_us, "ewma": out_y}
             )
-        if y is not None:
-            state.update((float(y),))
+        if mem:
+            state.update((list(mem.keys()), list(mem.values())))
 
     return track
 
 
-def track_ewma(stream: DataFrame, alpha: float) -> DataFrame:
+def _with_shard(stream: DataFrame, n_shards: int | None) -> DataFrame:
+    """Attach the shard key (user_id % n_shards) JVM-side. Shard count
+    defaults to 4x cluster parallelism — enough distinct keys to hash
+    evenly over the state partitions (guide §2.5) on any cluster
+    shape, and a fixed constant for the lifetime of one query run (the
+    state keying must be stable across its micro-batches)."""
+    from pyspark.sql import functions as F
+
+    n = n_shards or 4 * stream.sparkSession.sparkContext.defaultParallelism
+    return stream.withColumn(
+        "shard", F.pmod(F.col("user_id"), F.lit(n)).cast("long")
+    )
+
+
+def track_ewma(
+    stream: DataFrame, alpha: float, n_shards: int | None = None
+) -> DataFrame:
     """stream(event_id, ts, user_id, value) -> per-event EWMA with the
-    smoothing memory held in the state store (one double per key)."""
-    return stream.groupBy("user_id").applyInPandasWithState(
+    smoothing memory held in the state store (one double per user,
+    packed per shard)."""
+    return _with_shard(stream, n_shards).groupBy("shard").applyInPandasWithState(
         make_ewma_tracker(alpha),
         outputStructType=EWMA_OUT_SCHEMA,
         stateStructType=EWMA_STATE_SCHEMA,
@@ -174,57 +215,77 @@ ZSCORE_OUT_SCHEMA = StructType(
     ]
 )
 
-# Welford sufficient statistics: (n, mean, M2) — three numbers per key.
+# Welford sufficient statistics: (n, mean, M2) — three numbers per
+# user, packed into shard arrays (see the EWMA shard note above).
 ZSCORE_STATE_SCHEMA = StructType(
     [
-        StructField("n", LongType()),
-        StructField("mean", DoubleType()),
-        StructField("m2", DoubleType()),
+        StructField("users", ArrayType(LongType())),
+        StructField("ns", ArrayType(LongType())),
+        StructField("means", ArrayType(DoubleType())),
+        StructField("m2s", ArrayType(DoubleType())),
     ]
 )
 
 
 def make_zscore_tracker():
-    """Per-key streaming z-score: each row scores against the prior
-    state's sample mean/std (None until 2 observations, or while the
-    history is constant), THEN folds itself in via Welford's update —
-    numerically stable and exactly mergeable with the batch
-    prefix-window formulation."""
+    """Shard-keyed streaming z-score: each row scores against its
+    user's prior state's sample mean/std (None until 2 observations,
+    or while the history is constant), THEN folds itself in via
+    Welford's update — numerically stable and exactly mergeable with
+    the batch prefix-window formulation. Per-user arithmetic order is
+    identical to per-user keying (rows processed in (ts, event_id)
+    order within the shard)."""
 
     def track(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         import math
 
-        n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
+        if state.exists:
+            users, ns, means, m2s = state.get
+            mem = {u: (n, m, q) for u, n, m, q in zip(users, ns, means, m2s)}
+        else:
+            mem = {}
         pdf = pd.concat(list(pdfs), ignore_index=True)
         pdf = pdf.sort_values(["ts", "event_id"])
-        out_ids, out_z = [], []
-        for eid, x in zip(pdf["event_id"], pdf["value"]):
+        out_ids, out_us, out_z = [], [], []
+        for eid, u, x in zip(pdf["event_id"], pdf["user_id"], pdf["value"]):
+            u = int(u)
+            n, mean, m2 = mem.get(u, (0, 0.0, 0.0))
             x = float(x)
             if n >= 2 and m2 > 0:
                 z = (x - mean) / math.sqrt(m2 / (n - 1))
             else:
                 z = None
             out_ids.append(int(eid))
+            out_us.append(u)
             out_z.append(z)
             n += 1
             d = x - mean
             mean += d / n
             m2 += d * (x - mean)
+            mem[u] = (n, mean, m2)
         if out_ids:
             yield pd.DataFrame(
-                {"event_id": out_ids, "user_id": key[0], "z": out_z}
+                {"event_id": out_ids, "user_id": out_us, "z": out_z}
             )
-        state.update((int(n), float(mean), float(m2)))
+        if mem:
+            state.update(
+                (
+                    list(mem.keys()),
+                    [int(v[0]) for v in mem.values()],
+                    [float(v[1]) for v in mem.values()],
+                    [float(v[2]) for v in mem.values()],
+                )
+            )
 
     return track
 
 
-def track_zscore(stream: DataFrame) -> DataFrame:
+def track_zscore(stream: DataFrame, n_shards: int | None = None) -> DataFrame:
     """stream(event_id, ts, user_id, value) -> prior-history z-score
-    per event, with three numbers per key in the state store."""
-    return stream.groupBy("user_id").applyInPandasWithState(
+    per event, with three numbers per user in the state store."""
+    return _with_shard(stream, n_shards).groupBy("shard").applyInPandasWithState(
         make_zscore_tracker(),
         outputStructType=ZSCORE_OUT_SCHEMA,
         stateStructType=ZSCORE_STATE_SCHEMA,
@@ -247,13 +308,15 @@ PH_OUT_SCHEMA = StructType(
     ]
 )
 
-# (n, running sum, cumulative deviation m_t, min m_t) per key.
+# (n, running sum, cumulative deviation m_t, min m_t) per user,
+# packed into shard arrays (see the EWMA shard note above).
 PH_STATE_SCHEMA = StructType(
     [
-        StructField("n", LongType()),
-        StructField("sumv", DoubleType()),
-        StructField("mt", DoubleType()),
-        StructField("minm", DoubleType()),
+        StructField("users", ArrayType(LongType())),
+        StructField("ns", ArrayType(LongType())),
+        StructField("sumvs", ArrayType(DoubleType())),
+        StructField("mts", ArrayType(DoubleType())),
+        StructField("minms", ArrayType(DoubleType())),
     ]
 )
 
@@ -274,13 +337,20 @@ def make_page_hinkley_tracker(delta: float, lam: float):
     def track(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        n, sumv, mt, minm = (
-            state.get if state.exists else (0, 0.0, 0.0, None)
-        )
+        if state.exists:
+            users, ns, sumvs, mts, minms = state.get
+            mem = {
+                u: (n, sv, mt, mn)
+                for u, n, sv, mt, mn in zip(users, ns, sumvs, mts, minms)
+            }
+        else:
+            mem = {}
         pdf = pd.concat(list(pdfs), ignore_index=True)
         pdf = pdf.sort_values(["ts", "event_id"])
-        out_ids, out_ph, out_drift = [], [], []
-        for eid, x in zip(pdf["event_id"], pdf["value"]):
+        out_ids, out_us, out_ph, out_drift = [], [], [], []
+        for eid, u, x in zip(pdf["event_id"], pdf["user_id"], pdf["value"]):
+            u = int(u)
+            n, sumv, mt, minm = mem.get(u, (0, 0.0, 0.0, None))
             x = float(x)
             n += 1
             sumv += x
@@ -289,28 +359,39 @@ def make_page_hinkley_tracker(delta: float, lam: float):
             minm = mt if minm is None else min(minm, mt)
             ph = mt - minm
             out_ids.append(int(eid))
+            out_us.append(u)
             out_ph.append(ph)
             out_drift.append(ph > lam)
+            mem[u] = (n, sumv, mt, minm)
         if out_ids:
             yield pd.DataFrame(
                 {
                     "event_id": out_ids,
-                    "user_id": key[0],
+                    "user_id": out_us,
                     "ph": out_ph,
                     "drift": out_drift,
                 }
             )
-        state.update((int(n), float(sumv), float(mt), float(minm)))
+        if mem:
+            state.update(
+                (
+                    list(mem.keys()),
+                    [int(v[0]) for v in mem.values()],
+                    [float(v[1]) for v in mem.values()],
+                    [float(v[2]) for v in mem.values()],
+                    [float(v[3]) for v in mem.values()],
+                )
+            )
 
     return track
 
 
 def track_page_hinkley(
-    stream: DataFrame, delta: float, lam: float
+    stream: DataFrame, delta: float, lam: float, n_shards: int | None = None
 ) -> DataFrame:
     """stream(event_id, ts, user_id, value) -> Page-Hinkley drift
-    statistic per event, four numbers per key in the state store."""
-    return stream.groupBy("user_id").applyInPandasWithState(
+    statistic per event, four numbers per user in the state store."""
+    return _with_shard(stream, n_shards).groupBy("shard").applyInPandasWithState(
         make_page_hinkley_tracker(delta, lam),
         outputStructType=PH_OUT_SCHEMA,
         stateStructType=PH_STATE_SCHEMA,
