@@ -20,7 +20,7 @@ the training-data curation surface.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from history_collector_spark.catalog import table
@@ -104,7 +104,7 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     reps = classes.select(F.col("cls_id").alias("doc_id"))
 
-    sh = _doc_shingles(spark, sf_dir).join(reps, "doc_id", "semi")
+    sh = pin_local(_doc_shingles(spark, sf_dir).join(reps, "doc_id", "semi"))
     df = sh.groupBy("lang", "g").agg(F.count("*").alias("df"))
     keyed = sh.join(df, ["lang", "g"])
     # (df, g) struct sort = ascending global rarity order, total because
